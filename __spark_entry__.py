@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship query on sf0.001 (windowed traffic example,
+                  the reference's system_window worked example).
+queries()       — one (spark, sf_dir) -> DataFrame per implemented
+                  operator from SURVEY.md §2 (+ training-data ops).
+oracle_sql()    — DuckDB-equivalent SQL per query for the correctness
+                  gate; column names are aliased identically on both
+                  sides.
 """
 
 from __future__ import annotations
@@ -13,26 +15,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from connect_spark.queries import all_queries
+from connect_spark.queries.windows import window_tumbling_hourly
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return window_tumbling_hourly(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {spec.name: spec.fn for spec in all_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        spec.name: spec.oracle
+        for spec in all_queries()
+        if spec.oracle is not None
+    }

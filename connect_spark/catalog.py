@@ -1,0 +1,74 @@
+"""Table loaders for the driver-provided parquet test tables.
+
+The reference is schemaless-by-default (message trees, SURVEY.md §1.1);
+our engine is DataFrame-native so tables are first-class. Loaders go
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and partition pruning for free on every query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _prepare_session(spark: SparkSession) -> None:
+    """Pin runtime SQL confs this engine relies on, regardless of how
+    the caller built the session (the round driver builds its own):
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
+      otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+    - UTC session tz: timestamp→string casts must agree with the
+      DuckDB oracle's naive timestamps.
+    Both are runtime-settable; setting them here makes every query
+    self-contained."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _prepare_session(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    # as int64 nanos — truncate to micros (what DuckDB does) and restore
+    # the timestamp type. Narrow expression, stays codegen'd.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

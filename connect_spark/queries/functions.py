@@ -1,0 +1,238 @@
+"""Bloblang scalar-surface matrices (SURVEY.md §2.G) with DuckDB
+oracles — string, timestamp, number, encoding/hash, array/object
+method families evaluated per-row over the test tables.
+
+Each output column corresponds to one or more reference methods
+(docs/modules/guides/pages/bloblang/methods.adoc section cites in the
+comments). Everything compiles to JVM Column expressions — this whole
+family is whole-stage-codegen'd, no Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import load_table
+from connect_spark.queries import QuerySpec
+
+
+# --- string methods (methods.adoc:35) ---
+
+def fn_string_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 24)
+    return docs.select(
+        "doc_id",
+        F.upper(head).alias("uppercased"),            # uppercase
+        F.lower(head).alias("lowercased"),            # lowercase
+        F.initcap(head).alias("capitalized"),         # capitalize
+        F.length("text").alias("str_len"),            # length
+        F.trim(head).alias("trimmed"),                # trim
+        F.reverse(head).alias("reversed"),            # reverse
+        F.substring("text", 5, 10).alias("sliced"),   # slice
+        F.concat_ws("|", "lang", "source").alias("joined"),  # format/join
+        F.col("text").startswith("key").cast("int").alias("has_prefix"),
+        F.col("text").endswith("e").cast("int").alias("has_suffix"),
+        F.col("text").contains("spark").cast("int").alias("contains_spark"),
+        (F.instr("text", "data")).alias("index_of_data"),    # index_of
+        F.regexp_replace(F.lower(head), "[^a-z0-9]+", "-").alias("slug"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),   # repeat
+        F.lpad("lang", 5, "_").alias("padded"),
+        F.translate(head, "aeiou", "AEIOU").alias("translated"),
+        F.split(F.col("text"), " ").getItem(0).alias("first_word"),
+    )
+
+
+STRING_SQL = """
+SELECT doc_id,
+       upper(substr(text, 1, 24)) AS uppercased,
+       lower(substr(text, 1, 24)) AS lowercased,
+       -- DuckDB has no initcap; title-case first letter of each word
+       list_aggregate(list_transform(string_split(substr(text, 1, 24), ' '),
+         w -> CASE WHEN len(w) > 0
+                   THEN upper(w[1]) || lower(w[2:]) ELSE w END), 'string_agg', ' ')
+         AS capitalized,
+       length(text) AS str_len,
+       trim(substr(text, 1, 24)) AS trimmed,
+       reverse(substr(text, 1, 24)) AS reversed,
+       substr(text, 5, 10) AS sliced,
+       lang || '|' || source AS joined,
+       CAST(starts_with(text, 'key') AS INT) AS has_prefix,
+       CAST(ends_with(text, 'e') AS INT) AS has_suffix,
+       CAST(contains(text, 'spark') AS INT) AS contains_spark,
+       strpos(text, 'data') AS index_of_data,
+       regexp_replace(lower(substr(text, 1, 24)), '[^a-z0-9]+', '-', 'g') AS slug,
+       repeat('ab', 3) AS repeated,
+       lpad(lang, 5, '_') AS padded,
+       translate(substr(text, 1, 24), 'aeiou', 'AEIOU') AS translated,
+       string_split(text, ' ')[1] AS first_word
+FROM documents
+"""
+
+
+# --- timestamp methods (methods.adoc:1581) ---
+
+def fn_timestamp_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),                      # ts_format parts
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.dayofweek("ts").alias("dow"),               # ISO-adjusted below
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("formatted"),  # ts_format
+        F.unix_timestamp("ts").alias("epoch_s"),      # ts_unix
+        (F.unix_micros("ts") / 1000).cast("bigint").alias("epoch_ms"),  # ts_unix_milli
+        F.date_trunc("hour", "ts").cast("string").alias("hour_floor"),  # ts_round
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).cast("string").alias("plus_day"),
+        (F.col("ts") - F.expr("INTERVAL 90 MINUTE")).cast("string").alias("minus_90m"),
+        F.datediff(F.lit("2024-02-01"), F.col("ts")).alias("days_to_feb"),
+    )
+
+
+TS_SQL = """
+SELECT event_id,
+       year(ts) AS y,
+       month(ts) AS mo,
+       day(ts) AS d,
+       hour(ts) AS h,
+       minute(ts) AS mi,
+       dayofweek(ts) + 1 AS dow,
+       strftime(ts, '%Y-%m-%d %H:%M') AS formatted,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS epoch_ms,
+       CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_floor,
+       CAST(ts + INTERVAL '1 day' AS VARCHAR) AS plus_day,
+       CAST(ts - INTERVAL '90 minutes' AS VARCHAR) AS minus_90m,
+       datediff('day', CAST(ts AS DATE), DATE '2024-02-01') AS days_to_feb
+FROM events
+"""
+
+
+# --- number methods (methods.adoc:955) ---
+
+def fn_number_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_v"),
+        F.ceil("l_quantity").alias("ceil_v"),
+        F.floor("l_quantity").alias("floor_v"),
+        F.round(F.col("l_extendedprice") / 7, 3).alias("round_v"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_v"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_v"),
+        F.round(F.pow(F.col("l_discount") + 1, 3), 6).alias("pow_v"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_v"),
+        F.greatest("l_tax", "l_discount").alias("max_v"),
+        F.least("l_tax", "l_discount").alias("min_v"),
+        (F.col("l_orderkey") % 7).alias("mod_v"),
+        F.col("l_partkey").bitwiseAND(F.lit(255)).alias("band_v"),
+        F.col("l_partkey").bitwiseOR(F.lit(8)).alias("bor_v"),
+        F.col("l_partkey").bitwiseXOR(F.lit(129)).alias("bxor_v"),
+        F.col("l_quantity").cast("int").alias("as_int"),
+        F.col("l_linenumber").cast("double").alias("as_float"),
+    )
+
+
+NUMBER_SQL = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_v,
+       CAST(ceil(l_quantity) AS BIGINT) AS ceil_v,
+       CAST(floor(l_quantity) AS BIGINT) AS floor_v,
+       round(l_extendedprice / 7, 3) AS round_v,
+       round(ln(l_extendedprice), 6) AS log_v,
+       round(log10(l_extendedprice), 6) AS log10_v,
+       round(pow(l_discount + 1, 3), 6) AS pow_v,
+       round(sqrt(l_quantity), 6) AS sqrt_v,
+       greatest(l_tax, l_discount) AS max_v,
+       least(l_tax, l_discount) AS min_v,
+       l_orderkey % 7 AS mod_v,
+       l_partkey & 255 AS band_v,
+       l_partkey | 8 AS bor_v,
+       xor(l_partkey, 129) AS bxor_v,
+       CAST(l_quantity AS INT) AS as_int,
+       CAST(l_linenumber AS DOUBLE) AS as_float
+FROM lineitem
+"""
+
+
+# --- encoding & crypto methods (methods.adoc:3737) ---
+
+def fn_encoding_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 16)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),               # hash md5
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        F.base64(head.cast("binary")).alias("b64"),   # encode base64
+        F.hex(head.cast("binary")).alias("hex_enc"),  # encode hex
+    )
+
+
+ENCODING_SQL = """
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       to_base64(encode(substr(text, 1, 16))) AS b64,
+       upper(hex(encode(substr(text, 1, 16)))) AS hex_enc
+FROM documents
+"""
+
+
+# --- array/object methods (methods.adoc:2257) over tokenized text ---
+
+def fn_array_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),                        # length
+        F.size(F.array_distinct(toks)).alias("n_uniq"),      # unique
+        F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),  # slice/join
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        F.element_at(toks, 3).alias("third"),                # index
+        F.array_join(F.sort_array(F.array_distinct(F.slice(toks, 1, 8))), ",")
+            .alias("sorted_head"),                           # sort+unique
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),  # filter
+        F.array_join(
+            F.transform(F.slice(toks, 1, 4), lambda t: F.upper(t)), ","
+        ).alias("upper4"),                                   # map_each
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),                              # fold/sum
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_tok_len"),
+        F.array_position(toks, "table").cast("int").alias("pos_table"),
+    )
+
+
+ARRAY_SQL = """
+WITH t AS (SELECT *, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_toks,
+       len(list_distinct(toks)) AS n_uniq,
+       array_to_string(toks[1:5], ' ') AS first5,
+       CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+       toks[3] AS third,
+       array_to_string(list_sort(list_distinct(toks[1:8])), ',') AS sorted_head,
+       len(list_filter(toks, x -> len(x) > 4)) AS n_long,
+       array_to_string(list_transform(toks[1:4], x -> upper(x)), ',') AS upper4,
+       list_sum(list_transform(toks, x -> len(x))) AS total_chars,
+       list_max(list_transform(toks, x -> len(x))) AS max_tok_len,
+       CAST(coalesce(list_position(toks, 'table'), 0) AS INT) AS pos_table
+FROM t
+"""
+
+
+QUERIES = [
+    QuerySpec("fn_string_matrix", fn_string_matrix, STRING_SQL),
+    QuerySpec("fn_timestamp_matrix", fn_timestamp_matrix, TS_SQL),
+    QuerySpec("fn_number_matrix", fn_number_matrix, NUMBER_SQL),
+    QuerySpec("fn_encoding_matrix", fn_encoding_matrix, ENCODING_SQL),
+    QuerySpec("fn_array_matrix", fn_array_matrix, ARRAY_SQL),
+]

@@ -1,0 +1,185 @@
+"""Join-mechanism queries (SURVEY.md §2.B) with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import load_table
+from connect_spark.operators.joins import (
+    anti_join,
+    enrichment_join,
+    semi_join,
+    sharded_join,
+)
+from connect_spark.queries import QuerySpec
+
+
+# --- sharded_join: full-outer merge with array strategy (F3 fixture) ---
+
+def join_sharded_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sequence` input `sharded_join` (sequence.adoc:199-247): customer
+    ⟗ orders with merge_strategy:array. The many-side pre-aggregates
+    before the join (one shuffle; the join reuses the partitioning), so
+    no row explosion — the reference's `iterations` memory knob is
+    subsumed by the shuffle's natural key sharding."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    out = sharded_join(
+        cust,
+        orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+        on="c_custkey",
+        how="full_outer",
+        collect={"order_ids": F.col("o_orderkey").cast("string")},
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.array_join("order_ids", ","), F.lit("")).alias("order_ids"),
+        F.coalesce(F.size("order_ids"), F.lit(0)).alias("n_orders"),
+    )
+
+
+SHARDED_SQL = """
+SELECT c.c_custkey, c.c_name,
+       coalesce(array_to_string(o.order_ids, ','), '') AS order_ids,
+       coalesce(len(o.order_ids), 0) AS n_orders
+FROM customer c
+FULL OUTER JOIN (
+  SELECT o_custkey, list_sort(list(CAST(o_orderkey AS VARCHAR))) AS order_ids
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
+# --- enrichment lookup join (sql_select processor) ---
+
+def join_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sql_select` enrichment (processor_sql_select.go:32-67) made
+    set-based: lineitem enriched with part attributes, then revenue per
+    brand. `part` is broadcast — at 100 TB the fact scan streams past a
+    copy of the dimension on every executor, zero fact shuffle for the
+    join; the groupBy shuffles only pre-combined partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    out = enrichment_join(
+        li,
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type"),
+        on="l_partkey",
+        how="left",
+    )
+    return out.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+ENRICH_SQL = """
+SELECT p.p_brand,
+       count(*) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+# --- semi / anti joins ---
+
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left_semi: customers having at least one order over
+    300k (the cache-hit side of dedupe-vs-cache, SURVEY.md §2.B)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return semi_join(cust, big, on="c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti: customers with no orders — the
+    `dedupe`-against-cache negative path (dedupe.adoc:53-78)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join(
+        cust,
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --- star join (multi-way, Q5 shape) ---
+
+def join_star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (F6 fixture): lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region, revenue per nation. Dimensions broadcast; the only
+    real shuffle is lineitem⋈orders on orderkey plus the final tiny
+    aggregation — the plan Catalyst+AQE picks survives a 100× scale-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    out = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return out
+
+
+STAR_SQL = """
+SELECT r.r_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+QUERIES = [
+    QuerySpec("join_sharded_full_outer", join_sharded_full_outer, SHARDED_SQL),
+    QuerySpec("join_enrichment_lookup", join_enrichment_lookup, ENRICH_SQL, headline=True),
+    QuerySpec("join_semi_big_spenders", join_semi_big_spenders, SEMI_SQL),
+    QuerySpec("join_anti_no_orders", join_anti_no_orders, ANTI_SQL),
+    QuerySpec("join_star_revenue_by_nation", join_star_revenue_by_nation, STAR_SQL, headline=True),
+]

@@ -1,0 +1,498 @@
+"""Training-data text operators: the dedup family + text analysis
+(brief: deduplication, text analysis, multimodal plumbing) over the
+`documents` table, each with a DuckDB oracle.
+
+Design for 100 TB:
+- Exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle of
+  (fp, doc_id) pairs only, never the text.
+- MinHash+LSH: shingle→minhash→band→bucket-join. Candidate pairs come
+  from equality joins on band hashes (an inverted index), NEVER a cross
+  join — cost scales with bucket collisions, not n².
+- N-gram Jaccard: verification joins on shared shingles (inverted
+  index), again no cross join; at scale you run it only on the LSH
+  candidate set.
+- All hashing is md5-based so the DuckDB oracle can reproduce results
+  bit-for-bit (md5 is engine-independent; Spark/DuckDB both lowercase
+  hex). MinHash "permutations" are md5("<p>:<shingle>") — a standard
+  salted-hash family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import load_table
+from connect_spark.queries import QuerySpec
+
+N_PERM = 16          # minhash permutations
+BAND_SIZE = 4        # rows per LSH band → 4 bands
+JACCARD_THRESHOLD = 0.5
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """doc_id + token array (whitespace tokenization, both engines)."""
+    return df.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("toks", F.filter("toks", lambda t: t != ""))
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc (exploded). Narrow ops only."""
+    t = _tokens(df).filter(F.size("toks") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda j: F.concat_ws(
+            " ", F.get("toks", j), F.get("toks", j + 1), F.get("toks", j + 2)
+        ),
+    )
+    return t.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+# Shared oracle CTE: distinct 3-gram shingles per doc (1-based lists).
+SHINGLE_CTE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM t WHERE len(toks) >= 3
+)
+"""
+
+
+# --- exact dedup ---
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: md5 of normalized text,
+    canonical doc = min doc_id. Only (fp, doc_id) shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim("text")))
+    return (
+        docs.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS fp,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- minhash signatures + LSH candidate pairs ---
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 16 salted-md5 minhashes over
+    3-gram shingles, 4 bands × 4 rows; docs sharing any band bucket are
+    candidates. The band join is an equality join on (band, band_hash)
+    — at 100 TB this is a shuffle keyed by band hash whose cost tracks
+    true near-duplicates, not n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    perms = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("p"),
+    )
+    sigs = perms.groupBy("doc_id", "p").agg(
+        F.min(
+            F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), "shingle"))
+        ).alias("mh")
+    )
+    bands = (
+        sigs.withColumn("band", F.floor(F.col("p") / BAND_SIZE))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("p", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("bh")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+MINHASH_SQL = SHINGLE_CTE + f"""
+, perms AS (SELECT unnest(range({N_PERM})) AS p)
+, sigs AS (
+  SELECT doc_id, p,
+         min(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh, perms GROUP BY doc_id, p
+), bands AS (
+  SELECT doc_id, CAST(floor(p / {BAND_SIZE}) AS BIGINT) AS band,
+         md5(string_agg(mh, ',' ORDER BY p)) AS bh
+  FROM sigs GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+# --- n-gram Jaccard verification ---
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs via inverted-index join: pairs
+    sharing shingles → intersection counts → Jaccard ≥ 0.5. The ratio
+    is exact integer division — bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n").alias("na"))), "doc_a")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("n").alias("nb"))), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+NGRAM_JACCARD_SQL = SHINGLE_CTE + f"""
+, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE round(i * 1.0 / (x.n + y.n - i), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- simhash fingerprint ---
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint: 32 one-bit hash functions (the high bit of
+    each md5 hex nibble of each distinct token) vote per position; the
+    sign vector is the fingerprint. Near-dups differ in few bits.
+    Expressed as explode + one aggregation — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs).select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
+    )
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("pos"),
+        F.md5("tok").alias("h"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.substring("h", F.col("pos").cast("int"), F.lit(1)).isin(
+                *"89abcdef"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    bits = votes.groupBy("doc_id", "pos").agg(
+        F.when(F.sum("vote") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "bit"))),
+                lambda s: s["bit"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '),
+                                 x -> x != '')) AS tok
+  FROM documents
+), votes AS (
+  SELECT doc_id, pos,
+         CASE WHEN substr(md5(tok), CAST(pos AS INT), 1) IN
+                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+  FROM toks, (SELECT unnest(range(1, 33)) AS pos)
+), bits AS (
+  SELECT doc_id, pos,
+         CASE WHEN sum(vote) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM votes GROUP BY doc_id, pos
+)
+SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# --- language ID (n-gram/stopword heuristic) ---
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: count per-language marker tokens, argmax
+    with deterministic tie-break (en→es→de→fr, else 'und')."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens(docs)
+    def _score(markers):
+        return F.size(F.filter("toks", lambda x: x.isin(*markers)))
+
+    scores = {
+        lang: _score(markers).alias(f"score_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    out = t.select("doc_id", *scores.values())
+    best = F.greatest(*[F.col(f"score_{l}") for l in _LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_MARKERS:  # insertion order = tie-break priority
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return out.select(
+        "doc_id", *[f"score_{l}" for l in _LANG_MARKERS], pred.alias("predicted")
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    best = "greatest({})".format(
+        ", ".join(f"score_{l}" for l in _LANG_MARKERS)
+    )
+    whens = "\n            ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in _LANG_MARKERS
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM t
+)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       CASE WHEN {best} <= 0 THEN 'und'
+            {whens}
+       END AS predicted
+FROM s
+"""
+
+
+LANG_ID_SQL = _lang_sql()
+
+
+# --- quality scoring ---
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score from rational-arithmetic signals only (unique-token
+    ratio, stopword ratio, capped length) so both engines agree
+    bit-for-bit; bucketed for routing (the `switch` pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    n_toks = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    n_stop = F.size(F.filter("toks", lambda x: x.isin("a", "the", "of")))
+    score = F.round(
+        (n_uniq / n_toks) * 0.5
+        + (n_stop / n_toks) * 0.2
+        + F.least(F.col("n_chars"), F.lit(400)) / 400 * 0.3,
+        6,
+    )
+    out = t.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        n_uniq.alias("n_uniq"),
+        n_stop.alias("n_stop"),
+        score.alias("quality"),
+    )
+    return out.withColumn(
+        "bucket",
+        F.when(F.col("quality") >= 0.8, "high")
+        .when(F.col("quality") >= 0.6, "mid")
+        .otherwise("low"),
+    )
+
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_toks,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks, x -> x IN ('a', 'the', 'of'))) AS n_stop,
+         round((len(list_distinct(toks)) * 1.0 / len(toks)) * 0.5
+               + (len(list_filter(toks, x -> x IN ('a', 'the', 'of'))) * 1.0
+                  / len(toks)) * 0.2
+               + least(n_chars, 400) * 1.0 / 400 * 0.3, 6) AS quality
+  FROM t
+)
+SELECT doc_id, n_toks, n_uniq, n_stop, quality,
+       CASE WHEN quality >= 0.8 THEN 'high'
+            WHEN quality >= 0.6 THEN 'mid'
+            ELSE 'low' END AS bucket
+FROM s
+"""
+
+
+# --- token counting ---
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex count
+    (letter runs / digit runs / single punctuation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "ws_tokens"
+        ),
+        F.regexp_count("text", F.lit(pat)).alias("re_tokens"),
+        F.length("text").alias("chars"),
+        F.round(
+            F.length("text")
+            / F.size(F.filter(F.split("text", " "), lambda t: t != "")),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x != '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+       length(text) AS chars,
+       round(length(text) * 1.0 /
+             len(list_filter(string_split(text, ' '), x -> x != '')), 4)
+         AS chars_per_token
+FROM documents
+"""
+
+
+# --- document fingerprinting ---
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: content hash, 64-bit prefix, and an
+    order-insensitive token-set hash (catches shuffled near-dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _tokens(docs).join(docs.select("doc_id", "text"), "doc_id")
+    return t.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_fp"),
+        F.substring(F.md5(F.lower(F.trim("text"))), 1, 16).alias("fp64"),
+        F.md5(
+            F.array_join(F.sort_array(F.array_distinct("toks")), " ")
+        ).alias("tokenset_fp"),
+    )
+
+
+FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(lower(trim(text))) AS content_fp,
+       substr(md5(lower(trim(text))), 1, 16) AS fp64,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS tokenset_fp
+FROM t
+"""
+
+
+# --- multimodal plumbing: opaque binary payload + typed metadata ---
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: treat the payload as an opaque BINARY
+    column with typed metadata (byte length, content hash, magic-header
+    hex) — the schema/partitioning pattern image/audio columns use. The
+    actual decode is a clearly-stubbed pandas UDF in
+    connect_spark.text.multimodal (decoders aren't in this container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("byte_len"),
+        F.md5(payload).alias("payload_md5"),
+        F.hex(F.substring(payload, 1, 4)).alias("magic_hex"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS payload_md5,
+       upper(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+QUERIES = [
+    QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, headline=True),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    QuerySpec("dedup_simhash", dedup_simhash, SIMHASH_SQL),
+    QuerySpec("text_lang_id", text_lang_id, LANG_ID_SQL),
+    QuerySpec("text_quality_score", text_quality_score, QUALITY_SQL),
+    QuerySpec("text_token_count", text_token_count, TOKEN_COUNT_SQL),
+    QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
+    QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_SQL),
+]

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local test mode runs ``local[$SPARK_GRAFT_CPUS]`` in one JVM, but every
+config here is chosen to also hold on a large multi-executor cluster:
+
+- AQE on (runtime re-plan: coalesce small shuffle partitions, skew-join
+  splitting, dynamic broadcast) — the reference has no optimizer at all
+  (SURVEY.md §4.1), Catalyst+AQE is our substitute and upgrade.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster AQE coalescing makes the initial number mostly a ceiling.
+- Arrow enabled so the pandas-UDF tail (the few operators that genuinely
+  need Python) moves columnar batches, not pickled rows.
+- Session timezone pinned to UTC so event-time windows and the DuckDB
+  oracle agree on timestamp arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+    except ValueError:
+        return 0
+
+
+def get_spark(app_name: str = "connect_spark") -> SparkSession:
+    """Build (or return) the shared SparkSession."""
+    n = _cpus() or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # test tables carry TIMESTAMP(NANOS) parquet columns (events.ts);
+        # read them as int64 nanos and convert in the catalog loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
