@@ -101,31 +101,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     true near-duplicates, not n²."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    perms = sh.select(
-        "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("p"),
+    # All 16 minhashes in ONE aggregation pass: no perm-row explosion,
+    # and partial (map-side) min-combining means the shuffle carries 16
+    # hashes per doc per partition, never per shingle.
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(
+                f"mh{p}"
+            )
+            for p in range(N_PERM)
+        ]
     )
-    sigs = perms.groupBy("doc_id", "p").agg(
-        F.min(
-            F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), "shingle"))
-        ).alias("mh")
+    # Band hashes straight from the signature row (narrow explode of a
+    # 4-element array — no second shuffle).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{p}")
+                            for p in range(
+                                b * BAND_SIZE, (b + 1) * BAND_SIZE
+                            )
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(N_PERM // BAND_SIZE)
+        ]
     )
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("p") / BAND_SIZE))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("p", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                    ",",
-                )
-            ).alias("bh")
-        )
-    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
