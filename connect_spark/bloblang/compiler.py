@@ -1,0 +1,347 @@
+"""AST → Column compiler + mapping executor.
+
+`compile_mapping(df, src)` applies a Bloblang mapping as ONE Catalyst
+projection (mapping processor semantics, mapping.adoc:26):
+- `root.x = expr` assignments become select items;
+- `root = deleted()` (possibly under if/match) becomes a filter
+  (bloblang/about.adoc:70-78);
+- `meta key = expr` writes into the `_meta` map column (about.adoc:89-96);
+- `let` variables are compile-time Column bindings (about.adoc:80-87) —
+  Catalyst CSE dedupes repeated use.
+
+`mutation` semantics (mutation.adoc:26) keep unassigned columns.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from connect_spark.bloblang import ast as A
+from connect_spark.bloblang.lexer import BloblangSyntaxError
+from connect_spark.bloblang.methods import METHODS
+from connect_spark.bloblang.parser import parse_expression, parse_mapping
+
+META_COL = "_meta"
+
+
+class BloblangError(ValueError):
+    pass
+
+
+# --- functions (docs/.../bloblang/functions.adoc) ---
+
+
+def _fn_now() -> Column:
+    return F.current_timestamp()
+
+
+def _fn_uuid_v4() -> Column:
+    return F.expr("uuid()")
+
+
+def _fn_counter() -> Column:
+    return F.monotonically_increasing_id()
+
+
+def _fn_random_int(max_: Any = 2147483647) -> Column:
+    return (F.rand() * max_).cast("bigint")
+
+
+def _fn_timestamp_unix() -> Column:
+    return F.unix_timestamp(F.current_timestamp())
+
+
+def _fn_range(start: Any, stop: Any, step: Any = 1) -> Column:
+    return F.sequence(
+        F.lit(start), F.lit(stop) - 1, F.lit(step)
+    )
+
+
+def _fn_throw(msg: Any) -> Column:
+    return F.raise_error(F.lit(msg))
+
+
+FUNCTIONS = {
+    "now": _fn_now,
+    "uuid_v4": _fn_uuid_v4,
+    "counter": _fn_counter,
+    "random_int": _fn_random_int,
+    "timestamp_unix": _fn_timestamp_unix,
+    "range": _fn_range,
+    "throw": _fn_throw,
+}
+
+
+class Compiler:
+    def __init__(self, env: dict[str, Column] | None = None):
+        self.env: dict[str, Column] = dict(env or {})
+
+    # value may be a Column or a plain Python literal; the caller lifts
+    # literals with F.lit only where a Column is required, so method
+    # impls can see real Python values (formats, codec names, …).
+    def eval(self, node: A.Node, scope: dict[str, Column] | None = None) -> Any:
+        scope = scope or {}
+        if isinstance(node, A.Lit):
+            return node.value
+        if isinstance(node, A.ArrayLit):
+            return F.array(*[self.col(i, scope) for i in node.items])
+        if isinstance(node, A.ObjectLit):
+            return F.struct(
+                *[self.col(v, scope).alias(k) for k, v in node.pairs]
+            )
+        if isinstance(node, A.This):
+            raise BloblangError(
+                "`this` used as a whole document is only valid in "
+                "`root = this` (identity); reference fields as this.<name>"
+            )
+        if isinstance(node, A.Field):
+            if isinstance(node.target, A.This):
+                # lambda params shadow document fields (`x -> x * 2`
+                # parses `x` as a bare field ref)
+                if node.name in scope:
+                    return scope[node.name]
+                return F.col(node.name)
+            target = self.col(node.target, scope)
+            return target.getField(node.name)
+        if isinstance(node, A.Index):
+            target = self.col(node.target, scope)
+            idx = self.eval(node.index, scope)
+            if isinstance(idx, int):
+                return F.element_at(target, idx + 1 if idx >= 0 else idx)
+            return F.element_at(target, idx)
+        if isinstance(node, A.Var):
+            if node.name in scope:
+                return scope[node.name]
+            if node.name not in self.env:
+                raise BloblangError(f"unknown variable ${node.name}")
+            return self.env[node.name]
+        if isinstance(node, A.Unary):
+            operand = self.col(node.operand, scope)
+            return -operand if node.op == "-" else ~operand
+        if isinstance(node, A.Binary):
+            return self._binary(node, scope)
+        if isinstance(node, A.If):
+            cond = self.col(node.cond, scope)
+            then = self.col(node.then, scope)
+            if node.otherwise is None:
+                return F.when(cond, then)
+            return F.when(cond, then).otherwise(
+                self.col(node.otherwise, scope)
+            )
+        if isinstance(node, A.Match):
+            return self._match(node, scope)
+        if isinstance(node, A.Func):
+            if node.name == "meta":
+                key = self.eval(node.args[0], scope) if node.args else None
+                if not isinstance(key, str):
+                    raise BloblangError("meta() needs a literal key")
+                return F.col(META_COL).getItem(key)
+            fn = FUNCTIONS.get(node.name)
+            if fn is None:
+                raise BloblangError(f"unknown function {node.name}()")
+            return fn(*[self.eval(a, scope) for a in node.args])
+        if isinstance(node, A.Method):
+            target = self.col(node.target, scope)
+            impl = METHODS.get(node.name)
+            if impl is None:
+                raise BloblangError(f"unknown method .{node.name}()")
+            args = [self._method_arg(a, scope) for a in node.args]
+            return impl(target, *args)
+        if isinstance(node, A.Deleted):
+            raise BloblangError(
+                "deleted() is only valid as an assignment result"
+            )
+        raise BloblangError(f"cannot compile node {node!r}")
+
+    def col(self, node: A.Node, scope: dict[str, Column] | None = None) -> Column:
+        v = self.eval(node, scope or {})
+        return v if isinstance(v, Column) else F.lit(v)
+
+    def _method_arg(self, node: A.Node, scope: dict[str, Column]) -> Any:
+        if isinstance(node, A.Lambda):
+            param = node.params[0]
+
+            def fn(c: Column) -> Column:
+                inner = dict(scope)
+                inner[param] = c
+                return self.col(node.body, inner)
+
+            return fn
+        return self.eval(node, scope)
+
+    def _binary(self, node: A.Binary, scope: dict[str, Column]) -> Column:
+        left_v = self.eval(node.left, scope)
+        right_v = self.eval(node.right, scope)
+        op = node.op
+        # string + string concatenation (about.adoc:264-277)
+        if op == "+" and (isinstance(left_v, str) or isinstance(right_v, str)):
+            if isinstance(left_v, str) and isinstance(right_v, str):
+                return F.lit(left_v + right_v)
+        left = left_v if isinstance(left_v, Column) else F.lit(left_v)
+        right = right_v if isinstance(right_v, Column) else F.lit(right_v)
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        if op == "/":
+            return left / right
+        if op == "%":
+            return left % right
+        if op == "==":
+            return left == right
+        if op == "!=":
+            return left != right
+        if op == "<":
+            return left < right
+        if op == "<=":
+            return left <= right
+        if op == ">":
+            return left > right
+        if op == ">=":
+            return left >= right
+        if op == "&&":
+            return left & right
+        if op == "||":
+            return left | right
+        raise BloblangError(f"unknown operator {op}")
+
+    def _match(self, node: A.Match, scope: dict[str, Column]) -> Column:
+        subject = (
+            self.col(node.subject, scope) if node.subject is not None else None
+        )
+        expr: Column | None = None
+        default: Column | None = None
+        for case in node.cases:
+            if case.pattern is None:
+                default = self.col(case.result, scope)
+                continue
+            pat_v = self.eval(case.pattern, scope)
+            if subject is not None and not isinstance(pat_v, Column):
+                cond = subject == F.lit(pat_v)
+            elif subject is not None and isinstance(pat_v, Column):
+                # boolean-expression case inside a value match
+                cond = pat_v.cast("boolean")
+            else:
+                cond = pat_v if isinstance(pat_v, Column) else F.lit(bool(pat_v))
+            result = self.col(case.result, scope)
+            expr = F.when(cond, result) if expr is None else expr.when(cond, result)
+        if expr is None:
+            if default is None:
+                raise BloblangError("match with no cases")
+            return default
+        return expr.otherwise(default) if default is not None else expr
+
+
+def compile_expression(src: str, env: dict[str, Column] | None = None) -> Column:
+    """Compile a single Bloblang expression to a Column."""
+    return Compiler(env).col(parse_expression(src))
+
+
+def _delete_condition(node: A.Node, comp: Compiler) -> Column | None:
+    """For `root = if cond { deleted() } ...` forms, the row-drop
+    predicate; None when the expr never deletes."""
+    if isinstance(node, A.Deleted):
+        return F.lit(True)
+    if isinstance(node, A.If):
+        cond = comp.col(node.cond)
+        then_del = isinstance(node.then, A.Deleted)
+        else_del = node.otherwise is not None and isinstance(
+            node.otherwise, A.Deleted
+        )
+        if then_del and else_del:
+            return F.lit(True)
+        if then_del:
+            return cond
+        if else_del:
+            return ~cond
+    return None
+
+
+def compile_mapping(
+    df: DataFrame, src: str, mode: str = "mapping"
+) -> DataFrame:
+    """Apply a Bloblang mapping/mutation to a DataFrame.
+
+    mode="mapping": output has exactly the assigned columns (a fresh
+    document, mapping.adoc:26). mode="mutation": assignments merge into
+    the existing columns (mutation.adoc:26).
+    """
+    ast = parse_mapping(src)
+    comp = Compiler()
+    assigns: dict[str, Column] = {}
+    meta_assigns: dict[str, Column] = {}
+    delete_cond: Column | None = None
+    identity_root = False
+
+    for stmt in ast.statements:
+        if isinstance(stmt, A.Let):
+            comp.env[stmt.name] = comp.col(stmt.expr)
+        elif isinstance(stmt, A.MetaAssign):
+            meta_assigns[stmt.key] = comp.col(stmt.expr)
+        elif isinstance(stmt, A.Assign):
+            if not stmt.path:
+                dc = _delete_condition(stmt.expr, comp)
+                if dc is not None:
+                    delete_cond = (
+                        dc if delete_cond is None else delete_cond | dc
+                    )
+                    continue
+                if isinstance(stmt.expr, A.This):
+                    identity_root = True
+                    continue
+                raise BloblangError(
+                    "whole-document `root =` supports `this` or "
+                    "deleted() forms; assign named fields otherwise"
+                )
+            if len(stmt.path) > 1:
+                raise BloblangError(
+                    "nested root paths not yet supported; assign "
+                    f"root.{stmt.path[0]} as a struct instead"
+                )
+            assigns[stmt.path[0]] = comp.col(stmt.expr)
+        else:  # pragma: no cover
+            raise BloblangError(f"unknown statement {stmt!r}")
+
+    out = df
+    if delete_cond is not None:
+        out = out.filter(~delete_cond)
+
+    if meta_assigns:
+        if META_COL not in out.columns:
+            out = out.withColumn(
+                META_COL,
+                F.create_map().cast("map<string,string>"),
+            )
+        entries = [
+            x
+            for k, v in meta_assigns.items()
+            for x in (F.lit(k), v.cast("string"))
+        ]
+        out = out.withColumn(
+            META_COL,
+            F.map_concat(
+                F.map_filter(
+                    F.col(META_COL),
+                    lambda k, _v: ~k.isin(*meta_assigns.keys()),
+                ),
+                F.create_map(*entries),
+            ),
+        )
+
+    if mode == "mutation" or identity_root:
+        if assigns:
+            out = out.withColumns(assigns)
+        return out
+    if mode == "mapping":
+        if not assigns:
+            return out
+        keep = [v.alias(k) for k, v in assigns.items()]
+        if META_COL in out.columns:
+            keep.append(F.col(META_COL))
+        return out.select(*keep)
+    raise BloblangError(f"unknown mode {mode!r}")

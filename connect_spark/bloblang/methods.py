@@ -1,0 +1,220 @@
+"""Bloblang method registry → Column builders.
+
+Each entry maps a documented method (docs/modules/guides/pages/
+bloblang/methods.adoc, section lines cited in SURVEY.md §2.G) onto its
+native `pyspark.sql.functions` equivalent, so compiled mappings stay
+entirely inside whole-stage codegen. Args arrive as Columns or plain
+Python literals (the compiler lowers `Lit` nodes to Python values).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _lit(v: Any) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+METHODS: dict[str, Callable[..., Column]] = {}
+
+
+def method(name: str):
+    def deco(fn):
+        METHODS[name] = fn
+        return fn
+
+    return deco
+
+
+# --- string (methods.adoc:35) ---
+
+method("uppercase")(lambda c: F.upper(c))
+method("lowercase")(lambda c: F.lower(c))
+method("capitalize")(lambda c: F.initcap(c))
+method("trim")(lambda c, chars=None: F.trim(c) if chars is None else F.btrim(c, _lit(chars)))
+
+
+@method("trim_prefix")
+def _trim_prefix(c: Column, p: str) -> Column:
+    return F.when(
+        c.startswith(p), c.substr(F.lit(len(p) + 1), F.length(c))
+    ).otherwise(c)
+
+
+@method("trim_suffix")
+def _trim_suffix(c: Column, s: str) -> Column:
+    return F.when(
+        c.endswith(s), c.substr(F.lit(1), F.length(c) - len(s))
+    ).otherwise(c)
+method("has_prefix")(lambda c, p: c.startswith(p))
+method("has_suffix")(lambda c, s: c.endswith(s))
+method("contains")(lambda c, s: c.contains(s))
+method("index_of")(lambda c, s: F.instr(c, s) - 1)  # bloblang is 0-based
+method("length")(lambda c: F.length(c))  # strings; arrays use .size()
+method("size")(lambda c: F.size(c))
+method("repeat")(lambda c, n: F.repeat(c, n if isinstance(n, int) else n))
+method("replace_all")(lambda c, a, b: F.replace(c, _lit(a), _lit(b)))
+method("reverse")(lambda c: F.reverse(c))
+method("slice")(
+    lambda c, start, end=None: F.substring(
+        c, start + 1, (end - start) if end is not None else (1 << 30)
+    )
+)
+method("split")(lambda c, sep: F.split(c, _regex_escape(sep)))
+method("quote")(lambda c: F.concat(F.lit('"'), c, F.lit('"')))
+method("unquote")(lambda c: F.regexp_replace(c, '^"|"$', ""))
+method("slug")(
+    lambda c: F.regexp_replace(F.lower(c), "[^a-z0-9]+", "-")
+)
+method("strip_html")(lambda c: F.regexp_replace(c, "<[^>]*>", ""))
+method("format")(lambda c, *args: F.format_string(c, *map(_lit, args)))
+method("join")(lambda c, sep="": F.array_join(c, sep))
+
+
+def _regex_escape(sep: Any) -> Any:
+    """Bloblang split takes a plain string; Spark split takes a regex."""
+    if isinstance(sep, str):
+        import re
+
+        return re.escape(sep)
+    return sep
+
+
+# --- regex (methods.adoc:797) ---
+
+method("re_match")(lambda c, pat: c.rlike(pat))
+method("re_replace_all")(lambda c, pat, rep: F.regexp_replace(c, pat, rep))
+method("re_find_all")(lambda c, pat: F.regexp_extract_all(c, _lit(pat), 0))
+
+# --- number (methods.adoc:955) ---
+
+method("abs")(lambda c: F.abs(c))
+method("ceil")(lambda c: F.ceil(c))
+method("floor")(lambda c: F.floor(c))
+method("round")(lambda c, scale=0: F.round(c, scale))
+method("log")(lambda c: F.log(c))
+method("log10")(lambda c: F.log10(c))
+method("sqrt")(lambda c: F.sqrt(c))
+method("pow")(lambda c, e: F.pow(c, _lit(e)))
+method("max")(lambda c, other=None: F.greatest(c, _lit(other)) if other is not None else F.array_max(c))
+method("min")(lambda c, other=None: F.least(c, _lit(other)) if other is not None else F.array_min(c))
+
+# --- timestamp (methods.adoc:1581) ---
+
+method("ts_parse")(lambda c, fmt: F.to_timestamp(c, fmt))
+method("ts_format")(lambda c, fmt="yyyy-MM-dd'T'HH:mm:ssXXX": F.date_format(c, fmt))
+method("ts_round")(lambda c, unit="hour": F.date_trunc(unit, c))
+method("ts_unix")(lambda c: F.unix_timestamp(c))
+method("ts_unix_milli")(lambda c: (F.unix_micros(c) / 1000).cast("bigint"))
+method("ts_unix_micro")(lambda c: F.unix_micros(c))
+method("ts_sub")(lambda c, other: c - other)
+
+# --- coercion (methods.adoc:2061) ---
+
+method("string")(lambda c: c.cast("string"))
+method("number")(lambda c: c.cast("double"))
+method("int64")(lambda c: c.cast("bigint"))
+method("int32")(lambda c: c.cast("int"))
+method("float64")(lambda c: c.cast("double"))
+method("bool")(lambda c: c.cast("boolean"))
+method("bytes")(lambda c: c.cast("binary"))
+method("timestamp")(lambda c: c.cast("timestamp"))
+method("not_null")(lambda c: c)  # nulls surface via the _error model instead
+method("type")(lambda c: F.typeof(c))
+
+# --- arrays & objects (methods.adoc:2257) ---
+
+method("append")(lambda c, v: F.array_append(c, _lit(v)))
+method("concat")(lambda c, other: F.concat(c, other))
+method("flatten")(lambda c: F.flatten(c))
+method("unique")(lambda c: F.array_distinct(c))
+method("sort")(lambda c: F.sort_array(c))
+method("sum")(
+    lambda c: F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+)
+method("filter")(lambda c, f: F.filter(c, f))
+method("map_each")(lambda c, f: F.transform(c, f))
+method("any")(lambda c, f: F.exists(c, f))
+method("all")(lambda c, f: F.forall(c, f))
+method("fold")(lambda c, init, f: F.aggregate(c, _lit(init), f))
+method("index")(lambda c, i: F.element_at(c, i + 1 if isinstance(i, int) and i >= 0 else _lit(i)))
+method("first")(lambda c: F.element_at(c, 1))
+method("last")(lambda c: F.element_at(c, -1))
+method("keys")(lambda c: F.map_keys(c))
+method("values")(lambda c: F.map_values(c))
+method("get")(lambda c, k: F.element_at(c, _lit(k)))
+method("zip")(lambda c, other: F.arrays_zip(c, other))
+method("enumerated")(
+    lambda c: F.arrays_zip(F.sequence(F.lit(0), F.size(c) - 1), c)
+)
+
+# --- parsing (methods.adoc:3319) ---
+
+method("parse_json")(lambda c, schema="variant": _parse_json(c, schema))
+
+
+def _parse_json(c: Column, schema: Any) -> Column:
+    if schema == "variant":
+        return F.parse_json(c)
+    return F.from_json(c, schema)
+
+
+method("format_json")(lambda c: F.to_json(c))
+method("json_path")(lambda c, p: F.get_json_object(c, p))
+method("parse_url")(
+    lambda c: F.struct(
+        F.parse_url(c, F.lit("HOST")).alias("host"),
+        F.parse_url(c, F.lit("PATH")).alias("path"),
+        F.parse_url(c, F.lit("QUERY")).alias("query"),
+        F.parse_url(c, F.lit("PROTOCOL")).alias("scheme"),
+    )
+)
+method("parse_csv")(lambda c, schema: F.from_csv(c, _lit(schema)))
+
+# --- encoding & crypto (methods.adoc:3737) ---
+
+
+@method("encode")
+def _encode(c: Column, codec: str) -> Column:
+    codec = codec.lower()
+    if codec == "base64":
+        return F.base64(c.cast("binary"))
+    if codec == "hex":
+        return F.lower(F.hex(c.cast("binary")))
+    raise ValueError(f"unsupported encode codec {codec!r}")
+
+
+@method("decode")
+def _decode(c: Column, codec: str) -> Column:
+    codec = codec.lower()
+    if codec == "base64":
+        return F.unbase64(c)
+    if codec == "hex":
+        return F.unhex(c)
+    raise ValueError(f"unsupported decode codec {codec!r}")
+
+
+@method("hash")
+def _hash(c: Column, algo: str) -> Column:
+    algo = algo.lower()
+    if algo == "md5":
+        return F.md5(c.cast("binary"))
+    if algo in ("sha256", "sha-256"):
+        return F.sha2(c.cast("binary"), 256)
+    if algo in ("sha512", "sha-512"):
+        return F.sha2(c.cast("binary"), 512)
+    if algo == "xxhash64":
+        return F.xxhash64(c)
+    if algo == "crc32":
+        return F.crc32(c.cast("binary"))
+    raise ValueError(f"unsupported hash algorithm {algo!r}")
+
+
+# --- error handling (about.adoc:365-402) ---
+
+method("catch")(lambda c, fallback: F.coalesce(c, _lit(fallback)))
+method("or")(lambda c, fallback: F.coalesce(c, _lit(fallback)))

@@ -1,0 +1,333 @@
+"""YAML pipeline loader: the reference's `input → pipeline.processors
+→ output` topology (README.md:15, SURVEY.md §3.1) compiled to one lazy
+DataFrame plan.
+
+Where the reference executes one component per config node with no
+rewriting ("the YAML is the physical plan", SURVEY.md §3.1.4), here
+every processor contributes Column expressions / DataFrame transforms
+to a single logical plan and Catalyst optimizes across processor
+boundaries — filters written as the 5th processor still push down to
+the parquet scan.
+
+Processor semantics cited per builder; config field names follow the
+reference's docs (docs/modules/components/pages/processors/*.adoc).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.bloblang import compile_expression, compile_mapping
+from connect_spark.operators.core import (
+    archive_concat,
+    archive_json_array,
+    bounds_check,
+    dedupe,
+    select_parts,
+    unarchive,
+)
+
+try:  # PyYAML is optional; JSON-style dict specs always work
+    import yaml  # type: ignore
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+
+class PipelineConfigError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------
+# processors
+# --------------------------------------------------------------------
+
+ProcessorFn = Callable[[DataFrame, Any], DataFrame]
+PROCESSORS: dict[str, ProcessorFn] = {}
+
+
+def processor(name: str):
+    def deco(fn: ProcessorFn):
+        PROCESSORS[name] = fn
+        return fn
+
+    return deco
+
+
+@processor("mapping")
+def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
+    """mapping.adoc:26 — Bloblang map producing a new document."""
+    if not isinstance(conf, str):
+        raise PipelineConfigError("mapping expects a Bloblang string")
+    return compile_mapping(df, conf, mode="mapping")
+
+
+@processor("mutation")
+def _p_mutation(df: DataFrame, conf: Any) -> DataFrame:
+    """mutation.adoc:26 — in-place Bloblang transform."""
+    if not isinstance(conf, str):
+        raise PipelineConfigError("mutation expects a Bloblang string")
+    return compile_mapping(df, conf, mode="mutation")
+
+
+@processor("bloblang")
+def _p_bloblang(df: DataFrame, conf: Any) -> DataFrame:
+    """bloblang.adoc:26 — legacy alias of mapping."""
+    return _p_mapping(df, conf)
+
+
+@processor("filter")
+def _p_filter(df: DataFrame, conf: Any) -> DataFrame:
+    """Keep rows where the Bloblang predicate holds (the `mapping` +
+    deleted() idiom, bloblang/about.adoc:355-363, as a convenience)."""
+    return df.filter(compile_expression(conf))
+
+
+@processor("switch")
+def _p_switch(df: DataFrame, conf: Any) -> DataFrame:
+    """switch.adoc:38-73 — first matching `check` wins; each case's
+    processors apply to its rows; unmatched rows pass through.
+
+    Compiled as disjoint filters + per-case sub-pipelines + unionByName
+    — Catalyst merges common scan subtrees, so the source is still
+    read once under AQE."""
+    if not isinstance(conf, list):
+        raise PipelineConfigError("switch expects a list of cases")
+    remaining = F.lit(True)
+    branches: list[DataFrame] = []
+    fallback_consumed = False
+    for case in conf:
+        check = case.get("check")
+        procs = case.get("processors", [])
+        cond = (
+            compile_expression(check) if check else F.lit(True)
+        )
+        branch = df.filter(remaining & cond)
+        for p in procs:
+            branch = apply_processor(branch, p)
+        branches.append(branch)
+        if check is None:
+            fallback_consumed = True
+            break
+        remaining = remaining & ~F.coalesce(cond, F.lit(False))
+    if not fallback_consumed:
+        branches.append(df.filter(remaining))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+@processor("dedupe")
+def _p_dedupe(df: DataFrame, conf: Any) -> DataFrame:
+    """dedupe.adoc:53-78 — drop rows whose key was already seen;
+    `order_by` makes the distributed winner deterministic."""
+    key = conf["key"] if isinstance(conf, dict) else conf
+    order_by = None
+    if isinstance(conf, dict) and conf.get("order_by"):
+        order_by = [compile_expression(e) for e in conf["order_by"]]
+    return dedupe(df, [compile_expression(key)], order_by=order_by)
+
+
+@processor("bounds_check")
+def _p_bounds_check(df: DataFrame, conf: Any) -> DataFrame:
+    """bounds_check.adoc:26."""
+    field = compile_expression(conf.get("field", "this.content"))
+    return bounds_check(
+        df,
+        field,
+        min_len=conf.get("min_length"),
+        max_len=conf.get("max_length"),
+    )
+
+
+@processor("select_parts")
+def _p_select_parts(df: DataFrame, conf: Any) -> DataFrame:
+    """select_parts.adoc:26 — batch == partition_by group here."""
+    return select_parts(
+        df,
+        n=int(conf.get("count", 1)),
+        partition_by=[compile_expression(e) for e in conf.get("partition_by", ["1"])],
+        order_by=[compile_expression(e) for e in conf["order_by"]],
+    )
+
+
+@processor("archive")
+def _p_archive(df: DataFrame, conf: Any) -> DataFrame:
+    """archive.adoc:46-58 — fold groups into single messages."""
+    fmt = conf.get("format", "lines")
+    group_by = [compile_expression(e) for e in conf.get("group_by", [])] or [
+        F.lit(1)
+    ]
+    value = compile_expression(conf.get("value", "this.content"))
+    if fmt in ("lines", "concatenate"):
+        sep = conf.get("separator", "\n" if fmt == "lines" else "")
+        return archive_concat(df, group_by, value, sep=sep)
+    if fmt == "json_array":
+        return archive_json_array(df, group_by, value)
+    raise PipelineConfigError(f"unsupported archive format {fmt!r}")
+
+
+@processor("unarchive")
+def _p_unarchive(df: DataFrame, conf: Any) -> DataFrame:
+    """unarchive.adoc:26 — one message → many."""
+    fmt = conf.get("format", "json_array")
+    field = compile_expression(conf.get("field", "this.archived"))
+    if fmt == "json_array":
+        arr = F.from_json(field, "array<string>")
+        return unarchive(df, arr, out=conf.get("out", "part"))
+    if fmt == "lines":
+        return unarchive(
+            df, F.split(field, "\n"), out=conf.get("out", "part")
+        )
+    raise PipelineConfigError(f"unsupported unarchive format {fmt!r}")
+
+
+@processor("noop")
+def _p_noop(df: DataFrame, conf: Any) -> DataFrame:
+    """noop.adoc:25."""
+    return df
+
+
+@processor("log")
+def _p_log(df: DataFrame, conf: Any) -> DataFrame:
+    """log.adoc:26 — observability is a plan no-op here (Spark
+    listeners carry metrics); kept for config compatibility."""
+    return df
+
+
+@processor("sleep")
+def _p_sleep(df: DataFrame, conf: Any) -> DataFrame:
+    """sleep.adoc:26 — meaningless in a set-based plan; no-op."""
+    return df
+
+
+def apply_processor(df: DataFrame, spec: Any) -> DataFrame:
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise PipelineConfigError(
+            f"processor spec must be a single-key mapping, got {spec!r}"
+        )
+    (name, conf), = spec.items()
+    fn = PROCESSORS.get(name)
+    if fn is None:
+        raise PipelineConfigError(
+            f"unknown processor {name!r}; known: {sorted(PROCESSORS)}"
+        )
+    return fn(df, conf)
+
+
+# --------------------------------------------------------------------
+# inputs
+# --------------------------------------------------------------------
+
+
+def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
+    if len(conf) != 1:
+        raise PipelineConfigError("input must have exactly one component")
+    (kind, c), = conf.items()
+    if kind == "parquet":
+        return spark.read.parquet(c["path"])
+    if kind == "csv":
+        return spark.read.options(
+            header=str(c.get("parse_header_row", True)).lower(),
+            inferSchema="true",
+        ).csv(c["path"])
+    if kind == "json_documents":
+        return spark.read.json(c["path"])
+    if kind == "file":
+        # docs/.../inputs/file.adoc:26 with lines scanner: one row per
+        # line, content column — the reference's raw-bytes message.
+        return spark.read.text(c["path"]).withColumnRenamed(
+            "value", "content"
+        )
+    if kind == "generate":
+        # docs/.../inputs/generate.adoc:96-155 — Bloblang-generated rows.
+        count = int(c.get("count", 1))
+        df = spark.range(count).withColumnRenamed("id", "_gen_index")
+        return compile_mapping(df, c["mapping"], mode="mapping")
+    if kind == "table":
+        from connect_spark.catalog import load_table
+
+        return load_table(spark, c["sf_dir"], c["name"])
+    raise PipelineConfigError(f"unknown input {kind!r}")
+
+
+# --------------------------------------------------------------------
+# outputs
+# --------------------------------------------------------------------
+
+
+def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
+    if conf is None:
+        return df
+    (kind, c), = conf.items()
+    if kind == "memory":
+        return df
+    if kind == "parquet":
+        writer = df.write.mode(c.get("mode", "overwrite"))
+        if c.get("partition_by"):
+            writer = writer.partitionBy(*c["partition_by"])
+        writer.parquet(c["path"])
+        return None
+    if kind == "csv":
+        df.write.mode(c.get("mode", "overwrite")).options(header="true").csv(
+            c["path"]
+        )
+        return None
+    if kind == "json_lines":
+        df.write.mode(c.get("mode", "overwrite")).json(c["path"])
+        return None
+    if kind == "stdout":
+        df.show(int(c.get("limit", 20)) if isinstance(c, dict) else 20,
+                truncate=False)
+        return None
+    raise PipelineConfigError(f"unknown output {kind!r}")
+
+
+# --------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------
+
+
+@dataclass
+class Pipeline:
+    spark: SparkSession
+    config: dict[str, Any]
+
+    def dataframe(self) -> DataFrame:
+        """The composed lazy plan (input + processors, no output)."""
+        df = _build_input(self.spark, self.config["input"])
+        for spec in self.config.get("pipeline", {}).get("processors", []):
+            df = apply_processor(df, spec)
+        return df
+
+    def run(self) -> DataFrame | None:
+        """Execute including the output component. Returns the result
+        DataFrame for memory-style outputs, else None."""
+        return _run_output(self.dataframe(), self.config.get("output"))
+
+
+def build_pipeline(
+    spark: SparkSession, config: dict[str, Any] | str
+) -> Pipeline:
+    """Build from a config dict, a YAML string, or a YAML file path."""
+    if isinstance(config, str):
+        if os.path.exists(config):
+            with open(config) as fh:
+                text = fh.read()
+        else:
+            text = config
+        if not _HAVE_YAML:
+            raise PipelineConfigError(
+                "YAML support unavailable; pass a config dict"
+            )
+        config = yaml.safe_load(text)
+    if not isinstance(config, dict) or "input" not in config:
+        raise PipelineConfigError("config must be a mapping with an 'input'")
+    return Pipeline(spark, config)

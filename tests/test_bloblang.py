@@ -1,0 +1,198 @@
+"""Bloblang→Column compiler tests: mapping semantics, expression
+algebra, methods, deleted() filtering, meta assignment, let-vars.
+Mirrors the reference's bloblang test style (config/test/bloblang/)
+as in-Python golden I/O."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from connect_spark.bloblang import BloblangError, compile_mapping
+from connect_spark.bloblang.compiler import compile_expression
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def run_mapping(spark, rows, src, mode="mapping"):
+    out = compile_mapping(_df(spark, rows), src, mode=mode)
+    return [r.asDict() for r in out.collect()]
+
+
+def test_basic_projection(spark):
+    rows = [Row(a=1, b=2.5, name="abc")]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.total = this.a + this.b * 2
+        root.upper_name = this.name.uppercase()
+        """,
+    )
+    assert got == [{"total": 6.0, "upper_name": "ABC"}]
+
+
+def test_bare_field_refs_equal_this(spark):
+    rows = [Row(x=3)]
+    got = run_mapping(spark, rows, "root.y = x * x")
+    assert got == [{"y": 9}]
+
+
+def test_if_else_and_match(spark):
+    rows = [Row(v=5.0), Row(v=25.0), Row(v=50.0)]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.bucket = if this.v < 10 { "low" } else if this.v < 30 { "mid" } else { "high" }
+        root.kind = match this.bucket {
+          "low" => "small",
+          "mid" => "medium",
+          _ => "big"
+        }
+        """,
+    )
+    assert [g["kind"] for g in got] == ["small", "medium", "big"]
+
+
+def test_deleted_filters_rows(spark):
+    rows = [Row(v=1), Row(v=10), Row(v=3)]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root = if this.v > 5 { deleted() }
+        root.v2 = this.v * 2
+        """,
+    )
+    assert sorted(g["v2"] for g in got) == [2, 6]
+
+
+def test_mutation_keeps_columns(spark):
+    rows = [Row(a=1, b="x")]
+    got = run_mapping(spark, rows, "root.c = this.a + 1", mode="mutation")
+    assert got == [{"a": 1, "b": "x", "c": 2}]
+
+
+def test_let_variables(spark):
+    rows = [Row(p=100.0, d=0.2)]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        let net = this.p * (1 - this.d)
+        root.net = $net
+        root.gross = $net * 1.1
+        """,
+    )
+    assert got[0]["net"] == pytest.approx(80.0)
+    assert got[0]["gross"] == pytest.approx(88.0)
+
+
+def test_meta_assignment(spark):
+    rows = [Row(a=7)]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        meta kind = "demo"
+        root.a2 = this.a
+        """,
+    )
+    assert got == [{"a2": 7, "_meta": {"kind": "demo"}}]
+
+
+def test_string_methods(spark):
+    rows = [Row(s="  Hello World  ")]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.t = this.s.trim()
+        root.l = this.s.trim().lowercase()
+        root.words = this.s.trim().split(" ").size()
+        root.slug = this.s.trim().slug()
+        root.has = this.s.contains("World")
+        """,
+    )
+    assert got[0]["t"] == "Hello World"
+    assert got[0]["l"] == "hello world"
+    assert got[0]["words"] == 2
+    assert got[0]["slug"] == "hello-world"
+    assert got[0]["has"] is True
+
+
+def test_array_lambda_methods(spark):
+    rows = [Row(xs=[1, 2, 3, 4, 5])]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.evens = this.xs.filter(x -> x % 2 == 0)
+        root.doubled = this.xs.map_each(x -> x * 2)
+        root.total = this.xs.sum()
+        root.any_big = this.xs.any(x -> x > 4)
+        root.first = this.xs.index(0)
+        """,
+    )
+    assert got[0]["evens"] == [2, 4]
+    assert got[0]["doubled"] == [2, 4, 6, 8, 10]
+    assert got[0]["total"] == 15.0
+    assert got[0]["any_big"] is True
+    assert got[0]["first"] == 1
+
+
+def test_hash_encode_parse_json(spark):
+    rows = [Row(s="abc", j='{"k": 42}')]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.h = this.s.hash("md5")
+        root.b64 = this.s.encode("base64")
+        root.k = this.j.json_path("$.k").number()
+        """,
+    )
+    assert got[0]["h"] == "900150983cd24fb0d6963f7d28e17f72"
+    assert got[0]["b64"] == "YWJj"
+    assert got[0]["k"] == 42.0
+
+
+def test_object_literal_and_struct_field(spark):
+    rows = [Row(a=1)]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.obj = { "x": this.a, "y": this.a + 1 }
+        """,
+    )
+    assert got[0]["obj"].asDict() == {"x": 1, "y": 2}
+
+
+def test_ts_methods(spark):
+    rows = [Row(s="2024-03-05 06:07:08")]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.t = this.s.ts_parse("yyyy-MM-dd HH:mm:ss").ts_format("yyyy/MM/dd")
+        root.u = this.s.ts_parse("yyyy-MM-dd HH:mm:ss").ts_unix()
+        """,
+    )
+    assert got[0]["t"] == "2024/03/05"
+    assert got[0]["u"] == 1709618828
+
+
+def test_unknown_method_raises(spark):
+    rows = [Row(a=1)]
+    with pytest.raises(BloblangError, match="unknown method"):
+        run_mapping(spark, rows, "root.x = this.a.frobnicate()")
+
+
+def test_expression_entry(spark):
+    col = compile_expression('this.a * 2 + 1')
+    df = spark.createDataFrame([Row(a=10)]).select(col.alias("out"))
+    assert df.collect()[0]["out"] == 21

@@ -1,0 +1,196 @@
+"""YAML pipeline loader + config unit-test runner tests, mirroring the
+reference's config/test corpus style (SURVEY.md §5.1-5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from connect_spark.plans import build_pipeline
+from connect_spark.plans.pipeline import PipelineConfigError
+from connect_spark.plans.testrunner import run_case, run_suite
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_yaml_pipeline_end_to_end(spark):
+    cfg = f"""
+input:
+  table:
+    name: events
+    sf_dir: {SF}
+pipeline:
+  processors:
+    - mutation: |
+        root.day = this.ts.ts_format("yyyy-MM-dd")
+        root.big = this.value > 30
+    - filter: this.event_type != "error"
+    - mapping: |
+        root.event_id = this.event_id
+        root.day = this.day
+        root.big = this.big
+output:
+  memory: {{}}
+"""
+    out = build_pipeline(spark, cfg).run()
+    rows = out.collect()
+    assert out.columns == ["event_id", "day", "big"]
+    assert len(rows) > 0
+    assert all(r["day"].startswith("2024-") for r in rows[:20])
+
+
+def test_generate_input(spark):
+    cfg = """
+input:
+  generate:
+    count: 5
+    mapping: |
+      root.n = counter()
+      root.label = "msg"
+"""
+    df = build_pipeline(spark, cfg).dataframe()
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r["label"] == "msg" for r in rows)
+
+
+def test_switch_processor_routing(spark):
+    cfg = {
+        "input": {"table": {"name": "events", "sf_dir": SF}},
+        "pipeline": {
+            "processors": [
+                {
+                    "switch": [
+                        {
+                            "check": 'this.event_type == "purchase"',
+                            "processors": [
+                                {"mutation": 'root.route = "billing"'}
+                            ],
+                        },
+                        {
+                            "check": 'this.event_type == "error"',
+                            "processors": [{"mutation": 'root.route = "ops"'}],
+                        },
+                        {
+                            "processors": [
+                                {"mutation": 'root.route = "product"'}
+                            ]
+                        },
+                    ]
+                },
+                {"mapping": "root.event_type = this.event_type\nroot.route = this.route"},
+            ]
+        },
+    }
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    routing = {(r["event_type"], r["route"]) for r in rows}
+    assert ("purchase", "billing") in routing
+    assert ("error", "ops") in routing
+    assert ("view", "product") in routing
+    assert len({r for r in routing if r[0] == "purchase"}) == 1
+
+
+def test_archive_unarchive_roundtrip(spark):
+    cfg = {
+        "input": {"table": {"name": "documents", "sf_dir": SF}},
+        "pipeline": {
+            "processors": [
+                {
+                    "archive": {
+                        "format": "json_array",
+                        "group_by": ["this.lang"],
+                        "value": "this.doc_id.string()",
+                    }
+                },
+                {
+                    "unarchive": {
+                        "format": "json_array",
+                        "field": "this.archived",
+                        "out": "doc_id",
+                    }
+                },
+            ]
+        },
+    }
+    df = build_pipeline(spark, cfg).dataframe()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert df.count() == n_docs
+
+
+def test_unknown_processor_raises(spark):
+    cfg = {
+        "input": {"table": {"name": "events", "sf_dir": SF}},
+        "pipeline": {"processors": [{"frobnicate": {}}]},
+    }
+    with pytest.raises(PipelineConfigError, match="unknown processor"):
+        build_pipeline(spark, cfg).dataframe()
+
+
+# --- config unit-test runner (unit_testing.adoc:18-70 shape) ---
+
+
+def test_runner_mapping_case(spark):
+    case = {
+        "name": "uppercase mapping",
+        "target_processors": [
+            {"mapping": "root.out = this.a.uppercase()\nroot.n = this.n + 1"}
+        ],
+        "input_batch": [
+            {"json_content": {"a": "hello", "n": 1}},
+            {"json_content": {"a": "world", "n": 2}},
+        ],
+        "output_batch": [
+            {"json_equals": {"out": "HELLO", "n": 2}},
+            {"json_equals": {"out": "WORLD", "n": 3}},
+        ],
+    }
+    res = run_case(spark, case)
+    assert res.ok, res.failures
+
+
+def test_runner_metadata_case(spark):
+    case = {
+        "name": "meta propagation",
+        "target_processors": [
+            {"mutation": 'meta source = "unit"\nroot.b = this.a * 2'}
+        ],
+        "input_batch": [
+            {"json_content": {"a": 21}, "metadata": {"orig": "x"}}
+        ],
+        "output_batch": [
+            {
+                "json_contains": {"b": 42},
+                "metadata_equals": {"orig": "x", "source": "unit"},
+            }
+        ],
+    }
+    res = run_case(spark, case)
+    assert res.ok, res.failures
+
+
+def test_runner_detects_failure(spark):
+    case = {
+        "name": "should fail",
+        "target_processors": [{"mapping": "root.out = this.a"}],
+        "input_batch": [{"json_content": {"a": 1}}],
+        "output_batch": [{"json_equals": {"out": 2}}],
+    }
+    res = run_case(spark, case)
+    assert not res.ok
+
+
+def test_runner_suite_with_filter(spark):
+    suite = {
+        "tests": [
+            {
+                "name": "filter drops",
+                "target_processors": [{"filter": "this.v > 10"}],
+                "input_batch": [
+                    {"json_content": {"v": 5}},
+                    {"json_content": {"v": 15}},
+                ],
+                "output_batch": [{"json_equals": {"v": 15}}],
+            }
+        ]
+    }
+    results = run_suite(spark, suite)
+    assert all(r.ok for r in results), [r.failures for r in results]
