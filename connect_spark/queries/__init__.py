@@ -31,6 +31,7 @@ class QuerySpec:
 def all_queries() -> list[QuerySpec]:
     from connect_spark.queries import (
         core,
+        extended,
         functions as fns,
         joins,
         textops,
@@ -39,7 +40,7 @@ def all_queries() -> list[QuerySpec]:
     )
 
     specs: list[QuerySpec] = []
-    for mod in (core, joins, windows, fns, textops, vectors):
+    for mod in (core, joins, windows, fns, textops, vectors, extended):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -1,0 +1,259 @@
+"""Extended coverage queries: pivot/rollup/set-ops (Spark-native
+upgrades the reference lacks, SURVEY.md §2.C note), workflow/branch
+DAG, sql_select-style parameterized selection, grok extraction, text
+chunking, and a compress/decompress roundtrip (rows-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import load_table
+from connect_spark.functions.formats import (
+    compress_udf,
+    decompress_udf,
+    grok_extract,
+    text_chunks,
+)
+from connect_spark.operators.branch import workflow
+from connect_spark.queries import QuerySpec
+
+
+# --- pivot (group_by + per-value columns) ---
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status. The reference can
+    only express this as N parallel `group_by` pipelines; one shuffle
+    here."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"),
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- rollup ---
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotals + grand total
+    in one pass (absent in the reference; native in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- set operations ---
+
+def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: custkeys that are BUILDING-segment AND have a
+    300k+ order, minus those with any F-status order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("k")
+    )
+    filled = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    return building.intersect(big).exceptAll(filled.distinct())
+
+
+SETOPS_SQL = """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+EXCEPT
+SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# --- workflow / branch DAG ---
+
+def workflow_enrich_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`workflow` DAG (workflow.adoc:37-43): branch B depends on A's
+    output, C is independent — all collapse into one projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = workflow(
+        li,
+        branches={
+            "net": {"net_price": F.col("l_extendedprice") * (1 - F.col("l_discount"))},
+            "taxed": {"final_price": F.col("net_price") * (1 + F.col("l_tax"))},
+            "flags": {"is_return": (F.col("l_returnflag") == "R").cast("int")},
+        },
+        dependencies={"taxed": ["net"]},
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "net_price", "final_price", "is_return"
+    )
+
+
+WORKFLOW_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS final_price,
+       CAST(l_returnflag = 'R' AS INT) AS is_return
+FROM lineitem
+"""
+
+
+# --- sql_select processor shape ---
+
+def sql_select_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sql_select` (processor_sql_select.go:32-67): columns + where
+    args + order/limit — here a declarative select whose filter pushes
+    to the scan instead of a per-message SELECT."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(
+            (F.col("o_totalprice") > 200000)
+            & (F.col("o_orderkey") % 10 == 0)
+        )
+    )
+
+
+SQL_SELECT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 200000 AND o_orderkey % 10 = 0
+"""
+
+
+# --- grok extraction ---
+
+def grok_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`grok` (grok.adoc:26): structured extraction from a text line,
+    compiled to native regexp_extract (no UDF). The synthetic line is
+    built from event fields, then parsed back."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat_ws(
+        " ",
+        F.upper("event_type"),
+        F.concat(F.lit("user="), F.col("user_id")),
+        F.concat(F.lit("value="), F.col("value")),
+    )
+    parsed = grok_extract(line, "%{WORD:level} user=%{INT:uid} value=%{NUMBER:val}")
+    return ev.select(
+        "event_id",
+        parsed["level"].alias("level"),
+        parsed["uid"].cast("bigint").alias("uid"),
+        parsed["val"].cast("double").alias("val"),
+    )
+
+
+GROK_SQL = r"""
+WITH lines AS (
+  SELECT event_id,
+         upper(event_type) || ' user=' || user_id || ' value=' || value AS line
+  FROM events
+)
+SELECT event_id,
+       regexp_extract(line, '(\w+) user=([+-]?\d+) value=([+-]?\d+(?:\.\d+)?)', 1) AS level,
+       CAST(regexp_extract(line, '(\w+) user=([+-]?\d+) value=([+-]?\d+(?:\.\d+)?)', 2) AS BIGINT) AS uid,
+       CAST(regexp_extract(line, '(\w+) user=([+-]?\d+) value=([+-]?\d+(?:\.\d+)?)', 3) AS DOUBLE) AS val
+FROM lines
+"""
+
+
+# --- text chunker ---
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_chunker token strategy (text_chunker.adoc:85-101): 20-token
+    chunks, exploded with chunk index — the LLM-pipeline pre-embedding
+    step. Narrow array algebra, no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.posexplode(text_chunks("text", 20)).alias("chunk_idx", "chunk")
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        F.size(F.filter(F.split("chunk", " "), lambda t: t != "")).alias(
+            "chunk_tokens"
+        ),
+    )
+
+
+CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(CAST(ceil(len(toks) / 20.0) AS INT), 1)),
+                i -> array_to_string(toks[i * 20 + 1 : i * 20 + 20], ' '))) AS chunk,
+         generate_subscripts(range(0, greatest(CAST(ceil(len(toks) / 20.0) AS INT), 1)), 1) - 1 AS chunk_idx
+  FROM t
+)
+SELECT doc_id, chunk_idx, chunk,
+       len(list_filter(string_split(chunk, ' '), x -> x != '')) AS chunk_tokens
+FROM c
+"""
+
+
+# --- compress roundtrip (rows-only: DuckDB has no gzip SQL surface) ---
+
+def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compress+decompress processors (compress.adoc:26): gzip
+    roundtrip over document text via Arrow-batched pandas UDFs;
+    validates byte-for-byte recovery and reports compression ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = compress_udf("gzip")
+    decomp = decompress_udf("gzip")
+    out = docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("raw"),
+    ).withColumn("gz", comp("raw")).withColumn("back", decomp("gz"))
+    return out.select(
+        "doc_id",
+        F.octet_length("raw").alias("raw_len"),
+        F.octet_length("gz").alias("gz_len"),
+        (F.col("raw") == F.col("back")).alias("roundtrip_ok"),
+    )
+
+
+QUERIES = [
+    QuerySpec("pivot_status_by_priority", pivot_status_by_priority, PIVOT_SQL),
+    QuerySpec("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
+    QuerySpec("setops_segments", setops_segments, SETOPS_SQL),
+    QuerySpec("workflow_enrich_lineitem", workflow_enrich_lineitem, WORKFLOW_SQL),
+    QuerySpec("sql_select_orders", sql_select_orders, SQL_SELECT_SQL),
+    QuerySpec("grok_extract_events", grok_extract_events, GROK_SQL),
+    QuerySpec("chunk_documents", chunk_documents, CHUNK_SQL, headline=True),
+    QuerySpec("compress_roundtrip", compress_roundtrip, None),  # rows-only
+]

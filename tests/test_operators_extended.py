@@ -1,0 +1,166 @@
+"""Tests for multimodal plumbing, enrichment operators, branch/
+workflow, format functions."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from connect_spark.catalog import load_table
+from connect_spark.operators.branch import branch, branch_aggregate, workflow
+from connect_spark.operators.enrichment import cached_enrich, map_in_pandas_enrich
+from connect_spark.text.multimodal import (
+    FEATURE_SCHEMA,
+    as_media_frame,
+    decode_media,
+    resize_stub,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multimodal_decode_stub(spark):
+    docs = load_table(spark, SF, "documents")
+    media = as_media_frame(docs, "doc_id", "text", "text/plain")
+    feats = decode_media(media, decode_stub=True)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert r["byte_len"] > 0
+    assert 64 <= r["width"] < 128 and 64 <= r["height"] < 128
+    assert len(r["feature"]) == 8
+    # deterministic: same payload → same features
+    rows2 = decode_media(media, decode_stub=True).collect()
+    assert {x["media_id"]: x["feature"] for x in rows} == {
+        x["media_id"]: x["feature"] for x in rows2
+    }
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = load_table(spark, SF, "documents").limit(2)
+    media = as_media_frame(docs, "doc_id", "text", "image/png")
+    with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
+        decode_media(media, decode_stub=False).collect()
+
+
+def test_resize_stub_meta(spark):
+    docs = load_table(spark, SF, "documents").limit(3)
+    media = resize_stub(
+        as_media_frame(docs, "doc_id", "text", "image/png"), 32, 32
+    )
+    metas = [r["meta"] for r in media.collect()]
+    assert all(m["resize"] == "32x32" for m in metas)
+
+
+def test_cached_enrich_runs_once_per_key(spark):
+    ev = load_table(spark, SF, "events")
+
+    def compute(keys_df):
+        # expensive-per-key computation stand-in; must see DISTINCT keys
+        return keys_df.withColumn(
+            "enriched", F.concat(F.lit("u-"), F.col("user_id"))
+        )
+
+    out = cached_enrich(ev, "user_id", compute)
+    assert out.count() == ev.count()
+    sample = out.filter(F.col("user_id") == 7).select("enriched").first()
+    assert sample["enriched"] == "u-7"
+
+
+def test_map_in_pandas_enrich(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "event_type")
+
+    def transport(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["reply"] = "ok:" + pdf["event_type"]
+        return pdf
+
+    schema = T.StructType(
+        ev.schema.fields + [T.StructField("reply", T.StringType())]
+    )
+    out = map_in_pandas_enrich(ev, transport, schema)
+    rows = out.collect()
+    assert len(rows) == ev.count()
+    assert all(r["reply"] == f"ok:{r['event_type']}" for r in rows[:20])
+
+
+def test_map_in_pandas_enrich_rejects_bad_cardinality(spark):
+    ev = load_table(spark, SF, "events").select("event_id").limit(10)
+
+    def bad(pdf):
+        return pdf.iloc[:1]
+
+    with pytest.raises(Exception, match="one row per input"):
+        map_in_pandas_enrich(ev, bad, ev.schema).collect()
+
+
+def test_branch_and_aggregate_joinback(spark):
+    li = load_table(spark, SF, "lineitem")
+    b = branch(li, {"net": F.col("l_extendedprice") * (1 - F.col("l_discount"))})
+    assert "net" in b.columns and b.count() == li.count()
+
+    out = branch_aggregate(
+        li,
+        keys=["l_orderkey"],
+        agg_fn=lambda d: d.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n_lines")
+        ),
+    )
+    assert out.count() == li.count()
+    one = out.filter(F.col("l_orderkey") == out.first()["l_orderkey"])
+    vals = {r["n_lines"] for r in one.collect()}
+    assert len(vals) == 1
+
+
+def test_workflow_dependency_order(spark):
+    li = load_table(spark, SF, "lineitem").limit(100)
+    out = workflow(
+        li,
+        branches={
+            "b": {"y": F.col("x") + 1},
+            "a": {"x": F.col("l_quantity") * 2},
+        },
+        dependencies={"b": ["a"]},
+    )
+    r = out.select("l_quantity", "x", "y").first()
+    assert r["x"] == r["l_quantity"] * 2
+    assert r["y"] == r["x"] + 1
+
+
+def test_grok_and_syslog(spark):
+    from connect_spark.functions.formats import parse_syslog
+
+    df = spark.createDataFrame(
+        [Row(line="Jan  3 06:25:43 host1 sshd[4243]: session opened for user x")]
+    )
+    parsed = df.select(parse_syslog("line").alias("p")).select("p.*")
+    r = parsed.first()
+    assert r["hostname"] == "host1"
+    assert r["appname"] == "sshd"
+    assert r["procid"] == "4243"
+    assert r["message"].startswith("session opened")
+
+
+def test_text_chunks_cover_all_tokens(spark):
+    from connect_spark.functions.formats import text_chunks
+
+    docs = load_table(spark, SF, "documents")
+    chunked = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"),
+        text_chunks("text", 20).alias("chunks"),
+    )
+    r = chunked.withColumn(
+        "rejoined_tokens",
+        F.size(
+            F.filter(
+                F.split(F.array_join("chunks", " "), " "), lambda t: t != ""
+            )
+        ),
+    )
+    bad = r.filter(F.col("n") != F.col("rejoined_tokens")).count()
+    assert bad == 0
