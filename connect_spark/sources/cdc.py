@@ -1,0 +1,93 @@
+"""CDC posture (SURVEY.md §2.D CDC suite — the reference's flagship).
+
+The reference's CDC inputs run two phases (internal/impl/postgresql/
+input_pg_stream.go:35-46): (1) a parallel PK-partitioned snapshot
+(:99-101 `max_parallel_snapshot_tables`, partitioned reads require a
+PK), then (2) WAL streaming with offsets (LSN/GTID/SCN) checkpointed
+in a cache (internal/impl/mysql/input_mysql_stream.go:48-50).
+
+Spark mapping:
+- Snapshot phase → `spark.read.jdbc` with partitionColumn/bounds —
+  implemented here as a plan builder (no DB server in this container;
+  the builder output is exactly what `DataFrameReader.jdbc` takes).
+- Streaming phase → a custom Python DataSource reading the replication
+  slot with offsets in Spark's checkpoint dir, or a Debezium→Kafka
+  bridge consumed by the Kafka source (sources/kafka.py). The WAL
+  decoder itself is server-dependent and is NOT implemented in this
+  round; the type mapping below fixes the contract it must satisfy
+  (TYPES.md:25-43).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Postgres CDC type contract (internal/impl/postgresql/TYPES.md:25-43)
+# → Spark SQL types. NUMERIC keeps real decimals (the reference
+# downgrades to string, TYPES.md:49-51).
+PG_TYPE_MAP: dict[str, str] = {
+    "bool": "boolean",
+    "int2": "smallint",
+    "int4": "int",
+    "int8": "bigint",
+    "float4": "float",
+    "float8": "double",
+    "numeric": "decimal(38,18)",
+    "text": "string",
+    "varchar": "string",
+    "bytea": "binary",
+    "date": "date",
+    "time": "string",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "uuid": "string",
+    "json": "string",
+    "jsonb": "string",
+}
+
+# CDC row envelope metadata (input_pg_stream.go:86-89)
+CDC_META_FIELDS = ("operation", "table", "lsn", "commit_ts_ms")
+
+
+@dataclass(frozen=True)
+class SnapshotPlan:
+    """Arguments for a parallel PK-partitioned snapshot read — pass
+    straight to `spark.read.jdbc(**plan.jdbc_kwargs())`."""
+
+    url: str
+    table: str
+    pk_column: str
+    lower_bound: int
+    upper_bound: int
+    num_partitions: int
+
+    def jdbc_kwargs(self) -> dict:
+        return {
+            "url": self.url,
+            "table": self.table,
+            "column": self.pk_column,
+            "lowerBound": self.lower_bound,
+            "upperBound": self.upper_bound,
+            "numPartitions": self.num_partitions,
+        }
+
+
+def snapshot_jdbc_plan(
+    url: str,
+    table: str,
+    pk_column: str,
+    pk_min: int,
+    pk_max: int,
+    target_rows_per_partition: int = 500_000,
+    row_count: int | None = None,
+) -> SnapshotPlan:
+    """Compute the partitioned snapshot read, mirroring the reference's
+    `snapshot_max_batch_size` sizing (oracledb bench used 160k rows per
+    batch, docs/benchmark-results/oracledb-cdc.md:9-35): partitions
+    sized so each task's row range fits memory and all executors pull
+    concurrently."""
+    if pk_max < pk_min:
+        raise ValueError("pk_max < pk_min")
+    rows = row_count if row_count is not None else (pk_max - pk_min + 1)
+    n = max(1, min(1024, (rows + target_rows_per_partition - 1) // target_rows_per_partition))
+    return SnapshotPlan(url, table, pk_column, pk_min, pk_max, n)
