@@ -176,10 +176,15 @@ class Compiler:
         left_v = self.eval(node.left, scope)
         right_v = self.eval(node.right, scope)
         op = node.op
-        # string + string concatenation (about.adoc:264-277)
+        # `+` on strings is concatenation (about.adoc:264-277); when
+        # either operand is a string literal the intent is unambiguous
         if op == "+" and (isinstance(left_v, str) or isinstance(right_v, str)):
             if isinstance(left_v, str) and isinstance(right_v, str):
                 return F.lit(left_v + right_v)
+            return F.concat(
+                left_v if isinstance(left_v, Column) else F.lit(left_v),
+                right_v if isinstance(right_v, Column) else F.lit(right_v),
+            )
         left = left_v if isinstance(left_v, Column) else F.lit(left_v)
         right = right_v if isinstance(right_v, Column) else F.lit(right_v)
         if op == "+":

@@ -1,0 +1,85 @@
+"""`json_schema` processor (docs/.../processors/json_schema.adoc:26):
+validate a JSON payload against a (subset) schema; failures set the
+`_error` column instead of dropping rows — the reference's error-flag
+contract.
+
+Supported subset: type checks (object/number/integer/string/boolean),
+required properties, numeric minimum/maximum — compiled entirely to
+Column predicates over get_json_object/variant accessors (no UDF, no
+jsonschema lib dependency)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from connect_spark.errors import flag_error
+
+
+def _prop_checks(col: Column, name: str, spec: dict) -> list[tuple[Column, str]]:
+    """(violation_condition, message) pairs for one property."""
+    raw = F.get_json_object(col, f"$.{name}")
+    checks: list[tuple[Column, str]] = []
+    t = spec.get("type")
+    if t in ("number", "integer"):
+        num = raw.cast("double")
+        checks.append(
+            (raw.isNotNull() & num.isNull(), f"{name}: not a number")
+        )
+        if t == "integer":
+            checks.append(
+                (
+                    num.isNotNull() & (num != F.floor(num)),
+                    f"{name}: not an integer",
+                )
+            )
+        if "minimum" in spec:
+            checks.append(
+                (num < spec["minimum"], f"{name}: below minimum")
+            )
+        if "maximum" in spec:
+            checks.append(
+                (num > spec["maximum"], f"{name}: above maximum")
+            )
+    elif t == "string":
+        # JSON strings come back unquoted from get_json_object; a raw
+        # object/array extraction starts with { or [
+        checks.append(
+            (
+                raw.isNotNull() & raw.rlike(r"^[\[{]"),
+                f"{name}: not a string",
+            )
+        )
+    elif t == "boolean":
+        checks.append(
+            (
+                raw.isNotNull() & ~raw.isin("true", "false"),
+                f"{name}: not a boolean",
+            )
+        )
+    return checks
+
+
+def json_schema_validate(
+    df: DataFrame, col: str, schema: dict
+) -> DataFrame:
+    """Validate `col` (JSON string) against the schema subset; set
+    `_error` on the first violation per row."""
+    c = F.col(col)
+    props = schema.get("properties", {})
+    required = schema.get("required", [])
+    df = flag_error(
+        df,
+        c.isNull() | F.get_json_object(c, "$").isNull(),
+        "invalid json",
+    )
+    for name in required:
+        df = flag_error(
+            df,
+            F.get_json_object(c, f"$.{name}").isNull(),
+            f"missing required property {name}",
+        )
+    for name, spec in props.items():
+        for cond, msg in _prop_checks(c, name, spec):
+            df = flag_error(df, F.coalesce(cond, F.lit(False)), msg)
+    return df

@@ -189,6 +189,86 @@ def _p_unarchive(df: DataFrame, conf: Any) -> DataFrame:
     raise PipelineConfigError(f"unsupported unarchive format {fmt!r}")
 
 
+@processor("compress")
+def _p_compress(df: DataFrame, conf: Any) -> DataFrame:
+    """compress.adoc:26 — gzip/zlib/bz2/lzma over a binary/string
+    column via Arrow-batched UDF."""
+    from connect_spark.functions.formats import compress_udf
+
+    algo = conf.get("algorithm", "gzip") if isinstance(conf, dict) else conf
+    field = conf.get("field", "content") if isinstance(conf, dict) else "content"
+    return df.withColumn(field, compress_udf(algo)(F.col(field).cast("binary")))
+
+
+@processor("decompress")
+def _p_decompress(df: DataFrame, conf: Any) -> DataFrame:
+    """decompress.adoc:26."""
+    from connect_spark.functions.formats import decompress_udf
+
+    algo = conf.get("algorithm", "gzip") if isinstance(conf, dict) else conf
+    field = conf.get("field", "content") if isinstance(conf, dict) else "content"
+    return df.withColumn(field, decompress_udf(algo)(F.col(field)))
+
+
+@processor("grok")
+def _p_grok(df: DataFrame, conf: Any) -> DataFrame:
+    """grok.adoc:26 — %{PATTERN:name} extraction into top-level
+    columns (the reference replaces the doc with the parsed object)."""
+    from connect_spark.functions.formats import grok_extract, grok_to_regex
+
+    field = conf.get("field", "content")
+    pattern = conf["expressions"][0] if "expressions" in conf else conf["pattern"]
+    parsed = grok_extract(F.col(field), pattern)
+    _, names = grok_to_regex(pattern)
+    return df.withColumns({n: parsed[n] for n in names})
+
+
+@processor("text_chunker")
+def _p_text_chunker(df: DataFrame, conf: Any) -> DataFrame:
+    """text_chunker.adoc:85-101 (token strategy): replaces each doc
+    with one row per chunk in a `chunk` column."""
+    from connect_spark.functions.formats import text_chunks
+
+    field = conf.get("field", "content")
+    size = int(conf.get("chunk_size", 64))
+    return df.withColumn(
+        "chunk", F.explode(text_chunks(F.col(field), size))
+    ).drop(field)
+
+
+@processor("json_schema")
+def _p_json_schema(df: DataFrame, conf: Any) -> DataFrame:
+    """json_schema.adoc:26 — validation failures set _error."""
+    from connect_spark.functions.jsonschema import json_schema_validate
+
+    return json_schema_validate(
+        df, conf.get("field", "content"), conf["schema"]
+    )
+
+
+@processor("catch")
+def _p_catch(df: DataFrame, conf: Any) -> DataFrame:
+    """catch.adoc:26 — child processors run only on errored rows, then
+    the error flag clears."""
+    from connect_spark.errors import catch_processor
+
+    steps = [
+        (lambda d, s=spec: apply_processor(d, s)) for spec in (conf or [])
+    ]
+    return catch_processor(df, *steps)
+
+
+@processor("try")
+def _p_try(df: DataFrame, conf: Any) -> DataFrame:
+    """try.adoc:26 — children apply only to healthy rows."""
+    from connect_spark.errors import try_processor
+
+    steps = [
+        (lambda d, s=spec: apply_processor(d, s)) for spec in (conf or [])
+    ]
+    return try_processor(df, *steps)
+
+
 @processor("noop")
 def _p_noop(df: DataFrame, conf: Any) -> DataFrame:
     """noop.adoc:25."""

@@ -30,8 +30,10 @@ class QuerySpec:
 
 def all_queries() -> list[QuerySpec]:
     from connect_spark.queries import (
+        asof,
         core,
         extended,
+        formats,
         functions as fns,
         joins,
         textops,
@@ -40,7 +42,9 @@ def all_queries() -> list[QuerySpec]:
     )
 
     specs: list[QuerySpec] = []
-    for mod in (core, joins, windows, fns, textops, vectors, extended):
+    for mod in (
+        core, joins, windows, fns, textops, vectors, extended, asof, formats,
+    ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
