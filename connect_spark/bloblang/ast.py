@@ -103,6 +103,14 @@ class Match(Node):
 
 
 @dataclass(frozen=True)
+class Coalesce(Node):
+    """`target.(a | b | c)` — first non-null wins
+    (bloblang/about.adoc:98-110)."""
+
+    alternatives: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
 class Deleted(Node):
     """`deleted()` — marks the document for removal
     (bloblang/about.adoc:70-78)."""

@@ -150,6 +150,10 @@ class Compiler:
                 raise BloblangError(f"unknown method .{node.name}()")
             args = [self._method_arg(a, scope) for a in node.args]
             return impl(target, *args)
+        if isinstance(node, A.Coalesce):
+            return F.coalesce(
+                *[self.col(alt, scope) for alt in node.alternatives]
+            )
         if isinstance(node, A.Deleted):
             raise BloblangError(
                 "deleted() is only valid as an assignment result"
@@ -267,6 +271,43 @@ def _delete_condition(node: A.Node, comp: Compiler) -> Column | None:
     return None
 
 
+def _nested_set(tree: dict, path: tuple[str, ...], value: Column) -> None:
+    node = tree.setdefault(path[0], {})
+    for part in path[1:-1]:
+        node = node.setdefault(part, {})
+    node[path[-1]] = value
+
+
+def _tree_to_struct(tree) -> Column:
+    if isinstance(tree, Column):
+        return tree
+    return F.struct(
+        *[_tree_to_struct(v).alias(k) for k, v in tree.items()]
+    )
+
+
+def compile_interpolation(src: str, env: dict[str, Column] | None = None) -> Column:
+    """Interpolation strings `prefix-${! expr }-suffix`
+    (docs/modules/configuration: field interpolation, e.g.
+    config/examples/joining_streams.yaml:21,51-53) → one concat
+    Column. Plain strings compile to a literal."""
+    import re as _re
+
+    parts = _re.split(r"\$\{!\s*(.*?)\s*\}", src)
+    if len(parts) == 1:
+        return F.lit(src)
+    cols: list[Column] = []
+    for i, part in enumerate(parts):
+        if i % 2 == 0:
+            if part:
+                cols.append(F.lit(part))
+        else:
+            cols.append(
+                Compiler(env).col(parse_expression(part)).cast("string")
+            )
+    return F.concat(*cols) if len(cols) > 1 else cols[0]
+
+
 def compile_mapping(
     df: DataFrame, src: str, mode: str = "mapping"
 ) -> DataFrame:
@@ -279,6 +320,7 @@ def compile_mapping(
     ast = parse_mapping(src)
     comp = Compiler()
     assigns: dict[str, Column] = {}
+    nested: dict = {}
     meta_assigns: dict[str, Column] = {}
     delete_cond: Column | None = None
     identity_root = False
@@ -304,13 +346,19 @@ def compile_mapping(
                     "deleted() forms; assign named fields otherwise"
                 )
             if len(stmt.path) > 1:
-                raise BloblangError(
-                    "nested root paths not yet supported; assign "
-                    f"root.{stmt.path[0]} as a struct instead"
-                )
+                # `root.a.b = expr` → struct assembly under `a`
+                # (about.adoc:19-52 nested assignment)
+                _nested_set(nested, stmt.path, comp.col(stmt.expr))
+                continue
             assigns[stmt.path[0]] = comp.col(stmt.expr)
         else:  # pragma: no cover
             raise BloblangError(f"unknown statement {stmt!r}")
+
+    # merge nested trees into struct columns (later flat assignment to
+    # the same name wins, matching sequential Bloblang semantics)
+    for top, tree in nested.items():
+        if top not in assigns:
+            assigns[top] = _tree_to_struct(tree)
 
     out = df
     if delete_cond is not None:

@@ -203,6 +203,16 @@ class Parser:
         node = self.parse_primary()
         while True:
             if self.eat_op("."):
+                # coalesce path group: `this.(a | b | c)`
+                # (bloblang/about.adoc:98-110)
+                if self.at_op("("):
+                    self.next()
+                    alts: list[A.Node] = [self._parse_rel_path(node)]
+                    while self.eat_op("|"):
+                        alts.append(self._parse_rel_path(node))
+                    self.expect("op", ")")
+                    node = A.Coalesce(tuple(alts))
+                    continue
                 name = self.expect("ident").value
                 if self.at_op("("):
                     node = A.Method(node, name, self.parse_call_args())
@@ -215,6 +225,19 @@ class Parser:
                 node = A.Index(node, idx)
             else:
                 return node
+
+    def _parse_rel_path(self, base: A.Node) -> A.Node:
+        """Dotted ident path relative to `base` (inside a coalesce
+        group)."""
+        node: A.Node = A.Field(base, self.expect("ident").value)
+        while (
+            self.peek().kind == "op"
+            and self.peek().value == "."
+            and self.peek(1).kind == "ident"
+        ):
+            self.next()
+            node = A.Field(node, self.next().value)
+        return node
 
     def parse_call_args(self) -> tuple[A.Node, ...]:
         self.expect("op", "(")

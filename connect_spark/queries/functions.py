@@ -229,8 +229,55 @@ FROM t
 """
 
 
+# --- map/object methods (methods.adoc:2257 keys/values/with/without) ---
+
+def fn_map_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "type").alias("type_val"),                   # get
+        F.size(F.map_keys(m)).alias("n_keys"),                       # length
+        F.array_join(
+            F.sort_array(
+                F.map_values(F.map_filter(m, lambda k, v: k != "user"))
+            ),
+            ",",
+        ).alias("without_user_vals"),                                # without
+        F.to_json(
+            F.map_from_arrays(F.array(F.lit("t")), F.array(F.element_at(m, "type")))
+        ).alias("projected_json"),                                   # with
+    )
+
+
+MAP_SQL = """
+WITH m AS (
+  SELECT event_id,
+         MAP(['type', 'user', 'k'],
+             [event_type, CAST(user_id AS VARCHAR),
+              json_extract_string(props, '$.k')]) AS mp,
+         event_type
+  FROM events
+)
+SELECT event_id,
+       array_to_string(list_sort(map_keys(mp)), ',') AS keys_sorted,
+       mp['type'][1] AS type_val,
+       len(map_keys(mp)) AS n_keys,
+       array_to_string(list_sort([x.value FOR x IN map_entries(mp) IF x.key != 'user']), ',')
+         AS without_user_vals,
+       '{"t":"' || event_type || '"}' AS projected_json
+FROM m
+"""
+
+
 QUERIES = [
     QuerySpec("fn_string_matrix", fn_string_matrix, STRING_SQL),
+    QuerySpec("fn_map_matrix", fn_map_matrix, MAP_SQL),
     QuerySpec("fn_timestamp_matrix", fn_timestamp_matrix, TS_SQL),
     QuerySpec("fn_number_matrix", fn_number_matrix, NUMBER_SQL),
     QuerySpec("fn_encoding_matrix", fn_encoding_matrix, ENCODING_SQL),

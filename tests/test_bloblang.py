@@ -196,3 +196,39 @@ def test_expression_entry(spark):
     col = compile_expression('this.a * 2 + 1')
     df = spark.createDataFrame([Row(a=10)]).select(col.alias("out"))
     assert df.collect()[0]["out"] == 21
+
+
+def test_coalesce_path_group(spark):
+    rows = [Row(a=None, b="fallback"), Row(a="primary", b="x")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    from connect_spark.bloblang import compile_mapping as cm
+
+    out = cm(df, "root.v = this.(a | b)")
+    assert sorted(r["v"] for r in out.collect()) == ["fallback", "primary"]
+
+
+def test_nested_root_paths(spark):
+    rows = [Row(x=1, y="s")]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.doc.id = this.x
+        root.doc.label = this.y.uppercase()
+        root.doc.stats.double_x = this.x * 2
+        root.flat = this.x + 10
+        """,
+    )
+    doc = got[0]["doc"].asDict(recursive=True)
+    assert doc == {"id": 1, "label": "S", "stats": {"double_x": 2}}
+    assert got[0]["flat"] == 11
+
+
+def test_interpolation_strings(spark):
+    from connect_spark.bloblang.compiler import compile_interpolation
+
+    df = spark.createDataFrame([Row(topic="orders", n=7)])
+    col = compile_interpolation("out-${! this.topic }-${! this.n * 2 }")
+    assert df.select(col.alias("t")).first()["t"] == "out-orders-14"
+    lit = compile_interpolation("plain-string")
+    assert df.select(lit.alias("t")).first()["t"] == "plain-string"

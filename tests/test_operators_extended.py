@@ -164,3 +164,49 @@ def test_text_chunks_cover_all_tokens(spark):
     )
     bad = r.filter(F.col("n") != F.col("rejoined_tokens")).count()
     assert bad == 0
+
+
+def test_schema_registry_frame_roundtrip(spark):
+    from connect_spark.functions.schema_registry import (
+        encode_confluent_frame,
+        parse_confluent_frame,
+        schema_registry_decode,
+    )
+
+    df = spark.createDataFrame(
+        [Row(j='{"a": 1, "b": "x"}'), Row(j='{"a": 2, "b": "y"}')]
+    )
+    framed = df.select(
+        encode_confluent_frame(F.col("j"), schema_id=7).alias("frame")
+    )
+    parsed = framed.select(parse_confluent_frame("frame").alias("p"))
+    rows = parsed.select("p.*").collect()
+    assert all(r["magic_ok"] and r["schema_id"] == 7 for r in rows)
+    assert sorted(bytes(r["payload"]).decode() for r in rows) == [
+        '{"a": 1, "b": "x"}',
+        '{"a": 2, "b": "y"}',
+    ]
+
+    decoded = schema_registry_decode(
+        framed, "frame", {7: "a INT, b STRING"}
+    )
+    out = decoded.collect()
+    assert all(r["_error"] is None for r in out)
+    assert sorted(r["decoded"] for r in out) == [
+        '{"a":1,"b":"x"}',
+        '{"a":2,"b":"y"}',
+    ]
+
+
+def test_schema_registry_unknown_id_flags_error(spark):
+    from connect_spark.functions.schema_registry import (
+        encode_confluent_frame,
+        schema_registry_decode,
+    )
+
+    framed = spark.createDataFrame([Row(j='{"a":1}')]).select(
+        encode_confluent_frame(F.col("j"), schema_id=99).alias("frame")
+    )
+    out = schema_registry_decode(framed, "frame", {7: "a INT"}).collect()
+    assert out[0]["_error"] == "schema_registry: unknown schema id"
+    assert out[0]["decoded"] is None
