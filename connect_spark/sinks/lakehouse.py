@@ -1,0 +1,76 @@
+"""Lakehouse sinks (SURVEY.md §2.E: iceberg with schema evolution —
+internal/impl/iceberg/output_iceberg.go, type inference + evolution
+type_inference.go:62,210).
+
+- `write_iceberg` uses the native `df.writeTo(table)` path when an
+  Iceberg catalog is configured on the session; in this container no
+  Iceberg jars exist, so the call fails fast with a clear message
+  (the code path is the real one for a cluster).
+- `LakehouseWriter` is the self-contained analog: partitioned parquet
+  with additive schema evolution (mergeSchema on read, missing
+  columns null-filled on append) — the same evolution contract the
+  reference's Iceberg sink implements (new columns appear, old rows
+  read as null)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_iceberg(df: DataFrame, table: str, mode: str = "append") -> None:
+    try:
+        writer = df.writeTo(table)
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "Iceberg catalog not available in this environment; "
+            "configure spark.sql.catalog.<name>=org.apache.iceberg."
+            "spark.SparkCatalog on a cluster, or use LakehouseWriter "
+            "(partitioned parquet + schema evolution)"
+        ) from exc
+
+
+class LakehouseWriter:
+    """Append-only partitioned parquet table with additive schema
+    evolution."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.partition_by = partition_by or []
+
+    def _existing_schema(self):
+        try:
+            return self.spark.read.parquet(self.path).schema
+        except Exception:  # noqa: BLE001 — first write
+            return None
+
+    def append(self, df: DataFrame) -> None:
+        """Append with evolution: columns known to the table but
+        missing from `df` are null-filled; new columns in `df` simply
+        appear (readers use mergeSchema)."""
+        existing = self._existing_schema()
+        if existing is not None:
+            for field in existing.fields:
+                if field.name not in df.columns:
+                    df = df.withColumn(
+                        field.name, F.lit(None).cast(field.dataType)
+                    )
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.path
+        )

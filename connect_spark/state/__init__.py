@@ -1,0 +1,5 @@
+"""State backends (SURVEY.md §2.I caches/buffers)."""
+
+from connect_spark.state.cache import ParquetKVCache
+
+__all__ = ["ParquetKVCache"]
