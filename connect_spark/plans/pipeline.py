@@ -189,6 +189,54 @@ def _p_unarchive(df: DataFrame, conf: Any) -> DataFrame:
     raise PipelineConfigError(f"unsupported unarchive format {fmt!r}")
 
 
+@processor("split")
+def _p_split(df: DataFrame, conf: Any) -> DataFrame:
+    """split.adoc:26 — re-chunk 'batches': in a distributed plan batch
+    size == partition size, so this is a repartition (count-based) —
+    the micro-batch sizing knob for downstream sinks."""
+    n = int(conf.get("count", 1)) if isinstance(conf, dict) else int(conf)
+    return df.repartition(max(1, n))
+
+
+@processor("insert_part")
+def _p_insert_part(df: DataFrame, conf: Any) -> DataFrame:
+    """insert_part.adoc:26 — inject a literal message (index semantics
+    don't survive set-based plans; the row is simply unioned)."""
+    from connect_spark.bloblang.compiler import Compiler
+    from connect_spark.bloblang.parser import parse_expression
+
+    comp = Compiler()
+    row = {
+        k: comp.col(parse_expression(v)) if isinstance(v, str) else F.lit(v)
+        for k, v in conf["content"].items()
+    }
+    one = df.limit(0).sparkSession.range(1).select(
+        *[c.alias(k) for k, c in row.items()]
+    )
+    return df.unionByName(one, allowMissingColumns=True)
+
+
+@processor("while")
+def _p_while(df: DataFrame, conf: Any) -> DataFrame:
+    """while.adoc:26 — apply child processors to rows matching `check`
+    until none match (or max_loops). Driver-side fixpoint loop over a
+    lazy plan; each iteration is one narrow pass, the count() is the
+    only action. The joining-streams intra-batch parent resolution
+    (config/examples/joining_streams.yaml:23-60) is this pattern."""
+    check = compile_expression(conf["check"])
+    max_loops = int(conf.get("max_loops", 10))
+    procs = conf.get("processors", [])
+    for _ in range(max_loops):
+        if df.filter(check).limit(1).count() == 0:
+            break
+        matched = df.filter(check)
+        passed = df.filter(~F.coalesce(check, F.lit(False)))
+        for p in procs:
+            matched = apply_processor(matched, p)
+        df = passed.unionByName(matched, allowMissingColumns=True)
+    return df
+
+
 @processor("compress")
 def _p_compress(df: DataFrame, conf: Any) -> DataFrame:
     """compress.adoc:26 — gzip/zlib/bz2/lzma over a binary/string
