@@ -214,6 +214,52 @@ def _hash(c: Column, algo: str) -> Column:
     raise ValueError(f"unsupported hash algorithm {algo!r}")
 
 
+# --- more string/url/path methods ---
+
+method("escape_url_query")(lambda c: F.url_encode(c))
+method("unescape_url_query")(lambda c: F.url_decode(c))
+method("filepath_join")(lambda c: F.array_join(c, "/"))
+method("filepath_split")(lambda c: F.split(c, "/"))
+method("lpad")(lambda c, n, p=" ": F.lpad(c, n, p))
+method("rpad")(lambda c, n, p=" ": F.rpad(c, n, p))
+
+
+@method("parse_duration")
+def _parse_duration(c: Column) -> Column:
+    """Duration string (e.g. "3h2m1s", "150ms") → nanoseconds
+    (methods.adoc:1583 parse_duration returns ns)."""
+    def part(unit: str) -> Column:
+        raw = F.regexp_extract(c, r"(\d+(?:\.\d+)?)" + unit, 1)
+        return F.when(raw == "", F.lit(0.0)).otherwise(
+            raw.try_cast("double")
+        )
+
+    ns = (
+        part("h") * 3_600_000_000_000
+        + part("m(?!s)") * 60_000_000_000
+        + part("s(?![a-z])") * 1_000_000_000
+        + part("ms") * 1_000_000
+        + part("us") * 1_000
+        + part("ns")
+    )
+    return ns.cast("bigint")
+
+
+@method("uuid_v5")
+def _uuid_v5(c: Column, namespace: str = "") -> Column:
+    """Name-based UUID (methods.adoc:3931): deterministic sha1-derived
+    formatting (version/variant nibbles set)."""
+    h = F.sha1(F.concat(F.lit(namespace), c))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(F.lit("8"), F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
 # --- error handling (about.adoc:365-402) ---
 
 method("catch")(lambda c, fallback: F.coalesce(c, _lit(fallback)))

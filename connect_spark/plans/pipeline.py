@@ -383,6 +383,24 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
         from connect_spark.catalog import load_table
 
         return load_table(spark, c["sf_dir"], c["name"])
+    if kind == "generate_stream":
+        # streaming generate input (docs/.../inputs/generate.adoc) via
+        # the custom Python DataSource (sources/generate_stream.py)
+        from connect_spark.sources.generate_stream import GenerateDataSource
+
+        spark.dataSource.register(GenerateDataSource)
+        reader = spark.readStream.format("generate_stream")
+        for k, v in c.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    if kind == "parquet_stream":
+        schema = spark.read.parquet(c["path"]).schema
+        reader = spark.readStream.schema(schema)
+        if c.get("max_files_per_trigger"):
+            reader = reader.option(
+                "maxFilesPerTrigger", c["max_files_per_trigger"]
+            )
+        return reader.parquet(c["path"])
     raise PipelineConfigError(f"unknown input {kind!r}")
 
 
@@ -439,6 +457,20 @@ class Pipeline:
         """Execute including the output component. Returns the result
         DataFrame for memory-style outputs, else None."""
         return _run_output(self.dataframe(), self.config.get("output"))
+
+    def run_streaming_to_memory(self, query_name: str):
+        """Start a streaming pipeline into a memory sink; caller
+        drives the query (processAllAvailable/stop) and reads
+        spark.table(query_name)."""
+        df = self.dataframe()
+        if not df.isStreaming:
+            raise PipelineConfigError("input is not streaming")
+        return (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .start()
+        )
 
 
 def build_pipeline(

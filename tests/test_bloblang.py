@@ -232,3 +232,26 @@ def test_interpolation_strings(spark):
     assert df.select(col.alias("t")).first()["t"] == "out-orders-14"
     lit = compile_interpolation("plain-string")
     assert df.select(lit.alias("t")).first()["t"] == "plain-string"
+
+
+def test_duration_uuid_url_methods(spark):
+    rows = [Row(d="3h2m1s", s="a b&c", u="a%20b")]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.ns = this.d.parse_duration()
+        root.esc = this.s.escape_url_query()
+        root.unesc = this.u.unescape_url_query()
+        root.u5 = this.s.uuid_v5("ns")
+        """,
+    )
+    assert got[0]["ns"] == 3 * 3600_000_000_000 + 2 * 60_000_000_000 + 1_000_000_000
+    assert got[0]["esc"] == "a+b%26c"
+    assert got[0]["unesc"] == "a b"
+    import re
+
+    assert re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}",
+        got[0]["u5"],
+    )

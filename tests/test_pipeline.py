@@ -194,3 +194,29 @@ def test_runner_suite_with_filter(spark):
     }
     results = run_suite(spark, suite)
     assert all(r.ok for r in results), [r.failures for r in results]
+
+
+def test_streaming_yaml_pipeline(spark):
+    import uuid as _uuid
+
+    cfg = {
+        "input": {
+            "generate_stream": {"rows_per_batch": 25, "max_rows": 50}
+        },
+        "pipeline": {
+            "processors": [
+                {"mutation": "root.double_n = this.n * 2"},
+                {"filter": "this.n % 5 != 0"},
+            ]
+        },
+    }
+    p = build_pipeline(spark, cfg)
+    name = "yp" + _uuid.uuid4().hex[:8]
+    q = p.run_streaming_to_memory(name)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) == 40  # 50 minus multiples of 5
+    assert all(r["double_n"] == r["n"] * 2 for r in rows)
