@@ -89,7 +89,15 @@ def run_case(spark: SparkSession, case: dict[str, Any]) -> CaseResult:
 
 
 def run_suite(
-    spark: SparkSession, suite: dict[str, Any] | list[dict[str, Any]]
+    spark: SparkSession,
+    suite: dict[str, Any] | list[dict[str, Any]] | str,
 ) -> list[CaseResult]:
+    """Accepts a suite dict, a case list, or a YAML file path (the
+    reference's `<name>_benthos_test.yaml` layout)."""
+    if isinstance(suite, str):
+        import yaml
+
+        with open(suite) as fh:
+            suite = yaml.safe_load(fh)
     cases = suite["tests"] if isinstance(suite, dict) else suite
     return [run_case(spark, c) for c in cases]

@@ -70,6 +70,37 @@ FROM documents
 """
 
 
+# --- regex methods (methods.adoc:797) ---
+
+def fn_regex_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike("spark .* table").cast("int").alias("re_match"),  # re_match
+        F.regexp_replace("text", "[aeiou]", "_").substr(1, 30).alias("re_replaced"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)).alias(
+            "n_long_words"
+        ),                                                    # re_find_all
+        F.array_join(
+            F.slice(F.regexp_extract_all("text", F.lit("\\b[bs][a-z]+"), 0), 1, 5),
+            ",",
+        ).alias("first5_bs"),
+        F.regexp_extract("text", "(\\w+) (\\w+)", 2).alias("second_word"),
+    )
+
+
+REGEX_SQL = r"""
+SELECT doc_id,
+       CAST(regexp_matches(text, 'spark .* table') AS INT) AS re_match,
+       substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 30) AS re_replaced,
+       len(regexp_extract_all(text, '[a-z]{5,}')) AS n_long_words,
+       coalesce(array_to_string(regexp_extract_all(text, '\b[bs][a-z]+')[1:5], ','), '')
+         AS first5_bs,
+       regexp_extract(text, '(\w+) (\w+)', 2) AS second_word
+FROM documents
+"""
+
+
 # --- timestamp methods (methods.adoc:1581) ---
 
 def fn_timestamp_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +309,7 @@ FROM m
 QUERIES = [
     QuerySpec("fn_string_matrix", fn_string_matrix, STRING_SQL),
     QuerySpec("fn_map_matrix", fn_map_matrix, MAP_SQL),
+    QuerySpec("fn_regex_matrix", fn_regex_matrix, REGEX_SQL),
     QuerySpec("fn_timestamp_matrix", fn_timestamp_matrix, TS_SQL),
     QuerySpec("fn_number_matrix", fn_number_matrix, NUMBER_SQL),
     QuerySpec("fn_encoding_matrix", fn_encoding_matrix, ENCODING_SQL),

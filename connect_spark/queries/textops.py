@@ -197,12 +197,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
                                      F.col("n").alias("nb"))), "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
+            # basis points via floor — identical double division in
+            # both engines, no round-half divergence (see quality_ppm)
+            "jaccard_bp",
+            F.floor(
+                F.col("i") * 10000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+            ).cast("bigint"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard_bp") >= int(JACCARD_THRESHOLD * 10000))
     )
-    return out.select("doc_a", "doc_b", "jaccard")
+    return out.select("doc_a", "doc_b", "jaccard_bp")
 
 
 NGRAM_JACCARD_SQL = SHINGLE_CTE + f"""
@@ -213,9 +217,10 @@ NGRAM_JACCARD_SQL = SHINGLE_CTE + f"""
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+       CAST(floor(i * 10000.0 / (x.n + y.n - i)) AS BIGINT) AS jaccard_bp
 FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-WHERE round(i * 1.0 / (x.n + y.n - i), 4) >= {JACCARD_THRESHOLD}
+WHERE CAST(floor(i * 10000.0 / (x.n + y.n - i)) AS BIGINT)
+      >= {int(JACCARD_THRESHOLD * 10000)}
 """
 
 
@@ -356,23 +361,27 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_toks = F.size("toks")
     n_uniq = F.size(F.array_distinct("toks"))
     n_stop = F.size(F.filter("toks", lambda x: x.isin("a", "the", "of")))
-    score = F.round(
+    raw = (
         (n_uniq / n_toks) * 0.5
         + (n_stop / n_toks) * 0.2
-        + F.least(F.col("n_chars"), F.lit(400)) / 400 * 0.3,
-        6,
+        + F.least(F.col("n_chars"), F.lit(400)) / 400 * 0.3
     )
+    # integer-scaled floor, NOT round(): both engines compute the
+    # identical double, but round() half-behavior differs (Spark
+    # HALF_UP vs DuckDB half-to-even) and dyadic token counts land
+    # exactly on midpoints; floor of identical doubles always agrees.
+    score = F.floor(raw * 1_000_000).cast("bigint")
     out = t.select(
         "doc_id",
         n_toks.alias("n_toks"),
         n_uniq.alias("n_uniq"),
         n_stop.alias("n_stop"),
-        score.alias("quality"),
+        score.alias("quality_ppm"),
     )
     return out.withColumn(
         "bucket",
-        F.when(F.col("quality") >= 0.8, "high")
-        .when(F.col("quality") >= 0.6, "mid")
+        F.when(F.col("quality_ppm") >= 800000, "high")
+        .when(F.col("quality_ppm") >= 600000, "mid")
         .otherwise("low"),
     )
 
@@ -387,15 +396,16 @@ WITH t AS (
          len(toks) AS n_toks,
          len(list_distinct(toks)) AS n_uniq,
          len(list_filter(toks, x -> x IN ('a', 'the', 'of'))) AS n_stop,
-         round((len(list_distinct(toks)) * 1.0 / len(toks)) * 0.5
+         CAST(floor(((len(list_distinct(toks)) * 1.0 / len(toks)) * 0.5
                + (len(list_filter(toks, x -> x IN ('a', 'the', 'of'))) * 1.0
                   / len(toks)) * 0.2
-               + least(n_chars, 400) * 1.0 / 400 * 0.3, 6) AS quality
+               + least(n_chars, 400) * 1.0 / 400 * 0.3) * 1000000) AS BIGINT)
+           AS quality_ppm
   FROM t
 )
-SELECT doc_id, n_toks, n_uniq, n_stop, quality,
-       CASE WHEN quality >= 0.8 THEN 'high'
-            WHEN quality >= 0.6 THEN 'mid'
+SELECT doc_id, n_toks, n_uniq, n_stop, quality_ppm,
+       CASE WHEN quality_ppm >= 800000 THEN 'high'
+            WHEN quality_ppm >= 600000 THEN 'mid'
             ELSE 'low' END AS bucket
 FROM s
 """
@@ -415,11 +425,13 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_count("text", F.lit(pat)).alias("re_tokens"),
         F.length("text").alias("chars"),
-        F.round(
+        F.floor(
             F.length("text")
-            / F.size(F.filter(F.split("text", " "), lambda t: t != "")),
-            4,
-        ).alias("chars_per_token"),
+            * 10000.0
+            / F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        )
+        .cast("bigint")
+        .alias("chars_per_token_x1e4"),
     )
 
 
@@ -428,9 +440,9 @@ SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x != '')) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
        length(text) AS chars,
-       round(length(text) * 1.0 /
-             len(list_filter(string_split(text, ' '), x -> x != '')), 4)
-         AS chars_per_token
+       CAST(floor(length(text) * 10000.0 /
+             len(list_filter(string_split(text, ' '), x -> x != ''))) AS BIGINT)
+         AS chars_per_token_x1e4
 FROM documents
 """
 
