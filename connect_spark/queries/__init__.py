@@ -36,6 +36,7 @@ def all_queries() -> list[QuerySpec]:
         formats,
         functions as fns,
         joins,
+        relational,
         textops,
         vectors,
         windows,
@@ -44,6 +45,7 @@ def all_queries() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
+        relational,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
