@@ -64,6 +64,38 @@ def _fn_throw(msg: Any) -> Column:
     return F.raise_error(F.lit(msg))
 
 
+_FAKE_POOLS = {
+    "name": ("ada", "grace", "alan", "edsger", "barbara", "donald"),
+    "email_domain": ("example.com", "test.org", "mail.net"),
+    "word": ("alpha", "beta", "gamma", "delta", "epsilon"),
+}
+
+
+def _fn_fake(kind: str = "word") -> Column:
+    """fake() (functions.adoc:881) made DETERMINISTIC: value derived
+    from a per-row hash of monotonically_increasing_id — reproducible
+    test data, unlike the reference's RNG."""
+    seed = F.md5(F.concat(F.lit(kind), F.monotonically_increasing_id().cast("string")))
+    idx = F.conv(F.substring(seed, 1, 6), 16, 10).cast("int")
+    if kind == "name":
+        pool = _FAKE_POOLS["name"]
+        return F.array(*[F.lit(x) for x in pool])[idx % len(pool)]
+    if kind == "email":
+        names = _FAKE_POOLS["name"]
+        doms = _FAKE_POOLS["email_domain"]
+        return F.concat(
+            F.array(*[F.lit(x) for x in names])[idx % len(names)],
+            F.lit("@"),
+            F.array(*[F.lit(x) for x in doms])[idx % len(doms)],
+        )
+    if kind == "uuid":
+        return F.expr("uuid()")
+    if kind == "int":
+        return idx
+    pool = _FAKE_POOLS["word"]
+    return F.array(*[F.lit(x) for x in pool])[idx % len(pool)]
+
+
 FUNCTIONS = {
     "now": _fn_now,
     "uuid_v4": _fn_uuid_v4,
@@ -72,6 +104,7 @@ FUNCTIONS = {
     "timestamp_unix": _fn_timestamp_unix,
     "range": _fn_range,
     "throw": _fn_throw,
+    "fake": _fn_fake,
 }
 
 

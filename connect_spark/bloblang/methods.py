@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -258,6 +259,36 @@ def _uuid_v5(c: Column, namespace: str = "") -> Column:
         F.concat(F.lit("8"), F.substring(h, 18, 3)),
         F.substring(h, 21, 12),
     )
+
+
+method("parse_logfmt")(
+    lambda c: F.str_to_map(c, F.lit(" "), F.lit("="))
+)  # parse_logfmt (methods.adoc:3602)
+
+
+@method("parse_yaml")
+def _parse_yaml(c: Column) -> Column:
+    """parse_yaml (methods.adoc:3723): YAML → JSON string via an
+    Arrow-batched UDF (PyYAML in-container); chain .parse_json() /
+    json_path() for structure."""
+    import json
+
+    import yaml
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _yaml_to_json(s: pd.Series) -> pd.Series:
+        def conv(v):
+            if v is None:
+                return None
+            try:
+                return json.dumps(yaml.safe_load(v))
+            except Exception:  # noqa: BLE001 — parse failure → null
+                return None
+
+        return s.map(conv)
+
+    return _yaml_to_json(c)
 
 
 # --- error handling (about.adoc:365-402) ---

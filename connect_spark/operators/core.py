@@ -171,6 +171,29 @@ def unarchive(df: DataFrame, col: Column, out: str = "part") -> DataFrame:
     return df.withColumn(out, F.explode(col))
 
 
+def collapse(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Bloblang `collapse` (methods.adoc:2369): flatten nested objects
+    into dotted top-level keys — here struct columns flatten into
+    `parent.child` columns, recursively. Pure projection."""
+    from pyspark.sql import types as T
+
+    cols: list[Column] = []
+
+    def walk(prefix: str, dtype, accessor: Column) -> None:
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(f"{prefix}{sep}{f.name}", f.dataType, accessor[f.name])
+        else:
+            cols.append(accessor.alias(prefix))
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.StructType):
+            walk(field.name, field.dataType, F.col(field.name))
+        else:
+            cols.append(F.col(field.name))
+    return df.select(*cols)
+
+
 def bounds_check(
     df: DataFrame,
     value: Column,

@@ -72,6 +72,36 @@ class SnapshotPlan:
         }
 
 
+def apply_cdc_batch(cache, changes, key: str, op_col: str = "operation"):
+    """Materialize a CDC change batch into a keyed table (the sink
+    side of the CDC story — what the reference leaves to downstream
+    systems, we complete with the generational cache):
+
+    - read/insert/update → upsert (last writer wins within the batch,
+      resolved by taking the LAST change per key in `_seq` order)
+    - delete → remove key
+
+    `changes` carries the row image + `operation` metadata
+    (input_pg_stream.go:86-89) + a `_seq` ordering column (commit LSN /
+    commit_ts_ms). One upsert + one delete per batch — set-based, no
+    per-row round-trips."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key).orderBy(F.col("_seq").desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(
+        F.col(op_col).isin("read", "insert", "update")
+    ).drop(op_col, "_seq")
+    deletes = latest.filter(F.col(op_col) == "delete").select(key)
+    cache.set(upserts)
+    cache.delete(deletes)
+
+
 def snapshot_jdbc_plan(
     url: str,
     table: str,
