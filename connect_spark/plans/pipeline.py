@@ -317,6 +317,68 @@ def _p_try(df: DataFrame, conf: Any) -> DataFrame:
     return try_processor(df, *steps)
 
 
+@processor("string_split")
+def _p_string_split(df: DataFrame, conf: Any) -> DataFrame:
+    """string_split (internal/impl/text/processor_string_split.go):
+    split a string column into one message per piece."""
+    field = conf.get("field", "content") if isinstance(conf, dict) else "content"
+    delim = conf.get("delimiter", "\n") if isinstance(conf, dict) else conf
+    import re as _re
+
+    return df.withColumn(
+        field, F.explode(F.split(F.col(field), _re.escape(delim)))
+    )
+
+
+@processor("try_catch")
+def _p_try_catch(df: DataFrame, conf: Any) -> DataFrame:
+    """try_catch.adoc:26 — try block + catch block in one processor."""
+    df = _p_try(df, conf.get("try", []))
+    return _p_catch(df, conf.get("catch", []))
+
+
+@processor("cache")
+def _p_cache(df: DataFrame, conf: Any) -> DataFrame:
+    """cache processor (cache.adoc:167-169) against a path-backed
+    cache resource: operators get (lookup join) / set / add (insert
+    side-effect, rows pass through) / delete."""
+    from connect_spark.state import ParquetKVCache
+
+    cache = ParquetKVCache(
+        df.sparkSession, conf["path"], key=conf.get("key_column", "key")
+    )
+    op = conf.get("operator", "get")
+    if op == "get":
+        return cache.get(df, on=conf.get("on", cache.key))
+    if op in ("set", "add"):
+        key_col = conf.get("on", cache.key)
+        rows = df.select(
+            F.col(key_col).alias(cache.key),
+            *[F.col(c) for c in conf.get("value_columns", [])],
+        )
+        (cache.set if op == "set" else cache.add)(rows)
+        return df
+    if op == "delete":
+        key_col = conf.get("on", cache.key)
+        cache.delete(df.select(F.col(key_col).alias(cache.key)))
+        return df
+    raise PipelineConfigError(f"unknown cache operator {op!r}")
+
+
+@processor("subprocess")
+def _p_subprocess(df: DataFrame, conf: Any) -> DataFrame:
+    """subprocess.adoc:26 — pipe a column through an external program
+    (line-per-row contract)."""
+    from connect_spark.operators.subprocess_op import pipe_through
+
+    return pipe_through(
+        df,
+        conf.get("field", "content"),
+        [conf["name"], *conf.get("args", [])],
+        out=conf.get("out", "piped"),
+    )
+
+
 @processor("noop")
 def _p_noop(df: DataFrame, conf: Any) -> DataFrame:
     """noop.adoc:25."""

@@ -115,3 +115,75 @@ def test_training_pipeline_composition(spark):
     assert all(len(r["embedding"]) == 16 for r in rows[:10])
     # dedup kept each fingerprint once
     assert filtered.groupBy("fp").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_subprocess_pipe(spark):
+    docs = load_table(spark, SF, "documents").limit(20).select(
+        "doc_id", F.substring("text", 1, 30).alias("content")
+    )
+    from connect_spark.operators.subprocess_op import pipe_through
+
+    out = pipe_through(docs, "content", ["tr", "a-z", "A-Z"])
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["piped"] == r["content"].upper() for r in rows)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from connect_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, SF, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = li.join(part, "l_partkey").groupBy("p_brand").count()
+    salted = salted_join(li, part, on="l_partkey").groupBy("p_brand").count()
+    assert {tuple(r) for r in plain.collect()} == {
+        tuple(r) for r in salted.collect()
+    }
+
+
+def test_cache_processor_in_pipeline(spark, tmp_path):
+    from connect_spark.plans import build_pipeline
+
+    path = str(tmp_path / "c")
+    # stage 1: write lookup values into the cache resource
+    cfg_set = {
+        "input": {"generate": {"count": 3, "mapping": (
+            "root.k = this._gen_index\nroot.label = \"L\" + this._gen_index.string()"
+        )}},
+        "pipeline": {"processors": [
+            {"cache": {"path": path, "operator": "set", "on": "k",
+                       "value_columns": ["label"]}},
+        ]},
+    }
+    build_pipeline(spark, cfg_set).dataframe().count()
+    # stage 2: enrich another stream from the cache
+    cfg_get = {
+        "input": {"generate": {"count": 5, "mapping": "root.k = this._gen_index"}},
+        "pipeline": {"processors": [
+            {"cache": {"path": path, "operator": "get", "on": "k"}},
+        ]},
+    }
+    rows = build_pipeline(spark, cfg_get).dataframe().collect()
+    got = {r["k"]: r["label"] for r in rows}
+    assert got[0] == "L0" and got[2] == "L2"
+    assert got[4] is None  # miss → null, reference returns not-found
+
+
+def test_string_split_and_try_catch_processors(spark):
+    from connect_spark.plans import build_pipeline
+
+    cfg = {
+        "input": {"generate": {"count": 1, "mapping": 'root.content = "a;b;c"'}},
+        "pipeline": {"processors": [
+            {"string_split": {"field": "content", "delimiter": ";"}},
+            {"try_catch": {
+                "try": [{"mutation": 'root.mark = "t-" + this.content'}],
+                "catch": [{"mutation": 'root.mark = "caught"'}],
+            }},
+        ]},
+    }
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert sorted(r["content"] for r in rows) == ["a", "b", "c"]
+    assert all(r["mark"].startswith("t-") for r in rows)
