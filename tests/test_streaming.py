@@ -161,3 +161,51 @@ def test_batch_fallback_paths(spark):
     assert w.count() > 0
     d = streaming_dedupe(batch, keys=["user_id"])
     assert d.count() == batch.select("user_id").distinct().count()
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState running counters: state accumulates
+    across micro-batches and matches the batch ground truth."""
+    from connect_spark.streaming.stateful import running_totals
+
+    batch = load_table(spark, SF, "events").select("event_type", "value")
+    src = str(tmp_path / "stateful_src")
+    _write_time_ordered(
+        load_table(spark, SF, "events"), "ts", src, 3
+    )
+    stream = (
+        spark.readStream.schema(load_table(spark, SF, "events").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals(stream, "event_type", "value")
+    name = "st" + __import__("uuid").uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    # the LAST emission per key must equal the batch totals
+    last = {}
+    for r in rows:
+        last[r["key"]] = (r["running_count"], r["running_total"])
+    expected = {
+        r["event_type"]: (r["n"], r["t"])
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert {k: v[0] for k, v in last.items()} == {
+        k: v[0] for k, v in expected.items()
+    }
+    for k in expected:
+        assert abs(last[k][1] - expected[k][1]) < 0.05
+    # state accumulated over multiple batches (multiple emissions/key)
+    assert len(rows) > len(expected)
