@@ -30,6 +30,7 @@ class QuerySpec:
 
 def all_queries() -> list[QuerySpec]:
     from connect_spark.queries import (
+        analytics,
         asof,
         core,
         extended,
@@ -45,7 +46,7 @@ def all_queries() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
-        relational,
+        relational, analytics,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

@@ -1,0 +1,122 @@
+"""Analytics additions: ordered funnel and a KMV distinct sketch.
+
+The KMV (k-minimum-values) sketch is the "novel sketch" custom-
+operator case from the brief: approximate distinct counting that —
+unlike HLL — is DETERMINISTIC and engine-reproducible because it is
+pure order statistics over md5 hashes, so the DuckDB oracle verifies
+it exactly. Estimate: (k-1) / kth_smallest_hash_fraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import load_table
+from connect_spark.queries import QuerySpec
+
+K_MINVALUES = 64
+
+
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: signup → (first view after signup) →
+    (first purchase after that view). One shuffle (groupBy user) via
+    conditional min aggregations — no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("ts")
+    typed = lambda kind: F.when(F.col("event_type") == kind, t)  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.min(typed("signup")).alias("t_signup"),
+        F.min(typed("view")).alias("t_first_view"),
+        F.min(typed("purchase")).alias("t_first_purchase"),
+    )
+    # strict funnel on first occurrences: signup < view < purchase
+    out = per_user.select(
+        "user_id",
+        F.col("t_signup").isNotNull().cast("int").alias("did_signup"),
+        (
+            F.col("t_signup").isNotNull()
+            & F.col("t_first_view").isNotNull()
+            & (F.col("t_first_view") > F.col("t_signup"))
+        ).cast("int").alias("funnel_view"),
+        (
+            F.col("t_signup").isNotNull()
+            & F.col("t_first_view").isNotNull()
+            & (F.col("t_first_view") > F.col("t_signup"))
+            & F.col("t_first_purchase").isNotNull()
+            & (F.col("t_first_purchase") > F.col("t_first_view"))
+        ).cast("int").alias("funnel_purchase"),
+    )
+    return out
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(t_signup IS NOT NULL AS INT) AS did_signup,
+       CAST(t_signup IS NOT NULL AND t_first_view IS NOT NULL
+            AND t_first_view > t_signup AS INT) AS funnel_view,
+       CAST(t_signup IS NOT NULL AND t_first_view IS NOT NULL
+            AND t_first_view > t_signup
+            AND t_first_purchase IS NOT NULL
+            AND t_first_purchase > t_first_view AS INT) AS funnel_purchase
+FROM per_user
+"""
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type: keep the K smallest
+    md5 hashes of the key, estimate = (K-1)/frac(kth). Deterministic —
+    the oracle reproduces the identical estimate. Shuffle carries at
+    most K hashes per group (collect_set pre-deduped map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    grouped = ev.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.collect_set(h)), 1, K_MINVALUES).alias("kmv"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    kth = F.element_at("kmv", K_MINVALUES)
+    # fraction of the hash space: first 15 hex digits / 16^15
+    frac = F.conv(F.substring(kth, 1, 15), 16, 10).cast("double") / float(
+        16**15
+    )
+    est = F.when(
+        F.size("kmv") < K_MINVALUES, F.size("kmv").cast("double")
+    ).otherwise((K_MINVALUES - 1) / frac)
+    return grouped.select(
+        "event_type",
+        "exact_distinct",
+        F.floor(est).cast("bigint").alias("kmv_estimate"),
+    )
+
+
+KMV_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), kmv AS (
+  SELECT event_type, list_sort(list(h))[1:{K_MINVALUES}] AS kmv,
+         count(*) AS exact_distinct
+  FROM hashes GROUP BY event_type
+)
+SELECT event_type, exact_distinct,
+       CAST(floor(CASE WHEN len(kmv) < {K_MINVALUES}
+                       THEN len(kmv) * 1.0
+                       ELSE ({K_MINVALUES} - 1) /
+                            (CAST(('0x' || substr(kmv[{K_MINVALUES}], 1, 15)) AS UBIGINT)
+                             / CAST({16**15} AS DOUBLE))
+                  END) AS BIGINT) AS kmv_estimate
+FROM kmv
+"""
+
+
+QUERIES = [
+    QuerySpec("funnel_signup_view_purchase", funnel_signup_view_purchase, FUNNEL_SQL),
+    QuerySpec("sketch_kmv_distinct", sketch_kmv_distinct, KMV_SQL),
+]

@@ -187,3 +187,27 @@ def test_string_split_and_try_catch_processors(spark):
     rows = build_pipeline(spark, cfg).dataframe().collect()
     assert sorted(r["content"] for r in rows) == ["a", "b", "c"]
     assert all(r["mark"].startswith("t-") for r in rows)
+
+
+def test_jwt_hs256_roundtrip(spark):
+    from connect_spark.functions.jwt_hs import parse_jwt_hs256, sign_jwt_hs256
+
+    df = spark.createDataFrame(
+        [Row(claims='{"sub": "u1", "n": 7}'), Row(claims='{"sub": "u2"}')]
+    )
+    signed = df.select(
+        "claims", sign_jwt_hs256(F.col("claims"), "secret").alias("tok")
+    )
+    back = signed.select(
+        "claims",
+        parse_jwt_hs256(F.col("tok"), "secret").alias("decoded"),
+        parse_jwt_hs256(F.col("tok"), "WRONG").alias("bad_key"),
+        parse_jwt_hs256(F.lit("not.a.jwt"), "secret").alias("malformed"),
+    )
+    import json
+
+    rows = back.collect()
+    for r in rows:
+        assert json.loads(r["decoded"]) == json.loads(r["claims"])
+        assert r["bad_key"] is None
+        assert r["malformed"] is None
