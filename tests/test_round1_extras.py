@@ -211,3 +211,29 @@ def test_jwt_hs256_roundtrip(spark):
         assert json.loads(r["decoded"]) == json.loads(r["claims"])
         assert r["bad_key"] is None
         assert r["malformed"] is None
+
+
+def test_cli_run_and_test_verbs(spark, tmp_path, capsys):
+    from connect_spark.__main__ import main
+
+    assert main(["test", "examples/filtering_test.yaml"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("[PASS]") == 3
+
+    bad = tmp_path / "bad_suite.yaml"
+    bad.write_text(
+        """
+tests:
+  - name: expected failure
+    target_processors:
+      - mapping: root.x = this.a
+    input_batch:
+      - json_content: { a: 1 }
+    output_batch:
+      - json_equals: { x: 2 }
+"""
+    )
+    assert main(["test", str(bad)]) == 1
+    assert "[FAIL]" in capsys.readouterr().out
+
+    assert main(["run", "examples/traffic_windows.yaml"]) == 0
