@@ -149,6 +149,13 @@ method("keys")(lambda c: F.map_keys(c))
 method("values")(lambda c: F.map_values(c))
 method("get")(lambda c, k: F.element_at(c, _lit(k)))
 method("zip")(lambda c, other: F.arrays_zip(c, other))
+method("without")(lambda c, *names: c.dropFields(*names))  # methods.adoc:3282
+
+
+@method("with")
+def _with(c: Column, *names: str) -> Column:
+    """`with` (methods.adoc:3266): keep only the named struct fields."""
+    return F.struct(*[c.getField(n).alias(n) for n in names])
 method("enumerated")(
     lambda c: F.arrays_zip(F.sequence(F.lit(0), F.size(c) - 1), c)
 )

@@ -421,6 +421,18 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
     if len(conf) != 1:
         raise PipelineConfigError("input must have exactly one component")
     (kind, c), = conf.items()
+    if kind in ("broker", "sequence"):
+        # broker (parallel merge) / sequence (serial concat) inputs
+        # (docs/.../inputs/{broker,sequence}.adoc:26): both become a
+        # union of the child plans — order has no meaning in a
+        # set-based plan, so the two collapse to the same operator.
+        children = [
+            _build_input(spark, child) for child in c["inputs"]
+        ]
+        out = children[0]
+        for child in children[1:]:
+            out = out.unionByName(child, allowMissingColumns=True)
+        return out
     if kind == "parquet":
         return spark.read.parquet(c["path"])
     if kind == "csv":

@@ -23,22 +23,28 @@ from pyspark.sql import functions as F
 def system_window_stream(
     df: DataFrame,
     ts: str,
-    size: str,
+    size: str | None = None,
     slide: str | None = None,
+    session_gap: str | None = None,
     allowed_lateness: str = "0 seconds",
     keys: list[Column] | None = None,
     aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Windowed streaming aggregation with event-time watermarking.
 
+    `size` (+ optional `slide`) → tumbling/sliding; `session_gap` →
+    session windows (beyond the reference surface, SURVEY.md §4.2).
     Works on batch DataFrames too (watermark is a no-op there) — the
     same duality the reference's serverless mode proves (SURVEY.md
     §3.2)."""
     if df.isStreaming:
         df = df.withWatermark(ts, allowed_lateness)
-    win = (
-        F.window(ts, size, slide) if slide else F.window(ts, size)
-    )
+    if session_gap is not None:
+        win = F.session_window(ts, session_gap)
+    elif slide:
+        win = F.window(ts, size, slide)
+    else:
+        win = F.window(ts, size)
     aggs = aggs or {"count": F.count(F.lit(1))}
     out = df.groupBy(win.alias("window"), *(keys or [])).agg(
         *[c.alias(n) for n, c in aggs.items()]

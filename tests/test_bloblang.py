@@ -255,3 +255,17 @@ def test_duration_uuid_url_methods(spark):
         r"[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}",
         got[0]["u5"],
     )
+
+
+def test_with_without_struct_methods(spark):
+    rows = [Row(obj=Row(a=1, b=2, c=3))]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.only_ab = this.obj.with("a", "b")
+        root.no_b = this.obj.without("b")
+        """,
+    )
+    assert got[0]["only_ab"].asDict() == {"a": 1, "b": 2}
+    assert got[0]["no_b"].asDict() == {"a": 1, "c": 3}

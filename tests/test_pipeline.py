@@ -220,3 +220,16 @@ def test_streaming_yaml_pipeline(spark):
     rows = spark.table(name).collect()
     assert len(rows) == 40  # 50 minus multiples of 5
     assert all(r["double_n"] == r["n"] * 2 for r in rows)
+
+
+def test_broker_input_union(spark):
+    cfg = {
+        "input": {"broker": {"inputs": [
+            {"generate": {"count": 3, "mapping": 'root.src = "a"\nroot.n = this._gen_index'}},
+            {"generate": {"count": 2, "mapping": 'root.src = "b"\nroot.n = this._gen_index'}},
+        ]}},
+        "pipeline": {"processors": []},
+    }
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert len(rows) == 5
+    assert {r["src"] for r in rows} == {"a", "b"}

@@ -209,3 +209,37 @@ def test_stateful_running_totals(spark, tmp_path):
         assert abs(last[k][1] - expected[k][1]) < 0.05
     # state accumulated over multiple batches (multiple emissions/key)
     assert len(rows) > len(expected)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Session windows (session_gap) over the in-order stream."""
+    batch = load_table(spark, SF, "events")
+    src = str(tmp_path / "sess_src")
+    _write_time_ordered(batch, "ts", src, 3)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = system_window_stream(
+        stream,
+        ts="ts",
+        session_gap="5 minutes",
+        allowed_lateness="1 minute",
+        keys=[F.col("user_id")],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    name = _run_to_memory(out)
+    rows = spark.table(name).collect()
+    assert rows
+    # compare emitted sessions against batch session_window result
+    expected = {
+        (r["user_id"], str(r["window_start"])): r["n"]
+        for r in system_window_stream(
+            batch, ts="ts", session_gap="5 minutes",
+            keys=[F.col("user_id")], aggs={"n": F.count(F.lit(1))},
+        ).collect()
+    }
+    for r in rows:
+        key = (r["user_id"], str(r["window_start"]))
+        assert expected.get(key) == r["n"], key
