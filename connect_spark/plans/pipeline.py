@@ -421,6 +421,28 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
     if len(conf) != 1:
         raise PipelineConfigError("input must have exactly one component")
     (kind, c), = conf.items()
+    if kind == "read_until":
+        # read_until (docs/.../inputs/read_until.adoc:26): consume the
+        # child input until the check fires. A set-based plan needs an
+        # explicit order; rows strictly before the first match survive
+        # (include_last keeps the triggering row, matching the
+        # reference's default).
+        child = _build_input(spark, c["input"])
+        order = compile_expression(c["order_by"])
+        check = compile_expression(c["check"])
+        include_last = bool(c.get("include_last", True))
+        marked = child.withColumn("_ord", order)
+        first_match = marked.filter(check).agg(
+            F.min("_ord").alias("_first")
+        )
+        joined = marked.crossJoin(F.broadcast(first_match))
+        cond = (
+            F.col("_first").isNull()
+            | (F.col("_ord") <= F.col("_first"))
+            if include_last
+            else F.col("_first").isNull() | (F.col("_ord") < F.col("_first"))
+        )
+        return joined.filter(cond).drop("_ord", "_first")
     if kind in ("broker", "sequence"):
         # broker (parallel merge) / sequence (serial concat) inputs
         # (docs/.../inputs/{broker,sequence}.adoc:26): both become a

@@ -233,3 +233,26 @@ def test_broker_input_union(spark):
     rows = build_pipeline(spark, cfg).dataframe().collect()
     assert len(rows) == 5
     assert {r["src"] for r in rows} == {"a", "b"}
+
+
+def test_read_until_input(spark):
+    cfg = {
+        "input": {"read_until": {
+            "input": {"generate": {"count": 10, "mapping": "root.n = this._gen_index"}},
+            "order_by": "this.n",
+            "check": "this.n == 6",
+            "include_last": False,
+        }},
+        "pipeline": {"processors": []},
+    }
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert sorted(r["n"] for r in rows) == [0, 1, 2, 3, 4, 5]
+
+    cfg["input"]["read_until"]["include_last"] = True
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert sorted(r["n"] for r in rows) == [0, 1, 2, 3, 4, 5, 6]
+
+    # no match → everything passes
+    cfg["input"]["read_until"]["check"] = "this.n == 999"
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert len(rows) == 10
