@@ -237,3 +237,68 @@ tests:
     assert "[FAIL]" in capsys.readouterr().out
 
     assert main(["run", "examples/traffic_windows.yaml"]) == 0
+
+
+def test_cdc_type_matrix_f4(spark, tmp_path):
+    """F4 fixture (FIXTURES.md): the Postgres CDC type contract
+    (TYPES.md:25-43) — one column per mapped type incl. NULLs —
+    materialized through apply_cdc_batch and read back with types
+    preserved. NUMERIC keeps real decimals (improvement over the
+    reference's string downgrade, TYPES.md:49-51)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from connect_spark.sources.cdc import PG_TYPE_MAP
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("c_bool", T.BooleanType()),
+            T.StructField("c_int4", T.IntegerType()),
+            T.StructField("c_int8", T.LongType()),
+            T.StructField("c_float8", T.DoubleType()),
+            T.StructField("c_numeric", T.DecimalType(38, 18)),
+            T.StructField("c_text", T.StringType()),
+            T.StructField("c_bytea", T.BinaryType()),
+            T.StructField("c_ts", T.TimestampType()),
+            T.StructField("c_json", T.StringType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("_seq", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, True, 42, 1 << 40, 1.5, decimal.Decimal("123.456789012345678"),
+         "txt", b"\x00\x01", datetime.datetime(2024, 1, 1, 12, 0, 0),
+         '{"a": 1}', "insert", 1),
+        (2, None, None, None, None, None, None, None, None, None,
+         "insert", 2),  # all-NULL row (TYPES.md requires NULL fidelity)
+    ]
+    changes = spark.createDataFrame(rows, schema)
+    from connect_spark.state import ParquetKVCache
+
+    cache = ParquetKVCache(spark, str(tmp_path / "cdc_types"), key="id")
+    from connect_spark.sources.cdc import apply_cdc_batch
+
+    apply_cdc_batch(cache, changes, key="id")
+    back = cache.read()
+    got_types = {f.name: f.dataType for f in back.schema.fields}
+    assert isinstance(got_types["c_numeric"], T.DecimalType)
+    assert got_types["c_bytea"] == T.BinaryType()
+    assert got_types["c_ts"] == T.TimestampType()
+    r1 = back.filter(F.col("id") == 1).first()
+    assert r1["c_numeric"] == decimal.Decimal("123.456789012345678")
+    assert bytes(r1["c_bytea"]) == b"\x00\x01"
+    assert r1["c_bool"] is True
+    r2 = back.filter(F.col("id") == 2).first()
+    assert all(
+        r2[c] is None
+        for c in ["c_bool", "c_int4", "c_int8", "c_float8", "c_numeric",
+                  "c_text", "c_bytea", "c_ts", "c_json"]
+    )
+    # the documented contract covers every reference type
+    assert set(PG_TYPE_MAP) >= {
+        "bool", "int4", "int8", "float8", "numeric", "text", "bytea",
+        "timestamp", "timestamptz", "uuid", "json", "jsonb",
+    }
