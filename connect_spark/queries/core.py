@@ -191,7 +191,7 @@ SELECT o_orderpriority AS group_key,
        count(*) AS n_orders,
        round(sum(o_totalprice), 2) AS total,
        round(avg(o_totalprice), 2) AS avg_price,
-       sum(CAST(o_orderstatus = 'O' AS BIGINT)) AS n_open
+       CAST(sum(CAST(o_orderstatus = 'O' AS BIGINT)) AS BIGINT) AS n_open
 FROM orders
 GROUP BY o_orderpriority
 """

@@ -253,7 +253,7 @@ SELECT doc_id,
        array_to_string(list_sort(list_distinct(toks[1:8])), ',') AS sorted_head,
        len(list_filter(toks, x -> len(x) > 4)) AS n_long,
        array_to_string(list_transform(toks[1:4], x -> upper(x)), ',') AS upper4,
-       list_sum(list_transform(toks, x -> len(x))) AS total_chars,
+       CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_chars,
        list_max(list_transform(toks, x -> len(x))) AS max_tok_len,
        CAST(coalesce(list_position(toks, 'table'), 0) AS INT) AS pos_table
 FROM t

@@ -36,8 +36,15 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver hashes exact values; keep floats exact but collapse -0.0
-        return v + 0.0
+        # driver hashes exact values; keep floats exact but collapse -0.0.
+        # Tag floats so an int on one side vs a float on the other (e.g.
+        # DuckDB HUGEINT -> pandas float64 in the driver) is a MISMATCH
+        # here too, not silently equal via Python's 239 == 239.0.
+        return ("f", v + 0.0)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     return v
 
 
