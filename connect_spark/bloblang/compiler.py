@@ -261,7 +261,9 @@ class Compiler:
         for case in node.cases:
             if case.pattern is None:
                 default = self.col(case.result, scope)
-                continue
+                # Bloblang takes the FIRST matching case; a `_` default
+                # matches everything, so later cases are unreachable.
+                break
             pat_v = self.eval(case.pattern, scope)
             if subject is not None and not isinstance(pat_v, Column):
                 cond = subject == F.lit(pat_v)

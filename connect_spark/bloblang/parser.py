@@ -26,6 +26,8 @@ operators :264-277, if :280-292, match :294-314):
 
 from __future__ import annotations
 
+import re
+
 from connect_spark.bloblang import ast as A
 from connect_spark.bloblang.lexer import BloblangSyntaxError, Token, tokenize
 
@@ -269,11 +271,16 @@ class Parser:
         if tok.kind == "string":
             self.next()
             raw = tok.value[1:-1]
+            # Single left-to-right pass: sequential .replace() calls
+            # corrupt escaped backslashes (source "a\\nb" must decode to
+            # literal backslash + 'n', not newline).
+            escapes = {"\\": "\\", '"': '"', "n": "\n", "t": "\t", "r": "\r"}
             return A.Lit(
-                raw.replace("\\\"", '"')
-                .replace("\\n", "\n")
-                .replace("\\t", "\t")
-                .replace("\\\\", "\\")
+                re.sub(
+                    r"\\(.)",
+                    lambda m: escapes.get(m.group(1), "\\" + m.group(1)),
+                    raw,
+                )
             )
         if tok.kind == "true":
             self.next()

@@ -41,15 +41,23 @@ def asof_join(
     than the horizon (pandas merge_asof semantics)."""
     keys = list(on)
     lcols = left.columns
+    # The whole right row travels as ONE struct so every payload value
+    # in the output comes from the SAME (most recent) right row — per-
+    # column last(ignorenulls) would stitch columns from different
+    # right rows when the latest one holds a NULL payload value.
+    payload_struct = F.struct(
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+        *[F.col(c).alias(c) for c in right_payload],
+    )
     l = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols if c not in keys and c != left_ts],
         F.col(left_ts),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in right_payload],
-        F.lit(None).cast("timestamp").alias(f"_rts{suffix}"),
+        F.lit(None).cast(
+            right.select(payload_struct.alias("_p")).schema["_p"].dataType
+        ).alias("_p"),
     )
     r = right.select(
         *keys,
@@ -58,8 +66,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in keys and c != left_ts],
         F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
-        F.col(right_ts).cast("timestamp").alias(f"_rts{suffix}"),
+        payload_struct.alias("_p"),
     )
     unioned = l.unionByName(r)
     w = (
@@ -67,14 +74,15 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {
-            f"{c}{suffix}": F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-            for c in right_payload
-        }
-        | {f"_rts{suffix}": F.last(f"_rts{suffix}", ignorenulls=True).over(w)}
+    filled = unioned.withColumn("_p", F.last("_p", ignorenulls=True).over(w))
+    out = (
+        filled.filter(F.col("_side") == 1)
+        .withColumns(
+            {f"{c}{suffix}": F.col("_p")[c] for c in right_payload}
+            | {f"_rts{suffix}": F.col("_p")["_rts"]}
+        )
+        .drop("_ts", "_side", "_p")
     )
-    out = filled.filter(F.col("_side") == 1).drop("_ts", "_side")
     if tolerance_seconds is not None:
         horizon = F.col(left_ts).cast("long") - F.col(
             f"_rts{suffix}"

@@ -109,9 +109,20 @@ def dedupe(
     """
     key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     if order_by is None:
-        return df.dropDuplicates(
-            [k if isinstance(k, str) else str(k) for k in keys]
-        )
+        # Column keys have no resolvable name (str(Column) is
+        # "Column<'id'>", which dropDuplicates can't resolve) — project
+        # each key expression to a temp column, dedupe on those, drop.
+        names: list[str] = []
+        tmp = df
+        for i, k in enumerate(keys):
+            if isinstance(k, str):
+                names.append(k)
+            else:
+                tmp_name = f"_dedupe_k{i}"
+                tmp = tmp.withColumn(tmp_name, k)
+                names.append(tmp_name)
+        out = tmp.dropDuplicates(names)
+        return out.drop(*[n for n in names if n.startswith("_dedupe_k")])
     w = Window.partitionBy(*key_cols).orderBy(*order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 from connect_spark.errors import ERROR_COL, dead_letter_split
 
@@ -52,6 +53,11 @@ def switch_output(
     try:
         remaining = None
         for cond, writer in cases:
+            # NULL conditions must route like false (mirror the pipeline
+            # switch processor): without coalesce, `remaining & ~cond`
+            # is NULL for NULL-cond rows and every later filter —
+            # including the default's — drops them from all sinks.
+            cond = F.coalesce(cond, F.lit(False))
             writer(df.filter(cond if remaining is None else remaining & cond))
             neg = ~cond
             remaining = neg if remaining is None else remaining & neg
