@@ -109,13 +109,18 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 
 def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS via left_anti: customers with no orders — the
-    `dedupe`-against-cache negative path (dedupe.adoc:53-78)."""
+    """NOT EXISTS via left_anti: customers with no URGENT orders — the
+    `dedupe`-against-cache negative path (dedupe.adoc:53-78).
+
+    The orders side is filtered to one priority so the anti result is
+    provably non-empty at every SF (an unfiltered version matched on 0
+    rows — trivially green)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return anti_join(
         cust,
-        orders.select(F.col("o_custkey").alias("c_custkey")),
+        urgent.select(F.col("o_custkey").alias("c_custkey")),
         on="c_custkey",
     ).select("c_custkey", "c_name")
 
@@ -123,7 +128,9 @@ def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANTI_SQL = """
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """
 
 
