@@ -32,6 +32,7 @@ def all_queries() -> list[QuerySpec]:
     from connect_spark.queries import (
         analytics,
         asof,
+        cdc,
         core,
         extended,
         formats,
@@ -46,7 +47,7 @@ def all_queries() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
-        relational, analytics,
+        relational, analytics, cdc,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
