@@ -1,0 +1,242 @@
+"""Pure-Python Avro binary codec + Spark UDF surface.
+
+Re-expresses the reference's `avro` processor
+(internal/impl/avro/processor.go — operator to_json/from_json over
+Avro-binary with a provided schema) without the spark-avro jar or
+fastavro, neither of which ships in this container. The codec
+implements the Avro 1.11 binary spec core: null, boolean, int, long
+(zigzag varints), float, double (little-endian IEEE), bytes, string,
+fixed, enum, array, map, record, and unions. Logical types pass
+through their base types (the reference does the same for times as
+strings, processor.go avro_raw_json).
+
+Spark integration is Arrow-batched `pandas_udf`s (binary → JSON string
+and back) — the sanctioned slow path for byte-level codecs; the
+decoded JSON is then `from_json`-typed so everything downstream stays
+Column algebra.
+"""
+
+from __future__ import annotations
+
+import json
+import struct as _struct
+from io import BytesIO
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------- write
+
+
+def _write_long(buf: BytesIO, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)  # zigzag
+    z &= (1 << 64) - 1
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            break
+
+
+def _write_bytes(buf: BytesIO, b: bytes) -> None:
+    _write_long(buf, len(b))
+    buf.write(b)
+
+
+def _branch_index(schema: list, value) -> int:
+    """Pick the union branch for a Python value (JSON-decoded)."""
+    def kind(s):
+        return s["type"] if isinstance(s, dict) else s
+
+    for i, s in enumerate(schema):
+        k = kind(s)
+        if value is None and k == "null":
+            return i
+        if isinstance(value, bool) and k == "boolean":
+            return i
+        if isinstance(value, int) and not isinstance(value, bool) and k in ("int", "long"):
+            return i
+        if isinstance(value, float) and k in ("float", "double"):
+            return i
+        if isinstance(value, str) and k in ("string", "enum", "bytes", "fixed"):
+            return i
+        if isinstance(value, list) and k == "array":
+            return i
+        if isinstance(value, dict) and k in ("record", "map"):
+            return i
+    raise ValueError(f"no union branch for {type(value)} in {schema}")
+
+
+def encode(value, schema) -> bytes:
+    buf = BytesIO()
+    _encode(buf, value, schema)
+    return buf.getvalue()
+
+
+def _encode(buf: BytesIO, value, schema) -> None:
+    if isinstance(schema, list):  # union
+        i = _branch_index(schema, value)
+        _write_long(buf, i)
+        _encode(buf, value, schema[i])
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+    elif t in ("int", "long"):
+        _write_long(buf, int(value))
+    elif t == "float":
+        buf.write(_struct.pack("<f", float(value)))
+    elif t == "double":
+        buf.write(_struct.pack("<d", float(value)))
+    elif t == "bytes":
+        raw = value if isinstance(value, bytes) else str(value).encode("latin-1")
+        _write_bytes(buf, raw)
+    elif t == "string":
+        _write_bytes(buf, str(value).encode("utf-8"))
+    elif t == "fixed":
+        raw = value if isinstance(value, bytes) else str(value).encode("latin-1")
+        if len(raw) != schema["size"]:
+            raise ValueError("fixed size mismatch")
+        buf.write(raw)
+    elif t == "enum":
+        _write_long(buf, schema["symbols"].index(value))
+    elif t == "array":
+        if value:
+            _write_long(buf, len(value))
+            for item in value:
+                _encode(buf, item, schema["items"])
+        _write_long(buf, 0)
+    elif t == "map":
+        if value:
+            _write_long(buf, len(value))
+            for k, v in value.items():
+                _write_bytes(buf, str(k).encode("utf-8"))
+                _encode(buf, v, schema["values"])
+        _write_long(buf, 0)
+    elif t == "record":
+        for field in schema["fields"]:
+            fv = value.get(field["name"], field.get("default"))
+            _encode(buf, fv, field["type"])
+    else:
+        raise ValueError(f"unsupported avro type {t!r}")
+
+
+# ----------------------------------------------------------------- read
+
+
+def _read_long(buf: BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+def decode(data: bytes, schema):
+    buf = BytesIO(data)
+    v = _decode(buf, schema)
+    return v
+
+
+def _decode(buf: BytesIO, schema):
+    if isinstance(schema, list):  # union
+        return _decode(buf, schema[_read_long(buf)])
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _read_long(buf)
+    if t == "float":
+        return _struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return _struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return buf.read(_read_long(buf)).decode("latin-1")
+    if t == "string":
+        return buf.read(_read_long(buf)).decode("utf-8")
+    if t == "fixed":
+        return buf.read(schema["size"]).decode("latin-1")
+    if t == "enum":
+        return schema["symbols"][_read_long(buf)]
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:  # block with byte-size prefix
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_decode(buf, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = buf.read(_read_long(buf)).decode("utf-8")
+                out[k] = _decode(buf, schema["values"])
+        return out
+    if t == "record":
+        return {
+            f["name"]: _decode(buf, f["type"]) for f in schema["fields"]
+        }
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+# ------------------------------------------------------------ UDF layer
+
+
+def avro_encode_udf(schema_json: str):
+    """JSON string column → Avro binary column under `schema_json`."""
+    schema = json.loads(schema_json)
+
+    @pandas_udf("binary")
+    def _enc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: encode(json.loads(x), schema) if x is not None else None
+        )
+
+    return _enc
+
+
+def avro_decode_udf(schema_json: str):
+    """Avro binary column → JSON string column under `schema_json`.
+    Pair with `F.from_json` to land typed columns."""
+    schema = json.loads(schema_json)
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: json.dumps(decode(bytes(b), schema), sort_keys=True)
+            if b is not None
+            else None
+        )
+
+    return _dec
+
+
+def avro_decode(col: Column, schema_json: str, spark_type: str) -> Column:
+    """Decode Avro binary straight to a typed struct column."""
+    return F.from_json(avro_decode_udf(schema_json)(col), spark_type)

@@ -4,22 +4,36 @@
 big-endian schema id, then the encoded payload).
 
 Frame parse/build is pure Column algebra (hex/conv/substring on
-binary) — no UDF. Payload decoding dispatches on schema id:
-JSON-schema payloads decode natively via from_json; Avro needs the
-spark-avro jar (absent in this container — the decode path raises a
-clear error for avro ids); Protobuf needs a descriptor file.
+binary) — no UDF. Payload decoding dispatches on schema id: JSON
+payloads decode natively via from_json; Avro payloads decode through
+the pure-Python codec (functions/avro_codec.py, Arrow-batched), the
+same path the reference's
+processor_schema_registry_decode.go takes for avro-typed subjects.
 
 Without a live registry server, the registry is supplied as a dict
-{schema_id: spark DDL schema} — the same information the HTTP client
-would fetch and cache (the reference caches schemas the same way).
-"""
+{schema_id: str DDL | RegistrySchema} — the same information the HTTP
+client would fetch and cache (the reference caches schemas the same
+way)."""
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from connect_spark.errors import flag_error
+
+
+@dataclass(frozen=True)
+class RegistrySchema:
+    """One registry subject version: `fmt` is "json" or "avro";
+    `spark_ddl` is the Spark-side row type; `avro_schema` is the Avro
+    writer schema JSON (avro only)."""
+
+    fmt: str
+    spark_ddl: str
+    avro_schema: str | None = None
 
 _MAX_LEN = (1 << 31) - 1
 
@@ -63,8 +77,22 @@ def schema_registry_decode(
     )
     decoded: Column | None = None
     payload_str = F.col("_frame.payload").cast("string")
-    for sid, ddl in registry.items():
-        branch = F.to_json(F.from_json(payload_str, ddl))
+    for sid, entry in registry.items():
+        if isinstance(entry, str):
+            entry = RegistrySchema("json", entry)
+        if entry.fmt == "json":
+            branch = F.to_json(F.from_json(payload_str, entry.spark_ddl))
+        elif entry.fmt == "avro":
+            from connect_spark.functions.avro_codec import avro_decode_udf
+
+            branch = F.to_json(
+                F.from_json(
+                    avro_decode_udf(entry.avro_schema)(F.col("_frame.payload")),
+                    entry.spark_ddl,
+                )
+            )
+        else:
+            raise ValueError(f"unknown registry format {entry.fmt!r}")
         expr = F.when(F.col("_frame.schema_id") == sid, branch)
         decoded = expr if decoded is None else decoded.when(
             F.col("_frame.schema_id") == sid, branch

@@ -87,7 +87,109 @@ FROM events
 """
 
 
+# --- Avro (pure-Python codec; internal/impl/avro/processor.go) ---
+
+_AVRO_SCHEMA = """
+{"type": "record", "name": "Event", "fields": [
+  {"name": "event_id", "type": "long"},
+  {"name": "event_type", "type": ["null", "string"]},
+  {"name": "value", "type": "double"},
+  {"name": "k", "type": ["null", "long"]}
+]}
+"""
+
+_AVRO_DDL = "event_id BIGINT, event_type STRING, value DOUBLE, k BIGINT"
+
+
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`avro` processor from_json→binary→to_json roundtrip
+    (internal/impl/avro/processor.go): shape each event as a record
+    (with nullable-union fields), encode to Avro binary, decode back,
+    and emit the decoded fields — the oracle supplies the expected
+    values straight from the base table, so a codec bug on any field
+    (varint, union branch, IEEE double) breaks the hash."""
+    from connect_spark.functions.avro_codec import avro_decode, avro_encode_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    as_json = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    enc = avro_encode_udf(_AVRO_SCHEMA)
+    binary = enc(as_json)
+    decoded = avro_decode(binary, _AVRO_SCHEMA, _AVRO_DDL)
+    return ev.select(
+        "event_id",
+        decoded["event_type"].alias("avro_type"),
+        decoded["value"].alias("avro_value"),
+        decoded["k"].alias("avro_k"),
+    )
+
+
+AVRO_SQL = """
+SELECT event_id,
+       event_type AS avro_type,
+       value AS avro_value,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS avro_k
+FROM events
+"""
+
+
+def schema_registry_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent-framed Avro decode
+    (internal/impl/confluent/processor_schema_registry_decode.go):
+    frame each Avro payload with magic 0x00 + schema id 7, decode via
+    a registry carrying an Avro entry, emit typed fields."""
+    from connect_spark.functions.avro_codec import avro_encode_udf
+    from connect_spark.functions.schema_registry import (
+        RegistrySchema,
+        encode_confluent_frame,
+        schema_registry_decode,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    as_json = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.lit(None).cast("long").alias("k"),
+        )
+    )
+    framed = encode_confluent_frame(
+        avro_encode_udf(_AVRO_SCHEMA)(as_json), schema_id=7
+    )
+    df = ev.withColumn("_framed", framed)
+    out = schema_registry_decode(
+        df,
+        "_framed",
+        {7: RegistrySchema("avro", _AVRO_DDL, _AVRO_SCHEMA)},
+    )
+    decoded = F.from_json(F.col("decoded"), _AVRO_DDL)
+    return out.select(
+        "event_id",
+        F.col("schema_id"),
+        decoded["event_type"].alias("sr_type"),
+        decoded["value"].alias("sr_value"),
+    )
+
+
+SR_AVRO_SQL = """
+SELECT event_id,
+       7 AS schema_id,
+       event_type AS sr_type,
+       value AS sr_value
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("xml_roundtrip", xml_roundtrip, XML_SQL),
     QuerySpec("json_schema_events", json_schema_events, JSON_SCHEMA_SQL),
+    QuerySpec("avro_roundtrip", avro_roundtrip, AVRO_SQL),
+    QuerySpec("schema_registry_avro", schema_registry_avro, SR_AVRO_SQL),
 ]
