@@ -187,9 +187,108 @@ FROM events
 """
 
 
+# --- Protobuf (descriptor-based pure-Python codec) ---
+
+_PB_DESC = {
+    "fields": {
+        1: {"name": "event_id", "type": "int64"},
+        2: {"name": "event_type", "type": "string"},
+        3: {"name": "value", "type": "double"},
+        4: {"name": "user", "type": "message", "message": {
+            "fields": {1: {"name": "user_id", "type": "sint64"}},
+        }},
+    }
+}
+
+
+def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`protobuf` processor from_json→wire→to_json roundtrip
+    (internal/impl/protobuf/processor_protobuf.go): varint, double,
+    length-delimited string, nested message, and sint zigzag all on
+    the wire; the oracle supplies expected values from the base table
+    so any wire-format bug breaks the hash."""
+    from connect_spark.functions.protobuf_codec import (
+        protobuf_decode,
+        protobuf_encode_udf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    as_json = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.struct(F.col("user_id")).alias("user"),
+        )
+    )
+    binary = protobuf_encode_udf(_PB_DESC)(as_json)
+    decoded = protobuf_decode(
+        binary,
+        _PB_DESC,
+        "event_id BIGINT, event_type STRING, value DOUBLE, "
+        "user STRUCT<user_id: BIGINT>",
+    )
+    return ev.select(
+        "event_id",
+        decoded["event_type"].alias("pb_type"),
+        decoded["value"].alias("pb_value"),
+        decoded["user"]["user_id"].alias("pb_user"),
+    )
+
+
+PB_SQL = """
+SELECT event_id,
+       event_type AS pb_type,
+       value AS pb_value,
+       user_id AS pb_user
+FROM events
+"""
+
+
+def msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`msgpack` processor roundtrip (internal/impl/msgpack/
+    processor.go): map/str/int/float/nil through the binary format and
+    back; oracle = base-table ground truth."""
+    from connect_spark.functions.msgpack_codec import (
+        msgpack_decode,
+        msgpack_encode_udf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    as_json = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    binary = msgpack_encode_udf()(as_json)
+    decoded = msgpack_decode(
+        binary, "event_id BIGINT, event_type STRING, value DOUBLE, k BIGINT"
+    )
+    return ev.select(
+        "event_id",
+        decoded["event_type"].alias("mp_type"),
+        decoded["value"].alias("mp_value"),
+        decoded["k"].alias("mp_k"),
+    )
+
+
+MSGPACK_SQL = """
+SELECT event_id,
+       event_type AS mp_type,
+       value AS mp_value,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS mp_k
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("xml_roundtrip", xml_roundtrip, XML_SQL),
     QuerySpec("json_schema_events", json_schema_events, JSON_SCHEMA_SQL),
     QuerySpec("avro_roundtrip", avro_roundtrip, AVRO_SQL),
     QuerySpec("schema_registry_avro", schema_registry_avro, SR_AVRO_SQL),
+    QuerySpec("protobuf_roundtrip", protobuf_roundtrip, PB_SQL),
+    QuerySpec("msgpack_roundtrip", msgpack_roundtrip, MSGPACK_SQL),
 ]
