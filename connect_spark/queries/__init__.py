@@ -38,6 +38,7 @@ def all_queries() -> list[QuerySpec]:
         formats,
         functions as fns,
         joins,
+        mq,
         relational,
         textops,
         vectors,
@@ -47,7 +48,7 @@ def all_queries() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
-        relational, analytics, cdc,
+        relational, analytics, cdc, mq,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
