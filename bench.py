@@ -44,6 +44,12 @@ def main() -> None:
         timings[spec.name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Throughput headlines comparable to BASELINE.md's connector
+    # numbers (migrator GB/s, CDC MB/s): byte- and row-rates, not
+    # query wall-time.
+    throughput = _throughput(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -52,9 +58,63 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "throughput": throughput,
             }
         )
     )
+
+
+def _throughput(spark, sf_dir: str) -> dict:
+    """Two rates: (1) migrator-style file->file copy of the documents
+    table (bytes/s over the decoded payload, the baseline's unit);
+    (2) CDC apply — change-log rows/s through the last-writer-wins
+    materialization (cdc_materialize_orders's plan)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from connect_spark.catalog import load_table
+    from connect_spark.queries.cdc import cdc_materialize_orders
+
+    out: dict = {}
+
+    # Migrator: copy sf-scaled ~1KB messages (the baseline's unit —
+    # 30M x 1KB msgs at 1.0 GB/s, redpanda-migrator.md). Payloads are
+    # synthesized JVM-side (md5 repeat, whole-stage codegen) so the
+    # measurement is the copy path, not driver row creation.
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    n_msgs = max(100_000, int(10_000_000 * (float(m.group(1)) if m else 0.01)))
+    msgs = spark.range(n_msgs).select(
+        F.col("id"),
+        F.repeat(F.md5(F.col("id").cast("string")), 32).alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_migrate_")
+    try:
+        t0 = time.perf_counter()
+        msgs.write.mode("overwrite").parquet(tmp + "/out")
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out["migrator_mb_s"] = round(n_msgs * 1032 / dt / 1e6, 1)
+    out["migrator_msg_s"] = round(n_msgs / dt)
+
+    cdc_df = cdc_materialize_orders(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    # exact change-log size: every order appears once as read/insert,
+    # plus an update for %5 keys and a delete for %13 keys
+    n_changes = orders.select(
+        F.sum(
+            F.lit(1)
+            + (F.col("o_orderkey") % 5 == 0).cast("int")
+            + (F.col("o_orderkey") % 13 == 0).cast("int")
+        ).alias("n")
+    ).collect()[0]["n"]
+    t0 = time.perf_counter()
+    materialize(cdc_df)
+    dt = time.perf_counter() - t0
+    out["cdc_apply_rows_s"] = round(n_changes / dt)
+    return out
 
 
 if __name__ == "__main__":

@@ -226,7 +226,15 @@ def _p_while(df: DataFrame, conf: Any) -> DataFrame:
     check = compile_expression(conf["check"])
     max_loops = int(conf.get("max_loops", 10))
     procs = conf.get("processors", [])
-    for _ in range(max_loops):
+    # Each iteration stacks filter+union plans; without truncation 10+
+    # iterations on a wide plan blow up Catalyst analysis time. Every
+    # few rounds the lineage is cut with an eager localCheckpoint (the
+    # per-iteration count() materializes the plan anyway, so the
+    # checkpoint's extra cost is one cached write, not a new action).
+    checkpoint_every = int(conf.get("checkpoint_every", 4))
+    for i in range(max_loops):
+        if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
+            df = df.localCheckpoint(eager=True)
         if df.filter(check).limit(1).count() == 0:
             break
         matched = df.filter(check)
