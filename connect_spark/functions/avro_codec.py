@@ -240,3 +240,77 @@ def avro_decode_udf(schema_json: str):
 def avro_decode(col: Column, schema_json: str, spark_type: str) -> Column:
     """Decode Avro binary straight to a typed struct column."""
     return F.from_json(avro_decode_udf(schema_json)(col), spark_type)
+
+
+# ------------------------------------------- object container files (OCF)
+
+_OCF_MAGIC = b"Obj\x01"
+
+
+def write_ocf(records: list, schema, sync: bytes = b"\x00" * 16) -> bytes:
+    """Avro object-container-file bytes: magic, metadata map
+    (avro.schema + null codec), then one block of `records`."""
+    buf = BytesIO()
+    buf.write(_OCF_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": b"null",
+    }
+    _write_long(buf, len(meta))
+    for k, v in meta.items():
+        _write_bytes(buf, k.encode("utf-8"))
+        _write_bytes(buf, v)
+    _write_long(buf, 0)
+    buf.write(sync)
+    block = BytesIO()
+    for rec in records:
+        _encode(block, rec, schema)
+    data = block.getvalue()
+    _write_long(buf, len(records))
+    _write_long(buf, len(data))
+    buf.write(data)
+    buf.write(sync)
+    return buf.getvalue()
+
+
+def read_ocf(data: bytes) -> tuple[dict, list]:
+    """Parse an OCF: returns (writer schema, records). Codec `null`
+    and `deflate` supported (deflate via zlib raw)."""
+    buf = BytesIO(data)
+    if buf.read(4) != _OCF_MAGIC:
+        raise ValueError("not an avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = buf.read(_read_long(buf)).decode("utf-8")
+            meta[k] = buf.read(_read_long(buf))
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    records = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, 1)
+        count = _read_long(buf)
+        size = _read_long(buf)
+        block = buf.read(size)
+        if codec == "deflate":
+            import zlib
+
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported OCF codec {codec!r}")
+        inner = BytesIO(block)
+        for _ in range(count):
+            records.append(_decode(inner, schema))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+    return schema, records
