@@ -68,6 +68,42 @@ def switch_output(
             df.unpersist()
 
 
+def retry_write(
+    df: DataFrame,
+    writer: Writer,
+    max_retries: int = 3,
+    backoff: Callable[[int], float] | None = None,
+    dlq: Writer | None = None,
+    sleep: Callable[[float], None] | None = None,
+) -> int:
+    """`retry` output wrapper (retry.adoc:26): re-attempt the write
+    with exponential backoff; after `max_retries` failures the batch
+    goes to the DLQ writer (or the last error re-raises if none).
+
+    Granularity note: the reference retries per message; a Spark sink's
+    transaction unit is the (micro-)batch, so the batch IS the message
+    here — same contract at the foreachBatch boundary. `backoff(i)`
+    returns the sleep before attempt i (default 0.1 * 2^i, capped 30s);
+    inject `sleep` to make tests instant. Returns the attempt count."""
+    import time as _time
+
+    backoff = backoff or (lambda i: min(0.1 * (2 ** i), 30.0))
+    sleep = sleep or _time.sleep
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        if attempt:
+            sleep(backoff(attempt - 1))
+        try:
+            writer(df)
+            return attempt + 1
+        except Exception as exc:  # noqa: BLE001 — retry semantics
+            last = exc
+    if dlq is not None:
+        dlq(df)
+        return max_retries + 1
+    raise RuntimeError(f"retry: exhausted {max_retries} retries") from last
+
+
 def fallback_write(df: DataFrame, writers: Sequence[Writer]) -> int:
     """`fallback`: try writers in order until one succeeds; returns the
     index that succeeded. (The reference falls back per message; batch

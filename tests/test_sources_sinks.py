@@ -171,3 +171,46 @@ def test_reject_errored_split(spark, tmp_path):
     assert good.count() + dlq.count() == ev.count()
     assert "_error" not in good.columns
     assert dlq.filter(F.col("_error") != "too big").count() == 0
+
+
+def test_retry_write_backoff_then_dlq(spark):
+    from connect_spark.sinks.routing import retry_write
+
+    df = spark.createDataFrame([(1,)], ["a"])
+    sleeps: list[float] = []
+
+    # succeeds on 3rd attempt
+    calls = {"n": 0}
+
+    def flaky(d):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    attempts = retry_write(
+        df, flaky, max_retries=3, sleep=sleeps.append
+    )
+    assert attempts == 3
+    assert sleeps == [0.1, 0.2]  # exponential backoff before retries
+
+    # exhausts retries -> DLQ receives the batch
+    dlq_rows: list = []
+
+    def always_fail(d):
+        raise RuntimeError("down")
+
+    attempts = retry_write(
+        df,
+        always_fail,
+        max_retries=2,
+        dlq=lambda d: dlq_rows.extend(d.collect()),
+        sleep=lambda s: None,
+    )
+    assert attempts == 3
+    assert [r.a for r in dlq_rows] == [1]
+
+    # no DLQ -> raises
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="exhausted"):
+        retry_write(df, always_fail, max_retries=1, sleep=lambda s: None)
