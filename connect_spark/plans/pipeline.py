@@ -373,6 +373,20 @@ def _p_cache(df: DataFrame, conf: Any) -> DataFrame:
     raise PipelineConfigError(f"unknown cache operator {op!r}")
 
 
+@processor("awk")
+def _p_awk(df: DataFrame, conf: Any) -> DataFrame:
+    """awk.adoc:26 — run an AWK program over each message's content
+    (pure-Python interpreter, operators/awk.py)."""
+    from connect_spark.operators.awk import awk_process
+
+    return awk_process(
+        df,
+        conf["program"],
+        col=conf.get("field", "content"),
+        fs=conf.get("fs"),
+    )
+
+
 @processor("subprocess")
 def _p_subprocess(df: DataFrame, conf: Any) -> DataFrame:
     """subprocess.adoc:26 — pipe a column through an external program
