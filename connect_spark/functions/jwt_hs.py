@@ -165,6 +165,71 @@ def sign_jwt_rs256(claims_json: Column, n: int, d: int) -> Column:
     return _sign(claims_json)
 
 
+# --------------------------------------------------------------- ES256
+
+
+def sign_jwt_es256(claims_json: Column, d: int) -> Column:
+    """ES256 JWT: ECDSA P-256 + SHA-256, raw r||s signature (RFC
+    7518 §3.4), deterministic RFC 6979 nonces."""
+    from connect_spark.functions import ecdsa_p256 as ec
+
+    header = _b64url(
+        json.dumps({"alg": "ES256", "typ": "JWT"},
+                   separators=(",", ":")).encode()
+    )
+
+    @pandas_udf("string")
+    def _sign(s: pd.Series) -> pd.Series:
+        def one(claims: str | None) -> str | None:
+            if claims is None:
+                return None
+            payload = _b64url(
+                json.dumps(json.loads(claims), separators=(",", ":"),
+                           sort_keys=True).encode()
+            )
+            r, sv = ec.sign(f"{header}.{payload}".encode(), d)
+            sig = r.to_bytes(32, "big") + sv.to_bytes(32, "big")
+            return f"{header}.{payload}.{_b64url(sig)}"
+
+        return s.map(one)
+
+    return _sign(claims_json)
+
+
+def parse_jwt_es256(token: Column, public_point: tuple[int, int]) -> Column:
+    """Verify + decode an ES256 JWT; bad signature/shape → null."""
+    from connect_spark.functions import ecdsa_p256 as ec
+
+    qx, qy = public_point
+
+    @pandas_udf("string")
+    def _parse(s: pd.Series) -> pd.Series:
+        def one(tok: str | None) -> str | None:
+            if tok is None:
+                return None
+            try:
+                header_b64, payload_b64, sig_b64 = tok.split(".")
+                if json.loads(_b64url_decode(header_b64))["alg"] != "ES256":
+                    return None
+                raw = _b64url_decode(sig_b64)
+                if len(raw) != 64:
+                    return None
+                sig = (
+                    int.from_bytes(raw[:32], "big"),
+                    int.from_bytes(raw[32:], "big"),
+                )
+                ok = ec.verify(
+                    f"{header_b64}.{payload_b64}".encode(), sig, (qx, qy)
+                )
+                return _b64url_decode(payload_b64).decode() if ok else None
+            except Exception:  # noqa: BLE001 — malformed token → null
+                return None
+
+        return s.map(one)
+
+    return _parse(token)
+
+
 def parse_jwt_rs256(token: Column, public_key: tuple[int, int] | str) -> Column:
     """Verify + decode an RS256 JWT → claims JSON; bad signature/shape
     → null. `public_key` is (n, e) or a PEM string."""

@@ -119,3 +119,48 @@ def test_rsa_public_pem_parsing(rsa_key):
         + "-----END PUBLIC KEY-----\n"
     )
     assert rsa_public_from_pem(pem2) == (n, e)
+
+
+# ---------------------------------------------------------------- ES256
+
+
+def test_ecdsa_p256_rfc6979_vector():
+    """RFC 6979 A.2.5, P-256 + SHA-256, message 'sample'."""
+    from connect_spark.functions import ecdsa_p256 as ec
+
+    d = int(
+        "C9AFA9D845BA75166B5C215767B1D6934E50C3DB36E89B127B8A622B120F6721",
+        16,
+    )
+    q = ec.public_key(d)
+    assert q == (
+        int("60FED4BA255A9D31C961EB74C6356D68C049B8923B61FA6CE669622E60F29FB6", 16),
+        int("7903FE1008B8BC99A41AE9E95628BC64F2F1B20C2D7E9F5177A3C294D4462299", 16),
+    )
+    r, s = ec.sign(b"sample", d)
+    assert r == int(
+        "EFD48B2AACB6A8FD1140DD9CD45E81D69D2C877B56AAF991C34D0EA84EAF3716", 16
+    )
+    assert s == int(
+        "F7CB1C942D657C41D436C7A1B6E29F65F3E900DBB9AFF4064DC4AB2F843ACDA8", 16
+    )
+    assert ec.verify(b"sample", (r, s), q)
+    assert not ec.verify(b"samplE", (r, s), q)
+
+
+def test_jwt_es256_sign_and_parse(spark):
+    from connect_spark.functions import ecdsa_p256 as ec
+    from connect_spark.functions.jwt_hs import parse_jwt_es256, sign_jwt_es256
+
+    d = 0xC9AFA9D845BA75166B5C215767B1D6934E50C3DB36E89B127B8A622B120F6721
+    q = ec.public_key(d)
+    other_q = ec.public_key(d + 1)
+
+    df = spark.createDataFrame([Row(claims='{"sub": "es", "ok": true}')])
+    tok = df.select(sign_jwt_es256(F.col("claims"), d).alias("tok"))
+    parsed = tok.select(
+        parse_jwt_es256(F.col("tok"), q).alias("claims"),
+        parse_jwt_es256(F.col("tok"), other_q).alias("wrong_key"),
+    ).collect()[0]
+    assert json.loads(parsed.claims) == {"sub": "es", "ok": True}
+    assert parsed.wrong_key is None
