@@ -373,6 +373,21 @@ def _p_cache(df: DataFrame, conf: Any) -> DataFrame:
     raise PipelineConfigError(f"unknown cache operator {op!r}")
 
 
+@processor("jq")
+def _p_jq(df: DataFrame, conf: Any) -> DataFrame:
+    """jq.adoc:26 — run a jq filter over each message's JSON content;
+    multiple filter outputs expand the batch (explode)."""
+    from connect_spark.functions.jq import jq_udf
+
+    query = conf["query"] if isinstance(conf, dict) else conf
+    field = conf.get("field", "content") if isinstance(conf, dict) else "content"
+    return (
+        df.withColumn("_jq", jq_udf(query)(F.col(field).cast("string")))
+        .withColumn(field, F.explode("_jq"))
+        .drop("_jq")
+    )
+
+
 @processor("awk")
 def _p_awk(df: DataFrame, conf: Any) -> DataFrame:
     """awk.adoc:26 — run an AWK program over each message's content
