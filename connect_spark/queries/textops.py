@@ -94,21 +94,32 @@ GROUP BY 1
 # --- minhash signatures + LSH candidate pairs ---
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 16 salted-md5 minhashes over
+    """MinHash+LSH near-dup candidates: 16 minhash permutations over
     3-gram shingles, 4 bands × 4 rows; docs sharing any band bucket are
     candidates. The band join is an equality join on (band, band_hash)
     — at 100 TB this is a shuffle keyed by band hash whose cost tracks
-    true near-duplicates, not n²."""
+    true near-duplicates, not n².
+
+    Hash-cost note: the 16 permutations come from FOUR salted md5s per
+    shingle, each split into four disjoint 8-hex (32-bit) windows —
+    md5 bits are independent, so disjoint windows are independent
+    hashes at a quarter of the digest cost (was: 16 md5s/shingle; this
+    stage dominated the bench). Fixed-length hex compares
+    lexicographically == numerically, so min() is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
     # All 16 minhashes in ONE aggregation pass: no perm-row explosion,
     # and partial (map-side) min-combining means the shuffle carries 16
     # hashes per doc per partition, never per shingle.
+    digests = {
+        s: F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+        for s in range(N_PERM // 4)
+    }
     sigs = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(
-                f"mh{p}"
-            )
+            F.min(
+                F.substring(digests[p // 4], (p % 4) * 8 + 1, 8)
+            ).alias(f"mh{p}")
             for p in range(N_PERM)
         ]
     )
@@ -155,7 +166,8 @@ MINHASH_SQL = SHINGLE_CTE + f"""
 , perms AS (SELECT unnest(range({N_PERM})) AS p)
 , sigs AS (
   SELECT doc_id, p,
-         min(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+         min(substr(md5(CAST(p // 4 AS VARCHAR) || ':' || shingle),
+                    (p % 4) * 8 + 1, 8)) AS mh
   FROM sh, perms GROUP BY doc_id, p
 ), bands AS (
   SELECT doc_id, CAST(floor(p / {BAND_SIZE}) AS BIGINT) AS band,
