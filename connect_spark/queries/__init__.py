@@ -34,6 +34,7 @@ def all_queries() -> list[QuerySpec]:
         asof,
         cdc,
         core,
+        engines,
         extended,
         formats,
         functions as fns,
@@ -48,7 +49,7 @@ def all_queries() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
-        relational, analytics, cdc, mq,
+        relational, analytics, cdc, mq, engines,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
