@@ -373,6 +373,42 @@ def _p_cache(df: DataFrame, conf: Any) -> DataFrame:
     raise PipelineConfigError(f"unknown cache operator {op!r}")
 
 
+@processor("crash")
+def _p_crash(df: DataFrame, conf: Any) -> DataFrame:
+    """crash.adoc:26 — deliberately abort the pipeline when a row
+    matches (or unconditionally). Lazy + distributed: the check rides
+    in a filter via raise_error, so it fires wherever the data is."""
+    msg = conf.get("message", "crash processor triggered") if isinstance(
+        conf, dict
+    ) else (conf or "crash processor triggered")
+    cond = (
+        F.coalesce(compile_expression(conf["when"]), F.lit(False))
+        if isinstance(conf, dict) and "when" in conf
+        else F.lit(True)
+    )
+    guard = F.when(cond, F.raise_error(F.lit(msg)).cast("boolean")).otherwise(
+        F.lit(True)
+    )
+    return df.filter(guard)
+
+
+@processor("resource")
+def _p_resource(df: DataFrame, conf: Any) -> DataFrame:
+    """resource.adoc:26 — apply a named processor from the config's
+    `processor_resources` list."""
+    name = conf if isinstance(conf, str) else conf["name"]
+    spec = _RESOURCES.get(name)
+    if spec is None:
+        raise PipelineConfigError(
+            f"unknown processor resource {name!r}; known: {sorted(_RESOURCES)}"
+        )
+    return apply_processor(df, spec)
+
+
+# populated by Pipeline.dataframe() from config[processor_resources]
+_RESOURCES: dict[str, Any] = {}
+
+
 @processor("jq")
 def _p_jq(df: DataFrame, conf: Any) -> DataFrame:
     """jq.adoc:26 — run a jq filter over each message's JSON content;
@@ -581,6 +617,13 @@ class Pipeline:
 
     def dataframe(self) -> DataFrame:
         """The composed lazy plan (input + processors, no output)."""
+        # register named processor resources for `resource` lookups
+        # (driver-side, plan-build time only)
+        _RESOURCES.clear()
+        for item in self.config.get("processor_resources", []):
+            item = dict(item)
+            label = item.pop("label")
+            _RESOURCES[label] = item
         df = _build_input(self.spark, self.config["input"])
         for spec in self.config.get("pipeline", {}).get("processors", []):
             df = apply_processor(df, spec)

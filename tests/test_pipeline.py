@@ -256,3 +256,41 @@ def test_read_until_input(spark):
     cfg["input"]["read_until"]["check"] = "this.n == 999"
     rows = build_pipeline(spark, cfg).dataframe().collect()
     assert len(rows) == 10
+
+
+def test_crash_processor_conditional(spark):
+    import pytest
+
+    from connect_spark.plans import build_pipeline
+
+    base = {
+        "input": {"generate": {"count": 5, "mapping": "root.n = counter()"}},
+    }
+    ok = dict(base, pipeline={"processors": [
+        {"crash": {"when": "this.n > 100", "message": "too big"}}
+    ]})
+    rows = build_pipeline(spark, ok).dataframe().collect()
+    assert len(rows) == 5  # condition never fires -> passthrough
+
+    boom = dict(base, pipeline={"processors": [
+        {"crash": {"when": "this.n > 3", "message": "deliberate abort"}}
+    ]})
+    with pytest.raises(Exception, match="deliberate abort"):
+        build_pipeline(spark, boom).dataframe().collect()
+
+
+def test_resource_processor_lookup(spark):
+    from connect_spark.plans import build_pipeline
+
+    cfg = {
+        "processor_resources": [
+            {"label": "double_it", "mutation": "root.n = this.n * 2"},
+        ],
+        "input": {"generate": {"count": 3, "mapping": "root.n = counter()"}},
+        "pipeline": {"processors": [
+            {"resource": "double_it"},
+            {"resource": "double_it"},
+        ]},
+    }
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert sorted(r.n for r in rows) == [0, 4, 8]
