@@ -213,15 +213,28 @@ class Compiler:
         left_v = self.eval(node.left, scope)
         right_v = self.eval(node.right, scope)
         op = node.op
-        # `+` on strings is concatenation (about.adoc:264-277); when
-        # either operand is a string literal the intent is unambiguous
-        if op == "+" and (isinstance(left_v, str) or isinstance(right_v, str)):
+        # `+` on strings is concatenation (about.adoc:264-277); the
+        # intent is unambiguous when either operand is a string
+        # literal OR a Column already known to be string-ish (a prior
+        # concat / .string() — tracked via a marker attribute), so
+        # chains like `a + " " + b + c` stay concatenation throughout.
+        def _stringish(v) -> bool:
+            # NB: Column.__getattr__ fabricates field-access Columns,
+            # so probe __dict__ directly instead of getattr
+            return isinstance(v, str) or (
+                isinstance(v, Column)
+                and v.__dict__.get("_bl_stringish", False)
+            )
+
+        if op == "+" and (_stringish(left_v) or _stringish(right_v)):
             if isinstance(left_v, str) and isinstance(right_v, str):
                 return F.lit(left_v + right_v)
-            return F.concat(
+            out = F.concat(
                 left_v if isinstance(left_v, Column) else F.lit(left_v),
                 right_v if isinstance(right_v, Column) else F.lit(right_v),
             )
+            out._bl_stringish = True
+            return out
         left = left_v if isinstance(left_v, Column) else F.lit(left_v)
         right = right_v if isinstance(right_v, Column) else F.lit(right_v)
         if op == "+":

@@ -269,3 +269,16 @@ def test_with_without_struct_methods(spark):
     )
     assert got[0]["only_ab"].asDict() == {"a": 1, "b": 2}
     assert got[0]["no_b"].asDict() == {"a": 1, "c": 3}
+
+
+def test_string_concat_chains_without_literal_breaks(spark):
+    """`a + " " + b + c` must stay concatenation end-to-end — the
+    string-ish marker propagates through the chain (a bare Column +
+    Column after a concat used to fall back to arithmetic)."""
+    rows = [Row(a="x", b="y", c="z")]
+    got = run_mapping(spark, rows, 'root.s = this.a + " " + this.b + this.c')
+    assert got == [{"s": "x yz"}]
+    got2 = run_mapping(
+        spark, rows, 'root.s = "pre-" + this.a + this.b + "-post"'
+    )
+    assert got2 == [{"s": "pre-xy-post"}]
