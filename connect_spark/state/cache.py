@@ -69,7 +69,10 @@ class ParquetKVCache:
         keep = cur.join(
             rows.select(self.key).distinct(), on=self.key, how="left_anti"
         )
-        self._write(keep.unionByName(rows))
+        # allowMissingColumns: upstream schema evolution (a new column
+        # appearing mid-stream — the lakehouse evolution contract) adds
+        # the column here with nulls for pre-evolution generations
+        self._write(keep.unionByName(rows, allowMissingColumns=True))
 
     def add(self, rows: DataFrame) -> DataFrame:
         """Insert-if-absent; returns the rows actually added (the
@@ -83,7 +86,7 @@ class ParquetKVCache:
         fresh = rows.join(
             cur.select(self.key), on=self.key, how="left_anti"
         ).dropDuplicates([self.key])
-        self._write(cur.unionByName(fresh))
+        self._write(cur.unionByName(fresh, allowMissingColumns=True))
         return fresh
 
     def get(self, df: DataFrame, on: str | None = None) -> DataFrame:

@@ -133,3 +133,50 @@ def test_cdc_wal_replay_is_deterministic(spark, tmp_path):
     consumed = list(batch1)
     replay = list(r.readBetweenOffsets(r.initialOffset(), off1))
     assert consumed == replay
+
+
+def test_cdc_schema_evolution_mid_stream(spark, tmp_path):
+    """A new column appears in the WAL after the pipeline restarts with
+    a wider row schema: pre-evolution state gains the column as NULL,
+    post-evolution rows carry real values (the lakehouse evolution
+    contract applied to CDC materialization)."""
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+
+    wal_dir = str(tmp_path / "wal")
+    wal = CdcWal(wal_dir)
+    wal.append([{"op": "insert", "after": {"id": 1, "val": "a"}}])
+
+    cache = ParquetKVCache(spark, str(tmp_path / "state"), key="id")
+
+    def run(schema):
+        q = materialize_cdc_stream(
+            spark,
+            wal_path=wal_dir,
+            snapshot_path=None,
+            row_schema=schema,
+            key="id",
+            cache=cache,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(ROW_SCHEMA)
+
+    # source evolves: new column `region` from LSN 2 onward
+    wal.append(
+        [
+            {"op": "insert", "after": {"id": 2, "val": "b", "region": "eu"}},
+            {"op": "update", "before": {"id": 1, "val": "a"},
+             "after": {"id": 1, "val": "a2", "region": "us"}},
+        ]
+    )
+    wider = StructType(
+        list(ROW_SCHEMA.fields) + [StructField("region", StringType())]
+    )
+    run(wider)
+
+    state = {r.id: (r.val, r.region) for r in cache.read().collect()}
+    assert state == {1: ("a2", "us"), 2: ("b", "eu")}
