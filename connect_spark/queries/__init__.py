@@ -41,6 +41,7 @@ def all_queries() -> list[QuerySpec]:
         joins,
         mq,
         relational,
+        streaming_q,
         textops,
         vectors,
         windows,
@@ -49,7 +50,7 @@ def all_queries() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
-        relational, analytics, cdc, mq, engines,
+        relational, analytics, cdc, mq, engines, streaming_q,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

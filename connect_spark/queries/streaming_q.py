@@ -1,0 +1,86 @@
+"""Structured-Streaming execution checked by the SAME SQL oracle as
+its batch twin: the events table is consumed as a file STREAM in
+several micro-batches, aggregated with streaming window semantics into
+a memory sink, and the drained result must hash-equal the DuckDB
+answer — stream == batch, end to end, inside the driver's correctness
+gate (not just pytest).
+
+Reference: the system_window buffer's replay/complete semantics
+(docs/.../buffers/system_window.adoc); Spark side is readStream →
+window agg → complete-mode memory sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import _prepare_session, table_path
+from connect_spark.queries import QuerySpec
+from connect_spark.queries.windows import TUMBLING_SQL
+
+
+def window_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`window_tumbling_hourly` executed as a stream: maxFilesPerTrigger
+    forces micro-batching, the windowed aggregation runs in complete
+    mode, and the drained memory table is returned as a batch frame.
+    Same oracle as the batch query — a streaming-execution bug (window
+    assignment, state merge, sink mode) breaks the hash."""
+    _prepare_session(spark)
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # file streams need a directory source: point at sf_dir and glob
+    # down to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            # countDistinct is rejected on streams; an exact distinct
+            # via collect_set state is the streaming equivalent
+            F.size(F.collect_set("user_id")).alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+    name = "strq_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the memory sink table is session-scoped and uniquely named; the
+    # caller (driver) collects it immediately
+    return spark.table(name)
+
+
+QUERIES = [
+    QuerySpec("window_tumbling_streamed", window_tumbling_streamed,
+              TUMBLING_SQL),
+]
