@@ -116,7 +116,66 @@ FROM kmv
 """
 
 
+# --- exact percentiles (p50/p95/p99) per event type ---
+
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles over integer cents: both
+    engines interpolate (1-f)*a + f*b on exact ints, so the doubles
+    agree bit-for-bit (verified at sf0.1) — no rounding games. One
+    shuffle; at scale swap in a KLL/t-digest sketch for one-pass
+    approximate quantiles (the KMV pattern above shows the
+    deterministic-sketch recipe)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.withColumn("cents", cents)
+        .groupBy("event_type")
+        .agg(
+            F.percentile("cents", 0.5).alias("p50_cents"),
+            F.percentile("cents", 0.95).alias("p95_cents"),
+            F.percentile("cents", 0.99).alias("p99_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS p95_cents,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+# --- value histogram (fixed-width binning) ---
+
+def histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type: bucket index is
+    floor(value/10) — identical IEEE division in both engines, so the
+    binning itself is verified, not just the counts."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("bigint")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(floor(value / 10) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec("funnel_signup_view_purchase", funnel_signup_view_purchase, FUNNEL_SQL),
     QuerySpec("sketch_kmv_distinct", sketch_kmv_distinct, KMV_SQL),
+    QuerySpec("percentiles_by_type", percentiles_by_type, PERCENTILES_SQL),
+    QuerySpec("histogram_values", histogram_values, HISTOGRAM_SQL),
 ]
