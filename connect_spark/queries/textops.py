@@ -247,22 +247,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(docs).select(
         "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
     )
+    # 64 one-bit hashes: bit (pos-1)%4 of md5 hex nibble (pos+3)//4 —
+    # 64-bit fingerprints keep collision rates sane on dup-heavy
+    # corpora (32 bits put 100+ docs in one bucket at sf0.1)
+    _BITSETS = {0: "89abcdef", 1: "4567cdef", 2: "2367abef", 3: "13579bdf"}
+    nib = F.substring(
+        F.col("h"), ((F.col("pos") + 3) / 4).cast("int"), F.lit(1)
+    )
+    vote = None
+    for b, chars in _BITSETS.items():
+        cond = ((F.col("pos") - 1) % 4 == b) & nib.isin(*chars)
+        vote = F.when(cond, 1) if vote is None else vote.when(cond, 1)
     votes = toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("pos"),
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("pos"),
         F.md5("tok").alias("h"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.substring("h", F.col("pos").cast("int"), F.lit(1)).isin(
-                *"89abcdef"
-            ),
-            1,
-        )
-        .otherwise(-1)
-        .alias("vote"),
-    )
+    ).select("doc_id", "pos", vote.otherwise(-1).alias("vote"))
     bits = votes.groupBy("doc_id", "pos").agg(
         F.when(F.sum("vote") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
     )
@@ -284,9 +284,9 @@ WITH toks AS (
   FROM documents
 ), votes AS (
   SELECT doc_id, pos,
-         CASE WHEN substr(md5(tok), CAST(pos AS INT), 1) IN
-                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
-  FROM toks, (SELECT unnest(range(1, 33)) AS pos)
+         CASE WHEN (pos - 1) % 4 = 0 AND substr(md5(tok), CAST((pos + 3) // 4 AS INT), 1) IN ('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') THEN 1\n         WHEN (pos - 1) % 4 = 1 AND substr(md5(tok), CAST((pos + 3) // 4 AS INT), 1) IN ('4', '5', '6', '7', 'c', 'd', 'e', 'f') THEN 1\n         WHEN (pos - 1) % 4 = 2 AND substr(md5(tok), CAST((pos + 3) // 4 AS INT), 1) IN ('2', '3', '6', '7', 'a', 'b', 'e', 'f') THEN 1\n         WHEN (pos - 1) % 4 = 3 AND substr(md5(tok), CAST((pos + 3) // 4 AS INT), 1) IN ('1', '3', '5', '7', '9', 'b', 'd', 'f') THEN 1
+         ELSE -1 END AS vote
+  FROM toks, (SELECT unnest(range(1, 65)) AS pos)
 ), bits AS (
   SELECT doc_id, pos,
          CASE WHEN sum(vote) >= 0 THEN '1' ELSE '0' END AS bit
@@ -294,6 +294,85 @@ WITH toks AS (
 )
 SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+
+# --- simhash near-dup pairs (banded Hamming matching) ---
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pair matching: the 64-bit fingerprint splits into 4
+    16-bit bands; docs sharing any band are candidates (equality join —
+    a pair within Hamming distance 3 must agree on at least one band
+    by pigeonhole), then the exact Hamming distance filters at <= 3.
+    Output is the per-distance pair census: the corpus is deliberately
+    dup-heavy (~10^5 matching pairs at sf0.1), so the aggregate gates
+    the identical computation in <= 4 stable rows. Completes the
+    SimHash family: signature (dedup_simhash) -> pairs. Scale shape ==
+    minhash-LSH: band-keyed shuffle, no cartesian."""
+    sigs = dedup_simhash(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("simhash", b * 16 + 1, 16).alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sa"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sb"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    chars = lambda c: F.split(c, "(?!$)")
+    hamming = F.aggregate(
+        F.zip_with(chars(F.col("sa")), chars(F.col("sb")),
+                   lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+SIMHASH_PAIRS_SQL = SIMHASH_SQL.replace(
+    "SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash\nFROM bits GROUP BY doc_id",
+    ""
+) + """
+, sigs AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS simhash
+  FROM bits GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, b AS band, substr(simhash, b * 16 + 1, 16) AS key
+  FROM sigs, (SELECT unnest(range(4)) AS b)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT CAST(list_sum(list_transform(range(1, 65),
+              i -> CASE WHEN substr(sa, CAST(i AS INT), 1)
+                          != substr(sb, CAST(i AS INT), 1)
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM cands
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM scored WHERE hamming <= 3 GROUP BY hamming
 """
 
 
@@ -524,6 +603,7 @@ QUERIES = [
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     QuerySpec("dedup_simhash", dedup_simhash, SIMHASH_SQL),
+    QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     QuerySpec("text_lang_id", text_lang_id, LANG_ID_SQL),
     QuerySpec("text_quality_score", text_quality_score, QUALITY_SQL),
     QuerySpec("text_token_count", text_token_count, TOKEN_COUNT_SQL),
