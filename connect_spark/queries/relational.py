@@ -186,9 +186,59 @@ WHERE CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
 """
 
 
+# --- Q14 shape: promo revenue share (fact x dim join + ratio) ---
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape on this schema: PROMO parts' share of revenue
+    for one ship-year. part is a broadcast dim; lineitem keeps its
+    pushed-down date filter. Parity: both sums round to exact 2-dec
+    doubles FIRST, then the ratio/floor runs on identical inputs —
+    no cross-engine last-ulp hazard."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+        ).alias("promo_revenue"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.floor(
+            F.col("promo_revenue") * 1000000.0 / F.col("total_revenue")
+        ).cast("bigint").alias("promo_ppm"),
+    )
+
+
+Q14_SQL = """
+WITH agg AS (
+  SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0.0 END), 2) AS promo_revenue,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           AS total_revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+)
+SELECT promo_revenue, total_revenue,
+       CAST(floor(promo_revenue * 1000000.0 / total_revenue) AS BIGINT)
+         AS promo_ppm
+FROM agg
+"""
+
+
 QUERIES = [
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, headline=True),
     QuerySpec("q10_returned_items", q10_returned_items, Q10_SQL),
+    QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
     QuerySpec("range_join_view_purchase", range_join_view_purchase, RANGE_JOIN_SQL),
 ]
