@@ -45,12 +45,13 @@ def all_queries() -> list[QuerySpec]:
         textops,
         vectors,
         windows,
+        winfns,
     )
 
     specs: list[QuerySpec] = []
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
-        relational, analytics, cdc, mq, engines, streaming_q,
+        relational, analytics, cdc, mq, engines, streaming_q, winfns,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
