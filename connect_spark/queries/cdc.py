@@ -95,5 +95,5 @@ FROM latest WHERE rn = 1 AND operation <> 'delete'
 
 QUERIES = [
     QuerySpec("cdc_materialize_orders", cdc_materialize_orders,
-              CDC_MATERIALIZE_SQL),
+              CDC_MATERIALIZE_SQL, headline=True),
 ]
