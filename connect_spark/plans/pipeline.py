@@ -373,6 +373,17 @@ def _p_cache(df: DataFrame, conf: Any) -> DataFrame:
     raise PipelineConfigError(f"unknown cache operator {op!r}")
 
 
+@processor("javascript")
+def _p_javascript(df: DataFrame, conf: Any) -> DataFrame:
+    """javascript.adoc:26 — run an ES5-subset script per message with
+    the benthos.v0_msg_* API (operators/javascript.py)."""
+    from connect_spark.operators.javascript import javascript_udf
+
+    code = conf["code"] if isinstance(conf, dict) else conf
+    field = conf.get("field", "content") if isinstance(conf, dict) else "content"
+    return df.withColumn(field, javascript_udf(code)(F.col(field).cast("string")))
+
+
 @processor("crash")
 def _p_crash(df: DataFrame, conf: Any) -> DataFrame:
     """crash.adoc:26 — deliberately abort the pipeline when a row

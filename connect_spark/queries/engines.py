@@ -108,8 +108,48 @@ FROM events
 """
 
 
+def js_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """javascript processor over event JSON: structured read, string
+    methods, arithmetic with JS coercion, conditional logic — the
+    oracle recomputes the same answer from the base columns."""
+    from connect_spark.operators.javascript import javascript_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    as_json = F.to_json(
+        F.struct("event_id", "event_type", "user_id", "value")
+    )
+    code = """
+    var doc = benthos.v0_msg_as_structured();
+    doc.tag = doc.event_type.toUpperCase() + "-" + (doc.user_id % 100);
+    doc.double_value = doc.value * 2;
+    doc.tier = doc.value >= 50 ? "high" : "low";
+    benthos.v0_msg_set_structured(doc);
+    """
+    out = javascript_udf(code)(as_json)
+    decoded = F.from_json(
+        out,
+        "event_id BIGINT, tag STRING, double_value DOUBLE, tier STRING",
+    )
+    return ev.select(
+        "event_id",
+        decoded["tag"].alias("tag"),
+        decoded["double_value"].alias("double_value"),
+        decoded["tier"].alias("tier"),
+    )
+
+
+JS_SQL = """
+SELECT event_id,
+       upper(event_type) || '-' || CAST(user_id % 100 AS VARCHAR) AS tag,
+       value * 2 AS double_value,
+       CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("jq_project_events", jq_project_events, JQ_SQL),
     QuerySpec("awk_extract_events", awk_extract_events, AWK_SQL),
     QuerySpec("geoip_enrich_events", geoip_enrich_events, GEOIP_SQL),
+    QuerySpec("js_transform_events", js_transform_events, JS_SQL),
 ]
