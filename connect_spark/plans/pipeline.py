@@ -573,6 +573,28 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
         for k, v in c.items():
             reader = reader.option(k, v)
         return reader.load()
+    if kind == "cdc_wal":
+        # the streaming CDC source (sources/cdc_stream.py): snapshot →
+        # WAL with checkpointed {snap, lsn} offsets. Options: path
+        # (WAL dir), snapshot_path, snapshot_lsn, max_records_per_batch.
+        from connect_spark.sources.cdc_stream import register as _reg_cdc
+
+        _reg_cdc(spark)
+        reader = spark.readStream.format("cdc_wal")
+        for k, v in c.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    if kind == "mq_bus":
+        # replayable local broker (sources/mq.py::MessageBus): consume
+        # with an optional NATS-style subject filter
+        from connect_spark.sources.mq import MessageBus
+
+        bus = MessageBus(c["path"])
+        return bus.subscribe(
+            spark,
+            subject_pattern=c.get("subject"),
+            streaming=bool(c.get("streaming", True)),
+        )
     if kind == "parquet_stream":
         schema = spark.read.parquet(c["path"]).schema
         reader = spark.readStream.schema(schema)

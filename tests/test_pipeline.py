@@ -294,3 +294,57 @@ def test_resource_processor_lookup(spark):
     }
     rows = build_pipeline(spark, cfg).dataframe().collect()
     assert sorted(r.n for r in rows) == [0, 4, 8]
+
+
+def test_cdc_wal_yaml_input(spark, tmp_path):
+    """The streaming CDC source is reachable from plain YAML configs."""
+    import json
+
+    from connect_spark.plans import build_pipeline
+    from connect_spark.sources.cdc_stream import CdcWal
+
+    wal = CdcWal(str(tmp_path / "wal"))
+    wal.append(
+        [
+            {"op": "insert", "after": {"id": 1, "v": "a"}},
+            {"op": "delete", "before": {"id": 1, "v": "a"}},
+            {"op": "insert", "after": {"id": 2, "v": "b"}},
+        ]
+    )
+    cfg = {
+        "input": {"cdc_wal": {"path": str(tmp_path / "wal")}},
+        "pipeline": {"processors": []},
+    }
+    import uuid
+
+    name = "cdcy" + uuid.uuid4().hex[:8]
+    q = build_pipeline(spark, cfg).run_streaming_to_memory(name)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert [r.lsn for r in rows] == [1, 2, 3]
+    assert [r.operation for r in rows] == ["insert", "delete", "insert"]
+    assert json.loads(rows[2].after) == {"id": 2, "v": "b"}
+
+
+def test_mq_bus_yaml_input(spark, tmp_path):
+    from connect_spark.plans import build_pipeline
+    from connect_spark.sources.mq import MessageBus
+
+    bus = MessageBus(str(tmp_path / "bus"))
+    bus.publish("orders.us", [{"n": 1}])
+    bus.publish("billing.us", [{"n": 2}])
+    cfg = {
+        "input": {
+            "mq_bus": {
+                "path": str(tmp_path / "bus"),
+                "subject": "orders.>",
+                "streaming": False,
+            }
+        },
+        "pipeline": {"processors": []},
+    }
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert len(rows) == 1 and rows[0].table == "orders.us"
