@@ -1,0 +1,229 @@
+"""Driver-side Bloblang VALUE evaluator.
+
+The compiler (compiler.py) turns mappings into Spark Columns for
+per-row execution; config *templates* instead evaluate a mapping once
+over a plain Python object (the template's field values —
+docs/modules/configuration/pages/templating.adoc). This walks the same
+parser AST over Python values, covering the template-authoring
+subset: paths, literals, arithmetic/compare/boolean, if/match,
+coalesce, let-vars, lambdas, and the collection/string methods
+templates actually use (map_each, filter, length, join, split, keys,
+values, uppercase, lowercase, string, number, contains, or_else).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from connect_spark.bloblang import ast as A
+from connect_spark.bloblang.parser import parse_mapping
+
+
+class BloblangValueError(ValueError):
+    pass
+
+
+def eval_mapping_value(src: str, this: Any) -> Any:
+    """Evaluate a full mapping over `this`, returning the built root."""
+    mapping = parse_mapping(src)
+    root: Any = None
+    scope: dict[str, Any] = {}
+    for st in mapping.statements:
+        if isinstance(st, A.Let):
+            scope[st.name] = _ev(st.expr, this, scope, root)
+        elif isinstance(st, A.Assign):
+            value = _ev(st.expr, this, scope, root)
+            if not st.path:
+                root = value
+            else:
+                if root is None:
+                    root = {}
+                cur = root
+                for part in st.path[:-1]:
+                    cur = cur.setdefault(part, {})
+                cur[st.path[-1]] = value
+        else:
+            raise BloblangValueError(
+                f"template mappings support root/let statements, got {st}"
+            )
+    return root
+
+
+def _truthy(v: Any) -> bool:
+    return bool(v)
+
+
+def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
+    if isinstance(node, A.Lit):
+        return node.value
+    if isinstance(node, A.ArrayLit):
+        return [_ev(i, this, scope, root) for i in node.items]
+    if isinstance(node, A.ObjectLit):
+        return {k: _ev(v, this, scope, root) for k, v in node.pairs}
+    if isinstance(node, A.This):
+        return this
+    if isinstance(node, A.Field):
+        # bare identifiers parse as Field(This, name); lambda params
+        # shadow document fields via the scope (compiler.py:137)
+        if isinstance(node.target, A.This) and node.name in scope:
+            return scope[node.name]
+        base = _ev(node.target, this, scope, root)
+        if isinstance(base, dict):
+            return base.get(node.name)
+        if base is None:
+            return None
+        raise BloblangValueError(f"cannot access .{node.name} of {base!r}")
+    if isinstance(node, A.Index):
+        base = _ev(node.target, this, scope, root)
+        idx = _ev(node.index, this, scope, root)
+        try:
+            return base[idx]
+        except (KeyError, IndexError, TypeError):
+            return None
+    if isinstance(node, A.Var):
+        if node.name not in scope:
+            raise BloblangValueError(f"unknown variable ${node.name}")
+        return scope[node.name]
+    if isinstance(node, A.Coalesce):
+        for alt in node.alternatives:
+            v = _ev(alt, this, scope, root)
+            if v is not None:
+                return v
+        return None
+    if isinstance(node, A.Unary):
+        v = _ev(node.operand, this, scope, root)
+        return (not _truthy(v)) if node.op == "!" else -v
+    if isinstance(node, A.Binary):
+        left = _ev(node.left, this, scope, root)
+        if node.op == "&&":
+            return _truthy(left) and _truthy(
+                _ev(node.right, this, scope, root)
+            )
+        if node.op == "||":
+            return _truthy(left) or _truthy(
+                _ev(node.right, this, scope, root)
+            )
+        right = _ev(node.right, this, scope, root)
+        if node.op == "+":
+            if isinstance(left, str) or isinstance(right, str):
+                return str(left) + str(right)
+            if isinstance(left, list) and isinstance(right, list):
+                return left + right
+            return left + right
+        if node.op == "-":
+            return left - right
+        if node.op == "*":
+            return left * right
+        if node.op == "/":
+            return left / right
+        if node.op == "%":
+            return left % right
+        if node.op == "==":
+            return left == right
+        if node.op == "!=":
+            return left != right
+        if node.op == "<":
+            return left < right
+        if node.op == "<=":
+            return left <= right
+        if node.op == ">":
+            return left > right
+        if node.op == ">=":
+            return left >= right
+        raise BloblangValueError(f"unknown operator {node.op}")
+    if isinstance(node, A.If):
+        if _truthy(_ev(node.cond, this, scope, root)):
+            return _ev(node.then, this, scope, root)
+        return (
+            _ev(node.otherwise, this, scope, root)
+            if node.otherwise is not None
+            else None
+        )
+    if isinstance(node, A.Match):
+        subject = (
+            _ev(node.subject, this, scope, root)
+            if node.subject is not None
+            else None
+        )
+        for case in node.cases:
+            if case.pattern is None:
+                return _ev(case.result, this, scope, root)
+            pat = _ev(case.pattern, this, scope, root)
+            hit = (
+                subject == pat
+                if node.subject is not None and not isinstance(pat, bool)
+                else _truthy(pat)
+            )
+            if hit:
+                return _ev(case.result, this, scope, root)
+        return None
+    if isinstance(node, A.Method):
+        target = _ev(node.target, this, scope, root)
+        return _method(node, target, this, scope, root)
+    if isinstance(node, A.Func):
+        raise BloblangValueError(
+            f"function {node.name}() not available in template mappings"
+        )
+    raise BloblangValueError(f"unsupported node {type(node).__name__}")
+
+
+def _call_lambda(lam: A.Lambda, arg: Any, this, scope, root) -> Any:
+    inner = dict(scope)
+    inner[lam.params[0]] = arg
+    return _ev(lam.body, this, inner, root)
+
+
+def _method(node: A.Method, target: Any, this, scope, root) -> Any:
+    name = node.name
+    args = [
+        a if isinstance(a, A.Lambda) else _ev(a, this, scope, root)
+        for a in node.args
+    ]
+    if name == "map_each":
+        return [
+            _call_lambda(args[0], item, this, scope, root) for item in target
+        ]
+    if name == "filter":
+        return [
+            item
+            for item in target
+            if _truthy(_call_lambda(args[0], item, this, scope, root))
+        ]
+    if name == "length":
+        return len(target)
+    if name == "join":
+        sep = args[0] if args else ""
+        return sep.join(str(x) for x in target)
+    if name == "split":
+        return str(target).split(args[0])
+    if name == "keys":
+        return sorted(target.keys())
+    if name == "values":
+        return [target[k] for k in sorted(target.keys())]
+    if name == "uppercase":
+        return str(target).upper()
+    if name == "lowercase":
+        return str(target).lower()
+    if name == "trim":
+        return str(target).strip()
+    if name == "string":
+        return str(target)
+    if name == "number":
+        f = float(target)
+        return int(f) if f.is_integer() else f
+    if name == "contains":
+        return args[0] in target
+    if name == "or_else":
+        return target if target is not None else args[0]
+    if name == "index":
+        try:
+            return target[int(args[0])]
+        except (IndexError, TypeError):
+            return None
+    if name == "slice":
+        lo = int(args[0])
+        hi = int(args[1]) if len(args) > 1 else None
+        return target[lo:hi]
+    raise BloblangValueError(
+        f"method {name}() not available in template mappings"
+    )

@@ -488,6 +488,9 @@ def apply_processor(df: DataFrame, spec: Any) -> DataFrame:
             f"processor spec must be a single-key mapping, got {spec!r}"
         )
     (name, conf), = spec.items()
+    from connect_spark.plans.templates import expand_component
+
+    name, conf = expand_component(name, conf, "processor")
     fn = PROCESSORS.get(name)
     if fn is None:
         raise PipelineConfigError(
@@ -505,6 +508,9 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
     if len(conf) != 1:
         raise PipelineConfigError("input must have exactly one component")
     (kind, c), = conf.items()
+    from connect_spark.plans.templates import expand_component
+
+    kind, c = expand_component(kind, c, "input")
     if kind == "read_until":
         # read_until (docs/.../inputs/read_until.adoc:26): consume the
         # child input until the check fires. A set-based plan needs an
@@ -657,6 +663,12 @@ class Pipeline:
             item = dict(item)
             label = item.pop("label")
             _RESOURCES[label] = item
+        # inline template definitions (templating.adoc; the reference
+        # imports template files with -t — inline serves the same role)
+        from connect_spark.plans.templates import register_template
+
+        for tmpl in self.config.get("templates", []):
+            register_template(tmpl)
         df = _build_input(self.spark, self.config["input"])
         for spec in self.config.get("pipeline", {}).get("processors", []):
             df = apply_processor(df, spec)
