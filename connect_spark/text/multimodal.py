@@ -101,6 +101,57 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return df.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, frame_interval_ms: int = 1000,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling (video → N frames): ONE input row explodes to
+    `n_frames` output rows carrying (frame_idx, timestamp, frame
+    bytes). The one-to-many mapInPandas shape, stable output schema,
+    and byte-slicing plumbing are real; actual video decode is stubbed
+    (ffmpeg absent) — each fake frame is the payload's i-th chunk, so
+    outputs are deterministic and size-checkable."""
+
+    def frame_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg; not in this "
+                    "container — run with decode_stub=True"
+                )
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                chunk = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * frame_interval_ms)
+                    frames.append(raw[i * chunk:(i + 1) * chunk])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize placeholder: updates metadata only (a real impl would
     transform payload bytes in the same mapInPandas shape)."""

@@ -210,3 +210,26 @@ def test_schema_registry_unknown_id_flags_error(spark):
     out = schema_registry_decode(framed, "frame", {7: "a INT"}).collect()
     assert out[0]["_error"] == "schema_registry: unknown schema id"
     assert out[0]["decoded"] is None
+
+
+def test_multimodal_frame_sampling(spark):
+    from connect_spark.text.multimodal import as_media_frame, sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, b"0123456789abcdef"), (2, b"xyz")], ["id", "blob"]
+    )
+    media = as_media_frame(docs, "id", "blob", "video/mp4")
+    frames = sample_frames(media, n_frames=4, frame_interval_ms=500)
+    rows = sorted(
+        frames.collect(), key=lambda r: (r.media_id, r.frame_idx)
+    )
+    assert len(rows) == 8  # one-to-many: 2 videos x 4 frames
+    first = [r for r in rows if r.media_id == 1]
+    assert [r.ts_ms for r in first] == [0, 500, 1000, 1500]
+    assert bytes(first[0].frame) == b"0123"
+    assert bytes(first[3].frame) == b"cdef"
+    # stub gate raises where ffmpeg would go
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(media, decode_stub=False).collect()
