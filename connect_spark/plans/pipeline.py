@@ -676,8 +676,28 @@ class Pipeline:
 
     def run(self) -> DataFrame | None:
         """Execute including the output component. Returns the result
-        DataFrame for memory-style outputs, else None."""
-        return _run_output(self.dataframe(), self.config.get("output"))
+        DataFrame for memory-style outputs, else None. Streaming
+        inputs drain through a memory sink (bounded sources — cdc_wal,
+        mq_bus, bounded generate_stream — terminate on their own)."""
+        df = self.dataframe()
+        if df.isStreaming:
+            import uuid
+
+            name = "run_" + uuid.uuid4().hex[:12]
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return _run_output(
+                df.sparkSession.table(name), self.config.get("output")
+            )
+        return _run_output(df, self.config.get("output"))
 
     def run_streaming_to_memory(self, query_name: str):
         """Start a streaming pipeline into a memory sink; caller
