@@ -641,6 +641,32 @@ def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
         df.show(int(c.get("limit", 20)) if isinstance(c, dict) else 20,
                 truncate=False)
         return None
+    if kind == "mq_bus":
+        # publish rows to the local broker: subject from a column or a
+        # fixed string; payload = the row as JSON (outputs/nats.adoc
+        # shape). Collect is bounded by the batch being published.
+        from connect_spark.sources.mq import MessageBus
+
+        bus = MessageBus(c["path"])
+        subject_col = c.get("subject_column")
+        fixed = c.get("subject", "events")
+        payload_cols = [
+            col for col in df.columns if col != subject_col
+        ]
+        rows = df.select(
+            (F.col(subject_col) if subject_col else F.lit(fixed)).alias("_s"),
+            F.to_json(F.struct(*payload_cols)).alias("_p"),
+        ).collect()
+        import json as _json
+
+        by_subject: dict[str, list] = {}
+        for r in rows:
+            # publish structured payloads so subscribers see one JSON
+            # encoding, not a double-quoted string
+            by_subject.setdefault(r._s, []).append(_json.loads(r._p))
+        for subject, payloads in sorted(by_subject.items()):
+            bus.publish(subject, payloads)
+        return None
     raise PipelineConfigError(f"unknown output {kind!r}")
 
 

@@ -149,13 +149,12 @@ class MessageBus:
         self.wal = CdcWal(path)
 
     def publish(self, subject: str, payloads: list[str | dict]) -> int:
+        # store payloads structurally — the stream reader JSON-encodes
+        # exactly once on the way out (strings arrive JSON-quoted,
+        # objects arrive as objects)
         return self.wal.append(
             [
-                {
-                    "op": "insert",
-                    "table": subject,
-                    "after": p if isinstance(p, str) else json.dumps(p),
-                }
+                {"op": "insert", "table": subject, "after": p}
                 for p in payloads
             ]
         )

@@ -92,7 +92,7 @@ def test_message_bus_publish_subscribe_checkpointed(spark, tmp_path):
     subjects = sorted(r["_meta"]["nats_subject"] for r in rows)
     assert subjects == ["orders.eu", "orders.us", "orders.us"]
     ids = sorted(
-        json.loads(json.loads(bytes(r.content).decode()))["id"] for r in rows
+        json.loads(bytes(r.content).decode())["id"] for r in rows
     )
     assert ids == [1, 2, 3]
 

@@ -348,3 +348,31 @@ def test_mq_bus_yaml_input(spark, tmp_path):
     }
     rows = build_pipeline(spark, cfg).dataframe().collect()
     assert len(rows) == 1 and rows[0].table == "orders.us"
+
+
+def test_mq_bus_yaml_output_roundtrip(spark, tmp_path):
+    """Pipeline publishes to the bus, a second pipeline consumes —
+    the queue sink + source pair."""
+    import json
+
+    from connect_spark.plans import build_pipeline
+
+    produce = {
+        "input": {"generate": {"count": 4, "mapping": "root.n = counter()"}},
+        "pipeline": {"processors": [
+            {"mutation": 'root.subject = if this.n % 2 == 0 { "even.n" } else { "odd.n" }'}
+        ]},
+        "output": {"mq_bus": {"path": str(tmp_path / "bus"),
+                              "subject_column": "subject"}},
+    }
+    build_pipeline(spark, produce).run()
+
+    consume = {
+        "input": {"mq_bus": {"path": str(tmp_path / "bus"),
+                             "subject": "even.>", "streaming": False}},
+        "pipeline": {"processors": []},
+    }
+    rows = build_pipeline(spark, consume).dataframe().collect()
+    ns = sorted(json.loads(r.after)["n"] for r in rows)
+    assert ns == [0, 2]
+    assert all(r.table == "even.n" for r in rows)
