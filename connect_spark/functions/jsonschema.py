@@ -3,10 +3,12 @@ validate a JSON payload against a (subset) schema; failures set the
 `_error` column instead of dropping rows — the reference's error-flag
 contract.
 
-Supported subset: type checks (object/number/integer/string/boolean),
-required properties, numeric minimum/maximum — compiled entirely to
-Column predicates over get_json_object/variant accessors (no UDF, no
-jsonschema lib dependency)."""
+Supported subset: type checks (object/number/integer/string/boolean/
+array), required properties, numeric minimum/maximum (incl.
+exclusive), string minLength/maxLength/pattern/enum, array minItems/
+maxItems — compiled entirely to Column predicates over
+get_json_object/variant accessors (no UDF, no jsonschema lib
+dependency)."""
 
 from __future__ import annotations
 
@@ -41,6 +43,16 @@ def _prop_checks(col: Column, name: str, spec: dict) -> list[tuple[Column, str]]
             checks.append(
                 (num > spec["maximum"], f"{name}: above maximum")
             )
+        if "exclusiveMinimum" in spec:
+            checks.append(
+                (num <= spec["exclusiveMinimum"],
+                 f"{name}: not above exclusive minimum")
+            )
+        if "exclusiveMaximum" in spec:
+            checks.append(
+                (num >= spec["exclusiveMaximum"],
+                 f"{name}: not below exclusive maximum")
+            )
     elif t == "string":
         # JSON strings come back unquoted from get_json_object; a raw
         # object/array extraction starts with { or [
@@ -50,11 +62,45 @@ def _prop_checks(col: Column, name: str, spec: dict) -> list[tuple[Column, str]]
                 f"{name}: not a string",
             )
         )
+        if "minLength" in spec:
+            checks.append(
+                (F.length(raw) < spec["minLength"], f"{name}: too short")
+            )
+        if "maxLength" in spec:
+            checks.append(
+                (F.length(raw) > spec["maxLength"], f"{name}: too long")
+            )
+        if "pattern" in spec:
+            checks.append(
+                (~raw.rlike(spec["pattern"]),
+                 f"{name}: does not match pattern")
+            )
     elif t == "boolean":
         checks.append(
             (
                 raw.isNotNull() & ~raw.isin("true", "false"),
                 f"{name}: not a boolean",
+            )
+        )
+    elif t == "array":
+        arr = F.from_json(raw, "array<string>")
+        checks.append(
+            (raw.isNotNull() & ~raw.rlike(r"^\["), f"{name}: not an array")
+        )
+        if "minItems" in spec:
+            checks.append(
+                (F.size(arr) < spec["minItems"], f"{name}: too few items")
+            )
+        if "maxItems" in spec:
+            checks.append(
+                (F.size(arr) > spec["maxItems"], f"{name}: too many items")
+            )
+    if "enum" in spec:
+        checks.append(
+            (
+                raw.isNotNull()
+                & ~raw.isin(*[str(v) for v in spec["enum"]]),
+                f"{name}: not in enum",
             )
         )
     return checks

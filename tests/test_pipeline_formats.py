@@ -82,3 +82,45 @@ def test_json_schema_try_catch_pipeline(spark):
     assert all(r["_error"] is None for r in rows)
     n_recovered = sum(r["state"] == "recovered" for r in rows)
     assert n_recovered > 0
+
+
+def test_json_schema_extended_keywords(spark):
+    from pyspark.sql import Row
+
+    from connect_spark.functions.jsonschema import json_schema_validate
+
+    schema = {
+        "required": ["name"],
+        "properties": {
+            "name": {"type": "string", "minLength": 2, "maxLength": 5,
+                     "pattern": "^[a-z]+$"},
+            "level": {"type": "string", "enum": ["low", "high"]},
+            "score": {"type": "number", "exclusiveMinimum": 0,
+                      "exclusiveMaximum": 100},
+            "tags": {"type": "array", "minItems": 1, "maxItems": 3},
+        },
+    }
+    rows = [
+        Row(j='{"name": "abc", "level": "low", "score": 50, "tags": ["x"]}'),
+        Row(j='{"name": "a"}'),                       # too short
+        Row(j='{"name": "abcdefg"}'),                 # too long
+        Row(j='{"name": "ABC"}'),                     # pattern
+        Row(j='{"name": "abc", "level": "mid"}'),     # enum
+        Row(j='{"name": "abc", "score": 0}'),         # exclusive min
+        Row(j='{"name": "abc", "score": 100}'),       # exclusive max
+        Row(j='{"name": "abc", "tags": []}'),         # minItems
+        Row(j='{"name": "abc", "tags": ["a","b","c","d"]}'),  # maxItems
+    ]
+    out = json_schema_validate(
+        spark.createDataFrame(rows), "j", schema
+    ).collect()
+    errs = [r._error for r in out]
+    assert errs[0] is None
+    assert "too short" in errs[1]
+    assert "too long" in errs[2]
+    assert "pattern" in errs[3]
+    assert "enum" in errs[4]
+    assert "exclusive minimum" in errs[5]
+    assert "exclusive maximum" in errs[6]
+    assert "too few items" in errs[7]
+    assert "too many items" in errs[8]
