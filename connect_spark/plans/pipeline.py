@@ -590,6 +590,21 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
         for k, v in c.items():
             reader = reader.option(k, v)
         return reader.load()
+    if kind == "subprocess":
+        # subprocess input (docs/.../inputs/subprocess.adoc:26): run a
+        # command once, one message per stdout line. Driver-side and
+        # bounded by design — the reference's input is a single local
+        # process too.
+        import subprocess as _sp
+
+        res = _sp.run(
+            [c["name"], *c.get("args", [])],
+            capture_output=True, text=True, check=True,
+        )
+        lines = [
+            (line,) for line in res.stdout.split("\n") if line != ""
+        ]
+        return spark.createDataFrame(lines, "content STRING")
     if kind == "mq_bus":
         # replayable local broker (sources/mq.py::MessageBus): consume
         # with an optional NATS-style subject filter
@@ -640,6 +655,21 @@ def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
     if kind == "stdout":
         df.show(int(c.get("limit", 20)) if isinstance(c, dict) else 20,
                 truncate=False)
+        return None
+    if kind == "drop":
+        # drop output (outputs/drop.adoc): execute the plan, discard
+        # results — the noop sink, used to terminate side-effect-only
+        # pipelines
+        df.write.mode("overwrite").format("noop").save()
+        return None
+    if kind == "reject":
+        # reject output (outputs/reject.adoc): any row reaching this
+        # sink is an error — fail loudly with a sample
+        sample = df.limit(5).collect()
+        if sample:
+            raise PipelineConfigError(
+                f"reject output received rows (sample: {sample[:2]})"
+            )
         return None
     if kind == "mq_bus":
         # publish rows to the local broker: subject from a column or a

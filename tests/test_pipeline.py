@@ -376,3 +376,27 @@ def test_mq_bus_yaml_output_roundtrip(spark, tmp_path):
     ns = sorted(json.loads(r.after)["n"] for r in rows)
     assert ns == [0, 2]
     assert all(r.table == "even.n" for r in rows)
+
+
+def test_subprocess_input_and_drop_reject_outputs(spark):
+    import pytest
+
+    from connect_spark.plans import build_pipeline
+    from connect_spark.plans.pipeline import PipelineConfigError
+
+    cfg = {
+        "input": {"subprocess": {"name": "printf", "args": ["a\\nb\\nc"]}},
+        "pipeline": {"processors": [{"filter": 'this.content != "b"'}]},
+        "output": {"drop": {}},
+    }
+    p = build_pipeline(spark, cfg)
+    assert sorted(r.content for r in p.dataframe().collect()) == ["a", "c"]
+    assert p.run() is None  # drop sink executes and discards
+
+    ok = dict(cfg, output={"reject": {}},
+              pipeline={"processors": [{"filter": "false"}]})
+    assert build_pipeline(spark, ok).run() is None  # empty -> fine
+
+    boom = dict(cfg, output={"reject": {}})
+    with pytest.raises(PipelineConfigError, match="reject output received"):
+        build_pipeline(spark, boom).run()
