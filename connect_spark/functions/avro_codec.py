@@ -69,12 +69,90 @@ def _branch_index(schema: list, value) -> int:
             return i
         if isinstance(value, dict) and k in ("record", "map"):
             return i
+    # Avro JSON numeric promotion: json.loads('1') is int, which must
+    # still match a ["null","float"/"double"] union (and a whole float
+    # may need an int/long branch when no float branch exists).
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        for i, s in enumerate(schema):
+            if kind(s) in ("int", "long", "float", "double"):
+                return i
     raise ValueError(f"no union branch for {type(value)} in {schema}")
+
+
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
+
+
+def resolve_names(schema):
+    """Resolve named-type references (a record/enum/fixed name used as
+    a type, including inside unions) to their definition dicts, by
+    object sharing — recursive schemas stay cycles of shared dicts, not
+    infinite expansions (Avro spec: names may be used in place of a
+    full definition once declared)."""
+    names: dict[str, dict] = {}
+    seen: set[int] = set()  # resolve_names mutates in place, so a
+    # re-resolved schema may already contain reference cycles
+
+    def collect(s):
+        if isinstance(s, list):
+            for b in s:
+                collect(b)
+        elif isinstance(s, dict):
+            if id(s) in seen:
+                return
+            seen.add(id(s))
+            t = s.get("type")
+            if t in ("record", "enum", "fixed") and "name" in s:
+                names[s["name"]] = s
+                if s.get("namespace"):
+                    names[f"{s['namespace']}.{s['name']}"] = s
+            if t == "record":
+                for f in s.get("fields", []):
+                    collect(f["type"])
+            elif t == "array":
+                collect(s.get("items"))
+            elif t == "map":
+                collect(s.get("values"))
+            elif isinstance(t, list):
+                collect(t)
+
+    done: set[int] = set()
+
+    def subst(s):
+        if isinstance(s, list):
+            return [subst(b) for b in s]
+        if isinstance(s, str):
+            if s in _PRIMITIVES:
+                return s
+            if s not in names:
+                raise ValueError(f"unresolved avro named type {s!r}")
+            return names[s]
+        if isinstance(s, dict):
+            if id(s) in done:
+                return s
+            done.add(id(s))
+            t = s.get("type")
+            if t == "record":
+                for f in s.get("fields", []):
+                    f["type"] = subst(f["type"])
+            elif t == "array":
+                s["items"] = subst(s["items"])
+            elif t == "map":
+                s["values"] = subst(s["values"])
+            elif isinstance(t, (list, str)) and t not in (
+                "record", "enum", "fixed", *_PRIMITIVES
+            ):
+                s["type"] = subst(t)
+        return s
+
+    collect(schema)
+    return subst(schema)
 
 
 def encode(value, schema) -> bytes:
     buf = BytesIO()
-    _encode(buf, value, schema)
+    _encode(buf, value, resolve_names(schema))
     return buf.getvalue()
 
 
@@ -147,7 +225,7 @@ def _read_long(buf: BytesIO) -> int:
 
 def decode(data: bytes, schema):
     buf = BytesIO(data)
-    v = _decode(buf, schema)
+    v = _decode(buf, resolve_names(schema))
     return v
 
 
@@ -210,13 +288,16 @@ def _decode(buf: BytesIO, schema):
 
 def avro_encode_udf(schema_json: str):
     """JSON string column → Avro binary column under `schema_json`."""
-    schema = json.loads(schema_json)
+    schema = resolve_names(json.loads(schema_json))
+
+    def _one(x):
+        buf = BytesIO()
+        _encode(buf, json.loads(x), schema)
+        return buf.getvalue()
 
     @pandas_udf("binary")
     def _enc(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda x: encode(json.loads(x), schema) if x is not None else None
-        )
+        return s.map(lambda x: _one(x) if x is not None else None)
 
     return _enc
 
@@ -224,12 +305,14 @@ def avro_encode_udf(schema_json: str):
 def avro_decode_udf(schema_json: str):
     """Avro binary column → JSON string column under `schema_json`.
     Pair with `F.from_json` to land typed columns."""
-    schema = json.loads(schema_json)
+    schema = resolve_names(json.loads(schema_json))
 
     @pandas_udf("string")
     def _dec(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda b: json.dumps(decode(bytes(b), schema), sort_keys=True)
+            lambda b: json.dumps(
+                _decode(BytesIO(bytes(b)), schema), sort_keys=True
+            )
             if b is not None
             else None
         )
@@ -263,8 +346,9 @@ def write_ocf(records: list, schema, sync: bytes = b"\x00" * 16) -> bytes:
     _write_long(buf, 0)
     buf.write(sync)
     block = BytesIO()
+    resolved = resolve_names(json.loads(json.dumps(schema)))
     for rec in records:
-        _encode(block, rec, schema)
+        _encode(block, rec, resolved)
     data = block.getvalue()
     _write_long(buf, len(records))
     _write_long(buf, len(data))
@@ -291,6 +375,7 @@ def read_ocf(data: bytes) -> tuple[dict, list]:
             k = buf.read(_read_long(buf)).decode("utf-8")
             meta[k] = buf.read(_read_long(buf))
     schema = json.loads(meta["avro.schema"])
+    resolved = resolve_names(json.loads(meta["avro.schema"]))
     codec = meta.get("avro.codec", b"null").decode()
     sync = buf.read(16)
     records = []
@@ -310,7 +395,7 @@ def read_ocf(data: bytes) -> tuple[dict, list]:
             raise ValueError(f"unsupported OCF codec {codec!r}")
         inner = BytesIO(block)
         for _ in range(count):
-            records.append(_decode(inner, schema))
+            records.append(_decode(inner, resolved))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch")
     return schema, records

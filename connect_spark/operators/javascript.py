@@ -628,9 +628,24 @@ class Interp:
             a = self._eval(node[2], env)
             b = self._eval(node[3], env)
             if node[1] in ("===", "!=="):
-                same = type(a) is type(b) and a == b or (a is b)
+                # int and float are both the JS number type: 1 === 1.0
+                # (JSON.parse yields Python int for whole numbers).
+                # bool is NOT a number here (JS typeof true is boolean).
+                if (
+                    isinstance(a, (int, float))
+                    and isinstance(b, (int, float))
+                    and not isinstance(a, bool)
+                    and not isinstance(b, bool)
+                ):
+                    same = a == b
+                else:
+                    same = (type(a) is type(b) and a == b) or (a is b)
                 return same if node[1] == "===" else not same
-            eq = a == b or _js_str(a) == _js_str(b)
+            # loose equality: null == undefined is true in JS
+            if (a is None or a is UNDEF) and (b is None or b is UNDEF):
+                eq = True
+            else:
+                eq = a == b or _js_str(a) == _js_str(b)
             return eq if node[1] == "==" else not eq
         if op == "rel":
             a = self._eval(node[2], env)

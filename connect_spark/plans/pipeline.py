@@ -428,9 +428,26 @@ def _p_jq(df: DataFrame, conf: Any) -> DataFrame:
 
     query = conf["query"] if isinstance(conf, dict) else conf
     field = conf.get("field", "content") if isinstance(conf, dict) else "content"
+    from connect_spark.errors import flag_error
+
+    src = F.col(field).cast("string")
+    out = df.withColumn("_jq", jq_udf(query)(src))
+    # jq.adoc:77 — on failure (udf yields null: filter error or
+    # malformed JSON) the message remains UNCHANGED and is flagged,
+    # surviving for DLQ routing; explode_outer (not explode) so
+    # zero-output filters don't silently drop rows either.
+    out = flag_error(
+        out, F.col("_jq").isNull(), f"jq: query failed: {query}"
+    )
     return (
-        df.withColumn("_jq", jq_udf(query)(F.col(field).cast("string")))
-        .withColumn(field, F.explode("_jq"))
+        out.withColumn(
+            field,
+            F.explode_outer(
+                F.when(F.col("_jq").isNull(), F.array(src)).otherwise(
+                    F.col("_jq")
+                )
+            ),
+        )
         .drop("_jq")
     )
 
@@ -720,14 +737,25 @@ class Pipeline:
             label = item.pop("label")
             _RESOURCES[label] = item
         # inline template definitions (templating.adoc; the reference
-        # imports template files with -t — inline serves the same role)
-        from connect_spark.plans.templates import register_template
+        # imports template files with -t — inline serves the same
+        # role). Inline registrations are scoped to THIS build:
+        # snapshot the registry and restore after, so one config's
+        # inline templates can't leak into (or shadow components of) a
+        # later config. Process-global register_template survives.
+        from connect_spark.plans import templates as _tmpl
 
+        saved = dict(_tmpl._TEMPLATES)
         for tmpl in self.config.get("templates", []):
-            register_template(tmpl)
-        df = _build_input(self.spark, self.config["input"])
-        for spec in self.config.get("pipeline", {}).get("processors", []):
-            df = apply_processor(df, spec)
+            _tmpl.register_template(tmpl)
+        try:
+            df = _build_input(self.spark, self.config["input"])
+            for spec in self.config.get("pipeline", {}).get(
+                "processors", []
+            ):
+                df = apply_processor(df, spec)
+        finally:
+            _tmpl._TEMPLATES.clear()
+            _tmpl._TEMPLATES.update(saved)
         return df
 
     def run(self) -> DataFrame | None:

@@ -68,13 +68,23 @@ def _field_values(spec: dict, given: Any) -> dict:
     return values
 
 
-def expand_component(kind: str, conf: Any, component: str) -> tuple[str, Any]:
+def expand_component(
+    kind: str,
+    conf: Any,
+    component: str,
+    _expanding: frozenset[str] = frozenset(),
+) -> tuple[str, Any]:
     """If `kind` names a template of `component` type, evaluate its
     mapping over the field values and return the produced single-key
-    snippet; otherwise pass through."""
+    snippet; otherwise pass through. A template may expand to another
+    template, but revisiting a name already on the expansion path is a
+    cycle and raises."""
     spec = _TEMPLATES.get(kind)
     if spec is None or spec["type"] != component:
         return kind, conf
+    if kind in _expanding:
+        chain = " -> ".join([*sorted(_expanding), kind])
+        raise TemplateError(f"template expansion cycle: {chain}")
     values = _field_values(spec, conf)
     snippet = eval_mapping_value(spec["mapping"], values)
     if not isinstance(snippet, dict) or len(snippet) != 1:
@@ -83,5 +93,6 @@ def expand_component(kind: str, conf: Any, component: str) -> tuple[str, Any]:
             f"{snippet!r}"
         )
     (new_kind, new_conf), = snippet.items()
-    # a template may expand to another template
-    return expand_component(new_kind, new_conf, component)
+    return expand_component(
+        new_kind, new_conf, component, _expanding | {kind}
+    )

@@ -201,14 +201,33 @@ def read_file_messages(
             ),
         )
     if scanner == "switch":
-        # route each file to a child scanner by filename pattern
-        # (scanners/switch.adoc: re_match_name cases)
+        # route each file to the FIRST child scanner whose pattern
+        # matches; files matching no case are an error
+        # (scanners/switch.adoc: cases are tried in order, a source
+        # matching none is rejected). A case without `re_match_name`
+        # is a catch-all default.
         binary = spark.read.format("binaryFile").load(paths)
         parts = []
+        claimed = None  # Column: path matched by an earlier case
         for case in conf["cases"]:
-            sub = binary.filter(F.col("path").rlike(case["re_match_name"]))
+            pat = case.get("re_match_name")
+            cond = F.lit(True) if pat is None else F.col("path").rlike(pat)
+            mine = cond if claimed is None else (cond & ~claimed)
+            sub = binary.filter(mine)
             parts.append(
                 _decompose(sub, case["scanner"], case.get("conf", {}))
+            )
+            claimed = cond if claimed is None else (claimed | cond)
+        unmatched = [
+            r.path
+            for r in binary.filter(~claimed)
+            .select("path")
+            .limit(5)
+            .collect()
+        ]
+        if unmatched:
+            raise ValueError(
+                f"switch scanner: files matched no case: {unmatched}"
             )
         out = parts[0]
         for p in parts[1:]:

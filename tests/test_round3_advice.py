@@ -1,0 +1,251 @@
+"""Regression tests for the round-2 ADVICE.md findings."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from connect_spark.functions.avro_codec import decode, encode, resolve_names
+from connect_spark.plans.pipeline import build_pipeline
+from connect_spark.plans.templates import (
+    TemplateError,
+    clear_templates,
+    expand_component,
+    register_template,
+)
+from connect_spark.sources.files import read_file_messages
+
+
+def _contents(df):
+    return sorted(
+        bytes(r.content).decode() for r in df.select("content").collect()
+    )
+
+
+# ------------------------------------------------ A1: switch scanner
+
+
+def test_switch_scanner_first_match_wins(spark, tmp_path):
+    """A file matching two case patterns is decomposed by the FIRST
+    case only (scanners/switch.adoc: cases tried in order)."""
+    (tmp_path / "both.jsonl").write_bytes(b"a\nb")
+    df = read_file_messages(
+        spark,
+        str(tmp_path) + "/*",
+        scanner="switch",
+        scanner_conf={
+            "cases": [
+                {"re_match_name": r"\.jsonl$", "scanner": "lines"},
+                # also matches both.jsonl — must NOT fire
+                {"re_match_name": r"both", "scanner": "to_the_end"},
+            ]
+        },
+    )
+    assert sorted(_contents(df)) == ["a", "b"]
+
+
+def test_switch_scanner_rejects_unmatched(spark, tmp_path):
+    (tmp_path / "x.jsonl").write_bytes(b"a")
+    (tmp_path / "orphan.xyz").write_bytes(b"zzz")
+    with pytest.raises(ValueError, match="matched no case"):
+        read_file_messages(
+            spark,
+            str(tmp_path) + "/*",
+            scanner="switch",
+            scanner_conf={
+                "cases": [{"re_match_name": r"\.jsonl$", "scanner": "lines"}]
+            },
+        ).collect()
+
+
+def test_switch_scanner_default_case(spark, tmp_path):
+    """A case with no re_match_name is a catch-all."""
+    (tmp_path / "x.jsonl").write_bytes(b"a\nb")
+    (tmp_path / "orphan.xyz").write_bytes(b"zzz")
+    df = read_file_messages(
+        spark,
+        str(tmp_path) + "/*",
+        scanner="switch",
+        scanner_conf={
+            "cases": [
+                {"re_match_name": r"\.jsonl$", "scanner": "lines"},
+                {"scanner": "to_the_end"},
+            ]
+        },
+    )
+    assert sorted(_contents(df)) == ["a", "b", "zzz"]
+
+
+# --------------------------------------------- A2: template expansion
+
+
+def test_template_cycle_raises():
+    clear_templates()
+    register_template(
+        {"name": "a", "type": "processor", "mapping": 'root.b = {}'}
+    )
+    register_template(
+        {"name": "b", "type": "processor", "mapping": 'root.a = {}'}
+    )
+    with pytest.raises(TemplateError, match="cycle"):
+        expand_component("a", {}, "processor")
+    # self-cycle too
+    register_template(
+        {"name": "selfy", "type": "processor", "mapping": 'root.selfy = {}'}
+    )
+    with pytest.raises(TemplateError, match="cycle"):
+        expand_component("selfy", {}, "processor")
+    clear_templates()
+
+
+def test_inline_templates_scoped_per_pipeline(spark):
+    """An inline template from one config must not leak into (or
+    shadow components of) a later Pipeline build."""
+    clear_templates()
+    cfg1 = {
+        "templates": [
+            {
+                "name": "shadow_mapping",
+                "type": "processor",
+                "mapping": 'root.mapping = "root.v = 1"',
+            }
+        ],
+        "input": {"generate": {"count": 1, "mapping": "root.v = 7"}},
+        "pipeline": {"processors": [{"shadow_mapping": {}}]},
+    }
+    rows = build_pipeline(spark, cfg1).dataframe().collect()
+    assert rows[0].v == 1
+    # second pipeline, no inline templates: the name must be unknown
+    cfg2 = {
+        "input": {"generate": {"count": 1, "mapping": "root.v = 7"}},
+        "pipeline": {"processors": [{"shadow_mapping": {}}]},
+    }
+    with pytest.raises(Exception):
+        build_pipeline(spark, cfg2).dataframe().collect()
+
+
+# ------------------------------------------------- A3: jq error rows
+
+
+def test_jq_malformed_json_flags_error_keeps_row(spark):
+    cfg = {
+        "input": {
+            "generate": {
+                "count": 3,
+                "mapping": 'root.content = if counter() == 1 { "not json" } '
+                'else { "{\\"x\\": " + (counter() * 10).string() + "}" }',
+            }
+        },
+        "pipeline": {"processors": [{"jq": {"query": ".x"}}]},
+    }
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert len(rows) == 3  # nothing silently dropped
+    errored = [r for r in rows if r._error is not None]
+    ok = sorted(r.content for r in rows if r._error is None)
+    assert len(errored) == 1
+    # errored message content is UNCHANGED (jq.adoc:77)
+    assert errored[0].content == "not json"
+    assert len(ok) == 2 and all(c.isdigit() for c in ok)
+
+
+def test_jq_zero_output_filter_keeps_row(spark):
+    cfg = {
+        "input": {
+            "generate": {"count": 2, "mapping": 'root.content = "{\\"a\\":1}"'}
+        },
+        "pipeline": {"processors": [{"jq": {"query": ".a | select(. > 5)"}}]},
+    }
+    rows = build_pipeline(spark, cfg).dataframe().collect()
+    assert len(rows) == 2
+    assert all(r.content is None for r in rows)
+    assert all(r._error is None for r in rows)
+
+
+# ----------------------------------------- A4: javascript equality
+
+
+def test_js_strict_equality_numbers():
+    from connect_spark.operators.javascript import Interp, _std_globals
+
+    def ev(expr):
+        env = Interp(f"var __r = ({expr});").run(_std_globals())
+        return env.get("__r")
+
+    # JSON.parse yields Python int for whole numbers — both are the
+    # single JS number type, so 1 === 1.0
+    assert ev('JSON.parse("{\\"n\\": 1}").n === 1.0') is True
+    assert ev("1 === 1.0") is True
+    assert ev('1 === "1"') is False
+    assert ev("true === 1") is False
+    # null == undefined is true; null === undefined is false
+    assert ev("null == undefined") is True
+    assert ev("null === undefined") is False
+    assert ev("null != undefined") is False
+    assert ev("({}).missing == null") is True
+
+
+# ---------------------------------------------- A5: avro unions
+
+
+def test_avro_int_matches_float_union():
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "v", "type": ["null", "double"]}],
+    }
+    blob = encode(json.loads('{"v": 1}'), schema)
+    assert decode(blob, schema) == {"v": 1.0}
+    blob2 = encode({"v": None}, schema)
+    assert decode(blob2, schema) == {"v": None}
+
+
+def test_avro_named_type_reference_in_union():
+    schema = {
+        "type": "record",
+        "name": "Outer",
+        "fields": [
+            {
+                "name": "first",
+                "type": {
+                    "type": "record",
+                    "name": "Point",
+                    "fields": [
+                        {"name": "x", "type": "int"},
+                        {"name": "y", "type": "int"},
+                    ],
+                },
+            },
+            # named reference, allowed by the Avro spec once declared
+            {"name": "second", "type": ["null", "Point"]},
+        ],
+    }
+    val = {"first": {"x": 1, "y": 2}, "second": {"x": 3, "y": 4}}
+    blob = encode(val, schema)
+    assert decode(blob, schema) == val
+
+
+def test_avro_recursive_named_type():
+    schema = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "int"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    val = {"v": 1, "next": {"v": 2, "next": None}}
+    blob = encode(val, schema)
+    assert decode(blob, schema) == val
+
+
+def test_avro_unresolved_name_raises():
+    with pytest.raises(ValueError, match="unresolved"):
+        resolve_names(
+            {
+                "type": "record",
+                "name": "R",
+                "fields": [{"name": "v", "type": "Mystery"}],
+            }
+        )
