@@ -691,28 +691,36 @@ def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
     if kind == "mq_bus":
         # publish rows to the local broker: subject from a column or a
         # fixed string; payload = the row as JSON (outputs/nats.adoc
-        # shape). Collect is bounded by the batch being published.
-        from connect_spark.sources.mq import MessageBus
-
-        bus = MessageBus(c["path"])
+        # shape). Publishes per executor partition — nothing is
+        # collected to the driver; the WAL append is lock-serialized
+        # so concurrent partitions each land their own segment.
+        bus_path = c["path"]
         subject_col = c.get("subject_column")
         fixed = c.get("subject", "events")
         payload_cols = [
             col for col in df.columns if col != subject_col
         ]
-        rows = df.select(
+        out = df.select(
             (F.col(subject_col) if subject_col else F.lit(fixed)).alias("_s"),
             F.to_json(F.struct(*payload_cols)).alias("_p"),
-        ).collect()
-        import json as _json
+        )
 
-        by_subject: dict[str, list] = {}
-        for r in rows:
-            # publish structured payloads so subscribers see one JSON
-            # encoding, not a double-quoted string
-            by_subject.setdefault(r._s, []).append(_json.loads(r._p))
-        for subject, payloads in sorted(by_subject.items()):
-            bus.publish(subject, payloads)
+        def _publish_partition(rows):
+            import json as _json
+
+            from connect_spark.sources.mq import MessageBus
+
+            by_subject: dict[str, list] = {}
+            for r in rows:
+                # publish structured payloads so subscribers see one
+                # JSON encoding, not a double-quoted string
+                by_subject.setdefault(r._s, []).append(_json.loads(r._p))
+            if by_subject:
+                bus = MessageBus(bus_path)
+                for subject, payloads in sorted(by_subject.items()):
+                    bus.publish(subject, payloads)
+
+        out.foreachPartition(_publish_partition)
         return None
     raise PipelineConfigError(f"unknown output {kind!r}")
 

@@ -69,13 +69,31 @@ _SEG_SUFFIX = ".jsonl"
 class CdcWal:
     """Append-only file-backed WAL with monotonically increasing LSNs.
 
-    Each segment file holds JSONL records; the writer is single-owner
-    (a replication slot has one producer). Readers are lock-free: a
-    segment is visible only once fully written (os.replace)."""
+    Each segment file holds JSONL records. Readers are lock-free: a
+    segment is visible only once fully written (os.replace). Writers
+    serialize through an O_EXCL lock file so executor-side appenders
+    (the mq_bus output publishes per partition) can't clobber each
+    other's segment numbers or LSN ranges."""
 
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+
+    def _lock(self):
+        import random
+        import time
+
+        lock = os.path.join(self.path, ".wal-lock")
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                return lock, os.open(
+                    lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"WAL lock stuck: {lock}")
+                time.sleep(0.002 + random.random() * 0.01)
 
     def _segments(self) -> list[str]:
         return sorted(
@@ -97,28 +115,38 @@ class CdcWal:
         commit_ts_ms: int = 0,
     ) -> int:
         """Append records (each: op + before/after dicts), assigning
-        LSNs. Returns the last assigned LSN."""
-        lsn = self.last_lsn()
-        segs = self._segments()
-        seg_no = len(segs)
-        tmp = os.path.join(self.path, f".tmp-{seg_no:08d}")
-        final = os.path.join(
-            self.path, f"{_SEG_PREFIX}{seg_no:08d}{_SEG_SUFFIX}"
-        )
-        with open(tmp, "w", encoding="utf-8") as fh:
-            for ch in changes:
-                lsn += 1
-                rec = {
-                    "lsn": lsn,
-                    "operation": ch["op"],
-                    "table": ch.get("table", table),
-                    "commit_ts_ms": ch.get("commit_ts_ms", commit_ts_ms),
-                    "before": ch.get("before"),
-                    "after": ch.get("after"),
-                }
-                fh.write(json.dumps(rec, default=str) + "\n")
-        os.replace(tmp, final)
-        return lsn
+        LSNs. Returns the last assigned LSN. Safe under concurrent
+        appenders (lock-file serialized)."""
+        lock_path, lock_fd = self._lock()
+        try:
+            lsn = self.last_lsn()
+            segs = self._segments()
+            seg_no = len(segs)
+            tmp = os.path.join(
+                self.path, f".tmp-{seg_no:08d}-{os.getpid()}"
+            )
+            final = os.path.join(
+                self.path, f"{_SEG_PREFIX}{seg_no:08d}{_SEG_SUFFIX}"
+            )
+            with open(tmp, "w", encoding="utf-8") as fh:
+                for ch in changes:
+                    lsn += 1
+                    rec = {
+                        "lsn": lsn,
+                        "operation": ch["op"],
+                        "table": ch.get("table", table),
+                        "commit_ts_ms": ch.get(
+                            "commit_ts_ms", commit_ts_ms
+                        ),
+                        "before": ch.get("before"),
+                        "after": ch.get("after"),
+                    }
+                    fh.write(json.dumps(rec, default=str) + "\n")
+            os.replace(tmp, final)
+            return lsn
+        finally:
+            os.close(lock_fd)
+            os.unlink(lock_path)
 
     def records(self, after_lsn: int) -> Iterator[dict]:
         for seg in self._segments():

@@ -400,3 +400,37 @@ def test_subprocess_input_and_drop_reject_outputs(spark):
     boom = dict(cfg, output={"reject": {}})
     with pytest.raises(PipelineConfigError, match="reject output received"):
         build_pipeline(spark, boom).run()
+
+
+def test_mq_bus_output_publishes_per_partition(spark, tmp_path):
+    """The mq_bus sink must not collect to the driver: publishing
+    happens per executor partition, and concurrent partition appends
+    (lock-serialized WAL segments) must preserve every message with
+    unique LSNs."""
+    import json
+
+    from connect_spark.sources.mq import MessageBus
+
+    df = spark.range(0, 200, 1, 8).selectExpr(
+        "concat('shard.', cast(id % 4 as string)) as subject",
+        "id as n",
+    )
+    from connect_spark.plans.pipeline import _run_output
+
+    _run_output(
+        df,
+        {"mq_bus": {"path": str(tmp_path / "bus"),
+                    "subject_column": "subject"}},
+    )
+    bus = MessageBus(str(tmp_path / "bus"))
+    rows = bus.subscribe(spark, "shard.>", streaming=False).collect()
+    assert len(rows) == 200
+    lsns = sorted(r.lsn for r in rows)
+    assert lsns == list(range(1, 201))  # unique, gap-free LSNs
+    ns = sorted(json.loads(r.after)["n"] for r in rows)
+    assert ns == list(range(200))
+    # several distinct WAL segments prove per-partition appends
+    import os
+
+    segs = [f for f in os.listdir(tmp_path / "bus") if f.startswith("wal-")]
+    assert len(segs) >= 2
