@@ -236,6 +236,80 @@ WHERE CAST(floor(i * 10000.0 / (x.n + y.n - i)) AS BIGINT)
 """
 
 
+# --- LSH-gated near-dup: candidates → exact Jaccard verify ---
+
+def dedup_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: minhash-LSH candidate pairs
+    (band-bucket equality join, cost tracks true duplicates) verified
+    with exact 3-gram Jaccard computed ONLY on those candidates.
+
+    This is the scale-safe composition the standalone
+    `dedup_ngram_jaccard` header warns about: a raw inverted-index
+    join pays k² rows for any shingle shared by k docs (stop-phrase
+    shingles at 100 TB make that quadratic), while here the
+    shingle-intersection join is keyed by candidate doc_id, so the
+    verify cost is |candidates| × shingles-per-doc."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n").alias("na"))), "doc_a")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("n").alias("nb"))), "doc_b")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("i") * 10000.0 / (F.col("na") + F.col("nb") - F.col("i"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("jaccard_bp") >= int(JACCARD_THRESHOLD * 10000))
+        .select("doc_a", "doc_b", "jaccard_bp")
+    )
+
+
+NEARDUP_VERIFIED_SQL = SHINGLE_CTE + f"""
+, perms AS (SELECT unnest(range({N_PERM})) AS p)
+, sigs AS (
+  SELECT doc_id, p,
+         min(substr(md5(CAST(p // 4 AS VARCHAR) || ':' || shingle),
+                    (p % 4) * 8 + 1, 8)) AS mh
+  FROM sh, perms GROUP BY doc_id, p
+), bands AS (
+  SELECT doc_id, CAST(floor(p / {BAND_SIZE}) AS BIGINT) AS band,
+         md5(string_agg(mh, ',' ORDER BY p)) AS bh
+  FROM sigs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(i * 10000.0 / (x.n + y.n - i)) AS BIGINT) AS jaccard_bp
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE CAST(floor(i * 10000.0 / (x.n + y.n - i)) AS BIGINT)
+      >= {int(JACCARD_THRESHOLD * 10000)}
+"""
+
+
 # --- simhash fingerprint ---
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,6 +676,9 @@ QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, headline=True),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    QuerySpec(
+        "dedup_neardup_verified", dedup_neardup_verified, NEARDUP_VERIFIED_SQL
+    ),
     QuerySpec("dedup_simhash", dedup_simhash, SIMHASH_SQL),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
     QuerySpec("text_lang_id", text_lang_id, LANG_ID_SQL),

@@ -39,3 +39,29 @@ def test_ivf_probe_recall_vs_bruteforce(spark):
     # whose "near" pairs are only cosine ~0.4 — tight clusters recall
     # far higher). The assertion pins a floor so regressions surface.
     assert recall >= 0.5, recall
+
+
+def test_neardup_verified_gated_on_lsh_candidates(spark):
+    """The composed near-dup query verifies Jaccard ONLY on LSH
+    candidate pairs: no cartesian, and results agree with the
+    ungated inverted-index query wherever LSH recalled the pair."""
+    from connect_spark.queries.textops import (
+        dedup_neardup_verified,
+        dedup_ngram_jaccard,
+    )
+
+    ver = dedup_neardup_verified(spark, SF)
+    plan = _plan(ver)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.doc_a, r.doc_b): r.jaccard_bp for r in ver.collect()}
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard_bp
+        for r in dedup_ngram_jaccard(spark, SF).collect()
+    }
+    # verified pairs are a subset of the full-join pairs with
+    # identical scores; LSH recall on this corpus is high
+    assert set(got) <= set(full)
+    for pair, bp in got.items():
+        assert full[pair] == bp
+    assert len(got) >= 0.8 * len(full)
