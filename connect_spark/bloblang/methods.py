@@ -298,6 +298,47 @@ def _parse_yaml(c: Column) -> Column:
     return _yaml_to_json(c)
 
 
+@method("bloblang")
+def _bloblang_eval(c: Column, mapping: Any) -> Column:
+    """bloblang (methods.adoc:3321): execute an argument mapping on
+    the target — the mapping SOURCE may itself be per-message data
+    (a Column), which is the point of the method over static mappings.
+    Runs the driver-side value evaluator (bloblang/pyeval.py) in an
+    Arrow-batched UDF with an executor-side compile cache keyed on
+    mapping source. Target JSON decodes to `this`; non-JSON targets
+    pass through as strings. Result is a JSON string (chain
+    .parse_json() / from_json for structure); failures → null."""
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(target: pd.Series, src: pd.Series) -> pd.Series:
+        from connect_spark.bloblang.pyeval import (
+            compile_cached,
+            eval_parsed_value,
+        )
+
+        def conv(t, m):
+            if t is None or m is None:
+                return None
+            try:
+                this = json.loads(t)
+            except Exception:  # noqa: BLE001 — raw string target
+                this = t
+            try:
+                result = eval_parsed_value(compile_cached(m), this)
+                return json.dumps(result, sort_keys=True)
+            except Exception:  # noqa: BLE001 — mapping failure → null
+                return None
+
+        return pd.Series(
+            [conv(t, m) for t, m in zip(target, src)], dtype=object
+        )
+
+    return _run(c.cast("string"), _lit(mapping).cast("string"))
+
+
 # --- error handling (about.adoc:365-402) ---
 
 method("catch")(lambda c, fallback: F.coalesce(c, _lit(fallback)))

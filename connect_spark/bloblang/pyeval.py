@@ -23,9 +23,25 @@ class BloblangValueError(ValueError):
     pass
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=512)
+def compile_cached(src: str):
+    """Parse a mapping once per distinct source string. The dynamic
+    `bloblang` method (methods.adoc:3321) runs a mapping whose source
+    arrives per-message — executors see few distinct mappings repeated
+    across many rows, so the cache turns per-row parse cost into a
+    per-mapping cost."""
+    return parse_mapping(src)
+
+
 def eval_mapping_value(src: str, this: Any) -> Any:
     """Evaluate a full mapping over `this`, returning the built root."""
-    mapping = parse_mapping(src)
+    return eval_parsed_value(compile_cached(src), this)
+
+
+def eval_parsed_value(mapping, this: Any) -> Any:
     root: Any = None
     scope: dict[str, Any] = {}
     for st in mapping.statements:

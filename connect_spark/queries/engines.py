@@ -147,8 +147,48 @@ FROM events
 """
 
 
+def bloblang_eval_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `bloblang` method (methods.adoc:3321): the mapping SOURCE
+    varies per message — here chosen by event_type, the dynamic-
+    dispatch pattern static mappings can't express. Compiled
+    executor-side with a per-source cache (bloblang/pyeval.py)."""
+    from connect_spark.bloblang.methods import METHODS
+
+    ev = load_table(spark, sf_dir, "events")
+    mapping_src = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.lit("root.out = this.value * 2"),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.lit("root.out = this.value + 10"),
+        )
+        .otherwise(F.lit("root.out = 0 - this.value"))
+    )
+    payload = F.to_json(F.struct("value"))
+    result = METHODS["bloblang"](payload, mapping_src)
+    return ev.select(
+        "event_id",
+        F.get_json_object(result, "$.out").cast("double").alias("out"),
+    )
+
+
+BLOBLANG_EVAL_SQL = """
+SELECT event_id,
+       CASE WHEN event_type = 'purchase' THEN value * 2
+            WHEN event_type = 'click' THEN value + 10
+            ELSE 0 - value
+       END AS out
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("jq_project_events", jq_project_events, JQ_SQL),
+    QuerySpec(
+        "bloblang_eval_dynamic", bloblang_eval_dynamic, BLOBLANG_EVAL_SQL
+    ),
     QuerySpec("awk_extract_events", awk_extract_events, AWK_SQL),
     QuerySpec("geoip_enrich_events", geoip_enrich_events, GEOIP_SQL),
     QuerySpec("js_transform_events", js_transform_events, JS_SQL),

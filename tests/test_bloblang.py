@@ -282,3 +282,59 @@ def test_string_concat_chains_without_literal_breaks(spark):
         spark, rows, 'root.s = "pre-" + this.a + this.b + "-post"'
     )
     assert got2 == [{"s": "pre-xy-post"}]
+
+
+def test_bloblang_eval_method_dynamic_mapping(spark):
+    """methods.adoc:3321 — the mapping source comes from a COLUMN, so
+    each row may run a different mapping."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(payload='{"v": 3}', m="root.out = this.v * 2"),
+            Row(payload='{"v": 5}', m="root.out = this.v + 100"),
+            Row(payload='{"v": 7}', m='root.out = this.v.string()'),
+        ]
+    )
+    out = compile_mapping(df, 'root.r = this.payload.bloblang(this.m)')
+    rows = out.select("r").collect()
+    assert [r.r for r in rows] == [
+        '{"out": 6}',
+        '{"out": 105}',
+        '{"out": "7"}',
+    ]
+
+
+def test_bloblang_eval_method_bad_inputs(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(payload="not json", m='root.echo = this'),
+            Row(payload='{"v": 1}', m="root.x = this.nope.deeper"),
+            Row(payload='{"v": 1}', m=None),
+        ]
+    )
+    out = compile_mapping(df, 'root.r = this.payload.bloblang(this.m)')
+    rows = out.select("r").collect()
+    # raw-string target passes through as `this`
+    assert rows[0].r == '{"echo": "not json"}'
+    # null-safe path access maps missing to null
+    assert rows[1].r == '{"x": null}'
+    # null mapping source -> null result
+    assert rows[2].r is None
+
+
+def test_bloblang_compile_cache_reuse():
+    from connect_spark.bloblang.pyeval import (
+        compile_cached,
+        eval_mapping_value,
+    )
+
+    compile_cached.cache_clear()
+    for _ in range(50):
+        eval_mapping_value("root.a = this.x + 1", {"x": 1})
+        eval_mapping_value("root.a = this.x + 2", {"x": 1})
+    info = compile_cached.cache_info()
+    assert info.misses == 2
+    assert info.hits == 98
