@@ -281,15 +281,38 @@ def _p_grok(df: DataFrame, conf: Any) -> DataFrame:
 
 @processor("text_chunker")
 def _p_text_chunker(df: DataFrame, conf: Any) -> DataFrame:
-    """text_chunker.adoc:85-101 (token strategy): replaces each doc
-    with one row per chunk in a `chunk` column."""
-    from connect_spark.functions.formats import text_chunks
-
+    """text_chunker.adoc:85-101: replaces each doc with one row per
+    chunk in a `chunk` column. Strategies: `token` (default; pure
+    Column algebra), `recursive_character` (separator-hierarchy
+    recursion + overlap), `markdown` (header sections — chunk column
+    is the body, a `chunk_header` column carries the header)."""
     field = conf.get("field", "content")
     size = int(conf.get("chunk_size", 64))
-    return df.withColumn(
-        "chunk", F.explode(text_chunks(F.col(field), size))
-    ).drop(field)
+    strategy = conf.get("strategy", "token")
+    if strategy == "token":
+        from connect_spark.functions.formats import text_chunks
+
+        return df.withColumn(
+            "chunk", F.explode(text_chunks(F.col(field), size))
+        ).drop(field)
+    from connect_spark.text.chunker import chunk_column
+
+    overlap = int(conf.get("chunk_overlap", 100))
+    chunks = chunk_column(
+        F.col(field).cast("string"),
+        strategy,
+        chunk_size=size,
+        chunk_overlap=overlap,
+        separators=conf.get("separators"),
+    )
+    if strategy == "markdown":
+        return (
+            df.withColumn("_sec", F.explode(chunks))
+            .withColumn("chunk_header", F.col("_sec.header"))
+            .withColumn("chunk", F.col("_sec.body"))
+            .drop("_sec", field)
+        )
+    return df.withColumn("chunk", F.explode(chunks)).drop(field)
 
 
 @processor("json_schema")

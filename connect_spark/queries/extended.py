@@ -226,6 +226,91 @@ FROM c
 """
 
 
+# --- recursive_character / markdown chunker strategies ---
+
+def chunk_recursive_character(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_chunker `recursive_character` strategy
+    (text_chunker.adoc:85-101): separators ["\\n\\n","\\n"," "],
+    chunk_size=100 chars, overlap=0. On the single-line documents
+    corpus this reduces to greedy word-packing, which the oracle
+    replays exactly with a recursive CTE (one word per iteration)."""
+    from connect_spark.text.chunker import recursive_chunks_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = recursive_chunks_udf(
+        chunk_size=100, chunk_overlap=0, separators=["\n\n", "\n", " "]
+    )(F.col("text"))
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).withColumn("chunk_chars", F.length("chunk").cast("bigint"))
+
+
+CHUNK_RECURSIVE_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), words AS (
+  SELECT doc_id, u.s['i'] AS i, u.s['w'] AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> {'i': i, 'w': toks[i]})) AS s
+    FROM t
+  ) u
+), state AS (
+  SELECT doc_id, i, w, 1 AS chunk_no, len(w) AS total
+  FROM words WHERE i = 1
+  UNION ALL
+  SELECT w.doc_id, w.i, w.w,
+         CASE WHEN s.total + 1 + len(w.w) > 100
+              THEN s.chunk_no + 1 ELSE s.chunk_no END,
+         CASE WHEN s.total + 1 + len(w.w) > 100
+              THEN len(w.w) ELSE s.total + 1 + len(w.w) END
+  FROM state s JOIN words w ON w.doc_id = s.doc_id AND w.i = s.i + 1
+)
+SELECT doc_id, chunk_no - 1 AS chunk_idx,
+       string_agg(w, ' ' ORDER BY i) AS chunk,
+       CAST(len(string_agg(w, ' ' ORDER BY i)) AS BIGINT) AS chunk_chars
+FROM state
+GROUP BY doc_id, chunk_no
+"""
+
+
+def chunk_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_chunker `markdown` strategy: header lines start sections;
+    each output row is (header, body). Markdown is synthesized from
+    the documents table identically on both sides, so the oracle can
+    state the expected sections directly."""
+    from connect_spark.text.chunker import markdown_chunks_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# Doc\nabstract: "),
+        F.substring("text", 1, 40),
+        F.lit("\n# Content\n"),
+        F.col("text"),
+    )
+    secs = markdown_chunks_udf(chunk_size=2000)(md)
+    return docs.select(
+        "doc_id", F.posexplode(secs).alias("chunk_idx", "sec")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("sec.header").alias("header"),
+        F.col("sec.body").alias("body"),
+    )
+
+
+CHUNK_MARKDOWN_SQL = """
+SELECT doc_id, 0 AS chunk_idx, '# Doc' AS header,
+       'abstract: ' || substr(text, 1, 40) AS body
+FROM documents
+UNION ALL
+SELECT doc_id, 1 AS chunk_idx, '# Content' AS header, text AS body
+FROM documents
+"""
+
+
 # --- compress roundtrip ---
 
 def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,5 +354,11 @@ QUERIES = [
     QuerySpec("sql_select_orders", sql_select_orders, SQL_SELECT_SQL),
     QuerySpec("grok_extract_events", grok_extract_events, GROK_SQL),
     QuerySpec("chunk_documents", chunk_documents, CHUNK_SQL, headline=True),
+    QuerySpec(
+        "chunk_recursive_character",
+        chunk_recursive_character,
+        CHUNK_RECURSIVE_SQL,
+    ),
+    QuerySpec("chunk_markdown", chunk_markdown, CHUNK_MARKDOWN_SQL),
     QuerySpec("compress_roundtrip", compress_roundtrip, COMPRESS_SQL),
 ]
