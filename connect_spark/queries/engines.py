@@ -184,8 +184,106 @@ FROM events
 """
 
 
+def jwt_sign_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JWT matrix row (methods.adoc:3982-4491): HS256/384/512, RS256
+    and ES384 sign→parse roundtrips per event. Self-verifying oracle:
+    a correct roundtrip yields the canonical claims JSON (which SQL
+    reconstructs from the base columns), a wrong-key parse yields
+    NULL. RS/ES are big-int math per row, so the row set is thinned
+    deterministically (event_id % 500 == 0)."""
+    from connect_spark.functions import ecdsa as E
+    from connect_spark.functions.jwt_hs import (
+        parse_jwt_es,
+        parse_jwt_hs,
+        parse_jwt_rs,
+        sign_jwt_es,
+        sign_jwt_hs,
+        sign_jwt_rs,
+    )
+
+    # deterministic test-sized RSA key (same generator as the tests)
+    import random
+
+    def _prime(bits, rng):
+        def is_p(n):
+            for sp in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+                if n % sp == 0:
+                    return n == sp
+            d, r = n - 1, 0
+            while d % 2 == 0:
+                d //= 2
+                r += 1
+            for _ in range(24):
+                a = rng.randrange(2, n - 1)
+                x = pow(a, d, n)
+                if x in (1, n - 1):
+                    continue
+                for _ in range(r - 1):
+                    x = pow(x, 2, n)
+                    if x == n - 1:
+                        break
+                else:
+                    return False
+            return True
+
+        while True:
+            c = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+            if is_p(c):
+                return c
+
+    global _RSA_KEY
+    if _RSA_KEY is None:
+        rng = random.Random(20260813)
+        p, q = _prime(512, rng), _prime(512, rng)
+        e = 65537
+        _RSA_KEY = (p * q, e, pow(e, -1, (p - 1) * (q - 1)))
+    n, e, d_rsa = _RSA_KEY
+    d_ec = 0x1337C0DE
+    q_ec = E.public_key(d_ec, E.P384)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 500 == 0
+    )
+    claims = F.concat(
+        F.lit('{"uid": '), F.col("user_id").cast("string"), F.lit("}")
+    )
+    hs256_tok = sign_jwt_hs(claims, "k1", "HS256")
+    hs384_tok = sign_jwt_hs(claims, "k2", "HS384")
+    hs512_tok = sign_jwt_hs(claims, "k3", "HS512")
+    rs_tok = sign_jwt_rs(claims, (n, d_rsa), "RS256")
+    es_tok = sign_jwt_es(claims, d_ec, "ES384")
+    return ev.select(
+        "event_id",
+        parse_jwt_hs(hs256_tok, "k1", "HS256").alias("hs256"),
+        parse_jwt_hs(hs384_tok, "k2", "HS384").alias("hs384"),
+        parse_jwt_hs(hs512_tok, "wrong", "HS512").isNull().alias(
+            "hs512_badkey_null"
+        ),
+        parse_jwt_hs(hs512_tok, "k3", "HS512").alias("hs512"),
+        parse_jwt_rs(rs_tok, (n, e), "RS256").alias("rs256"),
+        parse_jwt_es(es_tok, q_ec, "ES384").alias("es384"),
+    )
+
+
+JWT_MATRIX_SQL = """
+SELECT event_id,
+       '{"uid":' || CAST(user_id AS VARCHAR) || '}' AS hs256,
+       '{"uid":' || CAST(user_id AS VARCHAR) || '}' AS hs384,
+       true AS hs512_badkey_null,
+       '{"uid":' || CAST(user_id AS VARCHAR) || '}' AS hs512,
+       '{"uid":' || CAST(user_id AS VARCHAR) || '}' AS rs256,
+       '{"uid":' || CAST(user_id AS VARCHAR) || '}' AS es384
+FROM events
+WHERE event_id % 500 = 0
+"""
+
+
+_RSA_KEY: tuple[int, int, int] | None = None
+
+
 QUERIES = [
     QuerySpec("jq_project_events", jq_project_events, JQ_SQL),
+    QuerySpec("jwt_sign_matrix", jwt_sign_matrix, JWT_MATRIX_SQL),
     QuerySpec(
         "bloblang_eval_dynamic", bloblang_eval_dynamic, BLOBLANG_EVAL_SQL
     ),
