@@ -372,11 +372,17 @@ def _p_try_catch(df: DataFrame, conf: Any) -> DataFrame:
 def _p_cache(df: DataFrame, conf: Any) -> DataFrame:
     """cache processor (cache.adoc:167-169) against a path-backed
     cache resource: operators get (lookup join) / set / add (insert
-    side-effect, rows pass through) / delete."""
-    from connect_spark.state import ParquetKVCache
+    side-effect, rows pass through) / delete. `ttl` (seconds —
+    cached.adoc:26) expires entries; `multilevel: true` fronts the
+    parquet store with a driver-memory snapshot."""
+    from connect_spark.state import ParquetKVCache, TwoLevelKVCache
 
-    cache = ParquetKVCache(
-        df.sparkSession, conf["path"], key=conf.get("key_column", "key")
+    cls = TwoLevelKVCache if conf.get("multilevel") else ParquetKVCache
+    cache = cls(
+        df.sparkSession,
+        conf["path"],
+        key=conf.get("key_column", "key"),
+        ttl=conf.get("ttl"),
     )
     op = conf.get("operator", "get")
     if op == "get":

@@ -1,5 +1,5 @@
 """State backends (SURVEY.md §2.I caches/buffers)."""
 
-from connect_spark.state.cache import ParquetKVCache
+from connect_spark.state.cache import ParquetKVCache, TwoLevelKVCache
 
-__all__ = ["ParquetKVCache"]
+__all__ = ["ParquetKVCache", "TwoLevelKVCache"]

@@ -20,18 +20,38 @@ round-trips, which is the set-based superpower the reference lacks.
 from __future__ import annotations
 
 import os
+import time
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_EXP_COL = "_cache_exp"  # expiry epoch-seconds; null = never expires
+
 
 class ParquetKVCache:
-    """Path-backed keyed cache (key column + arbitrary value cols)."""
+    """Path-backed keyed cache (key column + arbitrary value cols).
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "key"):
+    TTL (cached.adoc:26; the reference's ttlru/redis backends): a
+    default `ttl` (seconds) set here, or a per-operation `ttl` on
+    set/add, stamps each entry with an expiry timestamp. Reads filter
+    expired entries; every mutation rewrites through read(), so
+    expired rows are compacted out of the new generation for free.
+    `now_fn` injects the clock (tests pin a logical clock)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "key",
+        ttl: float | None = None,
+        now_fn: Callable[[], float] = time.time,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        self.ttl = ttl
+        self.now_fn = now_fn
 
     # Generational layout (path/v0, path/v1, …): every mutation writes
     # a NEW immutable generation and readers always resolve the latest
@@ -52,17 +72,44 @@ class ParquetKVCache:
         return os.path.join(self.path, f"v{v}")
 
     def read(self) -> DataFrame | None:
+        """Current live entries: latest generation minus expired."""
+        df = self._read_live()
+        if df is not None and _EXP_COL in df.columns:
+            df = df.drop(_EXP_COL)
+        return df
+
+    def _read_live(self) -> DataFrame | None:
+        """Like read() but keeps the expiry column, so rewrites
+        preserve each surviving entry's original TTL."""
         v = self._latest()
         if v < 0:
             return None
-        return self.spark.read.parquet(self._gen_path(v))
+        df = self.spark.read.parquet(self._gen_path(v))
+        if _EXP_COL in df.columns:
+            df = df.filter(
+                F.col(_EXP_COL).isNull()
+                | (F.col(_EXP_COL) > F.lit(float(self.now_fn())))
+            )
+        return df
 
     def _write(self, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self._gen_path(self._latest() + 1))
 
-    def set(self, rows: DataFrame) -> None:
+    def _stamp(self, rows: DataFrame, ttl: float | None) -> DataFrame:
+        eff = ttl if ttl is not None else self.ttl
+        exp = (
+            F.lit(None).cast("double")
+            if eff is None
+            else F.lit(float(self.now_fn()) + float(eff))
+        )
+        if _EXP_COL in rows.columns:
+            rows = rows.drop(_EXP_COL)
+        return rows.withColumn(_EXP_COL, exp)
+
+    def set(self, rows: DataFrame, ttl: float | None = None) -> None:
         """Upsert: new rows win over existing (cache set)."""
-        cur = self.read()
+        rows = self._stamp(rows, ttl)
+        cur = self._read_live()
         if cur is None:
             self._write(rows)
             return
@@ -74,20 +121,23 @@ class ParquetKVCache:
         # the column here with nulls for pre-evolution generations
         self._write(keep.unionByName(rows, allowMissingColumns=True))
 
-    def add(self, rows: DataFrame) -> DataFrame:
+    def add(self, rows: DataFrame, ttl: float | None = None) -> DataFrame:
         """Insert-if-absent; returns the rows actually added (the
         reference's add fails per message when present — here the
-        rejected set is derivable as rows ∖ added)."""
-        cur = self.read()
+        rejected set is derivable as rows ∖ added). An expired entry
+        counts as absent (read() filters it), so add after TTL expiry
+        succeeds — the ttlru contract."""
+        rows = self._stamp(rows, ttl)
+        cur = self._read_live()
         if cur is None:
             deduped = rows.dropDuplicates([self.key])
             self._write(deduped)
-            return deduped
+            return deduped.drop(_EXP_COL)
         fresh = rows.join(
             cur.select(self.key), on=self.key, how="left_anti"
         ).dropDuplicates([self.key])
         self._write(cur.unionByName(fresh, allowMissingColumns=True))
-        return fresh
+        return fresh.drop(_EXP_COL)
 
     def get(self, df: DataFrame, on: str | None = None) -> DataFrame:
         """Lookup join (broadcast — cache sides are small by contract)."""
@@ -99,7 +149,7 @@ class ParquetKVCache:
         return df.join(F.broadcast(renamed), on=on, how="left")
 
     def delete(self, keys: DataFrame) -> None:
-        cur = self.read()
+        cur = self._read_live()
         if cur is None:
             return
         self._write(
@@ -117,3 +167,54 @@ class ParquetKVCache:
             p = self._gen_path(v)
             if os.path.isdir(p):
                 shutil.rmtree(p)
+
+
+class TwoLevelKVCache(ParquetKVCache):
+    """Memory→parquet two-level cache (the reference's multilevel cache,
+    docs caches: multilevel.adoc): L1 is a driver-held snapshot of the
+    latest generation (taken only when the generation is small enough
+    to hold), L2 is the parquet store. Gets served from an L1 snapshot
+    skip the parquet scan entirely; any mutation bumps the generation,
+    which invalidates L1 by version mismatch — no explicit coherence
+    protocol needed."""
+
+    def __init__(self, *args, l1_max_rows: int = 100_000, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.l1_max_rows = l1_max_rows
+        self._l1_gen: int = -2  # generation the snapshot was taken at
+        self._l1_rows = None  # list[Row] | None
+        self._l1_schema = None
+        self.l1_hits = 0
+        self.l1_misses = 0
+
+    def read(self) -> DataFrame | None:
+        v = self._latest()
+        if v < 0:
+            return None
+        if v == self._l1_gen and self._l1_rows is not None:
+            self.l1_hits += 1
+            df = self.spark.createDataFrame(
+                self._l1_rows, schema=self._l1_schema
+            )
+        else:
+            self.l1_misses += 1
+            df = self.spark.read.parquet(self._gen_path(v))
+            n = df.count()
+            if n <= self.l1_max_rows:
+                self._l1_rows = df.collect()
+                self._l1_schema = df.schema
+                self._l1_gen = v
+            else:
+                self._l1_rows = None
+                self._l1_gen = -2
+        if _EXP_COL in df.columns:
+            df = df.filter(
+                F.col(_EXP_COL).isNull()
+                | (F.col(_EXP_COL) > F.lit(float(self.now_fn())))
+            ).drop(_EXP_COL)
+        return df
+
+    def _read_live(self) -> DataFrame | None:
+        # mutations always read L2 (they rewrite the store anyway, and
+        # the new generation invalidates L1 on the next read)
+        return super()._read_live()

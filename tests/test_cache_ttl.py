@@ -1,0 +1,172 @@
+"""Cache TTL + multilevel (cached.adoc:26; ttlru/multilevel caches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from connect_spark.state import ParquetKVCache, TwoLevelKVCache
+
+
+class Clock:
+    def __init__(self, t=1000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame([Row(key=k, v=v) for k, v in rows])
+
+
+def test_ttl_expires_entries(spark, tmp_path):
+    clock = Clock()
+    c = ParquetKVCache(
+        spark, str(tmp_path / "kv"), ttl=60, now_fn=clock
+    )
+    c.set(_kv(spark, [("a", 1), ("b", 2)]))
+    assert {r.key: r.v for r in c.read().collect()} == {"a": 1, "b": 2}
+    clock.t += 61
+    assert c.read().collect() == []
+
+
+def test_per_op_ttl_overrides_default(spark, tmp_path):
+    clock = Clock()
+    c = ParquetKVCache(spark, str(tmp_path / "kv"), ttl=60, now_fn=clock)
+    c.set(_kv(spark, [("short", 1)]))
+    c.set(_kv(spark, [("long", 2)]), ttl=3600)
+    clock.t += 61
+    assert {r.key for r in c.read().collect()} == {"long"}
+
+
+def test_no_ttl_entries_never_expire(spark, tmp_path):
+    clock = Clock()
+    c = ParquetKVCache(spark, str(tmp_path / "kv"), now_fn=clock)
+    c.set(_kv(spark, [("a", 1)]))
+    clock.t += 10_000_000
+    assert {r.key for r in c.read().collect()} == {"a"}
+
+
+def test_add_succeeds_after_expiry(spark, tmp_path):
+    """The ttlru contract: an expired key counts as absent."""
+    clock = Clock()
+    c = ParquetKVCache(spark, str(tmp_path / "kv"), ttl=60, now_fn=clock)
+    assert c.add(_kv(spark, [("k", 1)])).count() == 1
+    # still live → add rejected
+    assert c.add(_kv(spark, [("k", 2)])).count() == 0
+    clock.t += 61
+    # expired → add wins again, new value visible
+    assert c.add(_kv(spark, [("k", 3)])).count() == 1
+    assert {r.key: r.v for r in c.read().collect()} == {"k": 3}
+
+
+def test_set_preserves_surviving_entry_ttl(spark, tmp_path):
+    clock = Clock()
+    c = ParquetKVCache(spark, str(tmp_path / "kv"), ttl=100, now_fn=clock)
+    c.set(_kv(spark, [("old", 1)]))
+    clock.t += 50
+    c.set(_kv(spark, [("new", 2)]))  # rewrite must NOT refresh "old"
+    clock.t += 60  # old: 110 > 100 expired; new: 60 < 100 live
+    assert {r.key for r in c.read().collect()} == {"new"}
+
+
+def test_expired_rows_compacted_on_write(spark, tmp_path):
+    import os
+
+    clock = Clock()
+    c = ParquetKVCache(spark, str(tmp_path / "kv"), ttl=60, now_fn=clock)
+    c.set(_kv(spark, [("a", 1)]))
+    clock.t += 61
+    c.set(_kv(spark, [("b", 2)]))
+    # the new generation holds only the live entry
+    latest = max(
+        int(d[1:]) for d in os.listdir(tmp_path / "kv") if d.startswith("v")
+    )
+    gen = spark.read.parquet(str(tmp_path / "kv" / f"v{latest}"))
+    assert [r.key for r in gen.collect()] == ["b"]
+
+
+def test_get_does_not_leak_expiry_column(spark, tmp_path):
+    c = ParquetKVCache(spark, str(tmp_path / "kv"), ttl=60)
+    c.set(_kv(spark, [("a", 1)]))
+    df = spark.createDataFrame([Row(key="a"), Row(key="z")])
+    out = c.get(df)
+    assert sorted(out.columns) == ["key", "v"]
+    got = {r.key: r.v for r in out.collect()}
+    assert got == {"a": 1, "z": None}
+
+
+def test_two_level_serves_from_memory(spark, tmp_path):
+    c = TwoLevelKVCache(spark, str(tmp_path / "kv"))
+    c.set(_kv(spark, [("a", 1), ("b", 2)]))
+    assert {r.key: r.v for r in c.read().collect()} == {"a": 1, "b": 2}
+    assert (c.l1_hits, c.l1_misses) == (0, 1)
+    # repeated reads on the same generation hit L1
+    for _ in range(3):
+        assert c.read().count() == 2
+    assert c.l1_hits == 3
+    # a mutation bumps the generation → next read misses then re-caches
+    c.set(_kv(spark, [("c", 3)]))
+    assert c.read().count() == 3
+    assert c.l1_misses >= 2
+
+
+def test_two_level_respects_ttl(spark, tmp_path):
+    clock = Clock()
+    c = TwoLevelKVCache(
+        spark, str(tmp_path / "kv"), ttl=60, now_fn=clock
+    )
+    c.set(_kv(spark, [("a", 1)]))
+    assert c.read().count() == 1
+    clock.t += 61
+    # expiry applies even when served from the L1 snapshot
+    assert c.read().count() == 0
+
+
+def test_cache_processor_ttl_and_multilevel(spark, tmp_path):
+    from connect_spark.plans import build_pipeline
+
+    path = str(tmp_path / "proc_kv")
+    seed = {
+        "input": {
+            "generate": {
+                "count": 3,
+                "mapping": 'root.key = "k" + counter().string()\n'
+                "root.val = counter() * 10",
+            }
+        },
+        "pipeline": {
+            "processors": [
+                {
+                    "cache": {
+                        "path": path,
+                        "operator": "set",
+                        "on": "key",
+                        "value_columns": ["val"],
+                        "ttl": 3600,
+                        "multilevel": True,
+                    }
+                }
+            ]
+        },
+    }
+    build_pipeline(spark, seed).dataframe().collect()
+    lookup = {
+        "input": {
+            "generate": {
+                "count": 3,
+                "mapping": 'root.key = "k" + counter().string()',
+            }
+        },
+        "pipeline": {
+            "processors": [
+                {"cache": {"path": path, "operator": "get", "on": "key"}}
+            ]
+        },
+    }
+    rows = build_pipeline(spark, lookup).dataframe().collect()
+    assert sorted((r.key, r.val) for r in rows) == [
+        ("k0", 0),
+        ("k1", 10),
+        ("k2", 20),
+    ]
