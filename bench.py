@@ -32,23 +32,31 @@ def main() -> None:
     spark = get_spark("connect_spark_bench")
 
     specs = [s for s in all_queries() if s.headline]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     # Warmup: JVM, codegen, parquet footer caches.
     warm = specs[0].fn(spark, sf_dir)
     materialize(warm)
 
-    timings: dict[str, float] = {}
-    for spec in specs:
-        t0 = time.perf_counter()
-        materialize(spec.fn(spark, sf_dir))
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+    # Median of `runs` passes per query: single-run wall time on this
+    # shared host carries ±40% noise (SCALE.md), which round 2 showed
+    # can fabricate phantom regressions.  Passes are interleaved
+    # (run 1 of all queries, then run 2, ...) so a transient host
+    # stall hits one pass of many queries, not all passes of one.
+    samples: dict[str, list[float]] = {s.name: [] for s in specs}
+    for _ in range(runs):
+        for spec in specs:
+            t0 = time.perf_counter()
+            materialize(spec.fn(spark, sf_dir))
+            samples[spec.name].append(time.perf_counter() - t0)
 
+    timings = {name: round(_median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
 
     # Throughput headlines comparable to BASELINE.md's connector
     # numbers (migrator GB/s, CDC MB/s): byte- and row-rates, not
     # query wall-time.
-    throughput = _throughput(spark, sf_dir)
+    throughput = _throughput(spark, sf_dir, runs)
 
     print(
         json.dumps(
@@ -58,13 +66,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "stat": "median",
                 "throughput": throughput,
             }
         )
     )
 
 
-def _throughput(spark, sf_dir: str) -> dict:
+def _median(xs: list) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
     """Two rates: (1) migrator-style file->file copy of the documents
     table (bytes/s over the decoded payload, the baseline's unit);
     (2) CDC apply — change-log rows/s through the last-writer-wins
@@ -91,11 +107,14 @@ def _throughput(spark, sf_dir: str) -> dict:
     )
     tmp = tempfile.mkdtemp(prefix="bench_migrate_")
     try:
-        t0 = time.perf_counter()
-        msgs.write.mode("overwrite").parquet(tmp + "/out")
-        dt = time.perf_counter() - t0
+        copy_ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            msgs.write.mode("overwrite").parquet(tmp + "/out")
+            copy_ts.append(time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    dt = _median(copy_ts)
     out["migrator_mb_s"] = round(n_msgs * 1032 / dt / 1e6, 1)
     out["migrator_msg_s"] = round(n_msgs / dt)
 
@@ -110,10 +129,12 @@ def _throughput(spark, sf_dir: str) -> dict:
             + (F.col("o_orderkey") % 13 == 0).cast("int")
         ).alias("n")
     ).collect()[0]["n"]
-    t0 = time.perf_counter()
-    materialize(cdc_df)
-    dt = time.perf_counter() - t0
-    out["cdc_apply_rows_s"] = round(n_changes / dt)
+    cdc_ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        materialize(cdc_df)
+        cdc_ts.append(time.perf_counter() - t0)
+    out["cdc_apply_rows_s"] = round(n_changes / _median(cdc_ts))
     return out
 
 

@@ -43,6 +43,40 @@ def _prepare_session(spark: SparkSession) -> None:
     self-contained."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``connect_spark`` importable on executor Python workers no
+    matter where the driver process was launched from.  Pandas-UDF
+    closures defined in this package are pickled BY REFERENCE, so the
+    worker must import the module — which fails if the caller started
+    Spark from a different cwd with no PYTHONPATH (exactly what an
+    external driver does).  addPyFile works after session start and
+    distributes to real clusters too, so this is the 1000-executor
+    deployment path, not a local hack."""
+    sc = spark.sparkContext
+    if getattr(sc, "_connect_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"connect_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "connect_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._connect_spark_shipped = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -33,9 +33,13 @@ def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "purchase_id",
         F.col("view_id_asof").alias("view_id"),
-        (F.col("ts").cast("long") - F.col("_rts_asof").cast("long")).alias(
-            "gap_s"
-        ),
+        # parquet may surface ts as TIMESTAMP_NTZ, which Spark 4 refuses
+        # to cast straight to long; hop through TIMESTAMP (session tz is
+        # UTC) on both sides.  The subtraction cancels any zone offset.
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.col("_rts_asof").cast("timestamp").cast("long")
+        ).alias("gap_s"),
     )
 
 
