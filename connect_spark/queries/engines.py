@@ -281,7 +281,55 @@ WHERE event_id % 500 = 0
 _RSA_KEY: tuple[int, int, int] | None = None
 
 
+def ai_chat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI processor row (openai/ollama chat + moderation,
+    `internal/impl/openai/chat_processor.go`,
+    `internal/impl/ollama/moderation_processor.go`): each document is
+    sent through the chat shim in json response mode (deterministic
+    fake model — see text/ai.py), the structured reply is parsed back
+    into columns, and the moderation shim appends a yes/no `safe`
+    verdict. The oracle recomputes the fake's pure functions from the
+    base text, so the whole request-build → Arrow batch → reply →
+    from_json pipeline is value-checked."""
+    from connect_spark.text.ai import ai_chat, ai_moderation
+
+    docs = load_table(spark, sf_dir, "documents")
+    chatted = ai_chat(
+        docs,
+        "text",
+        system_prompt="Extract document statistics as JSON.",
+        response_format="json",
+    )
+    moderated = ai_moderation(
+        chatted, "text", flag_terms=("data", "crash")
+    )
+    parsed = F.from_json(
+        F.col("reply"), "n_chars BIGINT, n_words BIGINT, head STRING"
+    )
+    return moderated.select(
+        "doc_id",
+        parsed["n_chars"].alias("reply_chars"),
+        parsed["n_words"].alias("reply_words"),
+        parsed["head"].alias("reply_head"),
+        "safe",
+    )
+
+
+AI_CHAT_SQL = """
+SELECT doc_id,
+       length(text) AS reply_chars,
+       CAST(length(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS reply_words,
+       substr(text, 1, 16) AS reply_head,
+       CASE WHEN contains(lower(text), 'data')
+                 OR contains(lower(text), 'crash')
+            THEN 'no' ELSE 'yes' END AS safe
+FROM documents
+"""
+
+
 QUERIES = [
+    QuerySpec("ai_chat_extract", ai_chat_extract, AI_CHAT_SQL),
     QuerySpec("jq_project_events", jq_project_events, JQ_SQL),
     QuerySpec("jwt_sign_matrix", jwt_sign_matrix, JWT_MATRIX_SQL),
     QuerySpec(
