@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "chunk_markdown",
     "ai_chat_extract",
     "jwt_sign_matrix",
+    "batch_policy_events",
 ]
 
 
@@ -74,6 +75,7 @@ def all_queries() -> list[QuerySpec]:
     from connect_spark.queries import (
         analytics,
         asof,
+        batching_q,
         cdc,
         core,
         engines,
@@ -93,7 +95,8 @@ def all_queries() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
-        relational, analytics, cdc, mq, engines, streaming_q, winfns,
+        relational, analytics, batching_q, cdc, mq, engines, streaming_q,
+        winfns,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
