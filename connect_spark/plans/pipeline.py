@@ -579,6 +579,14 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
             else F.col("_first").isNull() | (F.col("_ord") < F.col("_first"))
         )
         return joined.filter(cond).drop("_ord", "_first")
+    if kind == "dynamic":
+        # dynamic input (docs/.../inputs/dynamic.adoc): a labeled
+        # broker whose component set is runtime-mutable via the REST
+        # control plane in plans/dynamic.py; each plan (re)build reads
+        # the current set.
+        from connect_spark.plans.dynamic import build_dynamic_input
+
+        return build_dynamic_input(spark, c)
     if kind in ("broker", "sequence"):
         # broker (parallel merge) / sequence (serial concat) inputs
         # (docs/.../inputs/{broker,sequence}.adoc:26): both become a
@@ -717,6 +725,12 @@ def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
                 f"reject output received rows (sample: {sample[:2]})"
             )
         return None
+    if kind == "dynamic":
+        # dynamic output (docs/.../outputs/dynamic.adoc): fan_out to
+        # the runtime-mutable labeled output set (plans/dynamic.py)
+        from connect_spark.plans.dynamic import run_dynamic_output
+
+        return run_dynamic_output(df, c)
     if kind == "mq_bus":
         # publish rows to the local broker: subject from a column or a
         # fixed string; payload = the row as JSON (outputs/nats.adoc
