@@ -95,6 +95,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif field.name == "ts" and isinstance(
+            field.dataType, T.TimestampNTZType
+        ):
+            # newer parquet readers surface TIMESTAMP(NANOS) as
+            # TIMESTAMP_NTZ (micros-truncated) instead of honoring
+            # nanosAsLong; normalize to plain TIMESTAMP (session tz is
+            # pinned UTC, so the wall-clock value is unchanged) so every
+            # downstream epoch/cast/unix_micros expression sees ONE type
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -68,6 +68,18 @@ _DRIVER_PRIORITY: list[str] = [
     "ai_chat_extract",
     "jwt_sign_matrix",
     "batch_policy_events",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
 ]
 
 
@@ -87,6 +99,7 @@ def all_queries() -> list[QuerySpec]:
         relational,
         streaming_q,
         textops,
+        tpch,
         vectors,
         windows,
         winfns,
@@ -96,7 +109,7 @@ def all_queries() -> list[QuerySpec]:
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
-        winfns,
+        tpch, winfns,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
