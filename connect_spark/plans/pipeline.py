@@ -528,6 +528,20 @@ def _p_sleep(df: DataFrame, conf: Any) -> DataFrame:
     return df
 
 
+@processor("rate_limit")
+def _p_rate_limit(df: DataFrame, conf: Any) -> DataFrame:
+    """rate_limit.adoc:26 — throttle by a named rate_limit resource
+    (rate_limits/local.adoc). The labeled (count, interval) config is
+    resolved driver-side; each executor worker runs its own bucket,
+    matching the reference's per-instance scoping (state/ratelimit.py).
+    """
+    from connect_spark.state.ratelimit import get_rate_limit, throttle
+
+    label = conf["resource"] if isinstance(conf, dict) else str(conf)
+    res = get_rate_limit(label)
+    return throttle(df, count=res.count, interval=res.interval, label=label)
+
+
 def apply_processor(df: DataFrame, spec: Any) -> DataFrame:
     if not isinstance(spec, dict) or len(spec) != 1:
         raise PipelineConfigError(
@@ -787,6 +801,13 @@ class Pipeline:
             item = dict(item)
             label = item.pop("label")
             _RESOURCES[label] = item
+        # labeled rate_limit resources (rate_limits/local.adoc)
+        from connect_spark.state.ratelimit import register_rate_limit
+
+        for item in self.config.get("rate_limit_resources", []):
+            item = dict(item)
+            label = item.pop("label")
+            register_rate_limit(label, item)
         # inline template definitions (templating.adoc; the reference
         # imports template files with -t — inline serves the same
         # role). Inline registrations are scoped to THIS build:

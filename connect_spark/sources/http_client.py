@@ -54,10 +54,17 @@ def http_poll(
     here: ONE logical consumer polls (the reference's input is a
     single client too); the DataFrame fan-out happens downstream."""
     opts = http_client_options(conf)
+    limiter = None
+    if opts["rate_limit"]:
+        from connect_spark.state.ratelimit import get_rate_limit
+
+        limiter = get_rate_limit(opts["rate_limit"])
     rows = []
     for i in range(n_polls):
         resp = None
         for attempt in range(opts["retries"] + 1):
+            if limiter is not None:
+                limiter.wait(1)
             resp = transport(
                 {
                     "url": opts["url"],
