@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "chunk_recursive_character",
     "chunk_markdown",
     "ai_chat_extract",
+    "ai_embed_rerank",
     "jwt_sign_matrix",
     "batch_policy_events",
     "q4_order_priority",

@@ -328,8 +328,96 @@ FROM documents
 """
 
 
+def ai_embed_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + rerank row (`internal/impl/openai/embeddings_processor.go`,
+    `internal/impl/cohere/rerank_processor.go` shapes): documents flow
+    through embed_text (mapInPandas, injectable model — here a
+    nibble-vote embedder whose votes DuckDB can recompute from md5) and
+    rerank_stub (token-overlap cross-encoder stand-in). Components and
+    norm are derived DRIVER-SIDE as double Column algebra over the raw
+    integer votes, so Spark and DuckDB run bit-identical float ops and
+    the floor-scaled outputs hash equal."""
+    import hashlib
+
+    from connect_spark.text.embeddings import embed_text, rerank_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def votes_fn(texts: list) -> list:
+        out = []
+        for t in texts:
+            v = [0.0] * 16
+            for tok in (t or "").split():
+                h = hashlib.md5(tok.encode()).hexdigest()
+                v[int(h[0], 16)] += 1.0 if int(h[1], 16) % 2 == 0 else -1.0
+            out.append(v)
+        return out
+
+    emb = embed_text(docs, "text", dim=16, model_fn=votes_fn, out="votes")
+    rr = rerank_stub(emb, "data stream join merge", "text")
+    arr = F.col("votes").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    ppm = lambda c: F.when(  # noqa: E731 - tiny local combinator
+        norm > 0, F.floor(F.lit(1000000.0) * c / norm).cast("bigint")
+    ).otherwise(F.lit(0))
+    return rr.select(
+        "doc_id",
+        ppm(F.element_at(arr, 1)).alias("c0_ppm"),
+        ppm(F.element_at(arr, 2)).alias("c1_ppm"),
+        F.floor(F.lit(1000000.0) * norm).cast("bigint").alias("norm_ppm"),
+        F.col("rerank_score").cast("double").alias("rerank_score"),
+    )
+
+
+AI_EMBED_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS idx,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+                   % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM toks
+), agg AS (
+  SELECT doc_id, idx, sum(sign) AS vote FROM v GROUP BY doc_id, idx
+), per_doc AS (
+  SELECT doc_id,
+         sqrt(sum(vote * vote)) AS norm,
+         sum(CASE WHEN idx = 0 THEN vote ELSE 0.0 END) AS c0,
+         sum(CASE WHEN idx = 1 THEN vote ELSE 0.0 END) AS c1
+  FROM agg GROUP BY doc_id
+), rerank AS (
+  SELECT doc_id,
+         CAST(length(list_intersect(
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')),
+             ['data', 'stream', 'join', 'merge'])) AS DOUBLE) / 4
+           AS rerank_score
+  FROM documents
+)
+SELECT d.doc_id,
+       CASE WHEN COALESCE(p.norm, 0.0) > 0
+            THEN CAST(floor(1000000.0 * p.c0 / p.norm) AS BIGINT)
+            ELSE 0 END AS c0_ppm,
+       CASE WHEN COALESCE(p.norm, 0.0) > 0
+            THEN CAST(floor(1000000.0 * p.c1 / p.norm) AS BIGINT)
+            ELSE 0 END AS c1_ppm,
+       CAST(floor(1000000.0 * COALESCE(p.norm, 0.0)) AS BIGINT) AS norm_ppm,
+       r.rerank_score
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+JOIN rerank r USING (doc_id)
+"""
+
+
 QUERIES = [
     QuerySpec("ai_chat_extract", ai_chat_extract, AI_CHAT_SQL),
+    QuerySpec("ai_embed_rerank", ai_embed_rerank, AI_EMBED_SQL),
     QuerySpec("jq_project_events", jq_project_events, JQ_SQL),
     QuerySpec("jwt_sign_matrix", jwt_sign_matrix, JWT_MATRIX_SQL),
     QuerySpec(
