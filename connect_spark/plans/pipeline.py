@@ -171,6 +171,28 @@ def _p_archive(df: DataFrame, conf: Any) -> DataFrame:
         return archive_concat(df, group_by, value, sep=sep)
     if fmt == "json_array":
         return archive_json_array(df, group_by, value)
+    if fmt in ("binary", "tar", "zip"):
+        # file-based + blob formats (operators/archive_formats.py);
+        # `path` interpolation names each entry, batch order is pinned
+        # by `order_by` (a set-based plan must make it explicit)
+        from connect_spark.operators.archive_formats import archive_format
+
+        names = [f"_agrp{i}" for i in range(len(group_by))]
+        work = df
+        for n, g in zip(names, group_by):
+            work = work.withColumn(n, g)
+        path = (
+            compile_expression(conf["path"]) if conf.get("path") else None
+        )
+        order = (
+            compile_expression(conf["order_by"])
+            if conf.get("order_by")
+            else None
+        )
+        return archive_format(
+            work, fmt, group_by=names, content=value, path=path,
+            order_by=order,
+        )
     raise PipelineConfigError(f"unsupported archive format {fmt!r}")
 
 
@@ -185,6 +207,13 @@ def _p_unarchive(df: DataFrame, conf: Any) -> DataFrame:
     if fmt == "lines":
         return unarchive(
             df, F.split(field, "\n"), out=conf.get("out", "part")
+        )
+    if fmt in ("binary", "tar", "zip"):
+        from connect_spark.operators.archive_formats import unarchive_format
+
+        work = df.withColumn("_ablob", field.cast("binary"))
+        return unarchive_format(
+            work, fmt, col="_ablob", out=conf.get("out", "part")
         )
     raise PipelineConfigError(f"unsupported unarchive format {fmt!r}")
 

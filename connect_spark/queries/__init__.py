@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ai_embed_rerank",
     "jwt_sign_matrix",
     "batch_policy_events",
+    "archive_tar_roundtrip",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",

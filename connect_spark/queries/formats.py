@@ -284,7 +284,45 @@ FROM events
 """
 
 
+def archive_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """archive format=tar → unarchive roundtrip (archive.adoc:46-58,
+    operators/archive_formats.py): documents fold into per-group tar
+    blobs (path = doc_id, deterministic headers) and explode back; the
+    oracle fingerprints the ORIGINAL text, so any corruption anywhere
+    in pack → blob → unpack breaks the value hash."""
+    from connect_spark.operators.archive_formats import (
+        archive_format,
+        unarchive_format,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 20).alias("grp")
+    )
+    arch = archive_format(
+        docs,
+        "tar",
+        group_by=["grp"],
+        content=F.encode("text", "UTF-8"),
+        path=F.col("doc_id").cast("string"),
+    )
+    back = unarchive_format(arch, "tar")
+    return back.select(
+        F.col("part_path").cast("bigint").alias("doc_id"),
+        F.md5("part").alias("fp"),
+        F.length("part").alias("n_bytes"),
+    )
+
+
+ARCHIVE_TAR_SQL = """
+SELECT doc_id,
+       md5(text) AS fp,
+       CAST(strlen(text) AS INT) AS n_bytes
+FROM documents
+"""
+
+
 QUERIES = [
+    QuerySpec("archive_tar_roundtrip", archive_tar_roundtrip, ARCHIVE_TAR_SQL),
     QuerySpec("xml_roundtrip", xml_roundtrip, XML_SQL),
     QuerySpec("json_schema_events", json_schema_events, JSON_SCHEMA_SQL),
     QuerySpec("avro_roundtrip", avro_roundtrip, AVRO_SQL),
