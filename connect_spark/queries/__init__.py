@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: list[str] = [
     "geoip_enrich_events",
     "js_transform_events",
     "window_tumbling_streamed",
+    "streaming_dedupe_keys",
     "fn_window_matrix",
     # round-3 additions (also never driver-checked yet)
     "dedup_neardup_verified",

@@ -80,7 +80,48 @@ def window_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_dedupe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedupe` executed as a STREAM (dedupe.adoc:26,53-78 — cache-add
+    semantics == streaming dropDuplicates state): events stream in,
+    each (user_id, event_type) key is emitted exactly once in append
+    mode, and the drained sink must equal DuckDB's DISTINCT. Output is
+    keys only, so the which-row-survives choice (arbitrary in both the
+    reference's cache race and Spark's state store) can't skew the
+    hash — this checks the state machinery, not arrival order."""
+    _prepare_session(spark)
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dedup = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    name = "strq_" + uuid.uuid4().hex[:12]
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+STREAM_DEDUPE_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("window_tumbling_streamed", window_tumbling_streamed,
               TUMBLING_SQL),
+    QuerySpec("streaming_dedupe_keys", streaming_dedupe_keys,
+              STREAM_DEDUPE_SQL),
 ]
