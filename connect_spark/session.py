@@ -22,10 +22,14 @@ from pyspark.sql import SparkSession
 
 
 def _cpus() -> int:
+    """$SPARK_GRAFT_CPUS if set and positive, else 0 (= use cpu_count).
+    The previous max(1, ...) clamped the unset sentinel 0 up to 1, so
+    sessions built without the env var silently ran local[1]."""
     try:
-        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "0")))
+        n = int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
     except ValueError:
         return 0
+    return n if n > 0 else 0
 
 
 def get_spark(app_name: str = "connect_spark") -> SparkSession:
