@@ -142,5 +142,14 @@ class Let(Node):
 
 
 @dataclass(frozen=True)
+class MapDef(Node):
+    """Named map (about.adoc maps section): `map name { root = ... }`,
+    invoked with `.apply("name")`."""
+
+    name: str
+    statements: tuple[Node, ...]
+
+
+@dataclass(frozen=True)
 class Mapping(Node):
     statements: tuple[Node, ...]

@@ -43,7 +43,19 @@ def _fn_uuid_v4() -> Column:
 
 
 def _fn_counter() -> Column:
-    return F.monotonically_increasing_id()
+    """functions.adoc counter(): dense 0-based sequence. On a
+    multi-partition frame monotonically_increasing_id() is unique but
+    partition-offset (NOT dense), so the generic path pays one global
+    row_number sort — honest for a semantics that is inherently
+    sequential. The `generate` input avoids it entirely: compile_mapping
+    rebinds counter() to the range index, which is already dense and
+    global with zero shuffle (see Compiler.counter_col)."""
+    from pyspark.sql import Window
+
+    return (
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+        - 1
+    ).cast("long")
 
 
 def _fn_random_int(max_: Any = 2147483647) -> Column:
@@ -111,6 +123,14 @@ FUNCTIONS = {
 class Compiler:
     def __init__(self, env: dict[str, Column] | None = None):
         self.env: dict[str, Column] = dict(env or {})
+        # named maps (about.adoc maps): name -> A.MapDef, applied via
+        # .apply("name"); expansion is static (Column algebra cannot
+        # recurse on data depth), guarded by a cycle stack
+        self.maps: dict[str, "A.MapDef"] = {}
+        self._apply_stack: list[str] = []
+        # when set, counter() compiles to this column instead of the
+        # global-sort fallback (generate inputs bind the range index)
+        self.counter_col: Column | None = None
 
     # value may be a Column or a plain Python literal; the caller lifts
     # literals with F.lit only where a Column is required, so method
@@ -126,6 +146,10 @@ class Compiler:
                 *[self.col(v, scope).alias(k) for k, v in node.pairs]
             )
         if isinstance(node, A.This):
+            if "__this__" in scope:
+                # inside an applied named map, `this` IS the applied
+                # value (about.adoc maps)
+                return scope["__this__"]
             raise BloblangError(
                 "`this` used as a whole document is only valid in "
                 "`root = this` (identity); reference fields as this.<name>"
@@ -136,6 +160,8 @@ class Compiler:
                 # parses `x` as a bare field ref)
                 if node.name in scope:
                     return scope[node.name]
+                if "__this__" in scope:
+                    return scope["__this__"].getField(node.name)
                 return F.col(node.name)
             target = self.col(node.target, scope)
             return target.getField(node.name)
@@ -172,12 +198,18 @@ class Compiler:
                 if not isinstance(key, str):
                     raise BloblangError("meta() needs a literal key")
                 return F.col(META_COL).getItem(key)
+            if node.name == "counter" and self.counter_col is not None:
+                return self.counter_col
             fn = FUNCTIONS.get(node.name)
             if fn is None:
                 raise BloblangError(f"unknown function {node.name}()")
             return fn(*[self.eval(a, scope) for a in node.args])
         if isinstance(node, A.Method):
             target = self.col(node.target, scope)
+            if node.name == "apply":
+                if len(node.args) != 1 or not isinstance(node.args[0], A.Lit):
+                    raise BloblangError('.apply needs a literal map name')
+                return self._apply_map(node.args[0].value, target, scope)
             impl = METHODS.get(node.name)
             if impl is None:
                 raise BloblangError(f"unknown method .{node.name}()")
@@ -196,6 +228,49 @@ class Compiler:
     def col(self, node: A.Node, scope: dict[str, Column] | None = None) -> Column:
         v = self.eval(node, scope or {})
         return v if isinstance(v, Column) else F.lit(v)
+
+    def _apply_map(
+        self, name: str, target: Column, scope: dict[str, Column]
+    ) -> Column:
+        """Statically expand a named map with `this` bound to the
+        receiver. Recursion cannot be expressed in Column algebra, so a
+        cycle raises (the reference recurses on data depth at runtime;
+        `bloblang/pyeval.py` covers that dynamic path)."""
+        mp = self.maps.get(name)
+        if mp is None:
+            raise BloblangError(f"unknown map {name!r}")
+        if name in self._apply_stack:
+            raise BloblangError(
+                f"recursive map application {' -> '.join(self._apply_stack)}"
+                f" -> {name} is not expressible as a static plan"
+            )
+        self._apply_stack.append(name)
+        try:
+            local = dict(scope)
+            local["__this__"] = target
+            whole: Column | None = None
+            tree: dict = {}
+            for stmt in mp.statements:
+                if isinstance(stmt, A.Let):
+                    local[stmt.name] = self.col(stmt.expr, local)
+                elif isinstance(stmt, A.Assign):
+                    if not stmt.path:
+                        whole = self.col(stmt.expr, local)
+                    elif len(stmt.path) == 1:
+                        tree[stmt.path[0]] = self.col(stmt.expr, local)
+                    else:
+                        _nested_set(tree, stmt.path, self.col(stmt.expr, local))
+                else:
+                    raise BloblangError(
+                        f"maps support root/let statements, got {stmt!r}"
+                    )
+            if whole is not None and not tree:
+                return whole
+            if not tree:
+                raise BloblangError(f"map {name!r} assigns nothing")
+            return _tree_to_struct(tree)
+        finally:
+            self._apply_stack.pop()
 
     def _method_arg(self, node: A.Node, scope: dict[str, Column]) -> Any:
         if isinstance(node, A.Lambda):
@@ -367,13 +442,24 @@ def compile_mapping(
     """
     ast = parse_mapping(src)
     comp = Compiler()
+    if "_gen_index" in df.columns:
+        # generate-input frames carry a dense global range index;
+        # counter() binds to it directly (no global sort needed)
+        comp.counter_col = F.col("_gen_index")
     assigns: dict[str, Column] = {}
     nested: dict = {}
     meta_assigns: dict[str, Column] = {}
     delete_cond: Column | None = None
     identity_root = False
 
+    # named maps are hoisted: usable regardless of definition order
     for stmt in ast.statements:
+        if isinstance(stmt, A.MapDef):
+            comp.maps[stmt.name] = stmt
+
+    for stmt in ast.statements:
+        if isinstance(stmt, A.MapDef):
+            continue
         if isinstance(stmt, A.Let):
             comp.env[stmt.name] = comp.col(stmt.expr)
         elif isinstance(stmt, A.MetaAssign):

@@ -76,6 +76,27 @@ class Parser:
 
     def parse_statement(self) -> A.Node:
         tok = self.peek()
+        if tok.kind == "ident" and tok.value == "map":
+            # named map definition (about.adoc maps): map name { ... }
+            self.next()
+            name_tok = self.peek()
+            if name_tok.kind in ("ident", "string"):
+                self.next()
+                name = (
+                    name_tok.value[1:-1]
+                    if name_tok.kind == "string"
+                    else name_tok.value
+                )
+            else:
+                raise BloblangSyntaxError(
+                    f"expected map name at {name_tok.pos}"
+                )
+            self.expect("op", "{")
+            stmts: list[A.Node] = []
+            while not self.at_op("}"):
+                stmts.append(self.parse_statement())
+            self.expect("op", "}")
+            return A.MapDef(name, tuple(stmts))
         if tok.kind == "root":
             self.next()
             path: list[str] = []

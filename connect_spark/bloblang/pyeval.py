@@ -44,7 +44,17 @@ def eval_mapping_value(src: str, this: Any) -> Any:
 def eval_parsed_value(mapping, this: Any) -> Any:
     root: Any = None
     scope: dict[str, Any] = {}
+    # named maps are hoisted; .apply resolves them through the scope
+    maps = {
+        st.name: st
+        for st in mapping.statements
+        if isinstance(st, A.MapDef)
+    }
+    if maps:
+        scope["__maps__"] = maps
     for st in mapping.statements:
+        if isinstance(st, A.MapDef):
+            continue
         if isinstance(st, A.Let):
             scope[st.name] = _ev(st.expr, this, scope, root)
         elif isinstance(st, A.Assign):
@@ -189,12 +199,52 @@ def _call_lambda(lam: A.Lambda, arg: Any, this, scope, root) -> Any:
     return _ev(lam.body, this, inner, root)
 
 
+def _apply_named_map(map_name: str, target: Any, scope: dict) -> Any:
+    """Runtime map application — unlike the static Column expansion,
+    recursion on data depth is allowed here (bounded), matching the
+    reference's dynamic maps."""
+    maps = scope.get("__maps__") or {}
+    mp = maps.get(map_name)
+    if mp is None:
+        raise BloblangValueError(f"unknown map {map_name!r}")
+    depth = scope.get("__apply_depth__", 0)
+    if depth > 64:
+        raise BloblangValueError(
+            f"map {map_name!r} recursion exceeded depth 64"
+        )
+    local: dict[str, Any] = {
+        "__maps__": maps, "__apply_depth__": depth + 1
+    }
+    out: Any = None
+    for st in mp.statements:
+        if isinstance(st, A.Let):
+            local[st.name] = _ev(st.expr, target, local, out)
+        elif isinstance(st, A.Assign):
+            value = _ev(st.expr, target, local, out)
+            if not st.path:
+                out = value
+            else:
+                if not isinstance(out, dict):
+                    out = {}
+                cur = out
+                for part in st.path[:-1]:
+                    cur = cur.setdefault(part, {})
+                cur[st.path[-1]] = value
+        else:
+            raise BloblangValueError(
+                f"maps support root/let statements, got {st}"
+            )
+    return out
+
+
 def _method(node: A.Method, target: Any, this, scope, root) -> Any:
     name = node.name
     args = [
         a if isinstance(a, A.Lambda) else _ev(a, this, scope, root)
         for a in node.args
     ]
+    if name == "apply":
+        return _apply_named_map(args[0], target, scope)
     if name == "map_each":
         return [
             _call_lambda(args[0], item, this, scope, root) for item in target
@@ -240,6 +290,8 @@ def _method(node: A.Method, target: Any, this, scope, root) -> Any:
         lo = int(args[0])
         hi = int(args[1]) if len(args) > 1 else None
         return target[lo:hi]
+    if name == "sum":
+        return sum(target or [])
     raise BloblangValueError(
         f"method {name}() not available in template mappings"
     )

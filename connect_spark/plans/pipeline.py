@@ -261,6 +261,12 @@ def _p_while(df: DataFrame, conf: Any) -> DataFrame:
     # per-iteration count() materializes the plan anyway, so the
     # checkpoint's extra cost is one cached write, not a new action).
     checkpoint_every = int(conf.get("checkpoint_every", 4))
+    # passed ∪ matched doubles the partition count every iteration
+    # (union concatenates partition lists, filters are narrow), which
+    # compounds to 2^iters × base tasks — invisible at 1 base
+    # partition, catastrophic at 32+. Coalesce (narrow, no shuffle)
+    # pins every iteration back to the input's partition count.
+    base_parts = max(1, df.rdd.getNumPartitions())
     for i in range(max_loops):
         if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
             df = df.localCheckpoint(eager=True)
@@ -270,7 +276,9 @@ def _p_while(df: DataFrame, conf: Any) -> DataFrame:
         passed = df.filter(~F.coalesce(check, F.lit(False)))
         for p in procs:
             matched = apply_processor(matched, p)
-        df = passed.unionByName(matched, allowMissingColumns=True)
+        df = passed.unionByName(
+            matched, allowMissingColumns=True
+        ).coalesce(base_parts)
     return df
 
 

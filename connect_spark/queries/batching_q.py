@@ -77,5 +77,6 @@ GROUP BY user_id, batch_id
 
 
 QUERIES = [
-    QuerySpec("batch_policy_events", batch_policy_events, BATCH_POLICY_SQL),
+    QuerySpec("batch_policy_events", batch_policy_events, BATCH_POLICY_SQL,
+              headline=True),
 ]

@@ -595,7 +595,8 @@ GROUP BY c_nationkey
 
 QUERIES = [
     QuerySpec("q4_order_priority", q4_order_priority, Q4_SQL),
-    QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL),
+    QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL,
+              headline=True),
     QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_SQL),
     QuerySpec("q8_market_share", q8_market_share, Q8_SQL),
     QuerySpec("q9_product_profit", q9_product_profit, Q9_SQL),
@@ -603,7 +604,8 @@ QUERIES = [
     QuerySpec("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
     QuerySpec("q15_top_supplier", q15_top_supplier, Q15_SQL),
     QuerySpec("q17_small_quantity", q17_small_quantity, Q17_SQL),
-    QuerySpec("q18_large_volume", q18_large_volume, Q18_SQL),
+    QuerySpec("q18_large_volume", q18_large_volume, Q18_SQL,
+              headline=True),
     QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL),
     QuerySpec("q22_sales_opportunity", q22_sales_opportunity, Q22_SQL),
 ]

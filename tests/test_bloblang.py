@@ -338,3 +338,78 @@ def test_bloblang_compile_cache_reuse():
     info = compile_cached.cache_info()
     assert info.misses == 2
     assert info.hits == 98
+
+
+# --- named maps (about.adoc maps; .apply) ---------------------------
+
+def test_named_map_apply_on_struct(spark):
+    from connect_spark.bloblang.compiler import compile_mapping
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 60.0, 0.5), (2, 100.0, 0.0)], ["id", "price", "discount"]
+    ).select("id", F.struct("price", "discount").alias("item"))
+    src = """
+map net {
+  root = this.price * (1 - this.discount)
+}
+root.id = this.id
+root.net = this.item.apply("net")
+"""
+    out = {r["id"]: r["net"] for r in compile_mapping(df, src).collect()}
+    assert out == {1: 30.0, 2: 100.0}
+
+
+def test_named_map_multi_field_and_hoisting(spark):
+    from connect_spark.bloblang.compiler import compile_mapping
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 4)], ["w", "h"]).select(
+        F.struct("w", "h").alias("rect")
+    )
+    # map used BEFORE its definition: hoisted
+    src = """
+root.geom = this.rect.apply("geom")
+map geom {
+  let a = this.w * this.h
+  root.area = $a
+  root.perimeter = 2 * (this.w + this.h)
+}
+"""
+    row = compile_mapping(df, src).collect()[0]["geom"]
+    assert row["area"] == 12 and row["perimeter"] == 14
+
+
+def test_named_map_errors(spark):
+    import pytest
+    from connect_spark.bloblang.compiler import BloblangError, compile_mapping
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,)], ["x"]).select(
+        F.struct("x").alias("s")
+    )
+    with pytest.raises(BloblangError, match="unknown map"):
+        compile_mapping(df, 'root.y = this.s.apply("nope")')
+    rec = """
+map a { root = this.apply("b") }
+map b { root = this.apply("a") }
+root.y = this.s.apply("a")
+"""
+    with pytest.raises(BloblangError, match="recursive"):
+        compile_mapping(df, rec)
+
+
+def test_named_map_pyeval_recursion():
+    from connect_spark.bloblang.pyeval import eval_mapping_value
+
+    # data-depth recursion is allowed in the dynamic evaluator
+    src = """
+map sum_tree {
+  root = if this.kids.length() == 0 { this.v } else {
+    this.v + this.kids.map_each(k -> k.apply("sum_tree")).sum()
+  }
+}
+root = this.apply("sum_tree")
+"""
+    tree = {"v": 1, "kids": [{"v": 2, "kids": []}, {"v": 3, "kids": [{"v": 4, "kids": []}]}]}
+    assert eval_mapping_value(src, tree) == 10
