@@ -565,6 +565,38 @@ def _p_sleep(df: DataFrame, conf: Any) -> DataFrame:
     return df
 
 
+@processor("sql_raw")
+def _p_sql_raw(df: DataFrame, conf: Any) -> DataFrame:
+    """sql_raw.adoc:26 — arbitrary SQL over the flowing data. The
+    reference targets an external DB via driver/dsn; this engine IS
+    the query engine, so the batch registers as a temp view (`batch`,
+    override with `view`) and the query runs through spark.sql —
+    Catalyst optimizes it like any other plan. Positional `?` args
+    bind LITERALS (Spark parameterized SQL); per-message args are a
+    join by construction (see operators/joins.py enrichment_join).
+    `exec_only: true` runs the statement for effect and passes the
+    batch through (sql_raw.adoc exec_only)."""
+    view = conf.get("view", "batch")
+    df.createOrReplaceTempView(view)
+    args = conf.get("args")
+    res = df.sparkSession.sql(conf["query"], args=args)
+    if conf.get("exec_only"):
+        return df
+    return res
+
+
+@processor("sql_insert")
+def _p_sql_insert(df: DataFrame, conf: Any) -> DataFrame:
+    """sql_insert.adoc:26 — append rows into a table. The engine's
+    tables are parquet paths (lakehouse convention); `columns` selects
+    what lands. Passes the batch through unchanged, matching the
+    reference's processor (not output) semantics."""
+    cols = conf.get("columns")
+    out = df.select(*cols) if cols else df
+    out.write.mode(conf.get("mode", "append")).parquet(conf["path"])
+    return df
+
+
 @processor("rate_limit")
 def _p_rate_limit(df: DataFrame, conf: Any) -> DataFrame:
     """rate_limit.adoc:26 — throttle by a named rate_limit resource
