@@ -86,3 +86,58 @@ class StreamingMetrics(StreamingQueryListener):
 
     def detach(self, spark: SparkSession) -> None:
         spark.streams.removeListener(self)
+
+
+# --------------------------------------------------------------------
+# metric processor (metric.adoc:26) via Spark's Observation API
+# --------------------------------------------------------------------
+
+_OBSERVATIONS: dict[str, object] = {}
+
+
+def metric_observe(df, name: str, mtype: str, value=None):
+    """`metric` processor: emit a custom metric from message values
+    (metric.adoc types counter / counter_by / gauge / timing).
+
+    Spark-first mapping: `df.observe(Observation, agg...)` — the
+    metric is computed JVM-side during the SAME action that processes
+    the data (zero extra pass, zero Python), exactly how the
+    reference's metric child rides the pipeline. Read the value after
+    an action with `get_metric(name)`.
+
+    counter    → count of messages seen
+    counter_by → sum of the evaluated value
+    gauge      → last evaluated value (max here: deterministic in a
+                 set-based plan, matching the reference's use of gauge
+                 for high-watermarks)
+    timing     → avg of the evaluated value
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if mtype == "counter":
+        agg = F.count(F.lit(1)).alias(name)
+    elif mtype == "counter_by":
+        agg = F.sum(value).alias(name)
+    elif mtype == "gauge":
+        agg = F.max(value).alias(name)
+    elif mtype == "timing":
+        agg = F.avg(value).alias(name)
+    else:
+        raise ValueError(
+            f"metric type must be counter|counter_by|gauge|timing, got {mtype!r}"
+        )
+    obs = Observation()
+    _OBSERVATIONS[name] = obs
+    return df.observe(obs, agg)
+
+
+def get_metric(name: str):
+    """Value of an observed metric; blocks until the observing action
+    completes. KeyError if no metric of that name was registered."""
+    obs = _OBSERVATIONS[name]
+    return obs.get[name]
+
+
+def clear_metrics() -> None:
+    _OBSERVATIONS.clear()

@@ -552,6 +552,19 @@ def _p_noop(df: DataFrame, conf: Any) -> DataFrame:
     return df
 
 
+@processor("metric")
+def _p_metric(df: DataFrame, conf: Any) -> DataFrame:
+    """metric.adoc:26 — custom metrics from message values, computed
+    JVM-side via df.observe during the pipeline's own action (see
+    observability.metric_observe); read with get_metric(name)."""
+    from connect_spark.observability import metric_observe
+
+    value = (
+        compile_expression(conf["value"]) if conf.get("value") else None
+    )
+    return metric_observe(df, conf["name"], conf["type"], value)
+
+
 @processor("log")
 def _p_log(df: DataFrame, conf: Any) -> DataFrame:
     """log.adoc:26 — observability is a plan no-op here (Spark
