@@ -343,3 +343,44 @@ def _bloblang_eval(c: Column, mapping: Any) -> Column:
 
 method("catch")(lambda c, fallback: F.coalesce(c, _lit(fallback)))
 method("or")(lambda c, fallback: F.coalesce(c, _lit(fallback)))
+
+
+# --- AES encryption methods (methods.adoc:3827-3896) ----------------
+
+
+def _aes_method(mode: str):
+    from pyspark.sql.functions import pandas_udf
+
+    def impl(c: Column, scheme, key, iv) -> Column:
+        from connect_spark.functions import aes as _aes
+
+        if not isinstance(scheme, str):
+            raise ValueError("encrypt_aes/decrypt_aes scheme must be a literal")
+        fn = _aes.encrypt_aes if mode == "enc" else _aes.decrypt_aes
+
+        @pandas_udf("binary")
+        def run(data: pd.Series, k: pd.Series, v: pd.Series) -> pd.Series:
+            def one(d, kk, vv):
+                if d is None or kk is None or vv is None:
+                    return None
+                if isinstance(d, str):
+                    d = d.encode()
+                if isinstance(kk, str):
+                    kk = kk.encode()
+                if isinstance(vv, str):
+                    vv = vv.encode()
+                return fn(bytes(d), scheme, bytes(kk), bytes(vv))
+
+            return pd.Series(
+                [one(d, kk, vv) for d, kk, vv in zip(data, k, v)]
+            )
+
+        kcol = key if isinstance(key, Column) else F.lit(key)
+        vcol = iv if isinstance(iv, Column) else F.lit(iv)
+        return run(c, kcol, vcol)
+
+    return impl
+
+
+method("encrypt_aes")(_aes_method("enc"))
+method("decrypt_aes")(_aes_method("dec"))
