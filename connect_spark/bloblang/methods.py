@@ -207,18 +207,83 @@ def _decode(c: Column, codec: str) -> Column:
 
 
 @method("hash")
-def _hash(c: Column, algo: str) -> Column:
+def _hash(c: Column, algo: str, key=None, polynomial: str = "IEEE") -> Column:
+    """methods.adoc hash: md5/sha1/sha256/sha512/sha3_256/sha3_512/
+    xxhash64/crc32 (IEEE, Castagnoli, Koopman polynomials)/fnv32/
+    hmac_sha1/hmac_sha256/hmac_sha512 (key as 2nd arg). JVM builtins
+    where Spark has them, Arrow-batched hashlib/hmac otherwise; all
+    digests return lowercase hex (the repo's hash convention)."""
     algo = algo.lower()
     if algo == "md5":
         return F.md5(c.cast("binary"))
+    if algo in ("sha1", "sha-1"):
+        return F.sha1(c.cast("binary"))
     if algo in ("sha256", "sha-256"):
         return F.sha2(c.cast("binary"), 256)
     if algo in ("sha512", "sha-512"):
         return F.sha2(c.cast("binary"), 512)
     if algo == "xxhash64":
         return F.xxhash64(c)
-    if algo == "crc32":
+    if algo == "crc32" and polynomial.upper() == "IEEE":
         return F.crc32(c.cast("binary"))
+    if algo in ("sha3_256", "sha3_512", "fnv32", "crc32") or algo.startswith(
+        "hmac_"
+    ):
+        from pyspark.sql.functions import pandas_udf
+
+        kcol = (
+            key
+            if isinstance(key, Column)
+            else F.lit(key if key is not None else "")
+        ).cast("binary")
+
+        @pandas_udf("string")
+        def run(data: pd.Series, k: pd.Series) -> pd.Series:
+            import hashlib as _hl
+            import hmac as _hm
+
+            def crc_poly(poly_rev: int, d: bytes) -> int:
+                crc = 0xFFFFFFFF
+                for byte in d:
+                    crc ^= byte
+                    for _ in range(8):
+                        crc = (crc >> 1) ^ (
+                            poly_rev if crc & 1 else 0
+                        )
+                return crc ^ 0xFFFFFFFF
+
+            def one(d, kk):
+                if d is None:
+                    return None
+                if isinstance(d, str):
+                    d = d.encode()
+                d = bytes(d)
+                if algo == "sha3_256":
+                    return _hl.sha3_256(d).hexdigest()
+                if algo == "sha3_512":
+                    return _hl.sha3_512(d).hexdigest()
+                if algo == "fnv32":
+                    # FNV-1a 32-bit (public domain spec)
+                    h = 0x811C9DC5
+                    for byte in d:
+                        h = ((h ^ byte) * 0x01000193) & 0xFFFFFFFF
+                    return f"{h:08x}"
+                if algo == "crc32":
+                    rev = {
+                        "CASTAGNOLI": 0x82F63B78,
+                        "KOOPMAN": 0xEB31D82E,
+                    }[polynomial.upper()]
+                    return f"{crc_poly(rev, d):08x}"
+                digest = {
+                    "hmac_sha1": _hl.sha1,
+                    "hmac_sha256": _hl.sha256,
+                    "hmac_sha512": _hl.sha512,
+                }[algo]
+                return _hm.new(bytes(kk or b""), d, digest).hexdigest()
+
+            return pd.Series([one(d, kk) for d, kk in zip(data, k)])
+
+        return run(c, kcol)
     raise ValueError(f"unsupported hash algorithm {algo!r}")
 
 

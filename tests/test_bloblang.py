@@ -413,3 +413,28 @@ root = this.apply("sum_tree")
 """
     tree = {"v": 1, "kids": [{"v": 2, "kids": []}, {"v": 3, "kids": [{"v": 4, "kids": []}]}]}
     assert eval_mapping_value(src, tree) == 10
+
+
+def test_hash_algorithm_matrix(spark):
+    """hash() per methods.adoc: docs' own example values pinned."""
+    from connect_spark.bloblang.compiler import compile_mapping
+
+    df = spark.createDataFrame([("hello world",)], ["value"])
+    src = """
+root.h1 = this.value.hash("sha1")
+root.h2 = this.value.hash("hmac_sha1", "static-key")
+root.c1 = this.value.hash("crc32", "", "Castagnoli")
+root.c2 = this.value.hash("crc32", "", "Koopman")
+root.f = this.value.hash("fnv32")
+root.s3 = this.value.hash("sha3_256")
+"""
+    row = compile_mapping(df, src).collect()[0]
+    # methods.adoc:3920-3934 example outputs
+    assert row["h1"] == "2aae6c35c94fcfb415dbe95f408b9ce91ee846ed"
+    assert row["h2"] == "d87e5f068fa08fe90bb95bc7c8344cb809179d76"
+    assert row["c1"] == "c99465aa"
+    assert row["c2"] == "df373d3c"
+    # FNV-1a("hello world") well-known value
+    assert row["f"] == "d58b3fa7"
+    import hashlib
+    assert row["s3"] == hashlib.sha3_256(b"hello world").hexdigest()
