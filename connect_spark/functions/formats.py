@@ -28,17 +28,40 @@ from pyspark.sql.functions import pandas_udf
 
 _CODECS = {
     "gzip": ("gzip", "compress", "decompress"),
+    "pgzip": ("gzip", "compress", "decompress"),  # parallel gzip ==
+    # the gzip format (compress.adoc lists it as a speed variant)
     "zlib": ("zlib", "compress", "decompress"),
     "bz2": ("bz2", "compress", "decompress"),
     "lzma": ("lzma", "compress", "decompress"),
 }
 
 
+def _codec_fns(codec: str, direction: str):
+    """Resolve (callable) for codecs beyond the stdlib-module table:
+    flate = raw DEFLATE (zlib with no header, compress.adoc), snappy =
+    pure-Python block codec (functions/snappy_codec.py)."""
+    if codec == "flate":
+        import zlib as _z
+
+        if direction == "compress":
+            def _flate_c(b: bytes) -> bytes:
+                obj = _z.compressobj(wbits=-15)
+                return obj.compress(b) + obj.flush()
+
+            return _flate_c
+        return lambda b: _z.decompress(b, wbits=-15)
+    if codec == "snappy":
+        from connect_spark.functions import snappy_codec as _sn
+
+        return _sn.compress if direction == "compress" else _sn.decompress
+    mod_name, comp, decomp = _CODECS[codec]
+    mod = __import__(mod_name)
+    return getattr(mod, comp if direction == "compress" else decomp)
+
+
 def compress_udf(codec: str = "gzip"):
     """Arrow-batched bytes→bytes compression column function."""
-    mod_name, comp, _ = _CODECS[codec]
-    mod = __import__(mod_name)
-    fn = getattr(mod, comp)
+    fn = _codec_fns(codec, "compress")
 
     @pandas_udf("binary")
     def _compress(s: pd.Series) -> pd.Series:
@@ -48,9 +71,7 @@ def compress_udf(codec: str = "gzip"):
 
 
 def decompress_udf(codec: str = "gzip"):
-    mod_name, _, decomp = _CODECS[codec]
-    mod = __import__(mod_name)
-    fn = getattr(mod, decomp)
+    fn = _codec_fns(codec, "decompress")
 
     @pandas_udf("binary")
     def _decompress(s: pd.Series) -> pd.Series:
