@@ -220,11 +220,29 @@ def _p_unarchive(df: DataFrame, conf: Any) -> DataFrame:
 
 @processor("split")
 def _p_split(df: DataFrame, conf: Any) -> DataFrame:
-    """split.adoc:26 — re-chunk 'batches': in a distributed plan batch
-    size == partition size, so this is a repartition (count-based) —
-    the micro-batch sizing knob for downstream sinks."""
-    n = int(conf.get("count", 1)) if isinstance(conf, dict) else int(conf)
-    return df.repartition(max(1, n))
+    """split.adoc:26 — re-chunk batches to at most `count` messages or
+    `byte_size` bytes each. Batch == partition in this engine, so the
+    target partition count derives from the actual row/byte total (one
+    cheap agg — split is a sink-side sizing knob, the plan runs anyway)
+    and the data is round-robin repartitioned to that many chunks."""
+    if not isinstance(conf, dict):
+        conf = {"count": int(conf)}
+    count = int(conf.get("count", 0))
+    byte_size = int(conf.get("byte_size", 0))
+    if count <= 0 and byte_size <= 0:
+        raise PipelineConfigError("split needs count or byte_size")
+    if byte_size > 0:
+        size_expr = conf.get("size", None)
+        sz = (
+            compile_expression(size_expr)
+            if size_expr
+            else F.length(F.to_json(F.struct(*df.columns)))
+        )
+        total = df.agg(F.sum(sz).alias("b")).collect()[0]["b"] or 0
+        parts = max(1, -(-int(total) // byte_size))
+    else:
+        parts = max(1, -(-df.count() // count))
+    return df.repartition(parts)
 
 
 @processor("insert_part")

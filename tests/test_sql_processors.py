@@ -62,3 +62,46 @@ def test_sql_insert_appends_and_passes_through(spark, sf_dir, tmp_path):
     # append mode: run again, table doubles
     build_pipeline(spark, config).dataframe().count()
     assert spark.read.parquet(path).count() == 10
+
+
+# --- split (split.adoc count/byte_size) -----------------------------
+
+def test_split_count_partitions(spark, sf_dir):
+    config = {
+        "input": {"table": {"sf_dir": sf_dir, "name": "nation"}},
+        "pipeline": {"processors": [{"split": {"count": 10}}]},
+    }
+    df = build_pipeline(spark, config).dataframe()
+    # 25 nations at <=10 per batch -> 3 partitions
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 25
+
+
+def test_split_byte_size_partitions(spark, sf_dir):
+    config = {
+        "input": {"table": {"sf_dir": sf_dir, "name": "region"}},
+        "pipeline": {"processors": [
+            {"split": {"byte_size": 60, "size": "this.r_name.length()"}},
+        ]},
+    }
+    df = build_pipeline(spark, config).dataframe()
+    # total name bytes ~= 34 -> 1 partition; shrink budget -> more
+    assert df.rdd.getNumPartitions() == 1
+    config["pipeline"]["processors"] = [
+        {"split": {"byte_size": 10, "size": "this.r_name.length()"}},
+    ]
+    df2 = build_pipeline(spark, config).dataframe()
+    assert df2.rdd.getNumPartitions() == 4  # ceil(34/10)
+
+
+def test_split_requires_a_trigger(spark, sf_dir):
+    import pytest
+
+    from connect_spark.plans.pipeline import PipelineConfigError
+
+    config = {
+        "input": {"table": {"sf_dir": sf_dir, "name": "region"}},
+        "pipeline": {"processors": [{"split": {}}]},
+    }
+    with pytest.raises(PipelineConfigError):
+        build_pipeline(spark, config).dataframe()
