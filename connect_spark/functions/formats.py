@@ -54,6 +54,10 @@ def _codec_fns(codec: str, direction: str):
         from connect_spark.functions import snappy_codec as _sn
 
         return _sn.compress if direction == "compress" else _sn.decompress
+    if codec == "lz4":
+        from connect_spark.functions import lz4_codec as _lz
+
+        return _lz.compress if direction == "compress" else _lz.decompress
     mod_name, comp, decomp = _CODECS[codec]
     mod = __import__(mod_name)
     return getattr(mod, comp if direction == "compress" else decomp)
