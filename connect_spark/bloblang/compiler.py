@@ -282,6 +282,13 @@ class Compiler:
                 return self.col(node.body, inner)
 
             return fn
+        if isinstance(node, A.ArrayLit) and all(
+            isinstance(i, A.Lit) for i in node.items
+        ):
+            # all-literal array args arrive as plain Python lists so
+            # methods like replace_many can iterate them; methods that
+            # want a Column lift with _lit (F.lit accepts lists)
+            return [i.value for i in node.items]
         return self.eval(node, scope)
 
     def _binary(self, node: A.Binary, scope: dict[str, Column]) -> Column:

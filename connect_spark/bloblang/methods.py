@@ -449,3 +449,291 @@ def _aes_method(mode: str):
 
 method("encrypt_aes")(_aes_method("enc"))
 method("decrypt_aes")(_aes_method("dec"))
+
+
+# --- trig / bitwise / sized-int coercions (methods.adoc number and
+# coercion categories) ----------------------------------------------
+
+method("cos")(lambda c: F.cos(c))
+method("sin")(lambda c: F.sin(c))
+method("tan")(lambda c: F.tan(c))
+method("bitwise_and")(lambda c, x: c.cast("long").bitwiseAND(_lit(x).cast("long")))
+method("bitwise_or")(lambda c, x: c.cast("long").bitwiseOR(_lit(x).cast("long")))
+method("bitwise_xor")(lambda c, x: c.cast("long").bitwiseXOR(_lit(x).cast("long")))
+method("float32")(lambda c: c.cast("float"))
+method("int8")(lambda c: c.cast("tinyint"))
+method("int16")(lambda c: c.cast("smallint"))
+
+
+def _uint(c: Column, bits: int) -> Column:
+    # unsigned wraparound semantics on a 64-bit signed carrier
+    mask = (1 << bits) - 1
+    return c.cast("long").bitwiseAND(F.lit(mask))
+
+
+method("uint8")(lambda c: _uint(c, 8))
+method("uint16")(lambda c: _uint(c, 16))
+method("uint32")(lambda c: _uint(c, 32))
+method("uint64")(lambda c: c.cast("long"))  # carrier-limited; documented
+
+
+# --- string replace / html / url-path escapes -----------------------
+
+method("replace")(lambda c, old, new: F.replace(c, _lit(old), _lit(new)))
+
+
+@method("replace_many")
+def _replace_many(c: Column, pairs) -> Column:
+    """methods.adoc replace_many / replace_all_many: flat
+    [old1, new1, old2, new2, ...] applied in order."""
+    if isinstance(pairs, Column):
+        raise ValueError("replace_many needs a literal pair array")
+    vals = list(pairs)
+    for old, new in zip(vals[::2], vals[1::2]):
+        c = F.replace(c, _lit(old), _lit(new))
+    return c
+
+
+METHODS["replace_all_many"] = METHODS["replace_many"]
+
+_HTML_PAIRS = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+               ('"', "&#34;"), ("'", "&#39;")]
+
+
+@method("escape_html")
+def _escape_html(c: Column) -> Column:
+    for old, new in _HTML_PAIRS:
+        c = F.replace(c, F.lit(old), F.lit(new))
+    return c
+
+
+@method("unescape_html")
+def _unescape_html(c: Column) -> Column:
+    for old, new in reversed(_HTML_PAIRS):
+        c = F.replace(c, F.lit(new), F.lit(old))
+    return c
+
+
+# path escaping = query escaping that keeps '/' and spaces as %20
+method("escape_url_path")(
+    lambda c: F.replace(
+        F.replace(F.url_encode(c), F.lit("+"), F.lit("%20")),
+        F.lit("%2F"), F.lit("/"),
+    )
+)
+method("unescape_url_path")(lambda c: F.url_decode(c))
+
+
+# --- map/object helpers ---------------------------------------------
+
+method("exists")(lambda c, k: F.map_contains_key(c, _lit(k)))
+method("key_values")(
+    lambda c: F.transform(
+        F.map_entries(c),
+        lambda e: F.struct(
+            e.getField("key").alias("key"), e.getField("value").alias("value")
+        ),
+    )
+)
+method("map_each_key")(lambda c, fn: F.transform_keys(c, lambda k, v: fn(k)))
+method("merge")(lambda c, other: F.map_concat(c, other))
+method("squash")(
+    lambda c: F.aggregate(
+        c,
+        F.map_from_arrays(F.array(), F.array()).cast(
+            "map<string,string>"
+        ),
+        lambda acc, m: F.map_concat(
+            F.map_filter(acc, lambda k, _v: ~F.map_contains_key(m, k)), m
+        ),
+    )
+)
+
+
+@method("not_empty")
+def _not_empty(c: Column) -> Column:
+    return F.when(F.length(c.cast("string")) > 0, c).otherwise(
+        F.raise_error(F.lit("not_empty: value is empty"))
+    )
+
+
+# --- array search / sort_by -----------------------------------------
+
+method("find")(
+    lambda c, v: F.when(
+        F.array_position(c, _lit(v)) > 0, F.array_position(c, _lit(v)) - 1
+    ).otherwise(F.lit(-1))
+)
+method("find_by")(
+    lambda c, fn: F.element_at(F.filter(c, fn), 1)
+)
+method("find_all")(
+    lambda c, v: F.filter(
+        F.transform(c, lambda x, i: F.when(x == _lit(v), i).otherwise(F.lit(-1))),
+        lambda i: i >= 0,
+    )
+)
+method("find_all_by")(lambda c, fn: F.filter(c, fn))
+method("sort_by")(
+    lambda c, fn: F.array_sort(
+        c,
+        lambda a, b: F.when(fn(a) < fn(b), F.lit(-1))
+        .when(fn(a) > fn(b), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+)
+
+
+# --- timestamp aliases + extensions ---------------------------------
+
+METHODS["format_timestamp"] = METHODS["ts_format"]
+METHODS["parse_timestamp"] = METHODS["ts_parse"]
+METHODS["format_timestamp_unix"] = METHODS["ts_unix"]
+METHODS["format_timestamp_unix_milli"] = METHODS["ts_unix_milli"]
+METHODS["format_timestamp_unix_micro"] = METHODS["ts_unix_micro"]
+method("ts_unix_nano")(
+    lambda c: F.unix_micros(c.cast("timestamp")) * 1000
+)
+METHODS["format_timestamp_unix_nano"] = METHODS["ts_unix_nano"]
+method("ts_tz")(
+    lambda c, tz: F.convert_timezone(
+        F.lit("UTC"), _lit(tz), c.cast("timestamp_ntz")
+    )
+)
+
+_STRF_TO_SPARK = [
+    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+    ("%M", "mm"), ("%S", "ss"), ("%y", "yy"), ("%j", "DDD"),
+    ("%b", "MMM"), ("%B", "MMMM"), ("%a", "EEE"), ("%A", "EEEE"),
+    ("%p", "a"), ("%z", "xx"), ("%%", "%"),
+]
+
+
+def _strf(fmt: str) -> str:
+    for old, new in _STRF_TO_SPARK:
+        fmt = fmt.replace(old, new)
+    return fmt
+
+
+method("ts_strftime")(
+    lambda c, fmt: F.date_format(c.cast("timestamp"), _strf(fmt))
+)
+METHODS["format_timestamp_strftime"] = METHODS["ts_strftime"]
+method("ts_strptime")(
+    lambda c, fmt: F.to_timestamp(c, _strf(fmt))
+)
+METHODS["parse_timestamp_strptime"] = METHODS["ts_strptime"]
+
+
+def _iso8601_interval(dur: str) -> Column:
+    """ISO-8601 duration (P1DT2H3M4S subset) → Spark interval."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(-)?P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+        dur,
+    )
+    if not m:
+        raise ValueError(f"unparseable ISO-8601 duration {dur!r}")
+    sign = -1 if m.group(1) else 1
+    days = int(m.group(2) or 0)
+    hours = int(m.group(3) or 0)
+    mins = int(m.group(4) or 0)
+    secs = float(m.group(5) or 0)
+    return F.expr(
+        f"make_dt_interval({sign * days}, {sign * hours}, "
+        f"{sign * mins}, {sign * secs})"
+    )
+
+
+method("ts_add_iso8601")(
+    lambda c, dur: c.cast("timestamp") + _iso8601_interval(dur)
+)
+method("ts_sub_iso8601")(
+    lambda c, dur: c.cast("timestamp") - _iso8601_interval(dur)
+)
+
+
+# --- jwt method family (functions/jwt_hs.py machinery) --------------
+
+
+def _jwt_methods() -> None:
+    from connect_spark.functions import jwt_hs as J
+
+    for alg_bits in ("256", "384", "512"):
+        hs = f"HS{alg_bits}"
+        method(f"sign_jwt_hs{alg_bits}")(
+            lambda c, secret, _a=hs: J.sign_jwt_hs(c, secret, _a)
+        )
+        method(f"parse_jwt_hs{alg_bits}")(
+            lambda c, secret, _a=hs: J.parse_jwt_hs(c, secret, _a)
+        )
+        rs = f"RS{alg_bits}"
+        method(f"sign_jwt_rs{alg_bits}")(
+            lambda c, key, _a=rs: J.sign_jwt_rs(c, key, _a)
+        )
+        method(f"parse_jwt_rs{alg_bits}")(
+            lambda c, key, _a=rs: J.parse_jwt_rs(c, key, _a)
+        )
+        es = f"ES{alg_bits}"
+        method(f"sign_jwt_es{alg_bits}")(
+            lambda c, key, _a=es: J.sign_jwt_es(c, key, _a)
+        )
+        method(f"parse_jwt_es{alg_bits}")(
+            lambda c, key, _a=es: J.parse_jwt_es(c, key, _a)
+        )
+
+
+_jwt_methods()
+
+
+# --- parse_form_url_encoded / format_yaml ---------------------------
+
+
+@method("parse_form_url_encoded")
+def _parse_form(c: Column) -> Column:
+    """methods.adoc parse_form_url_encoded → JSON string (single
+    values unwrapped, repeats as arrays, Go url.ParseQuery shape)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(s: pd.Series) -> pd.Series:
+        import json as _json
+        from urllib.parse import parse_qs
+
+        def one(v):
+            if v is None:
+                return None
+            q = parse_qs(v, keep_blank_values=True)
+            return _json.dumps(
+                {
+                    k: vals[0] if len(vals) == 1 else vals
+                    for k, vals in sorted(q.items())
+                },
+                separators=(",", ":"),
+            )
+
+        return s.map(one)
+
+    return _run(c.cast("string"))
+
+
+@method("format_yaml")
+def _format_yaml(c: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        import yaml as _yaml
+
+        return s.map(
+            lambda v: None
+            if v is None
+            else _yaml.safe_dump(
+                _json.loads(v), default_flow_style=False, sort_keys=True
+            )
+        )
+
+    return _run(c.cast("string"))

@@ -43,6 +43,8 @@ def _prepare_session(spark: SparkSession) -> None:
     self-contained."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # map merge semantics: right side wins (Bloblang merge/squash)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     _ship_package(spark)
 
 

@@ -1,0 +1,152 @@
+"""Round-3 method batch: trig/bitwise/sized ints, replace family, html
+and url-path escapes, map helpers, array search/sort_by, timestamp
+aliases + ISO-8601 / strftime, jwt method family, forms and yaml."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from connect_spark.bloblang.compiler import compile_mapping
+
+
+def _one(spark, src, data=None, cols=None):
+    df = spark.createDataFrame(data or [(1,)], cols or ["x"])
+    return compile_mapping(df, src).collect()[0]
+
+
+def test_trig_bitwise_ints(spark):
+    row = _one(spark, """
+root.c = (0.0).cos()
+root.band = (12).bitwise_and(10)
+root.bor = (12).bitwise_or(3)
+root.bxor = (12).bitwise_xor(10)
+root.u8 = (300).uint8()
+root.i8 = (127).int8()
+root.f32 = (1.5).float32()
+""")
+    assert row["c"] == 1.0 and row["band"] == 8 and row["bor"] == 15
+    assert row["bxor"] == 6 and row["u8"] == 44 and row["i8"] == 127
+    assert row["f32"] == 1.5
+
+
+def test_replace_family_and_escapes(spark):
+    row = _one(spark, '''
+root.r = "a-b-c".replace("-", "+")
+root.m = "a-b_c".replace_many(["-", "+", "_", "="])
+root.eh = "<a href='x'>& more</a>".escape_html()
+root.uh = "&lt;p&gt;&amp;".unescape_html()
+root.ep = "a b/c?d".escape_url_path()
+root.up = "a%20b/c".unescape_url_path()
+''')
+    assert row["r"] == "a+b+c"
+    assert row["m"] == "a+b=c"
+    assert row["eh"] == "&lt;a href=&#39;x&#39;&gt;&amp; more&lt;/a&gt;"
+    assert row["uh"] == "<p>&"
+    assert row["ep"] == "a%20b/c%3Fd"
+    assert row["up"] == "a b/c"
+
+
+def test_map_helpers(spark):
+    df = spark.createDataFrame([(1,)], ["x"]).select(
+        "x",
+        F.create_map(F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2")).alias("m"),
+        F.create_map(F.lit("b"), F.lit("9"), F.lit("c"), F.lit("3")).alias("m2"),
+    )
+    src = """
+root.ex = this.m.exists("a")
+root.nex = this.m.exists("z")
+root.kv = this.m.key_values()
+root.up = this.m.map_each_key(k -> k.uppercase())
+root.mg = this.m.merge(this.m2)
+"""
+    row = compile_mapping(df, src).collect()[0]
+    assert row["ex"] is True and row["nex"] is False
+    assert sorted((e["key"], e["value"]) for e in row["kv"]) == [
+        ("a", "1"), ("b", "2")
+    ]
+    assert dict(row["up"]) == {"A": "1", "B": "2"}
+    merged = dict(row["mg"])
+    assert merged["b"] == "9" and merged["a"] == "1" and merged["c"] == "3"
+
+
+def test_squash(spark):
+    df = spark.createDataFrame([(1,)], ["x"]).select(
+        F.array(
+            F.create_map(F.lit("a"), F.lit("1")),
+            F.create_map(F.lit("a"), F.lit("7"), F.lit("b"), F.lit("2")),
+        ).alias("arr")
+    )
+    row = compile_mapping(df, "root.s = this.arr.squash()").collect()[0]
+    assert dict(row["s"]) == {"a": "7", "b": "2"}  # later wins
+
+
+def test_array_search_and_sort_by(spark):
+    row = _one(spark, """
+root.f = [3, 5, 7, 5].find(5)
+root.nf = [3].find(9)
+root.fa = [3, 5, 7, 5].find_all(5)
+root.fb = [3, 5, 7].find_by(v -> v > 4)
+root.fab = [3, 5, 7].find_all_by(v -> v > 4)
+root.sb = ["bbb", "a", "cc"].sort_by(s -> s.length())
+""")
+    assert row["f"] == 1 and row["nf"] == -1
+    assert row["fa"] == [1, 3]
+    assert row["fb"] == 5 and row["fab"] == [5, 7]
+    assert row["sb"] == ["a", "cc", "bbb"]
+
+
+def test_not_empty(spark):
+    assert _one(spark, 'root.v = "x".not_empty()')["v"] == "x"
+    with pytest.raises(Exception, match="not_empty"):
+        _one(spark, 'root.v = "".not_empty()')
+
+
+def test_timestamp_aliases_and_extensions(spark):
+    df = spark.createDataFrame([("2024-03-01 12:30:45",)], ["t"])
+    src = """
+root.nano = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_unix_nano()
+root.tz = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_tz("America/New_York").string()
+root.plus = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_add_iso8601("PT2H30M").string()
+root.minus = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_sub_iso8601("P1D").string()
+root.sf = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_strftime("%Y/%m/%d %H:%M")
+root.sp = "2024-03-01 07:00:00".ts_strptime("%Y-%m-%d %H:%M:%S").ts_unix()
+"""
+    row = compile_mapping(df, src).collect()[0]
+    assert row["nano"] == 1709296245 * 1_000_000_000
+    assert row["tz"].startswith("2024-03-01 07:30:45")
+    assert row["plus"].startswith("2024-03-01 15:00:45")
+    assert row["minus"].startswith("2024-02-29 12:30:45")
+    assert row["sf"] == "2024/03/01 12:30"
+    assert row["sp"] == 1709276400
+
+
+def test_jwt_method_family(spark):
+    df = spark.createDataFrame([('{"sub":"alice","n":7}',)], ["claims"])
+    src = """
+root.tok = this.claims.sign_jwt_hs384("top-secret")
+"""
+    tok = compile_mapping(df, src).collect()[0]["tok"]
+    assert tok.count(".") == 2
+    back = compile_mapping(
+        spark.createDataFrame([(tok,)], ["tok"]),
+        'root.claims = this.tok.parse_jwt_hs384("top-secret")',
+    ).collect()[0]["claims"]
+    assert json.loads(back) == {"sub": "alice", "n": 7}
+    # wrong key -> null (error contract)
+    bad = compile_mapping(
+        spark.createDataFrame([(tok,)], ["tok"]),
+        'root.claims = this.tok.parse_jwt_hs384("wrong")',
+    ).collect()[0]["claims"]
+    assert bad is None
+
+
+def test_parse_form_and_format_yaml(spark):
+    row = _one(spark, '''
+root.form = "a=1&b=x%20y&a=2&empty=".parse_form_url_encoded()
+root.yaml = "{\\"b\\": 2, \\"a\\": [1, 2]}".format_yaml()
+''')
+    assert json.loads(row["form"]) == {"a": ["1", "2"], "b": "x y", "empty": ""}
+    assert row["yaml"] == "a:\n- 1\n- 2\nb: 2\n"
