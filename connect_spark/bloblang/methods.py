@@ -737,3 +737,272 @@ def _format_yaml(c: Column) -> Column:
         )
 
     return _run(c.cast("string"))
+
+
+# --- more parsing / codec method forms ------------------------------
+
+method("array")(lambda c: F.array(c))
+METHODS["assign"] = METHODS["merge"]
+
+
+@method("compress")
+def _m_compress(c: Column, algorithm: str = "gzip") -> Column:
+    from connect_spark.functions.formats import compress_udf
+
+    return compress_udf(algorithm)(c.cast("binary"))
+
+
+@method("decompress")
+def _m_decompress(c: Column, algorithm: str = "gzip") -> Column:
+    from connect_spark.functions.formats import decompress_udf
+
+    return decompress_udf(algorithm)(c.cast("binary"))
+
+
+@method("parse_msgpack")
+def _m_parse_msgpack(c: Column, schema: str) -> Column:
+    """methods.adoc parse_msgpack; schema-ful here (DataFrame engine) —
+    pass the struct DDL the bytes decode into."""
+    from connect_spark.functions.msgpack_codec import msgpack_decode
+
+    return msgpack_decode(c.cast("binary"), schema)
+
+
+@method("format_msgpack")
+def _m_format_msgpack(c: Column) -> Column:
+    """Inverse: a JSON-string column (use .format_json() on structured
+    values first) → msgpack bytes."""
+    from connect_spark.functions.msgpack_codec import msgpack_encode_udf
+
+    return msgpack_encode_udf()(c.cast("string"))
+
+
+method("parse_xml")(lambda c, schema: F.from_xml(c, _lit(schema)))
+method("format_xml")(lambda c: F.to_xml(c))
+
+
+@method("parse_duration_iso8601")
+def _m_parse_duration_iso(c: Column) -> Column:
+    """ISO-8601 duration string → integer nanoseconds (methods.adoc
+    parse_duration_iso8601). Pure Column regexp arithmetic."""
+    def part(pat: str) -> Column:
+        return F.coalesce(
+            F.regexp_extract(c, pat, 1).try_cast("double"), F.lit(0.0)
+        )
+
+    days = part(r"P(?:(\d+)D)?")
+    hours = part(r"T(?:(\d+)H)")
+    mins = part(r"T(?:\d+H)?(?:(\d+)M)")
+    secs = part(r"(\d+(?:\.\d+)?)S")
+    total = (
+        days * 86400.0 + hours * 3600.0 + mins * 60.0 + secs
+    ) * F.when(c.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (total * 1e9).cast("bigint")
+
+
+@method("parse_parquet")
+def _m_parse_parquet(c: Column) -> Column:
+    """methods.adoc parse_parquet: a parquet-file byte column → array
+    of row-JSON strings (explode downstream for one message per row).
+    pyarrow decodes each blob inside one Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _run(s: pd.Series) -> pd.Series:
+        import io
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        def one(b):
+            if b is None:
+                return None
+            table = pq.read_table(io.BytesIO(bytes(b)))
+            return [
+                _json.dumps(
+                    {k: v for k, v in row.items()},
+                    separators=(",", ":"),
+                    default=str,
+                )
+                for row in table.to_pylist()
+            ]
+
+        return s.map(one)
+
+    return _run(c.cast("binary"))
+
+
+@method("re_find_all_submatch")
+def _m_re_submatch(c: Column, pattern: str) -> Column:
+    """All matches, each as [full, group1, ...] (methods.adoc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<array<string>>")
+    def _run(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        rx = _re.compile(pattern)
+
+        def one(v):
+            if v is None:
+                return None
+            return [
+                [m.group(0), *m.groups("")]
+                for m in rx.finditer(v)
+            ]
+
+        return s.map(one)
+
+    return _run(c.cast("string"))
+
+
+@method("re_find_object")
+def _m_re_find_object(c: Column, pattern: str) -> Column:
+    """First match as a map of named (and numbered) groups."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("map<string,string>")
+    def _run(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        rx = _re.compile(pattern)
+
+        def one(v):
+            if v is None:
+                return None
+            m = rx.search(v)
+            if m is None:
+                return None
+            out = {"0": m.group(0)}
+            for i, g in enumerate(m.groups(""), start=1):
+                out[str(i)] = g
+            out.update({k: v or "" for k, v in m.groupdict().items()})
+            return out
+
+        return s.map(one)
+
+    return _run(c.cast("string"))
+
+
+# --- collapse / regex aliases / geoip method family ------------------
+
+METHODS["re_replace"] = METHODS["re_replace_all"]
+
+
+@method("collapse")
+def _m_collapse(c: Column) -> Column:
+    """methods.adoc collapse: nested object → flat map with
+    dot-separated (and array-indexed) keys. One Arrow batch over the
+    JSON form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("map<string,string>")
+    def _run(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        def walk(prefix, v, out):
+            if isinstance(v, dict):
+                for k, sub in v.items():
+                    walk(f"{prefix}.{k}" if prefix else k, sub, out)
+            elif isinstance(v, list):
+                for i, sub in enumerate(v):
+                    walk(f"{prefix}.{i}", sub, out)
+            else:
+                out[prefix] = (
+                    _json.dumps(v) if not isinstance(v, str) else v
+                )
+
+        def one(v):
+            if v is None:
+                return None
+            out: dict = {}
+            walk("", _json.loads(v), out)
+            return out
+
+        return s.map(one)
+
+    return _run(c.cast("string"))
+
+
+@method("re_find_all_object")
+def _m_re_find_all_object(c: Column, pattern: str) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<map<string,string>>")
+    def _run(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        rx = _re.compile(pattern)
+
+        def one(v):
+            if v is None:
+                return None
+            out = []
+            for m in rx.finditer(v):
+                d = {"0": m.group(0)}
+                for i, g in enumerate(m.groups(""), start=1):
+                    d[str(i)] = g
+                d.update({k: vv or "" for k, vv in m.groupdict().items()})
+                out.append(d)
+            return out
+
+        return s.map(one)
+
+    return _run(c.cast("string"))
+
+
+def _geoip_method(field_path: tuple[str, ...] | None):
+    """methods.adoc geoip_* family: look an IP column up in a MaxMind
+    MMDB (functions/geoip.py pure-Python reader). The reader is opened
+    once per executor worker (cache keyed on path) and the looked-up
+    record — or one field path of it — returns as JSON."""
+    from pyspark.sql.functions import pandas_udf
+
+    def impl(c: Column, mmdb_path: str) -> Column:
+        @pandas_udf("string")
+        def _run(s: pd.Series) -> pd.Series:
+            import json as _json
+
+            from connect_spark.functions.geoip import MmdbReader
+
+            cache = _GEOIP_READERS
+            rdr = cache.get(mmdb_path)
+            if rdr is None:
+                with open(mmdb_path, "rb") as fh:
+                    rdr = cache.setdefault(mmdb_path, MmdbReader(fh.read()))
+
+            def one(ip):
+                if ip is None:
+                    return None
+                try:
+                    rec = rdr.lookup(ip)
+                except Exception:  # noqa: BLE001 - bad IP → null
+                    return None
+                if rec is None:
+                    return None
+                if field_path:
+                    for k in field_path:
+                        if not isinstance(rec, dict) or k not in rec:
+                            return None
+                        rec = rec[k]
+                return rec if isinstance(rec, str) else _json.dumps(
+                    rec, separators=(",", ":"), sort_keys=True
+                )
+
+            return s.map(one)
+
+        return _run(c.cast("string"))
+
+    return impl
+
+
+_GEOIP_READERS: dict[str, object] = {}
+
+method("geoip_city")(_geoip_method(None))
+method("geoip_country")(_geoip_method(("country",)))
+method("geoip_asn")(_geoip_method(None))
+method("geoip_isp")(_geoip_method(None))
+method("geoip_enterprise")(_geoip_method(None))
+method("geoip_domain")(_geoip_method(("domain",)))
+method("geoip_connection_type")(_geoip_method(("connection_type",)))
+method("geoip_anonymous_ip")(_geoip_method(None))

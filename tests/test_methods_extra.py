@@ -150,3 +150,90 @@ root.yaml = "{\\"b\\": 2, \\"a\\": [1, 2]}".format_yaml()
 ''')
     assert json.loads(row["form"]) == {"a": ["1", "2"], "b": "x y", "empty": ""}
     assert row["yaml"] == "a:\n- 1\n- 2\nb: 2\n"
+
+
+def test_codec_method_forms(spark):
+    row = _one(spark, '''
+root.rt = "hello hello hello".compress("snappy").decompress("snappy").string()
+root.dur = "P1DT2H3M4.5S".parse_duration_iso8601()
+root.neg = "-PT30S".parse_duration_iso8601()
+root.arr = (5).array()
+''')
+    assert row["rt"] == "hello hello hello"
+    assert row["dur"] == int((86400 + 7384.5) * 1e9)
+    assert row["neg"] == -30 * 10**9
+    assert row["arr"] == [5]
+
+
+def test_msgpack_method_forms(spark):
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    src = """
+root.back = this.b.format_msgpack().parse_msgpack("b STRING")
+"""
+    # format_msgpack takes JSON strings; wrap the value
+    df2 = df.select(F.to_json(F.struct("b")).alias("b"))
+    row = compile_mapping(df2, src).collect()[0]
+    assert row["back"]["b"] == "x"
+
+
+def test_parse_parquet_method(spark):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"k": [1, 2], "v": ["a", "b"]}), buf)
+    df = spark.createDataFrame([(buf.getvalue(),)], "blob BINARY")
+    row = compile_mapping(df, "root.rows = this.blob.parse_parquet()").collect()[0]
+    assert [json.loads(r) for r in row["rows"]] == [
+        {"k": 1, "v": "a"}, {"k": 2, "v": "b"},
+    ]
+
+
+def test_regex_object_methods(spark):
+    row = _one(spark, '''
+root.sm = "a=1 b=22".re_find_all_submatch("(\\\\w)=(\\\\d+)")
+root.ob = "x=7".re_find_object("(?P<key>\\\\w+)=(?P<val>\\\\d+)")
+''')
+    assert row["sm"] == [["a=1", "a", "1"], ["b=22", "b", "22"]]
+    assert row["ob"]["key"] == "x" and row["ob"]["val"] == "7"
+    assert row["ob"]["0"] == "x=7"
+
+
+def test_xml_method_forms(spark):
+    df = spark.createDataFrame([("<r><a>1</a><b>two</b></r>",)], ["x"])
+    src = 'root.p = this.x.parse_xml("a INT, b STRING")'
+    row = compile_mapping(df, src).collect()[0]
+    assert row["p"]["a"] == 1 and row["p"]["b"] == "two"
+
+
+def test_collapse_and_re_aliases(spark):
+    row = _one(spark, '''
+root.c = "{\\"a\\": {\\"b\\": 1, \\"c\\": [\\"x\\", \\"y\\"]}}".collapse()
+root.rr = "a1b2".re_replace("[0-9]", "#")
+root.ao = "a=1 b=2".re_find_all_object("(?P<k>\\\\w+)=(?P<v>\\\\d)")
+''')
+    assert dict(row["c"]) == {"a.b": "1", "a.c.0": "x", "a.c.1": "y"}
+    assert row["rr"] == "a#b#"
+    assert [dict(d)["k"] for d in row["ao"]] == ["a", "b"]
+
+
+def test_geoip_methods(spark, tmp_path):
+    from connect_spark.functions.geoip import MmdbWriter
+
+    w = MmdbWriter()
+    w.insert("10.0.0.0/8", {"country": "XX", "city": {"name": "Testville"}})
+    path = str(tmp_path / "test.mmdb")
+    with open(path, "wb") as fh:
+        fh.write(w.tobytes())
+    df = spark.createDataFrame([("10.1.2.3",), ("192.168.0.1",)], ["ip"])
+    src = f'''
+root.ip = this.ip
+root.city = this.ip.geoip_city("{path}")
+root.country = this.ip.geoip_country("{path}")
+'''
+    rows = {r["ip"]: r for r in compile_mapping(df, src).collect()}
+    assert json.loads(rows["10.1.2.3"]["city"])["country"] == "XX"
+    assert rows["10.1.2.3"]["country"] == "XX"
+    assert rows["192.168.0.1"]["city"] is None
