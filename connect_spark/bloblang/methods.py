@@ -1006,3 +1006,152 @@ method("geoip_enterprise")(_geoip_method(None))
 method("geoip_domain")(_geoip_method(("domain",)))
 method("geoip_connection_type")(_geoip_method(("connection_type",)))
 method("geoip_anonymous_ip")(_geoip_method(None))
+
+
+# --- explode / diff / patch / vector (methods.adoc) -----------------
+
+method("vector")(
+    # pgvector text form: "[0.1,0.2,...]"
+    lambda c: F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(c, lambda x: x.cast("double").cast("string")), ","
+        ),
+        F.lit("]"),
+    )
+)
+
+
+@method("explode")
+def _m_explode(c: Column, path: str) -> Column:
+    """methods.adoc explode: one JSON document → array of documents,
+    the `path` field's elements distributed with surrounding structure
+    preserved (arrays → element per doc, objects → {key: value} per
+    doc). Feed the result to unarchive/F.explode for row fan-out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _run(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        parts = path.split(".")
+
+        def one(v):
+            if v is None:
+                return None
+            doc = _json.loads(v)
+            parent = doc
+            for p in parts[:-1]:
+                parent = parent[p]
+            target = parent[parts[-1]]
+            out = []
+            if isinstance(target, list):
+                items = target
+            elif isinstance(target, dict):
+                items = [{k: val} for k, val in target.items()]
+            else:
+                raise ValueError(
+                    f"explode target {path!r} is not an array or object"
+                )
+            for item in items:
+                parent[parts[-1]] = item
+                out.append(_json.dumps(doc, separators=(",", ":")))
+            return out
+
+        return s.map(one)
+
+    return _run(c.cast("string"))
+
+
+def _deep_diff(before, after, path):
+    """Changelog entries {Type, Path, From, To} (methods.adoc diff)."""
+    out = []
+    if isinstance(before, dict) and isinstance(after, dict):
+        for k in sorted(set(before) | set(after)):
+            if k not in before:
+                out.append(
+                    {"Type": "create", "Path": path + [k], "From": None,
+                     "To": after[k]}
+                )
+            elif k not in after:
+                out.append(
+                    {"Type": "delete", "Path": path + [k],
+                     "From": before[k], "To": None}
+                )
+            else:
+                out.extend(_deep_diff(before[k], after[k], path + [k]))
+        return out
+    if isinstance(before, list) and isinstance(after, list):
+        for i in range(max(len(before), len(after))):
+            ip = path + [str(i)]
+            if i >= len(before):
+                out.append({"Type": "create", "Path": ip, "From": None,
+                            "To": after[i]})
+            elif i >= len(after):
+                out.append({"Type": "delete", "Path": ip,
+                            "From": before[i], "To": None})
+            else:
+                out.extend(_deep_diff(before[i], after[i], ip))
+        return out
+    if before != after:
+        out.append({"Type": "update", "Path": path, "From": before,
+                    "To": after})
+    return out
+
+
+@method("diff")
+def _m_diff(c: Column, other) -> Column:
+    """Deep changelog between two JSON values → JSON array string."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(a: pd.Series, b: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            return _json.dumps(
+                _deep_diff(_json.loads(x), _json.loads(y), []),
+                separators=(",", ":"),
+            )
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    return _run(c.cast("string"), _lit(other).cast("string"))
+
+
+@method("patch")
+def _m_patch(c: Column, changelog) -> Column:
+    """Apply a diff changelog to a JSON value → JSON string."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(a: pd.Series, b: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(x, log):
+            if x is None or log is None:
+                return None
+            doc = _json.loads(x)
+            for entry in _json.loads(log):
+                parts = entry["Path"]
+                parent = doc
+                for p in parts[:-1]:
+                    p = int(p) if isinstance(parent, list) else p
+                    parent = parent[p]
+                leaf = parts[-1]
+                leaf = int(leaf) if isinstance(parent, list) else leaf
+                if entry["Type"] == "delete":
+                    del parent[leaf]
+                elif entry["Type"] == "create" and isinstance(
+                    parent, list
+                ) and leaf == len(parent):
+                    parent.append(entry["To"])
+                else:
+                    parent[leaf] = entry["To"]
+            return _json.dumps(doc, separators=(",", ":"), sort_keys=True)
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    return _run(c.cast("string"), _lit(changelog).cast("string"))

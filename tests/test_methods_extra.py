@@ -237,3 +237,41 @@ root.country = this.ip.geoip_country("{path}")
     assert json.loads(rows["10.1.2.3"]["city"])["country"] == "XX"
     assert rows["10.1.2.3"]["country"] == "XX"
     assert rows["192.168.0.1"]["city"] is None
+
+
+def test_vector_and_explode(spark):
+    row = _one(spark, '''
+root.v = [0.25, 1.0, 2.5].vector()
+root.e = "{\\"id\\": 1, \\"value\\": [\\"foo\\", \\"bar\\"]}".explode("value")
+root.eo = "{\\"id\\": 1, \\"obj\\": {\\"a\\": 1, \\"b\\": 2}}".explode("obj")
+''')
+    assert row["v"] == "[0.25,1.0,2.5]"
+    assert [json.loads(d) for d in row["e"]] == [
+        {"id": 1, "value": "foo"}, {"id": 1, "value": "bar"},
+    ]
+    assert [json.loads(d) for d in row["eo"]] == [
+        {"id": 1, "obj": {"a": 1}}, {"id": 1, "obj": {"b": 2}},
+    ]
+
+
+def test_diff_patch_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(
+            '{"name":"Alice","age":30,"tags":["x"]}',
+            '{"name":"Alice","age":31,"city":"NYC","tags":["x","y"]}',
+        )],
+        ["before", "after"],
+    )
+    src = """
+root.changes = this.before.diff(this.after)
+root.rebuilt = this.before.patch(this.before.diff(this.after))
+"""
+    row = compile_mapping(df, src).collect()[0]
+    changes = json.loads(row["changes"])
+    # methods.adoc example shape: Type/Path/From/To entries
+    assert {"Type": "update", "Path": ["age"], "From": 30, "To": 31} in changes
+    assert {"Type": "create", "Path": ["city"], "From": None, "To": "NYC"} in changes
+    assert {"Type": "create", "Path": ["tags", "1"], "From": None, "To": "y"} in changes
+    assert json.loads(row["rebuilt"]) == json.loads(
+        '{"age":31,"city":"NYC","name":"Alice","tags":["x","y"]}'
+    )
