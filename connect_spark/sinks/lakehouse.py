@@ -74,3 +74,63 @@ class LakehouseWriter:
         return self.spark.read.option("mergeSchema", "true").parquet(
             self.path
         )
+
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> dict:
+        """Small-file compaction (the Iceberg `rewrite_data_files`
+        maintenance action this sink's parquet analog needs at scale:
+        streaming appends produce a file per micro-batch per partition,
+        and a 100 TB table read slows to a crawl on footer overhead).
+
+        Rewrites the table — per partition directory when partitioned —
+        into ceil(bytes / target_file_bytes) files, atomically
+        (rewrite to a staging dir, then swap). Returns
+        {files_before, files_after, bytes}. No-op below `min_files`.
+        """
+        import os
+        import shutil
+
+        def parquet_files(root: str) -> list[str]:
+            out = []
+            for dirpath, _dirs, files in os.walk(root):
+                out += [
+                    os.path.join(dirpath, f)
+                    for f in files
+                    if f.endswith(".parquet")
+                ]
+            return out
+
+        before = parquet_files(self.path)
+        total = sum(os.path.getsize(f) for f in before)
+        if len(before) < min_files:
+            return {
+                "files_before": len(before),
+                "files_after": len(before),
+                "bytes": total,
+            }
+        n_files = max(1, -(-total // target_file_bytes))
+        staging = self.path.rstrip("/") + "._compact"
+        df = self.read()
+        writer = df.repartition(n_files).write.mode("overwrite")
+        if self.partition_by:
+            # repartition by partition columns so each output file
+            # lands whole in its partition directory
+            df = self.read().repartition(n_files, *self.partition_by)
+            writer = df.write.mode("overwrite").partitionBy(
+                *self.partition_by
+            )
+        writer.parquet(staging)
+        backup = self.path.rstrip("/") + "._old"
+        os.rename(self.path, backup)
+        os.rename(staging, self.path)
+        shutil.rmtree(backup, ignore_errors=True)
+        after = parquet_files(self.path)
+        return {
+            "files_before": len(before),
+            "files_after": len(after),
+            "bytes": total,
+        }

@@ -123,3 +123,33 @@ def test_migrator_checkpoint_resume_exactly_once(spark, tmp_path):
     # exactly-once: every event exactly once despite the restart
     assert out.count() == events.count()
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_lakehouse_compaction(spark, tmp_path):
+    from connect_spark.sinks.lakehouse import LakehouseWriter
+
+    path = str(tmp_path / "table")
+    w = LakehouseWriter(spark, path)
+    # many tiny appends -> many tiny files
+    for i in range(6):
+        w.append(spark.range(i * 10, i * 10 + 10).toDF("n"))
+    import os
+
+    def count_parquet(p):
+        return sum(
+            f.endswith(".parquet")
+            for _d, _s, fs in os.walk(p)
+            for f in fs
+        )
+
+    before = count_parquet(path)
+    assert before >= 6
+    stats = w.compact(target_file_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == before
+    assert stats["files_after"] < before
+    assert w.read().count() == 60
+    # rows survive byte-for-byte
+    assert sorted(r["n"] for r in w.read().collect()) == list(range(60))
+    # idempotent below min_files
+    again = w.compact(target_file_bytes=10 * 1024 * 1024, min_files=99)
+    assert again["files_after"] == stats["files_after"]
