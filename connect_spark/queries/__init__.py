@@ -71,6 +71,9 @@ _DRIVER_PRIORITY: list[str] = [
     "jwt_sign_matrix",
     "batch_policy_events",
     "archive_tar_roundtrip",
+    "multimodal_frames",
+    "join_salted_skew",
+    "branch_enrich_orders",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",

@@ -183,10 +183,73 @@ GROUP BY r.r_name, n.n_name
 """
 
 
+# --- salted skew join + branch enrichment (driver rows) -------------
+
+def join_salted_skew(spark, sf_dir):
+    """Salted/skew join (operators/skew.py): orders (big, potentially
+    hot custkeys) x customer (small) with an 8-way salt — the result
+    must equal the plain equi-join bit-for-bit, which is exactly what
+    the oracle checks. At scale the salt spreads one hot key over 8
+    reducers; AQE's skew splitting is the automatic fallback."""
+    from connect_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(orders, cust, on="o_custkey", salt_factor=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+SALTED_SQL = """
+SELECT c_nationkey,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def branch_enrich_orders(spark, sf_dir):
+    """`branch` processor (branch.adoc:26; operators/branch.py
+    branch_aggregate): request_map projects (o_custkey, o_totalprice),
+    the child pipeline aggregates per customer, result_map merges the
+    enrichment back into every original message — the aggregate side
+    is small and broadcasts back, so the fact table never shuffles."""
+    from connect_spark.operators.branch import branch_aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def child(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cust_order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("cust_total"),
+        )
+
+    out = branch_aggregate(orders, keys=["o_custkey"], agg_fn=child)
+    return out.select(
+        "o_orderkey", "o_custkey", "cust_order_count", "cust_total"
+    )
+
+
+BRANCH_SQL = """
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey) AS cust_order_count,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+         AS cust_total
+FROM orders
+"""
+
+
 QUERIES = [
     QuerySpec("join_sharded_full_outer", join_sharded_full_outer, SHARDED_SQL),
     QuerySpec("join_enrichment_lookup", join_enrichment_lookup, ENRICH_SQL, headline=True),
     QuerySpec("join_semi_big_spenders", join_semi_big_spenders, SEMI_SQL),
     QuerySpec("join_anti_no_orders", join_anti_no_orders, ANTI_SQL),
     QuerySpec("join_star_revenue_by_nation", join_star_revenue_by_nation, STAR_SQL, headline=True),
+    QuerySpec("join_salted_skew", join_salted_skew, SALTED_SQL),
+    QuerySpec("branch_enrich_orders", branch_enrich_orders, BRANCH_SQL),
 ]

@@ -672,6 +672,46 @@ FROM documents
 """
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (text/multimodal.py::sample_frames): each media
+    row explodes to 4 frames via the one-to-many mapInPandas path; the
+    stubbed decoder slices the payload into deterministic chunks, so
+    the oracle recomputes every frame's bytes/hash from the source
+    text — the whole envelope → batch → explode pipeline is
+    value-checked, not just row-counted."""
+    from connect_spark.text.multimodal import as_media_frame, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_frame(
+        docs.select("doc_id", F.col("text").cast("binary").alias("payload")),
+        "doc_id", "payload", "video/fake",
+    )
+    frames = sample_frames(media, n_frames=4, frame_interval_ms=500)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id AS media_id, i AS frame_idx,
+         CAST(i * 500 AS BIGINT) AS ts_ms,
+         substr(text,
+                CAST(i * greatest(1, strlen(text) // 4) + 1 AS BIGINT),
+                CAST(greatest(1, strlen(text) // 4) AS BIGINT)) AS frame
+  FROM documents, unnest([0, 1, 2, 3]) AS t(i)
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, ts_ms,
+       CAST(strlen(frame) AS INT) AS frame_bytes,
+       md5(frame) AS frame_md5
+FROM f
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, headline=True),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
@@ -686,4 +726,5 @@ QUERIES = [
     QuerySpec("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_SQL),
+    QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL),
 ]
