@@ -1155,3 +1155,116 @@ def _m_patch(c: Column, changelog) -> Column:
         return pd.Series([one(x, y) for x, y in zip(a, b)])
 
     return _run(c.cast("string"), _lit(changelog).cast("string"))
+
+
+@method("infer_schema")
+def _m_infer_schema(c: Column) -> Column:
+    """methods.adoc infer_schema: JSON value → JSON-schema draft
+    fragment (type / properties / items, recursive) as a JSON string,
+    consumable by the json_schema processor."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        def infer(v):
+            if v is None:
+                return {"type": "null"}
+            if isinstance(v, bool):
+                return {"type": "boolean"}
+            if isinstance(v, int):
+                return {"type": "integer"}
+            if isinstance(v, float):
+                return {"type": "number"}
+            if isinstance(v, str):
+                return {"type": "string"}
+            if isinstance(v, list):
+                out = {"type": "array"}
+                if v:
+                    out["items"] = infer(v[0])
+                return out
+            return {
+                "type": "object",
+                "properties": {
+                    k: infer(sub) for k, sub in sorted(v.items())
+                },
+            }
+
+        return s.map(
+            lambda v: None
+            if v is None
+            else _json.dumps(
+                infer(_json.loads(v)), separators=(",", ":"),
+                sort_keys=True,
+            )
+        )
+
+    return _run(c.cast("string"))
+
+
+@method("json_schema")
+def _m_json_schema(c: Column, schema: str) -> Column:
+    """methods.adoc json_schema: validate against a (draft-subset)
+    JSON schema — the valid value passes through, violations become
+    null so the _error model / DLQ routing can pick them up (the
+    processor form in functions/jsonschema.py flags row-level errors
+    the same way)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _run(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        spec = _json.loads(schema)
+
+        def valid(v, sp) -> bool:
+            t = sp.get("type")
+            if t == "object":
+                if not isinstance(v, dict):
+                    return False
+                for req in sp.get("required", []):
+                    if req not in v:
+                        return False
+                for k, sub in sp.get("properties", {}).items():
+                    if k in v and not valid(v[k], sub):
+                        return False
+                return True
+            if t == "array":
+                if not isinstance(v, list):
+                    return False
+                items = sp.get("items")
+                return not items or all(valid(i, items) for i in v)
+            if t == "string":
+                if not isinstance(v, str):
+                    return False
+                if "pattern" in sp:
+                    import re as _re
+
+                    if not _re.search(sp["pattern"], v):
+                        return False
+                return True
+            if t == "integer":
+                return isinstance(v, int) and not isinstance(v, bool)
+            if t == "number":
+                return isinstance(v, (int, float)) and not isinstance(v, bool)
+            if t == "boolean":
+                return isinstance(v, bool)
+            if t == "null":
+                return v is None
+            if "enum" in sp:
+                return v in sp["enum"]
+            return True
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                doc = _json.loads(v)
+            except Exception:  # noqa: BLE001
+                return None
+            return v if valid(doc, spec) else None
+
+        return s.map(one)
+
+    return _run(c.cast("string"))

@@ -275,3 +275,30 @@ root.rebuilt = this.before.patch(this.before.diff(this.after))
     assert json.loads(row["rebuilt"]) == json.loads(
         '{"age":31,"city":"NYC","name":"Alice","tags":["x","y"]}'
     )
+
+
+def test_infer_schema(spark):
+    row = _one(spark, '''
+root.s = "{\\"a\\": 1, \\"b\\": [true], \\"c\\": {\\"d\\": 1.5}}".infer_schema()
+''')
+    assert json.loads(row["s"]) == {
+        "type": "object",
+        "properties": {
+            "a": {"type": "integer"},
+            "b": {"type": "array", "items": {"type": "boolean"}},
+            "c": {"type": "object", "properties": {"d": {"type": "number"}}},
+        },
+    }
+
+
+def test_json_schema_method(spark):
+    schema = ('{"type": "object", "required": ["a"], '
+              '"properties": {"a": {"type": "integer"}}}')
+    df = spark.createDataFrame(
+        [('{"a": 1}',), ('{"a": "no"}',), ('{"b": 2}',)], ["j"]
+    )
+    src = f"root.ok = this.j.json_schema('{schema}'.string())"
+    # schema arg as literal string
+    src = 'root.ok = this.j.json_schema("{\\"type\\": \\"object\\", \\"required\\": [\\"a\\"], \\"properties\\": {\\"a\\": {\\"type\\": \\"integer\\"}}}")'
+    rows = [r["ok"] for r in compile_mapping(df, src).collect()]
+    assert rows == ['{"a": 1}', None, None]
