@@ -225,7 +225,9 @@ def _hash(c: Column, algo: str, key=None, polynomial: str = "IEEE") -> Column:
     if algo == "xxhash64":
         return F.xxhash64(c)
     if algo == "crc32" and polynomial.upper() == "IEEE":
-        return F.crc32(c.cast("binary"))
+        # hex like every other digest (the raw bigint is available as
+        # F.crc32 for callers that want it)
+        return F.lpad(F.lower(F.hex(F.crc32(c.cast("binary")))), 8, "0")
     if algo in ("sha3_256", "sha3_512", "fnv32", "crc32") or algo.startswith(
         "hmac_"
     ):
@@ -257,7 +259,17 @@ def _hash(c: Column, algo: str, key=None, polynomial: str = "IEEE") -> Column:
                     return None
                 if isinstance(d, str):
                     d = d.encode()
-                d = bytes(d)
+                elif isinstance(d, bool):
+                    d = b"\x01" if d else b"\x00"
+                elif isinstance(d, int):
+                    # match the JVM paths' cast('binary') layout
+                    d = int(d).to_bytes(8, "big", signed=True)
+                elif isinstance(d, float):
+                    import struct as _st
+
+                    d = _st.pack(">d", d)
+                else:
+                    d = bytes(d)
                 if algo == "sha3_256":
                     return _hl.sha3_256(d).hexdigest()
                 if algo == "sha3_512":
@@ -485,13 +497,34 @@ method("replace")(lambda c, old, new: F.replace(c, _lit(old), _lit(new)))
 @method("replace_many")
 def _replace_many(c: Column, pairs) -> Column:
     """methods.adoc replace_many / replace_all_many: flat
-    [old1, new1, old2, new2, ...] applied in order."""
+    [old1, new1, old2, new2, ...] — SINGLE-PASS like Go's
+    strings.Replacer (sequential F.replace chains would let later
+    pairs rewrite earlier pairs' output, e.g. ['a','b','b','z'] on
+    'ab' must give 'bz', not 'zz')."""
+    from pyspark.sql.functions import pandas_udf
+
     if isinstance(pairs, Column):
         raise ValueError("replace_many needs a literal pair array")
-    vals = list(pairs)
-    for old, new in zip(vals[::2], vals[1::2]):
-        c = F.replace(c, _lit(old), _lit(new))
-    return c
+    vals = [str(v) for v in pairs]
+    table = list(zip(vals[::2], vals[1::2]))
+
+    @pandas_udf("string")
+    def _run(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        rx = _re.compile(
+            "|".join(_re.escape(old) for old, _ in table)
+        )
+        repl = dict(table)
+
+        def one(v):
+            if v is None:
+                return None
+            return rx.sub(lambda m: repl[m.group(0)], v)
+
+        return s.map(one)
+
+    return _run(c.cast("string"))
 
 
 METHODS["replace_all_many"] = METHODS["replace_many"]
@@ -601,18 +634,45 @@ method("ts_tz")(
     )
 )
 
-_STRF_TO_SPARK = [
-    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
-    ("%M", "mm"), ("%S", "ss"), ("%y", "yy"), ("%j", "DDD"),
-    ("%b", "MMM"), ("%B", "MMMM"), ("%a", "EEE"), ("%A", "EEEE"),
-    ("%p", "a"), ("%z", "xx"), ("%%", "%"),
-]
+_STRF_TO_SPARK = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH",
+    "M": "mm", "S": "ss", "y": "yy", "j": "DDD",
+    "b": "MMM", "B": "MMMM", "a": "EEE", "A": "EEEE",
+    "p": "a", "z": "xx",
+}
 
 
 def _strf(fmt: str) -> str:
-    for old, new in _STRF_TO_SPARK:
-        fmt = fmt.replace(old, new)
-    return fmt
+    """strftime → Spark datetime pattern, tokenized so literal LETTERS
+    get single-quoted (an unquoted 'T' in '%Y-%m-%dT%H' would be an
+    illegal Spark pattern char) and '%%' survives as a literal '%'."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            code = fmt[i + 1]
+            i += 2
+            if code == "%":
+                out.append("%")
+            elif code in _STRF_TO_SPARK:
+                out.append(_STRF_TO_SPARK[code])
+            else:
+                raise ValueError(f"unsupported strftime code %{code}")
+        elif ch.isalpha():
+            run = ch
+            i += 1
+            while i < len(fmt) and fmt[i].isalpha() and fmt[i] != "%":
+                run += fmt[i]
+                i += 1
+            out.append("'" + run + "'")
+        elif ch == "'":
+            out.append("''")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 method("ts_strftime")(
@@ -1134,7 +1194,21 @@ def _m_patch(c: Column, changelog) -> Column:
             if x is None or log is None:
                 return None
             doc = _json.loads(x)
-            for entry in _json.loads(log):
+            entries = _json.loads(log)
+            # list deletes must apply highest-index-first or each
+            # removal shifts the indexes of the remaining ones (diff
+            # emits them ascending); non-deletes keep their order
+            ordered = [e for e in entries if e["Type"] != "delete"] + \
+                sorted(
+                    (e for e in entries if e["Type"] == "delete"),
+                    key=lambda e: tuple(
+                        (0, int(p), "") if str(p).isdigit()
+                        else (1, 0, str(p))
+                        for p in e["Path"]
+                    ),
+                    reverse=True,
+                )
+            for entry in ordered:
                 parts = entry["Path"]
                 parent = doc
                 for p in parts[:-1]:

@@ -209,12 +209,17 @@ def decompress(data: bytes) -> bytes:
         raise ValueError("lz4: unsupported frame version")
     has_csize = bool(flg & 0x08)
     has_ccheck = bool(flg & 0x04)
+    has_dictid = bool(flg & 0x01)
+    # the header checksum comes AFTER the optional content-size and
+    # dict-id fields and covers the whole descriptor (FLG..dictID)
     pos = 6
+    if has_csize:
+        pos += 8
+    if has_dictid:
+        pos += 4
     if ((xxh32(data[4:pos]) >> 8) & 0xFF) != data[pos]:
         raise ValueError("lz4: header checksum mismatch")
     pos += 1
-    if has_csize:
-        pos += 8
     has_bcheck = bool(flg & 0x10)
     out = bytearray()
     while True:

@@ -184,7 +184,9 @@ def _assign_greedy(
                     bid, n, acc = bid + 1, 0, 0
                 bucket = buckets[i]
             n += 1
-            acc += int(sizes[i] or 0)
+            sz = sizes[i]
+            # null sizes arrive as None or NaN (pandas float64)
+            acc += 0 if sz is None or sz != sz else int(sz)
             ids.append(bid)
             if (
                 (count and n >= count)

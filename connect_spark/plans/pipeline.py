@@ -433,12 +433,19 @@ def _p_cache(df: DataFrame, conf: Any) -> DataFrame:
     from connect_spark.state import ParquetKVCache, TwoLevelKVCache
 
     cls = TwoLevelKVCache if conf.get("multilevel") else ParquetKVCache
-    cache = cls(
-        df.sparkSession,
-        conf["path"],
-        key=conf.get("key_column", "key"),
-        ttl=conf.get("ttl"),
-    )
+    # cache instances are process-global per (class, path, key, ttl):
+    # a fresh TwoLevelKVCache every plan build would never serve an L1
+    # hit — the memory tier only pays off when it outlives the build
+    ckey = (cls.__name__, conf["path"], conf.get("key_column", "key"),
+            conf.get("ttl"))
+    cache = _CACHE_INSTANCES.get(ckey)
+    if cache is None:
+        cache = _CACHE_INSTANCES.setdefault(ckey, cls(
+            df.sparkSession,
+            conf["path"],
+            key=conf.get("key_column", "key"),
+            ttl=conf.get("ttl"),
+        ))
     op = conf.get("operator", "get")
     if op == "get":
         return cache.get(df, on=conf.get("on", cache.key))
@@ -502,6 +509,7 @@ def _p_resource(df: DataFrame, conf: Any) -> DataFrame:
 
 # populated by Pipeline.dataframe() from config[processor_resources]
 _RESOURCES: dict[str, Any] = {}
+_CACHE_INSTANCES: dict[tuple, Any] = {}
 
 
 @processor("jq")

@@ -104,6 +104,17 @@ class LakehouseWriter:
                 ]
             return out
 
+        backup = self.path.rstrip("/") + "._old"
+        staging = self.path.rstrip("/") + "._compact"
+        # crash recovery: a leftover backup with no live table means a
+        # previous compact died between its two renames — restore it;
+        # stale staging/backup dirs are otherwise discarded so the
+        # renames below cannot collide
+        if os.path.exists(backup) and not os.path.exists(self.path):
+            os.rename(backup, self.path)
+        shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
         before = parquet_files(self.path)
         total = sum(os.path.getsize(f) for f in before)
         if len(before) < min_files:
@@ -113,7 +124,6 @@ class LakehouseWriter:
                 "bytes": total,
             }
         n_files = max(1, -(-total // target_file_bytes))
-        staging = self.path.rstrip("/") + "._compact"
         df = self.read()
         writer = df.repartition(n_files).write.mode("overwrite")
         if self.partition_by:
@@ -124,7 +134,6 @@ class LakehouseWriter:
                 *self.partition_by
             )
         writer.parquet(staging)
-        backup = self.path.rstrip("/") + "._old"
         os.rename(self.path, backup)
         os.rename(staging, self.path)
         shutil.rmtree(backup, ignore_errors=True)

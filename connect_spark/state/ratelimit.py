@@ -129,10 +129,15 @@ def throttle(df, count: int, interval: str, label: str = "_anon"):
     schema = df.schema
 
     def run(batches: Iterator) -> Iterator:
-        bucket = _WORKER_BUCKETS.get(label)
+        # key by the full config, not just the label: a re-registered
+        # resource (new count/interval) must not reuse a long-lived
+        # worker's stale bucket, and two anonymous throttles with
+        # different rates must not share one
+        bkey = f"{label}:{count}:{interval}"
+        bucket = _WORKER_BUCKETS.get(bkey)
         if bucket is None:
             bucket = _WORKER_BUCKETS.setdefault(
-                label, LocalRateLimit(count=count, interval=interval)
+                bkey, LocalRateLimit(count=count, interval=interval)
             )
         for pdf in batches:
             bucket.wait(len(pdf))

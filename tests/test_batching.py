@@ -158,3 +158,25 @@ def test_policy_validation():
         BatchPolicy()  # no trigger
     with pytest.raises(ValueError):
         BatchPolicy(byte_size=10)  # byte_size without size column
+
+
+def test_byte_size_null_sizes_count_as_zero(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from connect_spark.operators.batching import BatchPolicy, assign_batches
+
+    data = [
+        (0, 50, datetime.datetime(2024, 1, 1)),
+        (1, None, datetime.datetime(2024, 1, 1)),
+        (2, 60, datetime.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(data, "idx INT, size INT, ts TIMESTAMP")
+    out = assign_batches(
+        df,
+        BatchPolicy(byte_size=100, size=F.col("size")),
+        order_by=["idx"],
+    )
+    ids = [r["batch_id"] for r in out.orderBy("idx").collect()]
+    assert ids == [0, 0, 0]  # 50 + 0 + 60 >= 100 flushes AFTER row 2

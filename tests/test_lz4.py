@@ -74,3 +74,24 @@ def test_udf_wiring_lz4(spark):
         ).alias("b")
     ).collect()[0]["b"]
     assert bytes(out).decode() == df.collect()[0]["t"]
+
+
+def test_frame_with_content_size_and_dictid_fields():
+    # frames carrying the optional content-size field place the header
+    # checksum AFTER it; build one by hand and decode
+    from connect_spark.functions.lz4_codec import (
+        _MAGIC, compress_block, xxh32,
+    )
+
+    payload = b"content-size framed " * 10
+    flg = 0x40 | 0x08  # version, content-size present (no checksums)
+    bd = 0x70
+    desc = bytes([flg, bd]) + len(payload).to_bytes(8, "little")
+    hc = (xxh32(desc) >> 8) & 0xFF
+    block = compress_block(payload)
+    frame = (
+        _MAGIC.to_bytes(4, "little") + desc + bytes([hc])
+        + len(block).to_bytes(4, "little") + block
+        + (0).to_bytes(4, "little")
+    )
+    assert decompress(frame) == payload

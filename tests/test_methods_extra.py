@@ -302,3 +302,39 @@ def test_json_schema_method(spark):
     src = 'root.ok = this.j.json_schema("{\\"type\\": \\"object\\", \\"required\\": [\\"a\\"], \\"properties\\": {\\"a\\": {\\"type\\": \\"integer\\"}}}")'
     rows = [r["ok"] for r in compile_mapping(df, src).collect()]
     assert rows == ['{"a": 1}', None, None]
+
+
+# --- review fixes ---------------------------------------------------
+
+def test_patch_list_shrink_by_two(spark):
+    df = spark.createDataFrame([("[1,2,3,4]", "[1,2]")], ["a", "b"])
+    src = "root.p = this.a.patch(this.a.diff(this.b))"
+    assert json.loads(compile_mapping(df, src).collect()[0]["p"]) == [1, 2]
+
+
+def test_replace_many_single_pass(spark):
+    row = _one(spark, 'root.v = "ab".replace_many(["a", "b", "b", "z"])')
+    assert row["v"] == "bz"  # Go strings.Replacer single-pass semantics
+
+
+def test_strftime_literal_letters_and_percent(spark):
+    df = spark.createDataFrame([("2024-03-01 12:30:45",)], ["t"])
+    src = '''
+root.iso = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_strftime("%Y-%m-%dT%H:%M:%S")
+root.pct = this.t.ts_parse("yyyy-MM-dd HH:mm:ss").ts_strftime("%%Y=%Y")
+'''
+    row = compile_mapping(df, src).collect()[0]
+    assert row["iso"] == "2024-03-01T12:30:45"
+    assert row["pct"] == "%Y=2024"
+
+
+def test_hash_crc32_ieee_is_hex_and_numeric_inputs(spark):
+    row = _one(spark, '''
+root.c = "hello world".hash("crc32")
+root.n = (5).hash("sha3_256")
+''')
+    assert row["c"] == "0d4a1185"
+    import hashlib
+    assert row["n"] == hashlib.sha3_256(
+        (5).to_bytes(8, "big", signed=True)
+    ).hexdigest()
