@@ -600,8 +600,28 @@ def _p_log(df: DataFrame, conf: Any) -> DataFrame:
 
 @processor("sleep")
 def _p_sleep(df: DataFrame, conf: Any) -> DataFrame:
-    """sleep.adoc:26 — meaningless in a set-based plan; no-op."""
-    return df
+    """sleep.adoc:26 — delay message flow by `duration`. Per-message
+    sleeps in a vectorized engine serialize to per-Arrow-batch sleeps
+    (the batch is the flow unit); rows pass through unchanged. A
+    duration of 0 / missing keeps the old no-op behavior."""
+    from connect_spark.operators.batching import parse_period
+
+    duration = (
+        conf.get("duration", "") if isinstance(conf, dict) else str(conf)
+    )
+    seconds = parse_period(duration) if duration else 0.0
+    if seconds <= 0:
+        return df
+    schema = df.schema
+
+    def run(batches):
+        import time as _t
+
+        for pdf in batches:
+            _t.sleep(seconds)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
 
 
 @processor("sql_raw")

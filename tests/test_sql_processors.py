@@ -105,3 +105,19 @@ def test_split_requires_a_trigger(spark, sf_dir):
     }
     with pytest.raises(PipelineConfigError):
         build_pipeline(spark, config).dataframe()
+
+
+def test_sleep_processor_delays_batches(spark, sf_dir):
+    import time
+
+    config = {
+        "input": {"table": {"sf_dir": sf_dir, "name": "region"}},
+        "pipeline": {"processors": [{"sleep": {"duration": "300ms"}}]},
+    }
+    df = build_pipeline(spark, config).dataframe().coalesce(1)
+    t0 = time.monotonic()
+    assert df.count() == 5
+    assert time.monotonic() - t0 >= 0.25
+    # zero / missing duration stays a no-op
+    config["pipeline"]["processors"] = [{"sleep": {}}]
+    assert build_pipeline(spark, config).dataframe().count() == 5
