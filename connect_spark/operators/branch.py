@@ -40,12 +40,14 @@ def branch_aggregate(
     keys: Sequence[str],
     agg_fn: Callable[[DataFrame], DataFrame],
     how: str = "left",
-    broadcast_result: bool = True,
+    broadcast_result: bool = False,
 ) -> DataFrame:
     """Cardinality-changing branch: run an aggregating sub-pipeline on
     a projected copy and join the result back by key — the enrichment
     shape of branch+cache (joining_streams.yaml:23-60). The aggregate
-    side is usually small → broadcast back, no fact shuffle."""
+    has one row per key group, which usually scales with the data, so
+    the join strategy is left to AQE unless the caller KNOWS the
+    result is O(1)-bounded and opts in to ``broadcast_result``."""
     result = agg_fn(df)
     if broadcast_result:
         result = F.broadcast(result)

@@ -57,9 +57,9 @@ FULL OUTER JOIN (
 def join_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sql_select` enrichment (processor_sql_select.go:32-67) made
     set-based: lineitem enriched with part attributes, then revenue per
-    brand. `part` is broadcast — at 100 TB the fact scan streams past a
-    copy of the dimension on every executor, zero fact shuffle for the
-    join; the groupBy shuffles only pre-combined partials."""
+    brand. `part` scales with sf, so the join strategy is AQE-owned
+    (broadcast while part fits, shuffled hash/SMJ beyond); the groupBy
+    shuffles only pre-combined partials."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     out = enrichment_join(
@@ -67,6 +67,7 @@ def join_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type"),
         on="l_partkey",
         how="left",
+        broadcast_dim=False,
     )
     return out.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_lines"),
@@ -138,8 +139,9 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 
 def join_star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (F6 fixture): lineitem ⋈ orders ⋈ customer ⋈
-    nation ⋈ region, revenue per nation. Dimensions broadcast; the only
-    real shuffle is lineitem⋈orders on orderkey plus the final tiny
+    nation ⋈ region, revenue per nation. True dims (nation/region)
+    broadcast; the customer-sized dim joins by key under AQE; the big
+    shuffle is lineitem⋈orders on orderkey plus the final tiny
     aggregation — the plan Catalyst+AQE picks survives a 100× scale-up."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -158,7 +160,9 @@ def join_star_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        # dim carries one row per customer (sf-scaled): no forced
+        # broadcast — AQE broadcasts at small sf, SMJ at 100x.
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
@@ -217,8 +221,8 @@ def branch_enrich_orders(spark, sf_dir):
     """`branch` processor (branch.adoc:26; operators/branch.py
     branch_aggregate): request_map projects (o_custkey, o_totalprice),
     the child pipeline aggregates per customer, result_map merges the
-    enrichment back into every original message — the aggregate side
-    is small and broadcasts back, so the fact table never shuffles."""
+    enrichment back into every original message. The aggregate is one
+    row per customer (sf-scaled), so the join back is AQE-owned."""
     from connect_spark.operators.branch import branch_aggregate
 
     orders = load_table(spark, sf_dir, "orders")

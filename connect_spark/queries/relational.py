@@ -25,10 +25,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(
-                cust.filter(F.col("c_mktsegment") == "BUILDING").select(
-                    "c_custkey"
-                )
+            # No broadcast hint: customer scales with sf, so AQE must own
+            # the strategy (broadcast at small sf, SMJ at 100x).
+            cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+                "c_custkey"
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
@@ -104,7 +104,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            # customer is sf-scaled: no forced broadcast, AQE decides.
+            cust.select("c_custkey", "c_name", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(
             F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
         )
@@ -190,8 +194,8 @@ WHERE CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape on this schema: PROMO parts' share of revenue
-    for one ship-year. part is a broadcast dim; lineitem keeps its
-    pushed-down date filter. Parity: both sums round to exact 2-dec
+    for one ship-year. part is sf-scaled so the join strategy is left
+    to AQE; lineitem keeps its pushed-down date filter. Parity: both sums round to exact 2-dec
     doubles FIRST, then the ratio/floor runs on identical inputs —
     no cross-engine last-ulp hazard."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -199,9 +203,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1997-01-01")
     )
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(
-        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
-    )
+    part_proj = part.select("p_partkey", "p_type")
+    joined = li.join(part_proj, li["l_partkey"] == part_proj["p_partkey"])
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = joined.agg(
         F.round(

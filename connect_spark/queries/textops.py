@@ -201,13 +201,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # sizes is one row per document (sf-scaled): plain equi-joins, not
+    # broadcast — at 100 TB a per-doc aggregate is billions of rows.
     out = (
         inter.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("n").alias("na"))), "doc_a")
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("na")), "doc_a")
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("n").alias("nb"))), "doc_b")
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("nb")), "doc_b")
         .withColumn(
             # basis points via floor — identical double division in
             # both engines, no round-half divergence (see quality_ppm)
@@ -261,13 +263,14 @@ def dedup_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    # per-doc sizes joined by key (no broadcast hint — sf-scaled side).
     return (
         inter.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("n").alias("na"))), "doc_a")
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("na")), "doc_a")
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("n").alias("nb"))), "doc_b")
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("nb")), "doc_b")
         .withColumn(
             "jaccard_bp",
             F.floor(

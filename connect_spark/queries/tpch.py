@@ -204,7 +204,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(part.select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
@@ -274,7 +274,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(part.select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(supp.select("s_suppkey", "s_nationkey"),
               F.col("l_suppkey") == F.col("s_suppkey"))
@@ -442,8 +442,10 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one extra small shuffle instead of a rescan per row."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    # part is sf-scaled even after the brand filter: no forced
+    # broadcast; AQE picks broadcast at small sf, SMJ at scale.
     brand_lines = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     avg_qty = brand_lines.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
@@ -521,7 +523,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        part.select("p_partkey", "p_brand", "p_size"),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     band1 = (
