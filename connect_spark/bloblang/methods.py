@@ -844,12 +844,23 @@ method("format_xml")(lambda c: F.to_xml(c))
 @method("parse_duration_iso8601")
 def _m_parse_duration_iso(c: Column) -> Column:
     """ISO-8601 duration string → integer nanoseconds (methods.adoc
-    parse_duration_iso8601). Pure Column regexp arithmetic."""
+    parse_duration_iso8601). Pure Column regexp arithmetic.
+
+    The reference errors on unparseable or imprecise durations
+    (years/months/weeks have no fixed nanosecond length); in the
+    vectorized engine that surfaces as NULL — `catch`/`or` pick it
+    up — instead of silently returning 0 as the pre-validation
+    version did."""
     def part(pat: str) -> Column:
         return F.coalesce(
             F.regexp_extract(c, pat, 1).try_cast("double"), F.lit(0.0)
         )
 
+    # full-match validation: only D/H/M/S designators are precise, and
+    # at least one component must be present (bare "P"/"PT" invalid).
+    valid = c.rlike(
+        r"^-?P(?=.*\d)(\d+D)?(T(?=.*\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$"
+    )
     days = part(r"P(?:(\d+)D)?")
     hours = part(r"T(?:(\d+)H)")
     mins = part(r"T(?:\d+H)?(?:(\d+)M)")
@@ -857,7 +868,7 @@ def _m_parse_duration_iso(c: Column) -> Column:
     total = (
         days * 86400.0 + hours * 3600.0 + mins * 60.0 + secs
     ) * F.when(c.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
-    return (total * 1e9).cast("bigint")
+    return F.when(valid, (total * 1e9).cast("bigint"))
 
 
 @method("parse_parquet")

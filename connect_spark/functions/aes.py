@@ -152,6 +152,28 @@ def _ctr_stream(data: bytes, key: bytes, iv: bytes) -> bytes:
     return bytes(out)
 
 
+def _inc32(block: bytes) -> bytes:
+    """SP 800-38D inc32: increment only the low 32 bits, wrapping
+    modulo 2^32 — GCM's counter function (full-128-bit increment
+    diverges from spec when the low word crosses a 2^32 boundary,
+    reachable with non-12-byte nonces or >64 GiB payloads)."""
+    fixed, low = block[:12], int.from_bytes(block[12:], "big")
+    return fixed + ((low + 1) & 0xFFFFFFFF).to_bytes(4, "big")
+
+
+def _gctr_stream(data: bytes, key: bytes, icb: bytes) -> bytes:
+    """GCTR keystream XOR with the inc32 counter (SP 800-38D §6.5)."""
+    rk = _expand_key(key)
+    cb = icb
+    out = bytearray()
+    for off in range(0, len(data), 16):
+        ks = _encrypt_block(cb, rk)
+        chunk = data[off : off + 16]
+        out += bytes(a ^ b for a, b in zip(chunk, ks))
+        cb = _inc32(cb)
+    return bytes(out)
+
+
 def _ofb_stream(data: bytes, key: bytes, iv: bytes) -> bytes:
     rk = _expand_key(key)
     feedback = iv
@@ -233,9 +255,7 @@ def _gcm_encrypt(data: bytes, key: bytes, nonce: bytes) -> bytes:
         j0 = nonce + b"\x00\x00\x00\x01"
     else:
         j0 = _ghash(h, b"", nonce)
-    ct = _ctr_stream(
-        data, key, (int.from_bytes(j0, "big") + 1).to_bytes(16, "big")
-    )
+    ct = _gctr_stream(data, key, _inc32(j0))
     tag = bytes(
         a ^ b
         for a, b in zip(_ghash(h, b"", ct), _encrypt_block(j0, rk))
@@ -259,9 +279,7 @@ def _gcm_decrypt(data: bytes, key: bytes, nonce: bytes) -> bytes:
     )
     if expect != tag:
         raise ValueError("GCM authentication failed")
-    return _ctr_stream(
-        ct, key, (int.from_bytes(j0, "big") + 1).to_bytes(16, "big")
-    )
+    return _gctr_stream(ct, key, _inc32(j0))
 
 
 def encrypt_aes(data: bytes, scheme: str, key: bytes, iv: bytes) -> bytes:

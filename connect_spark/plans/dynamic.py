@@ -260,7 +260,21 @@ def run_dynamic_output(df, conf: dict[str, Any]):
     items = reg.outputs.items()
     if not items:
         raise PipelineConfigError("dynamic output has no components")
-    last = None
-    for _, c in items:
-        last = _run_output(df, c)
-    return last
+    # fan_out must deliver the SAME rows to every output: with >1
+    # output, pin the plan's result before the per-output actions —
+    # otherwise each action recomputes the plan, and non-deterministic
+    # inputs (http polls, rand/uuid columns) diverge across outputs.
+    pinned = len(items) > 1 and not df.isStreaming
+    if pinned:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # materialize once before any output reads it
+    try:
+        last = None
+        for _, c in items:
+            last = _run_output(df, c)
+        return last
+    finally:
+        if pinned:
+            df.unpersist()

@@ -511,6 +511,10 @@ def _p_resource(df: DataFrame, conf: Any) -> DataFrame:
 _RESOURCES: dict[str, Any] = {}
 _CACHE_INSTANCES: dict[tuple, Any] = {}
 
+# sql_insert writes registered at plan-build time, performed at action
+# time by Pipeline.run()/flush_writes() — never by dataframe() itself.
+_PENDING_WRITES: list[tuple[DataFrame, dict]] = []
+
 
 @processor("jq")
 def _p_jq(df: DataFrame, conf: Any) -> DataFrame:
@@ -649,10 +653,16 @@ def _p_sql_insert(df: DataFrame, conf: Any) -> DataFrame:
     """sql_insert.adoc:26 — append rows into a table. The engine's
     tables are parquet paths (lakehouse convention); `columns` selects
     what lands. Passes the batch through unchanged, matching the
-    reference's processor (not output) semantics."""
+    reference's processor (not output) semantics.
+
+    The write is DEFERRED to action time: plan build only registers
+    it, and ``Pipeline.run()`` / ``flush_writes()`` performs it once
+    per execution. Writing at build time would re-append on every
+    ``dataframe()`` call or dynamic-plan rebuild — duplicate rows in
+    the target — and would write even for plans never executed."""
     cols = conf.get("columns")
     out = df.select(*cols) if cols else df
-    out.write.mode(conf.get("mode", "append")).parquet(conf["path"])
+    _PENDING_WRITES.append((out, dict(conf)))
     return df
 
 
@@ -925,6 +935,7 @@ class Pipeline:
         # register named processor resources for `resource` lookups
         # (driver-side, plan-build time only)
         _RESOURCES.clear()
+        _PENDING_WRITES.clear()
         for item in self.config.get("processor_resources", []):
             item = dict(item)
             label = item.pop("label")
@@ -958,12 +969,29 @@ class Pipeline:
             _tmpl._TEMPLATES.update(saved)
         return df
 
+    def flush_writes(self) -> int:
+        """Perform the sql_insert writes registered by the most recent
+        plan build. Returns the number of writes performed. Idempotent
+        per build: the pending list drains as it flushes."""
+        n = 0
+        while _PENDING_WRITES:
+            out, conf = _PENDING_WRITES.pop(0)
+            if out.isStreaming:
+                raise PipelineConfigError(
+                    "sql_insert inside a streaming pipeline needs a "
+                    "streaming sink (use output: file/foreachBatch)"
+                )
+            out.write.mode(conf.get("mode", "append")).parquet(conf["path"])
+            n += 1
+        return n
+
     def run(self) -> DataFrame | None:
         """Execute including the output component. Returns the result
         DataFrame for memory-style outputs, else None. Streaming
         inputs drain through a memory sink (bounded sources — cdc_wal,
         mq_bus, bounded generate_stream — terminate on their own)."""
         df = self.dataframe()
+        self.flush_writes()
         if df.isStreaming:
             import uuid
 

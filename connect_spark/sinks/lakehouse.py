@@ -87,10 +87,49 @@ class LakehouseWriter:
         and a 100 TB table read slows to a crawl on footer overhead).
 
         Rewrites the table — per partition directory when partitioned —
-        into ceil(bytes / target_file_bytes) files, atomically
-        (rewrite to a staging dir, then swap). Returns
-        {files_before, files_after, bytes}. No-op below `min_files`.
+        into ceil(bytes / target_file_bytes) files via a staging dir and
+        two renames. Returns {files_before, files_after, bytes}; no-op
+        below `min_files`.
+
+        NOT atomic for concurrent access — this is a maintenance
+        window operation, like running `rewrite_data_files` without a
+        catalog to commit through:
+        - single writer: rows appended between the staging rewrite and
+          the swap would be silently dropped — callers must quiesce
+          appends (a `.compact.lock` sentinel enforces one compactor
+          and lets cooperating appenders check/wait);
+        - readers racing the swap can observe a missing path in the
+          window between the two renames;
+        - `os.rename` requires staging/backup to live on the same
+          filesystem as the table path (they are siblings, so this
+          only breaks if a mount boundary splits the parent dir).
+        A real multi-writer table needs the Iceberg catalog commit
+        protocol (sinks/lakehouse.py Iceberg path) — this parquet-dir
+        analog trades that for zero infrastructure.
         """
+        import os
+
+        backup = self.path.rstrip("/") + "._old"
+        staging = self.path.rstrip("/") + "._compact"
+        lock = self.path.rstrip("/") + ".compact.lock"
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"another compaction holds {lock} — one compactor at a "
+                "time; remove the stale lock only if its owner is dead"
+            )
+        os.close(lock_fd)
+        try:
+            return self._compact_locked(
+                backup, staging, target_file_bytes, min_files
+            )
+        finally:
+            os.remove(lock)
+
+    def _compact_locked(
+        self, backup: str, staging: str, target_file_bytes: int, min_files: int
+    ) -> dict:
         import os
         import shutil
 
@@ -103,9 +142,6 @@ class LakehouseWriter:
                     if f.endswith(".parquet")
                 ]
             return out
-
-        backup = self.path.rstrip("/") + "._old"
-        staging = self.path.rstrip("/") + "._compact"
         # crash recovery: a leftover backup with no live table means a
         # previous compact died between its two renames — restore it;
         # stale staging/backup dirs are otherwise discarded so the

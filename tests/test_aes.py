@@ -131,3 +131,32 @@ root.decrypted = this.encrypted.decode("hex").decrypt_aes("ctr", $key, $vector).
     df2 = compile_mapping(df, src)
     out = compile_mapping(df2, back).collect()[0]
     assert out["decrypted"] == "hello world!"
+
+
+def test_gcm_matches_jdk_for_all_nonce_lengths(spark):
+    """GCM's counter is inc32 (wrap only the low 32 bits, SP 800-38D
+    §6.2) — a full-128-bit increment diverges for non-12-byte nonces
+    whose GHASH-derived J0 sits near a 2^32 low-word boundary. Pin
+    bit-exactness against the JVM's AES/GCM (independent oracle, same
+    implementation family Go's AEAD uses) across nonce lengths."""
+    from connect_spark.functions.aes import decrypt_aes, encrypt_aes
+
+    jvm = spark.sparkContext._jvm
+    Cipher = jvm.javax.crypto.Cipher
+    SecretKeySpec = jvm.javax.crypto.spec.SecretKeySpec
+    GCMParameterSpec = jvm.javax.crypto.spec.GCMParameterSpec
+
+    key = bytes(range(16))
+    for nlen in (8, 12, 13, 16, 60):
+        nonce = bytes((i * 37 + 5) % 256 for i in range(nlen))
+        pt = bytes((i * 11) % 256 for i in range(100))
+        c = Cipher.getInstance("AES/GCM/NoPadding")
+        c.init(
+            1,
+            SecretKeySpec(bytearray(key), "AES"),
+            GCMParameterSpec(128, bytearray(nonce)),
+        )
+        theirs = bytes(c.doFinal(bytearray(pt)))
+        ours = encrypt_aes(pt, "gcm", key, nonce)
+        assert ours == theirs, f"nonce len {nlen}"
+        assert decrypt_aes(ours, "gcm", key, nonce) == pt

@@ -139,3 +139,27 @@ def test_http_server_round_trip():
             assert resp.read().decode().endswith("s")
     finally:
         server.shutdown()
+
+
+def test_fan_out_outputs_receive_identical_rows(spark, tmp_path):
+    """fan_out semantics: every registered output gets the SAME rows.
+    A non-deterministic plan (rand column) recomputed per output
+    would diverge; the fan_out loop pins the result first."""
+    from connect_spark.plans.dynamic import run_dynamic_output
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("r", F.rand())
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    run_dynamic_output(
+        df,
+        {
+            "prefix": "test",
+            "outputs": {
+                "a": {"parquet": {"path": p1}},
+                "b": {"parquet": {"path": p2}},
+            },
+        },
+    )
+    rows1 = sorted((r.id, r.r) for r in spark.read.parquet(p1).collect())
+    rows2 = sorted((r.id, r.r) for r in spark.read.parquet(p2).collect())
+    assert rows1 == rows2

@@ -158,11 +158,19 @@ root.rt = "hello hello hello".compress("snappy").decompress("snappy").string()
 root.dur = "P1DT2H3M4.5S".parse_duration_iso8601()
 root.neg = "-PT30S".parse_duration_iso8601()
 root.arr = (5).array()
+root.months = "P1M".parse_duration_iso8601()
+root.weeks = "P2W".parse_duration_iso8601()
+root.junk = "garbage".parse_duration_iso8601()
 ''')
     assert row["rt"] == "hello hello hello"
     assert row["dur"] == int((86400 + 7384.5) * 1e9)
     assert row["neg"] == -30 * 10**9
     assert row["arr"] == [5]
+    # imprecise (months/weeks) and unparseable inputs are errors in the
+    # reference -> NULL here, never a silent 0
+    assert row["months"] is None
+    assert row["weeks"] is None
+    assert row["junk"] is None
 
 
 def test_msgpack_method_forms(spark):

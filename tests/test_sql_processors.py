@@ -56,11 +56,20 @@ def test_sql_insert_appends_and_passes_through(spark, sf_dir, tmp_path):
             {"sql_insert": {"path": path, "columns": ["r_regionkey", "r_name"]}},
         ]},
     }
-    df = build_pipeline(spark, config).dataframe()
+    # plan build alone must NOT write (re-builds would duplicate rows)
+    import os
+
+    pipe = build_pipeline(spark, config)
+    df = pipe.dataframe()
     assert df.count() == 5  # passthrough keeps all columns flowing
+    assert not os.path.exists(path)
+    assert pipe.flush_writes() == 1
     assert spark.read.parquet(path).count() == 5
-    # append mode: run again, table doubles
-    build_pipeline(spark, config).dataframe().count()
+    # flush is once-per-build: a second flush has nothing pending
+    assert pipe.flush_writes() == 0
+    assert spark.read.parquet(path).count() == 5
+    # append mode: a full run() appends again, table doubles
+    build_pipeline(spark, config).run()
     assert spark.read.parquet(path).count() == 10
 
 

@@ -153,3 +153,29 @@ def test_lakehouse_compaction(spark, tmp_path):
     # idempotent below min_files
     again = w.compact(target_file_bytes=10 * 1024 * 1024, min_files=99)
     assert again["files_after"] == stats["files_after"]
+
+
+def test_lakehouse_compaction_lock_excludes_second_compactor(spark, tmp_path):
+    """compact() is a single-compactor maintenance op: a held
+    `.compact.lock` sentinel makes a concurrent compact fail fast
+    instead of corrupting the two-rename swap."""
+    import os
+
+    import pytest
+
+    from connect_spark.sinks.lakehouse import LakehouseWriter
+
+    path = str(tmp_path / "tbl")
+    w = LakehouseWriter(spark, path)
+    w.append(spark.range(10).toDF("n"))
+    w.append(spark.range(10, 20).toDF("n"))
+
+    lock = path + ".compact.lock"
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="another compaction"):
+        w.compact(min_files=1)
+    os.remove(lock)
+    stats = w.compact(min_files=1)
+    assert stats["files_after"] <= stats["files_before"]
+    assert not os.path.exists(lock)  # released on success
+    assert w.read().count() == 20
