@@ -548,6 +548,27 @@ def _p_jq(df: DataFrame, conf: Any) -> DataFrame:
     )
 
 
+@processor("jmespath")
+def _p_jmespath(df: DataFrame, conf: Any) -> DataFrame:
+    """jmespath.adoc:26 — execute a JMESPath query on each message's
+    JSON content and replace the message with the result document.
+    One result per message (no batch expansion, unlike jq); a failed
+    query/parse leaves the message unchanged and flags `_error`."""
+    from connect_spark.errors import flag_error
+    from connect_spark.functions.jmespath_eval import jmespath_udf
+
+    query = conf["query"] if isinstance(conf, dict) else conf
+    field = conf.get("field", "content") if isinstance(conf, dict) else "content"
+    src = F.col(field).cast("string")
+    out = df.withColumn("_jmes", jmespath_udf(query)(src))
+    out = flag_error(
+        out, F.col("_jmes").isNull(), f"jmespath: query failed: {query}"
+    )
+    return out.withColumn(
+        field, F.coalesce(F.col("_jmes"), src)
+    ).drop("_jmes")
+
+
 @processor("awk")
 def _p_awk(df: DataFrame, conf: Any) -> DataFrame:
     """awk.adoc:26 — run an AWK program over each message's content

@@ -39,6 +39,69 @@ FROM events
 """
 
 
+def jmespath_project_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jmespath processor (jmespath.adoc:26) over per-user event
+    documents, exercising the doc's example shape — filter projection
+    `[?...]`, `length`, `sort`, slice, `map(&to_string(@))`, `join`:
+
+        {uid: uid,
+         n_purchase: length(evs[?typ == 'purchase']),
+         big_ids: join(',', map(&to_string(@),
+                                sort(evs[?val >= `200.0`].id)[:5]))}
+
+    The oracle recomputes the same answer relationally in DuckDB, so a
+    bug anywhere in the evaluator or the JSON round-trip breaks the
+    value hash."""
+    from connect_spark.functions.jmespath_eval import jmespath_udf
+
+    ev = load_table(spark, sf_dir, "events")
+    evs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("typ"),
+                F.col("value").alias("val"),
+            )
+        )
+    )
+    docs = ev.groupBy(F.col("user_id").alias("uid")).agg(evs.alias("evs"))
+    doc = F.to_json(F.struct("uid", "evs"))
+    query = (
+        "{uid: uid, n_purchase: length(evs[?typ == 'purchase']), "
+        "big_ids: join(',', map(&to_string(@), "
+        "sort(evs[?val >= `200.0`].id)[:5]))}"
+    )
+    out = jmespath_udf(query)(doc)
+    decoded = F.from_json(
+        out, "uid BIGINT, n_purchase BIGINT, big_ids STRING"
+    )
+    return docs.select(
+        decoded["uid"].alias("uid"),
+        decoded["n_purchase"].alias("n_purchase"),
+        decoded["big_ids"].alias("big_ids"),
+    )
+
+
+JMESPATH_SQL = """
+WITH big AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events WHERE value >= 200.0
+), bj AS (
+  SELECT user_id,
+         string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+           AS big_ids
+  FROM big WHERE rn <= 5 GROUP BY user_id
+), agg AS (
+  SELECT user_id AS uid,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+  FROM events GROUP BY user_id
+)
+SELECT agg.uid, agg.n_purchase, coalesce(bj.big_ids, '') AS big_ids
+FROM agg LEFT JOIN bj ON agg.uid = bj.user_id
+"""
+
+
 def awk_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """awk processor over synthesized log lines: field access,
     arithmetic, pattern filter, printf formatting."""
@@ -419,6 +482,9 @@ QUERIES = [
     QuerySpec("ai_chat_extract", ai_chat_extract, AI_CHAT_SQL),
     QuerySpec("ai_embed_rerank", ai_embed_rerank, AI_EMBED_SQL),
     QuerySpec("jq_project_events", jq_project_events, JQ_SQL),
+    QuerySpec(
+        "jmespath_project_events", jmespath_project_events, JMESPATH_SQL
+    ),
     QuerySpec("jwt_sign_matrix", jwt_sign_matrix, JWT_MATRIX_SQL),
     QuerySpec(
         "bloblang_eval_dynamic", bloblang_eval_dynamic, BLOBLANG_EVAL_SQL
