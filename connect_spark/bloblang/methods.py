@@ -309,6 +309,59 @@ method("lpad")(lambda c, n, p=" ": F.lpad(c, n, p))
 method("rpad")(lambda c, n, p=" ": F.rpad(c, n, p))
 
 
+@method("compare_bcrypt")
+def _compare_bcrypt(c: Column, hashed_secret: str) -> Column:
+    """methods.adoc (string section) compare_bcrypt — true/false
+    whether the input matches a bcrypt hash
+    (internal/impl/crypto/bcrypt.go:39-59). Pure-Python EksBlowfish
+    (functions/bcrypt_py.py), Arrow-batched; malformed hashes yield
+    null (the reference errors). Note bcrypt's work factor applies
+    per row — this is an edge op, not a hot-path transform."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def run(s: pd.Series) -> pd.Series:
+        from connect_spark.functions.bcrypt_py import compare_bcrypt
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return compare_bcrypt(v, hashed_secret)
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    return run(c.cast("string"))
+
+
+@method("compare_argon2")
+def _compare_argon2(c: Column, hashed_secret: str) -> Column:
+    """methods.adoc (string section) compare_argon2 — true/false
+    whether the input matches an argon2i/argon2id PHC hash
+    (internal/impl/crypto/argon2.go:112-160). Pure-Python RFC 9106
+    (functions/argon2_py.py), oracle-pinned against the cryptography
+    package's Rust Argon2; malformed hashes yield null."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def run(s: pd.Series) -> pd.Series:
+        from connect_spark.functions.argon2_py import compare_argon2
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return compare_argon2(v, hashed_secret)
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    return run(c.cast("string"))
+
+
 @method("parse_duration")
 def _parse_duration(c: Column) -> Column:
     """Duration string (e.g. "3h2m1s", "150ms") → nanoseconds
