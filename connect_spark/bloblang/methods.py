@@ -309,6 +309,32 @@ method("lpad")(lambda c, n, p=" ": F.lpad(c, n, p))
 method("rpad")(lambda c, n, p=" ": F.rpad(c, n, p))
 
 
+@method("unicode_segments")
+def _unicode_segments(c: Column, segmentation_type: str) -> Column:
+    """methods.adoc (string section) unicode_segments — UAX #29
+    grapheme/word/sentence segmentation
+    (internal/impl/lang/bloblang.go:70-120, uniseg). Pure-Python rule
+    engines over the `regex` module's Unicode property tables
+    (text/segmentation.py), Arrow-batched."""
+    if segmentation_type not in ("grapheme", "word", "sentence"):
+        raise ValueError(
+            f"unknown segmentation type: {segmentation_type}"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def run(s: pd.Series) -> pd.Series:
+        from connect_spark.text.segmentation import unicode_segments
+
+        return s.map(
+            lambda v: None
+            if v is None
+            else unicode_segments(v, segmentation_type)
+        )
+
+    return run(c.cast("string"))
+
+
 @method("compare_bcrypt")
 def _compare_bcrypt(c: Column, hashed_secret: str) -> Column:
     """methods.adoc (string section) compare_bcrypt — true/false

@@ -19,6 +19,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -715,6 +717,45 @@ FROM f
 """
 
 
+def unicode_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unicode_segments (internal/impl/lang/bloblang.go:70-120) over
+    the documents table: UAX #29 word segmentation per doc — segment
+    count (words + whitespace runs), word count, first/last word. The
+    corpus is single-space lowercase ASCII, so the oracle recomputes
+    the same answer relationally (split on space); the UAX #29 engine
+    itself is pinned on Unicode-hard cases in tests/test_segmentation.py.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @pandas_udf("array<string>")
+    def seg(sr: pd.Series) -> pd.Series:
+        from connect_spark.text.segmentation import unicode_segments
+
+        return sr.map(lambda v: unicode_segments(v, "word"))
+
+    segged = docs.select("doc_id", seg(F.col("text")).alias("segs"))
+    non_space = F.filter(F.col("segs"), lambda x: x != " ")
+    return segged.select(
+        "doc_id",
+        F.size("segs").alias("n_segments"),
+        F.size(non_space).alias("n_words"),
+        F.element_at(non_space, 1).alias("first_word"),
+        F.element_at(non_space, -1).alias("last_word"),
+    )
+
+
+UNICODE_SEGMENTS_SQL = """
+SELECT doc_id,
+       CAST(2 * len(string_split(text, ' ')) - 1 AS INT) AS n_segments,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       string_split(text, ' ')[1] AS first_word,
+       string_split(text, ' ')[-1] AS last_word
+FROM documents
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, headline=True),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
@@ -730,4 +771,7 @@ QUERIES = [
     QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_SQL),
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL),
+    QuerySpec(
+        "unicode_segments_docs", unicode_segments_docs, UNICODE_SEGMENTS_SQL
+    ),
 ]
