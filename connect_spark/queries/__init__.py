@@ -29,63 +29,73 @@ class QuerySpec:
 
 
 # The correctness driver verifies exactly the first 50 entries of the
-# registry, in order.  Names listed here are floated to the front so
-# queries that have never produced a driver CORRECTNESS row (or were
-# added this round) fall inside that window; long-green queries rotate
-# behind them (the in-repo oracle gate + pytest guard those against
-# regression).
+# registry, in order.  Standing rotation policy (round-4 verdict task
+# #2): every round, reorder so the front of the window holds (a) any
+# query that has never produced a driver CORRECTNESS row, then (b) the
+# queries whose latest driver green is OLDEST — so every registry
+# query re-verifies at most every ceil(N/50) rounds even as code
+# churns under it. Long-green queries rotate behind (the in-repo
+# oracle gate + pytest still guard them against regression between
+# driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # round-2 tail that never got a driver row (VERDICT r2 task #1)
-    "asof_attribution",
-    "xml_roundtrip",
-    "json_schema_events",
-    "avro_roundtrip",
-    "schema_registry_avro",
-    "protobuf_roundtrip",
-    "msgpack_roundtrip",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "range_join_view_purchase",
-    "funnel_signup_view_purchase",
-    "sketch_kmv_distinct",
-    "percentiles_by_type",
-    "histogram_values",
-    "cdc_materialize_orders",
-    "mq_subject_route",
-    "jq_project_events",
-    "awk_extract_events",
-    "geoip_enrich_events",
-    "js_transform_events",
-    "window_tumbling_streamed",
-    "streaming_dedupe_keys",
-    "fn_window_matrix",
-    # round-3 additions (also never driver-checked yet)
-    "dedup_neardup_verified",
-    "bloblang_eval_dynamic",
-    "chunk_recursive_character",
-    "chunk_markdown",
-    "ai_chat_extract",
-    "ai_embed_rerank",
-    "jwt_sign_matrix",
-    "batch_policy_events",
-    "archive_tar_roundtrip",
-    "multimodal_frames",
-    "join_salted_skew",
-    "branch_enrich_orders",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_disjunctive_revenue",
-    "q22_sales_opportunity",
+    # Round 4 rotation (standing policy: oldest driver verification
+    # first). Order: (a) queries that have NEVER had a driver row
+    # (new this round), (b) queries whose latest green predates the
+    # current round's code churn (latest = r02 after round-3 churn).
+    # The 50-slot window verifies the head; the 2 overflow entries
+    # rotate to the front next round.
+    "unicode_segments_docs",
+    "jmespath_project_events",
+    "streaming_running_totals",
+    "mapping_project",
+    "mutation_enrich",
+    "switch_route",
+    "group_by_value_agg",
+    "dedupe_first_per_user",
+    "select_parts_topk",
+    "archive_lines",
+    "archive_json",
+    "unarchive_explode",
+    "bounds_check_filter",
+    "error_model",
+    "join_sharded_full_outer",
+    "join_enrichment_lookup",
+    "join_semi_big_spenders",
+    "join_anti_no_orders",
+    "join_star_revenue_by_nation",
+    "window_tumbling_hourly",
+    "window_sliding",
+    "window_session",
+    "window_daily_orders",
+    "fn_string_matrix",
+    "fn_map_matrix",
+    "fn_regex_matrix",
+    "fn_timestamp_matrix",
+    "fn_number_matrix",
+    "fn_encoding_matrix",
+    "fn_array_matrix",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_meta",
+    "ann_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "ann_ivf_assign",
+    "ann_ivf_probe",
+    "pivot_status_by_priority",
+    "rollup_lineitem",
+    "setops_segments",
+    "workflow_enrich_lineitem",
+    "sql_select_orders",
+    "grok_extract_events",
+    "chunk_documents",
+    "compress_roundtrip",
 ]
 
 

@@ -119,9 +119,75 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming state in the gate: the cache-counter
+    pattern (cache.adoc:167-169 incrby; streaming/stateful.py
+    running_totals / applyInPandasWithState) run as a real multi-batch
+    stream. Events are staged into 4 files so maxFilesPerTrigger=1
+    forces 4 micro-batches and per-key state genuinely carries across
+    batches; the drained update-mode sink keeps each key's LAST emit
+    (highest running_count), which must equal the batch groupBy —
+    a bug in state carry/merge breaks the hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from connect_spark.streaming.stateful import running_totals
+
+    _prepare_session(spark)
+    ev = spark.read.parquet(table_path(sf_dir, "events")).select(
+        "user_id", "value"
+    )
+    staged = tempfile.mkdtemp(prefix="rt_stream_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(staged)
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        out = running_totals(stream, "user_id", "value")
+        name = "strq_" + uuid.uuid4().hex[:12]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        drained = spark.table(name)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    w = Window.partitionBy("key").orderBy(F.col("running_count").desc())
+    return (
+        drained.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("key").cast("bigint").alias("user_id"),
+            "running_count",
+            "running_total",
+        )
+    )
+
+
+RUNNING_TOTALS_SQL = """
+SELECT user_id,
+       count(*) AS running_count,
+       round(sum(value), 2) AS running_total
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = [
     QuerySpec("window_tumbling_streamed", window_tumbling_streamed,
               TUMBLING_SQL),
     QuerySpec("streaming_dedupe_keys", streaming_dedupe_keys,
               STREAM_DEDUPE_SQL),
+    QuerySpec("streaming_running_totals", streaming_running_totals,
+              RUNNING_TOTALS_SQL),
 ]

@@ -243,3 +243,27 @@ def test_streaming_session_windows(spark, tmp_path):
     for r in rows:
         key = (r["user_id"], str(r["window_start"]))
         assert expected.get(key) == r["n"], key
+
+
+def test_streaming_running_totals_carries_state_across_batches(spark):
+    """The gate query must exercise REAL multi-batch state: with 4
+    staged files and maxFilesPerTrigger=1, most keys appear in several
+    micro-batches, so the update-mode sink holds more rows than keys
+    and running counts increase monotonically per key."""
+    from connect_spark.queries.streaming_q import streaming_running_totals
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming_running_totals(spark, sf)
+    rows = out.collect()
+    n_keys = len(rows)
+    ev = spark.read.parquet(sf + "/events.parquet")
+    per_user = {
+        r["user_id"]: (r["cnt"], float(r["s"]))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert n_keys == len(per_user)
+    for r in rows:
+        assert r["running_count"] == per_user[r["user_id"]][0]
+        assert abs(r["running_total"] - round(per_user[r["user_id"]][1], 2)) < 1e-9
