@@ -238,8 +238,16 @@ def _p_split(df: DataFrame, conf: Any) -> DataFrame:
             if size_expr
             else F.length(F.to_json(F.struct(*df.columns)))
         )
-        total = df.agg(F.sum(sz).alias("b")).collect()[0]["b"] or 0
-        parts = max(1, -(-int(total) // byte_size))
+        # ONE driver action for both totals (bytes + rows); when count
+        # is also set, both limits apply — whichever needs more chunks
+        # wins (split.adoc: each batch obeys every configured bound).
+        row = df.agg(
+            F.sum(sz).alias("b"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        total, n_rows = int(row["b"] or 0), int(row["n"])
+        parts = max(1, -(-total // byte_size))
+        if count > 0:
+            parts = max(parts, -(-n_rows // count))
     else:
         parts = max(1, -(-df.count() // count))
     return df.repartition(parts)

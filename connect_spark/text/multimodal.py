@@ -4,9 +4,11 @@ metadata (brief: multimodal columns).
 The Spark-side plumbing here is real and tested — envelope schema,
 Arrow-batched mapInPandas decode with a stable output schema, batch
 shape — while the pixel/sample decode itself is STUBBED (image/audio
-libraries are not in this container): `decode_stub=True` derives
-deterministic fake features from the payload bytes; `decode_stub=False`
-raises NotImplementedError where a real decoder (PIL/ffmpeg) would go.
+libraries are not in this container): decoder selection is an
+executor-side import probe — PIL when importable (real dimensions +
+thumbnail features), else a deterministic fake derived from the
+payload hash; `decode_stub=False` demands the real decoder and raises
+where it is absent, `True` forces the stub, `"auto"` probes.
 
 Scale design: payloads stay in executor-side Arrow batches end-to-end
 (no driver collect); `spark.sql.files.maxPartitionBytes` bounds the
@@ -69,20 +71,55 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
-def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real image decode (selected when PIL imports): true dimensions
+    plus an 8-dim feature from a 2x4 grayscale thumbnail."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — executor-side probe
+
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    thumb = img.convert("L").resize((4, 2))
+    feature = [round(p / 255.0, 6) for p in thumb.getdata()]
+    return width, height, feature
+
+
+def _select_decoder(decode_stub):
+    """Import-probe decoder selection (executor-side): `\"auto\"` uses
+    PIL when importable and the deterministic stub otherwise; True
+    forces the stub; False requires a real decoder and raises where
+    it is absent (the honest gate)."""
+    if decode_stub is True:
+        return _fake_decode
+    try:
+        import PIL  # noqa: F401,PLC0415
+
+        return _pil_decode
+    except ImportError:
+        if decode_stub is False:
+            raise NotImplementedError(
+                "real media decoding requires PIL; not importable in "
+                "this environment — run with decode_stub=True or "
+                "decode_stub=\"auto\""
+            ) from None
+        return _fake_decode
+
+
+def decode_media(df: DataFrame, decode_stub: bool | str = True) -> DataFrame:
     """Decode/feature-extract over the media envelope via mapInPandas
     (Arrow batches; one output row per input row; payload column is
-    dropped on output so downstream stages don't drag bytes along)."""
+    dropped on output so downstream stages don't drag bytes along).
+    Decoder selection is an executor-side import probe
+    (`_select_decoder`): PIL when present, deterministic stub
+    otherwise — the stub ceiling lifts automatically on a cluster
+    with image libs installed."""
 
     def decode_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        decoder = _select_decoder(decode_stub)
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg; not in "
-                    "this container — run with decode_stub=True"
-                )
             out = {
                 "media_id": pdf["media_id"],
                 "mime": pdf["mime"],
@@ -91,7 +128,7 @@ def decode_media(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 ),
             }
             decoded = pdf["payload"].map(
-                lambda b: _fake_decode(bytes(b or b""))
+                lambda b: decoder(bytes(b or b""))
             )
             out["width"] = decoded.map(lambda t: t[0])
             out["height"] = decoded.map(lambda t: t[1])
@@ -128,8 +165,8 @@ def sample_frames(
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError(
-                    "real frame extraction requires ffmpeg; not in this "
-                    "container — run with decode_stub=True"
+                    "real frame extraction requires ffmpeg, which has no "
+                    "Python import probe here — run with decode_stub=True"
                 )
             ids, idxs, tss, frames = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):

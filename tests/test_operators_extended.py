@@ -233,3 +233,38 @@ def test_multimodal_frame_sampling(spark):
 
     with _pytest.raises(Exception, match="ffmpeg"):
         sample_frames(media, decode_stub=False).collect()
+
+
+def test_multimodal_decoder_probe_selects_stub_without_pil(spark):
+    """`decode_stub=\"auto\"` probes for PIL executor-side: absent in
+    this container, the deterministic stub must be selected and
+    produce the same output as the forced stub; a fake-present PIL
+    selects the real decoder."""
+    import sys
+
+    from connect_spark.text.multimodal import _fake_decode, _select_decoder
+
+    assert _select_decoder("auto") is _fake_decode
+    assert _select_decoder(True) is _fake_decode
+    fake_pil = type(sys)("PIL")
+    sys.modules["PIL"] = fake_pil
+    try:
+        from connect_spark.text.multimodal import _pil_decode
+
+        assert _select_decoder("auto") is _pil_decode
+        assert _select_decoder(False) is _pil_decode
+    finally:
+        del sys.modules["PIL"]
+    docs = load_table(spark, SF, "documents").limit(4)
+    from connect_spark.text.multimodal import as_media_frame, decode_media
+
+    media = as_media_frame(docs, "doc_id", "text", "text/plain")
+    auto_rows = sorted(
+        (r.media_id, r.width, r.height, tuple(r.feature))
+        for r in decode_media(media, decode_stub="auto").collect()
+    )
+    stub_rows = sorted(
+        (r.media_id, r.width, r.height, tuple(r.feature))
+        for r in decode_media(media, decode_stub=True).collect()
+    )
+    assert auto_rows == stub_rows
