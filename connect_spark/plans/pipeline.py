@@ -1073,3 +1073,8 @@ def build_pipeline(
     if not isinstance(config, dict) or "input" not in config:
         raise PipelineConfigError("config must be a mapping with an 'input'")
     return Pipeline(spark, config)
+
+
+# extended processor registrations (grouping/flow, formats, enrichment,
+# AI family) — import for side effects, at module end to avoid a cycle
+from connect_spark.plans import processors_ext  # noqa: E402,F401
