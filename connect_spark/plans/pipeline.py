@@ -51,6 +51,27 @@ class PipelineConfigError(ValueError):
 ProcessorFn = Callable[[DataFrame, Any], DataFrame]
 PROCESSORS: dict[str, ProcessorFn] = {}
 
+# extension registries for input/output component kinds (populated by
+# plans/io_ext.py; checked after the built-in dispatch chains)
+INPUT_KINDS: dict[str, Callable[..., DataFrame]] = {}
+OUTPUT_KINDS: dict[str, Callable[..., Any]] = {}
+
+
+def input_kind(name: str):
+    def deco(fn):
+        INPUT_KINDS[name] = fn
+        return fn
+
+    return deco
+
+
+def output_kind(name: str):
+    def deco(fn):
+        OUTPUT_KINDS[name] = fn
+        return fn
+
+    return deco
+
 
 def processor(name: str):
     def deco(fn: ProcessorFn):
@@ -859,6 +880,8 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
                 "maxFilesPerTrigger", c["max_files_per_trigger"]
             )
         return reader.parquet(c["path"])
+    if kind in INPUT_KINDS:
+        return INPUT_KINDS[kind](spark, c)
     raise PipelineConfigError(f"unknown input {kind!r}")
 
 
@@ -946,6 +969,8 @@ def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
 
         out.foreachPartition(_publish_partition)
         return None
+    if kind in OUTPUT_KINDS:
+        return OUTPUT_KINDS[kind](df, c)
     raise PipelineConfigError(f"unknown output {kind!r}")
 
 
@@ -1077,4 +1102,4 @@ def build_pipeline(
 
 # extended processor registrations (grouping/flow, formats, enrichment,
 # AI family) — import for side effects, at module end to avoid a cycle
-from connect_spark.plans import processors_ext  # noqa: E402,F401
+from connect_spark.plans import io_ext, processors_ext  # noqa: E402,F401

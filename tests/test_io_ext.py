@@ -1,0 +1,246 @@
+"""Extended input/output kinds (plans/io_ext.py) and the serverless
+handler (serverless.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connect_spark.plans.pipeline import build_pipeline
+from connect_spark.serverless import handle
+
+SF = "/root/testdata/sf0.001"
+
+
+def _region_input():
+    return {"table": {"sf_dir": SF, "name": "region"}}
+
+
+def test_broker_fan_out_every_output_gets_all_rows(spark, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg = {
+        "input": _region_input(),
+        "output": {
+            "broker": {
+                "outputs": [
+                    {"parquet": {"path": p1}},
+                    {"parquet": {"path": p2}},
+                ]
+            }
+        },
+    }
+    build_pipeline(spark, cfg).run()
+    assert spark.read.parquet(p1).count() == 5
+    assert spark.read.parquet(p2).count() == 5
+
+
+def test_broker_round_robin_partitions_rows(spark, tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    cfg = {
+        "input": _region_input(),
+        "output": {
+            "broker": {
+                "pattern": "round_robin",
+                "outputs": [
+                    {"parquet": {"path": p1}},
+                    {"parquet": {"path": p2}},
+                ],
+            }
+        },
+    }
+    build_pipeline(spark, cfg).run()
+    n1 = spark.read.parquet(p1).count()
+    n2 = spark.read.parquet(p2).count()
+    assert n1 + n2 == 5 and n1 > 0 and n2 > 0
+
+
+def test_switch_output_routes_by_check(spark, tmp_path):
+    low, rest = str(tmp_path / "low"), str(tmp_path / "rest")
+    cfg = {
+        "input": _region_input(),
+        "output": {
+            "switch": {
+                "cases": [
+                    {
+                        "check": "this.r_regionkey < 2",
+                        "output": {"parquet": {"path": low}},
+                    },
+                    {"output": {"parquet": {"path": rest}}},
+                ]
+            }
+        },
+    }
+    build_pipeline(spark, cfg).run()
+    assert spark.read.parquet(low).count() == 2
+    assert spark.read.parquet(rest).count() == 3
+
+
+def test_fallback_output_tries_next(spark, tmp_path):
+    ok = str(tmp_path / "ok")
+    cfg = {
+        "input": _region_input(),
+        "output": {
+            "fallback": [
+                # first target fails: parquet into an existing FILE path
+                {"parquet": {"path": "/dev/null/nope"}},
+                {"parquet": {"path": ok}},
+            ]
+        },
+    }
+    build_pipeline(spark, cfg).run()
+    assert spark.read.parquet(ok).count() == 5
+
+
+def test_retry_and_drop_on_outputs(spark, tmp_path):
+    ok = str(tmp_path / "ok")
+    cfg = {
+        "input": _region_input(),
+        "output": {
+            "retry": {
+                "max_retries": 1,
+                "output": {"parquet": {"path": ok}},
+            }
+        },
+    }
+    build_pipeline(spark, cfg).run()
+    assert spark.read.parquet(ok).count() == 5
+    # drop_on swallows the failure instead of raising
+    cfg2 = {
+        "input": _region_input(),
+        "output": {
+            "drop_on": {"output": {"parquet": {"path": "/dev/null/x"}}}
+        },
+    }
+    build_pipeline(spark, cfg2).run()  # must not raise
+
+
+def test_reject_errored_output_splits(spark, tmp_path):
+    good, dlq = str(tmp_path / "good"), str(tmp_path / "dlq")
+    cfg = {
+        "input": _region_input(),
+        "pipeline": {
+            "processors": [
+                {
+                    "mutation": (
+                        'root._error = if this.r_regionkey == 0 '
+                        '{ "boom" } else { null }'
+                    )
+                }
+            ]
+        },
+        "output": {
+            "reject_errored": {
+                "output": {"parquet": {"path": good}},
+                "dlq": {"parquet": {"path": dlq}},
+            }
+        },
+    }
+    build_pipeline(spark, cfg).run()
+    assert spark.read.parquet(good).count() == 4
+    assert spark.read.parquet(dlq).count() == 1
+
+
+def test_cache_and_file_outputs(spark, tmp_path):
+    cache_path = str(tmp_path / "kv")
+    cfg = {
+        "input": _region_input(),
+        "output": {"cache": {"path": cache_path, "key": "r_regionkey"}},
+    }
+    build_pipeline(spark, cfg).run()
+    from connect_spark.state.cache import ParquetKVCache
+
+    kv = ParquetKVCache(spark, cache_path, key="r_regionkey")
+    assert kv.read().count() == 5
+
+    txt = str(tmp_path / "txt")
+    cfg2 = {
+        "input": _region_input(),
+        "pipeline": {
+            "processors": [{"mapping": "root.content = this.r_name"}]
+        },
+        "output": {"file": {"path": txt}},
+    }
+    build_pipeline(spark, cfg2).run()
+    lines = {r["value"] for r in spark.read.text(txt).collect()}
+    assert len(lines) == 5
+
+
+def test_http_client_input_and_output_with_transport(spark):
+    from connect_spark.plans.processors_ext import register_http_transport
+
+    calls = []
+
+    def fake(url, verb, headers, body):
+        calls.append((url, verb, body))
+        return json.dumps({"ok": True, "n": len(calls)})
+
+    register_http_transport("fake-io", fake)
+    cfg = {
+        "input": {
+            "http_client": {
+                "url": "http://svc/poll",
+                "transport": "fake-io",
+                "n_polls": 3,
+            }
+        }
+    }
+    df = build_pipeline(spark, cfg).dataframe()
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(json.loads(r["content"])["ok"] for r in rows)
+
+
+def test_batched_input_assigns_batch_ids(spark):
+    cfg = {
+        "input": {
+            "batched": {
+                "child": {"table": {"sf_dir": SF, "name": "events"}},
+                "policy": {"count": 5},
+                "order_by": ["ts", "event_id"],
+                "partition_by": ["user_id"],
+                "ts": "ts",
+            }
+        }
+    }
+    df = build_pipeline(spark, cfg).dataframe()
+    assert "batch_id" in df.columns
+    sizes = (
+        df.groupBy("user_id", "batch_id").count().agg(F.max("count"))
+    ).collect()[0][0]
+    assert sizes <= 5
+
+
+def test_sql_inputs(spark):
+    cfg = {
+        "input": {
+            "sql_select": {
+                "path": f"{SF}/region.parquet",
+                "columns": ["r_regionkey", "r_name"],
+                "where": "r_regionkey < 3",
+            }
+        }
+    }
+    assert build_pipeline(spark, cfg).dataframe().count() == 3
+    cfg2 = {"input": {"sql_raw": {"query": "SELECT 1 AS one"}}}
+    assert build_pipeline(spark, cfg2).dataframe().collect()[0]["one"] == 1
+
+
+def test_serverless_handler_roundtrip(spark):
+    config = {
+        "pipeline": {
+            "processors": [
+                {"mutation": "root.doubled = this.n * 2"},
+                {
+                    "mutation": (
+                        'root._error = if this.n < 0 { "neg" } else { null }'
+                    )
+                },
+            ]
+        }
+    }
+    out = handle(spark, config, [{"n": 4}, {"n": -1}])
+    assert [r["doubled"] for r in out["response"]] == [8]
+    assert len(out["rejected"]) == 1 and out["rejected"][0]["n"] == -1
