@@ -108,6 +108,39 @@ def _fn_fake(kind: str = "word") -> Column:
     return F.array(*[F.lit(x) for x in pool])[idx % len(pool)]
 
 
+# per-process trace root (tracers/*.adoc analog): every message of a
+# run correlates under one root; per-message ids derive from it
+import uuid as _uuid
+
+_TRACE_ROOT = _uuid.uuid4().hex
+
+
+def _fn_tracing_id() -> Column:
+    """functions.adoc:659 tracing_id — 32-hex OTel-style trace id per
+    message (deterministic within a run: md5 of the run's trace root +
+    a stable row id)."""
+    return F.md5(
+        F.concat(
+            F.lit(_TRACE_ROOT),
+            F.monotonically_increasing_id().cast("string"),
+        )
+    )
+
+
+def _fn_tracing_span() -> Column:
+    """functions.adoc:681 tracing_span — text-map object carrying the
+    W3C `traceparent` (00-<trace>-<span>-01)."""
+    trace = _fn_tracing_id()
+    span = F.substring(
+        F.md5(F.concat(trace, F.lit("span"))), 1, 16
+    )
+    return F.struct(
+        F.concat(
+            F.lit("00-"), trace, F.lit("-"), span, F.lit("-01")
+        ).alias("traceparent")
+    )
+
+
 FUNCTIONS = {
     "now": _fn_now,
     "uuid_v4": _fn_uuid_v4,
@@ -117,6 +150,8 @@ FUNCTIONS = {
     "range": _fn_range,
     "throw": _fn_throw,
     "fake": _fn_fake,
+    "tracing_id": _fn_tracing_id,
+    "tracing_span": _fn_tracing_span,
 }
 
 

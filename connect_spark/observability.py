@@ -141,3 +141,82 @@ def get_metric(name: str):
 
 def clear_metrics() -> None:
     _OBSERVATIONS.clear()
+
+
+# --------------------------------------------------------------------
+# metrics exporters (reference `metrics:` adapters —
+# docs/modules/components/pages/metrics/{prometheus,json_api,logger}.adoc)
+# --------------------------------------------------------------------
+
+
+def _metric_snapshot() -> dict[str, float]:
+    """Resolved values of every observed metric. Observation.get blocks
+    until its observing action has run — call after the pipeline's
+    action, which is exactly when the reference scrapes too."""
+    out: dict[str, float] = {}
+    for name, obs in _OBSERVATIONS.items():
+        try:
+            out[name] = float(obs.get[name])
+        except Exception:  # noqa: BLE001 — action not run yet
+            continue
+    return out
+
+
+def prometheus_exposition(prefix: str = "connect_spark") -> str:
+    """`metrics: prometheus` — the text exposition format
+    (prometheus.adoc:26): HELP/TYPE headers + one sample per metric.
+    Serve via `serve_metrics` or push through any gateway."""
+    lines: list[str] = []
+    for name, value in sorted(_metric_snapshot().items()):
+        mname = f"{prefix}_{name}".replace("-", "_").replace(".", "_")
+        lines.append(f"# TYPE {mname} gauge")
+        lines.append(f"{mname} {value}")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def json_api_stats() -> dict:
+    """`metrics: json_api` — the `/stats` JSON object (json_api.adoc:25)."""
+    return {"metrics": _metric_snapshot()}
+
+
+def logger_lines(level: str = "INFO") -> list[str]:
+    """`metrics: logger` — flush metrics as log lines (logger.adoc)."""
+    return [
+        f"{level} metric {name}={value}"
+        for name, value in sorted(_metric_snapshot().items())
+    ]
+
+
+def serve_metrics(port: int = 0):
+    """Serve `/metrics` (prometheus exposition) and `/stats` (json_api)
+    on a local HTTP endpoint — the reference's service-wide metrics
+    endpoints (json_api.adoc:25). Returns (server, port); call
+    `server.shutdown()` when done."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — stdlib API
+            if self.path == "/metrics":
+                body = prometheus_exposition().encode()
+                ctype = "text/plain; version=0.0.4"
+            elif self.path in ("/stats", "/metrics.json"):
+                body = _json.dumps(json_api_stats()).encode()
+                ctype = "application/json"
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, server.server_address[1]
