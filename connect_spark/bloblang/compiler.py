@@ -76,36 +76,15 @@ def _fn_throw(msg: Any) -> Column:
     return F.raise_error(F.lit(msg))
 
 
-_FAKE_POOLS = {
-    "name": ("ada", "grace", "alan", "edsger", "barbara", "donald"),
-    "email_domain": ("example.com", "test.org", "mail.net"),
-    "word": ("alpha", "beta", "gamma", "delta", "epsilon"),
-}
-
-
 def _fn_fake(kind: str = "word") -> Column:
-    """fake() (functions.adoc:881) made DETERMINISTIC: value derived
-    from a per-row hash of monotonically_increasing_id — reproducible
-    test data, unlike the reference's RNG."""
-    seed = F.md5(F.concat(F.lit(kind), F.monotonically_increasing_id().cast("string")))
-    idx = F.conv(F.substring(seed, 1, 6), 16, 10).cast("int")
-    if kind == "name":
-        pool = _FAKE_POOLS["name"]
-        return F.array(*[F.lit(x) for x in pool])[idx % len(pool)]
-    if kind == "email":
-        names = _FAKE_POOLS["name"]
-        doms = _FAKE_POOLS["email_domain"]
-        return F.concat(
-            F.array(*[F.lit(x) for x in names])[idx % len(names)],
-            F.lit("@"),
-            F.array(*[F.lit(x) for x in doms])[idx % len(doms)],
-        )
-    if kind == "uuid":
-        return F.expr("uuid()")
-    if kind == "int":
-        return idx
-    pool = _FAKE_POOLS["word"]
-    return F.array(*[F.lit(x) for x in pool])[idx % len(pool)]
+    """fake() (functions.adoc:881; generator list
+    internal/impl/lang/bloblang.go:122-160) made DETERMINISTIC: every
+    one of the documented 44 generators, derived per row from a hash —
+    reproducible test data, unlike the reference's RNG. Column algebra
+    only (functions/fake.py)."""
+    from connect_spark.functions.fake import fake_value
+
+    return fake_value(kind)
 
 
 # per-process trace root (tracers/*.adoc analog): every message of a
