@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _EXP_COL = "_cache_exp"  # expiry epoch-seconds; null = never expires
+_SET_COL = "_cache_set_at"  # write stamp; drives the max_items bound
 
 
 class ParquetKVCache:
@@ -45,12 +46,19 @@ class ParquetKVCache:
         path: str,
         key: str = "key",
         ttl: float | None = None,
+        max_items: int | None = None,
         now_fn: Callable[[], float] = time.time,
     ):
         self.spark = spark
         self.path = path
         self.key = key
         self.ttl = ttl
+        # lru/ttlru backends bound entry count; the set-based analog
+        # evicts by WRITE recency (each mutation stamps its rows, and
+        # the bound keeps the newest `max_items` at every rewrite) —
+        # access-recency would force a write per read, which is the
+        # one thing a lazy plan must not do.
+        self.max_items = max_items
         self.now_fn = now_fn
 
     # Generational layout (path/v0, path/v1, …): every mutation writes
@@ -74,8 +82,11 @@ class ParquetKVCache:
     def read(self) -> DataFrame | None:
         """Current live entries: latest generation minus expired."""
         df = self._read_live()
-        if df is not None and _EXP_COL in df.columns:
-            df = df.drop(_EXP_COL)
+        if df is None:
+            return None
+        for c in (_EXP_COL, _SET_COL):
+            if c in df.columns:
+                df = df.drop(c)
         return df
 
     def _read_live(self) -> DataFrame | None:
@@ -93,7 +104,9 @@ class ParquetKVCache:
         return df
 
     def _write(self, df: DataFrame) -> None:
-        df.write.mode("overwrite").parquet(self._gen_path(self._latest() + 1))
+        self._bound(df).write.mode("overwrite").parquet(
+            self._gen_path(self._latest() + 1)
+        )
 
     def _stamp(self, rows: DataFrame, ttl: float | None) -> DataFrame:
         eff = ttl if ttl is not None else self.ttl
@@ -104,7 +117,19 @@ class ParquetKVCache:
         )
         if _EXP_COL in rows.columns:
             rows = rows.drop(_EXP_COL)
-        return rows.withColumn(_EXP_COL, exp)
+        if _SET_COL in rows.columns:
+            rows = rows.drop(_SET_COL)
+        return rows.withColumn(_EXP_COL, exp).withColumn(
+            _SET_COL, F.lit(float(self.now_fn()))
+        )
+
+    def _bound(self, df: DataFrame) -> DataFrame:
+        """Enforce max_items: newest writes survive (lru-by-write)."""
+        if self.max_items is None or _SET_COL not in df.columns:
+            return df
+        return df.orderBy(
+            F.col(_SET_COL).desc(), F.col(self.key)
+        ).limit(self.max_items)
 
     def set(self, rows: DataFrame, ttl: float | None = None) -> None:
         """Upsert: new rows win over existing (cache set)."""
@@ -132,12 +157,12 @@ class ParquetKVCache:
         if cur is None:
             deduped = rows.dropDuplicates([self.key])
             self._write(deduped)
-            return deduped.drop(_EXP_COL)
+            return deduped.drop(_EXP_COL, _SET_COL)
         fresh = rows.join(
             cur.select(self.key), on=self.key, how="left_anti"
         ).dropDuplicates([self.key])
         self._write(cur.unionByName(fresh, allowMissingColumns=True))
-        return fresh.drop(_EXP_COL)
+        return fresh.drop(_EXP_COL, _SET_COL)
 
     def get(self, df: DataFrame, on: str | None = None) -> DataFrame:
         """Lookup join (broadcast — cache sides are small by contract)."""

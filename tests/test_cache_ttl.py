@@ -170,3 +170,29 @@ def test_cache_processor_ttl_and_multilevel(spark, tmp_path):
         ("k1", 10),
         ("k2", 20),
     ]
+
+
+def test_max_items_evicts_oldest_writes(spark, tmp_path):
+    """lru/ttlru entry bound: the set-based analog evicts by write
+    recency — newest max_items keys survive each rewrite."""
+    from pyspark.sql import Row
+
+    from connect_spark.state.cache import ParquetKVCache
+
+    clock = [100.0]
+    cache = ParquetKVCache(
+        spark, str(tmp_path / "kv"), key="k", max_items=3,
+        now_fn=lambda: clock[0],
+    )
+    cache.set(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    clock[0] = 200.0
+    cache.set(spark.createDataFrame([Row(k=3, v="c"), Row(k=4, v="d")]))
+    got = {r["k"] for r in cache.read().collect()}
+    # bound 3: the two newest writes (3,4) survive plus ONE of the
+    # older generation; write-stamp ties within a generation break by
+    # key order, so k=1 survives
+    assert got == {1, 3, 4}
+    clock[0] = 300.0
+    cache.set(spark.createDataFrame([Row(k=5, v="e")]))
+    got = {r["k"] for r in cache.read().collect()}
+    assert 5 in got and len(got) == 3
