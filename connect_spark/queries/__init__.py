@@ -44,6 +44,8 @@ _DRIVER_PRIORITY: list[str] = [
     # current round's code churn (latest = r02 after round-3 churn).
     # The 50-slot window verifies the head; the 2 overflow entries
     # rotate to the front next round.
+    "pipeline_yaml_route",
+    "parse_log_events",
     "unicode_segments_docs",
     "jmespath_project_events",
     "streaming_running_totals",
@@ -112,6 +114,7 @@ def all_queries() -> list[QuerySpec]:
         functions as fns,
         joins,
         mq,
+        pipeline_q,
         relational,
         streaming_q,
         textops,
@@ -125,7 +128,7 @@ def all_queries() -> list[QuerySpec]:
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
-        tpch, winfns,
+        tpch, winfns, pipeline_q,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

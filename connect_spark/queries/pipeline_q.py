@@ -1,0 +1,117 @@
+"""Driver-gated queries that execute through the YAML pipeline loader
+itself — so config parsing, Bloblang compilation inside configs, and
+the processor registrations are all inside the correctness gate, not
+just unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import load_table
+from connect_spark.queries import QuerySpec
+
+
+def pipeline_yaml_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full YAML pipeline (table input → mapping → group_by) built by
+    `build_pipeline` (plans/pipeline.py): revenue class per event via
+    Bloblang in config, first-match group_by tagging
+    (processors/group_by.adoc:34 — unmatched rows form their own
+    untagged group). The oracle recomputes the same routing with CASE."""
+    from connect_spark.plans.pipeline import build_pipeline
+
+    config = {
+        "input": {"table": {"sf_dir": sf_dir, "name": "events"}},
+        "pipeline": {
+            "processors": [
+                {
+                    "mapping": (
+                        "root.event_id = this.event_id\n"
+                        "root.value_cents = (this.value * 100).floor()\n"
+                        "root.etype = this.event_type"
+                    )
+                },
+                {
+                    "group_by": [
+                        {
+                            "check": 'this.etype == "purchase"',
+                            "processors": [
+                                {"mutation": 'root.route = "billing"'}
+                            ],
+                        },
+                        {
+                            "check": "this.value_cents >= 20000",
+                            "processors": [
+                                {"mutation": 'root.route = "big"'}
+                            ],
+                        },
+                    ]
+                },
+            ]
+        },
+    }
+    df = build_pipeline(spark, config).dataframe()
+    return df.select(
+        "event_id",
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+        "etype",
+        "route",
+    )
+
+
+PIPELINE_ROUTE_SQL = """
+SELECT event_id,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents,
+       event_type AS etype,
+       CASE WHEN event_type = 'purchase' THEN 'billing'
+            WHEN floor(value * 100) >= 20000 THEN 'big'
+            ELSE NULL END AS route
+FROM events
+"""
+
+
+def parse_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse_log` (parse_log.adoc:26) in the gate: RFC3164 syslog
+    lines synthesized from events, parsed back to structured fields by
+    the grok-based parser (functions/formats.py parse_syslog); the
+    oracle recomputes every field from the base columns, so a grok or
+    pattern bug breaks the hash."""
+    from connect_spark.functions.formats import parse_syslog
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("Jan  2 03:04:05 host"),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("event_type"),
+        F.lit("["),
+        F.col("event_id").cast("string"),
+        F.lit("]: value="),
+        F.col("value").cast("string"),
+    )
+    parsed = parse_syslog(line)
+    return ev.select(
+        "event_id",
+        parsed["timestamp"].alias("log_ts"),
+        parsed["hostname"].alias("log_host"),
+        parsed["appname"].alias("log_app"),
+        parsed["procid"].cast("bigint").alias("log_procid"),
+        parsed["message"].alias("log_msg"),
+    )
+
+
+PARSE_LOG_SQL = """
+SELECT event_id,
+       'Jan  2 03:04:05' AS log_ts,
+       'host' || CAST(user_id AS VARCHAR) AS log_host,
+       event_type AS log_app,
+       event_id AS log_procid,
+       'value=' || CAST(value AS VARCHAR) AS log_msg
+FROM events
+"""
+
+
+QUERIES = [
+    QuerySpec("pipeline_yaml_route", pipeline_yaml_route, PIPELINE_ROUTE_SQL),
+    QuerySpec("parse_log_events", parse_log_events, PARSE_LOG_SQL),
+]
