@@ -516,6 +516,24 @@ def _p_http(df: DataFrame, conf: Any) -> DataFrame:
     ).drop("_http")
 
 
+
+
+@processor("ffi")
+def _p_ffi(df: DataFrame, conf: Any) -> DataFrame:
+    """ffi processor (internal/impl/ffi/processor.go) — dlopen +
+    invoke per message via ctypes (operators/ffi.py)."""
+    from connect_spark.operators.ffi import ffi_call
+
+    return ffi_call(
+        df,
+        conf["library_path"],
+        conf["function_name"],
+        conf["args_mapping"],
+        conf.get("signature", {}),
+        out=conf.get("result_field", "ffi_result"),
+    )
+
+
 # --------------------------------------------------------------------
 # AI family (openai/ollama/cohere config surfaces over text/ai.py)
 # --------------------------------------------------------------------
