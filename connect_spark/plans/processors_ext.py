@@ -534,6 +534,42 @@ def _p_ffi(df: DataFrame, conf: Any) -> DataFrame:
     )
 
 
+
+
+@processor("wasm")
+def _p_wasm(df: DataFrame, conf: Any) -> DataFrame:
+    """wasm processor (internal/impl/wasm/processor_wazero.go) — run an
+    exported function of a WASM module per message through the
+    pure-Python MVP runtime (connect_spark/wasm/), with the
+    benthos_wasm host module (v0_msg_as_bytes/set_bytes/get_meta/
+    set_meta) and the malloc/allocate export probe. One module
+    instance per executor task (the reference pools per thread)."""
+    field = conf.get("field", "content")
+    function = conf.get("function", "process")
+    with open(conf["module_path"], "rb") as fh:
+        binary = fh.read()
+    # validate driver-side: decode + export probe fail fast
+    from connect_spark.wasm.host import MessageRunner
+
+    MessageRunner(binary, function)
+
+    @F.pandas_udf("string")
+    def run(s: pd.Series) -> pd.Series:
+        from connect_spark.wasm.host import MessageRunner as _MR
+
+        runner = _MR(binary, function)
+
+        def one(v):
+            if v is None:
+                return None
+            out, _meta = runner.process(str(v).encode())
+            return out.decode("utf-8", "replace")
+
+        return s.map(one)
+
+    return df.withColumn(field, run(F.col(field).cast("string")))
+
+
 # --------------------------------------------------------------------
 # AI family (openai/ollama/cohere config surfaces over text/ai.py)
 # --------------------------------------------------------------------
