@@ -570,6 +570,63 @@ def _p_wasm(df: DataFrame, conf: Any) -> DataFrame:
     return df.withColumn(field, run(F.col(field).cast("string")))
 
 
+
+
+@processor("redpanda_data_transform")
+def _p_data_transform(df: DataFrame, conf: Any) -> DataFrame:
+    """redpanda_data_transform processor
+    (internal/impl/redpanda/processor_data_transform.go) — run a
+    Data-Transform WASM module over each Arrow batch through the
+    pure-Python runtime's transform ABI (wasm/transform.py): the
+    guest's _start coroutine consumes record batches via
+    read_batch_header/read_next_record and emits via write_record.
+    A transform can produce 0..n records per input, so the batch
+    expands via mapInPandas on the content column."""
+    field = conf.get("field", "content")
+    with open(conf["module_path"], "rb") as fh:
+        binary = fh.read()
+    from connect_spark.wasm.transform import TransformEngine
+
+    TransformEngine(binary).close()  # driver-side fail-fast
+
+    schema = df.schema
+
+    def run(batches):
+        from connect_spark.wasm.transform import (
+            TransformEngine as _TE,
+            TransformMessage as _TM,
+        )
+
+        engine = _TE(binary)
+        try:
+            for pdf in batches:
+                msgs = [
+                    _TM(value=str(v).encode())
+                    for v in pdf[field].tolist()
+                ]
+                out = engine.run(msgs)
+                if len(out) == len(pdf):
+                    pdf = pdf.copy()
+                    pdf[field] = [
+                        m.value.decode("utf-8", "replace") for m in out
+                    ]
+                    yield pdf
+                else:
+                    # cardinality change: emit value column, nulls for
+                    # the rest of the row (reference emits fresh msgs)
+                    import pandas as _pd
+
+                    base = {c: [None] * len(out) for c in pdf.columns}
+                    base[field] = [
+                        m.value.decode("utf-8", "replace") for m in out
+                    ]
+                    yield _pd.DataFrame(base)
+        finally:
+            engine.close()
+
+    return df.mapInPandas(run, schema)
+
+
 # --------------------------------------------------------------------
 # AI family (openai/ollama/cohere config surfaces over text/ai.py)
 # --------------------------------------------------------------------
