@@ -275,3 +275,20 @@ def _i_sql_raw(spark: SparkSession, c: Any) -> DataFrame:
     query = c["query"] if isinstance(c, dict) else c
     args = c.get("args") if isinstance(c, dict) else None
     return spark.sql(query, args=args)
+
+
+@input_kind("http_server")
+def _i_http_server(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/http_server.adoc:26 — push endpoint; POST bodies become
+    messages via a local spool (sources/http_server.py)."""
+    from connect_spark.sources.http_server import http_server_input
+
+    return http_server_input(spark, c)
+
+
+@input_kind("gateway")
+def _i_gateway(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/gateway.adoc:26 — same push shape as http_server."""
+    from connect_spark.sources.http_server import http_server_input
+
+    return http_server_input(spark, c)
