@@ -292,3 +292,92 @@ def _i_gateway(spark: SparkSession, c: dict) -> DataFrame:
     from connect_spark.sources.http_server import http_server_input
 
     return http_server_input(spark, c)
+
+
+@output_kind("sync_response")
+def _o_sync_response(df: DataFrame, c: Any) -> DataFrame:
+    """outputs/sync_response.adoc:26 — return the processed messages to
+    the caller as the synchronous response. In this engine the
+    "caller" is whoever invoked Pipeline.run()/the serverless handler
+    (serverless.py), so the frame simply returns (memory semantics) —
+    the same override the reference's serverless handler applies
+    (internal/serverless/handler.go:44-60)."""
+    return df
+
+
+_SOCKET_SERVERS: dict[str, tuple] = {}
+
+
+@input_kind("socket_server")
+def _i_socket_server(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/socket_server.adoc:26 — newline-delimited messages pushed
+    over TCP land in a spool (same land-then-read shape as
+    http_server); batch builds read everything delivered so far."""
+    import os
+    import socketserver
+    import threading
+    import time as _time
+
+    label = c.get("label", "default")
+    spool_dir = c["spool_dir"]
+    os.makedirs(spool_dir, exist_ok=True)
+    if label not in _SOCKET_SERVERS:
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                lines = []
+                for raw in self.rfile:
+                    line = raw.rstrip(b"\r\n")
+                    if line:
+                        lines.append(line)
+                if lines:
+                    fname = os.path.join(
+                        spool_dir, f"msg-{_time.time_ns():020d}.txt"
+                    )
+                    with open(fname + ".tmp", "wb") as fh:
+                        fh.write(b"\n".join(lines) + b"\n")
+                    os.rename(fname + ".tmp", fname)
+
+        srv = socketserver.ThreadingTCPServer(
+            ("127.0.0.1", int(c.get("port", 0))), Handler
+        )
+        srv.daemon_threads = True
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        _SOCKET_SERVERS[label] = (srv, srv.server_address[1])
+    import os as _os
+
+    if not any(
+        f.endswith(".txt") for f in _os.listdir(spool_dir)
+    ):
+        return spark.createDataFrame([], "content string")
+    return spark.read.text(spool_dir + "/*.txt").withColumnRenamed(
+        "value", "content"
+    )
+
+
+def socket_server_port(label: str = "default") -> int:
+    return _SOCKET_SERVERS[label][1]
+
+
+def stop_socket_server(label: str = "default") -> None:
+    entry = _SOCKET_SERVERS.pop(label, None)
+    if entry:
+        entry[0].shutdown()
+
+
+@input_kind("stdin")
+def _i_stdin(spark: SparkSession, c: Any) -> DataFrame:
+    """inputs/stdin.adoc:26 — one message per line. `path` overrides
+    the stream for tests/pipes (the reference reads the process fd;
+    a Spark driver's stdin is the same single-reader stream)."""
+    import sys
+
+    source = open(c["path"]) if isinstance(c, dict) and c.get("path") else sys.stdin
+    try:
+        lines = [ln.rstrip("\n") for ln in source if ln.strip()]
+    finally:
+        if source is not sys.stdin:
+            source.close()
+    return spark.createDataFrame(
+        [(ln,) for ln in lines], "content string"
+    )

@@ -244,3 +244,60 @@ def test_serverless_handler_roundtrip(spark):
     out = handle(spark, config, [{"n": 4}, {"n": -1}])
     assert [r["doubled"] for r in out["response"]] == [8]
     assert len(out["rejected"]) == 1 and out["rejected"][0]["n"] == -1
+
+
+def test_sync_response_output_returns_frame(spark):
+    cfg = {
+        "input": _region_input(),
+        "pipeline": {
+            "processors": [{"mapping": "root.name = this.r_name"}]
+        },
+        "output": {"sync_response": {}},
+    }
+    out = build_pipeline(spark, cfg).run()
+    assert out is not None and out.count() == 5
+
+
+def test_socket_server_input(spark, tmp_path):
+    import socket
+    import time
+    import uuid
+
+    from connect_spark.plans.io_ext import (
+        socket_server_port,
+        stop_socket_server,
+    )
+
+    label = "s-" + uuid.uuid4().hex[:8]
+    cfg = {
+        "input": {
+            "socket_server": {
+                "label": label,
+                "spool_dir": str(tmp_path / "spool"),
+            }
+        }
+    }
+    try:
+        assert build_pipeline(spark, cfg).dataframe().count() == 0
+        port = socket_server_port(label)
+        with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+            s.sendall(b"line one\nline two\n")
+        time.sleep(0.3)  # handler writes after connection close
+        rows = {
+            r["content"]
+            for r in build_pipeline(spark, cfg).dataframe().collect()
+        }
+        assert rows == {"line one", "line two"}
+    finally:
+        stop_socket_server(label)
+
+
+def test_stdin_input_via_path(spark, tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("alpha\nbeta\n\ngamma\n")
+    cfg = {"input": {"stdin": {"path": str(p)}}}
+    rows = [
+        r["content"]
+        for r in build_pipeline(spark, cfg).dataframe().collect()
+    ]
+    assert rows == ["alpha", "beta", "gamma"]
