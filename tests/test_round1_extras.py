@@ -302,3 +302,9 @@ def test_cdc_type_matrix_f4(spark, tmp_path):
         "bool", "int4", "int8", "float8", "numeric", "text", "bytea",
         "timestamp", "timestamptz", "uuid", "json", "jsonb",
     }
+
+
+def test_cli_round4_processor_suite(spark):
+    from connect_spark.__main__ import main
+
+    assert main(["test", "examples/round4_processors_test.yaml"]) == 0
