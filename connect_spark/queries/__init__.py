@@ -44,6 +44,10 @@ _DRIVER_PRIORITY: list[str] = [
     # current round's code churn (latest = r02 after round-3 churn).
     # The 50-slot window verifies the head; the 2 overflow entries
     # rotate to the front next round.
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_excess_stock",
     "pipeline_yaml_route",
     "parse_log_events",
     "unicode_segments_docs",
@@ -119,6 +123,7 @@ def all_queries() -> list[QuerySpec]:
         streaming_q,
         textops,
         tpch,
+        tpch_ps,
         vectors,
         windows,
         winfns,
@@ -128,7 +133,7 @@ def all_queries() -> list[QuerySpec]:
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
-        tpch, winfns, pipeline_q,
+        tpch, winfns, pipeline_q, tpch_ps,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
