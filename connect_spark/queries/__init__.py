@@ -44,6 +44,7 @@ _DRIVER_PRIORITY: list[str] = [
     # current round's code churn (latest = r02 after round-3 churn).
     # The 50-slot window verifies the head; the 2 overflow entries
     # rotate to the front next round.
+    "streaming_session_window",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_parts_supplier",

@@ -183,6 +183,125 @@ GROUP BY user_id
 """
 
 
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap windows executed as a REAL stream (the reference has
+    no session windows — SURVEY §4.2 lists them as a free upgrade; the
+    STREAMING execution is what this row pins): events stream in 4
+    time-ordered files, `session_window(ts, 30 min)` aggregates per
+    user with a zero-delay watermark, and a far-future sentinel row
+    pushes the watermark so every session closes and emits in append
+    mode. The oracle recomputes sessions relationally (gaps-and-islands
+    with the same >= gap boundary rule)."""
+    import shutil
+    import tempfile
+
+    _prepare_session(spark)
+    ev = spark.read.parquet(table_path(sf_dir, "events")).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    staged = tempfile.mkdtemp(prefix="sess_stream_")
+    try:
+        from pyspark.sql import Window as W
+
+        quart = ev.withColumn(
+            "_b", F.ntile(4).over(W.orderBy("ts", "event_id"))
+        )
+        for i in range(1, 5):
+            quart.filter(F.col("_b") == i).drop("_b").coalesce(1).write.parquet(
+                f"{staged}/b{i}"
+            )
+        # sentinels: watermark pushers (filtered out of the result).
+        # TWO are needed: the first jumps the watermark past every real
+        # session, the second triggers the batch in which that new
+        # watermark actually closes and emits them (watermarks take
+        # effect at the NEXT micro-batch).
+        for j, ts in ((5, "2100-01-01 00:00:00"), (6, "2100-01-02 00:00:00")):
+            spark.createDataFrame(
+                [(-1, None, 0.0, -1)],
+                "user_id long, ts timestamp, value double, event_id long",
+            ).withColumn("ts", F.to_timestamp(F.lit(ts))).coalesce(
+                1
+            ).write.parquet(f"{staged}/b{j}")
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, value double, event_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged + "/b*")
+        )
+        # NOTE: the sentinel filter must NOT be in the streaming plan —
+        # user_id is a grouping column, so Catalyst pushes the predicate
+        # below the watermark node and the sentinels never advance it
+        # (observed: watermark stuck, last session never closes). Filter
+        # on the drained batch result instead.
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"),
+                F.col("user_id"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").cast("string").alias("session_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+        name = "strq_" + uuid.uuid4().hex[:12]
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            import time as _time
+
+            # processAllAvailable drains the FILES, but the final
+            # eviction can land in a no-data micro-batch that races
+            # q.stop(); poll until the emitted row count stabilizes.
+            q.processAllAvailable()
+            prev = -1
+            for _ in range(20):
+                cur = spark.table(name).count()
+                if cur == prev:
+                    break
+                prev = cur
+                _time.sleep(0.3)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+SESSION_WINDOW_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       CAST(min(ts) AS VARCHAR) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = [
     QuerySpec("window_tumbling_streamed", window_tumbling_streamed,
               TUMBLING_SQL),
@@ -190,4 +309,6 @@ QUERIES = [
               STREAM_DEDUPE_SQL),
     QuerySpec("streaming_running_totals", streaming_running_totals,
               RUNNING_TOTALS_SQL),
+    QuerySpec("streaming_session_window", streaming_session_window,
+              SESSION_WINDOW_SQL),
 ]
