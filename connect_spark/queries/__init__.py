@@ -39,11 +39,11 @@ class QuerySpec:
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
     # Round 4 rotation (standing policy: oldest driver verification
-    # first). Order: (a) queries that have NEVER had a driver row
-    # (new this round), (b) queries whose latest green predates the
-    # current round's code churn (latest = r02 after round-3 churn).
-    # The 50-slot window verifies the head; the 2 overflow entries
-    # rotate to the front next round.
+    # first). Order: (a) the 10 queries that have NEVER had a driver
+    # row (all new this round), (b) queries whose latest green predates
+    # the current round's code churn (latest = r02 after round-3
+    # churn). The 50-slot window verifies the head; the 9 overflow
+    # entries rotate to the front next round.
     "streaming_session_window",
     "q2_min_cost_supplier",
     "q11_important_stock",
