@@ -330,15 +330,23 @@ def avro_decode(col: Column, schema_json: str, spark_type: str) -> Column:
 _OCF_MAGIC = b"Obj\x01"
 
 
-def write_ocf(records: list, schema, sync: bytes = b"\x00" * 16) -> bytes:
+def write_ocf(
+    records: list,
+    schema,
+    sync: bytes = b"\x00" * 16,
+    extra_meta: dict[str, bytes] | None = None,
+) -> bytes:
     """Avro object-container-file bytes: magic, metadata map
-    (avro.schema + null codec), then one block of `records`."""
+    (avro.schema + null codec + caller extras, e.g. Iceberg's
+    schema/partition-spec keys), then one block of `records`."""
     buf = BytesIO()
     buf.write(_OCF_MAGIC)
     meta = {
         "avro.schema": json.dumps(schema).encode("utf-8"),
         "avro.codec": b"null",
     }
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v if isinstance(v, bytes) else str(v).encode("utf-8")
     _write_long(buf, len(meta))
     for k, v in meta.items():
         _write_bytes(buf, k.encode("utf-8"))

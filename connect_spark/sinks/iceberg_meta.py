@@ -1,0 +1,366 @@
+"""Catalog-less Apache Iceberg v2 table commits — the reference's
+flagship `iceberg` output (internal/impl/iceberg/output_iceberg.go,
+type inference/evolution type_inference.go:24-62) without requiring
+Iceberg jars or a REST catalog in this container.
+
+Implements the PUBLIC Iceberg table spec (format-version 2) directly:
+
+- `metadata/vN.metadata.json` + `version-hint.text` — the HadoopTables
+  layout any Iceberg-enabled engine (Spark with the runtime jar,
+  Trino, pyiceberg) can open by path, no catalog required;
+- a manifest-list Avro file per snapshot (spec field ids 500-519);
+- a manifest Avro file per commit (manifest_entry ids 0-4, data_file
+  ids 100-146), written with this repo's own from-spec OCF writer;
+- appends advance sequence numbers and snapshot/metadata logs the way
+  the spec's "Commit conflicts are impossible with a single writer"
+  optimistic protocol expects.
+
+Spark column types map to Iceberg primitives the same way the
+reference's inference does (type_inference.go:24-58): long/int/double/
+float/string/boolean/binary/timestamptz/date/decimal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from connect_spark.functions.avro_codec import read_ocf, write_ocf
+
+_SPARK_TO_ICEBERG = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+    T.BinaryType: "binary",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+    T.DateType: "date",
+}
+
+
+def _iceberg_schema(schema: T.StructType) -> dict:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        t = _SPARK_TO_ICEBERG.get(type(f.dataType))
+        if t is None:
+            if isinstance(f.dataType, T.DecimalType):
+                t = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+            else:
+                raise ValueError(
+                    f"unsupported Iceberg column type {f.dataType}"
+                )
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": t,
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# Avro schemas straight from the Iceberg spec (Appendix C), with the
+# spec's REQUIRED field-id properties.
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 3,
+        },
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 4,
+        },
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+class IcebergTable:
+    """Single-writer Iceberg v2 table at `location` (HadoopTables)."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        self.meta_dir = os.path.join(location, "metadata")
+        self.data_dir = os.path.join(location, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ---- current state ----------------------------------------------
+
+    def _version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if not os.path.exists(hint):
+            return 0
+        with open(hint) as fh:
+            return int(fh.read().strip())
+
+    def metadata(self) -> dict | None:
+        v = self._version()
+        if v == 0:
+            return None
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as fh:
+            return json.load(fh)
+
+    # ---- commit -----------------------------------------------------
+
+    def append(self, df: DataFrame) -> dict:
+        """Write df as parquet data files and commit one append
+        snapshot. Returns the new table metadata dict."""
+        commit_uuid = uuid.uuid4().hex
+        staging = os.path.join(self.data_dir, f"stage-{commit_uuid}")
+        df.write.parquet(staging)
+        data_files = []
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                self.data_dir, f"{commit_uuid}-{fname}"
+            )
+            os.rename(os.path.join(staging, fname), final)
+            n = self.spark.read.parquet(final).count()
+            data_files.append(
+                {
+                    "content": 0,
+                    "file_path": final,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(final),
+                }
+            )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+        prev = self.metadata()
+        now_ms = int(time.time() * 1000)
+        seq = (prev["last-sequence-number"] + 1) if prev else 1
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        schema = _iceberg_schema(df.schema)
+
+        # manifest
+        entries = [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherited from the manifest
+                "file_sequence_number": None,
+                "data_file": d,
+            }
+            for d in data_files
+        ]
+        manifest_path = os.path.join(
+            self.meta_dir, f"{commit_uuid}-m0.avro"
+        )
+        manifest_bytes = write_ocf(
+            entries,
+            _MANIFEST_ENTRY_SCHEMA,
+            extra_meta={
+                "schema": json.dumps(schema),
+                "schema-id": "0",
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        with open(manifest_path, "wb") as fh:
+            fh.write(manifest_bytes)
+
+        # manifest list: this manifest + all previous snapshots'
+        prior_manifests = []
+        if prev and prev.get("current-snapshot-id") is not None:
+            cur = next(
+                s
+                for s in prev["snapshots"]
+                if s["snapshot-id"] == prev["current-snapshot-id"]
+            )
+            _, prior_manifests = read_ocf(
+                open(cur["manifest-list"], "rb").read()
+            )
+        rows_added = sum(d["record_count"] for d in data_files)
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(data_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows_added,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        mlist_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-{commit_uuid}.avro"
+        )
+        with open(mlist_path, "wb") as fh:
+            fh.write(
+                write_ocf(
+                    [new_manifest] + prior_manifests,
+                    _MANIFEST_FILE_SCHEMA,
+                    extra_meta={"format-version": "2"},
+                )
+            )
+
+        total_rows = rows_added + (
+            int(
+                prev["snapshots"][-1]["summary"].get("total-records", 0)
+            )
+            if prev and prev.get("snapshots")
+            else 0
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "schema-id": 0,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(data_files)),
+                "added-records": str(rows_added),
+                "total-records": str(total_rows),
+            },
+        }
+        meta = {
+            "format-version": 2,
+            "table-uuid": prev["table-uuid"] if prev else str(uuid.uuid4()),
+            "location": self.location,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": len(schema["fields"]),
+            "current-schema-id": 0,
+            "schemas": [schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": snap_id,
+            "snapshots": (prev["snapshots"] if prev else []) + [snapshot],
+            "snapshot-log": (prev.get("snapshot-log", []) if prev else [])
+            + [{"snapshot-id": snap_id, "timestamp-ms": now_ms}],
+            "metadata-log": (
+                prev.get("metadata-log", []) if prev else []
+            )
+            + (
+                [
+                    {
+                        "metadata-file": os.path.join(
+                            self.meta_dir,
+                            f"v{self._version()}.metadata.json",
+                        ),
+                        "timestamp-ms": now_ms,
+                    }
+                ]
+                if prev
+                else []
+            ),
+        }
+        v = self._version() + 1
+        tmp = os.path.join(self.meta_dir, f".v{v}.metadata.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.rename(tmp, os.path.join(self.meta_dir, f"v{v}.metadata.json"))
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(v))
+        return meta
+
+    # ---- read back (current snapshot) -------------------------------
+
+    def current_files(self) -> list[dict]:
+        """data_file records of the current snapshot, resolved through
+        manifest-list → manifests (the read path an engine follows)."""
+        meta = self.metadata()
+        if meta is None or meta.get("current-snapshot-id") is None:
+            return []
+        snap = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifests = read_ocf(open(snap["manifest-list"], "rb").read())
+        files = []
+        for m in manifests:
+            _, entries = read_ocf(open(m["manifest_path"], "rb").read())
+            files += [
+                e["data_file"]
+                for e in entries
+                if e["status"] in (0, 1)  # EXISTING | ADDED
+            ]
+        return files
+
+    def read(self) -> DataFrame:
+        files = [f["file_path"] for f in self.current_files()]
+        if not files:
+            raise ValueError("iceberg table has no current snapshot")
+        return self.spark.read.parquet(*files)

@@ -1,0 +1,109 @@
+"""Catalog-less Iceberg v2 commits (sinks/iceberg_meta.py): spec
+structure (field ids, metadata layout), snapshot/sequence progression,
+and the manifest-list → manifest → data-file read path."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from connect_spark.functions.avro_codec import read_ocf
+from connect_spark.sinks.iceberg_meta import IcebergTable
+
+
+def test_first_append_writes_spec_layout(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable(spark, loc)
+    meta = t.append(spark.range(100).toDF("n"))
+
+    # HadoopTables layout
+    assert open(os.path.join(loc, "metadata", "version-hint.text")).read() == "1"
+    assert os.path.exists(os.path.join(loc, "metadata", "v1.metadata.json"))
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 1
+    assert meta["schemas"][0]["fields"][0] == {
+        "id": 1,
+        "name": "n",
+        "required": True,
+        "type": "long",
+    }
+    snap = meta["snapshots"][0]
+    assert snap["summary"]["operation"] == "append"
+    assert snap["summary"]["added-records"] == "100"
+
+    # manifest list carries the spec's field ids in its avro schema
+    mlist = open(snap["manifest-list"], "rb").read()
+    schema, manifests = read_ocf(mlist)
+    ids = {f["name"]: f["field-id"] for f in schema["fields"]}
+    assert ids["manifest_path"] == 500
+    assert ids["added_snapshot_id"] == 503
+    assert ids["sequence_number"] == 515
+    assert len(manifests) == 1
+    assert manifests[0]["added_rows_count"] == 100
+
+    # manifest: entry field ids + OCF metadata keys per spec
+    man = open(manifests[0]["manifest_path"], "rb").read()
+    mschema, entries = read_ocf(man)
+    eids = {f["name"]: f["field-id"] for f in mschema["fields"]}
+    assert eids["status"] == 0 and eids["data_file"] == 2
+    assert all(e["status"] == 1 for e in entries)
+    assert sum(e["data_file"]["record_count"] for e in entries) == 100
+
+
+def test_appends_advance_sequence_and_accumulate(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable(spark, loc)
+    t.append(spark.range(10).toDF("n"))
+    meta = t.append(spark.range(10, 25).toDF("n"))
+    assert meta["last-sequence-number"] == 2
+    assert len(meta["snapshots"]) == 2
+    assert meta["snapshots"][-1]["summary"]["total-records"] == "25"
+    # metadata log references v1
+    assert meta["metadata-log"][-1]["metadata-file"].endswith(
+        "v1.metadata.json"
+    )
+    # read path resolves BOTH snapshots' manifests
+    assert sorted(r["n"] for r in t.read().collect()) == list(range(25))
+    # a fresh instance over the same path sees the committed state
+    t2 = IcebergTable(spark, loc)
+    assert t2.read().count() == 25
+    assert len(t2.current_files()) >= 2
+
+
+def test_time_travel_via_old_metadata(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable(spark, loc)
+    t.append(spark.range(5).toDF("n"))
+    t.append(spark.range(5, 9).toDF("n"))
+    v1 = json.load(open(os.path.join(loc, "metadata", "v1.metadata.json")))
+    snap1 = v1["snapshots"][0]
+    _, manifests = read_ocf(open(snap1["manifest-list"], "rb").read())
+    files = []
+    for m in manifests:
+        _, entries = read_ocf(open(m["manifest_path"], "rb").read())
+        files += [e["data_file"]["file_path"] for e in entries]
+    assert spark.read.parquet(*files).count() == 5  # the v1 view
+
+
+def test_type_mapping_and_rejection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("l"),
+        F.col("id").cast("int").alias("i"),
+        F.col("id").cast("double").alias("d"),
+        F.lit("x").alias("s"),
+        (F.col("id") % 2 == 0).alias("b"),
+    )
+    t = IcebergTable(spark, str(tmp_path / "tbl"))
+    meta = t.append(df)
+    types = {f["name"]: f["type"] for f in meta["schemas"][0]["fields"]}
+    assert types == {
+        "l": "long",
+        "i": "int",
+        "d": "double",
+        "s": "string",
+        "b": "boolean",
+    }
