@@ -176,6 +176,18 @@ def _o_http_client(df: DataFrame, c: dict) -> None:
     http_output_batches(df, c, transport)
 
 
+
+
+@output_kind("iceberg")
+def _o_iceberg(df: DataFrame, c: dict) -> None:
+    """outputs/iceberg.adoc:26 — append to a catalog-less Iceberg v2
+    table (sinks/iceberg_meta.py; schema evolution on by default like
+    the reference's schema_evolution.enabled)."""
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    IcebergTable(df.sparkSession, c["location"]).append(df)
+
+
 # --------------------------------------------------------------------
 # inputs
 # --------------------------------------------------------------------

@@ -46,26 +46,60 @@ _SPARK_TO_ICEBERG = {
 }
 
 
-def _iceberg_schema(schema: T.StructType) -> dict:
+def _iceberg_type(dt: T.DataType) -> str:
+    t = _SPARK_TO_ICEBERG.get(type(dt))
+    if t is None:
+        if isinstance(dt, T.DecimalType):
+            return f"decimal({dt.precision}, {dt.scale})"
+        raise ValueError(f"unsupported Iceberg column type {dt}")
+    return t
+
+
+def _iceberg_schema(
+    schema: T.StructType,
+    prev_schema: dict | None = None,
+    schema_id: int = 0,
+) -> dict:
+    """Map a Spark schema to an Iceberg schema, EVOLVING from
+    `prev_schema`: existing columns keep their field ids (the spec's
+    identity rule — ids, not names, bind data to columns), new columns
+    get fresh ids above last-column-id, and columns addable after table
+    creation are optional (type_inference.go:62,210 semantics)."""
+    known = {
+        f["name"]: f for f in (prev_schema or {"fields": []})["fields"]
+    }
+    next_id = max(
+        (f["id"] for f in (prev_schema or {"fields": []})["fields"]),
+        default=0,
+    )
     fields = []
-    for i, f in enumerate(schema.fields, start=1):
-        t = _SPARK_TO_ICEBERG.get(type(f.dataType))
-        if t is None:
-            if isinstance(f.dataType, T.DecimalType):
-                t = f"decimal({f.dataType.precision}, {f.dataType.scale})"
-            else:
+    for f in schema.fields:
+        t = _iceberg_type(f.dataType)
+        if f.name in known:
+            old = known[f.name]
+            if old["type"] != t:
                 raise ValueError(
-                    f"unsupported Iceberg column type {f.dataType}"
+                    f"iceberg schema evolution: column {f.name!r} "
+                    f"changed type {old['type']} -> {t}"
                 )
-        fields.append(
-            {
-                "id": i,
-                "name": f.name,
-                "required": not f.nullable,
-                "type": t,
-            }
-        )
-    return {"type": "struct", "schema-id": 0, "fields": fields}
+            fields.append(old)
+        else:
+            next_id += 1
+            fields.append(
+                {
+                    "id": next_id,
+                    "name": f.name,
+                    # required only allowed at creation time
+                    "required": prev_schema is None and not f.nullable,
+                    "type": t,
+                }
+            )
+    # dropped columns stay in the schema as optional (readers of old
+    # files still resolve them; Iceberg drops are metadata-only)
+    for name, old in known.items():
+        if name not in {f.name for f in schema.fields}:
+            fields.append(dict(old, required=False))
+    return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
 
 # Avro schemas straight from the Iceberg spec (Appendix C), with the
@@ -198,7 +232,20 @@ class IcebergTable:
         now_ms = int(time.time() * 1000)
         seq = (prev["last-sequence-number"] + 1) if prev else 1
         snap_id = int(uuid.uuid4().int % (1 << 62))
-        schema = _iceberg_schema(df.schema)
+        prev_schema = None
+        schema_id = 0
+        if prev:
+            prev_schema = next(
+                sc
+                for sc in prev["schemas"]
+                if sc["schema-id"] == prev["current-schema-id"]
+            )
+            schema_id = prev["current-schema-id"]
+        schema = _iceberg_schema(df.schema, prev_schema, schema_id)
+        evolved = prev is not None and schema["fields"] != prev_schema["fields"]
+        if evolved:
+            schema_id += 1
+            schema["schema-id"] = schema_id
 
         # manifest
         entries = [
@@ -219,7 +266,7 @@ class IcebergTable:
             _MANIFEST_ENTRY_SCHEMA,
             extra_meta={
                 "schema": json.dumps(schema),
-                "schema-id": "0",
+                "schema-id": str(schema_id),
                 "partition-spec": "[]",
                 "partition-spec-id": "0",
                 "format-version": "2",
@@ -280,7 +327,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
-            "schema-id": 0,
+            "schema-id": schema_id,
             "summary": {
                 "operation": "append",
                 "added-data-files": str(len(data_files)),
@@ -294,9 +341,13 @@ class IcebergTable:
             "location": self.location,
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
-            "last-column-id": len(schema["fields"]),
-            "current-schema-id": 0,
-            "schemas": [schema],
+            "last-column-id": max(f["id"] for f in schema["fields"]),
+            "current-schema-id": schema_id,
+            "schemas": (
+                (prev["schemas"] if prev else []) + [schema]
+                if (prev is None or evolved)
+                else prev["schemas"]
+            ),
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": []}],
             "last-partition-id": 999,

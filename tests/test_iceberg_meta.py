@@ -107,3 +107,44 @@ def test_type_mapping_and_rejection(spark, tmp_path):
         "s": "string",
         "b": "boolean",
     }
+
+
+def test_schema_evolution_keeps_field_ids(spark, tmp_path):
+    """type_inference.go:62,210 semantics: new columns appear with
+    fresh ids, existing columns keep theirs, old rows read the new
+    column as null via the merged read."""
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable(spark, loc)
+    t.append(spark.range(3).toDF("n"))
+    meta = t.append(
+        spark.range(3, 6).toDF("n").withColumn("tag", F.lit("new"))
+    )
+    assert meta["current-schema-id"] == 1
+    assert len(meta["schemas"]) == 2
+    cur = meta["schemas"][1]
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert ids["n"] == 1 and ids["tag"] == 2  # n keeps its id
+    got = t.read()
+    assert got.count() == 6
+    # type change is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="changed type"):
+        t.append(spark.range(2).select(F.lit("x").alias("n")))
+
+
+def test_yaml_iceberg_output(spark, tmp_path):
+    from connect_spark.plans.pipeline import build_pipeline
+
+    loc = str(tmp_path / "tbl")
+    cfg = {
+        "input": {"table": {"sf_dir": "/root/testdata/sf0.001",
+                            "name": "region"}},
+        "output": {"iceberg": {"location": loc}},
+    }
+    build_pipeline(spark, cfg).run()
+    t = IcebergTable(spark, loc)
+    assert t.read().count() == 5
+    assert t.metadata()["format-version"] == 2
