@@ -188,6 +188,30 @@ def _o_iceberg(df: DataFrame, c: dict) -> None:
     IcebergTable(df.sparkSession, c["location"]).append(df)
 
 
+
+
+@output_kind("duckdb")
+def _o_duckdb(df: DataFrame, c: dict) -> None:
+    """External-DB insert output (outputs/sql_insert.adoc family):
+    append the batch into a DuckDB table via Arrow — a real
+    out-of-engine database write with its own transaction."""
+    import duckdb
+
+    con = duckdb.connect(c["database"])
+    try:
+        tbl = df.toPandas()
+        con.register("_batch", tbl)
+        name = c["table"]
+        con.execute(
+            f"CREATE TABLE IF NOT EXISTS {name} AS "
+            "SELECT * FROM _batch WHERE 1=0"
+        )
+        con.execute(f"INSERT INTO {name} SELECT * FROM _batch")
+        con.commit()
+    finally:
+        con.close()
+
+
 # --------------------------------------------------------------------
 # inputs
 # --------------------------------------------------------------------
@@ -264,6 +288,54 @@ def _i_http_client(spark: SparkSession, c: dict) -> DataFrame:
     from connect_spark.sources.http_client import http_poll
 
     return http_poll(spark, c, transport, n_polls=int(c.get("n_polls", 1)))
+
+
+@input_kind("iceberg")
+def _i_iceberg(spark: SparkSession, c: dict) -> DataFrame:
+    """Iceberg table input: open a catalog-less table by path and scan
+    the CURRENT snapshot's data files as resolved through the
+    manifest-list → manifest chain (sinks/iceberg_meta.py) — at scale
+    this manifest-driven planning is exactly Iceberg's file-pruning
+    story; `snapshot_id` reads a historical snapshot (time travel)."""
+    from connect_spark.functions.avro_codec import read_ocf
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, c["location"])
+    if c.get("snapshot_id") is None:
+        return t.read()
+    meta = t.metadata()
+    snap = next(
+        s_
+        for s_ in meta["snapshots"]
+        if s_["snapshot-id"] == int(c["snapshot_id"])
+    )
+    _, manifests = read_ocf(open(snap["manifest-list"], "rb").read())
+    files = []
+    for m in manifests:
+        _, entries = read_ocf(open(m["manifest_path"], "rb").read())
+        files += [
+            e["data_file"]["file_path"]
+            for e in entries
+            if e["status"] in (0, 1)
+        ]
+    return spark.read.parquet(*files)
+
+
+@input_kind("duckdb")
+def _i_duckdb(spark: SparkSession, c: dict) -> DataFrame:
+    """External-DB query input (the sql_select/sql_raw input family —
+    inputs/sql_select.adoc): DuckDB is a REAL external database engine
+    with its own storage file, so the query executes out-of-engine and
+    the result set lands as the message stream (Arrow transfer).
+    `database` is the .duckdb file path (":memory:" for scratch)."""
+    import duckdb
+
+    con = duckdb.connect(c.get("database", ":memory:"), read_only=bool(c.get("read_only", False)))
+    try:
+        tbl = con.execute(c["query"]).fetch_arrow_table()
+    finally:
+        con.close()
+    return spark.createDataFrame(tbl.to_pandas())
 
 
 @input_kind("sql_select")

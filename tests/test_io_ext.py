@@ -301,3 +301,55 @@ def test_stdin_input_via_path(spark, tmp_path):
         for r in build_pipeline(spark, cfg).dataframe().collect()
     ]
     assert rows == ["alpha", "beta", "gamma"]
+
+
+def test_duckdb_external_db_roundtrip(spark, tmp_path):
+    """A REAL external database: write the batch into a DuckDB file,
+    then query it back as an input — out-of-engine storage + SQL."""
+    db = str(tmp_path / "ext.duckdb")
+    out_cfg = {
+        "input": _region_input(),
+        "output": {"duckdb": {"database": db, "table": "regions"}},
+    }
+    build_pipeline(spark, out_cfg).run()
+
+    in_cfg = {
+        "input": {
+            "duckdb": {
+                "database": db,
+                "query": (
+                    "SELECT r_regionkey, upper(r_name) AS rn "
+                    "FROM regions WHERE r_regionkey < 3 ORDER BY 1"
+                ),
+            }
+        }
+    }
+    rows = build_pipeline(spark, in_cfg).dataframe().collect()
+    assert [r["r_regionkey"] for r in rows] == [0, 1, 2]
+    assert all(r["rn"].isupper() for r in rows)
+
+
+def test_iceberg_input_with_time_travel(spark, tmp_path):
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable(spark, loc)
+    m1 = t.append(spark.range(4).toDF("n"))
+    t.append(spark.range(4, 9).toDF("n"))
+
+    cur = build_pipeline(
+        spark, {"input": {"iceberg": {"location": loc}}}
+    ).dataframe()
+    assert cur.count() == 9
+    old = build_pipeline(
+        spark,
+        {
+            "input": {
+                "iceberg": {
+                    "location": loc,
+                    "snapshot_id": m1["current-snapshot-id"],
+                }
+            }
+        },
+    ).dataframe()
+    assert old.count() == 4
