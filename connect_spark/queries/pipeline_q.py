@@ -111,7 +111,57 @@ FROM events
 """
 
 
+def iceberg_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 commits in the gate (sinks/iceberg_meta.py): orders
+    lands in a catalog-less table in TWO appends (status split), the
+    read path resolves manifest-list → manifests → data files, and the
+    aggregate over the round-tripped table must hash-equal the oracle
+    computed directly on orders — so a bug anywhere in the metadata
+    layout, manifest serde, or snapshot chain breaks the value hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_gate_")
+    try:
+        t = IcebergTable(spark, loc)
+        t.append(orders.filter(F.col("o_orderstatus") == "F"))
+        t.append(orders.filter(F.col("o_orderstatus") != "F"))
+        back = t.read()
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            # materialize before the table directory is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ICEBERG_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = [
     QuerySpec("pipeline_yaml_route", pipeline_yaml_route, PIPELINE_ROUTE_SQL),
     QuerySpec("parse_log_events", parse_log_events, PARSE_LOG_SQL),
+    QuerySpec(
+        "iceberg_commit_roundtrip",
+        iceberg_commit_roundtrip,
+        ICEBERG_ROUNDTRIP_SQL,
+    ),
 ]
