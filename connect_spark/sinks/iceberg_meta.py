@@ -205,6 +205,18 @@ class IcebergTable:
         commit_uuid = uuid.uuid4().hex
         staging = os.path.join(self.data_dir, f"stage-{commit_uuid}")
         df.write.parquet(staging)
+        # per-file record counts in ONE distributed job (a commit of
+        # thousands of files must not launch a count job per file)
+        from pyspark.sql import functions as F
+
+        counts = {
+            os.path.basename(r["f"]): r["n"]
+            for r in self.spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("f"))
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
         data_files = []
         for fname in sorted(os.listdir(staging)):
             if not fname.endswith(".parquet"):
@@ -213,14 +225,13 @@ class IcebergTable:
                 self.data_dir, f"{commit_uuid}-{fname}"
             )
             os.rename(os.path.join(staging, fname), final)
-            n = self.spark.read.parquet(final).count()
             data_files.append(
                 {
                     "content": 0,
                     "file_path": final,
                     "file_format": "PARQUET",
                     "partition": {},
-                    "record_count": n,
+                    "record_count": counts.get(fname, 0),
                     "file_size_in_bytes": os.path.getsize(final),
                 }
             )
