@@ -292,6 +292,32 @@ def _method(node: A.Method, target: Any, this, scope, root) -> Any:
         return target[lo:hi]
     if name == "sum":
         return sum(target or [])
+    if name == "parse_json":
+        import json as _json
+
+        return _json.loads(target)
+    if name == "format_json":
+        import json as _json
+
+        return _json.dumps(target, separators=(",", ":"))
+    if name == "has_prefix":
+        return str(target).startswith(args[0])
+    if name == "has_suffix":
+        return str(target).endswith(args[0])
+    if name == "replace_all":
+        return str(target).replace(args[0], args[1])
+    if name == "unicode_segments":
+        from connect_spark.text.segmentation import unicode_segments
+
+        return unicode_segments(str(target), args[0])
+    if name == "compare_bcrypt":
+        from connect_spark.functions.bcrypt_py import compare_bcrypt
+
+        return compare_bcrypt(str(target), args[0])
+    if name == "compare_argon2":
+        from connect_spark.functions.argon2_py import compare_argon2
+
+        return compare_argon2(str(target), args[0])
     raise BloblangValueError(
         f"method {name}() not available in template mappings"
     )
