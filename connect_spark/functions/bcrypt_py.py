@@ -195,8 +195,12 @@ def bcrypt_hash(password: str | bytes, salt_spec: str) -> str:
     salt = _b64_decode(salt_b64)[:16]
     if len(salt) != 16:
         raise ValueError("bcrypt salt must decode to 16 bytes")
-    # $2a/$2b/$2y append a trailing NUL to the password; 72-byte cap
-    key = (password + b"\x00")[:72]
+    # $2a/$2b/$2y append a trailing NUL; the reference
+    # (x/crypto/bcrypt) errors above 72 bytes rather than truncating,
+    # and a 72-byte password legitimately uses a 73-byte cyclic key
+    if len(password) > 72:
+        raise ValueError("bcrypt: password longer than 72 bytes")
+    key = password + b"\x00"
     bf = _eks_setup(key, salt, cost)
     words = [
         int.from_bytes(_MAGIC[i : i + 4], "big") for i in range(0, 24, 4)

@@ -150,14 +150,20 @@ def clear_metrics() -> None:
 
 
 def _metric_snapshot() -> dict[str, float]:
-    """Resolved values of every observed metric. Observation.get blocks
-    until its observing action has run — call after the pipeline's
-    action, which is exactly when the reference scrapes too."""
+    """Resolved values of every observed metric, NON-blocking: a
+    metric whose observing action has not run yet is simply absent
+    from the scrape (Observation.get would block on the JVM forever,
+    hanging the /metrics handler)."""
     out: dict[str, float] = {}
     for name, obs in _OBSERVATIONS.items():
         try:
-            out[name] = float(obs.get[name])
-        except Exception:  # noqa: BLE001 — action not run yet
+            jopt = obs._jo.getOrEmpty()
+            it = jopt.iterator()
+            while it.hasNext():
+                e = it.next()
+                if e._1() == name:
+                    out[name] = float(e._2())
+        except Exception:  # noqa: BLE001 — jvm conversion quirk
             continue
     return out
 

@@ -106,12 +106,13 @@ def _o_reject_errored(df: DataFrame, c: dict) -> None:
 
 @output_kind("drop_on")
 def _o_drop_on(df: DataFrame, c: dict) -> None:
-    """outputs/drop_on.adoc:26 — swallow delivery errors from the
-    wrapped output instead of failing the pipeline."""
+    """outputs/drop_on.adoc:26 — drop the batch when the wrapped
+    output errors, but ONLY when `error: true` is configured (the
+    reference's opt-in default is to propagate failures)."""
     try:
         _run_output(df, c["output"])
     except Exception:  # noqa: BLE001 — drop_on semantics
-        if not c.get("error", True):
+        if not c.get("error", False):
             raise
 
 

@@ -1021,15 +1021,21 @@ class Pipeline:
         finally:
             _tmpl._TEMPLATES.clear()
             _tmpl._TEMPLATES.update(saved)
+        # move THIS build's registered writes onto the instance —
+        # interleaved builds of other pipelines must not steal or drop
+        # them (the module list is only a collection buffer)
+        self._pending_writes = list(_PENDING_WRITES)
+        _PENDING_WRITES.clear()
         return df
 
     def flush_writes(self) -> int:
-        """Perform the sql_insert writes registered by the most recent
-        plan build. Returns the number of writes performed. Idempotent
-        per build: the pending list drains as it flushes."""
+        """Perform the sql_insert writes registered by THIS pipeline's
+        most recent plan build. Returns the number of writes performed.
+        Idempotent per build: the pending list drains as it flushes."""
         n = 0
-        while _PENDING_WRITES:
-            out, conf = _PENDING_WRITES.pop(0)
+        pending = getattr(self, "_pending_writes", [])
+        while pending:
+            out, conf = pending.pop(0)
             if out.isStreaming:
                 raise PipelineConfigError(
                     "sql_insert inside a streaming pipeline needs a "

@@ -101,6 +101,9 @@ def _assign_targets(src: str) -> list[str]:
     ]
 
 
+_BRANCH_ORIG = "_branch_orig"
+
+
 def _run_branch(df: DataFrame, conf: dict) -> tuple[DataFrame, list[str]]:
     """Shared branch body: request_map (merge mode — Catalyst's column
     pruning performs the reference's payload-narrowing optimization
@@ -120,19 +123,31 @@ def _run_branch(df: DataFrame, conf: dict) -> tuple[DataFrame, list[str]]:
 @processor("branch")
 def _p_branch(df: DataFrame, conf: Any) -> DataFrame:
     """branch.adoc:26 — request_map → child processors → result_map
-    merged back into the original message. Children must be per-row
-    transforms (cardinality-changing branches use the
-    `branch_aggregate` operator API directly)."""
+    merged back into the original message. The original document is
+    snapshot into a struct before the branch work and restored after,
+    so request_map/child mutations of original columns do NOT leak —
+    only result_map targets land. Children must be per-row transforms
+    that keep the snapshot column (cardinality-changing branches use
+    the `branch_aggregate` operator API directly)."""
     orig = list(df.columns)
-    work, targets = _run_branch(df, conf)
-    keep = orig + [t for t in targets if t not in orig]
-    missing = [c for c in keep if c not in work.columns]
-    if missing:
+    work, targets = _run_branch(
+        df.withColumn(_BRANCH_ORIG, F.struct(*orig)), conf
+    )
+    if _BRANCH_ORIG not in work.columns:
         raise PipelineConfigError(
-            f"branch dropped original columns {missing}; per-row "
-            "branches must preserve the document"
+            "branch children dropped the document snapshot; per-row "
+            "branches must preserve columns (use mutation, not a "
+            "fresh-document mapping, inside branch children)"
         )
-    return work.select(*keep)
+    cols = [
+        (
+            F.col(c)
+            if c in targets
+            else F.col(f"{_BRANCH_ORIG}.{c}").alias(c)
+        )
+        for c in orig
+    ] + [F.col(t) for t in targets if t not in orig]
+    return work.select(*cols)
 
 
 @processor("workflow")
@@ -147,14 +162,26 @@ def _p_workflow(df: DataFrame, conf: Any) -> DataFrame:
         [n for tier in order for n in tier] if order else list(branches)
     )
     orig = list(df.columns)
-    keep = list(orig)
-    work = df
+    work = df.withColumn(_BRANCH_ORIG, F.struct(*orig))
+    all_targets: list[str] = []
     for name in names:
         if name not in branches:
             raise PipelineConfigError(f"workflow: unknown branch {name!r}")
         work, targets = _run_branch(work, branches[name])
-        keep += [t for t in targets if t not in keep]
-    return work.select(*[c for c in keep if c in work.columns])
+        all_targets += [t for t in targets if t not in all_targets]
+    if _BRANCH_ORIG not in work.columns:
+        raise PipelineConfigError(
+            "workflow branches dropped the document snapshot"
+        )
+    cols = [
+        (
+            F.col(c)
+            if c in all_targets
+            else F.col(f"{_BRANCH_ORIG}.{c}").alias(c)
+        )
+        for c in orig
+    ] + [F.col(t) for t in all_targets if t not in orig]
+    return work.select(*cols)
 
 
 @processor("group_by")
@@ -165,7 +192,12 @@ def _p_group_by(df: DataFrame, conf: Any) -> DataFrame:
     groups = conf if isinstance(conf, list) else conf.get("groups", [])
     if not groups:
         raise PipelineConfigError("group_by needs at least one group")
-    checks = [compile_expression(g["check"]) for g in groups]
+    # NULL checks must route like false (a NULL predicate would drop
+    # the row from every group INCLUDING the unmatched own-group)
+    checks = [
+        F.coalesce(compile_expression(g["check"]), F.lit(False))
+        for g in groups
+    ]
     parts: list[DataFrame] = []
     not_prior: Column = F.lit(True)
     for g, check in zip(groups, checks):
@@ -605,22 +637,17 @@ def _p_data_transform(df: DataFrame, conf: Any) -> DataFrame:
                     for v in pdf[field].tolist()
                 ]
                 out = engine.run(msgs)
-                if len(out) == len(pdf):
-                    pdf = pdf.copy()
-                    pdf[field] = [
-                        m.value.decode("utf-8", "replace") for m in out
-                    ]
-                    yield pdf
-                else:
-                    # cardinality change: emit value column, nulls for
-                    # the rest of the row (reference emits fresh msgs)
-                    import pandas as _pd
+                # the guest emits FRESH messages (the reference builds
+                # new service.Messages from write_record) — equal
+                # counts do NOT imply row alignment, so other columns
+                # are never carried over positionally
+                import pandas as _pd
 
-                    base = {c: [None] * len(out) for c in pdf.columns}
-                    base[field] = [
-                        m.value.decode("utf-8", "replace") for m in out
-                    ]
-                    yield _pd.DataFrame(base)
+                base = {c: [None] * len(out) for c in pdf.columns}
+                base[field] = [
+                    m.value.decode("utf-8", "replace") for m in out
+                ]
+                yield _pd.DataFrame(base)
         finally:
             engine.close()
 

@@ -282,7 +282,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_WINDOW_SQL = """
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
@@ -290,7 +290,7 @@ WITH o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )

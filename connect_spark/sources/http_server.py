@@ -33,7 +33,14 @@ def start_http_server(
     """Start (or return) the labeled push endpoint; returns its port."""
     with _LOCK:
         if label in _SERVERS:
-            return _SERVERS[label][1]
+            existing = _SERVERS[label]
+            if existing[2] != spool_dir:
+                raise ValueError(
+                    f"http_server label {label!r} already running with "
+                    f"spool_dir {existing[2]!r}; use a distinct label "
+                    "per endpoint"
+                )
+            return existing[1]
         os.makedirs(spool_dir, exist_ok=True)
 
         class Handler(BaseHTTPRequestHandler):
@@ -92,6 +99,10 @@ def http_server_input(spark: SparkSession, conf: dict) -> DataFrame:
             spark.readStream.format("text")
             .schema("content string")
             .option("maxFilesPerTrigger", int(conf.get("max_files", 16)))
+            # in-flight .tmp files must never be listed: the atomic
+            # rename would race the read task (missing-file failure or
+            # duplicate delivery)
+            .option("pathGlobFilter", "*.jsonl")
             .load(spool_dir)
             .withColumnRenamed("value", "content")
         )

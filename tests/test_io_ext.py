@@ -107,14 +107,28 @@ def test_retry_and_drop_on_outputs(spark, tmp_path):
     }
     build_pipeline(spark, cfg).run()
     assert spark.read.parquet(ok).count() == 5
-    # drop_on swallows the failure instead of raising
+    # drop_on: error swallow is OPT-IN (error: true), matching the
+    # reference's default of propagating delivery failures
     cfg2 = {
+        "input": _region_input(),
+        "output": {
+            "drop_on": {
+                "error": True,
+                "output": {"parquet": {"path": "/dev/null/x"}},
+            }
+        },
+    }
+    build_pipeline(spark, cfg2).run()  # must not raise
+    import pytest as _pytest
+
+    cfg3 = {
         "input": _region_input(),
         "output": {
             "drop_on": {"output": {"parquet": {"path": "/dev/null/x"}}}
         },
     }
-    build_pipeline(spark, cfg2).run()  # must not raise
+    with _pytest.raises(Exception):
+        build_pipeline(spark, cfg3).run()  # default: propagate
 
 
 def test_reject_errored_output_splits(spark, tmp_path):

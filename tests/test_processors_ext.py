@@ -350,3 +350,68 @@ def test_benchmark_registers_observation(spark):
     from connect_spark.observability import get_metric
 
     assert get_metric("bm1") is not None
+
+
+def test_group_by_null_check_rows_fall_to_own_group(spark):
+    """A NULL check must route like false — the row lands in the
+    unmatched own-group instead of vanishing (review finding)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], ["id", "k"]
+    )
+    out = apply_processor(
+        df,
+        {
+            "group_by": [
+                {
+                    "check": 'this.k == "a"',
+                    "processors": [{"mutation": 'root.grp = "hit"'}],
+                }
+            ]
+        },
+    ).collect()
+    by_id = {r["id"]: r["grp"] for r in out}
+    assert len(out) == 3  # nothing vanished
+    assert by_id[1] == "hit" and by_id[2] is None and by_id[3] is None
+
+
+def test_branch_mutations_do_not_leak_into_original_columns(spark):
+    """request_map/child mutations of ORIGINAL columns must not leak —
+    only result_map targets land (review finding)."""
+    df = spark.createDataFrame([(7, "orig")], ["n", "content"])
+    out = apply_processor(
+        df,
+        {
+            "branch": {
+                "request_map": 'root.content = "scratch"',
+                "processors": [
+                    {"mutation": "root.content = this.content.uppercase()"}
+                ],
+                "result_map": "root.reply = this.content",
+            }
+        },
+    ).collect()[0]
+    assert out["content"] == "orig"  # original restored
+    assert out["reply"] == "SCRATCH"  # result_map target lands
+
+
+def test_sql_insert_pending_writes_are_per_pipeline(spark, sf_dir, tmp_path):
+    """Interleaved builds must not steal or drop each other's
+    registered sql_insert writes (review finding)."""
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+
+    def cfg(path):
+        return {
+            "input": {"table": {"sf_dir": sf_dir, "name": "region"}},
+            "pipeline": {
+                "processors": [{"sql_insert": {"path": path}}]
+            },
+        }
+
+    pipe_a = build_pipeline(spark, cfg(pa))
+    pipe_a.dataframe()
+    pipe_b = build_pipeline(spark, cfg(pb))
+    pipe_b.dataframe()  # interleaved build must not clear A's writes
+    assert pipe_a.flush_writes() == 1
+    assert pipe_b.flush_writes() == 1
+    assert spark.read.parquet(pa).count() == 5
+    assert spark.read.parquet(pb).count() == 5
