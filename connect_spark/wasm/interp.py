@@ -85,7 +85,11 @@ class _Reader:
             result |= (b & 0x7F) << shift
             shift += 7
             if not b & 0x80:
-                if shift < bits and b & 0x40:
+                # sign-extend whenever the final byte's sign bit is
+                # set — including max-length encodings where shift
+                # already reached/passed `bits` (e.g. i32.const
+                # INT32_MIN is 5 bytes with shift 35)
+                if b & 0x40:
                     result |= -(1 << shift)
                 return result
 
