@@ -791,6 +791,8 @@ class Instance:
         if op == 0x6D:
             if sb == 0:
                 raise WasmTrap("integer divide by zero")
+            if sa == -(1 << 31) and sb == -1:
+                raise WasmTrap("integer overflow")
             q = abs(sa) // abs(sb)
             return (q if (sa < 0) == (sb < 0) else -q) & _MASK32
         if op == 0x6E:
@@ -800,7 +802,10 @@ class Instance:
         if op == 0x6F:
             if sb == 0:
                 raise WasmTrap("integer divide by zero")
-            return (sa - sb * int(sa / sb)) & _MASK32 if sb else 0
+            # truncated division remainder, pure integer math
+            q = abs(sa) // abs(sb)
+            q = q if (sa < 0) == (sb < 0) else -q
+            return (sa - sb * q) & _MASK32
         if op == 0x70:
             if ub == 0:
                 raise WasmTrap("integer divide by zero")
@@ -838,6 +843,8 @@ class Instance:
         if op == 0x7F:
             if sb == 0:
                 raise WasmTrap("integer divide by zero")
+            if sa == -(1 << 63) and sb == -1:
+                raise WasmTrap("integer overflow")
             q = abs(sa) // abs(sb)
             return (q if (sa < 0) == (sb < 0) else -q) & _MASK64
         if op == 0x80:
@@ -847,7 +854,11 @@ class Instance:
         if op == 0x81:
             if sb == 0:
                 raise WasmTrap("integer divide by zero")
-            return (sa - sb * int(sa / sb)) & _MASK64
+            # truncated remainder with INTEGER math — float division
+            # loses precision beyond 2^53 and returns wrong remainders
+            q = abs(sa) // abs(sb)
+            q = q if (sa < 0) == (sb < 0) else -q
+            return (sa - sb * q) & _MASK64
         if op == 0x82:
             if ub == 0:
                 raise WasmTrap("integer divide by zero")

@@ -145,3 +145,30 @@ def test_argon2_phc_verify_roundtrip(password, salt):
     )
     assert compare_argon2(password, h) is True
     assert compare_argon2(password + b"x", h) is False
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.integers(min_value=0, max_value=2**64 - 1),
+)
+def test_wasm_i64_divrem_integer_exact(a, b):
+    from connect_spark.wasm.interp import Instance, WasmTrap, _s64
+
+    if b % (1 << 64) == 0:
+        return
+    sa, sb = _s64(a), _s64(b)
+    if sa == -(2**63) and sb == -1:
+        import pytest as _pytest
+
+        with _pytest.raises(WasmTrap, match="overflow"):
+            Instance._i64_arith(0x7F, a, b)
+        return
+    import math
+
+    q = abs(sa) // abs(sb)
+    q = q if (sa < 0) == (sb < 0) else -q
+    assert _s64(Instance._i64_arith(0x7F, a, b)) == q
+    assert _s64(Instance._i64_arith(0x81, a, b)) == sa - sb * q
+    assert Instance._i64_arith(0x80, a, b) == a // b
+    assert Instance._i64_arith(0x82, a, b) == a % b
