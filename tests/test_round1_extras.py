@@ -308,3 +308,20 @@ def test_cli_round4_processor_suite(spark):
     from connect_spark.__main__ import main
 
     assert main(["test", "examples/round4_processors_test.yaml"]) == 0
+
+
+def test_cli_lakehouse_routing_example(spark, tmp_path, monkeypatch):
+    import shutil
+
+    shutil.rmtree("/tmp/example_lakehouse", ignore_errors=True)
+    from connect_spark.__main__ import main
+
+    assert main(["run", "examples/lakehouse_routing.yaml"]) == 0
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, "/tmp/example_lakehouse/purchases")
+    n_ice = t.read().count()
+    n_other = spark.read.parquet("/tmp/example_lakehouse/other").count()
+    assert n_ice + n_other == 1000
+    assert n_ice > 0 and n_other > 0
+    shutil.rmtree("/tmp/example_lakehouse", ignore_errors=True)
