@@ -44,6 +44,8 @@ _DRIVER_PRIORITY: list[str] = [
     # the current round's code churn (latest = r02 after round-3
     # churn). The 50-slot window verifies the head; the 9 overflow
     # entries rotate to the front next round.
+    "wasm_transform_events",
+    "ffi_libc_events",
     "iceberg_commit_roundtrip",
     "streaming_session_window",
     "q2_min_cost_supplier",

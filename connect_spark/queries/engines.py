@@ -478,6 +478,80 @@ JOIN rerank r USING (doc_id)
 """
 
 
+def wasm_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-Python WASM runtime in the gate: a hand-assembled
+    spec-conformant module (ASCII-uppercase over the benthos_wasm host
+    contract — the same module tests/test_wasm.py pins) processes each
+    event_type; the oracle recomputes with upper(). A bug anywhere in
+    the binary decoder, interpreter loop, or host memory protocol
+    breaks the value hash."""
+    import pandas as pd_  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    from connect_spark.wasm.host import MessageRunner
+    from connect_spark.wasm.testmod import uppercase_module
+
+    binary = uppercase_module()
+    MessageRunner(binary)  # driver-side fail-fast
+
+    ev = load_table(spark, sf_dir, "events")
+
+    @pandas_udf("string")
+    def run(s):
+        from connect_spark.wasm.host import MessageRunner as _MR
+
+        runner = _MR(binary)
+
+        def one(v):
+            out, _ = runner.process(str(v).encode())
+            return out.decode()
+
+        return s.map(one)
+
+    return ev.select(
+        "event_id", run(F.col("event_type")).alias("wasm_upper")
+    )
+
+
+WASM_SQL = """
+SELECT event_id, upper(event_type) AS wasm_upper FROM events
+"""
+
+
+def ffi_libc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ffi processor in the gate: libc strlen over each
+    event_type via ctypes (operators/ffi.py); oracle = length()."""
+    import json as _json
+
+    from connect_spark.operators.ffi import ffi_call
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    out = ffi_call(
+        ev,
+        "libc.so.6",
+        "strlen",
+        "root = [this.event_type]",
+        {
+            "return": {"type": "int64"},
+            "parameters": [{"type": "byte*"}],
+        },
+    )
+    return out.select(
+        "event_id",
+        F.get_json_object(F.col("ffi_result"), "$[0]")
+        .cast("bigint")
+        .alias("type_len"),
+    )
+
+
+FFI_SQL = """
+SELECT event_id, CAST(strlen(event_type) AS BIGINT) AS type_len
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("ai_chat_extract", ai_chat_extract, AI_CHAT_SQL),
     QuerySpec("ai_embed_rerank", ai_embed_rerank, AI_EMBED_SQL),
@@ -485,6 +559,8 @@ QUERIES = [
     QuerySpec(
         "jmespath_project_events", jmespath_project_events, JMESPATH_SQL
     ),
+    QuerySpec("wasm_transform_events", wasm_transform_events, WASM_SQL),
+    QuerySpec("ffi_libc_events", ffi_libc_events, FFI_SQL),
     QuerySpec("jwt_sign_matrix", jwt_sign_matrix, JWT_MATRIX_SQL),
     QuerySpec(
         "bloblang_eval_dynamic", bloblang_eval_dynamic, BLOBLANG_EVAL_SQL

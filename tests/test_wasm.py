@@ -164,70 +164,7 @@ def test_div_by_zero_traps_and_unreachable():
 # --- the benthos_wasm host contract ---------------------------------
 
 
-def _uppercase_module() -> bytes:
-    """process(): read content, uppercase ASCII in place, write back.
-    Exports malloc (bump allocator from a mutable global at 4096)."""
-    T_AS_BYTES, T_SET_BYTES, T_GET_META, T_SET_META, T_MALLOC, T_VOID = (
-        0, 1, 2, 3, 4, 5
-    )
-    types = [
-        A.functype([], [A.I64]),                  # as_bytes
-        A.functype([A.I32, A.I32], []),           # set_bytes
-        A.functype([A.I32, A.I32], [A.I64]),      # get_meta
-        A.functype([A.I32, A.I32, A.I32, A.I32], []),  # set_meta
-        A.functype([A.I32], [A.I32]),             # malloc
-        A.functype([], []),                       # process
-    ]
-    imports = [
-        A.import_func("benthos_wasm", "v0_msg_as_bytes", T_AS_BYTES),
-        A.import_func("benthos_wasm", "v0_msg_set_bytes", T_SET_BYTES),
-        A.import_func("benthos_wasm", "v0_msg_get_meta", T_GET_META),
-        A.import_func("benthos_wasm", "v0_msg_set_meta", T_SET_META),
-    ]
-    # func 4 = malloc(size): p = g0; g0 += size; return p
-    malloc = (
-        A.global_get(0)
-        + A.global_get(0) + A.local_get(0) + A.I32_ADD + A.global_set(0)
-        + A.END
-    )
-    # func 5 = process: locals 0=ptr 1=len 2=i 3=b, temp i64 in 4
-    L_PTR, L_LEN, L_I, L_B, L_PL = 0, 1, 2, 3, 4
-    process = (
-        A.call(0) + A.local_set(L_PL)                       # pl = as_bytes()
-        + A.local_get(L_PL) + A.i64c(32) + A.I64_SHR_U
-        + A.I32_WRAP_I64 + A.local_set(L_PTR)               # ptr = pl >> 32
-        + A.local_get(L_PL) + A.I32_WRAP_I64 + A.local_set(L_LEN)
-        + A.i32c(0) + A.local_set(L_I)
-        + A.block() + A.loop()
-        + A.local_get(L_I) + A.local_get(L_LEN) + A.I32_GE_U + A.br_if(1)
-        + A.local_get(L_PTR) + A.local_get(L_I) + A.I32_ADD
-        + A.load8_u() + A.local_set(L_B)
-        # if 'a' <= b <= 'z': store b-32
-        + A.local_get(L_B) + A.i32c(97) + A.I32_GE_U
-        + A.if_()
-        + A.local_get(L_B) + A.i32c(123) + A.I32_LT_U
-        + A.if_()
-        + A.local_get(L_PTR) + A.local_get(L_I) + A.I32_ADD
-        + A.local_get(L_B) + A.i32c(32) + A.I32_SUB + A.store8()
-        + A.END + A.END
-        + A.local_get(L_I) + A.i32c(1) + A.I32_ADD + A.local_set(L_I)
-        + A.br(0)
-        + A.END + A.END
-        + A.local_get(L_PTR) + A.local_get(L_LEN) + A.call(1)  # set_bytes
-        + A.END
-    )
-    return A.module(
-        types=types,
-        imports=imports,
-        func_type_idxs=[T_MALLOC, T_VOID],
-        memory_pages=1,
-        globals_=[bytes([A.I32, 1]) + A.i32c(4096) + A.END],
-        exports=[A.export("malloc", 0, 4), A.export("process", 0, 5)],
-        codes=[
-            A.func_body([], malloc),
-            A.func_body([(1, A.I32)] * 4 + [(1, A.I64)], process),
-        ],
-    )
+from connect_spark.wasm.testmod import uppercase_module as _uppercase_module
 
 
 def test_host_contract_uppercase_roundtrip():
