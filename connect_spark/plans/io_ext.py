@@ -466,3 +466,103 @@ def _i_stdin(spark: SparkSession, c: Any) -> DataFrame:
     return spark.createDataFrame(
         [(ln,) for ln in lines], "content string"
     )
+
+
+# --------------------------------------------------------------------
+# connector config surfaces (adapters over sources/{kafka,mq,files}.py)
+# --------------------------------------------------------------------
+
+
+@input_kind("kafka")
+def _i_kafka(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/kafka.adoc — the reference's Kafka config mapped onto
+    Spark's native Kafka source (sources/kafka.py): addresses/topics/
+    consumer_group/start_from_oldest/checkpoint_limit. The plan is the
+    one a cluster run uses; a live broker is required at start."""
+    from connect_spark.sources.kafka import kafka_envelope, kafka_source
+
+    reader = kafka_source(spark, c, streaming=bool(c.get("streaming", True)))
+    try:
+        df = reader.load()
+    except Exception as exc:  # noqa: BLE001 — connector jar probe
+        raise PipelineConfigError(
+            "kafka input: the spark-sql-kafka connector package is not "
+            "on this session's classpath (add "
+            "org.apache.spark:spark-sql-kafka-0-10 on a cluster); "
+            "config mapping is applied and verified regardless"
+        ) from exc
+    # the Kafka source schema is static, so load() stays lazy — the
+    # broker is contacted at query start, not here
+    return kafka_envelope(df)
+
+
+def _register_alias_inputs():
+    from connect_spark.plans.pipeline import INPUT_KINDS as _IK
+
+    for alias in ("kafka_franz", "redpanda", "redpanda_common"):
+        _IK[alias] = _i_kafka
+
+
+_register_alias_inputs()
+
+
+def _object_store_input(scheme: str):
+    """Object-store/file inputs (inputs/{aws_s3,gcp_cloud_storage,
+    azure_blob_storage,hdfs}.adoc): bucket+prefix map onto a URI the
+    cluster's Hadoop connectors resolve natively (s3a://, gs://,
+    abfss://, hdfs://); local paths work as-is. Scanner/codec fields
+    reuse the file reader (sources/files.py)."""
+
+    def build(spark: SparkSession, c: dict) -> DataFrame:
+        from connect_spark.sources.files import read_file_messages
+
+        path = c.get("path")
+        if path is None:
+            path = f"{scheme}://{c['bucket']}/{c.get('prefix', '')}"
+        return read_file_messages(
+            spark,
+            path,
+            scanner=c.get("scanner", "lines"),
+            scanner_conf=c.get("scanner_conf"),
+        )
+
+    return build
+
+
+for _scheme, _name in (
+    ("s3a", "aws_s3"),
+    ("gs", "gcp_cloud_storage"),
+    ("wasbs", "azure_blob_storage"),
+    ("hdfs", "hdfs"),
+):
+    input_kind(_name)(_object_store_input(_scheme))
+
+
+@input_kind("nats")
+def _i_nats(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/nats.adoc — subject-routed messages over the replayable
+    local bus (sources/mq.py MessageBus; live broker config maps via
+    nats_reader_options)."""
+    from connect_spark.sources.mq import MessageBus, nats_envelope
+
+    bus = MessageBus(c["bus_path"])
+    return nats_envelope(
+        bus.subscribe(
+            spark,
+            c.get("subject"),
+            streaming=bool(c.get("streaming", False)),
+        )
+    )
+
+
+@output_kind("kafka")
+def _o_kafka(df: DataFrame, c: dict) -> None:
+    """outputs/kafka.adoc — writeStream/write to Spark's Kafka sink
+    with the reference's field mapping; requires a live broker."""
+    from connect_spark.sources.kafka import kafka_writer_options
+
+    opts = kafka_writer_options(c)
+    writer = df.write.format("kafka")
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -367,3 +367,53 @@ def test_iceberg_input_with_time_travel(spark, tmp_path):
         },
     ).dataframe()
     assert old.count() == 4
+
+
+def test_object_store_alias_inputs(spark, tmp_path):
+    """aws_s3/gcp_cloud_storage/azure_blob_storage/hdfs map onto the
+    file reader; bucket+prefix become a connector URI, a plain `path`
+    reads locally (same code path a cluster with Hadoop connectors
+    runs)."""
+    p = tmp_path / "obj"
+    p.mkdir()
+    (p / "a.txt").write_text("one\ntwo\n")
+    for kind in ("aws_s3", "gcp_cloud_storage", "hdfs"):
+        df = build_pipeline(
+            spark, {"input": {kind: {"path": str(p)}}}
+        ).dataframe()
+        assert df.count() == 2, kind
+        assert "content" in df.columns
+
+
+def test_nats_alias_input_over_message_bus(spark, tmp_path):
+    from connect_spark.sources.mq import MessageBus
+
+    bus = MessageBus(str(tmp_path / "bus"))
+    bus.publish("orders.eu", ["m1"])
+    bus.publish("orders.us", ["m2"])
+    bus.publish("audit.log", ["skip"])
+    df = build_pipeline(
+        spark,
+        {"input": {"nats": {"bus_path": bus.path, "subject": "orders.*"}}},
+    ).dataframe()
+    assert df.count() == 2
+
+
+def test_kafka_alias_surfaces_clear_connector_gate(spark):
+    """The kafka input kind maps reference fields onto Spark's Kafka
+    source; this container has no spark-sql-kafka jar, so the build
+    must fail with a CLEAR classpath message (the option mapping
+    itself is verified in test_sources_sinks)."""
+    from connect_spark.plans.pipeline import PipelineConfigError
+
+    cfg = {
+        "input": {
+            "kafka": {
+                "addresses": ["localhost:19092"],
+                "topics": ["t1"],
+                "consumer_group": "g1",
+            }
+        }
+    }
+    with pytest.raises(PipelineConfigError, match="spark-sql-kafka"):
+        build_pipeline(spark, cfg).dataframe()
