@@ -566,3 +566,40 @@ def _o_kafka(df: DataFrame, c: dict) -> None:
     for k, v in opts.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _object_store_output(scheme: str):
+    """Object-store outputs (outputs/{aws_s3,gcp_cloud_storage,
+    azure_blob_storage,hdfs}.adoc): bucket+prefix → connector URI;
+    format parquet|json|csv|text (default parquet)."""
+
+    def write(df: DataFrame, c: dict) -> None:
+        path = c.get("path")
+        if path is None:
+            path = f"{scheme}://{c['bucket']}/{c.get('prefix', '')}"
+        fmt = c.get("format", "parquet")
+        writer = df.write.mode(c.get("mode", "overwrite"))
+        if fmt == "parquet":
+            writer.parquet(path)
+        elif fmt == "json":
+            writer.json(path)
+        elif fmt == "csv":
+            writer.options(header="true").csv(path)
+        elif fmt == "text":
+            field = c.get("field", "content")
+            df.select(
+                F.col(field).cast("string").alias("value")
+            ).write.mode(c.get("mode", "overwrite")).text(path)
+        else:
+            raise PipelineConfigError(f"unsupported format {fmt!r}")
+
+    return write
+
+
+for _scheme, _name in (
+    ("s3a", "aws_s3"),
+    ("gs", "gcp_cloud_storage"),
+    ("wasbs", "azure_blob_storage"),
+    ("hdfs", "hdfs"),
+):
+    output_kind(_name)(_object_store_output(_scheme))

@@ -415,6 +415,20 @@ def _p_parquet_encode(df: DataFrame, conf: Any) -> DataFrame:
     return out.mapInPandas(encode, "content binary")
 
 
+@processor("parquet")
+def _p_parquet(df: DataFrame, conf: Any) -> DataFrame:
+    """parquet processor (deprecated alias in the reference): dispatch
+    on `operator` to parquet_encode / parquet_decode."""
+    from connect_spark.plans.pipeline import PROCESSORS
+
+    op = conf.get("operator", "from_json")
+    if op in ("from_json", "encode"):
+        return PROCESSORS["parquet_encode"](df, conf)
+    if op in ("to_json", "decode"):
+        return PROCESSORS["parquet_decode"](df, conf)
+    raise PipelineConfigError(f"parquet operator {op!r} not supported")
+
+
 @processor("schema_registry_decode")
 def _p_sr_decode(df: DataFrame, conf: Any) -> DataFrame:
     """schema_registry_decode.adoc:26 — Confluent wire frame → decoded

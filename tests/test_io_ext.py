@@ -417,3 +417,13 @@ def test_kafka_alias_surfaces_clear_connector_gate(spark):
     }
     with pytest.raises(PipelineConfigError, match="spark-sql-kafka"):
         build_pipeline(spark, cfg).dataframe()
+
+
+def test_object_store_alias_outputs(spark, tmp_path):
+    p = str(tmp_path / "out")
+    cfg = {
+        "input": _region_input(),
+        "output": {"aws_s3": {"path": p, "format": "parquet"}},
+    }
+    build_pipeline(spark, cfg).run()
+    assert spark.read.parquet(p).count() == 5
