@@ -67,9 +67,13 @@ def _fn_timestamp_unix() -> Column:
 
 
 def _fn_range(start: Any, stop: Any, step: Any = 1) -> Column:
-    return F.sequence(
-        F.lit(start), F.lit(stop) - 1, F.lit(step)
-    )
+    # range() excludes `stop` in BOTH directions: pull the bound one
+    # step-sign toward start (stop-1 ascending, stop+1 descending)
+    if isinstance(step, Column):
+        bound = F.lit(stop) - F.signum(step).cast("bigint")
+    else:
+        bound = F.lit(stop) - (1 if step >= 0 else -1)
+    return F.sequence(F.lit(start), bound, F.lit(step))
 
 
 def _fn_throw(msg: Any) -> Column:
@@ -365,6 +369,11 @@ class Compiler:
         subject = (
             self.col(node.subject, scope) if node.subject is not None else None
         )
+        if subject is not None:
+            # the matched value rebinds `this` inside patterns and
+            # results (about.adoc:294-314: `match expr { this == .. }`)
+            scope = dict(scope)
+            scope["__this__"] = subject
         expr: Column | None = None
         default: Column | None = None
         for case in node.cases:
@@ -393,6 +402,21 @@ class Compiler:
 def compile_expression(src: str, env: dict[str, Column] | None = None) -> Column:
     """Compile a single Bloblang expression to a Column."""
     return Compiler(env).col(parse_expression(src))
+
+
+def _surviving_branch(node: A.Node):
+    """For `root = if cond { deleted() } else { X }` forms, the branch
+    surviving rows take (None when both delete or not an if)."""
+    if isinstance(node, A.If):
+        then_del = isinstance(node.then, A.Deleted)
+        else_del = node.otherwise is not None and isinstance(
+            node.otherwise, A.Deleted
+        )
+        if then_del and not else_del:
+            return node.otherwise
+        if else_del and not then_del:
+            return node.then
+    return None
 
 
 def _delete_condition(node: A.Node, comp: Compiler) -> Column | None:
@@ -489,6 +513,19 @@ def compile_mapping(
             if not stmt.path:
                 dc = _delete_condition(stmt.expr, comp)
                 if dc is not None:
+                    other = _surviving_branch(stmt.expr)
+                    if other is not None and not isinstance(
+                        other, (A.This, A.Deleted)
+                    ):
+                        if isinstance(other, A.ObjectLit):
+                            for k, v in other.pairs:
+                                assigns[k] = comp.col(v)
+                        else:
+                            raise BloblangError(
+                                "root = if .. deleted() forms support "
+                                "`this` or an object literal on the "
+                                "surviving branch"
+                            )
                     delete_cond = (
                         dc if delete_cond is None else delete_cond | dc
                     )
@@ -496,15 +533,34 @@ def compile_mapping(
                 if isinstance(stmt.expr, A.This):
                     identity_root = True
                     continue
+                if isinstance(stmt.expr, A.ObjectLit):
+                    # root = { ... } — expand keys into assignments
+                    for k, v in stmt.expr.pairs:
+                        assigns[k] = comp.col(v)
+                    continue
                 raise BloblangError(
-                    "whole-document `root =` supports `this` or "
-                    "deleted() forms; assign named fields otherwise"
+                    "whole-document `root =` supports `this`, object "
+                    "literals, or deleted() forms; assign named "
+                    "fields otherwise"
                 )
             if len(stmt.path) > 1:
                 # `root.a.b = expr` → struct assembly under `a`
-                # (about.adoc:19-52 nested assignment)
-                _nested_set(nested, stmt.path, comp.col(stmt.expr))
+                # (about.adoc:19-52 nested assignment). Sequential
+                # semantics: if `a` was already assigned FLAT, the
+                # nested write updates that value in place
+                # (withField), never silently disappears.
+                top = stmt.path[0]
+                if top in assigns:
+                    assigns[top] = assigns[top].withField(
+                        ".".join(stmt.path[1:]), comp.col(stmt.expr)
+                    )
+                else:
+                    _nested_set(nested, stmt.path, comp.col(stmt.expr))
                 continue
+            # a flat assignment AFTER nested writes overwrites the
+            # whole value (sequential semantics) — drop the pending
+            # nested tree for that key
+            nested.pop(stmt.path[0], None)
             assigns[stmt.path[0]] = comp.col(stmt.expr)
         else:  # pragma: no cover
             raise BloblangError(f"unknown statement {stmt!r}")

@@ -60,11 +60,24 @@ method("size")(lambda c: F.size(c))
 method("repeat")(lambda c, n: F.repeat(c, n if isinstance(n, int) else n))
 method("replace_all")(lambda c, a, b: F.replace(c, _lit(a), _lit(b)))
 method("reverse")(lambda c: F.reverse(c))
-method("slice")(
-    lambda c, start, end=None: F.substring(
-        c, start + 1, (end - start) if end is not None else (1 << 30)
+def _m_slice(c: Column, start, end=None) -> Column:
+    """methods.adoc slice: 0-based start, exclusive end; negative
+    start counts from the end (Spark substring already does for
+    negative positions — only non-negative needs the +1 shift).
+    Negative literals reach here as Columns (unary minus), so the
+    sign test must work for both."""
+    if isinstance(start, int):
+        pos = F.lit(start + 1 if start >= 0 else start)
+    else:
+        sc = _lit(start)
+        pos = F.when(sc >= 0, sc + 1).otherwise(sc)
+    length = (
+        (_lit(end) - _lit(start)) if end is not None else F.lit(1 << 30)
     )
-)
+    return F.substring(c, pos, length)
+
+
+method("slice")(_m_slice)
 method("split")(lambda c, sep: F.split(c, _regex_escape(sep)))
 method("quote")(lambda c: F.concat(F.lit('"'), c, F.lit('"')))
 method("unquote")(lambda c: F.regexp_replace(c, '^"|"$', ""))
@@ -157,7 +170,16 @@ def _with(c: Column, *names: str) -> Column:
     """`with` (methods.adoc:3266): keep only the named struct fields."""
     return F.struct(*[c.getField(n).alias(n) for n in names])
 method("enumerated")(
-    lambda c: F.arrays_zip(F.sequence(F.lit(0), F.size(c) - 1), c)
+    # empty arrays: sequence(0, -1) would step backwards and zip two
+    # phantom entries; slice the zipped result to the true size so the
+    # empty case yields [] with the correct element type
+    lambda c: F.slice(
+        F.arrays_zip(
+            F.sequence(F.lit(0), F.greatest(F.size(c) - 1, F.lit(0))), c
+        ),
+        1,
+        F.size(c),
+    )
 )
 
 # --- parsing (methods.adoc:3319) ---

@@ -370,7 +370,13 @@ class AwkProgram:
         for pattern, body in self.items:
             if pattern == "BEGIN":
                 self._exec_block(body, state)
-        for line in text.split("\n"):
+        records = text.split("\n")
+        # RS="\n" semantics: a trailing newline terminates the last
+        # record, it does not open a phantom empty one ("a\nb\n" is two
+        # records; "" is zero)
+        if records and records[-1] == "":
+            records.pop()
+        for line in records:
             env["NR"] += 1
             self._set_record(state, line)
             for pattern, body in self.items:
@@ -386,7 +392,11 @@ class AwkProgram:
         for pattern, body in self.items:
             if pattern == "END":
                 self._exec_block(body, state)
-        return "\n".join(out)
+        # print entries carry their own ORS; printf writes raw. One
+        # trailing newline is trimmed so print-only programs keep the
+        # historical joined-lines contract.
+        text_out = "".join(out)
+        return text_out[:-1] if text_out.endswith("\n") else text_out
 
     # ---- machinery ----
     def _set_record(self, state, line: str):
@@ -428,7 +438,9 @@ class AwkProgram:
             self._exec_block(st[1], state)
         elif op == "print":
             vals = [self._eval(a, state) for a in st[1]]
-            state["out"].append(env.get("OFS", " ").join(_s(v) for v in vals))
+            state["out"].append(
+                env.get("OFS", " ").join(_s(v) for v in vals) + "\n"
+            )
         elif op == "printf":
             vals = [self._eval(a, state) for a in st[1]]
             fmt = str(vals[0])

@@ -24,6 +24,14 @@ def salted_join(
     """Equi-join resilient to hot keys in `big`. Result equals
     `big.join(small, on, how)` exactly; only the physical distribution
     changes."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            "salted_join replicates the small side across salts, which "
+            "is only result-identical for inner/left joins; "
+            f"how={how!r} (right/full outer) would emit duplicate or "
+            "spurious null-extended small-side rows — use a plain join"
+        )
     salted_big = big.withColumn(
         "_salt", (F.rand() * salt_factor).cast("int")
     )

@@ -31,6 +31,10 @@ def kafka_reader_options(conf: dict) -> dict[str, str]:
         "startingOffsets": (
             "earliest" if conf.get("start_from_oldest", True) else "latest"
         ),
+        # headers ride along by default (the reference forwards them;
+        # without this option Spark's reader omits the column and any
+        # `headers` projection fails at analysis)
+        "includeHeaders": "true",
     }
     if conf.get("consumer_group"):
         opts["kafka.group.id"] = conf["consumer_group"]

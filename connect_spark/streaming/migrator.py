@@ -66,4 +66,8 @@ def migrate_kafka(
     writer = stream.writeStream.format("kafka")
     for k, v in kafka_writer_options(dst_conf).items():
         writer = writer.option(k, v)
-    return writer.option("checkpointLocation", checkpoint).start()
+    return (
+        writer.option("includeHeaders", "true")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -249,3 +249,88 @@ def test_avro_unresolved_name_raises():
                 "fields": [{"name": "v", "type": "Mystery"}],
             }
         )
+
+
+# --- round-4 deep-review regression pins ----------------------------
+
+
+def test_nested_after_flat_assignment_applies(spark):
+    from connect_spark.bloblang.compiler import compile_mapping
+
+    df = spark.createDataFrame(
+        [({"name": "old", "age": 3},)],
+        "raw struct<name:string,age:bigint>",
+    )
+    row = compile_mapping(
+        df, 'root.user = this.raw\nroot.user.name = "new"'
+    ).collect()[0]
+    assert row.user.name == "new" and row.user.age == 3
+
+
+def test_flat_after_nested_overwrites(spark):
+    from connect_spark.bloblang.compiler import compile_mapping
+
+    df = spark.createDataFrame([(1,)], "x bigint")
+    row = compile_mapping(
+        df, 'root.a.b = 1\nroot.a = "flat"'
+    ).collect()[0]
+    assert row.a == "flat"
+
+
+def test_match_subject_rebinds_this(spark):
+    from connect_spark.bloblang.compiler import compile_mapping
+
+    df = spark.createDataFrame([("article",), ("ad",)], ["type"])
+    rows = compile_mapping(
+        df,
+        'root.kind = match this.type { this == "article" => 1, _ => 0 }',
+    ).collect()
+    assert [r.kind for r in rows] == [1, 0]
+
+
+def test_root_if_deleted_else_object(spark):
+    from connect_spark.bloblang.compiler import compile_mapping
+
+    df = spark.createDataFrame([(1,), (10,)], ["x"])
+    rows = compile_mapping(
+        df, 'root = if this.x < 5 { deleted() } else { {"a": this.x} }'
+    ).collect()
+    assert len(rows) == 1 and rows[0]["a"] == 10
+
+
+def test_range_negative_step_excludes_stop(spark):
+    from connect_spark.bloblang.compiler import compile_mapping
+
+    df = spark.createDataFrame([(1,)], "x bigint")
+    row = compile_mapping(df, "root.r = range(10, 0, -2)").collect()[0]
+    assert row.r == [10, 8, 6, 4, 2]
+
+
+def test_enumerated_empty_and_slice_negative(spark):
+    from connect_spark.bloblang.compiler import compile_mapping
+
+    df = spark.createDataFrame([([], "abcdef")], "tags array<string>, s string")
+    row = compile_mapping(
+        df,
+        "root.e = this.tags.enumerated()\nroot.tail = this.s.slice(-3)",
+    ).collect()[0]
+    assert row.e == [] and row.tail == "def"
+
+
+def test_salted_join_rejects_outer_forms(spark):
+    import pytest as _pytest
+
+    from connect_spark.operators.skew import salted_join
+
+    a = spark.range(10).toDF("k")
+    b = spark.range(5).toDF("k")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(a, b, on="k", how="full_outer")
+
+
+def test_awk_trailing_newline_and_printf(spark):
+    from connect_spark.operators.awk import AwkProgram
+
+    assert AwkProgram("{ print NR }").run("a\nb\n") == "1\n2"
+    assert AwkProgram('{ printf "%s:", $1; print $2 }').run("a b") == "a:b"
+    assert AwkProgram("END { print NR }").run("x\ny\n") == "2"
