@@ -56,9 +56,9 @@ def _mul(a: int, b: int) -> int:
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    nk = len(key) // 4
-    if nk not in (4, 6, 8):
+    if len(key) not in (16, 24, 32):
         raise ValueError("AES key must be 16, 24, or 32 bytes")
+    nk = len(key) // 4
     nr = nk + 6
     words = [key[4 * i : 4 * i + 4] for i in range(nk)]
     for i in range(nk, 4 * (nr + 1)):
@@ -277,7 +277,9 @@ def _gcm_decrypt(data: bytes, key: bytes, nonce: bytes) -> bytes:
         a ^ b
         for a, b in zip(_ghash(h, b"", ct), _encrypt_block(j0, rk))
     )
-    if expect != tag:
+    import hmac as _hmac
+
+    if not _hmac.compare_digest(expect, tag):
         raise ValueError("GCM authentication failed")
     return _gctr_stream(ct, key, _inc32(j0))
 

@@ -200,7 +200,26 @@ def _encode(buf: BytesIO, value, schema) -> None:
         _write_long(buf, 0)
     elif t == "record":
         for field in schema["fields"]:
-            fv = value.get(field["name"], field.get("default"))
+            name = field["name"]
+            ftype = field["type"]
+            nullable = ftype == "null" or (
+                isinstance(ftype, list) and "null" in ftype
+            )
+            if name in value:
+                fv = value[name]
+            elif "default" in field:
+                fv = field["default"]
+            elif nullable:
+                # JSON encoders drop null fields; a nullable union
+                # treats absence as null
+                fv = None
+            else:
+                # a missing required field must be a schema error, not
+                # a silent str(None) serialization
+                raise ValueError(
+                    f"avro: missing required field {name!r} and no "
+                    "default in schema"
+                )
             _encode(buf, fv, field["type"])
     else:
         raise ValueError(f"unsupported avro type {t!r}")

@@ -49,7 +49,23 @@ def _tokenize(src: str):
         if not m:
             raise SyntaxError(f"jq: bad token at {src[i:i+20]!r}")
         if m.lastgroup != "ws":
-            toks.append((m.lastgroup, m.group()))
+            kind, text = m.lastgroup, m.group()
+            # `-` after a value ends an expression: `.a-1`/`length-1`
+            # is subtraction, not a negative literal (real jq lexes the
+            # minus as an operator in value position)
+            if (
+                kind == "number"
+                and text.startswith("-")
+                and toks
+                and (
+                    toks[-1][0] in ("number", "string", "name")
+                    or toks[-1][1] in ("]", ")", "}")
+                )
+            ):
+                toks.append(("op", "-"))
+                toks.append(("number", text[1:]))
+            else:
+                toks.append((kind, text))
         i = m.end()
     return toks
 

@@ -18,15 +18,30 @@ from pyspark.sql import functions as F
 from connect_spark.errors import flag_error
 
 
+def _json_type(col: Column, name: str) -> Column:
+    """The exact JSON type of a property (STRING/BIGINT/DOUBLE/
+    DECIMAL/BOOLEAN/VOID/OBJECT/ARRAY; null when absent) via the
+    variant accessor — get_json_object alone loses the distinction
+    between the string "42" and the number 42."""
+    return F.schema_of_variant(
+        F.try_variant_get(F.parse_json(col), f"$.{name}", "variant")
+    )
+
+
 def _prop_checks(col: Column, name: str, spec: dict) -> list[tuple[Column, str]]:
     """(violation_condition, message) pairs for one property."""
     raw = F.get_json_object(col, f"$.{name}")
+    jt = _json_type(col, name)
     checks: list[tuple[Column, str]] = []
     t = spec.get("type")
     if t in ("number", "integer"):
         num = raw.cast("double")
         checks.append(
-            (raw.isNotNull() & num.isNull(), f"{name}: not a number")
+            (
+                raw.isNotNull()
+                & ~jt.rlike("^(BIGINT|DOUBLE|DECIMAL|FLOAT|INT|SMALLINT|TINYINT)"),
+                f"{name}: not a number",
+            )
         )
         if t == "integer":
             checks.append(
@@ -54,11 +69,12 @@ def _prop_checks(col: Column, name: str, spec: dict) -> list[tuple[Column, str]]
                  f"{name}: not below exclusive maximum")
             )
     elif t == "string":
-        # JSON strings come back unquoted from get_json_object; a raw
-        # object/array extraction starts with { or [
+        # typed check via the variant accessor: numbers, booleans and
+        # null must NOT validate as strings even though
+        # get_json_object would return their text form
         checks.append(
             (
-                raw.isNotNull() & raw.rlike(r"^[\[{]"),
+                raw.isNotNull() & (jt != "STRING"),
                 f"{name}: not a string",
             )
         )
@@ -78,7 +94,7 @@ def _prop_checks(col: Column, name: str, spec: dict) -> list[tuple[Column, str]]
     elif t == "boolean":
         checks.append(
             (
-                raw.isNotNull() & ~raw.isin("true", "false"),
+                raw.isNotNull() & (jt != "BOOLEAN"),
                 f"{name}: not a boolean",
             )
         )

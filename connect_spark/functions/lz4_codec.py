@@ -184,7 +184,10 @@ def compress(data: bytes) -> bytes:
     bd = 0x70  # block max size code 7 (4 MiB)
     out += bytes([flg, bd])
     out.append((xxh32(bytes([flg, bd])) >> 8) & 0xFF)
-    for off in range(0, len(data) or 1, _BLOCK_MAX):
+    # empty input: go straight to EndMark — reference encoders never
+    # emit a zero-length data block (0x80000000 header), and strict
+    # decoders reject it
+    for off in range(0, len(data), _BLOCK_MAX):
         chunk = data[off : off + _BLOCK_MAX]
         packed = compress_block(chunk)
         if len(packed) < len(chunk):
@@ -193,8 +196,6 @@ def compress(data: bytes) -> bytes:
         else:  # incompressible: store raw (high bit set)
             out += (len(chunk) | 0x80000000).to_bytes(4, "little")
             out += chunk
-        if not data:
-            break
     out += (0).to_bytes(4, "little")  # EndMark
     out += xxh32(data).to_bytes(4, "little")
     return bytes(out)

@@ -200,8 +200,20 @@ def msgpack_decode_udf():
 
     @pandas_udf("string")
     def _dec(s: pd.Series) -> pd.Series:
+        def bridge(v):
+            # bin8/16/32 payloads decode to raw bytes — JSON needs a
+            # text form; latin-1 is byte-preserving (the same bridge
+            # the avro codec uses)
+            if isinstance(v, bytes):
+                return v.decode("latin-1")
+            if isinstance(v, dict):
+                return {bridge(k): bridge(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [bridge(x) for x in v]
+            return v
+
         return s.map(
-            lambda b: json.dumps(unpackb(bytes(b)), sort_keys=True)
+            lambda b: json.dumps(bridge(unpackb(bytes(b))), sort_keys=True)
             if b is not None
             else None
         )

@@ -99,6 +99,7 @@ class VectorSink:
     with the same three methods."""
 
     def __init__(self, spark, path: str, id_col: str = "id"):
+        self.spark = spark
         self.id_col = id_col
         self.cache = ParquetKVCache(spark, path, key=id_col)
 
@@ -120,6 +121,12 @@ class VectorSink:
         baseline; IVF bucketing applies unchanged if the store is
         written partitioned by centroid)."""
         stored = self.cache.read()
+        if stored is None:
+            # empty store: a top-k over nothing is an empty result,
+            # not an AttributeError
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} string, sim double"
+            )
         q = F.array(*[F.lit(float(x)) for x in query_vector])
         sims = stored.withColumn(
             "sim",

@@ -132,8 +132,11 @@ class ParquetKVCache:
         ).limit(self.max_items)
 
     def set(self, rows: DataFrame, ttl: float | None = None) -> None:
-        """Upsert: new rows win over existing (cache set)."""
-        rows = self._stamp(rows, ttl)
+        """Upsert: new rows win over existing (cache set). Duplicate
+        keys WITHIN the batch collapse to one survivor (at-least-once
+        streams routinely redeliver) — without this, both copies
+        persist and every later lookup join fans out."""
+        rows = self._stamp(rows.dropDuplicates([self.key]), ttl)
         cur = self._read_live()
         if cur is None:
             self._write(rows)
@@ -237,6 +240,8 @@ class TwoLevelKVCache(ParquetKVCache):
                 F.col(_EXP_COL).isNull()
                 | (F.col(_EXP_COL) > F.lit(float(self.now_fn())))
             ).drop(_EXP_COL)
+        if _SET_COL in df.columns:
+            df = df.drop(_SET_COL)  # internal write stamp never leaks
         return df
 
     def _read_live(self) -> DataFrame | None:

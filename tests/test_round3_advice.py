@@ -334,3 +334,77 @@ def test_awk_trailing_newline_and_printf(spark):
     assert AwkProgram("{ print NR }").run("a\nb\n") == "1\n2"
     assert AwkProgram('{ printf "%s:", $1; print $2 }').run("a b") == "a:b"
     assert AwkProgram("END { print NR }").run("x\ny\n") == "2"
+
+
+def test_functions_review_fixes(spark):
+    """Round-4 second deep-review pins: msgpack bytes bridge, jq
+    subtraction lexing, AES strict key length, avro required field,
+    lz4 empty frame, jsonschema typed checks, cache set dedupe,
+    empty vector store."""
+    import json
+
+    import pytest as _pytest
+
+    # msgpack bin payloads decode to latin-1 text, not a task crash
+    from connect_spark.functions.msgpack_codec import packb, unpackb
+    from connect_spark.functions.msgpack_codec import msgpack_decode_udf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(packb({"k": b"\x01\x02"}),)], "b binary")
+    row = df.select(msgpack_decode_udf()(F.col("b")).alias("j")).collect()[0]
+    assert json.loads(row.j) == {"k": "\x01\x02"}
+
+    # jq: unspaced subtraction parses
+    from connect_spark.functions.jq import JqFilter
+
+    assert JqFilter(".a-1").run({"a": 5}) == [4]
+    assert JqFilter("-1").run({}) == [-1]
+
+    # AES: 33-byte key rejected instead of silently truncated
+    from connect_spark.functions.aes import encrypt_aes
+
+    with _pytest.raises(ValueError, match="16, 24, or 32"):
+        encrypt_aes(b"x", "ctr", bytes(33), bytes(16))
+
+    # avro: missing required field errors
+    from connect_spark.functions.avro_codec import encode
+
+    with _pytest.raises(ValueError, match="missing required field"):
+        encode({}, {"type": "record", "name": "R",
+                    "fields": [{"name": "s", "type": "string"}]})
+
+    # lz4: empty input frames roundtrip with no phantom block
+    from connect_spark.functions.lz4_codec import compress, decompress
+
+    frame = compress(b"")
+    assert decompress(frame) == b""
+    assert b"\x00\x00\x00\x80" not in frame[7:11]
+
+    # jsonschema: a JSON number does not validate as type string
+    from connect_spark.functions.jsonschema import json_schema_validate
+
+    jdf = spark.createDataFrame(
+        [('{"name": 42}',), ('{"name": "ok"}',)], ["payload"]
+    )
+    out = json_schema_validate(
+        jdf, "payload", {"properties": {"name": {"type": "string"}}}
+    ).collect()
+    errs = {r.payload: r._error for r in out}
+    assert errs['{"name": 42}'] is not None
+    assert errs['{"name": "ok"}'] is None
+
+    # cache.set dedupes duplicate keys within a batch
+    from pyspark.sql import Row
+
+    from connect_spark.state.cache import ParquetKVCache
+    import tempfile
+
+    cache = ParquetKVCache(spark, tempfile.mkdtemp() + "/kv", key="k")
+    cache.set(spark.createDataFrame([Row(k=1, v="a"), Row(k=1, v="b")]))
+    assert cache.read().count() == 1
+
+    # empty vector store: search returns empty, not AttributeError
+    from connect_spark.sinks.search import VectorSink
+
+    vs = VectorSink(spark, tempfile.mkdtemp() + "/vs")
+    assert vs.search([0.1, 0.2]).count() == 0
