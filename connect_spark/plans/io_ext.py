@@ -305,15 +305,23 @@ def _i_iceberg(spark: SparkSession, c: dict) -> DataFrame:
     if c.get("snapshot_id") is None:
         return t.read()
     meta = t.metadata()
+    want = int(c["snapshot_id"])
     snap = next(
-        s_
-        for s_ in meta["snapshots"]
-        if s_["snapshot-id"] == int(c["snapshot_id"])
+        (s_ for s_ in meta["snapshots"] if s_["snapshot-id"] == want),
+        None,
     )
-    _, manifests = read_ocf(open(snap["manifest-list"], "rb").read())
+    if snap is None:
+        raise PipelineConfigError(
+            f"iceberg: snapshot {want} not found in "
+            f"{c['location']} (known: "
+            f"{[s_['snapshot-id'] for s_ in meta['snapshots']]})"
+        )
+    with open(snap["manifest-list"], "rb") as fh:
+        _, manifests = read_ocf(fh.read())
     files = []
     for m in manifests:
-        _, entries = read_ocf(open(m["manifest_path"], "rb").read())
+        with open(m["manifest_path"], "rb") as fh:
+            _, entries = read_ocf(fh.read())
         files += [
             e["data_file"]["file_path"]
             for e in entries
@@ -406,6 +414,12 @@ def _i_socket_server(spark: SparkSession, c: dict) -> DataFrame:
     label = c.get("label", "default")
     spool_dir = c["spool_dir"]
     os.makedirs(spool_dir, exist_ok=True)
+    if label in _SOCKET_SERVERS and _SOCKET_SERVERS[label][2] != spool_dir:
+        raise PipelineConfigError(
+            f"socket_server label {label!r} already running with "
+            f"spool_dir {_SOCKET_SERVERS[label][2]!r}; use a distinct "
+            "label per endpoint"
+        )
     if label not in _SOCKET_SERVERS:
 
         class Handler(socketserver.StreamRequestHandler):
@@ -428,7 +442,7 @@ def _i_socket_server(spark: SparkSession, c: dict) -> DataFrame:
         )
         srv.daemon_threads = True
         threading.Thread(target=srv.serve_forever, daemon=True).start()
-        _SOCKET_SERVERS[label] = (srv, srv.server_address[1])
+        _SOCKET_SERVERS[label] = (srv, srv.server_address[1], spool_dir)
     import os as _os
 
     if not any(

@@ -357,10 +357,33 @@ def _p_grok(df: DataFrame, conf: Any) -> DataFrame:
     from connect_spark.functions.formats import grok_extract, grok_to_regex
 
     field = conf.get("field", "content")
-    pattern = conf["expressions"][0] if "expressions" in conf else conf["pattern"]
-    parsed = grok_extract(F.col(field), pattern)
-    _, names = grok_to_regex(pattern)
-    return df.withColumns({n: parsed[n] for n in names})
+    patterns = (
+        list(conf["expressions"])
+        if "expressions" in conf
+        else [conf["pattern"]]
+    )
+    # reference semantics: try each expression IN ORDER; the first
+    # whose regex matches provides the extraction
+    parsed_by_pat = []
+    all_names: list[str] = []
+    for pat in patterns:
+        regex, names = grok_to_regex(pat)
+        parsed_by_pat.append(
+            (F.col(field).rlike(regex), grok_extract(F.col(field), pat), names)
+        )
+        all_names += [n for n in names if n not in all_names]
+    cols = {}
+    for n in all_names:
+        expr = None
+        for matched, parsed, names in parsed_by_pat:
+            val = parsed[n] if n in names else F.lit(None)
+            expr = (
+                F.when(matched, val)
+                if expr is None
+                else expr.when(matched, val)
+            )
+        cols[n] = expr
+    return df.withColumns(cols)
 
 
 @processor("text_chunker")

@@ -88,17 +88,32 @@ def _p_retry(df: DataFrame, conf: Any) -> DataFrame:
 
 
 def _assign_targets(src: str) -> list[str]:
-    """Top-level root-path names a mapping assigns (for result_map
-    merge-back)."""
+    """Top-level names a result_map assigns (for merge-back):
+    `root.x = ..` paths, the keys of a whole-document `root = {…}`
+    object literal, and the meta column for `meta k = v`."""
     from connect_spark.bloblang import ast as A
+    from connect_spark.bloblang.compiler import META_COL, _surviving_branch
     from connect_spark.bloblang.parser import parse_mapping
 
     ast = parse_mapping(src)
-    return [
-        st.path[0]
-        for st in ast.statements
-        if isinstance(st, A.Assign) and st.path
-    ]
+    targets: list[str] = []
+    for st in ast.statements:
+        if isinstance(st, A.MetaAssign):
+            if META_COL not in targets:
+                targets.append(META_COL)
+        elif isinstance(st, A.Assign):
+            if st.path:
+                if st.path[0] not in targets:
+                    targets.append(st.path[0])
+                continue
+            expr = st.expr
+            if isinstance(expr, A.If):
+                expr = _surviving_branch(expr) or expr
+            if isinstance(expr, A.ObjectLit):
+                for k, _v in expr.pairs:
+                    if k not in targets:
+                        targets.append(k)
+    return targets
 
 
 _BRANCH_ORIG = "_branch_orig"
@@ -168,20 +183,27 @@ def _p_workflow(df: DataFrame, conf: Any) -> DataFrame:
         if name not in branches:
             raise PipelineConfigError(f"workflow: unknown branch {name!r}")
         work, targets = _run_branch(work, branches[name])
+        if _BRANCH_ORIG not in work.columns:
+            raise PipelineConfigError(
+                "workflow branches dropped the document snapshot"
+            )
         all_targets += [t for t in targets if t not in all_targets]
-    if _BRANCH_ORIG not in work.columns:
-        raise PipelineConfigError(
-            "workflow branches dropped the document snapshot"
-        )
-    cols = [
-        (
-            F.col(c)
-            if c in all_targets
-            else F.col(f"{_BRANCH_ORIG}.{c}").alias(c)
-        )
-        for c in orig
-    ] + [F.col(t) for t in all_targets if t not in orig]
-    return work.select(*cols)
+        # restore the document after EVERY branch: later branches see
+        # prior result_map targets but never request_map/child scratch
+        cols = [
+            (
+                F.col(c)
+                if c in all_targets
+                else F.col(f"{_BRANCH_ORIG}.{c}").alias(c)
+            )
+            for c in orig
+        ] + [
+            F.col(t)
+            for t in all_targets
+            if t not in orig and t in work.columns
+        ] + [F.col(_BRANCH_ORIG)]
+        work = work.select(*cols)
+    return work.drop(_BRANCH_ORIG)
 
 
 @processor("group_by")
@@ -533,8 +555,19 @@ def _p_http(df: DataFrame, conf: Any) -> DataFrame:
     url_t = conf["url"]
     verb = conf.get("verb", "POST")
     headers = dict(conf.get("headers", {}))
-    transport_name = conf.get("transport", "urllib")
-    transport = _HTTP_TRANSPORTS.get(transport_name, _urllib_transport)
+    transport_name = conf.get("transport")
+    if transport_name is None:
+        transport = _urllib_transport
+    elif transport_name in _HTTP_TRANSPORTS:
+        transport = _HTTP_TRANSPORTS[transport_name]
+    else:
+        # a named-but-unregistered transport must fail fast — the
+        # silent urllib fallback would fire real network calls from
+        # executors at a config typo
+        raise PipelineConfigError(
+            f"http: unknown transport {transport_name!r}; register it "
+            "with plans.processors_ext.register_http_transport"
+        )
 
     @F.pandas_udf("string")
     def call(s: pd.Series) -> pd.Series:

@@ -36,10 +36,17 @@ def handle(
     register_inproc("_serverless_event", df)
     cfg = dict(config)
     cfg["input"] = {"inproc": "_serverless_event"}
-    cfg.pop("output", None)  # sync_response replaces any output
+    # the DEFAULT output becomes the sync response, but an explicitly
+    # configured output is still delivered (handler.go overrides only
+    # the schema defaults)
+    explicit_output = cfg.pop("output", None)
     pipe = build_pipeline(spark, cfg)
     out = pipe.dataframe()
     pipe.flush_writes()
+    if explicit_output is not None:
+        from connect_spark.plans.pipeline import _run_output
+
+        _run_output(out, explicit_output)
     if ERROR_COL in out.columns:
         healthy, dead = dead_letter_split(out)
         return {

@@ -91,6 +91,15 @@ class CdcWal:
                     lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY
                 )
             except FileExistsError:
+                # crash recovery: a writer killed between open and
+                # unlink leaves the lock forever — break locks older
+                # than 60s (well past any legitimate hold)
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60.0:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue  # someone else just released/broke it
                 if time.monotonic() > deadline:
                     raise TimeoutError(f"WAL lock stuck: {lock}")
                 time.sleep(0.002 + random.random() * 0.01)
@@ -103,9 +112,21 @@ class CdcWal:
         )
 
     def last_lsn(self) -> int:
+        """Max assigned LSN. LSNs are monotonic across segments (each
+        append continues from the previous segment's tail), so only
+        the LAST segment needs reading — O(segment), not O(WAL),
+        which matters because append() calls this under the lock."""
+        segs = self._segments()
+        if not segs:
+            return 0
         lsn = 0
-        for rec in self.records(after_lsn=-1):
-            lsn = max(lsn, rec["lsn"])
+        with open(
+            os.path.join(self.path, segs[-1]), encoding="utf-8"
+        ) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    lsn = max(lsn, json.loads(line)["lsn"])
         return lsn
 
     def append(

@@ -207,6 +207,8 @@ def read_file_messages(
         # matching none is rejected). A case without `re_match_name`
         # is a catch-all default.
         binary = spark.read.format("binaryFile").load(paths)
+        if not conf.get("cases"):
+            raise ValueError("switch scanner needs at least one case")
         parts = []
         claimed = None  # Column: path matched by an earlier case
         for case in conf["cases"]:

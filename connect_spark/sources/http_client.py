@@ -47,6 +47,7 @@ def http_poll(
     conf: dict,
     transport: Transport,
     n_polls: int = 1,
+    sleep_fn=None,
 ) -> DataFrame:
     """Poll the endpoint `n_polls` times through `transport`, returning
     the engine envelope: content + http metadata + per-message _error
@@ -59,12 +60,19 @@ def http_poll(
         from connect_spark.state.ratelimit import get_rate_limit
 
         limiter = get_rate_limit(opts["rate_limit"])
+    import time as _time
+
+    sleep_fn = sleep_fn or _time.sleep
     rows = []
     for i in range(n_polls):
         resp = None
         for attempt in range(opts["retries"] + 1):
             if limiter is not None:
                 limiter.wait(1)
+            if attempt:
+                # exponential backoff between retries (the reference's
+                # retries + backoff_on contract) — never a hot loop
+                sleep_fn(min(0.1 * (2 ** (attempt - 1)), 5.0))
             resp = transport(
                 {
                     "url": opts["url"],
@@ -78,6 +86,11 @@ def http_poll(
                 break
             if resp["status"] in opts["drop_on"]:
                 break
+        if resp["status"] in opts["drop_on"] and not (
+            200 <= resp["status"] < 300
+        ):
+            # drop_on: the message is DROPPED, not emitted as errored
+            continue
         err = (
             None
             if 200 <= resp["status"] < 300

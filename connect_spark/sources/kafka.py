@@ -78,6 +78,10 @@ def kafka_source(spark: SparkSession, conf: dict, streaming: bool = True):
     reader = spark.readStream if streaming else spark.read
     reader = reader.format("kafka")
     for k, v in kafka_reader_options(conf).items():
+        if not streaming and k == "startingOffsets" and v == "latest":
+            # batch reads reject startingOffsets=latest (empty range);
+            # the batch analog of "start from newest" is the full range
+            v = "earliest"
         reader = reader.option(k, v)
     return reader
 

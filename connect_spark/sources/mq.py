@@ -171,18 +171,26 @@ class MessageBus:
                 "path", self.path
             ).load()
         else:
-            # mirror the streaming reader's row shape exactly (it
-            # JSON-encodes the payload field)
+            # mirror the streaming reader's FULL envelope (all six
+            # columns) so toggling `streaming` never changes the
+            # input schema
             rows = [
                 (
                     r["lsn"],
+                    r.get("operation", "insert"),
                     r["table"],
+                    r.get("commit_ts_ms", 0),
+                    json.dumps(r["before"])
+                    if r.get("before") is not None
+                    else None,
                     json.dumps(r["after"]) if r["after"] is not None else None,
                 )
                 for r in self.wal.records(after_lsn=0)
             ]
             df = spark.createDataFrame(
-                rows, "lsn BIGINT, table STRING, after STRING"
+                rows,
+                "lsn BIGINT, operation STRING, table STRING, "
+                "commit_ts_ms BIGINT, before STRING, after STRING",
             )
         if subject_pattern:
             df = df.filter(subject_matches(F.col("table"), subject_pattern))

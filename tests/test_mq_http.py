@@ -120,9 +120,23 @@ def test_http_poll_retry_and_error(spark):
         spark,
         {"url": "http://svc/data", "retries": 2, "drop_on": [403]},
         always_403,
+        sleep_fn=lambda s: None,
     )
-    row2 = df2.collect()[0]
-    assert row2._error == "http_client: status 403"
+    # drop_on statuses DROP the message (http_client.adoc drop_on) —
+    # no errored row flows to the DLQ
+    assert df2.count() == 0
+
+    def always_500(req):
+        return {"status": 500, "headers": {}, "body": "boom"}
+
+    df3 = http_poll(
+        spark,
+        {"url": "http://svc/data", "retries": 1},
+        always_500,
+        sleep_fn=lambda s: None,
+    )
+    row3 = df3.collect()[0]
+    assert row3._error == "http_client: status 500"
 
 
 def test_http_output_batches(spark):
