@@ -1,0 +1,471 @@
+"""Message-queue connector config surfaces as YAML input/output kinds.
+
+Every broker family the reference documents (SURVEY.md §2.D "Message
+queues" / §2.E "Queues/brokers"; docs/modules/components/pages/
+{inputs,outputs}/<name>.adoc) gets a real kind here. The sandbox has
+no live brokers, so — same contract as the existing `nats` kind
+(plans/io_ext.py) and `mq_bus` — each kind maps the connector's
+documented config fields onto the replayable local bus
+(sources/mq.py::MessageBus over the checkpointed cdc_wal stream) and
+reproduces the connector's *documented metadata envelope* faithfully:
+the metadata key names below are taken from each input's adoc
+"metadata" section (and, for aws_kinesis, from
+internal/impl/aws/kinesis/input_record_batcher.go:64-68). On a
+cluster with live brokers the same configs drive the corresponding
+Spark connectors; the plan shape (subject filter → envelope select)
+is identical.
+
+Scale note: subscribe is the cdc_wal streaming DataSource (executor
+distributed, checkpointed offsets); publish is per-partition WAL
+segment appends (nothing collected to the driver) — the same
+100 TB-safe shape as the audited mq_bus sink.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.plans.pipeline import (
+    PipelineConfigError,
+    input_kind,
+    output_kind,
+)
+
+# Expression factories over the bus envelope
+# (lsn BIGINT, operation, table STRING, commit_ts_ms BIGINT, after STRING)
+_LSN = lambda: F.col("lsn").cast("string")  # noqa: E731
+_SUBJECT = lambda: F.col("table")  # noqa: E731
+_TS_MS = lambda: F.col("commit_ts_ms").cast("string")  # noqa: E731
+_TS_S = lambda: (F.col("commit_ts_ms") / 1000).cast("long").cast("string")  # noqa: E731
+_TS_NANO = lambda: (F.col("commit_ts_ms") * 1000000).cast("string")  # noqa: E731
+
+
+@dataclass(frozen=True)
+class MqKindSpec:
+    """One broker connector: where the subject lives in its config and
+    which documented metadata keys its envelope carries."""
+
+    subject_keys: tuple[str, ...]  # config keys naming topic/queue/subject
+    meta: tuple[tuple[str, Callable[[], Column]], ...] = ()
+    # constant metadata copied from config fields: meta_key -> config_key
+    conf_meta: tuple[tuple[str, str], ...] = ()
+    default_subject: str = "events"
+
+
+_INPUT_SPECS: dict[str, MqKindSpec] = {
+    # inputs/amqp_0_9.adoc metadata section
+    "amqp_0_9": MqKindSpec(
+        subject_keys=("queue",),
+        meta=(
+            ("amqp_routing_key", _SUBJECT),
+            ("amqp_delivery_tag", _LSN),
+            ("amqp_timestamp", _TS_S),
+        ),
+        conf_meta=(("amqp_consumer_tag", "consumer_tag"),),
+    ),
+    # inputs/amqp_1.adoc metadata section
+    "amqp_1": MqKindSpec(
+        subject_keys=("source_address",),
+        meta=(("amqp_creation_time", _TS_MS),),
+    ),
+    # inputs/mqtt.adoc metadata section
+    "mqtt": MqKindSpec(
+        subject_keys=("topics", "topic"),
+        meta=(
+            ("mqtt_topic", _SUBJECT),
+            ("mqtt_message_id", _LSN),
+            ("mqtt_duplicate", lambda: F.lit("false")),
+            ("mqtt_retained", lambda: F.lit("false")),
+        ),
+        conf_meta=(("mqtt_qos", "qos"),),
+    ),
+    # inputs/nats_jetstream.adoc metadata section
+    "nats_jetstream": MqKindSpec(
+        subject_keys=("subject",),
+        meta=(
+            ("nats_subject", _SUBJECT),
+            ("nats_sequence_stream", _LSN),
+            ("nats_sequence_consumer", _LSN),
+            ("nats_num_delivered", lambda: F.lit("1")),
+            ("nats_timestamp_unix_nano", _TS_NANO),
+        ),
+        conf_meta=(("nats_consumer", "durable"),),
+    ),
+    # inputs/nats_stream.adoc metadata section
+    "nats_stream": MqKindSpec(
+        subject_keys=("subject",),
+        meta=(
+            ("nats_stream_subject", _SUBJECT),
+            ("nats_stream_sequence", _LSN),
+        ),
+    ),
+    # inputs/nsq.adoc metadata section
+    "nsq": MqKindSpec(
+        subject_keys=("topic",),
+        meta=(
+            ("nsq_id", _LSN),
+            ("nsq_attempts", lambda: F.lit("1")),
+            ("nsq_timestamp", _TS_NANO),
+        ),
+        conf_meta=(("nsq_nsqd_address", "nsqd_tcp_address"),),
+    ),
+    # inputs/pulsar.adoc metadata section
+    "pulsar": MqKindSpec(
+        subject_keys=("topics", "topic"),
+        meta=(
+            ("pulsar_topic", _SUBJECT),
+            ("pulsar_message_id", _LSN),
+            ("pulsar_publish_time_unix", _TS_S),
+            ("pulsar_event_time_unix", _TS_S),
+            ("pulsar_redelivery_count", lambda: F.lit("0")),
+        ),
+    ),
+    # inputs/beanstalkd.adoc — no documented metadata; tube via address
+    "beanstalkd": MqKindSpec(subject_keys=("tube",)),
+    # inputs/nanomsg.adoc — SUB topic filter; no documented metadata
+    "nanomsg": MqKindSpec(subject_keys=("sub_filters", "topic")),
+    # inputs/zmq4.adoc — SUB topic filter; no documented metadata
+    "zmq4": MqKindSpec(subject_keys=("sub_filters", "topic")),
+    # inputs/aws_sqs.adoc metadata section
+    "aws_sqs": MqKindSpec(
+        subject_keys=("queue", "url"),
+        meta=(
+            ("sqs_message_id", _LSN),
+            ("sqs_receipt_handle", lambda: F.md5(F.col("lsn").cast("string"))),
+            ("sqs_approximate_receive_count", lambda: F.lit("1")),
+        ),
+    ),
+    # inputs/gcp_pubsub.adoc metadata section
+    "gcp_pubsub": MqKindSpec(
+        subject_keys=("subscription", "topic"),
+        meta=(
+            ("gcp_pubsub_message_id", _LSN),
+            ("gcp_pubsub_publish_time_unix", _TS_S),
+            ("gcp_pubsub_ordering_key", _SUBJECT),
+        ),
+    ),
+    # inputs/azure_queue_storage.adoc metadata section
+    "azure_queue_storage": MqKindSpec(
+        subject_keys=("queue_name",),
+        meta=(
+            ("queue_storage_queue_name", _SUBJECT),
+            ("queue_storage_insertion_time", _TS_S),
+        ),
+    ),
+    # internal/impl/aws/kinesis/input_record_batcher.go:64-68
+    "aws_kinesis": MqKindSpec(
+        subject_keys=("streams", "stream"),
+        meta=(
+            ("kinesis_shard", lambda: F.concat(
+                F.lit("shardId-"),
+                F.lpad(F.pmod(F.col("lsn"), F.lit(4)).cast("string"), 12, "0"),
+            )),
+            ("kinesis_partition_key", _SUBJECT),
+            ("kinesis_sequence_number", _LSN),
+        ),
+    ),
+    # inputs/redis_list.adoc — BLPOP on a key; no documented metadata
+    "redis_list": MqKindSpec(subject_keys=("key",)),
+    # inputs/redis_pubsub.adoc metadata section
+    "redis_pubsub": MqKindSpec(
+        subject_keys=("channels", "channel"),
+        meta=(
+            ("redis_pubsub_channel", _SUBJECT),
+            ("redis_pubsub_pattern", lambda: F.lit("")),
+        ),
+    ),
+    # inputs/redis_scan.adoc — key/value scan; key lands as metadata
+    "redis_scan": MqKindSpec(
+        subject_keys=("match",),
+        meta=(("redis_key", _SUBJECT),),
+    ),
+}
+
+
+def _subject_from(c: dict, spec: MqKindSpec) -> str | None:
+    for k in spec.subject_keys:
+        v = c.get(k)
+        if v is None:
+            continue
+        if isinstance(v, list):
+            if len(v) != 1:
+                raise PipelineConfigError(
+                    f"exactly one subject supported per input, got {v!r} "
+                    "(use a broker input with one child per subject)"
+                )
+            return str(v[0])
+        return str(v)
+    return None
+
+
+def _envelope(df: DataFrame, c: dict, spec: MqKindSpec) -> DataFrame:
+    keys: list[Column] = []
+    vals: list[Column] = []
+    for name, factory in spec.meta:
+        keys.append(F.lit(name))
+        vals.append(factory())
+    for name, conf_key in spec.conf_meta:
+        if c.get(conf_key) is not None:
+            keys.append(F.lit(name))
+            vals.append(F.lit(str(c[conf_key])))
+    # raw string payloads arrive JSON-quoted from the WAL; unquote them
+    # (object payloads pass through as their JSON encoding)
+    cols = [
+        F.when(
+            F.col("after").startswith('"'),
+            F.expr("get_json_object(after, '$')"),
+        ).otherwise(F.col("after")).alias("content")
+    ]
+    if keys:
+        cols.append(
+            F.map_from_arrays(F.array(*keys), F.array(*vals)).alias("_meta")
+        )
+    return df.select(*cols)
+
+
+def _mq_input(kind: str, spec: MqKindSpec):
+    def build(spark: SparkSession, c: dict) -> DataFrame:
+        from connect_spark.sources.mq import MessageBus
+
+        bus = MessageBus(c.get("bus_path") or c["path"])
+        subject = _subject_from(c, spec)
+        df = bus.subscribe(
+            spark,
+            subject_pattern=subject,
+            streaming=bool(c.get("streaming", False)),
+        )
+        return _envelope(df, c, spec)
+
+    build.__name__ = f"_i_{kind}"
+    build.__doc__ = (
+        f"inputs/{kind}.adoc — config mapping + documented metadata "
+        "envelope over the replayable local bus (module docstring)."
+    )
+    return build
+
+
+for _kind, _spec in _INPUT_SPECS.items():
+    input_kind(_kind)(_mq_input(_kind, _spec))
+
+
+@input_kind("redis_streams")
+def _i_redis_streams(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/redis_streams.adoc — stream entries are key/value pairs;
+    `body_key` names the field that becomes the message body and every
+    OTHER key/value pair lands as a metadata field (the adoc's exact
+    contract), plus the entry id as `redis_stream_id`."""
+    from connect_spark.sources.mq import MessageBus
+
+    bus = MessageBus(c.get("bus_path") or c["path"])
+    streams = c.get("streams", [])
+    subject = None
+    if streams:
+        if len(streams) != 1:
+            raise PipelineConfigError(
+                "exactly one stream per input (broker-combine for more)"
+            )
+        subject = str(streams[0])
+    body_key = c.get("body_key", "body")
+    df = bus.subscribe(
+        spark, subject_pattern=subject,
+        streaming=bool(c.get("streaming", False)),
+    )
+    entry = F.from_json(F.col("after"), "map<string,string>")
+    meta = F.map_filter(entry, lambda k, _: k != F.lit(body_key))
+    return df.select(
+        F.element_at(entry, body_key).alias("content"),
+        F.map_concat(
+            meta,
+            F.create_map(
+                F.lit("redis_stream"), F.col("table"),
+                F.lit("redis_stream_id"),
+                F.concat(F.col("commit_ts_ms"), F.lit("-"), F.col("lsn")),
+            ),
+        ).alias("_meta"),
+    )
+
+
+@input_kind("socket")
+def _i_socket(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/socket.adoc — CLIENT socket: connect to `address`
+    (tcp://host:port or unix://path), read newline-delimited messages
+    until the server closes the stream. A real network read (driver
+    side — the reference's socket input is a single local connection
+    too)."""
+    import socket as _socket
+
+    network = c.get("network", "tcp")
+    address = c["address"]
+    if network == "unix":
+        sock = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        sock.connect(address)
+    else:
+        host, _, port = address.rpartition(":")
+        sock = _socket.create_connection((host or "127.0.0.1", int(port)))
+    chunks = []
+    try:
+        sock.settimeout(float(c.get("timeout", 10)))
+        while True:
+            data = sock.recv(65536)
+            if not data:
+                break
+            chunks.append(data)
+    finally:
+        sock.close()
+    lines = b"".join(chunks).split(b"\n")
+    rows = [(ln.decode("utf-8", "replace"),) for ln in lines if ln]
+    return spark.createDataFrame(rows or [], "content string")
+
+
+# --------------------------------------------------------------------
+# outputs — publish per executor partition to the bus WAL
+# --------------------------------------------------------------------
+
+# output subject config key per kind (outputs/<kind>.adoc field names)
+_OUTPUT_SUBJECT_KEYS: dict[str, tuple[str, ...]] = {
+    "amqp_0_9": ("key", "exchange"),
+    "amqp_1": ("target_address",),
+    "mqtt": ("topic",),
+    "nats": ("subject",),
+    "nats_jetstream": ("subject",),
+    "nats_stream": ("subject",),
+    "nsq": ("topic",),
+    "pulsar": ("topic",),
+    "beanstalkd": ("tube",),
+    "nanomsg": ("topic",),
+    "zmq4": ("topic",),
+    "aws_sqs": ("queue", "url"),
+    "aws_sns": ("topic_arn",),
+    "aws_kinesis": ("stream", "partition_key"),
+    "aws_kinesis_firehose": ("stream",),
+    "gcp_pubsub": ("topic",),
+    "azure_queue_storage": ("queue_name",),
+    "redis_list": ("key",),
+    "redis_pubsub": ("channel",),
+    "redis_streams": ("stream",),
+}
+
+
+def publish_df(df: DataFrame, bus_path: str, subject: str) -> None:
+    """Publish every row of `df` to the bus under `subject`: a single
+    `content` column publishes raw payloads, otherwise the row
+    serializes as a JSON object (the outputs/nats.adoc shape). Appends
+    happen per executor partition — nothing is collected."""
+    if df.columns == ["content"]:
+        out = df.select(F.lit(subject).alias("_s"),
+                        F.to_json(F.struct("content")).alias("_p"))
+        raw = True
+    else:
+        out = df.select(F.lit(subject).alias("_s"),
+                        F.to_json(F.struct(*df.columns)).alias("_p"))
+        raw = False
+
+    def _publish(rows):
+        import json as _json
+
+        from connect_spark.sources.mq import MessageBus
+
+        payloads = []
+        for r in rows:
+            obj = _json.loads(r._p)
+            payloads.append(obj["content"] if raw else obj)
+        if payloads:
+            MessageBus(bus_path).publish(subject, payloads)
+
+    out.foreachPartition(_publish)
+
+
+def _mq_output(kind: str, subject_keys: tuple[str, ...]):
+    def write(df: DataFrame, c: dict) -> None:
+        subject = None
+        for k in subject_keys:
+            if c.get(k) is not None:
+                subject = str(c[k])
+                break
+        if subject is None:
+            raise PipelineConfigError(
+                f"{kind} output: one of {subject_keys} is required"
+            )
+        publish_df(df, c.get("bus_path") or c["path"], subject)
+
+    write.__name__ = f"_o_{kind}"
+    write.__doc__ = (
+        f"outputs/{kind}.adoc — config mapping onto per-partition bus "
+        "publishes (module docstring)."
+    )
+    return write
+
+
+for _kind, _keys in _OUTPUT_SUBJECT_KEYS.items():
+    output_kind(_kind)(_mq_output(_kind, _keys))
+
+
+@output_kind("socket")
+def _o_socket(df: DataFrame, c: dict) -> None:
+    """outputs/socket.adoc — CLIENT socket: connect and write messages
+    newline-delimited. Driver-side single connection, matching the
+    reference's one-socket output; rows stream through toLocalIterator
+    (no full collect)."""
+    import socket as _socket
+
+    network = c.get("network", "tcp")
+    address = c["address"]
+    if network == "unix":
+        sock = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+        sock.connect(address)
+    else:
+        host, _, port = address.rpartition(":")
+        sock = _socket.create_connection((host or "127.0.0.1", int(port)))
+    field_name = c.get("field", "content")
+    try:
+        for row in df.select(
+            F.col(field_name).cast("string").alias("v")
+        ).toLocalIterator():
+            sock.sendall((row.v or "").encode() + b"\n")
+    finally:
+        sock.close()
+
+
+@output_kind("websocket")
+def _o_websocket(df: DataFrame, c: dict) -> None:
+    """outputs/websocket.adoc — one message per frame through the
+    injectable HTTP transport (no live ws server in the sandbox; a
+    cluster impl swaps a websocket client in the same seam)."""
+    from connect_spark.plans.processors_ext import _HTTP_TRANSPORTS
+
+    name = c.get("transport", "urllib")
+    transport = _HTTP_TRANSPORTS.get(name)
+    if transport is None:
+        raise PipelineConfigError(
+            f"websocket output: unknown transport {name!r}"
+        )
+    field_name = c.get("field", "content")
+    for row in df.select(
+        F.col(field_name).cast("string").alias("v")
+    ).toLocalIterator():
+        transport(c["url"], "POST", c.get("headers", {}), row.v or "")
+
+
+@input_kind("websocket")
+def _i_websocket(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/websocket.adoc — poll frames through the injectable
+    transport (same seam as the output; `open_message` sent first when
+    configured, matching the adoc's connect-handshake field)."""
+    from connect_spark.plans.processors_ext import _HTTP_TRANSPORTS
+
+    name = c.get("transport", "urllib")
+    transport = _HTTP_TRANSPORTS.get(name)
+    if transport is None:
+        raise PipelineConfigError(
+            f"websocket input: unknown transport {name!r}"
+        )
+    if c.get("open_message"):
+        transport(c["url"], "POST", c.get("headers", {}), c["open_message"])
+    body = transport(c["url"], "GET", c.get("headers", {}), "")
+    lines = [ln for ln in str(body).split("\n") if ln]
+    return spark.createDataFrame([(ln,) for ln in lines] or [],
+                                 "content string")

@@ -1132,3 +1132,4 @@ def build_pipeline(
 # extended processor registrations (grouping/flow, formats, enrichment,
 # AI family) — import for side effects, at module end to avoid a cycle
 from connect_spark.plans import io_ext, processors_ext  # noqa: E402,F401
+from connect_spark.plans import mq_ext  # noqa: E402,F401
