@@ -1024,6 +1024,21 @@ class Pipeline:
             item = dict(item)
             label = item.pop("label")
             register_rate_limit(label, item)
+        # named input/output resources (inputs/resource.adoc,
+        # outputs/resource.adoc) — looked up by the `resource` kinds
+        from connect_spark.plans.cdc_ext import (
+            _INPUT_RESOURCES,
+            _OUTPUT_RESOURCES,
+        )
+
+        _INPUT_RESOURCES.clear()
+        _OUTPUT_RESOURCES.clear()
+        for item in self.config.get("input_resources", []):
+            item = dict(item)
+            _INPUT_RESOURCES[item.pop("label")] = item
+        for item in self.config.get("output_resources", []):
+            item = dict(item)
+            _OUTPUT_RESOURCES[item.pop("label")] = item
         # inline template definitions (templating.adoc; the reference
         # imports template files with -t — inline serves the same
         # role). Inline registrations are scoped to THIS build:
@@ -1133,3 +1148,4 @@ def build_pipeline(
 # AI family) — import for side effects, at module end to avoid a cycle
 from connect_spark.plans import io_ext, processors_ext  # noqa: E402,F401
 from connect_spark.plans import mq_ext  # noqa: E402,F401
+from connect_spark.plans import cdc_ext  # noqa: E402,F401
