@@ -1149,3 +1149,4 @@ def build_pipeline(
 from connect_spark.plans import io_ext, processors_ext  # noqa: E402,F401
 from connect_spark.plans import mq_ext  # noqa: E402,F401
 from connect_spark.plans import cdc_ext  # noqa: E402,F401
+from connect_spark.plans import db_ext  # noqa: E402,F401
