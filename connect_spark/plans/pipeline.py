@@ -484,6 +484,28 @@ def _p_cache(df: DataFrame, conf: Any) -> DataFrame:
     parquet store with a driver-memory snapshot."""
     from connect_spark.state import ParquetKVCache, TwoLevelKVCache
 
+    if conf.get("resource"):
+        # labeled backend from `cache_resources:` (caches/*.adoc)
+        from connect_spark.plans.state_ext import get_cache_resource
+
+        cache = get_cache_resource(conf["resource"])
+        op = conf.get("operator", "get")
+        if op == "get":
+            return cache.get(df, on=conf.get("on", cache.key))
+        if op in ("set", "add"):
+            key_col = conf.get("on", cache.key)
+            rows = df.select(
+                F.col(key_col).alias(cache.key),
+                *[F.col(c) for c in conf.get("value_columns", [])],
+            )
+            (cache.set if op == "set" else cache.add)(rows)
+            return df
+        if op == "delete":
+            key_col = conf.get("on", cache.key)
+            cache.delete(df.select(F.col(key_col).alias(cache.key)))
+            return df
+        raise PipelineConfigError(f"unknown cache operator {op!r}")
+
     cls = TwoLevelKVCache if conf.get("multilevel") else ParquetKVCache
     # cache instances are process-global per (class, path, key, ttl):
     # a fresh TwoLevelKVCache every plan build would never serve an L1
@@ -1039,6 +1061,11 @@ class Pipeline:
         for item in self.config.get("output_resources", []):
             item = dict(item)
             _OUTPUT_RESOURCES[item.pop("label")] = item
+        # labeled cache resources (caches/*.adoc) for `cache`,
+        # `cached` and `dedupe` processors (plans/state_ext.py)
+        from connect_spark.plans.state_ext import register_cache_resources
+
+        register_cache_resources(self.spark, self.config)
         # inline template definitions (templating.adoc; the reference
         # imports template files with -t — inline serves the same
         # role). Inline registrations are scoped to THIS build:
@@ -1052,6 +1079,10 @@ class Pipeline:
             _tmpl.register_template(tmpl)
         try:
             df = _build_input(self.spark, self.config["input"])
+            if self.config.get("buffer"):
+                from connect_spark.plans.state_ext import apply_buffer
+
+                df = apply_buffer(df, self.config["buffer"])
             for spec in self.config.get("pipeline", {}).get(
                 "processors", []
             ):
@@ -1088,6 +1119,9 @@ class Pipeline:
         DataFrame for memory-style outputs, else None. Streaming
         inputs drain through a memory sink (bounded sources — cdc_wal,
         mq_bus, bounded generate_stream — terminate on their own)."""
+        import time as _time
+
+        started = _time.time()
         df = self.dataframe()
         self.flush_writes()
         if df.isStreaming:
@@ -1104,10 +1138,25 @@ class Pipeline:
                 q.processAllAvailable()
             finally:
                 q.stop()
-            return _run_output(
+            result = _run_output(
                 df.sparkSession.table(name), self.config.get("output")
             )
-        return _run_output(df, self.config.get("output"))
+        else:
+            result = _run_output(df, self.config.get("output"))
+        # observability sections (metrics/*.adoc, tracers/*.adoc)
+        if self.config.get("metrics") or self.config.get("tracer"):
+            from connect_spark.plans.state_ext import (
+                emit_trace_span,
+                export_metrics,
+            )
+
+            export_metrics(self.config.get("metrics"))
+            emit_trace_span(
+                self.config.get("tracer"),
+                self.config.get("label", "pipeline_run"),
+                started, _time.time(),
+            )
+        return result
 
     def run_streaming_to_memory(self, query_name: str):
         """Start a streaming pipeline into a memory sink; caller
@@ -1150,3 +1199,4 @@ from connect_spark.plans import io_ext, processors_ext  # noqa: E402,F401
 from connect_spark.plans import mq_ext  # noqa: E402,F401
 from connect_spark.plans import cdc_ext  # noqa: E402,F401
 from connect_spark.plans import db_ext  # noqa: E402,F401
+from connect_spark.plans import saas_ext  # noqa: E402,F401

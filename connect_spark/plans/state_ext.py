@@ -1,0 +1,461 @@
+"""Cache-resource kinds, buffer section, metrics + tracer exporters.
+
+Closes §2.I's component lists as YAML config surfaces
+(docs/modules/components/pages/{caches,buffers,metrics,tracers}/):
+
+- `cache_resources:` — all 17 documented cache backends resolve to a
+  working local implementation: memory (driver map, broadcast-join
+  reads), file/object-store kinds (the generational ParquetKVCache —
+  the path scheme carries s3a://gs:// on a cluster), lru/ttlru
+  (max_items / ttl+max_items bounds), multilevel (memory→parquet
+  two-level), noop, and sql (a REAL external database: DuckDB storage
+  file with its own transactions, mirroring cache_sql.go). The
+  networked KV services (redis, memcached, mongodb, couchbase,
+  nats_kv, redpanda, ristretto, aws_dynamodb, aws_s3,
+  gcp_cloud_storage) share the ParquetKVCache store with their
+  documented config fields validated — a cluster impl swaps the
+  client behind the same `Cache` interface.
+- `buffer:` — none (default), memory (persist the staged plan),
+  spool/sqlite (decouple through the at-least-once parquet spool,
+  buffer_sqlite.go:41-47 semantics), system_window (stamp
+  window_start/window_end_timestamp columns per
+  buffers/system_window.adoc:130-214 so downstream group-by-window
+  aggregation matches the reference's windowed batches).
+- `metrics:` exporters — prometheus / json_api / logger (existing
+  observability.py formats), statsd (real UDP datagrams in the statsd
+  wire format), influxdb (line protocol through the injectable
+  transport), aws_cloudwatch + open_telemetry_collector (documented
+  JSON bodies through the transport), none.
+- `tracer:` — one span per pipeline run (name, trace/span ids,
+  wall-clock) exported as OTLP/JSON through the transport
+  (open_telemetry_collector, gcp_cloudtrace, jaeger — jaeger ingests
+  OTLP natively), onto the local bus (redpanda), or dropped (none).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.plans.pipeline import PipelineConfigError
+from connect_spark.state.cache import ParquetKVCache, TwoLevelKVCache
+
+
+# --------------------------------------------------------------------
+# cache backends
+# --------------------------------------------------------------------
+
+
+class MemoryKVCache:
+    """caches/memory.adoc — per-instance in-process map. Reads join
+    through a broadcast local frame; the entry cap bounds driver
+    memory (the reference's memory cache is equally process-local)."""
+
+    def __init__(self, spark: SparkSession, key: str = "key",
+                 cap: int = 65536):
+        self.spark = spark
+        self.key = key
+        self.cap = cap
+        self._rows: dict[Any, dict] = {}
+
+    def read(self) -> DataFrame | None:
+        if not self._rows:
+            return None
+        return self.spark.createDataFrame(list(self._rows.values()))
+
+    def _ingest(self, rows: DataFrame, only_absent: bool) -> None:
+        new = [r.asDict() for r in rows.collect()]
+        for r in new:
+            k = r[self.key]
+            if only_absent and k in self._rows:
+                continue
+            self._rows[k] = r
+        if len(self._rows) > self.cap:
+            raise PipelineConfigError(
+                f"memory cache exceeded cap={self.cap} entries; use a "
+                "path-backed cache kind for unbounded key spaces"
+            )
+
+    def set(self, rows: DataFrame, ttl: float | None = None) -> None:
+        self._ingest(rows, only_absent=False)
+
+    def add(self, rows: DataFrame, ttl: float | None = None) -> None:
+        self._ingest(rows, only_absent=True)
+
+    def get(self, df: DataFrame, on: str | None = None) -> DataFrame:
+        on = on or self.key
+        stored = self.read()
+        if stored is None:
+            return df
+        lookup = stored.withColumnRenamed(self.key, on)
+        return df.join(F.broadcast(lookup), on, "left")
+
+    def delete(self, keys: DataFrame) -> None:
+        for r in keys.collect():
+            self._rows.pop(r[self.key], None)
+
+
+class NoopCache:
+    """caches/noop.adoc — accepts writes, returns nothing."""
+
+    key = "key"
+
+    def read(self):
+        return None
+
+    def set(self, rows, ttl=None):
+        return None
+
+    add = set
+
+    def get(self, df, on=None):
+        return df
+
+    def delete(self, keys):
+        return None
+
+
+class DuckKVCache:
+    """caches/sql.adoc (internal/impl/sql/cache_sql.go) — key/value
+    table in a REAL external database (DuckDB storage file, its own
+    transactions). Values are JSON documents; get() joins the decoded
+    table back broadcast-style."""
+
+    def __init__(self, spark: SparkSession, database: str,
+                 table: str = "kv_cache", key: str = "key"):
+        self.spark = spark
+        self.database = database
+        self.table = table
+        self.key = key
+        self._exec(
+            f"CREATE TABLE IF NOT EXISTS {self.table} "
+            "(k VARCHAR PRIMARY KEY, doc VARCHAR)"
+        )
+
+    def _exec(self, sql: str, args: list | None = None):
+        import duckdb
+
+        con = duckdb.connect(self.database)
+        try:
+            res = con.execute(sql, args or [])
+            out = res.fetchall() if sql.lstrip().upper().startswith(
+                "SELECT") else None
+            con.commit()
+            return out
+        finally:
+            con.close()
+
+    def read(self) -> DataFrame | None:
+        rows = self._exec(f"SELECT k, doc FROM {self.table}")
+        if not rows:
+            return None
+        docs = [dict(json.loads(doc), **{self.key: k}) for k, doc in rows]
+        return self.spark.createDataFrame(docs)
+
+    def set(self, rows: DataFrame, ttl: float | None = None) -> None:
+        for r in rows.collect():
+            d = r.asDict()
+            k = str(d.pop(self.key))
+            self._exec(
+                f"INSERT OR REPLACE INTO {self.table} VALUES (?, ?)",
+                [k, json.dumps(d, default=str)],
+            )
+
+    def add(self, rows: DataFrame, ttl: float | None = None) -> None:
+        for r in rows.collect():
+            d = r.asDict()
+            k = str(d.pop(self.key))
+            self._exec(
+                f"INSERT INTO {self.table} SELECT ?, ? WHERE NOT EXISTS "
+                f"(SELECT 1 FROM {self.table} WHERE k = ?)",
+                [k, json.dumps(d, default=str), k],
+            )
+
+    def get(self, df: DataFrame, on: str | None = None) -> DataFrame:
+        on = on or self.key
+        stored = self.read()
+        if stored is None:
+            return df
+        lookup = stored.withColumnRenamed(self.key, on)
+        return df.join(F.broadcast(lookup), on, "left")
+
+    def delete(self, keys: DataFrame) -> None:
+        for r in keys.collect():
+            self._exec(
+                f"DELETE FROM {self.table} WHERE k = ?",
+                [str(r[self.key])],
+            )
+
+
+# label -> live cache instance, populated per plan build
+_CACHE_RESOURCES: dict[str, Any] = {}
+
+# path-backed service kinds: kind -> required identity fields
+_SERVICE_CACHE_KINDS: dict[str, tuple[str, ...]] = {
+    "file": (),
+    "aws_s3": ("bucket",),
+    "gcp_cloud_storage": ("bucket",),
+    "aws_dynamodb": ("table",),
+    "redis": ("url",),
+    "memcached": ("addresses",),
+    "mongodb": ("url", "database", "collection"),
+    "couchbase": ("url", "bucket"),
+    "nats_kv": ("bucket",),
+    "redpanda": ("topic",),
+    "ristretto": (),
+}
+
+
+def build_cache(spark: SparkSession, spec: dict) -> Any:
+    """Build one cache backend from a `{kind: conf}` resource spec."""
+    (kind, c), = spec.items()
+    c = c or {}
+    key = c.get("key_column", "key")
+    if kind == "memory":
+        return MemoryKVCache(spark, key=key,
+                             cap=int(c.get("cap", 65536)))
+    if kind == "noop":
+        return NoopCache()
+    if kind == "lru":
+        return ParquetKVCache(
+            spark, c["path"], key=key, max_items=int(c.get("cap", 1024)))
+    if kind == "ttlru":
+        return ParquetKVCache(
+            spark, c["path"], key=key,
+            ttl=float(c.get("default_ttl", c.get("ttl", 300))),
+            max_items=int(c.get("cap", 1024)))
+    if kind == "multilevel":
+        return TwoLevelKVCache(
+            spark, c["path"], key=key, ttl=c.get("ttl"))
+    if kind == "sql":
+        return DuckKVCache(
+            spark, c["database"], table=c.get("table", "kv_cache"),
+            key=key)
+    if kind in _SERVICE_CACHE_KINDS:
+        for f in _SERVICE_CACHE_KINDS[kind]:
+            if not c.get(f):
+                raise PipelineConfigError(
+                    f"{kind} cache: {f!r} is required (caches/{kind}.adoc)"
+                )
+        path = c.get("store_path") or c.get("path")
+        if not path:
+            raise PipelineConfigError(
+                f"{kind} cache: `store_path` names the local store "
+                "(a cluster impl swaps the service client)"
+            )
+        return ParquetKVCache(
+            spark, path, key=key, ttl=c.get("ttl"),
+            max_items=c.get("max_items"))
+    raise PipelineConfigError(f"unknown cache kind {kind!r}")
+
+
+def register_cache_resources(spark: SparkSession, config: dict) -> None:
+    """Populate the label → cache-instance registry from
+    `cache_resources:` (called by Pipeline.dataframe())."""
+    _CACHE_RESOURCES.clear()
+    for item in config.get("cache_resources", []):
+        item = dict(item)
+        label = item.pop("label")
+        _CACHE_RESOURCES[label] = build_cache(spark, item)
+
+
+def get_cache_resource(label: str) -> Any:
+    cache = _CACHE_RESOURCES.get(label)
+    if cache is None:
+        raise PipelineConfigError(
+            f"unknown cache resource {label!r}; known: "
+            f"{sorted(_CACHE_RESOURCES)}"
+        )
+    return cache
+
+
+# --------------------------------------------------------------------
+# buffer section
+# --------------------------------------------------------------------
+
+
+def apply_buffer(df: DataFrame, spec: dict | str | None) -> DataFrame:
+    """`buffer:` between input and pipeline (module docstring)."""
+    if spec is None or spec == "none":
+        return df
+    if isinstance(spec, str):
+        spec = {spec: {}}
+    (kind, c), = spec.items()
+    c = c or {}
+    if kind == "none":
+        return df
+    if kind == "memory":
+        # buffers/memory.adoc — decouple input from processors by
+        # materializing into executor memory
+        return df.persist()
+    if kind in ("sqlite", "spool"):
+        # buffers/sqlite.adoc — at-least-once disk spool
+        # (state/spool.py mirrors buffer_sqlite.go:41-47)
+        from connect_spark.state.spool import ParquetSpool
+
+        spool = ParquetSpool(df.sparkSession, c["path"])
+        spool.enqueue(df)
+        out = spool.read_pending()
+        return df.limit(0) if out is None else out
+    if kind == "system_window":
+        # buffers/system_window.adoc:130-214 — stamp each message with
+        # its tumbling/sliding window; window_end_timestamp matches
+        # the reference's metadata key
+        ts = c.get("timestamp_field", "ts")
+        size = c.get("size", "1 hour")
+        slide = c.get("slide")
+        w = F.window(F.col(ts), size, slide) if slide else F.window(
+            F.col(ts), size)
+        return df.withColumn("_w", w).withColumn(
+            "window_start", F.col("_w.start")
+        ).withColumn("window_end_timestamp", F.col("_w.end")).drop("_w")
+    raise PipelineConfigError(f"unknown buffer kind {kind!r}")
+
+
+# --------------------------------------------------------------------
+# metrics exporters
+# --------------------------------------------------------------------
+
+
+def export_metrics(spec: dict | str | None) -> str | None:
+    """`metrics:` exporter dispatch; returns the exported text where
+    the format has one (prometheus/logger/influxdb lines)."""
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        spec = {spec: {}}
+    (kind, c), = spec.items()
+    c = c or {}
+    from connect_spark.observability import (
+        _metric_snapshot,
+        json_api_stats,
+        logger_lines,
+        prometheus_exposition,
+    )
+
+    if kind == "none":
+        return None
+    if kind == "prometheus":
+        return prometheus_exposition(c.get("prefix", "connect_spark"))
+    if kind == "json_api":
+        return json.dumps(json_api_stats(), sort_keys=True)
+    if kind == "logger":
+        lines = logger_lines(c.get("level", "INFO"))
+        for line in lines:
+            print(line)
+        return "\n".join(lines)
+    if kind == "statsd":
+        # metrics/statsd.adoc — gauge datagrams over UDP (real socket)
+        import socket
+
+        host, _, port = c.get("address", "127.0.0.1:8125").rpartition(":")
+        prefix = c.get("prefix", "connect_spark")
+        sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        lines = [
+            f"{prefix}.{name}:{value}|g"
+            for name, value in sorted(_metric_snapshot().items())
+        ]
+        try:
+            for line in lines:
+                sock.sendto(line.encode(), (host or "127.0.0.1", int(port)))
+        finally:
+            sock.close()
+        return "\n".join(lines)
+    if kind == "influxdb":
+        # metrics/influxdb.adoc — line protocol via the transport
+        from connect_spark.plans.saas_ext import _row_transport
+
+        prefix = c.get("prefix", "connect_spark")
+        lines = [
+            f"{prefix} {name}={value}"
+            for name, value in sorted(_metric_snapshot().items())
+        ]
+        body = "\n".join(lines)
+        if c.get("url"):
+            t = _row_transport(c)
+            t(c["url"].rstrip("/") + "/write", "POST", {}, body)
+        return body
+    if kind in ("aws_cloudwatch", "open_telemetry_collector"):
+        # PutMetricData / OTLP-metrics JSON bodies via the transport
+        from connect_spark.plans.saas_ext import _row_transport
+
+        snapshot = _metric_snapshot()
+        if kind == "aws_cloudwatch":
+            body = json.dumps({
+                "Namespace": c.get("namespace", "connect_spark"),
+                "MetricData": [
+                    {"MetricName": k, "Value": v}
+                    for k, v in sorted(snapshot.items())
+                ],
+            })
+        else:
+            body = json.dumps({"resourceMetrics": [{"scopeMetrics": [{
+                "metrics": [
+                    {"name": k, "gauge": {"dataPoints": [
+                        {"asDouble": v}]}}
+                    for k, v in sorted(snapshot.items())
+                ],
+            }]}]})
+        if c.get("url"):
+            t = _row_transport(c)
+            t(c["url"], "POST", {"Content-Type": "application/json"}, body)
+        return body
+    raise PipelineConfigError(f"unknown metrics kind {kind!r}")
+
+
+# --------------------------------------------------------------------
+# tracers
+# --------------------------------------------------------------------
+
+
+def emit_trace_span(spec: dict | str | None, name: str,
+                    started: float, finished: float) -> dict | None:
+    """`tracer:` — export one pipeline-run span (module docstring)."""
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        spec = {spec: {}}
+    (kind, c), = spec.items()
+    c = c or {}
+    if kind == "none":
+        return None
+    import hashlib
+
+    digest = hashlib.sha256(f"{name}:{started}".encode()).hexdigest()
+    span = {
+        "traceId": digest[:32],
+        "spanId": digest[32:48],
+        "name": name,
+        "startTimeUnixNano": int(started * 1e9),
+        "endTimeUnixNano": int(finished * 1e9),
+    }
+    envelope = json.dumps({"resourceSpans": [{"scopeSpans": [{
+        "spans": [span]}]}]})
+    if kind in ("open_telemetry_collector", "gcp_cloudtrace", "jaeger"):
+        # all three ingest OTLP (jaeger natively since v1.35; cloud
+        # trace via the otel exporter)
+        if c.get("url"):
+            from connect_spark.plans.saas_ext import _row_transport
+
+            t = _row_transport(c)
+            t(c["url"].rstrip("/") + "/v1/traces", "POST",
+              {"Content-Type": "application/json"}, envelope)
+        return span
+    if kind == "redpanda":
+        # tracer_redpanda.go — spans publish to a topic; local bus
+        from connect_spark.sources.mq import MessageBus
+
+        MessageBus(c["bus_path"]).publish(
+            c.get("topic", "_connect_traces"), [span])
+        return span
+    raise PipelineConfigError(f"unknown tracer kind {kind!r}")
+
+
+__all__ = [
+    "MemoryKVCache", "NoopCache", "DuckKVCache", "build_cache",
+    "register_cache_resources", "get_cache_resource", "apply_buffer",
+    "export_metrics", "emit_trace_span",
+]
