@@ -1,18 +1,119 @@
-"""CLI — the reference's two primary verbs (SURVEY.md §3.1:
-`redpanda-connect run config.yaml`; §5.1: `rpk connect test`):
+"""CLI — the reference's primary verbs (SURVEY.md §3.1:
+`redpanda-connect run config.yaml`; §5.1: `rpk connect test`; plus the
+benthos CLI's lint / list / echo / blobl / create):
 
     python -m connect_spark run examples/traffic_windows.yaml
     python -m connect_spark test examples/filtering_test.yaml
+    python -m connect_spark lint my_config.yaml ...
+    python -m connect_spark list [inputs|processors|outputs|...]
+    python -m connect_spark echo my_config.yaml
+    python -m connect_spark blobl 'root.out = this.n * 2'   # stdin JSON
+    python -m connect_spark create kafka//mapping/parquet
 
 `run` builds the pipeline and executes it (memory/stdout outputs
 print); `test` executes a config unit-test suite and reports per-case
-results, exit code 1 on any failure.
+results, exit code 1 on any failure; `lint` statically validates
+component kinds without executing; `blobl` evaluates a mapping over
+stdin JSON documents (one per line) like `rpk connect blobl`.
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+
+
+def _known_kinds():
+    """Registered component names by section (lint / list verbs)."""
+    from connect_spark.plans import pipeline as P
+    from connect_spark.plans.state_ext import _SERVICE_CACHE_KINDS
+
+    # inline dispatch kinds live in if-chains; keep these lists in
+    # sync with _build_input/_run_output
+    inline_inputs = {
+        "read_until", "dynamic", "broker", "sequence", "parquet", "csv",
+        "json_documents", "file", "generate", "table", "generate_stream",
+        "cdc_wal", "subprocess", "mq_bus", "parquet_stream",
+    }
+    inline_outputs = {
+        "memory", "parquet", "csv", "json_lines", "stdout", "drop",
+        "reject", "dynamic", "mq_bus",
+    }
+    return {
+        "inputs": sorted(inline_inputs | set(P.INPUT_KINDS)),
+        "processors": sorted(P.PROCESSORS),
+        "outputs": sorted(inline_outputs | set(P.OUTPUT_KINDS)),
+        "caches": sorted(
+            {"memory", "noop", "lru", "ttlru", "multilevel", "sql"}
+            | set(_SERVICE_CACHE_KINDS)),
+        "buffers": ["memory", "none", "spool", "sqlite", "system_window"],
+        "rate_limits": ["local"],
+        "metrics": ["aws_cloudwatch", "influxdb", "json_api", "logger",
+                    "none", "open_telemetry_collector", "prometheus",
+                    "statsd"],
+        "tracers": ["gcp_cloudtrace", "jaeger", "none",
+                    "open_telemetry_collector", "redpanda"],
+        "scanners": ["avro", "chunker", "csv", "decompress",
+                     "json_array", "json_documents", "lines", "re_match",
+                     "skip_bom", "switch", "tar", "to_the_end"],
+    }
+
+
+def lint_config(config: dict) -> list[str]:
+    """Static component-kind validation (the `lint` verb): walk the
+    config tree and report unknown input/processor/output/cache/
+    buffer kinds. No component is constructed or executed."""
+    kinds = _known_kinds()
+    errors: list[str] = []
+
+    def check(section: str, spec, where: str):
+        if spec is None:
+            return
+        if not isinstance(spec, dict) or len(spec) != 1:
+            errors.append(f"{where}: expected a single {{kind: conf}} "
+                          f"mapping, got {type(spec).__name__}")
+            return
+        (kind, conf), = spec.items()
+        if kind not in kinds[section]:
+            errors.append(f"{where}: unknown {section[:-1]} kind {kind!r}")
+            return
+        # recurse into combinators
+        if isinstance(conf, dict):
+            for child_key in ("child", "input", "output"):
+                if child_key in conf and isinstance(conf[child_key], dict):
+                    sec = ("inputs" if section == "inputs"
+                           or child_key in ("child", "input")
+                           else "outputs")
+                    if child_key == "output":
+                        sec = "outputs"
+                    check(sec, conf[child_key],
+                          f"{where}.{child_key}")
+            for list_key in ("inputs", "outputs"):
+                if list_key in conf and isinstance(conf[list_key], list):
+                    for i, child in enumerate(conf[list_key]):
+                        check(list_key, child,
+                              f"{where}.{list_key}[{i}]")
+            if "cases" in conf and isinstance(conf["cases"], list):
+                for i, case in enumerate(conf["cases"]):
+                    if isinstance(case, dict) and "output" in case:
+                        check("outputs", case["output"],
+                              f"{where}.cases[{i}].output")
+            if "processors" in conf and isinstance(
+                    conf["processors"], list):
+                for i, p in enumerate(conf["processors"]):
+                    check("processors", p, f"{where}.processors[{i}]")
+
+    check("inputs", config.get("input"), "input")
+    for i, p in enumerate(config.get("pipeline", {}).get(
+            "processors", [])):
+        check("processors", p, f"pipeline.processors[{i}]")
+    check("outputs", config.get("output"), "output")
+    if config.get("buffer") and not isinstance(config["buffer"], str):
+        check("buffers", config["buffer"], "buffer")
+    for i, item in enumerate(config.get("cache_resources", [])):
+        body = {k: v for k, v in item.items() if k != "label"}
+        check("caches", body, f"cache_resources[{i}]")
+    return errors
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -23,7 +124,83 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--limit", type=int, default=20)
     test_p = sub.add_parser("test", help="run a config unit-test suite YAML")
     test_p.add_argument("suite")
+    lint_p = sub.add_parser("lint", help="validate configs statically")
+    lint_p.add_argument("configs", nargs="+")
+    list_p = sub.add_parser("list", help="list registered components")
+    list_p.add_argument("section", nargs="?", default=None)
+    echo_p = sub.add_parser("echo", help="parse + re-emit a config")
+    echo_p.add_argument("config")
+    blobl_p = sub.add_parser(
+        "blobl", help="evaluate a Bloblang mapping over stdin JSON lines")
+    blobl_p.add_argument("mapping")
+    create_p = sub.add_parser(
+        "create", help="print a config template: input//proc1,proc2/output")
+    create_p.add_argument("spec", nargs="?", default="file//mapping/parquet")
     args = parser.parse_args(argv)
+
+    if args.cmd == "lint":
+        import yaml
+
+        ok = True
+        for path in args.configs:
+            with open(path, encoding="utf-8") as fh:
+                config = yaml.safe_load(fh) or {}
+            for err in lint_config(config):
+                ok = False
+                print(f"{path}: {err}")
+        if ok:
+            print("OK")
+        return 0 if ok else 1
+
+    if args.cmd == "list":
+        kinds = _known_kinds()
+        sections = [args.section] if args.section else sorted(kinds)
+        for sec in sections:
+            if sec not in kinds:
+                print(f"unknown section {sec!r}; known: {sorted(kinds)}")
+                return 1
+            print(f"== {sec} ({len(kinds[sec])})")
+            for name in kinds[sec]:
+                print(f"  {name}")
+        return 0
+
+    if args.cmd == "echo":
+        import yaml
+
+        with open(args.config, encoding="utf-8") as fh:
+            config = yaml.safe_load(fh) or {}
+        print(yaml.safe_dump(config, sort_keys=False).rstrip())
+        return 0
+
+    if args.cmd == "blobl":
+        import json
+
+        from connect_spark.bloblang.pyeval import eval_mapping_value
+
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            doc = json.loads(line)
+            out = eval_mapping_value(args.mapping, doc)
+            print(json.dumps(out, sort_keys=True, default=str))
+        return 0
+
+    if args.cmd == "create":
+        import yaml
+
+        parts = args.spec.split("/")
+        inp = parts[0] or "file"
+        procs = [p for p in (parts[2].split(",") if len(parts) > 2
+                             else ["mapping"]) if p]
+        outp = parts[3] if len(parts) > 3 else "parquet"
+        template = {
+            "input": {inp: {}},
+            "pipeline": {"processors": [{p: {}} for p in procs]},
+            "output": {outp: {}},
+        }
+        print(yaml.safe_dump(template, sort_keys=False).rstrip())
+        return 0
 
     from connect_spark.session import get_spark
 

@@ -1,0 +1,94 @@
+"""CLI verbs (connect_spark/__main__.py): lint / list / echo / blobl /
+create — the benthos CLI surface beside run/test."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from connect_spark.__main__ import lint_config, main
+
+
+def test_lint_green(tmp_path, capsys):
+    cfg = tmp_path / "ok.yaml"
+    cfg.write_text(
+        "input:\n  generate:\n    count: 1\n"
+        "pipeline:\n  processors:\n    - mapping: 'root = this'\n"
+        "output:\n  parquet:\n    path: /tmp/x\n"
+    )
+    assert main(["lint", str(cfg)]) == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_lint_catches_unknown_kinds(tmp_path, capsys):
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text(
+        "input:\n  kafkaa: {}\n"
+        "pipeline:\n  processors:\n    - mappin: 'root = this'\n"
+        "output:\n  broker:\n    outputs:\n      - parqet: {}\n"
+    )
+    assert main(["lint", str(cfg)]) == 1
+    out = capsys.readouterr().out
+    assert "unknown input kind 'kafkaa'" in out
+    assert "unknown processor kind 'mappin'" in out
+    assert "outputs[0]: unknown output kind 'parqet'" in out
+
+
+def test_lint_config_nested_and_caches():
+    errs = lint_config({
+        "input": {"batched": {"child": {"generate": {}}}},
+        "cache_resources": [{"label": "c", "memorry": {}}],
+        "buffer": {"system_window": {}},
+    })
+    assert len(errs) == 1 and "memorry" in errs[0]
+
+
+def test_list_sections(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for sec in ("inputs", "processors", "outputs", "caches", "buffers",
+                "metrics", "tracers", "scanners"):
+        assert f"== {sec}" in out
+    assert main(["list", "inputs"]) == 0
+    out = capsys.readouterr().out
+    assert "postgres_cdc" in out and "mqtt" in out
+    assert main(["list", "bogus"]) == 1
+
+
+def test_echo_normalizes(tmp_path, capsys):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("input: {generate: {count: 1}}\n")
+    assert main(["echo", str(cfg)]) == 0
+    assert "generate:" in capsys.readouterr().out
+
+
+def test_blobl_eval_stdin(monkeypatch, capsys):
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO('{"n": 4}\n{"n": 7}\n'))
+    assert main(["blobl", "root.out = this.n * 2"]) == 0
+    lines = capsys.readouterr().out.strip().split("\n")
+    assert [json.loads(ln) for ln in lines] == [
+        {"out": 8}, {"out": 14}]
+
+
+def test_create_template(capsys):
+    assert main(["create", "kafka//mapping,dedupe/parquet"]) == 0
+    out = capsys.readouterr().out
+    assert "kafka:" in out and "dedupe:" in out and "parquet:" in out
+
+
+def test_lint_every_registered_kind_is_lintable(tmp_path):
+    """Every registered kind passes lint when used as-is (the lint
+    list and the registries must not drift)."""
+    from connect_spark.__main__ import _known_kinds
+
+    kinds = _known_kinds()
+    for name in kinds["inputs"]:
+        assert lint_config({"input": {name: {}}}) == []
+    for name in kinds["outputs"]:
+        assert lint_config({"output": {name: {}}}) == []
+    for name in kinds["processors"]:
+        assert lint_config(
+            {"pipeline": {"processors": [{name: {}}]}}) == []
