@@ -205,6 +205,71 @@ def _p_mongodb(df: DataFrame, conf: dict) -> DataFrame:
     raise PipelineConfigError(f"mongodb processor: unknown op {op!r}")
 
 
+@input_kind("azure_cosmosdb")
+def _i_azure_cosmosdb(spark: SparkSession, c: dict) -> DataFrame:
+    """inputs/azure_cosmosdb.adoc — Cosmos SQL-API query; the SQL
+    statement executes out-of-engine against the storage database
+    (module docstring)."""
+    for k in ("database", "container"):
+        if not c.get(k):
+            raise PipelineConfigError(
+                f"azure_cosmosdb input: {k!r} is required"
+            )
+    return _duck_query(spark, c.get("storage", ":memory:"), c["query"])
+
+
+def _kv_processor(kind: str, default_key: str, ops: dict[str, str]):
+    """KV-store processor family (processors/{couchbase,
+    azure_cosmosdb,nats_kv}.adoc): per-operation dispatch onto the
+    cache store — lookups are enrichment joins, mutations are
+    pass-through side-effects (the mongodb processor shape)."""
+
+    def run(df: DataFrame, conf: dict) -> DataFrame:
+        op = conf.get("operation", next(iter(ops)))
+        if op not in ops:
+            raise PipelineConfigError(
+                f"{kind} processor: unknown operation {op!r}; "
+                f"known: {sorted(ops)}"
+            )
+        store = _kv_store(df, conf, default_key)
+        key = conf.get("key_column", store.key)
+        verb = ops[op]
+        if verb == "get":
+            return store.get(df, on=key)
+        rows = df.select(
+            F.col(key).alias(store.key),
+            *[F.col(x) for x in conf.get("value_columns", [])],
+        )
+        if verb == "set":
+            store.set(rows)
+        elif verb == "add":
+            store.add(rows)
+        elif verb == "delete":
+            store.delete(rows.select(store.key))
+        return df
+
+    run.__name__ = f"_p_{kind}"
+    run.__doc__ = f"processors/{kind}.adoc — KV operations over the " \
+        "store (module docstring)."
+    return run
+
+
+# processors/couchbase.adoc: get/insert/remove/replace/upsert
+processor("couchbase")(_kv_processor("couchbase", "id", {
+    "get": "get", "insert": "add", "upsert": "set",
+    "replace": "set", "remove": "delete",
+}))
+# processors/azure_cosmosdb.adoc: create/read/replace/upsert/delete
+processor("azure_cosmosdb")(_kv_processor("azure_cosmosdb", "id", {
+    "read": "get", "create": "add", "upsert": "set",
+    "replace": "set", "delete": "delete",
+}))
+# processors/nats_kv.adoc: get/create/put/delete
+processor("nats_kv")(_kv_processor("nats_kv", "key", {
+    "get": "get", "create": "add", "put": "set", "delete": "delete",
+}))
+
+
 @input_kind("nats_kv")
 def _i_nats_kv(spark: SparkSession, c: dict) -> DataFrame:
     """inputs/nats_kv.adoc — watch a KV bucket: emit current entries."""

@@ -90,13 +90,27 @@ _LOCK = threading.Lock()
 
 def register_rate_limit(label: str, conf: dict[str, Any]) -> LocalRateLimit:
     """Register a labeled resource (config block ``rate_limit_resources:
-    [{label, local: {count, interval}}]``)."""
-    if "local" not in conf:
+    [{label, local: {count, interval}}]``). The ``redis`` kind
+    (rate_limits/redis.adoc) shares the same count/interval window
+    semantics; without a live Redis its scope is per-instance like
+    `local` (the distributed-counter client swaps in on a cluster), so
+    its config maps onto the local window after validating `url`."""
+    if "redis" in conf:
+        c = conf["redis"] or {}
+        if not c.get("url"):
+            raise ValueError(
+                f"rate limit {label!r}: redis kind requires `url` "
+                "(rate_limits/redis.adoc)"
+            )
+        c = {"count": c.get("count", 1000),
+             "interval": c.get("interval", "1s")}
+    elif "local" not in conf:
         raise ValueError(
-            f"rate limit {label!r}: only the `local` backend exists in "
-            "this sandbox (redis is a live service)"
+            f"rate limit {label!r}: unknown backend "
+            f"{sorted(set(conf) - {'label'})!r}; known: local, redis"
         )
-    c = conf["local"] or {}
+    else:
+        c = conf["local"] or {}
     rl = LocalRateLimit(
         count=int(c.get("count", 1000)), interval=c.get("interval", "1s")
     )

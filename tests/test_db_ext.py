@@ -250,3 +250,58 @@ def test_all_db_kinds_registered():
     for kind in ("mongodb", "gcp_bigquery_select", "aws_dynamodb_partiql",
                  "qdrant"):
         assert kind in PROCESSORS, kind
+
+
+def test_kv_processors_ops(spark, tmp_path):
+    store = str(tmp_path / "cb")
+    seed = spark.createDataFrame(
+        [("d1", "ada")], "id string, name string")
+    PROCESSORS["couchbase"](seed, {
+        "store_path": store, "operation": "upsert",
+        "value_columns": ["name"]})
+    df = spark.createDataFrame([("d1",)], "id string")
+    got = PROCESSORS["couchbase"](df, {
+        "store_path": store, "operation": "get"})
+    assert got.collect()[0].name == "ada"
+    # insert never overwrites (couchbase insert = add)
+    PROCESSORS["couchbase"](
+        spark.createDataFrame([("d1", "NEW")], "id string, name string"),
+        {"store_path": store, "operation": "insert",
+         "value_columns": ["name"]})
+    got2 = PROCESSORS["couchbase"](df, {
+        "store_path": store, "operation": "get"})
+    assert got2.collect()[0].name == "ada"
+    # nats_kv + azure_cosmosdb share the family
+    PROCESSORS["nats_kv"](
+        spark.createDataFrame([("k1", "v")], "key string, v string"),
+        {"store_path": str(tmp_path / "nkv"), "operation": "put",
+         "value_columns": ["v"]})
+    with pytest.raises(PipelineConfigError, match="unknown operation"):
+        PROCESSORS["azure_cosmosdb"](df, {
+            "store_path": store, "operation": "bogus"})
+
+
+def test_azure_cosmosdb_input_query(spark, tmp_path):
+    import duckdb
+
+    db = str(tmp_path / "cos.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE c(id VARCHAR, n INT)")
+    con.execute("INSERT INTO c VALUES ('a', 1)")
+    con.close()
+    got = Pipeline(spark, {"input": {"azure_cosmosdb": {
+        "database": "db", "container": "c", "storage": db,
+        "query": "SELECT * FROM c"}}}).dataframe()
+    assert [(r.id, r.n) for r in got.collect()] == [("a", 1)]
+
+
+def test_redis_rate_limit_kind():
+    from connect_spark.state.ratelimit import register_rate_limit
+
+    rl = register_rate_limit("rr", {"redis": {
+        "url": "redis://h", "count": 5, "interval": "1s"}})
+    assert rl.count == 5
+    with pytest.raises(ValueError, match="url"):
+        register_rate_limit("rr2", {"redis": {}})
+    with pytest.raises(ValueError, match="known: local, redis"):
+        register_rate_limit("rr3", {"memcached": {}})
