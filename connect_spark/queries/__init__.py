@@ -57,6 +57,9 @@ _DRIVER_PRIORITY: list[str] = [
     "unicode_segments_docs",
     "jmespath_project_events",
     "streaming_running_totals",
+    "amqp_envelope_events",
+    "mongo_filter_orders",
+    "buffer_window_stamp",
     "mapping_project",
     "mutation_enrich",
     "switch_route",
@@ -115,6 +118,7 @@ def all_queries() -> list[QuerySpec]:
         asof,
         batching_q,
         cdc,
+        connectors_q,
         core,
         engines,
         extended,
@@ -137,7 +141,7 @@ def all_queries() -> list[QuerySpec]:
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
-        tpch, winfns, pipeline_q, tpch_ps,
+        tpch, winfns, pipeline_q, tpch_ps, connectors_q,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

@@ -1,0 +1,135 @@
+"""Round-4 connector-layer semantics as oracle-checked queries.
+
+Three pieces of this round's connector surface are pure Column
+algebra, so they gate directly against DuckDB on the driver tables:
+
+- `amqp_envelope_events` — the per-connector metadata envelope
+  builder (plans/mq_ext.py::_envelope, the shared core of every MQ
+  input kind) applied to a deterministic bus-shaped frame derived
+  from `events`: raw-payload unquoting + the nats_jetstream metadata
+  keys (nats_subject / nats_sequence_stream / nats_timestamp_unix_nano
+  per inputs/nats_jetstream.adoc).
+- `mongo_filter_orders` — the MongoDB find-filter → Column translation
+  (plans/db_ext.py::_mongo_filter_to_column) with $gte/$lt/$in and an
+  $or branch, pushed down onto the `orders` scan.
+- `buffer_window_stamp` — the system_window buffer's window stamping
+  (plans/state_ext.py::apply_buffer; buffers/system_window.adoc
+  window_end_timestamp metadata) aggregated per window over `events`.
+
+Scale notes: all three are narrow projections/filters over a single
+scan — no joins, no UDFs; the window stamp adds zero shuffles (the
+aggregation after it is the usual single hash exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import load_table
+from connect_spark.queries import QuerySpec
+
+
+def amqp_envelope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connect_spark.plans.mq_ext import _INPUT_SPECS, _envelope
+
+    ev = load_table(spark, sf_dir, "events")
+    # deterministic bus-shaped frame: the WAL stores string payloads
+    # JSON-quoted (sources/mq.py::MessageBus.publish)
+    bus = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.lit("insert").alias("operation"),
+        F.concat(F.lit("events."), F.col("event_type")).alias("table"),
+        F.unix_millis("ts").alias("commit_ts_ms"),
+        F.lit(None).cast("string").alias("before"),
+        # JSON-quoted string payload (event types are alphanumeric,
+        # no escaping needed)
+        F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))
+        .alias("after"),
+    )
+    env = _envelope(bus, {}, _INPUT_SPECS["nats_jetstream"])
+    return env.select(
+        F.col("content"),
+        F.element_at("_meta", "nats_subject").alias("subject"),
+        F.element_at("_meta", "nats_sequence_stream").cast("bigint")
+        .alias("seq"),
+        F.element_at("_meta", "nats_timestamp_unix_nano").cast("bigint")
+        .alias("ts_nano"),
+    )
+
+
+AMQP_ENVELOPE_SQL = """
+SELECT event_type AS content,
+       'events.' || event_type AS subject,
+       event_id AS seq,
+       epoch_ms(ts) * 1000000 AS ts_nano
+FROM events
+"""
+
+
+def mongo_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connect_spark.plans.db_ext import _mongo_filter_to_column
+
+    orders = load_table(spark, sf_dir, "orders")
+    flt = _mongo_filter_to_column({
+        "$or": [
+            {"o_orderstatus": "F",
+             "o_totalprice": {"$gte": 100000, "$lt": 200000}},
+            {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]},
+             "o_totalprice": {"$lt": 5000}},
+        ],
+    })
+    return orders.filter(flt).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+MONGO_FILTER_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       o_totalprice AS price
+FROM orders
+WHERE (o_orderstatus = 'F'
+       AND o_totalprice >= 100000 AND o_totalprice < 200000)
+   OR (o_orderpriority IN ('1-URGENT', '2-HIGH')
+       AND o_totalprice < 5000)
+"""
+
+
+def buffer_window_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connect_spark.plans.state_ext import apply_buffer
+
+    ev = load_table(spark, sf_dir, "events")
+    stamped = apply_buffer(ev, {"system_window": {
+        "timestamp_field": "ts", "size": "6 hours"}})
+    return (
+        stamped.groupBy(
+            F.col("window_end_timestamp").cast("string").alias("win_end"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+BUFFER_WINDOW_SQL = """
+SELECT CAST(time_bucket(INTERVAL '6 hours', ts)
+            + INTERVAL '6 hours' AS VARCHAR) AS win_end,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = [
+    QuerySpec("amqp_envelope_events", amqp_envelope_events,
+              AMQP_ENVELOPE_SQL),
+    QuerySpec("mongo_filter_orders", mongo_filter_orders,
+              MONGO_FILTER_SQL),
+    QuerySpec("buffer_window_stamp", buffer_window_stamp,
+              BUFFER_WINDOW_SQL),
+]
