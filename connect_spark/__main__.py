@@ -47,7 +47,7 @@ def _known_kinds():
             {"memory", "noop", "lru", "ttlru", "multilevel", "sql"}
             | set(_SERVICE_CACHE_KINDS)),
         "buffers": ["memory", "none", "spool", "sqlite", "system_window"],
-        "rate_limits": ["local"],
+        "rate_limits": ["local", "redis"],
         "metrics": ["aws_cloudwatch", "influxdb", "json_api", "logger",
                     "none", "open_telemetry_collector", "prometheus",
                     "statsd"],
@@ -62,8 +62,19 @@ def _known_kinds():
 def lint_config(config: dict) -> list[str]:
     """Static component-kind validation (the `lint` verb): walk the
     config tree and report unknown input/processor/output/cache/
-    buffer kinds. No component is constructed or executed."""
-    kinds = _known_kinds()
+    buffer kinds. No component is constructed or executed. Kinds
+    defined by templates — inline `templates:` or process-global
+    registrations — are known under their declared type."""
+    from connect_spark.plans.templates import _TEMPLATES
+
+    kinds = {k: set(v) for k, v in _known_kinds().items()}
+    tmpl_specs = list(_TEMPLATES.values()) + list(
+        config.get("templates", []))
+    for spec in tmpl_specs:
+        section = {"processor": "processors", "input": "inputs",
+                   "output": "outputs"}.get(spec.get("type"))
+        if section and spec.get("name"):
+            kinds[section].add(spec["name"])
     errors: list[str] = []
 
     def check(section: str, spec, where: str):
@@ -77,6 +88,26 @@ def lint_config(config: dict) -> list[str]:
         if kind not in kinds[section]:
             errors.append(f"{where}: unknown {section[:-1]} kind {kind!r}")
             return
+        # list-shaped confs (switch cases, try/catch blocks, fallback
+        # outputs): recurse into each element's nested components
+        if isinstance(conf, list):
+            for i, item in enumerate(conf):
+                if not isinstance(item, dict):
+                    continue
+                if "processors" in item and isinstance(
+                        item["processors"], list):
+                    for j, child in enumerate(item["processors"]):
+                        check("processors", child,
+                              f"{where}[{i}].processors[{j}]")
+                if "output" in item and isinstance(item["output"], dict):
+                    check("outputs", item["output"],
+                          f"{where}[{i}].output")
+                # a bare processor spec inside a try/catch-style list
+                if len(item) == 1 and section == "processors":
+                    (k2, _), = item.items()
+                    if k2 not in ("check", "processors", "output",
+                                  "fallthrough"):
+                        check("processors", item, f"{where}[{i}]")
         # recurse into combinators
         if isinstance(conf, dict):
             for child_key in ("child", "input", "output"):
@@ -189,16 +220,26 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "create":
         import yaml
 
+        # input/processors/output, or input/buffer/processors/output
+        # (the reference's `create` spec shape; an empty middle
+        # segment means no buffer)
         parts = args.spec.split("/")
-        inp = parts[0] or "file"
-        procs = [p for p in (parts[2].split(",") if len(parts) > 2
-                             else ["mapping"]) if p]
-        outp = parts[3] if len(parts) > 3 else "parquet"
+        if len(parts) == 3:
+            inp, buf, procs_s, outp = parts[0], "", parts[1], parts[2]
+        elif len(parts) == 4:
+            inp, buf, procs_s, outp = parts
+        else:
+            print("create: spec must be input/processors/output or "
+                  "input/buffer/processors/output")
+            return 1
+        procs = [p for p in procs_s.split(",") if p] or ["mapping"]
         template = {
-            "input": {inp: {}},
+            "input": {inp or "file": {}},
             "pipeline": {"processors": [{p: {}} for p in procs]},
-            "output": {outp: {}},
+            "output": {outp or "parquet": {}},
         }
+        if buf:
+            template["buffer"] = {buf: {}}
         print(yaml.safe_dump(template, sort_keys=False).rstrip())
         return 0
 

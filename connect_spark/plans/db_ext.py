@@ -465,13 +465,9 @@ def _o_arc(df: DataFrame, c: dict) -> None:
 
 
 def _transport(c: dict):
-    from connect_spark.plans.processors_ext import _HTTP_TRANSPORTS
+    from connect_spark.plans.processors_ext import get_http_transport
 
-    name = c.get("transport", "urllib")
-    t = _HTTP_TRANSPORTS.get(name)
-    if t is None:
-        raise PipelineConfigError(f"unknown transport {name!r}")
-    return t
+    return get_http_transport(c)
 
 
 def _post_lines(df: DataFrame, line: Column, url: str, c: dict,

@@ -289,6 +289,17 @@ def _i_redis_streams(spark: SparkSession, c: dict) -> DataFrame:
     )
 
 
+def _tcp_address(address: str, kind: str) -> tuple[str, int]:
+    """host:port with explicit errors (a bare host or bare port is a
+    config mistake, not something to guess around)."""
+    host, sep, port = address.rpartition(":")
+    if not sep or not host or not port.isdigit():
+        raise PipelineConfigError(
+            f"{kind}: address must be host:port, got {address!r}"
+        )
+    return host, int(port)
+
+
 @input_kind("socket")
 def _i_socket(spark: SparkSession, c: dict) -> DataFrame:
     """inputs/socket.adoc — CLIENT socket: connect to `address`
@@ -304,13 +315,18 @@ def _i_socket(spark: SparkSession, c: dict) -> DataFrame:
         sock = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
         sock.connect(address)
     else:
-        host, _, port = address.rpartition(":")
-        sock = _socket.create_connection((host or "127.0.0.1", int(port)))
+        sock = _socket.create_connection(_tcp_address(address, "socket"))
     chunks = []
     try:
         sock.settimeout(float(c.get("timeout", 10)))
         while True:
-            data = sock.recv(65536)
+            try:
+                data = sock.recv(65536)
+            except TimeoutError:
+                # idle-but-open connection: what was read so far IS
+                # the batch (the bounded-read analog of the
+                # reference's until-close stream)
+                break
             if not data:
                 break
             chunks.append(data)
@@ -372,7 +388,10 @@ def publish_df(df: DataFrame, bus_path: str, subject: str) -> None:
         payloads = []
         for r in rows:
             obj = _json.loads(r._p)
-            payloads.append(obj["content"] if raw else obj)
+            # to_json omits null fields, so a null content row arrives
+            # as {} — publish an explicit null payload (delete/tombstone
+            # semantics), not a KeyError
+            payloads.append(obj.get("content") if raw else obj)
         if payloads:
             MessageBus(bus_path).publish(subject, payloads)
 
@@ -418,8 +437,7 @@ def _o_socket(df: DataFrame, c: dict) -> None:
         sock = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
         sock.connect(address)
     else:
-        host, _, port = address.rpartition(":")
-        sock = _socket.create_connection((host or "127.0.0.1", int(port)))
+        sock = _socket.create_connection(_tcp_address(address, "socket"))
     field_name = c.get("field", "content")
     try:
         for row in df.select(

@@ -532,6 +532,20 @@ def register_http_transport(name: str, fn) -> None:
     _HTTP_TRANSPORTS[name] = fn
 
 
+def get_http_transport(conf: dict):
+    """Resolve the transport named by `conf['transport']` (default
+    urllib) or raise the single canonical config error — shared by
+    every transport-backed component kind."""
+    name = conf.get("transport", "urllib")
+    t = _HTTP_TRANSPORTS.get(name)
+    if t is None:
+        raise PipelineConfigError(
+            f"unknown http transport {name!r}; register one with "
+            "plans.processors_ext.register_http_transport"
+        )
+    return t
+
+
 def _urllib_transport(url, verb, headers, body):
     import urllib.request
 

@@ -53,13 +53,9 @@ from connect_spark.plans.pipeline import (
 
 
 def _row_transport(c: dict):
-    from connect_spark.plans.processors_ext import _HTTP_TRANSPORTS
+    from connect_spark.plans.processors_ext import get_http_transport
 
-    name = c.get("transport", "urllib")
-    t = _HTTP_TRANSPORTS.get(name)
-    if t is None:
-        raise PipelineConfigError(f"unknown transport {name!r}")
-    return t
+    return get_http_transport(c)
 
 
 # --------------------------------------------------------------------

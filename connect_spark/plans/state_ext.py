@@ -148,6 +148,20 @@ class DuckKVCache:
         finally:
             con.close()
 
+    def _exec_many(self, sql: str, rows: list[list]):
+        """One connection + one transaction for a whole batch (a
+        per-row connect against the storage file is pure overhead)."""
+        if not rows:
+            return
+        import duckdb
+
+        con = duckdb.connect(self.database)
+        try:
+            con.executemany(sql, rows)
+            con.commit()
+        finally:
+            con.close()
+
     def read(self) -> DataFrame | None:
         rows = self._exec(f"SELECT k, doc FROM {self.table}")
         if not rows:
@@ -155,24 +169,26 @@ class DuckKVCache:
         docs = [dict(json.loads(doc), **{self.key: k}) for k, doc in rows]
         return self.spark.createDataFrame(docs)
 
-    def set(self, rows: DataFrame, ttl: float | None = None) -> None:
+    def _kv_rows(self, rows: DataFrame) -> list[list]:
+        out = []
         for r in rows.collect():
             d = r.asDict()
             k = str(d.pop(self.key))
-            self._exec(
-                f"INSERT OR REPLACE INTO {self.table} VALUES (?, ?)",
-                [k, json.dumps(d, default=str)],
-            )
+            out.append([k, json.dumps(d, default=str)])
+        return out
+
+    def set(self, rows: DataFrame, ttl: float | None = None) -> None:
+        self._exec_many(
+            f"INSERT OR REPLACE INTO {self.table} VALUES (?, ?)",
+            self._kv_rows(rows),
+        )
 
     def add(self, rows: DataFrame, ttl: float | None = None) -> None:
-        for r in rows.collect():
-            d = r.asDict()
-            k = str(d.pop(self.key))
-            self._exec(
-                f"INSERT INTO {self.table} SELECT ?, ? WHERE NOT EXISTS "
-                f"(SELECT 1 FROM {self.table} WHERE k = ?)",
-                [k, json.dumps(d, default=str), k],
-            )
+        self._exec_many(
+            f"INSERT INTO {self.table} SELECT ?, ? WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {self.table} WHERE k = ?)",
+            [[k, doc, k] for k, doc in self._kv_rows(rows)],
+        )
 
     def get(self, df: DataFrame, on: str | None = None) -> DataFrame:
         on = on or self.key
@@ -183,11 +199,10 @@ class DuckKVCache:
         return df.join(F.broadcast(lookup), on, "left")
 
     def delete(self, keys: DataFrame) -> None:
-        for r in keys.collect():
-            self._exec(
-                f"DELETE FROM {self.table} WHERE k = ?",
-                [str(r[self.key])],
-            )
+        self._exec_many(
+            f"DELETE FROM {self.table} WHERE k = ?",
+            [[str(r[self.key])] for r in keys.collect()],
+        )
 
 
 # label -> live cache instance, populated per plan build
@@ -287,6 +302,14 @@ def apply_buffer(df: DataFrame, spec: dict | str | None) -> DataFrame:
     c = c or {}
     if kind == "none":
         return df
+    if df.isStreaming and kind in ("memory", "sqlite", "spool"):
+        raise PipelineConfigError(
+            f"buffer {kind!r} materializes the frame, which a streaming "
+            "plan cannot do mid-query — Structured Streaming's "
+            "checkpoint+replay already provides the decoupling these "
+            "buffers exist for (use buffer: none or system_window on "
+            "streams)"
+        )
     if kind == "memory":
         # buffers/memory.adoc — decouple input from processors by
         # materializing into executor memory
@@ -351,7 +374,15 @@ def export_metrics(spec: dict | str | None) -> str | None:
         # metrics/statsd.adoc — gauge datagrams over UDP (real socket)
         import socket
 
-        host, _, port = c.get("address", "127.0.0.1:8125").rpartition(":")
+        address = c.get("address", "127.0.0.1:8125")
+        host, sep, port = address.rpartition(":")
+        if not sep or not port.isdigit():
+            host, port = address, "8125"  # statsd default port
+        if not host:
+            raise PipelineConfigError(
+                f"statsd metrics: address must be host[:port], "
+                f"got {address!r}"
+            )
         prefix = c.get("prefix", "connect_spark")
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         lines = [
@@ -360,7 +391,7 @@ def export_metrics(spec: dict | str | None) -> str | None:
         ]
         try:
             for line in lines:
-                sock.sendto(line.encode(), (host or "127.0.0.1", int(port)))
+                sock.sendto(line.encode(), (host, int(port)))
         finally:
             sock.close()
         return "\n".join(lines)

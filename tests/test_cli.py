@@ -92,3 +92,42 @@ def test_lint_every_registered_kind_is_lintable(tmp_path):
     for name in kinds["processors"]:
         assert lint_config(
             {"pipeline": {"processors": [{name: {}}]}}) == []
+
+
+def test_create_three_segment_spec(capsys):
+    assert main(["create", "kafka/mapping/parquet"]) == 0
+    out = capsys.readouterr().out
+    assert "kafka:" in out and "mapping:" in out and "parquet:" in out
+    assert main(["create", "kafka/memory/mapping/parquet"]) == 0
+    out = capsys.readouterr().out
+    assert "buffer:" in out and "memory:" in out
+    assert main(["create", "a/b/c/d/e"]) == 1
+
+
+def test_lint_knows_template_kinds():
+    errs = lint_config({
+        "templates": [{"name": "my_proc", "type": "processor",
+                       "mapping": "root = this"}],
+        "pipeline": {"processors": [{"my_proc": {}}]},
+    })
+    assert errs == []
+
+
+def test_lint_recurses_into_switch_cases():
+    errs = lint_config({
+        "pipeline": {"processors": [
+            {"switch": [
+                {"check": "this.x > 1",
+                 "processors": [{"mappin": "root = this"}]},
+            ]},
+            {"try": [{"mapping": "root = this"}, {"bogus_proc": {}}]},
+        ]},
+    })
+    assert len(errs) == 2
+    assert any("mappin" in e for e in errs)
+    assert any("bogus_proc" in e for e in errs)
+
+
+def test_list_includes_redis_rate_limit(capsys):
+    assert main(["list", "rate_limits"]) == 0
+    assert "redis" in capsys.readouterr().out

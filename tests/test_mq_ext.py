@@ -230,3 +230,53 @@ def test_mq_kind_through_full_pipeline_yaml(spark, bus, tmp_path):
     _pipeline(spark, config).run()
     got = sorted(r.doubled for r in spark.read.parquet(out).collect())
     assert got == [6, 10]
+
+
+def test_publish_df_null_content(spark, bus):
+    from connect_spark.plans.mq_ext import publish_df
+
+    df = spark.createDataFrame([("a",), (None,)], "content string")
+    publish_df(df, bus.path, "nulls")
+    got = sorted(
+        (r.after if r.after is None else r.after)
+        for r in bus.subscribe(spark, "nulls", streaming=False).collect()
+        if r.after is not None
+    )
+    rows = bus.subscribe(spark, "nulls", streaming=False).collect()
+    assert len(rows) == 2  # the null row publishes a tombstone
+    assert sorted((r.after is None) for r in rows) == [False, True]
+
+
+def test_socket_address_validation(spark):
+    from connect_spark.plans.pipeline import (
+        INPUT_KINDS,
+        PipelineConfigError,
+    )
+
+    with pytest.raises(PipelineConfigError, match="host:port"):
+        INPUT_KINDS["socket"](spark, {"address": "no-port-here"})
+
+
+def test_socket_input_idle_timeout_returns_partial(spark):
+    import socketserver
+    import threading
+    import time
+
+    class SlowFeeder(socketserver.StreamRequestHandler):
+        def handle(self):
+            self.wfile.write(b"early\n")
+            self.wfile.flush()
+            time.sleep(3)  # stay open past the client timeout
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), SlowFeeder)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from connect_spark.plans.pipeline import INPUT_KINDS
+
+        df = INPUT_KINDS["socket"](spark, {
+            "address": f"127.0.0.1:{srv.server_address[1]}",
+            "timeout": 0.5})
+        assert [r.content for r in df.collect()] == ["early"]
+    finally:
+        srv.shutdown()

@@ -241,3 +241,25 @@ def test_pipeline_metrics_tracer_sections(spark, tmp_path):
     spans = MessageBus(bus_path).subscribe(
         spark, "_connect_traces", streaming=False).collect()
     assert json.loads(spans[0].after)["name"] == "traced_run"
+
+
+def test_buffer_rejects_streaming_materialization(spark, tmp_path):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(PipelineConfigError, match="streaming"):
+        apply_buffer(stream, {"memory": {}})
+    with pytest.raises(PipelineConfigError, match="streaming"):
+        apply_buffer(stream, {"sqlite": {"path": str(tmp_path / "s")}})
+    # window stamping stays legal on streams
+    stamped = apply_buffer(stream.withColumnRenamed(
+        "timestamp", "ts"), {"system_window": {"size": "1 minute"}})
+    assert stamped.isStreaming
+
+
+def test_statsd_address_forms():
+    # bare host defaults to :8125 (no crash); bare colon errors
+    out = export_metrics({"statsd": {"address": "127.0.0.1"}})
+    assert out is not None
+    with pytest.raises(PipelineConfigError, match="host"):
+        export_metrics({"statsd": {"address": ":8125"}})
