@@ -935,10 +935,53 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+def _apply_output_batching(df: DataFrame, bconf: dict) -> DataFrame:
+    """Per-output batching policy (every output documents a `batching`
+    block: count/byte_size/period/check + post-batch processors —
+    e.g. outputs/kafka.adoc). Batches are assigned set-based
+    (operators/batching.py), post-batch processors run with the
+    `batch_id` column in scope, and the frame is repartitioned on
+    batch_id so a partition-granular sink (one request per partition —
+    the transport outputs' delivery unit) never splits a batch across
+    requests."""
+    from connect_spark.operators.batching import BatchPolicy, assign_batches
+
+    policy = BatchPolicy(
+        count=int(bconf.get("count", 0)),
+        byte_size=int(bconf.get("byte_size", 0)),
+        period=bconf.get("period"),
+        check=(
+            compile_expression(bconf["check"])
+            if bconf.get("check") else None
+        ),
+        size=(
+            F.length(F.to_json(F.struct("*")))
+            if bconf.get("byte_size") else None
+        ),
+    )
+    out = assign_batches(
+        df,
+        policy,
+        order_by=bconf.get("order_by", []),
+        partition_by=bconf.get("partition_by", []),
+        ts=bconf.get("ts"),
+    )
+    for spec in bconf.get("processors", []):
+        out = apply_processor(out, spec)
+    if "batch_id" in out.columns:
+        out = out.repartition(F.col("batch_id"))
+        if not bconf.get("keep_batch_id"):
+            out = out.drop("batch_id")
+    return out
+
+
 def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
     if conf is None:
         return df
     (kind, c), = conf.items()
+    if isinstance(c, dict) and c.get("batching"):
+        c = dict(c)
+        df = _apply_output_batching(df, c.pop("batching"))
     if kind == "memory":
         return df
     if kind == "parquet":

@@ -263,3 +263,44 @@ def test_statsd_address_forms():
     assert out is not None
     with pytest.raises(PipelineConfigError, match="host"):
         export_metrics({"statsd": {"address": ":8125"}})
+
+
+def test_output_batching_policy(spark, tmp_path):
+    out = str(tmp_path / "batched_out")
+    cfg = {
+        "input": {"generate": {"count": 7,
+                               "mapping": "root.n = counter()"}},
+        "output": {"parquet": {
+            "path": out,
+            "batching": {"count": 3, "order_by": ["n"],
+                         "keep_batch_id": True},
+        }},
+    }
+    Pipeline(spark, cfg).run()
+    got = spark.read.parquet(out)
+    batches = {}
+    for r in got.collect():
+        batches.setdefault(r.batch_id, []).append(r.n)
+    sizes = sorted(len(v) for v in batches.values())
+    assert sizes == [1, 3, 3]
+
+
+def test_output_batching_post_processors(spark, tmp_path):
+    out = str(tmp_path / "archived_out")
+    cfg = {
+        "input": {"generate": {"count": 4,
+                               "mapping": 'root.content = "m" + counter().string()'}},
+        "output": {"parquet": {
+            "path": out,
+            "batching": {
+                "count": 2, "order_by": ["content"],
+                "processors": [
+                    {"mapping":
+                     'root.tagged = this.content.uppercase()'},
+                ],
+            },
+        }},
+    }
+    Pipeline(spark, cfg).run()
+    got = sorted(r.tagged for r in spark.read.parquet(out).collect())
+    assert got == ["M0", "M1", "M2", "M3"]
