@@ -480,11 +480,33 @@ def _post_lines(df: DataFrame, line: Column, url: str, c: dict,
     # one request per partition, streamed through the driver one
     # partition at a time (the http_output_batches_raw pattern —
     # injectable transports are driver-resident; a cluster impl moves
-    # the client into foreachPartition unchanged)
-    for part in rows.rdd.map(lambda r: r[0]).glom().toLocalIterator():
-        body = "\n".join(x for x in part if x is not None)
-        if body:
-            t(url, "POST", headers, (batch_header or "") + body + "\n")
+    # the client into foreachPartition unchanged). `max_in_flight`
+    # (every output's delivery-concurrency knob, e.g.
+    # outputs/elasticsearch_v8.adoc) overlaps that many requests.
+    max_in_flight = int(c.get("max_in_flight", 1))
+
+    def bodies():
+        for part in rows.rdd.map(lambda r: r[0]).glom().toLocalIterator():
+            body = "\n".join(x for x in part if x is not None)
+            if body:
+                yield (batch_header or "") + body + "\n"
+
+    if max_in_flight <= 1:
+        for body in bodies():
+            t(url, "POST", headers, body)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+        futures = []
+        for body in bodies():
+            futures.append(pool.submit(t, url, "POST", headers, body))
+            # bound in-flight futures so a huge frame doesn't buffer
+            # every body in driver memory
+            while len(futures) >= max_in_flight * 2:
+                futures.pop(0).result()
+        for f in futures:
+            f.result()
 
 
 def _dict_transport(c: dict):

@@ -305,3 +305,27 @@ def test_redis_rate_limit_kind():
         register_rate_limit("rr2", {"redis": {}})
     with pytest.raises(ValueError, match="known: local, redis"):
         register_rate_limit("rr3", {"memcached": {}})
+
+
+def test_post_lines_max_in_flight(spark):
+    import threading
+
+    from connect_spark.plans.processors_ext import register_http_transport
+
+    seen = []
+    lock = threading.Lock()
+
+    def slow_capture(url, verb, headers, body):
+        with lock:
+            seen.append(body)
+        return ""
+
+    register_http_transport("cap_mif", slow_capture)
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(8)], "qty int, tag string"
+    ).repartition(4)
+    OUTPUT_KINDS["questdb"](df, {
+        "url": "http://qdb", "table": "m", "transport": "cap_mif",
+        "max_in_flight": 3})
+    lines = [ln for b in seen for ln in b.strip().split("\n")]
+    assert len(lines) == 8  # every row delivered exactly once
