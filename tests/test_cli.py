@@ -131,3 +131,11 @@ def test_lint_recurses_into_switch_cases():
 def test_list_includes_redis_rate_limit(capsys):
     assert main(["list", "rate_limits"]) == 0
     assert "redis" in capsys.readouterr().out
+
+
+def test_examples_lint_clean(capsys):
+    import glob
+
+    files = sorted(glob.glob("examples/*.yaml"))
+    assert files
+    assert main(["lint", *files]) == 0
