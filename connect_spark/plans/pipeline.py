@@ -801,9 +801,21 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
     if len(conf) != 1:
         raise PipelineConfigError("input must have exactly one component")
     (kind, c), = conf.items()
+    # input-attached processors (every input documents a `processors`
+    # list that runs before the shared pipeline — inputs/<any>.adoc):
+    # strip them here, apply after the input builds
+    input_procs: list = []
+    if isinstance(c, dict) and c.get("processors"):
+        c = dict(c)
+        input_procs = c.pop("processors")
     from connect_spark.plans.templates import expand_component
 
     kind, c = expand_component(kind, c, "input")
+    if input_procs:
+        df = _build_input(spark, {kind: c})
+        for spec in input_procs:
+            df = apply_processor(df, spec)
+        return df
     if kind == "read_until":
         # read_until (docs/.../inputs/read_until.adoc:26): consume the
         # child input until the check fires. A set-based plan needs an
@@ -979,6 +991,12 @@ def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
     if conf is None:
         return df
     (kind, c), = conf.items()
+    # output-attached processors run right before delivery
+    # (outputs/<any>.adoc `processors` list)
+    if isinstance(c, dict) and c.get("processors"):
+        c = dict(c)
+        for spec in c.pop("processors"):
+            df = apply_processor(df, spec)
     if isinstance(c, dict) and c.get("batching"):
         c = dict(c)
         df = _apply_output_batching(df, c.pop("batching"))
@@ -1126,6 +1144,12 @@ class Pipeline:
                 from connect_spark.plans.state_ext import apply_buffer
 
                 df = apply_buffer(df, self.config["buffer"])
+            # pipeline `threads` (workflow.adoc:64 — vertical scaling
+            # across cores): the Spark analog of N processor threads
+            # is N partitions through the processor chain
+            threads = self.config.get("pipeline", {}).get("threads")
+            if threads and int(threads) > 0:
+                df = df.repartition(int(threads))
             for spec in self.config.get("pipeline", {}).get(
                 "processors", []
             ):

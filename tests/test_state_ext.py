@@ -304,3 +304,23 @@ def test_output_batching_post_processors(spark, tmp_path):
     Pipeline(spark, cfg).run()
     got = sorted(r.tagged for r in spark.read.parquet(out).collect())
     assert got == ["M0", "M1", "M2", "M3"]
+
+
+def test_input_and_output_attached_processors(spark, tmp_path):
+    out = str(tmp_path / "attached")
+    cfg = {
+        "input": {"generate": {
+            "count": 3, "mapping": "root.n = counter()",
+            "processors": [
+                {"mapping": "root.n = this.n\nroot.doubled = this.n * 2"},
+            ]}},
+        "pipeline": {"threads": 2},
+        "output": {"parquet": {
+            "path": out,
+            "processors": [
+                {"filter": "this.doubled >= 2"},
+            ]}},
+    }
+    Pipeline(spark, cfg).run()
+    got = sorted(r.doubled for r in spark.read.parquet(out).collect())
+    assert got == [2, 4]  # n=0 filtered at the output
