@@ -366,41 +366,47 @@ _OUTPUT_SUBJECT_KEYS: dict[str, tuple[str, ...]] = {
 }
 
 
-def publish_df(df: DataFrame, bus_path: str, subject: str) -> None:
-    """Publish every row of `df` to the bus under `subject`: a single
-    `content` column publishes raw payloads, otherwise the row
-    serializes as a JSON object (the outputs/nats.adoc shape). Appends
+def publish_df(df: DataFrame, bus_path: str,
+               subject: str | Column) -> None:
+    """Publish every row of `df` to the bus: a single `content` column
+    publishes raw payloads, otherwise the row serializes as a JSON
+    object (the outputs/nats.adoc shape). `subject` is a fixed string
+    or a per-row Column (the `${! expr }` interpolated-topic case —
+    rows group by evaluated subject within each partition). Appends
     happen per executor partition — nothing is collected."""
-    if df.columns == ["content"]:
-        out = df.select(F.lit(subject).alias("_s"),
-                        F.to_json(F.struct("content")).alias("_p"))
-        raw = True
-    else:
-        out = df.select(F.lit(subject).alias("_s"),
-                        F.to_json(F.struct(*df.columns)).alias("_p"))
-        raw = False
+    scol = F.lit(subject) if isinstance(subject, str) else subject
+    raw = df.columns == ["content"]
+    payload = F.to_json(
+        F.struct("content") if raw else F.struct(*df.columns)
+    )
+    out = df.select(scol.cast("string").alias("_s"),
+                    payload.alias("_p"))
 
     def _publish(rows):
         import json as _json
 
         from connect_spark.sources.mq import MessageBus
 
-        payloads = []
+        by_subject: dict[str, list] = {}
         for r in rows:
             obj = _json.loads(r._p)
             # to_json omits null fields, so a null content row arrives
             # as {} — publish an explicit null payload (delete/tombstone
             # semantics), not a KeyError
-            payloads.append(obj.get("content") if raw else obj)
-        if payloads:
-            MessageBus(bus_path).publish(subject, payloads)
+            by_subject.setdefault(r._s, []).append(
+                obj.get("content") if raw else obj
+            )
+        if by_subject:
+            bus = MessageBus(bus_path)
+            for subj, payloads in sorted(by_subject.items()):
+                bus.publish(subj, payloads)
 
     out.foreachPartition(_publish)
 
 
 def _mq_output(kind: str, subject_keys: tuple[str, ...]):
     def write(df: DataFrame, c: dict) -> None:
-        subject = None
+        subject: str | Column | None = None
         for k in subject_keys:
             if c.get(k) is not None:
                 subject = str(c[k])
@@ -409,6 +415,14 @@ def _mq_output(kind: str, subject_keys: tuple[str, ...]):
             raise PipelineConfigError(
                 f"{kind} output: one of {subject_keys} is required"
             )
+        if "${!" in subject:
+            # interpolated per-message topic (outputs/<kind>.adoc —
+            # every topic/subject field is an interpolated string)
+            from connect_spark.bloblang.compiler import (
+                compile_interpolation,
+            )
+
+            subject = compile_interpolation(subject)
         publish_df(df, c.get("bus_path") or c["path"], subject)
 
     write.__name__ = f"_o_{kind}"

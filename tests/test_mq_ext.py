@@ -280,3 +280,21 @@ def test_socket_input_idle_timeout_returns_partial(spark):
         assert [r.content for r in df.collect()] == ["early"]
     finally:
         srv.shutdown()
+
+
+def test_mq_output_interpolated_subject(spark, bus):
+    from connect_spark.plans.pipeline import OUTPUT_KINDS
+
+    src = spark.createDataFrame(
+        [("click", "a"), ("view", "b"), ("click", "c")],
+        "event_type string, content string")
+    OUTPUT_KINDS["nats"](src, {
+        "subject": "events.${! this.event_type }",
+        "bus_path": bus.path})
+    clicks = bus.subscribe(spark, "events.click", streaming=False)
+    views = bus.subscribe(spark, "events.view", streaming=False)
+    click_rows = sorted(
+        json.loads(r.after)["content"] for r in clicks.collect())
+    assert click_rows == ["a", "c"]
+    assert [json.loads(r.after)["content"]
+            for r in views.collect()] == ["b"]
