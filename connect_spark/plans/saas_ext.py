@@ -455,7 +455,23 @@ def _p_aws_lambda(df: DataFrame, conf: dict) -> DataFrame:
         "url", f"https://lambda.amazonaws.com/functions/{fn}/invocations"
     )
     payload = F.to_json(F.struct(*df.columns)).alias("_payload")
-    uniq = [r._payload for r in df.select(payload).distinct().collect()]
+    # per-invoke RPC is driver-serialized through the transport seam
+    # (like every RPC processor here); the distinct-payload collect is
+    # explicitly bounded so an unbounded frame fails loudly instead of
+    # flooding the driver — raise `max_unique_payloads` deliberately
+    # or pre-aggregate when more is truly intended
+    bound = int(conf.get("max_unique_payloads", 10_000))
+    uniq = [
+        r._payload
+        for r in df.select(payload).distinct().limit(bound + 1).collect()
+    ]
+    if len(uniq) > bound:
+        raise PipelineConfigError(
+            f"aws_lambda: more than {bound} distinct payloads in one "
+            "batch; raise max_unique_payloads or reduce the invoke "
+            "keyspace (per-message RPC does not scale past the "
+            "driver's request loop)"
+        )
     replies = [(p, str(t(url, "POST", {}, p))) for p in uniq]
     rep_df = df.sparkSession.createDataFrame(
         replies or [], "_payload string, _reply string"

@@ -285,3 +285,12 @@ def test_nats_request_reply(spark, tmp_path):
     # the request landed on the bus
     reqs = bus.subscribe(spark, "svc", streaming=False).collect()
     assert len(reqs) == 1
+
+
+def test_aws_lambda_payload_bound(spark):
+    register_http_transport("fake_l2", lambda *a: "{}")
+    df = spark.createDataFrame([(i,) for i in range(5)], "n int")
+    with pytest.raises(PipelineConfigError, match="distinct payloads"):
+        PROCESSORS["aws_lambda"](df, {
+            "function": "f", "transport": "fake_l2",
+            "max_unique_payloads": 3})
