@@ -298,3 +298,17 @@ def test_mq_output_interpolated_subject(spark, bus):
     assert click_rows == ["a", "c"]
     assert [json.loads(r.after)["content"]
             for r in views.collect()] == ["b"]
+
+
+def test_mq_input_streaming_mode(spark, bus):
+    bus.publish("live", ["s1", "s2", "s3"])
+    config = {
+        "input": {"gcp_pubsub": {
+            "subscription": "live", "bus_path": bus.path,
+            "streaming": True}},
+        "output": {"memory": {}},
+    }
+    from connect_spark.plans.pipeline import Pipeline
+
+    out = Pipeline(spark, config).run()
+    assert sorted(r.content for r in out.collect()) == ["s1", "s2", "s3"]
