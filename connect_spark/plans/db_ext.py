@@ -497,8 +497,9 @@ def _post_lines(df: DataFrame, line: Column, url: str, c: dict,
         return
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
-        futures = []
+    pool = ThreadPoolExecutor(max_workers=max_in_flight)
+    futures = []
+    try:
         for body in bodies():
             futures.append(pool.submit(t, url, "POST", headers, body))
             # bound in-flight futures so a huge frame doesn't buffer
@@ -507,6 +508,11 @@ def _post_lines(df: DataFrame, line: Column, url: str, c: dict,
                 futures.pop(0).result()
         for f in futures:
             f.result()
+    finally:
+        # on failure, drop queued bodies instead of delivering them
+        # after the error (keeps serial-path stop-at-first-error
+        # semantics; requests already on the wire still finish)
+        pool.shutdown(wait=True, cancel_futures=True)
 
 
 def _dict_transport(c: dict):
@@ -528,15 +534,22 @@ def _dict_transport(c: dict):
 @output_kind("elasticsearch_v8")
 def _o_es8(df: DataFrame, c: dict) -> None:
     """outputs/elasticsearch_v8.adoc — _bulk NDJSON per partition
-    (sinks/search.py::es_bulk_write)."""
-    from connect_spark.sinks.search import es_bulk_write
+    (sinks/search.py::es_bulk_write); `max_in_flight` overlaps bulk
+    requests through the shared _post_lines pool."""
+    from connect_spark.sinks.search import es_bulk_lines, es_bulk_write
 
-    conf = {
-        "index": c["index"],
-        "url": c["urls"][0] if c.get("urls") else c["url"],
-    }
+    url = c["urls"][0] if c.get("urls") else c["url"]
+    if int(c.get("max_in_flight", 1)) > 1:
+        id_col = c.get("id", "id")
+        lines = es_bulk_lines(
+            df, c["index"], id_col,
+            [x for x in df.columns if x != id_col],
+        )
+        _post_lines(lines, F.col("bulk"), url.rstrip("/") + "/_bulk", c)
+        return
     es_bulk_write(
-        df, conf, _dict_transport(c), id_col=c.get("id", "id"),
+        df, {"index": c["index"], "url": url}, _dict_transport(c),
+        id_col=c.get("id", "id"),
     )
 
 

@@ -366,19 +366,22 @@ _OUTPUT_SUBJECT_KEYS: dict[str, tuple[str, ...]] = {
 }
 
 
-def publish_df(df: DataFrame, bus_path: str,
-               subject: str | Column) -> None:
-    """Publish every row of `df` to the bus: a single `content` column
-    publishes raw payloads, otherwise the row serializes as a JSON
-    object (the outputs/nats.adoc shape). `subject` is a fixed string
-    or a per-row Column (the `${! expr }` interpolated-topic case —
-    rows group by evaluated subject within each partition). Appends
-    happen per executor partition — nothing is collected."""
+def publish_df(df: DataFrame, bus_path: str, subject: str | Column,
+               payload_cols: list[str] | None = None) -> None:
+    """Publish every row of `df` to the bus: a single `content`
+    payload column publishes raw payloads, otherwise the row
+    serializes as a JSON object (the outputs/nats.adoc shape).
+    `subject` is a fixed string or a per-row Column (the `${! expr }`
+    interpolated-topic case — rows group by evaluated subject within
+    each partition; a row whose subject evaluates to null fails the
+    publish with a clear error, matching the reference's
+    interpolation-error semantics). Appends happen per executor
+    partition — nothing is collected. This is the one partition-
+    publish implementation — the `mq_bus` output delegates here."""
     scol = F.lit(subject) if isinstance(subject, str) else subject
-    raw = df.columns == ["content"]
-    payload = F.to_json(
-        F.struct("content") if raw else F.struct(*df.columns)
-    )
+    cols = payload_cols or df.columns
+    raw = cols == ["content"]
+    payload = F.to_json(F.struct(*cols))
     out = df.select(scol.cast("string").alias("_s"),
                     payload.alias("_p"))
 
@@ -389,6 +392,12 @@ def publish_df(df: DataFrame, bus_path: str,
 
         by_subject: dict[str, list] = {}
         for r in rows:
+            if r._s is None:
+                raise ValueError(
+                    "publish: a row's subject interpolated to null — "
+                    "give every message a routable subject (coalesce "
+                    "in the interpolation or filter the rows)"
+                )
             obj = _json.loads(r._p)
             # to_json omits null fields, so a null content row arrives
             # as {} — publish an explicit null payload (delete/tombstone

@@ -803,7 +803,9 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
     (kind, c), = conf.items()
     # input-attached processors (every input documents a `processors`
     # list that runs before the shared pipeline — inputs/<any>.adoc):
-    # strip them here, apply after the input builds
+    # strip them here, apply after the input builds. A template
+    # expansion may itself emit a `processors` list — those run first
+    # (they belong to the input), then the user-attached ones.
     input_procs: list = []
     if isinstance(c, dict) and c.get("processors"):
         c = dict(c)
@@ -811,6 +813,9 @@ def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
     from connect_spark.plans.templates import expand_component
 
     kind, c = expand_component(kind, c, "input")
+    if isinstance(c, dict) and c.get("processors"):
+        c = dict(c)
+        input_procs = c.pop("processors") + input_procs
     if input_procs:
         df = _build_input(spark, {kind: c})
         for spec in input_procs:
@@ -958,23 +963,36 @@ def _apply_output_batching(df: DataFrame, bconf: dict) -> DataFrame:
     requests."""
     from connect_spark.operators.batching import BatchPolicy, assign_batches
 
-    policy = BatchPolicy(
-        count=int(bconf.get("count", 0)),
-        byte_size=int(bconf.get("byte_size", 0)),
-        period=bconf.get("period"),
-        check=(
-            compile_expression(bconf["check"])
-            if bconf.get("check") else None
-        ),
-        size=(
-            F.length(F.to_json(F.struct("*")))
-            if bconf.get("byte_size") else None
-        ),
-    )
+    if bconf.get("period") and not bconf.get("ts"):
+        raise PipelineConfigError(
+            "output batching with `period` needs `ts: <timestamp "
+            "column>` — a set-based plan buckets by event time, not "
+            "arrival time"
+        )
+    try:
+        policy = BatchPolicy(
+            count=int(bconf.get("count", 0)),
+            byte_size=int(bconf.get("byte_size", 0)),
+            period=bconf.get("period"),
+            check=(
+                compile_expression(bconf["check"])
+                if bconf.get("check") else None
+            ),
+            size=(
+                F.length(F.to_json(F.struct("*")))
+                if bconf.get("byte_size") else None
+            ),
+        )
+    except ValueError as exc:
+        raise PipelineConfigError(f"output batching: {exc}") from exc
+    # the reference's batching block has no ordering field (arrival
+    # order); the set-based analog defaults to the frame's physical
+    # order when none is configured
+    order_by = bconf.get("order_by") or [F.monotonically_increasing_id()]
     out = assign_batches(
         df,
         policy,
-        order_by=bconf.get("order_by", []),
+        order_by=order_by,
         partition_by=bconf.get("partition_by", []),
         ts=bconf.get("ts"),
     )
@@ -1044,36 +1062,22 @@ def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
     if kind == "mq_bus":
         # publish rows to the local broker: subject from a column or a
         # fixed string; payload = the row as JSON (outputs/nats.adoc
-        # shape). Publishes per executor partition — nothing is
-        # collected to the driver; the WAL append is lock-serialized
-        # so concurrent partitions each land their own segment.
-        bus_path = c["path"]
+        # shape). Delegates to the shared partition-publish
+        # implementation (plans/mq_ext.py::publish_df) — per executor
+        # partition, nothing collected, lock-serialized WAL segments.
+        from connect_spark.plans.mq_ext import publish_df
+
         subject_col = c.get("subject_column")
-        fixed = c.get("subject", "events")
         payload_cols = [
             col for col in df.columns if col != subject_col
         ]
-        out = df.select(
-            (F.col(subject_col) if subject_col else F.lit(fixed)).alias("_s"),
-            F.to_json(F.struct(*payload_cols)).alias("_p"),
+        publish_df(
+            df,
+            c["path"],
+            F.col(subject_col) if subject_col
+            else c.get("subject", "events"),
+            payload_cols=payload_cols,
         )
-
-        def _publish_partition(rows):
-            import json as _json
-
-            from connect_spark.sources.mq import MessageBus
-
-            by_subject: dict[str, list] = {}
-            for r in rows:
-                # publish structured payloads so subscribers see one
-                # JSON encoding, not a double-quoted string
-                by_subject.setdefault(r._s, []).append(_json.loads(r._p))
-            if by_subject:
-                bus = MessageBus(bus_path)
-                for subject, payloads in sorted(by_subject.items()):
-                    bus.publish(subject, payloads)
-
-        out.foreachPartition(_publish_partition)
         return None
     if kind in OUTPUT_KINDS:
         return OUTPUT_KINDS[kind](df, c)

@@ -329,3 +329,30 @@ def test_post_lines_max_in_flight(spark):
         "max_in_flight": 3})
     lines = [ln for b in seen for ln in b.strip().split("\n")]
     assert len(lines) == 8  # every row delivered exactly once
+
+
+def test_es_bulk_max_in_flight(spark):
+    import threading
+
+    from connect_spark.plans.processors_ext import register_http_transport
+
+    seen = []
+    lock = threading.Lock()
+
+    def cap(url, verb, headers, body):
+        with lock:
+            seen.append((url, body))
+        return ""
+
+    register_http_transport("cap_es_mif", cap)
+    df = spark.createDataFrame(
+        [(f"d{i}", f"v{i}") for i in range(6)],
+        "id string, v string").repartition(3)
+    OUTPUT_KINDS["elasticsearch_v8"](df, {
+        "url": "http://es", "index": "docs",
+        "transport": "cap_es_mif", "max_in_flight": 2})
+    assert all(u.endswith("/_bulk") for u, _ in seen)
+    lines = [ln for _, b in seen for ln in b.strip().split("\n")]
+    ids = {json.loads(ln)["index"]["_id"]
+           for ln in lines if '"index"' in ln}
+    assert ids == {f"d{i}" for i in range(6)}

@@ -312,3 +312,28 @@ def test_mq_input_streaming_mode(spark, bus):
 
     out = Pipeline(spark, config).run()
     assert sorted(r.content for r in out.collect()) == ["s1", "s2", "s3"]
+
+
+def test_publish_null_subject_errors(spark, bus):
+    from connect_spark.plans.pipeline import OUTPUT_KINDS
+
+    src = spark.createDataFrame(
+        [(None, "x")], "event_type string, content string")
+    with pytest.raises(Exception, match="subject interpolated to null"):
+        OUTPUT_KINDS["nats"](src, {
+            "subject": "e.${! this.event_type }", "bus_path": bus.path})
+
+
+def test_mq_bus_output_delegates_shared_publish(spark, tmp_path):
+    """mq_bus and the MQ kinds share one publish implementation."""
+    from connect_spark.plans.pipeline import _run_output
+    from connect_spark.sources.mq import MessageBus
+
+    df = spark.createDataFrame([("s.a", 1), ("s.b", 2)],
+                               "subject string, n int")
+    _run_output(df, {"mq_bus": {
+        "path": str(tmp_path / "b2"), "subject_column": "subject"}})
+    bus2 = MessageBus(str(tmp_path / "b2"))
+    rows = bus2.subscribe(spark, "s.>", streaming=False).collect()
+    got = sorted((r.table, json.loads(r.after)["n"]) for r in rows)
+    assert got == [("s.a", 1), ("s.b", 2)]

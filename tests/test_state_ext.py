@@ -324,3 +324,60 @@ def test_input_and_output_attached_processors(spark, tmp_path):
     Pipeline(spark, cfg).run()
     got = sorted(r.doubled for r in spark.read.parquet(out).collect())
     assert got == [2, 4]  # n=0 filtered at the output
+
+
+def test_output_batching_without_order_by(spark, tmp_path):
+    out = str(tmp_path / "no_order")
+    cfg = {
+        "input": {"generate": {"count": 5,
+                               "mapping": "root.n = counter()"}},
+        "output": {"parquet": {
+            "path": out,
+            "batching": {"count": 2, "keep_batch_id": True}}},
+    }
+    Pipeline(spark, cfg).run()
+    got = spark.read.parquet(out)
+    batches = {}
+    for r in got.collect():
+        batches.setdefault(r.batch_id, []).append(r.n)
+    assert sorted(len(v) for v in batches.values()) == [1, 2, 2]
+
+
+def test_output_batching_config_errors(spark, tmp_path):
+    base = {
+        "input": {"generate": {"count": 2, "mapping": "root.n = 1"}},
+    }
+    with pytest.raises(PipelineConfigError, match="ts"):
+        Pipeline(spark, {**base, "output": {"parquet": {
+            "path": str(tmp_path / "x"),
+            "batching": {"period": "10s"}}}}).run()
+    # an empty batching block is "no batching" (the reference default
+    # count: 0), not an error
+    Pipeline(spark, {**base, "output": {"parquet": {
+        "path": str(tmp_path / "y"),
+        "batching": {}}}}).run()
+    assert spark.read.parquet(str(tmp_path / "y")).count() == 2
+    # a batching block with only non-trigger fields errors clearly
+    with pytest.raises(PipelineConfigError, match="no trigger"):
+        Pipeline(spark, {**base, "output": {"parquet": {
+            "path": str(tmp_path / "z"),
+            "batching": {"order_by": ["n"]}}}}).run()
+
+
+def test_template_emitted_input_processors(spark):
+    from connect_spark.plans.templates import register_template
+
+    register_template({
+        "name": "seeded_numbers",
+        "type": "input",
+        "fields": [{"name": "count", "default": 3}],
+        "mapping": """
+root.generate.count = this.count
+root.generate.mapping = "root.n = counter()"
+root.generate.processors = [ {"mapping": "root.n = this.n + 100"} ]
+""",
+    })
+    df = Pipeline(spark, {
+        "input": {"seeded_numbers": {"count": 2}},
+    }).dataframe()
+    assert sorted(r.n for r in df.collect()) == [100, 101]
