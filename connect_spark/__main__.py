@@ -59,6 +59,24 @@ def _known_kinds():
     }
 
 
+def _required_fields() -> dict[str, dict[str, tuple[str, ...]]]:
+    """Per-kind required config fields, sourced from the spec tables
+    the builders themselves validate against (no drift: same data)."""
+    from connect_spark.plans.cdc_ext import _CDC_SPECS
+    from connect_spark.plans.db_ext import _KV_KINDS
+    from connect_spark.plans.saas_ext import _SAAS_INPUTS
+
+    inputs: dict[str, tuple[str, ...]] = {}
+    for kind, spec in _CDC_SPECS.items():
+        inputs[kind] = spec.required
+    for kind, (required, _url, _verb, _items) in _SAAS_INPUTS.items():
+        inputs[kind] = required
+    outputs: dict[str, tuple[str, ...]] = {}
+    for kind, (identity, _key) in _KV_KINDS.items():
+        outputs[kind] = identity
+    return {"inputs": inputs, "outputs": outputs, "processors": {}}
+
+
 def lint_config(config: dict) -> list[str]:
     """Static component-kind validation (the `lint` verb): walk the
     config tree and report unknown input/processor/output/cache/
@@ -75,6 +93,7 @@ def lint_config(config: dict) -> list[str]:
                    "output": "outputs"}.get(spec.get("type"))
         if section and spec.get("name"):
             kinds[section].add(spec["name"])
+    required = _required_fields()
     errors: list[str] = []
 
     def check(section: str, spec, where: str):
@@ -88,6 +107,15 @@ def lint_config(config: dict) -> list[str]:
         if kind not in kinds[section]:
             errors.append(f"{where}: unknown {section[:-1]} kind {kind!r}")
             return
+        # required identity fields (sourced from the builders' own
+        # spec tables — see _required_fields)
+        if section in required and kind in required[section]:
+            present = conf if isinstance(conf, dict) else {}
+            for f in required[section][kind]:
+                if not present.get(f):
+                    errors.append(
+                        f"{where}: {kind} requires field {f!r}"
+                    )
         # list-shaped confs (switch cases, try/catch blocks, fallback
         # outputs): recurse into each element's nested components
         if isinstance(conf, list):

@@ -85,13 +85,17 @@ def test_lint_every_registered_kind_is_lintable(tmp_path):
     from connect_spark.__main__ import _known_kinds
 
     kinds = _known_kinds()
+
+    def no_unknown(errs):
+        return [e for e in errs if "unknown" in e] == []
+
     for name in kinds["inputs"]:
-        assert lint_config({"input": {name: {}}}) == []
+        assert no_unknown(lint_config({"input": {name: {}}})), name
     for name in kinds["outputs"]:
-        assert lint_config({"output": {name: {}}}) == []
+        assert no_unknown(lint_config({"output": {name: {}}})), name
     for name in kinds["processors"]:
-        assert lint_config(
-            {"pipeline": {"processors": [{name: {}}]}}) == []
+        assert no_unknown(lint_config(
+            {"pipeline": {"processors": [{name: {}}]}})), name
 
 
 def test_create_three_segment_spec(capsys):
@@ -139,3 +143,12 @@ def test_examples_lint_clean(capsys):
     files = sorted(glob.glob("examples/*.yaml"))
     assert files
     assert main(["lint", *files]) == 0
+
+
+def test_lint_required_fields():
+    errs = lint_config({"input": {"postgres_cdc": {"wal_path": "/x"}}})
+    assert any("requires field 'dsn'" in e for e in errs)
+    assert lint_config({"input": {"postgres_cdc": {
+        "dsn": "postgres://u@h/db", "wal_path": "/x"}}}) == []
+    errs_o = lint_config({"output": {"mongodb": {"store_path": "/x"}}})
+    assert any("requires field" in e for e in errs_o)
