@@ -99,6 +99,8 @@ def lint_config(config: dict) -> list[str]:
     def check(section: str, spec, where: str):
         if spec is None:
             return
+        if isinstance(spec, dict) and "label" in spec and len(spec) == 2:
+            spec = {k: v for k, v in spec.items() if k != "label"}
         if not isinstance(spec, dict) or len(spec) != 1:
             errors.append(f"{where}: expected a single {{kind: conf}} "
                           f"mapping, got {type(spec).__name__}")

@@ -776,6 +776,10 @@ def _p_rate_limit(df: DataFrame, conf: Any) -> DataFrame:
 
 
 def apply_processor(df: DataFrame, spec: Any) -> DataFrame:
+    # the reference's YAML puts `label` beside the component key in
+    # the same mapping (`- label: foo\n  mapping: ...`); strip it
+    if isinstance(spec, dict) and "label" in spec and len(spec) == 2:
+        spec = {k: v for k, v in spec.items() if k != "label"}
     if not isinstance(spec, dict) or len(spec) != 1:
         raise PipelineConfigError(
             f"processor spec must be a single-key mapping, got {spec!r}"
@@ -1244,10 +1248,43 @@ class Pipeline:
         )
 
 
+_ENV_VAR_RE = None  # compiled lazily
+
+
+def interpolate_env_vars(
+    text: str, env: dict[str, str] | None = None
+) -> str:
+    """`${VAR}` / `${VAR:default}` substitution in config text before
+    parsing (the reference resolves env interpolations at config load,
+    internal/cli/enterprise.go:234-236; `${! ...}` Bloblang
+    interpolations pass through untouched — the `!` can't match a var
+    name). Unset without a default resolves to the empty string, the
+    reference's behavior."""
+    global _ENV_VAR_RE
+    if _ENV_VAR_RE is None:
+        import re
+
+        _ENV_VAR_RE = re.compile(
+            r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}"
+        )
+    lookup = dict(os.environ)
+    if env:
+        lookup.update({str(k): str(v) for k, v in env.items()})
+
+    def sub(m):
+        return lookup.get(m.group(1), m.group(2) or "")
+
+    return _ENV_VAR_RE.sub(sub, text)
+
+
 def build_pipeline(
-    spark: SparkSession, config: dict[str, Any] | str
+    spark: SparkSession,
+    config: dict[str, Any] | str,
+    env: dict[str, str] | None = None,
 ) -> Pipeline:
-    """Build from a config dict, a YAML string, or a YAML file path."""
+    """Build from a config dict, a YAML string, or a YAML file path.
+    Text configs get `${VAR}` env interpolation (`env` overlays the
+    process environment — the test runner's `environment` field)."""
     if isinstance(config, str):
         if os.path.exists(config):
             with open(config) as fh:
@@ -1258,7 +1295,7 @@ def build_pipeline(
             raise PipelineConfigError(
                 "YAML support unavailable; pass a config dict"
             )
-        config = yaml.safe_load(text)
+        config = yaml.safe_load(interpolate_env_vars(text, env))
     if not isinstance(config, dict) or "input" not in config:
         raise PipelineConfigError("config must be a mapping with an 'input'")
     return Pipeline(spark, config)

@@ -152,3 +152,9 @@ def test_lint_required_fields():
         "dsn": "postgres://u@h/db", "wal_path": "/x"}}}) == []
     errs_o = lint_config({"output": {"mongodb": {"store_path": "/x"}}})
     assert any("requires field" in e for e in errs_o)
+
+
+def test_lint_accepts_sibling_labels():
+    assert lint_config({"pipeline": {"processors": [
+        {"label": "x", "mapping": "root = this"},
+    ]}}) == []
