@@ -83,10 +83,41 @@ def processor(name: str):
 
 @processor("mapping")
 def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
-    """mapping.adoc:26 — Bloblang map producing a new document."""
+    """mapping.adoc:26 — Bloblang map producing a new document.
+
+    Mappings compile to Columns (the fast path Catalyst optimizes);
+    forms the Column compiler can't express — e.g. a whole-document
+    `root = <arbitrary expr>` — fall back to the dynamic per-message
+    evaluator (bloblang/pyeval.py via the `bloblang` method's Arrow-
+    batched UDF), producing the schemaless `content` JSON envelope.
+    The fallback is announced once on the driver: it is the slow
+    path, and a mapping meant for the hot path should compile."""
     if not isinstance(conf, str):
         raise PipelineConfigError("mapping expects a Bloblang string")
-    return compile_mapping(df, conf, mode="mapping")
+    from connect_spark.bloblang.compiler import BloblangError
+
+    try:
+        return compile_mapping(df, conf, mode="mapping")
+    except BloblangError as exc:
+        # fail fast if the dynamic evaluator can't parse it either —
+        # a syntax error must not masquerade as a fallback
+        from connect_spark.bloblang.pyeval import compile_cached
+
+        try:
+            compile_cached(conf)
+        except Exception:
+            raise exc from None
+        print(
+            "[connect_spark] mapping fell back to the dynamic "
+            f"evaluator (not Column-compilable: {exc}); output is the "
+            "schemaless `content` JSON envelope"
+        )
+        from connect_spark.bloblang.methods import METHODS
+
+        payload = F.to_json(F.struct(*df.columns))
+        return df.select(
+            METHODS["bloblang"](payload, F.lit(conf)).alias("content")
+        )
 
 
 @processor("mutation")

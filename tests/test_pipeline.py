@@ -434,3 +434,39 @@ def test_mq_bus_output_publishes_per_partition(spark, tmp_path):
 
     segs = [f for f in os.listdir(tmp_path / "bus") if f.startswith("wal-")]
     assert len(segs) >= 2
+
+
+def test_mapping_dynamic_fallback(spark):
+    """A whole-document `root = <expr>` mapping (not Column-
+    compilable) falls back to the dynamic evaluator, emitting the
+    schemaless content envelope."""
+    import json
+
+    from connect_spark.plans import build_pipeline
+
+    cfg = {
+        "input": {"generate": {"count": 2, "mapping":
+            'root.content = "{\\"v\\": " + counter().string() + "}"'}},
+        "pipeline": {"processors": [
+            {"mapping": "root = this.content.parse_json()"},
+        ]},
+    }
+    df = build_pipeline(spark, cfg).dataframe()
+    assert df.columns == ["content"]
+    vals = sorted(json.loads(r.content)["v"] for r in df.collect())
+    assert vals == [0, 1]
+
+
+def test_mapping_syntax_error_still_raises(spark):
+    import pytest
+
+    from connect_spark.plans import build_pipeline
+
+    cfg = {
+        "input": {"generate": {"count": 1, "mapping": "root.n = 1"}},
+        "pipeline": {"processors": [{"mapping": "root = = broken ("}]},
+    }
+    # syntax errors surface as Bloblang errors (ValueError family),
+    # never silently fall back
+    with pytest.raises(ValueError, match="unexpected|Bloblang|token"):
+        build_pipeline(spark, cfg).dataframe()
