@@ -122,10 +122,35 @@ def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
 
 @processor("mutation")
 def _p_mutation(df: DataFrame, conf: Any) -> DataFrame:
-    """mutation.adoc:26 — in-place Bloblang transform."""
+    """mutation.adoc:26 — in-place Bloblang transform. Falls back to
+    the dynamic evaluator like mapping does; mutation is a mapping
+    whose root starts as the document, so the fallback prefixes
+    `root = this` before evaluating."""
     if not isinstance(conf, str):
         raise PipelineConfigError("mutation expects a Bloblang string")
-    return compile_mapping(df, conf, mode="mutation")
+    from connect_spark.bloblang.compiler import BloblangError
+
+    try:
+        return compile_mapping(df, conf, mode="mutation")
+    except BloblangError as exc:
+        from connect_spark.bloblang.pyeval import compile_cached
+
+        dynamic_src = "root = this\n" + conf
+        try:
+            compile_cached(dynamic_src)
+        except Exception:
+            raise exc from None
+        print(
+            "[connect_spark] mutation fell back to the dynamic "
+            f"evaluator (not Column-compilable: {exc})"
+        )
+        from connect_spark.bloblang.methods import METHODS
+
+        payload = F.to_json(F.struct(*df.columns))
+        return df.select(
+            METHODS["bloblang"](payload, F.lit(dynamic_src))
+            .alias("content")
+        )
 
 
 @processor("bloblang")

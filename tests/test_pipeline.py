@@ -470,3 +470,21 @@ def test_mapping_syntax_error_still_raises(spark):
     # never silently fall back
     with pytest.raises(ValueError, match="unexpected|Bloblang|token"):
         build_pipeline(spark, cfg).dataframe()
+
+
+def test_mutation_dynamic_fallback(spark):
+    import json
+
+    from connect_spark.plans import build_pipeline
+
+    cfg = {
+        "input": {"generate": {"count": 1, "mapping":
+            "root.a = 1\nroot.b = 2\nroot.c = 3"}},
+        "pipeline": {"processors": [
+            # whole-document reshape: not Column-compilable
+            {"mutation": "root = this.keys()"},
+        ]},
+    }
+    df = build_pipeline(spark, cfg).dataframe()
+    assert df.columns == ["content"]
+    assert sorted(json.loads(df.collect()[0].content)) == ["a", "b", "c"]
