@@ -13,6 +13,7 @@ values, uppercase, lowercase, string, number, contains, or_else).
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 from connect_spark.bloblang import ast as A
@@ -318,6 +319,130 @@ def _method(node: A.Method, target: Any, this, scope, root) -> Any:
         from connect_spark.functions.argon2_py import compare_argon2
 
         return compare_argon2(str(target), args[0])
+    # object/array reshaping (methods.adoc object & array section)
+    if name == "with":
+        return {k: v for k, v in target.items() if k in args}
+    if name == "without":
+        return {k: v for k, v in target.items() if k not in args}
+    if name in ("merge", "assign"):
+        out = dict(target)
+        out.update(args[0] or {})
+        return out
+    if name == "append":
+        return list(target) + list(args)
+    if name == "concat":
+        out = list(target)
+        for a in args:
+            out += list(a or [])
+        return out
+    if name == "flatten":
+        out = []
+        for item in target:
+            if isinstance(item, list):
+                out += item
+            else:
+                out.append(item)
+        return out
+    if name == "unique":
+        seen, out = set(), []
+        for item in target:
+            key = json.dumps(item, sort_keys=True, default=str)
+            if key not in seen:
+                seen.add(key)
+                out.append(item)
+        return out
+    if name == "sort":
+        return sorted(target)
+    if name == "reverse":
+        if isinstance(target, str):
+            return target[::-1]
+        return list(reversed(target))
+    if name == "enumerated":
+        return [
+            {"index": i, "value": v} for i, v in enumerate(target)
+        ]
+    if name == "zip":
+        return [list(t) for t in zip(target, *args)]
+    if name == "get":
+        cur = target
+        for part in str(args[0]).split("."):
+            if not isinstance(cur, dict) or part not in cur:
+                return None
+            cur = cur[part]
+        return cur
+    if name == "exists":
+        cur = target
+        for part in str(args[0]).split("."):
+            if not isinstance(cur, dict) or part not in cur:
+                return False
+            cur = cur[part]
+        return True
+    # coercion / checks (methods.adoc type coercion section)
+    if name == "type":
+        return {
+            type(None): "null", bool: "bool", int: "number",
+            float: "number", str: "string", list: "array",
+            dict: "object", bytes: "bytes",
+        }.get(type(target), "unknown")
+    if name == "not_null":
+        if target is None:
+            raise BloblangValueError("value is null")
+        return target
+    if name == "not_empty":
+        if not target:
+            raise BloblangValueError("value is empty")
+        return target
+    if name == "bool":
+        return _truthy(target)
+    if name == "array":
+        return target if isinstance(target, list) else [target]
+    # numbers (methods.adoc number section)
+    if name == "abs":
+        return abs(target)
+    if name == "floor":
+        import math
+
+        return math.floor(target)
+    if name == "ceil":
+        import math
+
+        return math.ceil(target)
+    if name == "round":
+        return round(target)
+    if name == "max":
+        return max(target)
+    if name == "min":
+        return min(target)
+    # strings (methods.adoc string section)
+    if name == "capitalize":
+        s = str(target)
+        return s[:1].upper() + s[1:]
+    if name == "trim_prefix":
+        s = str(target)
+        return s[len(args[0]):] if s.startswith(args[0]) else s
+    if name == "trim_suffix":
+        s = str(target)
+        return s[: -len(args[0])] if s.endswith(args[0]) else s
+    if name == "index_of":
+        return str(target).find(args[0])
+    if name == "repeat":
+        return str(target) * int(args[0])
+    if name == "quote":
+        return json.dumps(str(target))
+    if name == "unquote":
+        return json.loads(str(target))
+    if name == "re_match":
+        import re as _re
+
+        return _re.search(args[0], str(target)) is not None
+    if name == "re_replace_all":
+        import re as _re
+
+        return _re.sub(args[0], args[1], str(target))
+    if name == "re_find_all":
+        import re as _re
+
+        return _re.findall(args[0], str(target))
     raise BloblangValueError(
         f"method {name}() not available in template mappings"
     )

@@ -488,3 +488,32 @@ def test_mutation_dynamic_fallback(spark):
     df = build_pipeline(spark, cfg).dataframe()
     assert df.columns == ["content"]
     assert sorted(json.loads(df.collect()[0].content)) == ["a", "b", "c"]
+
+
+def test_dynamic_evaluator_method_set():
+    from connect_spark.bloblang.pyeval import eval_mapping_value
+
+    cases = [
+        ('root = this.with("a")', {"a": 1, "b": 2}, {"a": 1}),
+        ('root = this.without("a")', {"a": 1, "b": 2}, {"b": 2}),
+        ('root = this.merge({"c": 3})', {"a": 1}, {"a": 1, "c": 3}),
+        ("root = this.flatten()", [[1, 2], [3]], [1, 2, 3]),
+        ("root = this.unique()", [1, 2, 1], [1, 2]),
+        ("root = this.sort()", [3, 1, 2], [1, 2, 3]),
+        ("root = this.reverse()", "abc", "cba"),
+        ("root = this.enumerated()", ["x"], [{"index": 0, "value": "x"}]),
+        ('root = this.get("a.b")', {"a": {"b": 7}}, 7),
+        ('root = this.exists("a.z")', {"a": {"b": 7}}, False),
+        ("root = this.type()", [1], "array"),
+        ("root = this.abs()", -4, 4),
+        ("root = this.floor()", 2.8, 2),
+        ("root = this.max()", [3, 9, 1], 9),
+        ("root = this.capitalize()", "hello", "Hello"),
+        ('root = this.trim_prefix("ab")', "abcd", "cd"),
+        ('root = this.index_of("c")', "abc", 2),
+        ('root = this.re_replace_all("[0-9]+", "N")', "a1b22", "aNbN"),
+        ('root = this.re_find_all("[a-z]+")', "a1b", ["a", "b"]),
+        ('root = this.quote()', 'say "hi"', '"say \\"hi\\""'),
+    ]
+    for src, doc, want in cases:
+        assert eval_mapping_value(src, doc) == want, src
