@@ -181,9 +181,23 @@ def _o_http_client(df: DataFrame, c: dict) -> None:
 
 @output_kind("iceberg")
 def _o_iceberg(df: DataFrame, c: dict) -> None:
-    """outputs/iceberg.adoc:26 — append to a catalog-less Iceberg v2
-    table (sinks/iceberg_meta.py; schema evolution on by default like
-    the reference's schema_evolution.enabled)."""
+    """outputs/iceberg.adoc:26 — append to an Iceberg v2 table.
+    `location` commits catalog-less (sinks/iceberg_meta.py);
+    `catalog_url` + `namespace` + `table` routes the commit through
+    the REST catalog client (sinks/iceberg_rest.py) with the spec's
+    optimistic snapshot requirement. Schema evolution is on by
+    default like the reference's schema_evolution.enabled."""
+    if c.get("catalog_url"):
+        from connect_spark.plans.processors_ext import get_http_transport
+        from connect_spark.sinks.iceberg_rest import RestCatalog
+
+        RestCatalog(
+            c["catalog_url"], get_http_transport(c),
+            prefix=c.get("catalog_prefix", ""),
+        ).commit_append(
+            df.sparkSession, c["namespace"], c["table"], df
+        )
+        return
     from connect_spark.sinks.iceberg_meta import IcebergTable
 
     IcebergTable(df.sparkSession, c["location"]).append(df)

@@ -1,0 +1,103 @@
+"""Iceberg REST-catalog client protocol (sinks/iceberg_rest.py):
+namespace/table lifecycle, snapshot-ref commits with the optimistic
+requirement, conflict handling, and the YAML catalog route."""
+
+from __future__ import annotations
+
+import pytest
+
+from connect_spark.sinks.iceberg_rest import (
+    CatalogError,
+    LocalCatalogHandler,
+    RestCatalog,
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    handler = LocalCatalogHandler(str(tmp_path / "warehouse"))
+    return RestCatalog("http://catalog", handler)
+
+
+def test_namespace_and_table_lifecycle(catalog):
+    assert catalog.config() == {"defaults": {}, "overrides": {}}
+    catalog.create_namespace("analytics")
+    assert ["analytics"] in catalog.list_namespaces()
+    catalog.create_table("analytics", "events", location=None)
+    idents = catalog.list_tables("analytics")
+    assert idents == [{"namespace": ["analytics"], "name": "events"}]
+    loaded = catalog.load_table("analytics", "events")
+    assert loaded["metadata"]["current-snapshot-id"] == -1
+
+
+def test_create_errors(catalog):
+    with pytest.raises(CatalogError) as e:
+        catalog.create_table("missing_ns", "t", None)
+    assert e.value.status == 404
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "t", None)
+    with pytest.raises(CatalogError) as e2:
+        catalog.create_table("ns", "t", None)
+    assert e2.value.status == 409
+
+
+def test_commit_append_moves_main(spark, catalog):
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "orders", None)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    result = catalog.commit_append(spark, "ns", "orders", df)
+    snap1 = result["metadata"]["current-snapshot-id"]
+    assert snap1 != -1
+    # second commit advances the ref and both snapshots' rows read back
+    catalog.commit_append(
+        spark, "ns", "orders",
+        spark.createDataFrame([(3, "c")], "id int, v string"))
+    loaded = catalog.load_table("ns", "orders")
+    assert loaded["metadata"]["current-snapshot-id"] != snap1
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    table = IcebergTable(spark, loaded["metadata"]["location"])
+    got = sorted(r.id for r in table.read().collect())
+    assert got == [1, 2, 3]
+
+
+def test_commit_conflict_gets_409(spark, catalog, monkeypatch):
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "t", None)
+    df = spark.createDataFrame([(1,)], "id int")
+
+    real_load = catalog.load_table
+    raced = []
+
+    def racing_load(ns, name):
+        loaded = real_load(ns, name)
+        if not raced:
+            raced.append(True)
+            # another writer commits between our load and our POST
+            catalog.commit_append(spark, ns, name, df)
+        return loaded
+
+    monkeypatch.setattr(catalog, "load_table", racing_load)
+    with pytest.raises(CatalogError) as e:
+        catalog.commit_append(spark, "ns", "t", df)
+    assert e.value.status == 409
+    assert "requirement failed" in str(e.value)
+
+
+def test_yaml_iceberg_output_via_catalog(spark, tmp_path):
+    from connect_spark.plans.pipeline import OUTPUT_KINDS
+    from connect_spark.plans.processors_ext import register_http_transport
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    handler = LocalCatalogHandler(str(tmp_path / "wh"))
+    register_http_transport("local_catalog", handler)
+    cat = RestCatalog("http://c", handler)
+    cat.create_namespace("lake")
+    cat.create_table("lake", "docs", None)
+    df = spark.createDataFrame([("d1",)], "doc string")
+    OUTPUT_KINDS["iceberg"](df, {
+        "catalog_url": "http://c", "namespace": "lake",
+        "table": "docs", "transport": "local_catalog"})
+    loc = cat.load_table("lake", "docs")["metadata"]["location"]
+    assert [r.doc for r in IcebergTable(spark, loc).read().collect()] == [
+        "d1"]
