@@ -197,6 +197,13 @@ def main(argv: list[str] | None = None) -> int:
     create_p = sub.add_parser(
         "create", help="print a config template: input//proc1,proc2/output")
     create_p.add_argument("spec", nargs="?", default="file//mapping/parquet")
+    tools_p = sub.add_parser(
+        "tools",
+        help="serve a directory of pipeline configs as callable tools "
+        "(the mcp_server mode)")
+    tools_p.add_argument("dir")
+    tools_p.add_argument("--port", type=int, default=0)
+    tools_p.add_argument("--port-file", default=None)
     args = parser.parse_args(argv)
 
     if args.cmd == "lint":
@@ -276,6 +283,24 @@ def main(argv: list[str] | None = None) -> int:
     from connect_spark.session import get_spark
 
     spark = get_spark("connect_spark_cli")
+
+    if args.cmd == "tools":
+        from connect_spark.toolserver import ToolServer
+
+        ts = ToolServer(spark)
+        n = ts.register_dir(args.dir)
+        srv, port = ts.serve(args.port)
+        print(f"serving {n} tools on http://127.0.0.1:{port}/tools")
+        if args.port_file:
+            with open(args.port_file, "w", encoding="utf-8") as fh:
+                fh.write(str(port))
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
 
     if args.cmd == "run":
         from connect_spark.plans import build_pipeline
