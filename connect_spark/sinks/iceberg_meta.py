@@ -46,13 +46,81 @@ _SPARK_TO_ICEBERG = {
 }
 
 
-def _iceberg_type(dt: T.DataType) -> str:
+def _iceberg_type(dt: T.DataType, alloc=None):
+    """Spark type → Iceberg schema-JSON type. Nested types (list/map/
+    struct, spec §Schemas) carry their own element/key/value field
+    ids, drawn from `alloc` (the table's id counter)."""
     t = _SPARK_TO_ICEBERG.get(type(dt))
-    if t is None:
-        if isinstance(dt, T.DecimalType):
-            return f"decimal({dt.precision}, {dt.scale})"
+    if t is not None:
+        return t
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if alloc is None:
         raise ValueError(f"unsupported Iceberg column type {dt}")
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, alloc),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid = alloc()
+        vid = alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, alloc),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, alloc),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = alloc()
+            fields.append({
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, alloc),
+            })
+        return {"type": "struct", "fields": fields}
+    raise ValueError(f"unsupported Iceberg column type {dt}")
+
+
+def _strip_ids(t):
+    """Structural type with ids removed (evolution compares structure;
+    ids belong to the existing table)."""
+    if isinstance(t, dict):
+        return {
+            k: (_strip_ids(v) if k in ("element", "key", "value")
+                else [_strip_ids(f) for f in v] if k == "fields"
+                else v)
+            for k, v in t.items()
+            if k not in ("element-id", "key-id", "value-id", "id")
+        }
     return t
+
+
+def _max_field_id(t) -> int:
+    """Largest field id anywhere in a schema/type tree."""
+    if isinstance(t, dict):
+        own = [
+            v for k, v in t.items()
+            if k in ("id", "element-id", "key-id", "value-id")
+        ]
+        nested = [
+            _max_field_id(v)
+            for k, v in t.items()
+            if k in ("element", "key", "value")
+        ] + [
+            max((_max_field_id(f) for f in t.get("fields", [])),
+                default=0)
+        ]
+        return max(own + nested + [0])
+    return 0
 
 
 def _iceberg_schema(
@@ -69,29 +137,46 @@ def _iceberg_schema(
         f["name"]: f for f in (prev_schema or {"fields": []})["fields"]
     }
     next_id = max(
-        (f["id"] for f in (prev_schema or {"fields": []})["fields"]),
+        (_max_field_id(f) for f in
+         (prev_schema or {"fields": []})["fields"]),
         default=0,
     )
+
+    def alloc() -> int:
+        nonlocal next_id
+        next_id += 1
+        return next_id
+
+    def probe_type(dt):
+        # comparison-only conversion: throwaway ids, stripped after
+        n = [0]
+
+        def dummy():
+            n[0] += 1
+            return n[0]
+
+        return _strip_ids(_iceberg_type(dt, dummy))
+
     fields = []
     for f in schema.fields:
-        t = _iceberg_type(f.dataType)
         if f.name in known:
             old = known[f.name]
-            if old["type"] != t:
+            if _strip_ids(old["type"]) != probe_type(f.dataType):
                 raise ValueError(
                     f"iceberg schema evolution: column {f.name!r} "
-                    f"changed type {old['type']} -> {t}"
+                    f"changed type {old['type']} -> "
+                    f"{probe_type(f.dataType)}"
                 )
             fields.append(old)
         else:
-            next_id += 1
+            fid = alloc()
             fields.append(
                 {
-                    "id": next_id,
+                    "id": fid,
                     "name": f.name,
                     # required only allowed at creation time
                     "required": prev_schema is None and not f.nullable,
-                    "type": t,
+                    "type": _iceberg_type(f.dataType, alloc),
                 }
             )
     # dropped columns stay in the schema as optional (readers of old

@@ -148,3 +148,41 @@ def test_yaml_iceberg_output(spark, tmp_path):
     t = IcebergTable(spark, loc)
     assert t.read().count() == 5
     assert t.metadata()["format-version"] == 2
+
+
+def test_nested_types_in_schema(spark, tmp_path):
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, ["a"], {"k": "v"}, {"x": 2})],
+        "id int, tags array<string>, attrs map<string,string>, "
+        "nested struct<x:int>",
+    )
+    t = IcebergTable(spark, str(tmp_path / "nested"))
+    meta = t.append(df)
+    fields = {f["name"]: f for f in meta["schemas"][-1]["fields"]}
+    assert fields["tags"]["type"]["type"] == "list"
+    assert fields["attrs"]["type"]["type"] == "map"
+    assert fields["nested"]["type"]["type"] == "struct"
+    # all field ids unique across the tree
+    import json as _json
+
+    ids = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("id", "element-id", "key-id", "value-id"):
+                    ids.append(v)
+                elif isinstance(v, (dict, list)):
+                    walk(v)
+        elif isinstance(node, list):
+            for item in node:
+                walk(item)
+
+    walk(_json.loads(_json.dumps(meta["schemas"][-1])))
+    assert len(ids) == len(set(ids))
+    # evolution keeps nested ids; unchanged appends round-trip
+    t.append(df)
+    got = t.read().collect()
+    assert len(got) == 2 and got[0].attrs == {"k": "v"}
