@@ -37,6 +37,43 @@ def compile_cached(src: str):
     return parse_mapping(src)
 
 
+SUPPORTED_METHODS = frozenset(
+    """apply map_each filter length join split keys values uppercase
+    lowercase trim string number contains or_else index slice sum
+    parse_json format_json has_prefix has_suffix replace_all
+    unicode_segments compare_bcrypt compare_argon2 with without merge
+    assign append concat flatten unique sort reverse enumerated zip
+    get exists type not_null not_empty bool array abs floor ceil round
+    max min capitalize trim_prefix trim_suffix index_of repeat quote
+    unquote re_match re_replace_all re_find_all catch""".split()
+)
+
+
+def unsupported_methods(src: str) -> set[str]:
+    """Method names in a mapping this evaluator does NOT implement —
+    the mapping/mutation dynamic-fallback gate checks this BEFORE
+    falling back, so a typo'd method surfaces as a compile error
+    instead of silent per-row nulls."""
+    mapping = compile_cached(src)
+    out: set[str] = set()
+
+    def walk(obj):
+        if isinstance(obj, A.Method) and (
+            obj.name not in SUPPORTED_METHODS
+        ):
+            out.add(obj.name)
+        if hasattr(obj, "__dict__"):
+            for attr in vars(obj).values():
+                walk(attr)
+        elif isinstance(obj, (list, tuple)):
+            for item in obj:
+                walk(item)
+
+    for st in mapping.statements:
+        walk(st)
+    return out
+
+
 def eval_mapping_value(src: str, this: Any) -> Any:
     """Evaluate a full mapping over `this`, returning the built root."""
     return eval_parsed_value(compile_cached(src), this)
@@ -408,7 +445,13 @@ def _method(node: A.Method, target: Any, this, scope, root) -> Any:
 
         return math.ceil(target)
     if name == "round":
-        return round(target)
+        # round half away from zero (methods.adoc), not banker's
+        import math
+
+        return int(
+            math.floor(target + 0.5) if target >= 0
+            else math.ceil(target - 0.5)
+        )
     if name == "max":
         return max(target)
     if name == "min":
@@ -422,7 +465,9 @@ def _method(node: A.Method, target: Any, this, scope, root) -> Any:
         return s[len(args[0]):] if s.startswith(args[0]) else s
     if name == "trim_suffix":
         s = str(target)
-        return s[: -len(args[0])] if s.endswith(args[0]) else s
+        if args[0] and s.endswith(args[0]):
+            return s[: -len(args[0])]
+        return s
     if name == "index_of":
         return str(target).find(args[0])
     if name == "repeat":

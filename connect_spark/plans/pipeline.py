@@ -100,13 +100,20 @@ def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
         return compile_mapping(df, conf, mode="mapping")
     except BloblangError as exc:
         # fail fast if the dynamic evaluator can't parse it either —
-        # a syntax error must not masquerade as a fallback
-        from connect_spark.bloblang.pyeval import compile_cached
+        # a syntax error must not masquerade as a fallback — or uses
+        # methods the evaluator lacks (a typo'd method would otherwise
+        # degrade to silent per-row nulls)
+        from connect_spark.bloblang.pyeval import unsupported_methods
 
         try:
-            compile_cached(conf)
+            missing = unsupported_methods(conf)
         except Exception:
             raise exc from None
+        if missing:
+            raise BloblangError(
+                f"{exc}; dynamic fallback unavailable too (methods not "
+                f"implemented by the evaluator: {sorted(missing)})"
+            ) from exc
         print(
             "[connect_spark] mapping fell back to the dynamic "
             f"evaluator (not Column-compilable: {exc}); output is the "
@@ -133,13 +140,18 @@ def _p_mutation(df: DataFrame, conf: Any) -> DataFrame:
     try:
         return compile_mapping(df, conf, mode="mutation")
     except BloblangError as exc:
-        from connect_spark.bloblang.pyeval import compile_cached
+        from connect_spark.bloblang.pyeval import unsupported_methods
 
         dynamic_src = "root = this\n" + conf
         try:
-            compile_cached(dynamic_src)
+            missing = unsupported_methods(dynamic_src)
         except Exception:
             raise exc from None
+        if missing:
+            raise BloblangError(
+                f"{exc}; dynamic fallback unavailable too (methods not "
+                f"implemented by the evaluator: {sorted(missing)})"
+            ) from exc
         print(
             "[connect_spark] mutation fell back to the dynamic "
             f"evaluator (not Column-compilable: {exc})"

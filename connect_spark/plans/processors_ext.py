@@ -559,6 +559,12 @@ def _urllib_transport(url, verb, headers, body):
         return resp.read().decode()
 
 
+# the default transport every transport-backed kind resolves when no
+# `transport` is configured — registered here so get_http_transport's
+# 'urllib' default actually exists
+register_http_transport("urllib", _urllib_transport)
+
+
 @processor("http")
 def _p_http(df: DataFrame, conf: Any) -> DataFrame:
     """http processor (http.adoc:26) — per-message request, response

@@ -158,13 +158,21 @@ def run_case(
     specs = _resolve_target(case, config or {})
     specs = _apply_mocks(specs, case.get("mocks", {}))
     if case.get("environment"):
-        import yaml as _yaml
+        env = case["environment"]
 
-        specs = _yaml.safe_load(
-            interpolate_env_vars(
-                _yaml.safe_dump(specs), case["environment"]
-            )
-        )
+        def interp(node):
+            # interpolate string LEAVES in place — substituting into
+            # re-serialized YAML would let env values containing
+            # YAML-significant characters corrupt the specs
+            if isinstance(node, str):
+                return interpolate_env_vars(node, env)
+            if isinstance(node, dict):
+                return {k: interp(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [interp(v) for v in node]
+            return node
+
+        specs = interp(specs)
     df = _rows_from_batch(spark, case["input_batch"])
     for spec in specs:
         df = apply_processor(df, spec)
@@ -213,18 +221,20 @@ def run_suite(
     with an inline `tests:` section; pointer/label targets resolve
     against the sibling config sections)."""
     config: dict[str, Any] = {}
+    base_dir = None
     if isinstance(suite, str):
         import yaml
 
+        base_dir = os.path.dirname(os.path.abspath(suite))
         with open(suite) as fh:
             suite = yaml.safe_load(fh)
-        if isinstance(suite, dict):
-            suite = dict(suite)
-            suite["__dir__"] = os.path.dirname(os.path.abspath(
-                str(fh.name)))
     if isinstance(suite, dict):
         cases = suite["tests"]
         config = {k: v for k, v in suite.items() if k != "tests"}
     else:
         cases = suite
+    if base_dir is not None:
+        # .blobl target_mapping paths resolve against the suite file's
+        # directory regardless of the suite's shape (dict or bare list)
+        config["__dir__"] = base_dir
     return [run_case(spark, c, config) for c in cases]

@@ -91,11 +91,14 @@ def _iceberg_type(dt: T.DataType, alloc=None):
 
 
 def _strip_ids(t):
-    """Structural type with ids removed (evolution compares structure;
-    ids belong to the existing table)."""
+    """Structural type with ids removed — recursively, including the
+    `type` of struct fields (evolution compares structure; ids belong
+    to the existing table)."""
     if isinstance(t, dict):
         return {
-            k: (_strip_ids(v) if k in ("element", "key", "value")
+            k: (_strip_ids(v)
+                if k in ("element", "key", "value", "type")
+                and isinstance(v, (dict, list))
                 else [_strip_ids(f) for f in v] if k == "fields"
                 else v)
             for k, v in t.items()
@@ -105,21 +108,20 @@ def _strip_ids(t):
 
 
 def _max_field_id(t) -> int:
-    """Largest field id anywhere in a schema/type tree."""
+    """Largest field id anywhere in a schema/type tree (spec identity
+    rule: ids are unique across the WHOLE tree, so the walk must
+    descend through nested `type` values too)."""
     if isinstance(t, dict):
-        own = [
-            v for k, v in t.items()
-            if k in ("id", "element-id", "key-id", "value-id")
-        ]
-        nested = [
-            _max_field_id(v)
-            for k, v in t.items()
-            if k in ("element", "key", "value")
-        ] + [
-            max((_max_field_id(f) for f in t.get("fields", [])),
-                default=0)
-        ]
-        return max(own + nested + [0])
+        out = 0
+        for k, v in t.items():
+            if k in ("id", "element-id", "key-id", "value-id"):
+                out = max(out, int(v))
+            elif isinstance(v, dict):
+                out = max(out, _max_field_id(v))
+            elif isinstance(v, list):
+                for item in v:
+                    out = max(out, _max_field_id(item))
+        return out
     return 0
 
 

@@ -115,30 +115,42 @@ class RestCatalog:
             "current-snapshot-id", -1
         )
         table = IcebergTable(spark, location)
+        local_version_before = table._version()
         meta = table.append(df)
         snapshot = meta["snapshots"][-1]
-        return self._call(
-            "POST",
-            f"/namespaces/{namespace}/tables/{name}",
-            {
-                "requirements": [
-                    {
-                        "type": "assert-ref-snapshot-id",
-                        "ref": "main",
-                        "snapshot-id": prior_snapshot,
-                    }
-                ],
-                "updates": [
-                    {"action": "add-snapshot", "snapshot": snapshot},
-                    {
-                        "action": "set-snapshot-ref",
-                        "ref-name": "main",
-                        "type": "branch",
-                        "snapshot-id": snapshot["snapshot-id"],
-                    },
-                ],
-            },
-        )
+        try:
+            return self._call(
+                "POST",
+                f"/namespaces/{namespace}/tables/{name}",
+                {
+                    "requirements": [
+                        {
+                            "type": "assert-ref-snapshot-id",
+                            "ref": "main",
+                            "snapshot-id": prior_snapshot,
+                        }
+                    ],
+                    "updates": [
+                        {"action": "add-snapshot", "snapshot": snapshot},
+                        {
+                            "action": "set-snapshot-ref",
+                            "ref-name": "main",
+                            "type": "branch",
+                            "snapshot-id": snapshot["snapshot-id"],
+                        },
+                    ],
+                },
+            )
+        except CatalogError:
+            # the catalog rejected the commit — roll the LOCAL table
+            # pointer back so the rejected snapshot is not readable
+            # and a retry doesn't double-write (the orphaned metadata
+            # and data files are the standard aborted-commit debris a
+            # maintenance vacuum removes)
+            hint = os.path.join(table.meta_dir, "version-hint.text")
+            with open(hint, "w", encoding="utf-8") as fh:
+                fh.write(str(local_version_before))
+            raise
 
 
 class LocalCatalogHandler:

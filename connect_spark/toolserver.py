@@ -69,7 +69,10 @@ class ToolServer:
             tool = self._tools.get(name)
             if tool is None:
                 return 404, {"error": f"unknown tool {name!r}"}
-            args = json.loads(body) if body else {}
+            try:
+                args = json.loads(body) if body else {}
+            except ValueError as exc:
+                return 400, {"error": f"invalid JSON body: {exc}"}
             from connect_spark.plans.pipeline import (
                 PipelineConfigError,
                 build_pipeline,
@@ -81,14 +84,18 @@ class ToolServer:
                     env=args.get("env"),
                 )
                 result = pipeline.run()
+                if result is None:
+                    return 200, {"rows": [], "count": 0}
+                limit = int(args.get("limit", 100))
+                rows = [
+                    json.loads(r)
+                    for r in result.limit(limit).toJSON().collect()
+                ]
             except PipelineConfigError as exc:
                 return 400, {"error": str(exc)}
-            if result is None:
-                return 200, {"rows": [], "count": 0}
-            limit = int(args.get("limit", 100))
-            rows = [
-                json.loads(r) for r in result.limit(limit).toJSON().collect()
-            ]
+            except Exception as exc:  # noqa: BLE001 — the HTTP
+                # boundary must answer, never drop the connection
+                return 500, {"error": f"{type(exc).__name__}: {exc}"}
             return 200, {"rows": rows, "count": len(rows)}
         return 404, {"error": f"unhandled {verb} {path}"}
 

@@ -186,3 +186,39 @@ def test_nested_types_in_schema(spark, tmp_path):
     t.append(df)
     got = t.read().collect()
     assert len(got) == 2 and got[0].attrs == {"k": "v"}
+
+
+def test_nested_ids_survive_evolution(spark, tmp_path):
+    """New columns after a nested column must get FRESH ids, and an
+    unchanged nested schema must not be reported as a type change."""
+    from connect_spark.sinks.iceberg_meta import (
+        IcebergTable,
+        _max_field_id,
+    )
+
+    t = IcebergTable(spark, str(tmp_path / "evo"))
+    df1 = spark.createDataFrame([(["a"],)], "tags array<string>")
+    meta1 = t.append(df1)
+    # tags id=1, element-id=2 → next id must be 3
+    assert _max_field_id(meta1["schemas"][-1]) == 2
+    df2 = spark.createDataFrame(
+        [(["b"], 7)], "tags array<string>, extra int")
+    meta2 = t.append(df2)
+    ids = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("id", "element-id", "key-id", "value-id"):
+                    ids.append(v)
+                elif isinstance(v, (dict, list)):
+                    walk(v)
+        elif isinstance(node, list):
+            for i in node:
+                walk(i)
+
+    walk(meta2["schemas"][-1])
+    assert len(ids) == len(set(ids)), ids
+    # third append, unchanged: no bogus type-change error
+    t.append(df2)
+    assert t.read().count() == 3

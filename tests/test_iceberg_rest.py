@@ -101,3 +101,41 @@ def test_yaml_iceberg_output_via_catalog(spark, tmp_path):
     loc = cat.load_table("lake", "docs")["metadata"]["location"]
     assert [r.doc for r in IcebergTable(spark, loc).read().collect()] == [
         "d1"]
+
+
+def test_conflict_rolls_back_local_snapshot(spark, catalog):
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "r", None)
+    df1 = spark.createDataFrame([(1,)], "id int")
+    catalog.commit_append(spark, "ns", "r", df1)
+    loc = catalog.load_table("ns", "r")["metadata"]["location"]
+
+    # force a conflict: move the catalog's main ref behind our back
+    state = catalog.load_table("ns", "r")
+    real_load = catalog.load_table
+    stale = dict(state)
+    stale["metadata"] = dict(state["metadata"], **{
+        "current-snapshot-id": -999})
+    raced = []
+
+    def stale_load(ns, name):
+        if not raced:
+            raced.append(True)
+            return stale
+        return real_load(ns, name)
+
+    catalog.load_table = stale_load
+    with pytest.raises(CatalogError):
+        catalog.commit_append(
+            spark, "ns", "r",
+            spark.createDataFrame([(2,)], "id int"))
+    catalog.load_table = real_load
+    # the rejected snapshot is NOT readable locally
+    assert [r.id for r in IcebergTable(spark, loc).read().collect()] == [1]
+    # and a retry lands exactly once
+    catalog.commit_append(
+        spark, "ns", "r", spark.createDataFrame([(2,)], "id int"))
+    got = sorted(r.id for r in IcebergTable(spark, loc).read().collect())
+    assert got == [1, 2]

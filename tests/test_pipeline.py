@@ -517,3 +517,26 @@ def test_dynamic_evaluator_method_set():
     ]
     for src, doc, want in cases:
         assert eval_mapping_value(src, doc) == want, src
+
+
+def test_fallback_rejects_unknown_methods(spark):
+    import pytest
+
+    from connect_spark.plans import build_pipeline
+
+    cfg = {
+        "input": {"generate": {"count": 1, "mapping": "root.y = \"x\""}},
+        "pipeline": {"processors": [
+            {"mapping": "root = this.y.upperrcase()"},
+        ]},
+    }
+    with pytest.raises(ValueError, match="upperrcase"):
+        build_pipeline(spark, cfg).dataframe()
+
+
+def test_pyeval_round_and_trim_suffix():
+    from connect_spark.bloblang.pyeval import eval_mapping_value
+
+    assert eval_mapping_value("root = this.round()", 2.5) == 3
+    assert eval_mapping_value("root = this.round()", -2.5) == -3
+    assert eval_mapping_value('root = this.trim_suffix("")', "abc") == "abc"

@@ -156,3 +156,36 @@ def test_sibling_label_in_pipeline_run(spark):
         ]},
     }).dataframe()
     assert df.collect()[0].n == 6
+
+
+def test_environment_with_yaml_significant_chars(spark):
+    suite = {"tests": [{
+        "target_processors": [
+            {"mapping": 'root.tag = "${TRICKY:none}"'},
+        ],
+        # colon+hash+newline would corrupt a YAML re-serialization;
+        # tree-walk interpolation leaves the spec structure intact
+        # (quotes inside the value would break the Bloblang string
+        # literal itself — that is interpolation-into-code, the same
+        # hazard the reference has)
+        "environment": {"TRICKY": "a: b #no comment"},
+        "input_batch": [{"json_content": {"n": 1}}],
+        "output_batch": [{"json_contains": {"tag": "a: b #no comment"}}],
+    }]}
+    results = run_suite(spark, suite)
+    assert results[0].ok, results[0].failures
+
+
+def test_list_suite_file_resolves_blobl_dir(spark, tmp_path):
+    (tmp_path / "m.blobl").write_text("root.out = this.n * 3\n")
+    suite_file = tmp_path / "list_suite.yaml"
+    suite_file.write_text(
+        "- name: listy\n"
+        "  target_mapping: m.blobl\n"
+        "  input_batch:\n"
+        "    - json_content: {n: 2}\n"
+        "  output_batch:\n"
+        "    - json_equals: {out: 6}\n"
+    )
+    results = run_suite(spark, str(suite_file))
+    assert results[0].ok, results[0].failures

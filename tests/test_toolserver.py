@@ -73,3 +73,17 @@ def test_register_dir_and_http(spark, tmp_path):
         assert res["rows"] == [{"msg": "hello"}]
     finally:
         srv.shutdown()
+
+
+def test_tool_bad_json_and_runtime_errors(spark):
+    ts = ToolServer(spark)
+    ts.register("ok", {"input": {"generate": {
+        "count": 1, "mapping": "root.n = 1"}}})
+    status, doc = ts.handle("POST", "/tools/ok", "not json {")
+    assert status == 400 and "invalid JSON" in doc["error"]
+    ts.register("boom", {"input": {"generate": {
+        "count": 1, "mapping": "root.n = 1"}},
+        "pipeline": {"processors": [
+            {"crash": {"message": "kaboom"}}]}})
+    status, doc = ts.handle("POST", "/tools/boom")
+    assert status == 500 and "kaboom" in doc["error"]
