@@ -174,6 +174,14 @@ def lint_config(config: dict) -> list[str]:
     for i, item in enumerate(config.get("cache_resources", [])):
         body = {k: v for k, v in item.items() if k != "label"}
         check("caches", body, f"cache_resources[{i}]")
+    for section, where in (("inputs", "input_resources"),
+                           ("outputs", "output_resources")):
+        for i, item in enumerate(config.get(where, [])):
+            body = {k: v for k, v in item.items() if k != "label"}
+            check(section, body, f"{where}[{i}]")
+    for i, item in enumerate(config.get("processor_resources", [])):
+        body = {k: v for k, v in item.items() if k != "label"}
+        check("processors", body, f"processor_resources[{i}]")
     return errors
 
 
@@ -183,6 +191,11 @@ def main(argv: list[str] | None = None) -> int:
     run_p = sub.add_parser("run", help="run a pipeline YAML")
     run_p.add_argument("config")
     run_p.add_argument("--limit", type=int, default=20)
+    run_p.add_argument(
+        "--set", "-s", action="append", default=[], dest="overrides",
+        metavar="PATH=VALUE",
+        help="override a config field by dotted path "
+        "(repeatable), e.g. -s input.generate.count=5")
     test_p = sub.add_parser("test", help="run a config unit-test suite YAML")
     test_p.add_argument("suite")
     lint_p = sub.add_parser("lint", help="validate configs statically")
@@ -303,9 +316,26 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "run":
+        import yaml
+
         from connect_spark.plans import build_pipeline
 
-        result = build_pipeline(spark, args.config).run()
+        target = args.config
+        if args.overrides:
+            with open(args.config, encoding="utf-8") as fh:
+                from connect_spark.plans.pipeline import (
+                    interpolate_env_vars,
+                )
+
+                target = yaml.safe_load(interpolate_env_vars(fh.read()))
+            for item in args.overrides:
+                path, _, raw = item.partition("=")
+                node = target
+                parts = path.split(".")
+                for seg in parts[:-1]:
+                    node = node.setdefault(seg, {})
+                node[parts[-1]] = yaml.safe_load(raw)
+        result = build_pipeline(spark, target).run()
         if result is not None:
             result.show(args.limit, truncate=False)
         return 0

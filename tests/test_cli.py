@@ -158,3 +158,26 @@ def test_lint_accepts_sibling_labels():
     assert lint_config({"pipeline": {"processors": [
         {"label": "x", "mapping": "root = this"},
     ]}}) == []
+
+
+def test_run_set_overrides(tmp_path, capsys):
+    cfg = tmp_path / "r.yaml"
+    cfg.write_text(
+        "input:\n  generate:\n    count: 1\n"
+        "    mapping: 'root.n = counter()'\n"
+        "output:\n  memory: {}\n"
+    )
+    assert main(["run", str(cfg), "-s", "input.generate.count=3"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("|") > 0 and "2" in out  # rows 0..2 shown
+
+
+def test_lint_resource_sections():
+    errs = lint_config({
+        "input_resources": [{"label": "a", "bogus_in": {}}],
+        "output_resources": [{"label": "b", "parquet": {}}],
+        "processor_resources": [{"label": "c", "mappin": {}}],
+    })
+    assert len(errs) == 2
+    assert any("bogus_in" in e for e in errs)
+    assert any("mappin" in e for e in errs)
