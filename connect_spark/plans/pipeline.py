@@ -1301,6 +1301,28 @@ class Pipeline:
             )
         return result
 
+    def start(self, checkpoint: str | None = None):
+        """Continuous streaming execution: every micro-batch delivers
+        through the configured output via foreachBatch (the
+        transaction unit matching the reference's batch delivery).
+        Returns the StreamingQuery; the caller owns its lifecycle.
+        Batch inputs don't need this — use run()."""
+        df = self.dataframe()
+        if not df.isStreaming:
+            raise PipelineConfigError(
+                "start() is for streaming inputs; use run() for batch"
+            )
+        self.flush_writes()
+        output_conf = self.config.get("output")
+
+        def deliver(batch_df: DataFrame, batch_id: int) -> None:
+            _run_output(batch_df, output_conf)
+
+        writer = df.writeStream.foreachBatch(deliver)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
     def run_streaming_to_memory(self, query_name: str):
         """Start a streaming pipeline into a memory sink; caller
         drives the query (processAllAvailable/stop) and reads

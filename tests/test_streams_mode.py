@@ -1,0 +1,83 @@
+"""Streams mode (connect_spark/streams_mode.py): continuous
+foreachBatch delivery per stream, lifecycle + REST protocol."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from connect_spark.sources.mq import MessageBus
+from connect_spark.streams_mode import StreamsServer
+
+
+def test_streaming_stream_delivers_continuously(spark, tmp_path):
+    bus = MessageBus(str(tmp_path / "bus"))
+    bus.publish("t", [{"n": 1}, {"n": 2}])
+    out = str(tmp_path / "out")
+    server = StreamsServer(spark)
+    try:
+        st = server.create("s1", {
+            "input": {"mq_bus": {"path": bus.path, "subject": "t",
+                                 "streaming": True}},
+            "output": {"parquet": {"path": out, "mode": "append"}},
+        }, checkpoint=str(tmp_path / "ckpt"))
+        assert st["streaming"] and st["status"] == "running"
+        server.process_available("s1")
+        got1 = spark.read.parquet(out).count()
+        assert got1 == 2
+        # new messages arrive → the SAME running stream delivers them
+        bus.publish("t", [{"n": 3}])
+        server.process_available("s1")
+        assert spark.read.parquet(out).count() == 3
+    finally:
+        server.shutdown()
+
+
+def test_batch_stream_completes(spark, tmp_path):
+    out = str(tmp_path / "b")
+    server = StreamsServer(spark)
+    st = server.create("batch1", {
+        "input": {"generate": {"count": 2, "mapping": "root.n = 1"}},
+        "output": {"parquet": {"path": out}},
+    })
+    assert st["status"] == "completed" and not st["streaming"]
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_rest_protocol(spark, tmp_path):
+    import urllib.request
+
+    server = StreamsServer(spark)
+    srv, port = server.serve()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        cfg = json.dumps({
+            "input": {"generate": {"count": 1, "mapping": "root.n = 1"}},
+            "output": {"parquet": {"path": str(tmp_path / "r")}},
+        })
+        created = json.loads(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/streams/one",
+                                   data=cfg.encode(), method="POST")
+        ).read())
+        assert created["id"] == "one"
+        listing = json.loads(urllib.request.urlopen(
+            f"{base}/streams").read())
+        assert [s["id"] for s in listing["streams"]] == ["one"]
+        # duplicate id → 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/streams/one", data=cfg.encode(),
+                method="POST"))
+        assert e.value.code == 400
+        # delete then 404
+        deleted = json.loads(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/streams/one",
+                                   method="DELETE")).read())
+        assert deleted == {"deleted": "one"}
+        with pytest.raises(urllib.error.HTTPError) as e2:
+            urllib.request.urlopen(f"{base}/streams/one")
+        assert e2.value.code == 404
+    finally:
+        srv.shutdown()
+        server.shutdown()
