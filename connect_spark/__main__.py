@@ -217,6 +217,13 @@ def main(argv: list[str] | None = None) -> int:
     tools_p.add_argument("dir")
     tools_p.add_argument("--port", type=int, default=0)
     tools_p.add_argument("--port-file", default=None)
+    streams_p = sub.add_parser(
+        "streams",
+        help="run a directory of pipeline configs as isolated streams "
+        "with the /streams REST control plane")
+    streams_p.add_argument("dir")
+    streams_p.add_argument("--port", type=int, default=0)
+    streams_p.add_argument("--port-file", default=None)
     args = parser.parse_args(argv)
 
     if args.cmd == "lint":
@@ -296,6 +303,31 @@ def main(argv: list[str] | None = None) -> int:
     from connect_spark.session import get_spark
 
     spark = get_spark("connect_spark_cli")
+
+    if args.cmd == "streams":
+        import glob
+        import os
+
+        from connect_spark.streams_mode import StreamsServer
+
+        server = StreamsServer(spark)
+        for p in sorted(glob.glob(os.path.join(args.dir, "*.yaml"))):
+            sid = os.path.splitext(os.path.basename(p))[0]
+            server.create(sid, p)
+        srv, port = server.serve(args.port)
+        print(f"streams mode on http://127.0.0.1:{port}/streams "
+              f"({len(server.list())} streams)")
+        if args.port_file:
+            with open(args.port_file, "w", encoding="utf-8") as fh:
+                fh.write(str(port))
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            srv.shutdown()
+            server.shutdown()
+        return 0
 
     if args.cmd == "tools":
         from connect_spark.toolserver import ToolServer
