@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "amqp_envelope_events",
     "mongo_filter_orders",
     "buffer_window_stamp",
+    "dedup_line_removal",
     "mapping_project",
     "mutation_enrich",
     "switch_route",

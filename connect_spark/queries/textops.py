@@ -756,6 +756,75 @@ FROM documents
 """
 
 
+
+
+def dedup_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span removal (Raffel et al.'s line dedup,
+    the training-data cleaning step beyond whole-doc dedup): the
+    corpus keeps exactly ONE occurrence of every repeated span —
+    first occurrence wins globally (doc_id, position order) — and
+    documents reassemble from their surviving spans. Spans here are
+    10-word segments (the synthetic docs have no newlines; a real
+    corpus splits on them).
+
+    100 TB shape: one shuffle on the span hash for the global
+    first-occurrence window (skew-bounded: spans are near-unique by
+    construction), one shuffle back on doc_id to reassemble — no
+    driver materialization, no cartesian anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "pos")
+    kept = segs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "seg"))
+                ).getField("seg"),
+                " ",
+            ).alias("cleaned"),
+            F.count("*").alias("kept_segments"),
+        )
+    )
+
+
+DEDUP_LINE_REMOVAL_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS seg
+  FROM w, UNNEST(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY pos) AS cleaned,
+       count(*) AS kept_segments
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, headline=True),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
@@ -773,5 +842,8 @@ QUERIES = [
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL),
     QuerySpec(
         "unicode_segments_docs", unicode_segments_docs, UNICODE_SEGMENTS_SQL
+    ),
+    QuerySpec(
+        "dedup_line_removal", dedup_line_removal, DEDUP_LINE_REMOVAL_SQL
     ),
 ]
