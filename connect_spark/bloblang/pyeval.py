@@ -50,9 +50,9 @@ SUPPORTED_METHODS = frozenset(
 
 
 def unsupported_methods(src: str) -> set[str]:
-    """Method names in a mapping this evaluator does NOT implement —
-    the mapping/mutation dynamic-fallback gate checks this BEFORE
-    falling back, so a typo'd method surfaces as a compile error
+    """Method AND function names in a mapping this evaluator does NOT
+    implement — the mapping/mutation dynamic-fallback gate checks this
+    BEFORE falling back, so a typo'd name surfaces as a compile error
     instead of silent per-row nulls."""
     mapping = compile_cached(src)
     out: set[str] = set()
@@ -62,6 +62,10 @@ def unsupported_methods(src: str) -> set[str]:
             obj.name not in SUPPORTED_METHODS
         ):
             out.add(obj.name)
+        if isinstance(obj, A.Func) and (
+            obj.name not in SUPPORTED_FUNCTIONS
+        ):
+            out.add(obj.name + "()")
         if hasattr(obj, "__dict__"):
             for attr in vars(obj).values():
                 walk(attr)
@@ -225,10 +229,114 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
         target = _ev(node.target, this, scope, root)
         return _method(node, target, this, scope, root)
     if isinstance(node, A.Func):
-        raise BloblangValueError(
-            f"function {node.name}() not available in template mappings"
-        )
+        return _func(node, this, scope, root)
     raise BloblangValueError(f"unsupported node {type(node).__name__}")
+
+
+SUPPORTED_FUNCTIONS = frozenset(
+    """json content range now timestamp_unix timestamp_unix_milli
+    timestamp_unix_micro timestamp_unix_nano hostname env pi uuid_v4
+    nanoid ksuid counter random_int error errored throw""".split()
+)
+
+_COUNTERS: dict[str, int] = {}
+
+
+def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
+    """Function subset for the dynamic evaluator (functions.adoc).
+    Deterministic where the reference is; the random/id generators use
+    the real entropy source — the fallback path is not oracle-gated."""
+    name = node.name
+    args = [_ev(a, this, scope, root) for a in node.args]
+    if name == "json":
+        if not args:
+            return this
+        cur = this
+        for part in str(args[0]).split("."):
+            if not isinstance(cur, dict) or part not in cur:
+                return None
+            cur = cur[part]
+        return cur
+    if name == "content":
+        return (
+            this.get("content") if isinstance(this, dict) else this
+        )
+    if name == "range":
+        lo = int(args[0]) if len(args) > 1 else 0
+        hi = int(args[1]) if len(args) > 1 else int(args[0])
+        step = int(args[2]) if len(args) > 2 else 1
+        return list(range(lo, hi, step))
+    if name == "now":
+        import datetime
+
+        return datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    if name.startswith("timestamp_unix"):
+        import time as _time
+
+        scale = {"": 1, "_milli": 1e3, "_micro": 1e6, "_nano": 1e9}[
+            name[len("timestamp_unix"):]
+        ]
+        return int(_time.time() * scale)
+    if name == "hostname":
+        import socket
+
+        return socket.gethostname()
+    if name == "env":
+        import os as _os
+
+        return _os.environ.get(str(args[0]))
+    if name == "pi":
+        import math
+
+        return math.pi
+    if name == "uuid_v4":
+        import uuid as _uuid
+
+        return str(_uuid.uuid4())
+    if name == "nanoid":
+        import secrets
+
+        alphabet = (
+            "useandom-26T198340PX75pxJACKVERYMINDBUSHWOLF_GQZbfghjklqvwyzrict"
+        )
+        return "".join(secrets.choice(alphabet) for _ in range(21))
+    if name == "ksuid":
+        import secrets
+        import time as _time
+
+        raw = int(_time.time() - 1400000000).to_bytes(4, "big") + (
+            secrets.token_bytes(16)
+        )
+        digits = (
+            "0123456789"
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+            "abcdefghijklmnopqrstuvwxyz"
+        )
+        n = int.from_bytes(raw, "big")
+        out = ""
+        while n:
+            n, r = divmod(n, 62)
+            out = digits[r] + out
+        return out.rjust(27, "0")
+    if name == "counter":
+        key = str(args[0]) if args else "default"
+        _COUNTERS[key] = _COUNTERS.get(key, 0) + 1
+        return _COUNTERS[key]
+    if name == "random_int":
+        import secrets
+
+        cap = int(args[0]) if args else 9007199254740991
+        return secrets.randbelow(cap)
+    if name == "error":
+        return None
+    if name == "errored":
+        return False
+    if name == "throw":
+        raise BloblangValueError(str(args[0]) if args else "throw()")
+    raise BloblangValueError(
+        f"function {name}() not available in template mappings"
+    )
 
 
 def _call_lambda(lam: A.Lambda, arg: Any, this, scope, root) -> Any:

@@ -540,3 +540,25 @@ def test_pyeval_round_and_trim_suffix():
     assert eval_mapping_value("root = this.round()", 2.5) == 3
     assert eval_mapping_value("root = this.round()", -2.5) == -3
     assert eval_mapping_value('root = this.trim_suffix("")', "abc") == "abc"
+
+
+def test_pyeval_function_subset():
+    from connect_spark.bloblang.pyeval import (
+        eval_mapping_value,
+        unsupported_methods,
+    )
+
+    assert eval_mapping_value('root = json("a.b")', {"a": {"b": 5}}) == 5
+    assert eval_mapping_value("root = range(3)", {}) == [0, 1, 2]
+    assert eval_mapping_value("root = range(1, 7, 2)", {}) == [1, 3, 5]
+    assert abs(eval_mapping_value("root = pi()", {}) - 3.14159) < 1e-4
+    v4 = eval_mapping_value("root = uuid_v4()", {})
+    assert len(v4) == 36 and v4.count("-") == 4
+    assert len(eval_mapping_value("root = ksuid()", {})) == 27
+    assert len(eval_mapping_value("root = nanoid()", {})) == 21
+    c1 = eval_mapping_value('root = counter("t_pyeval")', {})
+    c2 = eval_mapping_value('root = counter("t_pyeval")', {})
+    assert c2 == c1 + 1
+    # the fallback gate flags unknown functions too
+    assert unsupported_methods("root = snowflake_id()") == {
+        "snowflake_id()"}
