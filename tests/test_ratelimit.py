@@ -62,8 +62,13 @@ def test_registry_and_validation():
     assert rl.count == 7 and rl.interval == "2s"
     with pytest.raises(KeyError):
         get_rate_limit("nope")
+    # redis is a supported kind now (count/interval window; url
+    # validated) — unknown kinds still reject
+    rl_redis = register_rate_limit(
+        "redis_rl", {"redis": {"url": "redis://h", "count": 3}})
+    assert rl_redis.count == 3
     with pytest.raises(ValueError):
-        register_rate_limit("redis", {"redis": {"url": "x"}})
+        register_rate_limit("bogus_rl", {"etcd": {}})
     with pytest.raises(ValueError):
         LocalRateLimit(count=0)
 
