@@ -74,6 +74,10 @@ def unsupported_methods(src: str) -> set[str]:
                 walk(item)
 
     for st in mapping.statements:
+        if not isinstance(st, (A.Assign, A.Let, A.MapDef)):
+            # e.g. MetaAssign — the value evaluator has no metadata
+            # model, so fallback must not claim to run it
+            out.add(f"<{type(st).__name__} statement>")
         walk(st)
     return out
 
@@ -226,6 +230,18 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
                 return _ev(case.result, this, scope, root)
         return None
     if isinstance(node, A.Method):
+        if node.name == "catch":
+            # catch wraps the TARGET's evaluation (about.adoc error
+            # handling): any failure yields the fallback argument
+            try:
+                return _ev(node.target, this, scope, root)
+            except Exception:  # noqa: BLE001 — catch semantics
+                fallback = node.args[0]
+                if isinstance(fallback, A.Lambda):
+                    return _call_lambda(
+                        fallback, None, this, scope, root
+                    )
+                return _ev(fallback, this, scope, root)
         target = _ev(node.target, this, scope, root)
         return _method(node, target, this, scope, root)
     if isinstance(node, A.Func):

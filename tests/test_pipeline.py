@@ -562,3 +562,17 @@ def test_pyeval_function_subset():
     # the fallback gate flags unknown functions too
     assert unsupported_methods("root = snowflake_id()") == {
         "snowflake_id()"}
+
+
+def test_pyeval_catch_and_meta_gate():
+    from connect_spark.bloblang.pyeval import (
+        eval_mapping_value,
+        unsupported_methods,
+    )
+
+    assert eval_mapping_value(
+        'root = this.x.number().catch(-1)', {"x": "abc"}) == -1
+    assert eval_mapping_value(
+        'root = this.x.number().catch(-1)', {"x": "4"}) == 4
+    gates = unsupported_methods('meta out = "t"\nroot.a = 1')
+    assert any("MetaAssign" in g for g in gates)
