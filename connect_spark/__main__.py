@@ -255,8 +255,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "echo":
         import yaml
 
+        from connect_spark.plans.pipeline import interpolate_env_vars
+
         with open(args.config, encoding="utf-8") as fh:
-            config = yaml.safe_load(fh) or {}
+            config = yaml.safe_load(
+                interpolate_env_vars(fh.read())) or {}
         print(yaml.safe_dump(config, sort_keys=False).rstrip())
         return 0
 
