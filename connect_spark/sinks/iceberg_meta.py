@@ -28,6 +28,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from connect_spark.functions.avro_codec import read_ocf, write_ocf
@@ -44,6 +45,16 @@ _SPARK_TO_ICEBERG = {
     T.TimestampNTZType: "timestamp",
     T.DateType: "date",
 }
+
+
+def _iceberg_type_or_none(dt: T.DataType) -> str | None:
+    """Primitive Iceberg type name, or None for nested/unsupported."""
+    t = _SPARK_TO_ICEBERG.get(type(dt))
+    if t is not None:
+        return t
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    return None
 
 
 def _iceberg_type(dt: T.DataType, alloc=None):
@@ -206,8 +217,105 @@ _DATA_FILE_SCHEMA = {
         },
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        # per-file column bounds (spec field-ids 125-130): the
+        # single-value-serialized min/max per field id that drive
+        # manifest-level file pruning
+        {
+            "name": "lower_bounds",
+            "type": ["null", {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": "k126_v127",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": 126},
+                        {"name": "value", "type": "bytes",
+                         "field-id": 127},
+                    ],
+                },
+            }],
+            "default": None,
+            "field-id": 125,
+        },
+        {
+            "name": "upper_bounds",
+            "type": ["null", {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": "k129_v130",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": 129},
+                        {"name": "value", "type": "bytes",
+                         "field-id": 130},
+                    ],
+                },
+            }],
+            "default": None,
+            "field-id": 128,
+        },
     ],
 }
+
+
+# ---- single-value serialization (spec Appendix D) -------------------
+
+_BOUNDABLE = {"int", "long", "float", "double", "string", "date",
+              "timestamp", "timestamptz", "boolean"}
+
+
+def _serialize_bound(iceberg_type: str, value) -> bytes | None:
+    import struct
+
+    if value is None:
+        return None
+    if iceberg_type == "int" or iceberg_type == "date":
+        return struct.pack("<i", int(value))
+    if iceberg_type == "long":
+        return struct.pack("<q", int(value))
+    if iceberg_type == "float":
+        return struct.pack("<f", float(value))
+    if iceberg_type == "double":
+        return struct.pack("<d", float(value))
+    if iceberg_type in ("timestamp", "timestamptz"):
+        import datetime
+
+        if isinstance(value, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+            value = int((value - epoch).total_seconds() * 1_000_000)
+        return struct.pack("<q", int(value))
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    return None
+
+
+def _deserialize_bound(iceberg_type: str, raw):
+    import struct
+
+    if raw is None:
+        return None
+    if isinstance(raw, str):
+        # the avro codec surfaces `bytes` values as latin-1 strings
+        raw = raw.encode("latin-1")
+    if iceberg_type in ("int", "date"):
+        return struct.unpack("<i", raw)[0]
+    if iceberg_type == "long":
+        return struct.unpack("<q", raw)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if iceberg_type in ("timestamp", "timestamptz"):
+        return struct.unpack("<q", raw)[0]
+    if iceberg_type == "boolean":
+        return raw == b"\x01"
+    if iceberg_type == "string":
+        return raw.decode("utf-8")
+    return None
 
 _MANIFEST_ENTRY_SCHEMA = {
     "type": "record",
@@ -296,14 +404,25 @@ class IcebergTable:
         # thousands of files must not launch a count job per file)
         from pyspark.sql import functions as F
 
-        counts = {
-            os.path.basename(r["f"]): r["n"]
-            for r in self.spark.read.parquet(staging)
-            .groupBy(F.input_file_name().alias("f"))
-            .count()
-            .withColumnRenamed("count", "n")
+        # ONE distributed job yields per-file record counts AND
+        # per-file min/max column bounds (spec field-ids 125/128) —
+        # the statistics that make manifest-level file pruning real
+        staged = self.spark.read.parquet(staging)
+        boundable = [
+            f.name for f in staged.schema.fields
+            if _iceberg_type_or_none(f.dataType) in _BOUNDABLE
+        ]
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in boundable:
+            aggs.append(F.min(c).alias(f"_lo_{c}"))
+            aggs.append(F.max(c).alias(f"_hi_{c}"))
+        stats = {
+            os.path.basename(r["f"]): r
+            for r in staged.groupBy(F.input_file_name().alias("f"))
+            .agg(*aggs)
             .collect()
         }
+        counts = {k: r["_n"] for k, r in stats.items()}
         data_files = []
         for fname in sorted(os.listdir(staging)):
             if not fname.endswith(".parquet"):
@@ -320,6 +439,7 @@ class IcebergTable:
                     "partition": {},
                     "record_count": counts.get(fname, 0),
                     "file_size_in_bytes": os.path.getsize(final),
+                    "_stat_key": fname,  # bounds attach post-schema
                 }
             )
         import shutil
@@ -344,6 +464,30 @@ class IcebergTable:
         if evolved:
             schema_id += 1
             schema["schema-id"] = schema_id
+
+        # attach column bounds now that field ids are resolved
+        field_ids = {
+            f["name"]: (f["id"], f["type"])
+            for f in schema["fields"]
+            if isinstance(f["type"], str) and f["type"] in _BOUNDABLE
+        }
+        for d in data_files:
+            fname = d.pop("_stat_key", None)
+            row = stats.get(fname)
+            if row is None:
+                continue
+            lower, upper = [], []
+            for cname, (fid, ftype) in field_ids.items():
+                lo = _serialize_bound(ftype, row[f"_lo_{cname}"]) if (
+                    f"_lo_{cname}" in row.__fields__) else None
+                hi = _serialize_bound(ftype, row[f"_hi_{cname}"]) if (
+                    f"_hi_{cname}" in row.__fields__) else None
+                if lo is not None:
+                    lower.append({"key": fid, "value": lo})
+                if hi is not None:
+                    upper.append({"key": fid, "value": hi})
+            d["lower_bounds"] = lower or None
+            d["upper_bounds"] = upper or None
 
         # manifest
         entries = [
@@ -513,3 +657,63 @@ class IcebergTable:
         if not files:
             raise ValueError("iceberg table has no current snapshot")
         return self.spark.read.parquet(*files)
+
+    def scan(self, filters: list[tuple] | None = None) -> DataFrame:
+        """Manifest-pruned scan: `filters` are (column, op, literal)
+        with op in <,<=,>,>=,= — files whose stored bounds exclude the
+        predicate never reach the reader (Iceberg's file-skipping
+        story; at 100 TB this is the difference between scanning a
+        partition and scanning the table). Residual filtering still
+        applies — bounds are necessary, not sufficient."""
+        files = self.current_files()
+        if not files:
+            raise ValueError("iceberg table has no current snapshot")
+        meta = self.metadata()
+        cur_schema = next(
+            sc for sc in meta["schemas"]
+            if sc["schema-id"] == meta["current-schema-id"]
+        )
+        by_name = {
+            f["name"]: (f["id"], f["type"])
+            for f in cur_schema["fields"]
+            if isinstance(f["type"], str)
+        }
+
+        def file_matches(d: dict) -> bool:
+            for col, op, lit in filters or []:
+                if col not in by_name:
+                    continue
+                fid, ftype = by_name[col]
+                lo = hi = None
+                for b in d.get("lower_bounds") or []:
+                    if b["key"] == fid:
+                        lo = _deserialize_bound(ftype, b["value"])
+                for b in d.get("upper_bounds") or []:
+                    if b["key"] == fid:
+                        hi = _deserialize_bound(ftype, b["value"])
+                if lo is None or hi is None:
+                    continue  # no stats → cannot prune
+                if op in ("<", "<=") and lo is not None:
+                    if (lo >= lit if op == "<" else lo > lit):
+                        return False
+                elif op in (">", ">=") and hi is not None:
+                    if (hi <= lit if op == ">" else hi < lit):
+                        return False
+                elif op == "=" and not (lo <= lit <= hi):
+                    return False
+            return True
+
+        kept = [d["file_path"] for d in files if file_matches(d)]
+        self._last_scan_file_count = len(kept)
+        if not kept:
+            return self.read().limit(0)
+        df = self.spark.read.parquet(*kept)
+        for col, op, lit in filters or []:
+            if col not in df.columns:
+                continue
+            c = F.col(col)
+            df = df.filter({
+                "<": c < lit, "<=": c <= lit, ">": c > lit,
+                ">=": c >= lit, "=": c == lit,
+            }[op])
+        return df

@@ -222,3 +222,45 @@ def test_nested_ids_survive_evolution(spark, tmp_path):
     # third append, unchanged: no bogus type-change error
     t.append(df2)
     assert t.read().count() == 3
+
+
+def test_column_bounds_and_pruned_scan(spark, tmp_path):
+    from connect_spark.sinks.iceberg_meta import (
+        IcebergTable,
+        _deserialize_bound,
+    )
+
+    t = IcebergTable(spark, str(tmp_path / "bounded"))
+    # three appends → three disjoint id ranges in separate files
+    for lo in (0, 100, 200):
+        t.append(spark.createDataFrame(
+            [(lo + i, f"n{lo + i}", float(lo + i)) for i in range(10)],
+            "id long, name string, score double",
+        ).coalesce(1))
+    files = t.current_files()
+    assert len(files) == 3
+    # bounds present and decodable
+    meta = t.metadata()
+    schema = meta["schemas"][-1]
+    id_fid = next(f["id"] for f in schema["fields"]
+                  if f["name"] == "id")
+    los = sorted(
+        _deserialize_bound("long", b["value"])
+        for d in files for b in d["lower_bounds"] if b["key"] == id_fid
+    )
+    assert los == [0, 100, 200]
+    # pruned scan touches one file and returns exact rows
+    got = t.scan([("id", ">=", 200)])
+    assert t._last_scan_file_count == 1
+    assert sorted(r.id for r in got.collect()) == list(range(200, 210))
+    got2 = t.scan([("id", "<", 100), ("score", ">=", 5.0)])
+    assert t._last_scan_file_count == 1
+    assert sorted(r.id for r in got2.collect()) == [5, 6, 7, 8, 9]
+    # string bounds prune lexicographically ("n105" sorts inside
+    # n0..n9 AND n100..n109, so two files survive) and the residual
+    # filter finishes the job
+    got3 = t.scan([("name", "=", "n105")])
+    assert t._last_scan_file_count == 2
+    assert [r.id for r in got3.collect()] == [105]
+    # no filters → all files
+    assert t.scan(None).count() == 30
