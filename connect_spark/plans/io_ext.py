@@ -316,6 +316,9 @@ def _i_iceberg(spark: SparkSession, c: dict) -> DataFrame:
     from connect_spark.sinks.iceberg_meta import IcebergTable
 
     t = IcebergTable(spark, c["location"])
+    if c.get("filters"):
+        # manifest-pruned scan: filters = [[column, op, literal], ...]
+        return t.scan([tuple(f) for f in c["filters"]])
     if c.get("snapshot_id") is None:
         return t.read()
     meta = t.metadata()

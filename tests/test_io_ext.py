@@ -427,3 +427,17 @@ def test_object_store_alias_outputs(spark, tmp_path):
     }
     build_pipeline(spark, cfg).run()
     assert spark.read.parquet(p).count() == 5
+
+
+def test_iceberg_input_pruned_filters(spark, tmp_path):
+    from connect_spark.plans.pipeline import Pipeline
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    loc = str(tmp_path / "pruned")
+    t = IcebergTable(spark, loc)
+    for lo in (0, 100):
+        t.append(spark.createDataFrame(
+            [(lo + i,) for i in range(5)], "id long").coalesce(1))
+    df = Pipeline(spark, {"input": {"iceberg": {
+        "location": loc, "filters": [["id", ">=", 100]]}}}).dataframe()
+    assert sorted(r.id for r in df.collect()) == [100, 101, 102, 103, 104]
