@@ -363,13 +363,27 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 target = yaml.safe_load(interpolate_env_vars(fh.read()))
+            target = target or {}
             for item in args.overrides:
                 path, _, raw = item.partition("=")
                 node = target
                 parts = path.split(".")
-                for seg in parts[:-1]:
-                    node = node.setdefault(seg, {})
-                node[parts[-1]] = yaml.safe_load(raw)
+                try:
+                    for seg in parts[:-1]:
+                        if isinstance(node, list):
+                            node = node[int(seg)]
+                        else:
+                            node = node.setdefault(seg, {})
+                    last = parts[-1]
+                    if isinstance(node, list):
+                        node[int(last)] = yaml.safe_load(raw)
+                    else:
+                        node[last] = yaml.safe_load(raw)
+                except (AttributeError, IndexError, TypeError,
+                        ValueError) as exc:
+                    print(f"--set {item!r}: path does not resolve in "
+                          f"the config ({exc})")
+                    return 1
         result = build_pipeline(spark, target).run()
         if result is not None:
             result.show(args.limit, truncate=False)

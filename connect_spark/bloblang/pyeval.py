@@ -235,11 +235,13 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
             # handling): any failure yields the fallback argument
             try:
                 return _ev(node.target, this, scope, root)
-            except Exception:  # noqa: BLE001 — catch semantics
+            except Exception as exc:  # noqa: BLE001 — catch semantics
                 fallback = node.args[0]
                 if isinstance(fallback, A.Lambda):
+                    # the lambda parameter binds the error message
+                    # (about.adoc error handling)
                     return _call_lambda(
-                        fallback, None, this, scope, root
+                        fallback, str(exc), this, scope, root
                     )
                 return _ev(fallback, this, scope, root)
         target = _ev(node.target, this, scope, root)
@@ -278,6 +280,8 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
             this.get("content") if isinstance(this, dict) else this
         )
     if name == "range":
+        if not args:
+            raise BloblangValueError("range() needs at least a stop")
         lo = int(args[0]) if len(args) > 1 else 0
         hi = int(args[1]) if len(args) > 1 else int(args[0])
         step = int(args[2]) if len(args) > 2 else 1
@@ -340,10 +344,15 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
         _COUNTERS[key] = _COUNTERS.get(key, 0) + 1
         return _COUNTERS[key]
     if name == "random_int":
+        # functions.adoc:245 — the argument is a SEED (same seed,
+        # same sequence), not a range cap
+        import random as _random
+
+        if args:
+            return _random.Random(str(args[0])).getrandbits(63)
         import secrets
 
-        cap = int(args[0]) if args else 9007199254740991
-        return secrets.randbelow(cap)
+        return secrets.randbits(63)
     if name == "error":
         return None
     if name == "errored":

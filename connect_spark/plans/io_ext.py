@@ -317,6 +317,12 @@ def _i_iceberg(spark: SparkSession, c: dict) -> DataFrame:
 
     t = IcebergTable(spark, c["location"])
     if c.get("filters"):
+        if c.get("snapshot_id") is not None:
+            raise PipelineConfigError(
+                "iceberg input: `filters` prunes the CURRENT snapshot; "
+                "combining it with `snapshot_id` time travel is not "
+                "supported — drop one of the two"
+            )
         # manifest-pruned scan: filters = [[column, op, literal], ...]
         return t.scan([tuple(f) for f in c["filters"]])
     if c.get("snapshot_id") is None:

@@ -1314,6 +1314,22 @@ class Pipeline:
             )
         self.flush_writes()
         output_conf = self.config.get("output")
+        if output_conf is not None:
+            (okind, oc), = output_conf.items()
+            if okind == "memory":
+                raise PipelineConfigError(
+                    "start(): a memory output would discard every "
+                    "micro-batch; use run_streaming_to_memory() for a "
+                    "queryable in-memory sink"
+                )
+            # per-micro-batch delivery must ACCUMULATE: the batch
+            # writers' default mode is overwrite (one batch = the
+            # whole dataset), which in a continuous run would erase
+            # prior micro-batches
+            if okind in ("parquet", "csv", "json_lines") and isinstance(
+                oc, dict
+            ) and "mode" not in oc:
+                output_conf = {okind: {**oc, "mode": "append"}}
 
         def deliver(batch_df: DataFrame, batch_id: int) -> None:
             _run_output(batch_df, output_conf)

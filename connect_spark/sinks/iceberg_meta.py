@@ -271,26 +271,67 @@ def _serialize_bound(iceberg_type: str, value) -> bytes | None:
 
     if value is None:
         return None
-    if iceberg_type == "int" or iceberg_type == "date":
+    if iceberg_type == "date":
+        import datetime
+
+        if isinstance(value, datetime.date):
+            value = (value - datetime.date(1970, 1, 1)).days
+        return struct.pack("<i", int(value))
+    if iceberg_type == "int":
         return struct.pack("<i", int(value))
     if iceberg_type == "long":
         return struct.pack("<q", int(value))
-    if iceberg_type == "float":
-        return struct.pack("<f", float(value))
-    if iceberg_type == "double":
-        return struct.pack("<d", float(value))
+    if iceberg_type in ("float", "double"):
+        v = float(value)
+        if v != v:
+            # the spec excludes NaN from bounds — an absent bound
+            # means "no stats", never a wrong prune
+            return None
+        fmt = "<f" if iceberg_type == "float" else "<d"
+        return struct.pack(fmt, v)
     if iceberg_type in ("timestamp", "timestamptz"):
-        import datetime
-
-        if isinstance(value, datetime.datetime):
-            epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-            value = int((value - epoch).total_seconds() * 1_000_000)
+        value = _to_epoch_micros(value)
         return struct.pack("<q", int(value))
     if iceberg_type == "boolean":
         return b"\x01" if value else b"\x00"
     if iceberg_type == "string":
         return str(value).encode("utf-8")
     return None
+
+
+def _to_epoch_micros(value) -> int:
+    """datetime/str/int → epoch microseconds (naive datetimes are
+    UTC wall clock — the engine pins spark.sql.session.timeZone=UTC,
+    catalog._prepare_session)."""
+    import datetime
+
+    if isinstance(value, str):
+        value = datetime.datetime.fromisoformat(value)
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=datetime.timezone.utc)
+        return int(value.timestamp() * 1_000_000)
+    return int(value)
+
+
+def _coerce_filter_literal(iceberg_type: str, lit):
+    """Filter literal → the bound's comparison domain, so scan never
+    compares across types (date → days, timestamp → micros)."""
+    import datetime
+
+    if iceberg_type == "date":
+        if isinstance(lit, str):
+            lit = datetime.date.fromisoformat(lit)
+        if isinstance(lit, datetime.date):
+            return (lit - datetime.date(1970, 1, 1)).days
+        return int(lit)
+    if iceberg_type in ("timestamp", "timestamptz"):
+        return _to_epoch_micros(lit)
+    if iceberg_type in ("int", "long"):
+        return int(lit)
+    if iceberg_type in ("float", "double"):
+        return float(lit)
+    return lit
 
 
 def _deserialize_bound(iceberg_type: str, raw):
@@ -665,10 +706,24 @@ class IcebergTable:
         story; at 100 TB this is the difference between scanning a
         partition and scanning the table). Residual filtering still
         applies — bounds are necessary, not sufficient."""
-        files = self.current_files()
+        meta = self.metadata()
+        if meta is None or meta.get("current-snapshot-id") is None:
+            raise ValueError("iceberg table has no current snapshot")
+        # one metadata parse feeds both the schema and the file list
+        # (commit-scale tables must not re-walk the manifest chain)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifests = read_ocf(open(snap["manifest-list"], "rb").read())
+        files = []
+        for m in manifests:
+            _, entries = read_ocf(open(m["manifest_path"], "rb").read())
+            files += [
+                e["data_file"] for e in entries if e["status"] in (0, 1)
+            ]
         if not files:
             raise ValueError("iceberg table has no current snapshot")
-        meta = self.metadata()
         cur_schema = next(
             sc for sc in meta["schemas"]
             if sc["schema-id"] == meta["current-schema-id"]
@@ -678,11 +733,15 @@ class IcebergTable:
             for f in cur_schema["fields"]
             if isinstance(f["type"], str)
         }
+        coerced = []
+        for col, op, lit in filters or []:
+            if col in by_name:
+                coerced.append(
+                    (col, op, _coerce_filter_literal(by_name[col][1], lit))
+                )
 
         def file_matches(d: dict) -> bool:
-            for col, op, lit in filters or []:
-                if col not in by_name:
-                    continue
+            for col, op, lit in coerced:
                 fid, ftype = by_name[col]
                 lo = hi = None
                 for b in d.get("lower_bounds") or []:
@@ -693,20 +752,29 @@ class IcebergTable:
                         hi = _deserialize_bound(ftype, b["value"])
                 if lo is None or hi is None:
                     continue  # no stats → cannot prune
-                if op in ("<", "<=") and lo is not None:
-                    if (lo >= lit if op == "<" else lo > lit):
+                try:
+                    if op in ("<", "<="):
+                        if (lo >= lit if op == "<" else lo > lit):
+                            return False
+                    elif op in (">", ">="):
+                        if (hi <= lit if op == ">" else hi < lit):
+                            return False
+                    elif op == "=" and not (lo <= lit <= hi):
                         return False
-                elif op in (">", ">=") and hi is not None:
-                    if (hi <= lit if op == ">" else hi < lit):
-                        return False
-                elif op == "=" and not (lo <= lit <= hi):
-                    return False
+                except TypeError:
+                    # incomparable bound/literal pair → no pruning,
+                    # never a crash or a wrong skip
+                    continue
             return True
 
         kept = [d["file_path"] for d in files if file_matches(d)]
         self._last_scan_file_count = len(kept)
         if not kept:
-            return self.read().limit(0)
+            # schema-correct empty frame from one file footer (never
+            # re-walk the chain or build the full-table reader)
+            return self.spark.read.parquet(
+                files[0]["file_path"]
+            ).limit(0)
         df = self.spark.read.parquet(*kept)
         for col, op, lit in filters or []:
             if col not in df.columns:

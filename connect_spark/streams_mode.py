@@ -22,31 +22,45 @@ from pyspark.sql import SparkSession
 
 class StreamsServer:
     def __init__(self, spark: SparkSession):
+        import threading
+
         self.spark = spark
         self._streams: dict[str, dict[str, Any]] = {}
+        self._lock = threading.Lock()  # ThreadingHTTPServer races
 
     # ---- lifecycle --------------------------------------------------
 
     def create(self, stream_id: str, config: dict | str,
                checkpoint: str | None = None) -> dict:
-        if stream_id in self._streams:
-            raise ValueError(f"stream {stream_id!r} already exists")
-        from connect_spark.plans.pipeline import build_pipeline
+        # reserve the id under the lock BEFORE building — concurrent
+        # creates with the same id must not each start a query (the
+        # loser's StreamingQuery would leak unreachable forever)
+        with self._lock:
+            if stream_id in self._streams:
+                raise ValueError(f"stream {stream_id!r} already exists")
+            entry: dict[str, Any] = {
+                "pipeline": None,
+                "created": time.time(),
+                "query": None,
+                "status": "starting",
+            }
+            self._streams[stream_id] = entry
+        try:
+            from connect_spark.plans.pipeline import build_pipeline
 
-        pipeline = build_pipeline(self.spark, config)
-        entry: dict[str, Any] = {
-            "pipeline": pipeline,
-            "created": time.time(),
-            "query": None,
-            "status": "running",
-        }
-        df = pipeline.dataframe()
-        if df.isStreaming:
-            entry["query"] = pipeline.start(checkpoint=checkpoint)
-        else:
-            pipeline.run()
-            entry["status"] = "completed"
-        self._streams[stream_id] = entry
+            pipeline = build_pipeline(self.spark, config)
+            entry["pipeline"] = pipeline
+            df = pipeline.dataframe()
+            if df.isStreaming:
+                entry["query"] = pipeline.start(checkpoint=checkpoint)
+                entry["status"] = "running"
+            else:
+                pipeline.run()
+                entry["status"] = "completed"
+        except Exception:
+            with self._lock:
+                self._streams.pop(stream_id, None)
+            raise
         return self.status(stream_id)
 
     def status(self, stream_id: str) -> dict:
@@ -77,7 +91,8 @@ class StreamsServer:
             q.processAllAvailable()
 
     def delete(self, stream_id: str) -> bool:
-        entry = self._streams.pop(stream_id, None)
+        with self._lock:
+            entry = self._streams.pop(stream_id, None)
         if entry is None:
             return False
         q = entry["query"]

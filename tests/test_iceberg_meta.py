@@ -264,3 +264,42 @@ def test_column_bounds_and_pruned_scan(spark, tmp_path):
     assert [r.id for r in got3.collect()] == [105]
     # no filters → all files
     assert t.scan(None).count() == 30
+
+
+def test_date_timestamp_nan_bounds(spark, tmp_path):
+    import datetime
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "dated"))
+    rows = [
+        (datetime.date(2024, 1, 1),
+         datetime.datetime(2024, 1, 1, 12), 1.0),
+        (datetime.date(2024, 6, 1),
+         datetime.datetime(2024, 6, 1, 12), float("nan")),
+    ]
+    # date columns must append cleanly (regression: int(date) crash)
+    t.append(spark.createDataFrame(
+        rows, "d date, ts timestamp, score double").coalesce(1))
+    t.append(spark.createDataFrame(
+        [(datetime.date(2025, 1, 1),
+          datetime.datetime(2025, 1, 1, 12), 5.0)],
+        "d date, ts timestamp, score double").coalesce(1))
+    # date filter prunes with ISO-string literals
+    got = t.scan([("d", ">=", "2025-01-01")])
+    assert t._last_scan_file_count == 1 and got.count() == 1
+    # timestamp filter with a datetime literal must not crash
+    got2 = t.scan([("ts", ">=", datetime.datetime(2024, 12, 1))])
+    assert got2.count() == 1
+    # NaN in the file's score column: '=' must NOT prune the file
+    got3 = t.scan([("score", "=", 1.0)])
+    assert got3.count() == 1
+
+
+def test_scan_all_pruned_returns_empty_with_schema(spark, tmp_path):
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "allpruned"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    got = t.scan([("id", ">", 999)])
+    assert got.columns == ["id"] and got.count() == 0

@@ -576,3 +576,14 @@ def test_pyeval_catch_and_meta_gate():
         'root = this.x.number().catch(-1)', {"x": "4"}) == 4
     gates = unsupported_methods('meta out = "t"\nroot.a = 1')
     assert any("MetaAssign" in g for g in gates)
+
+
+def test_pyeval_catch_lambda_and_random_seed():
+    from connect_spark.bloblang.pyeval import eval_mapping_value
+
+    got = eval_mapping_value(
+        "root = this.x.number().catch(e -> e)", {"x": "abc"})
+    assert isinstance(got, str) and got  # the error message binds
+    a = eval_mapping_value("root = random_int(42)", {})
+    b = eval_mapping_value("root = random_int(42)", {})
+    assert a == b  # seeded → deterministic

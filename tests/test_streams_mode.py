@@ -81,3 +81,50 @@ def test_rest_protocol(spark, tmp_path):
     finally:
         srv.shutdown()
         server.shutdown()
+
+
+def test_start_defaults_append_and_rejects_memory(spark, tmp_path):
+    from connect_spark.plans.pipeline import Pipeline, PipelineConfigError
+
+    bus = MessageBus(str(tmp_path / "bus2"))
+    bus.publish("a", [{"n": 1}])
+    out = str(tmp_path / "accum")
+    p = Pipeline(spark, {
+        "input": {"mq_bus": {"path": bus.path, "subject": "a",
+                             "streaming": True}},
+        "output": {"parquet": {"path": out}},  # no explicit mode
+    })
+    q = p.start(checkpoint=str(tmp_path / "ck2"))
+    try:
+        q.processAllAvailable()
+        bus.publish("a", [{"n": 2}])
+        q.processAllAvailable()
+        # both micro-batches survive (append default in start())
+        assert spark.read.parquet(out).count() == 2
+    finally:
+        q.stop()
+    with pytest.raises(PipelineConfigError, match="memory"):
+        Pipeline(spark, {
+            "input": {"mq_bus": {"path": bus.path, "subject": "a",
+                                 "streaming": True}},
+            "output": {"memory": {}},
+        }).start()
+
+
+def test_create_duplicate_never_leaks_query(spark, tmp_path):
+    server = StreamsServer(spark)
+    bus = MessageBus(str(tmp_path / "bus3"))
+    bus.publish("x", [{"n": 1}])
+    cfg = {
+        "input": {"mq_bus": {"path": bus.path, "subject": "x",
+                             "streaming": True}},
+        "output": {"parquet": {"path": str(tmp_path / "o3")}},
+    }
+    try:
+        server.create("dup", cfg, checkpoint=str(tmp_path / "c3"))
+        with pytest.raises(ValueError, match="already exists"):
+            server.create("dup", cfg)
+        assert len(server.list()) == 1
+    finally:
+        server.shutdown()
+    assert not any(q.isActive for q in spark.streams.active)
