@@ -1077,6 +1077,59 @@ def _apply_output_batching(df: DataFrame, bconf: dict) -> DataFrame:
     return out
 
 
+def _streaming_safe_output(conf: dict[str, Any]) -> dict[str, Any]:
+    """Rewrite an output tree for continuous per-micro-batch delivery
+    (Pipeline.start): file writers default to append so micro-batches
+    ACCUMULATE (their batch default, overwrite, would erase prior
+    batches), memory outputs are rejected (silently discarding every
+    batch), and combinators (broker/switch/fallback/retry/...) rewrite
+    recursively so nested children get the same treatment."""
+    (kind, c), = conf.items()
+    if kind == "memory":
+        raise PipelineConfigError(
+            "start(): a memory output would discard every micro-batch; "
+            "use run_streaming_to_memory() for a queryable in-memory "
+            "sink"
+        )
+    if kind in ("parquet", "csv", "json_lines") and isinstance(
+        c, dict
+    ) and "mode" not in c:
+        return {kind: {**c, "mode": "append"}}
+    if isinstance(c, dict):
+        out = dict(c)
+        for child_key in ("output", "dlq"):
+            if isinstance(out.get(child_key), dict):
+                out[child_key] = _streaming_safe_output(out[child_key])
+        if isinstance(out.get("outputs"), list):
+            out["outputs"] = [
+                _streaming_safe_output(cc) if isinstance(cc, dict) else cc
+                for cc in out["outputs"]
+            ]
+        if isinstance(out.get("cases"), list):
+            out["cases"] = [
+                dict(case, output=_streaming_safe_output(case["output"]))
+                if isinstance(case, dict)
+                and isinstance(case.get("output"), dict) else case
+                for case in out["cases"]
+            ]
+        return {kind: out}
+    if isinstance(c, list):  # fallback / switch-as-list
+        rewritten = []
+        for cc in c:
+            if isinstance(cc, dict) and "output" in cc and isinstance(
+                cc["output"], dict
+            ):  # switch case {check, output}
+                rewritten.append(
+                    dict(cc, output=_streaming_safe_output(cc["output"]))
+                )
+            elif isinstance(cc, dict) and len(cc) == 1:
+                rewritten.append(_streaming_safe_output(cc))
+            else:
+                rewritten.append(cc)
+        return {kind: rewritten}
+    return conf
+
+
 def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
     if conf is None:
         return df
@@ -1315,21 +1368,7 @@ class Pipeline:
         self.flush_writes()
         output_conf = self.config.get("output")
         if output_conf is not None:
-            (okind, oc), = output_conf.items()
-            if okind == "memory":
-                raise PipelineConfigError(
-                    "start(): a memory output would discard every "
-                    "micro-batch; use run_streaming_to_memory() for a "
-                    "queryable in-memory sink"
-                )
-            # per-micro-batch delivery must ACCUMULATE: the batch
-            # writers' default mode is overwrite (one batch = the
-            # whole dataset), which in a continuous run would erase
-            # prior micro-batches
-            if okind in ("parquet", "csv", "json_lines") and isinstance(
-                oc, dict
-            ) and "mode" not in oc:
-                output_conf = {okind: {**oc, "mode": "append"}}
+            output_conf = _streaming_safe_output(output_conf)
 
         def deliver(batch_df: DataFrame, batch_id: int) -> None:
             _run_output(batch_df, output_conf)

@@ -128,3 +128,28 @@ def test_create_duplicate_never_leaks_query(spark, tmp_path):
     finally:
         server.shutdown()
     assert not any(q.isActive for q in spark.streams.active)
+
+
+def test_start_append_default_recurses_into_broker(spark, tmp_path):
+    from connect_spark.plans.pipeline import _streaming_safe_output
+
+    rewritten = _streaming_safe_output({"broker": {
+        "pattern": "fan_out",
+        "outputs": [
+            {"parquet": {"path": "/tmp/a"}},
+            {"fallback": [
+                {"parquet": {"path": "/tmp/b"}},
+                {"drop": {}},
+            ]},
+        ],
+    }})
+    outs = rewritten["broker"]["outputs"]
+    assert outs[0]["parquet"]["mode"] == "append"
+    assert outs[1]["fallback"][0]["parquet"]["mode"] == "append"
+    import pytest
+
+    from connect_spark.plans.pipeline import PipelineConfigError
+
+    with pytest.raises(PipelineConfigError, match="memory"):
+        _streaming_safe_output({"broker": {
+            "outputs": [{"memory": {}}]}})
