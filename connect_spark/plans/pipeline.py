@@ -1069,6 +1069,14 @@ def _apply_output_batching(df: DataFrame, bconf: dict) -> DataFrame:
         ts=bconf.get("ts"),
     )
     for spec in bconf.get("processors", []):
+        # the reference runs post-batch processors on EACH formed
+        # batch; the batch-level aggregate (archive) therefore folds
+        # per batch unless the user grouped explicitly
+        if isinstance(spec, dict) and "archive" in spec:
+            aconf = dict(spec["archive"] or {})
+            if not aconf.get("group_by"):
+                aconf["group_by"] = ["this.batch_id"]
+            spec = {**spec, "archive": aconf}
         out = apply_processor(out, spec)
     if "batch_id" in out.columns:
         out = out.repartition(F.col("batch_id"))

@@ -381,3 +381,28 @@ root.generate.processors = [ {"mapping": "root.n = this.n + 100"} ]
         "input": {"seeded_numbers": {"count": 2}},
     }).dataframe()
     assert sorted(r.n for r in df.collect()) == [100, 101]
+
+
+def test_output_batching_archive_folds_per_batch(spark, tmp_path):
+    out = str(tmp_path / "arch_batches")
+    cfg = {
+        "input": {"generate": {"count": 6,
+                               "mapping": 'root.content = "m" + counter().string()'}},
+        "output": {"parquet": {
+            "path": out,
+            "batching": {
+                "count": 3, "order_by": ["content"],
+                "processors": [
+                    {"archive": {"format": "json_array",
+                                 "value": "this.content"}},
+                ],
+            },
+        }},
+    }
+    Pipeline(spark, cfg).run()
+    import json
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # one archived doc PER batch
+    sizes = sorted(len(json.loads(r.archived)) for r in rows)
+    assert sizes == [3, 3]
