@@ -200,7 +200,9 @@ def _o_iceberg(df: DataFrame, c: dict) -> None:
         return
     from connect_spark.sinks.iceberg_meta import IcebergTable
 
-    IcebergTable(df.sparkSession, c["location"]).append(df)
+    IcebergTable(df.sparkSession, c["location"]).append(
+        df, partition_by=c.get("partition_by")
+    )
 
 
 
@@ -350,7 +352,11 @@ def _i_iceberg(spark: SparkSession, c: dict) -> DataFrame:
             for e in entries
             if e["status"] in (0, 1)
         ]
-    return spark.read.parquet(*files)
+    import os as _os
+
+    return spark.read.option(
+        "basePath", _os.path.join(c["location"], "data")
+    ).parquet(*files)
 
 
 @input_kind("duckdb")

@@ -334,6 +334,25 @@ def _coerce_filter_literal(iceberg_type: str, lit):
     return lit
 
 
+def _parse_partition_value(dtype, s: str):
+    """Hive path segment value → typed Python value per the column's
+    Spark type (identity transform)."""
+    import datetime
+
+    if dtype is None:
+        return s
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType)):
+        return int(s)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(s)
+    if isinstance(dtype, T.BooleanType):
+        return s.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return (datetime.date.fromisoformat(s)
+                - datetime.date(1970, 1, 1)).days
+    return s
+
+
 def _deserialize_bound(iceberg_type: str, raw):
     import struct
 
@@ -357,6 +376,44 @@ def _deserialize_bound(iceberg_type: str, raw):
     if iceberg_type == "string":
         return raw.decode("utf-8")
     return None
+
+_ICEBERG_TO_AVRO = {
+    "int": "int", "long": "long", "float": "float", "double": "double",
+    "string": "string", "boolean": "boolean", "date": "int",
+    "timestamp": "long", "timestamptz": "long", "binary": "bytes",
+}
+
+
+def _data_file_schema(spec_fields: list[dict]) -> dict:
+    """The data_file Avro schema with the partition record (r102)
+    carrying one typed field per partition-spec field (spec Appendix
+    C: partition fields get ids from 1000 up)."""
+    import copy
+
+    schema = copy.deepcopy(_DATA_FILE_SCHEMA)
+    part = next(f for f in schema["fields"] if f["name"] == "partition")
+    part["type"]["fields"] = [
+        {
+            "name": f["name"],
+            "type": ["null", _ICEBERG_TO_AVRO.get(f["iceberg_type"],
+                                                  "string")],
+            "default": None,
+            "field-id": f["field-id"],
+        }
+        for f in spec_fields
+    ]
+    return schema
+
+
+def _manifest_entry_schema(spec_fields: list[dict]) -> dict:
+    import copy
+
+    schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    for f in schema["fields"]:
+        if f["name"] == "data_file":
+            f["type"] = _data_file_schema(spec_fields)
+    return schema
+
 
 _MANIFEST_ENTRY_SCHEMA = {
     "type": "record",
@@ -435,20 +492,53 @@ class IcebergTable:
 
     # ---- commit -----------------------------------------------------
 
-    def append(self, df: DataFrame) -> dict:
+    def _current_partition_names(self) -> list[str]:
+        meta = self.metadata()
+        if not meta:
+            return []
+        spec = next(
+            (s for s in meta.get("partition-specs", [])
+             if s["spec-id"] == meta.get("default-spec-id", 0)),
+            None,
+        )
+        return [f["name"] for f in (spec or {}).get("fields", [])]
+
+    def append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> dict:
         """Write df as parquet data files and commit one append
-        snapshot. Returns the new table metadata dict."""
+        snapshot. Returns the new table metadata dict.
+
+        `partition_by` applies the identity partition transform
+        (hive-style directories, typed partition values recorded in
+        each data_file's r102 record with field ids from 1000) — the
+        layout every Iceberg engine prunes on. The partitioning must
+        stay consistent across appends (Spark's directory inference
+        rejects mixed layouts), so changing it on a non-empty table
+        errors."""
+        current_parts = self._current_partition_names()
+        if self.metadata() is not None and (
+            list(partition_by or []) != current_parts
+        ):
+            raise ValueError(
+                f"append: table is partitioned by {current_parts} — "
+                f"got partition_by={list(partition_by or [])}; the "
+                "identity spec must stay consistent across appends"
+            )
         commit_uuid = uuid.uuid4().hex
         staging = os.path.join(self.data_dir, f"stage-{commit_uuid}")
-        df.write.parquet(staging)
-        # per-file record counts in ONE distributed job (a commit of
-        # thousands of files must not launch a count job per file)
+        writer = df.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
         from pyspark.sql import functions as F
 
         # ONE distributed job yields per-file record counts AND
         # per-file min/max column bounds (spec field-ids 125/128) —
         # the statistics that make manifest-level file pruning real
-        staged = self.spark.read.parquet(staging)
+        staged = self.spark.read.option("basePath", staging).parquet(
+            staging
+        )
         boundable = [
             f.name for f in staged.schema.fields
             if _iceberg_type_or_none(f.dataType) in _BOUNDABLE
@@ -464,25 +554,46 @@ class IcebergTable:
             .collect()
         }
         counts = {k: r["_n"] for k, r in stats.items()}
+        part_types = {
+            f.name: f.dataType for f in df.schema.fields
+        }
         data_files = []
-        for fname in sorted(os.listdir(staging)):
-            if not fname.endswith(".parquet"):
-                continue
-            final = os.path.join(
-                self.data_dir, f"{commit_uuid}-{fname}"
-            )
-            os.rename(os.path.join(staging, fname), final)
-            data_files.append(
-                {
-                    "content": 0,
-                    "file_path": final,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": counts.get(fname, 0),
-                    "file_size_in_bytes": os.path.getsize(final),
-                    "_stat_key": fname,  # bounds attach post-schema
-                }
-            )
+        for root_dir, _dirs, fnames in os.walk(staging):
+            for fname in sorted(fnames):
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(root_dir, staging)
+                # hive-style partition values from the path segments
+                part_values: dict = {}
+                if rel != ".":
+                    import urllib.parse
+
+                    for seg in rel.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        v = urllib.parse.unquote(v)
+                        if v == "__HIVE_DEFAULT_PARTITION__":
+                            part_values[k] = None
+                        else:
+                            part_values[k] = _parse_partition_value(
+                                part_types.get(k), v
+                            )
+                    final_dir = os.path.join(self.data_dir, rel)
+                    os.makedirs(final_dir, exist_ok=True)
+                else:
+                    final_dir = self.data_dir
+                final = os.path.join(final_dir, f"{commit_uuid}-{fname}")
+                os.rename(os.path.join(root_dir, fname), final)
+                data_files.append(
+                    {
+                        "content": 0,
+                        "file_path": final,
+                        "file_format": "PARQUET",
+                        "partition": part_values,
+                        "record_count": counts.get(fname, 0),
+                        "file_size_in_bytes": os.path.getsize(final),
+                        "_stat_key": fname,  # bounds attach post-schema
+                    }
+                )
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
@@ -530,6 +641,28 @@ class IcebergTable:
             d["lower_bounds"] = lower or None
             d["upper_bounds"] = upper or None
 
+        # identity partition spec (field ids from 1000, source-id =
+        # the column's schema field id)
+        name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+        spec_fields = [
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": name_to_id[col],
+                "field-id": 1000 + i,
+                "iceberg_type": next(
+                    (f["type"] for f in schema["fields"]
+                     if f["name"] == col and isinstance(f["type"], str)),
+                    "string",
+                ),
+            }
+            for i, col in enumerate(partition_by or [])
+        ]
+        spec_json = [
+            {k: v for k, v in f.items() if k != "iceberg_type"}
+            for f in spec_fields
+        ]
+
         # manifest
         entries = [
             {
@@ -546,11 +679,11 @@ class IcebergTable:
         )
         manifest_bytes = write_ocf(
             entries,
-            _MANIFEST_ENTRY_SCHEMA,
+            _manifest_entry_schema(spec_fields),
             extra_meta={
                 "schema": json.dumps(schema),
                 "schema-id": str(schema_id),
-                "partition-spec": "[]",
+                "partition-spec": json.dumps(spec_json),
                 "partition-spec-id": "0",
                 "format-version": "2",
                 "content": "data",
@@ -632,7 +765,7 @@ class IcebergTable:
                 else prev["schemas"]
             ),
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [{"spec-id": 0, "fields": spec_json}],
             "last-partition-id": 999,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
@@ -697,7 +830,11 @@ class IcebergTable:
         files = [f["file_path"] for f in self.current_files()]
         if not files:
             raise ValueError("iceberg table has no current snapshot")
-        return self.spark.read.parquet(*files)
+        # basePath lets hive-style partition directories resolve back
+        # into columns (harmless for unpartitioned layouts)
+        return self.spark.read.option(
+            "basePath", self.data_dir
+        ).parquet(*files)
 
     def scan(self, filters: list[tuple] | None = None) -> DataFrame:
         """Manifest-pruned scan: `filters` are (column, op, literal)
@@ -740,9 +877,26 @@ class IcebergTable:
                     (col, op, _coerce_filter_literal(by_name[col][1], lit))
                 )
 
+        part_names = set(self._current_partition_names())
+
         def file_matches(d: dict) -> bool:
             for col, op, lit in coerced:
                 fid, ftype = by_name[col]
+                # identity-partition values prune EXACTLY (tighter
+                # than bounds: the file contains only this value)
+                pv = (d.get("partition") or {}).get(col)
+                if col in part_names and pv is not None:
+                    try:
+                        ok = {
+                            "<": pv < lit, "<=": pv <= lit,
+                            ">": pv > lit, ">=": pv >= lit,
+                            "=": pv == lit,
+                        }[op]
+                    except TypeError:
+                        ok = True
+                    if not ok:
+                        return False
+                    continue
                 lo = hi = None
                 for b in d.get("lower_bounds") or []:
                     if b["key"] == fid:
@@ -772,10 +926,12 @@ class IcebergTable:
         if not kept:
             # schema-correct empty frame from one file footer (never
             # re-walk the chain or build the full-table reader)
-            return self.spark.read.parquet(
-                files[0]["file_path"]
-            ).limit(0)
-        df = self.spark.read.parquet(*kept)
+            return self.spark.read.option(
+                "basePath", self.data_dir
+            ).parquet(files[0]["file_path"]).limit(0)
+        df = self.spark.read.option(
+            "basePath", self.data_dir
+        ).parquet(*kept)
         for col, op, lit in filters or []:
             if col not in df.columns:
                 continue

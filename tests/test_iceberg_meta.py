@@ -303,3 +303,36 @@ def test_scan_all_pruned_returns_empty_with_schema(spark, tmp_path):
     t.append(spark.createDataFrame([(1,)], "id long"))
     got = t.scan([("id", ">", 999)])
     assert got.columns == ["id"] and got.count() == 0
+
+
+def test_identity_partitioned_appends(spark, tmp_path):
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "parted"))
+    df = spark.createDataFrame(
+        [("us", 1), ("us", 2), ("eu", 3)], "region string, n long")
+    meta = t.append(df, partition_by=["region"])
+    spec = meta["partition-specs"][0]
+    assert spec["fields"][0]["name"] == "region"
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["field-id"] == 1000
+    # partition values recorded per file
+    parts = {d["partition"]["region"] for d in t.current_files()}
+    assert parts == {"us", "eu"}
+    # partition columns resolve back on read (basePath inference)
+    got = t.read()
+    assert set(got.columns) == {"region", "n"}
+    assert sorted((r.region, r.n) for r in got.collect()) == [
+        ("eu", 3), ("us", 1), ("us", 2)]
+    # exact partition pruning
+    pruned = t.scan([("region", "=", "eu")])
+    assert t._last_scan_file_count == 1
+    assert [r.n for r in pruned.collect()] == [3]
+    # second consistent append works; inconsistent spec errors
+    t.append(spark.createDataFrame([("ap", 9)], "region string, n long"),
+             partition_by=["region"])
+    assert t.read().count() == 4
+    import pytest
+
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.append(df)  # missing partition_by on a partitioned table
