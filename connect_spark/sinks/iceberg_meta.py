@@ -334,6 +334,30 @@ def _coerce_filter_literal(iceberg_type: str, lit):
     return lit
 
 
+def _parse_partition_term(term: str) -> tuple[str, str, str]:
+    """'col' → identity; 'day(col)' → the day transform. Returns
+    (source_column, transform, partition_field_name) — the field name
+    follows Iceberg's convention (ts → ts_day)."""
+    term = term.strip()
+    if term.endswith(")") and "(" in term:
+        transform, _, rest = term.partition("(")
+        transform = transform.strip().lower()
+        src = rest[:-1].strip()
+        if transform != "day":
+            raise ValueError(
+                f"unsupported partition transform {transform!r} "
+                "(identity and day are implemented)"
+            )
+        return src, "day", f"{src}_day"
+    return term, "identity", term
+
+
+def _day_of(lit) -> int:
+    """Filter literal → days since epoch (the day transform's output
+    domain)."""
+    return _to_epoch_micros(lit) // 86_400_000_000
+
+
 def _parse_partition_value(dtype, s: str):
     """Hive path segment value → typed Python value per the column's
     Spark type (identity transform)."""
@@ -492,7 +516,7 @@ class IcebergTable:
 
     # ---- commit -----------------------------------------------------
 
-    def _current_partition_names(self) -> list[str]:
+    def _current_partition_spec(self) -> list[dict]:
         meta = self.metadata()
         if not meta:
             return []
@@ -501,7 +525,10 @@ class IcebergTable:
              if s["spec-id"] == meta.get("default-spec-id", 0)),
             None,
         )
-        return [f["name"] for f in (spec or {}).get("fields", [])]
+        return (spec or {}).get("fields", [])
+
+    def _current_partition_names(self) -> list[str]:
+        return [f["name"] for f in self._current_partition_spec()]
 
     def append(
         self, df: DataFrame, partition_by: list[str] | None = None
@@ -516,23 +543,32 @@ class IcebergTable:
         stay consistent across appends (Spark's directory inference
         rejects mixed layouts), so changing it on a non-empty table
         errors."""
+        parsed = [
+            _parse_partition_term(t) for t in (partition_by or [])
+        ]
         current_parts = self._current_partition_names()
         if self.metadata() is not None and (
-            list(partition_by or []) != current_parts
+            [p[2] for p in parsed] != current_parts
         ):
             raise ValueError(
                 f"append: table is partitioned by {current_parts} — "
                 f"got partition_by={list(partition_by or [])}; the "
-                "identity spec must stay consistent across appends"
+                "spec must stay consistent across appends"
             )
         commit_uuid = uuid.uuid4().hex
         staging = os.path.join(self.data_dir, f"stage-{commit_uuid}")
-        writer = df.write
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        write_df = df
+        derived_names: list[str] = []
+        for src, transform, fname in parsed:
+            if transform == "day":
+                write_df = write_df.withColumn(
+                    fname, F.to_date(F.col(src))
+                )
+                derived_names.append(fname)
+        writer = write_df.write
+        if parsed:
+            writer = writer.partitionBy(*[p[2] for p in parsed])
         writer.parquet(staging)
-        from pyspark.sql import functions as F
-
         # ONE distributed job yields per-file record counts AND
         # per-file min/max column bounds (spec field-ids 125/128) —
         # the statistics that make manifest-level file pruning real
@@ -557,6 +593,8 @@ class IcebergTable:
         part_types = {
             f.name: f.dataType for f in df.schema.fields
         }
+        for fname in derived_names:
+            part_types[fname] = T.DateType()  # day transform output
         data_files = []
         for root_dir, _dirs, fnames in os.walk(staging):
             for fname in sorted(fnames):
@@ -641,23 +679,25 @@ class IcebergTable:
             d["lower_bounds"] = lower or None
             d["upper_bounds"] = upper or None
 
-        # identity partition spec (field ids from 1000, source-id =
-        # the column's schema field id)
+        # partition spec (field ids from 1000, source-id = the SOURCE
+        # column's schema field id; day transforms yield int days)
         name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
-        spec_fields = [
-            {
-                "name": col,
-                "transform": "identity",
-                "source-id": name_to_id[col],
+        spec_fields = []
+        for i, (src, transform, fname) in enumerate(parsed):
+            spec_fields.append({
+                "name": fname,
+                "transform": transform,
+                "source-id": name_to_id[src],
                 "field-id": 1000 + i,
-                "iceberg_type": next(
-                    (f["type"] for f in schema["fields"]
-                     if f["name"] == col and isinstance(f["type"], str)),
-                    "string",
+                "iceberg_type": (
+                    "int" if transform == "day" else next(
+                        (f["type"] for f in schema["fields"]
+                         if f["name"] == src
+                         and isinstance(f["type"], str)),
+                        "string",
+                    )
                 ),
-            }
-            for i, col in enumerate(partition_by or [])
-        ]
+            })
         spec_json = [
             {k: v for k, v in f.items() if k != "iceberg_type"}
             for f in spec_fields
@@ -873,18 +913,29 @@ class IcebergTable:
         coerced = []
         for col, op, lit in filters or []:
             if col in by_name:
-                coerced.append(
-                    (col, op, _coerce_filter_literal(by_name[col][1], lit))
-                )
+                coerced.append((
+                    col, op,
+                    _coerce_filter_literal(by_name[col][1], lit),
+                    lit,
+                ))
 
-        part_names = set(self._current_partition_names())
+        spec_fields = self._current_partition_spec()
+        part_names = {f["name"] for f in spec_fields}
+        id_to_name = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        # source column → day-transform partition field
+        day_sources = {
+            id_to_name.get(f["source-id"]): f["name"]
+            for f in spec_fields
+            if f.get("transform") == "day"
+        }
 
         def file_matches(d: dict) -> bool:
-            for col, op, lit in coerced:
+            for col, op, lit, orig_lit in coerced:
                 fid, ftype = by_name[col]
+                part = d.get("partition") or {}
                 # identity-partition values prune EXACTLY (tighter
                 # than bounds: the file contains only this value)
-                pv = (d.get("partition") or {}).get(col)
+                pv = part.get(col)
                 if col in part_names and pv is not None:
                     try:
                         ok = {
@@ -897,6 +948,23 @@ class IcebergTable:
                     if not ok:
                         return False
                     continue
+                # day-transformed partitions prune CONSERVATIVELY on
+                # the source column's filters (floor semantics: a
+                # file at day D holds values in [D, D+1))
+                if col in day_sources:
+                    pv_day = part.get(day_sources[col])
+                    try:
+                        lit_day = _day_of(orig_lit)
+                    except (TypeError, ValueError):
+                        lit_day = None
+                    if pv_day is not None and lit_day is not None:
+                        if op in (">", ">=") and pv_day < lit_day:
+                            return False
+                        if op in ("<", "<=") and pv_day > lit_day:
+                            return False
+                        if op == "=" and pv_day != lit_day:
+                            return False
+                        continue
                 lo = hi = None
                 for b in d.get("lower_bounds") or []:
                     if b["key"] == fid:

@@ -336,3 +336,40 @@ def test_identity_partitioned_appends(spark, tmp_path):
 
     with pytest.raises(ValueError, match="partitioned by"):
         t.append(df)  # missing partition_by on a partitioned table
+
+
+def test_day_partition_transform(spark, tmp_path):
+    import datetime
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "daily"))
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 3)),
+        (2, datetime.datetime(2024, 1, 1, 22)),
+        (3, datetime.datetime(2024, 1, 2, 5)),
+    ]
+    meta = t.append(
+        spark.createDataFrame(rows, "id long, ts timestamp"),
+        partition_by=["day(ts)"],
+    )
+    spec = meta["partition-specs"][0]["fields"][0]
+    assert spec == {"name": "ts_day", "transform": "day",
+                    "source-id": spec["source-id"], "field-id": 1000}
+    # the table schema holds the SOURCE columns only
+    assert {f["name"] for f in meta["schemas"][-1]["fields"]} == {
+        "id", "ts"}
+    # two day partitions → two files minimum; source-column filters
+    # prune through the transform
+    got = t.scan([("ts", ">=", datetime.datetime(2024, 1, 2))])
+    assert t._last_scan_file_count < len(t.current_files())
+    assert [r.id for r in got.collect()] == [3]
+    got2 = t.scan([("ts", "=", datetime.datetime(2024, 1, 1, 22))])
+    assert [r.id for r in got2.collect()] == [2]
+    # consistent re-append with the same transform term
+    t.append(
+        spark.createDataFrame(
+            [(4, datetime.datetime(2024, 1, 3))], "id long, ts timestamp"),
+        partition_by=["day(ts)"],
+    )
+    assert t.read().count() == 4
