@@ -195,7 +195,8 @@ def _o_iceberg(df: DataFrame, c: dict) -> None:
             c["catalog_url"], get_http_transport(c),
             prefix=c.get("catalog_prefix", ""),
         ).commit_append(
-            df.sparkSession, c["namespace"], c["table"], df
+            df.sparkSession, c["namespace"], c["table"], df,
+            partition_by=c.get("partition_by"),
         )
         return
     from connect_spark.sinks.iceberg_meta import IcebergTable

@@ -374,6 +374,10 @@ def _parse_partition_value(dtype, s: str):
     if isinstance(dtype, T.DateType):
         return (datetime.date.fromisoformat(s)
                 - datetime.date(1970, 1, 1)).days
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # hive path form "2024-01-01 03:00:00[.ffffff]" → epoch micros
+        # (the manifest field is an Avro long)
+        return _to_epoch_micros(s.replace(" ", "T", 1))
     return s
 
 
@@ -546,15 +550,38 @@ class IcebergTable:
         parsed = [
             _parse_partition_term(t) for t in (partition_by or [])
         ]
-        current_parts = self._current_partition_names()
-        if self.metadata() is not None and (
-            [p[2] for p in parsed] != current_parts
-        ):
-            raise ValueError(
-                f"append: table is partitioned by {current_parts} — "
-                f"got partition_by={list(partition_by or [])}; the "
-                "spec must stay consistent across appends"
+        # ONE metadata load serves the spec check and the commit below
+        prev = self.metadata()
+        if prev is not None:
+            prev_spec = next(
+                (s for s in prev.get("partition-specs", [])
+                 if s["spec-id"] == prev.get("default-spec-id", 0)),
+                {"fields": []},
+            )["fields"]
+            prev_cur_schema = next(
+                sc for sc in prev["schemas"]
+                if sc["schema-id"] == prev["current-schema-id"]
             )
+            id_to_name = {
+                f["id"]: f["name"] for f in prev_cur_schema["fields"]
+            }
+            current_norm = [
+                (f["name"], f.get("transform", "identity"),
+                 id_to_name.get(f["source-id"]))
+                for f in prev_spec
+            ]
+            new_norm = [
+                (fname, transform, src)
+                for src, transform, fname in parsed
+            ]
+            # name AND transform AND source must match — a same-named
+            # identity column must not silently rewrite a day spec
+            if new_norm != current_norm:
+                raise ValueError(
+                    f"append: table partition spec is {current_norm} — "
+                    f"got {new_norm}; the spec must stay consistent "
+                    "across appends"
+                )
         commit_uuid = uuid.uuid4().hex
         staging = os.path.join(self.data_dir, f"stage-{commit_uuid}")
         write_df = df
@@ -572,19 +599,37 @@ class IcebergTable:
         # ONE distributed job yields per-file record counts AND
         # per-file min/max column bounds (spec field-ids 125/128) —
         # the statistics that make manifest-level file pruning real
-        staged = self.spark.read.option("basePath", staging).parquet(
-            staging
-        )
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prior_conf = self.spark.conf.get(conf_key, "true")
+        self.spark.conf.set(conf_key, "false")
+        try:
+            # inference off: partition columns stat as their PATH
+            # text, matching the manifest's typed-parse of the same
+            # text (no lossy int-guess of string partitions)
+            staged = self.spark.read.option(
+                "basePath", staging
+            ).parquet(staging)
+        finally:
+            self.spark.conf.set(conf_key, prior_conf)
+        part_field_names = {p[2] for p in parsed}
         boundable = [
             f.name for f in staged.schema.fields
             if _iceberg_type_or_none(f.dataType) in _BOUNDABLE
+            # partition columns prune via their EXACT partition values
+            # (and, inference-off, they stat as strings whose min/max
+            # ordering is wrong for numeric types) — skip their bounds
+            and f.name not in part_field_names
         ]
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in boundable:
             aggs.append(F.min(c).alias(f"_lo_{c}"))
             aggs.append(F.max(c).alias(f"_hi_{c}"))
+        # stats key = path RELATIVE to staging (basenames collide
+        # across partition directories — one task writes the same
+        # part-file name into several partitions)
+        marker = f"stage-{commit_uuid}/"
         stats = {
-            os.path.basename(r["f"]): r
+            r["f"].split(marker, 1)[-1]: r
             for r in staged.groupBy(F.input_file_name().alias("f"))
             .agg(*aggs)
             .collect()
@@ -601,6 +646,9 @@ class IcebergTable:
                 if not fname.endswith(".parquet"):
                     continue
                 rel = os.path.relpath(root_dir, staging)
+                stat_key = (
+                    fname if rel == "." else f"{rel}/{fname}"
+                )
                 # hive-style partition values from the path segments
                 part_values: dict = {}
                 if rel != ".":
@@ -627,16 +675,17 @@ class IcebergTable:
                         "file_path": final,
                         "file_format": "PARQUET",
                         "partition": part_values,
-                        "record_count": counts.get(fname, 0),
+                        "record_count": counts.get(stat_key, 0),
                         "file_size_in_bytes": os.path.getsize(final),
-                        "_stat_key": fname,  # bounds attach post-schema
+                        # bounds attach post-schema
+                        "_stat_key": stat_key,
                     }
                 )
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
 
-        prev = self.metadata()
+        # `prev` loaded once at the top (spec check) and reused here
         now_ms = int(time.time() * 1000)
         seq = (prev["last-sequence-number"] + 1) if prev else 1
         snap_id = int(uuid.uuid4().int % (1 << 62))
@@ -806,7 +855,9 @@ class IcebergTable:
             ),
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_json}],
-            "last-partition-id": 999,
+            # the spec's highest assigned partition field id (999 =
+            # none assigned yet)
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {"write.format.default": "parquet"},
@@ -866,15 +917,80 @@ class IcebergTable:
             ]
         return files
 
+    def _normalize_partitions(
+        self, df: DataFrame, meta: dict | None = None
+    ) -> DataFrame:
+        """Post-read partition-column hygiene: Spark's directory
+        inference guesses types from the path text (a string column
+        of '00123' comes back int), so identity partition columns
+        cast back to the TABLE schema's type; derived transform
+        columns (ts_day) are not part of the table schema and drop."""
+        meta = meta or self.metadata()
+        if not meta:
+            return df
+        spec = next(
+            (s for s in meta.get("partition-specs", [])
+             if s["spec-id"] == meta.get("default-spec-id", 0)),
+            {"fields": []},
+        )["fields"]
+        if not spec:
+            return df
+        cur_schema = next(
+            sc for sc in meta["schemas"]
+            if sc["schema-id"] == meta["current-schema-id"]
+        )
+        by_id = {f["id"]: f for f in cur_schema["fields"]}
+        sql_type = {
+            "int": "int", "long": "bigint", "float": "float",
+            "double": "double", "string": "string",
+            "boolean": "boolean", "date": "date",
+            "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+            "binary": "binary",
+        }
+        for f in spec:
+            name = f["name"]
+            if name not in df.columns:
+                continue
+            if f.get("transform", "identity") == "identity":
+                src = by_id.get(f["source-id"])
+                t = src and src.get("type")
+                if isinstance(t, str):
+                    target = sql_type.get(
+                        t, t if t.startswith("decimal") else None
+                    )
+                    if target:
+                        df = df.withColumn(
+                            name, F.col(name).cast(target)
+                        )
+            else:
+                df = df.drop(name)
+        return df
+
+    def _read_files(self, paths: list[str]) -> DataFrame:
+        """basePath read with partition TYPE INFERENCE OFF — inferred
+        types come from path text (a string partition '00123' would
+        become int 123, losing the zeros); partition columns arrive
+        as strings and _normalize_partitions casts them per the TABLE
+        schema, which is the authority."""
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prior = self.spark.conf.get(conf_key, "true")
+        self.spark.conf.set(conf_key, "false")
+        try:
+            # the reader resolves the relation (and partition
+            # discovery) eagerly here, so restoring the conf after is
+            # safe
+            return self.spark.read.option(
+                "basePath", self.data_dir
+            ).parquet(*paths)
+        finally:
+            self.spark.conf.set(conf_key, prior)
+
     def read(self) -> DataFrame:
+        meta = self.metadata()
         files = [f["file_path"] for f in self.current_files()]
         if not files:
             raise ValueError("iceberg table has no current snapshot")
-        # basePath lets hive-style partition directories resolve back
-        # into columns (harmless for unpartitioned layouts)
-        return self.spark.read.option(
-            "basePath", self.data_dir
-        ).parquet(*files)
+        return self._normalize_partitions(self._read_files(files), meta)
 
     def scan(self, filters: list[tuple] | None = None) -> DataFrame:
         """Manifest-pruned scan: `filters` are (column, op, literal)
@@ -936,7 +1052,13 @@ class IcebergTable:
                 # identity-partition values prune EXACTLY (tighter
                 # than bounds: the file contains only this value)
                 pv = part.get(col)
-                if col in part_names and pv is not None:
+                # float32 partition values round-trip lossily through
+                # the Avro manifest — exact-equality pruning on them
+                # would wrongly skip files, so they fall through to
+                # the bounds path
+                if col in part_names and pv is not None and (
+                    ftype != "float"
+                ):
                     try:
                         ok = {
                             "<": pv < lit, "<=": pv <= lit,
@@ -994,12 +1116,11 @@ class IcebergTable:
         if not kept:
             # schema-correct empty frame from one file footer (never
             # re-walk the chain or build the full-table reader)
-            return self.spark.read.option(
-                "basePath", self.data_dir
-            ).parquet(files[0]["file_path"]).limit(0)
-        df = self.spark.read.option(
-            "basePath", self.data_dir
-        ).parquet(*kept)
+            return self._normalize_partitions(
+                self._read_files([files[0]["file_path"]]).limit(0),
+                meta,
+            )
+        df = self._normalize_partitions(self._read_files(kept), meta)
         for col, op, lit in filters or []:
             if col not in df.columns:
                 continue

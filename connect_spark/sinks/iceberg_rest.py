@@ -100,6 +100,7 @@ class RestCatalog:
         namespace: str,
         name: str,
         df: DataFrame,
+        partition_by: list[str] | None = None,
     ) -> dict:
         """Append `df` to the table: write data/manifests at the
         table's location, then commit the new snapshot through the
@@ -116,7 +117,7 @@ class RestCatalog:
         )
         table = IcebergTable(spark, location)
         local_version_before = table._version()
-        meta = table.append(df)
+        meta = table.append(df, partition_by=partition_by)
         snapshot = meta["snapshots"][-1]
         try:
             return self._call(

