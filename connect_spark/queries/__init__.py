@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mongo_filter_orders",
     "buffer_window_stamp",
     "dedup_line_removal",
+    "iceberg_partitioned_scan",
     "mapping_project",
     "mutation_enrich",
     "switch_route",

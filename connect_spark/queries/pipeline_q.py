@@ -156,9 +156,65 @@ GROUP BY o_orderstatus
 """
 
 
+
+
+def iceberg_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Iceberg in the gate (identity spec + manifest
+    pruning, sinks/iceberg_meta.py): orders commits partitioned by
+    order status, then a pruned scan (partition equality + a column-
+    bounds predicate) must value-hash the oracle's plain WHERE over
+    orders — covering the partition layout, typed partition values,
+    inference-off reads, and residual filtering end to end. The scan
+    must actually prune (asserted: fewer files than the table)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_part_gate_")
+    try:
+        t = IcebergTable(spark, loc)
+        t.append(orders, partition_by=["o_orderstatus"])
+        out = t.scan([
+            ("o_orderstatus", "=", "F"),
+            ("o_totalprice", ">=", 100000.0),
+        ])
+        n_total = len(t.current_files())
+        if not t._last_scan_file_count < n_total:
+            raise AssertionError(
+                "partition pruning did not reduce the file set "
+                f"({t._last_scan_file_count}/{n_total})"
+            )
+        return out.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ICEBERG_PARTITIONED_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 100000.0
+"""
+
+
 QUERIES = [
     QuerySpec("pipeline_yaml_route", pipeline_yaml_route, PIPELINE_ROUTE_SQL),
     QuerySpec("parse_log_events", parse_log_events, PARSE_LOG_SQL),
+    QuerySpec(
+        "iceberg_partitioned_scan",
+        iceberg_partitioned_scan,
+        ICEBERG_PARTITIONED_SQL,
+    ),
     QuerySpec(
         "iceberg_commit_roundtrip",
         iceberg_commit_roundtrip,
