@@ -39,11 +39,12 @@ class QuerySpec:
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
     # Round 4 rotation (standing policy: oldest driver verification
-    # first). Order: (a) the 10 queries that have NEVER had a driver
-    # row (all new this round), (b) queries whose latest green predates
-    # the current round's code churn (latest = r02 after round-3
-    # churn). The 50-slot window verifies the head; the 9 overflow
-    # entries rotate to the front next round.
+    # first). Order: (a) the 18 queries that have NEVER had a driver
+    # row (all new this round — wasm/ffi/iceberg/streaming plus the
+    # session-2 connector, span-dedup, and partitioned-iceberg
+    # gates), (b) queries whose latest green predates the round's
+    # code churn (latest = r02). The 50-slot window verifies the
+    # head; overflow entries rotate to the front next round.
     "wasm_transform_events",
     "ffi_libc_events",
     "iceberg_commit_roundtrip",
