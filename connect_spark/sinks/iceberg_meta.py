@@ -342,13 +342,21 @@ def _parse_partition_term(term: str) -> tuple[str, str, str]:
     if term.endswith(")") and "(" in term:
         transform, _, rest = term.partition("(")
         transform = transform.strip().lower()
-        src = rest[:-1].strip()
-        if transform != "day":
-            raise ValueError(
-                f"unsupported partition transform {transform!r} "
-                "(identity and day are implemented)"
-            )
-        return src, "day", f"{src}_day"
+        args = [a.strip() for a in rest[:-1].split(",")]
+        src = args[0]
+        if transform == "day":
+            return src, "day", f"{src}_day"
+        if transform == "truncate":
+            if len(args) != 2 or not args[1].isdigit():
+                raise ValueError(
+                    "truncate takes (column, width), e.g. "
+                    "truncate(name, 4)"
+                )
+            return src, f"truncate[{args[1]}]", f"{src}_trunc"
+        raise ValueError(
+            f"unsupported partition transform {transform!r} "
+            "(identity, day and truncate are implemented)"
+        )
     return term, "identity", term
 
 
@@ -584,14 +592,36 @@ class IcebergTable:
                 )
         commit_uuid = uuid.uuid4().hex
         staging = os.path.join(self.data_dir, f"stage-{commit_uuid}")
+        src_types = {f.name: f.dataType for f in df.schema.fields}
         write_df = df
         derived_names: list[str] = []
+        derived_types: dict[str, T.DataType] = {}
         for src, transform, fname in parsed:
             if transform == "day":
                 write_df = write_df.withColumn(
                     fname, F.to_date(F.col(src))
                 )
                 derived_names.append(fname)
+                derived_types[fname] = T.DateType()
+            elif transform.startswith("truncate["):
+                width = int(transform[len("truncate["):-1])
+                src_t = src_types.get(src)
+                if isinstance(src_t, T.StringType):
+                    derived = F.substring(F.col(src), 1, width)
+                elif isinstance(src_t, (T.IntegerType, T.LongType)):
+                    # iceberg truncate: v - (v mod W), mod with the
+                    # sign of W (floored — pmod)
+                    derived = (
+                        F.col(src) - F.pmod(F.col(src), F.lit(width))
+                    )
+                else:
+                    raise ValueError(
+                        "truncate supports string and int/long "
+                        f"columns, got {src_t} for {src!r}"
+                    )
+                write_df = write_df.withColumn(fname, derived)
+                derived_names.append(fname)
+                derived_types[fname] = src_t
         writer = write_df.write
         if parsed:
             writer = writer.partitionBy(*[p[2] for p in parsed])
@@ -639,7 +669,7 @@ class IcebergTable:
             f.name: f.dataType for f in df.schema.fields
         }
         for fname in derived_names:
-            part_types[fname] = T.DateType()  # day transform output
+            part_types[fname] = derived_types[fname]
         data_files = []
         for root_dir, _dirs, fnames in os.walk(staging):
             for fname in sorted(fnames):
@@ -1038,12 +1068,23 @@ class IcebergTable:
         spec_fields = self._current_partition_spec()
         part_names = {f["name"] for f in spec_fields}
         id_to_name = {f["id"]: f["name"] for f in cur_schema["fields"]}
-        # source column → day-transform partition field
-        day_sources = {
-            id_to_name.get(f["source-id"]): f["name"]
+        # source column → (partition field, transform) for derived
+        # transforms; their prunes apply transform(lit) conservatively
+        derived_sources = {
+            id_to_name.get(f["source-id"]): (f["name"], f["transform"])
             for f in spec_fields
-            if f.get("transform") == "day"
+            if f.get("transform", "identity") != "identity"
         }
+
+        def transform_lit(transform: str, lit):
+            if transform == "day":
+                return _day_of(lit)
+            if transform.startswith("truncate["):
+                width = int(transform[len("truncate["):-1])
+                if isinstance(lit, str):
+                    return lit[:width]
+                return int(lit) - int(lit) % width
+            raise TypeError(transform)
 
         def file_matches(d: dict) -> bool:
             for col, op, lit, orig_lit in coerced:
@@ -1070,23 +1111,29 @@ class IcebergTable:
                     if not ok:
                         return False
                     continue
-                # day-transformed partitions prune CONSERVATIVELY on
-                # the source column's filters (floor semantics: a
-                # file at day D holds values in [D, D+1))
-                if col in day_sources:
-                    pv_day = part.get(day_sources[col])
+                # derived-transform partitions prune CONSERVATIVELY on
+                # the source column's filters (floor semantics: a file
+                # at transform value V holds source values whose
+                # transform is exactly V)
+                if col in derived_sources:
+                    pfield, transform = derived_sources[col]
+                    pv_t = part.get(pfield)
                     try:
-                        lit_day = _day_of(orig_lit)
+                        lit_t = transform_lit(transform, orig_lit)
                     except (TypeError, ValueError):
-                        lit_day = None
-                    if pv_day is not None and lit_day is not None:
-                        if op in (">", ">=") and pv_day < lit_day:
-                            return False
-                        if op in ("<", "<=") and pv_day > lit_day:
-                            return False
-                        if op == "=" and pv_day != lit_day:
-                            return False
-                        continue
+                        lit_t = None
+                    if pv_t is not None and lit_t is not None:
+                        try:
+                            if op in (">", ">=") and pv_t < lit_t:
+                                return False
+                            if op in ("<", "<=") and pv_t > lit_t:
+                                return False
+                            if op == "=" and pv_t != lit_t:
+                                return False
+                        except TypeError:
+                            pass
+                        else:
+                            continue
                 lo = hi = None
                 for b in d.get("lower_bounds") or []:
                     if b["key"] == fid:

@@ -442,3 +442,39 @@ def test_partition_fixes_fifth_pass(spark, tmp_path):
                 "id long, ts timestamp"),
             partition_by=["ts_day"],
         )
+
+
+def test_truncate_partition_transform(spark, tmp_path):
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    # string truncate: prefix buckets
+    t = IcebergTable(spark, str(tmp_path / "trunc_s"))
+    meta = t.append(
+        spark.createDataFrame(
+            [("alpha", 1), ("alps", 2), ("beta", 3)],
+            "name string, n long").coalesce(1),
+        partition_by=["truncate(name, 3)"],
+    )
+    spec = meta["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "truncate[3]"
+    assert spec["name"] == "name_trunc"
+    parts = {d["partition"]["name_trunc"] for d in t.current_files()}
+    assert parts == {"alp", "bet"}
+    got = t.scan([("name", "=", "alps")])
+    assert t._last_scan_file_count == 1  # bet pruned, alp kept
+    assert sorted(r.n for r in got.collect()) == [2]
+    # derived column absent from results; schema intact
+    assert set(got.columns) == {"name", "n"}
+
+    # int truncate: width-10 buckets with range pruning
+    t2 = IcebergTable(spark, str(tmp_path / "trunc_i"))
+    t2.append(
+        spark.createDataFrame(
+            [(i,) for i in (1, 7, 15, 23)], "v long").coalesce(1),
+        partition_by=["truncate(v, 10)"],
+    )
+    got2 = t2.scan([("v", ">=", 20)])
+    assert t2._last_scan_file_count == 1
+    assert [r.v for r in got2.collect()] == [23]
+    got3 = t2.scan([("v", "<", 10)])
+    assert sorted(r.v for r in got3.collect()) == [1, 7]
