@@ -431,24 +431,78 @@ def _parse_duration(c: Column) -> Column:
     return ns.cast("bigint")
 
 
+# Predefined RFC 9562 namespaces accepted by uuid_v5 (methods.adoc:3937).
+_UUID_NAMESPACES = {
+    "dns": "6ba7b810-9dad-11d1-80b4-00c04fd430c8",
+    "url": "6ba7b811-9dad-11d1-80b4-00c04fd430c8",
+    "oid": "6ba7b812-9dad-11d1-80b4-00c04fd430c8",
+    "x500": "6ba7b814-9dad-11d1-80b4-00c04fd430c8",
+}
+
+
 @method("uuid_v5")
 def _uuid_v5(c: Column, namespace: str = "") -> Column:
-    """Name-based UUID (methods.adoc:3931): deterministic sha1-derived
-    formatting (version/variant nibbles set)."""
-    h = F.sha1(F.concat(F.lit(namespace), c))
+    """RFC 4122/9562 version-5 UUID (methods.adoc:3931): the digest is
+    sha1(namespace_uuid_bytes ‖ name_bytes) with the version nibble set
+    to 5 and the variant field to 10xx.  The namespace arg accepts the
+    predefined names dns/url/oid/x500, any valid UUID string, or empty
+    for the nil UUID — matching the reference's parameter contract
+    (methods.adoc:3937).  Pure Column algebra (sha1 over binary concat,
+    nibble surgery via conv), so it stays inside codegen.
+    """
+    import re as _re
+
+    ns = (namespace or "00000000-0000-0000-0000-000000000000").lower()
+    ns = _UUID_NAMESPACES.get(ns, ns)
+    if not _re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", ns):
+        raise ValueError(
+            f"uuid_v5 namespace must be dns/url/oid/x500 or a UUID, got {namespace!r}"
+        )
+    ns_hex = ns.replace("-", "")
+    h = F.sha1(F.concat(F.unhex(F.lit(ns_hex)), F.encode(c.cast("string"), "UTF-8")))
+    # variant nibble: (orig & 0x3) | 0x8 → one of 8/9/a/b
+    variant = F.lower(
+        F.conv(
+            (
+                F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4 + 8
+            ).cast("string"),
+            10,
+            16,
+        )
+    )
     return F.concat_ws(
         "-",
         F.substring(h, 1, 8),
         F.substring(h, 9, 4),
         F.concat(F.lit("5"), F.substring(h, 14, 3)),
-        F.concat(F.lit("8"), F.substring(h, 18, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
         F.substring(h, 21, 12),
     )
 
 
-method("parse_logfmt")(
-    lambda c: F.str_to_map(c, F.lit(" "), F.lit("="))
-)  # parse_logfmt (methods.adoc:3602)
+# logfmt token grammar: key=value where value is bare (no spaces) or
+# double-quoted with backslash escapes (methods.adoc:3602-3613).
+_LOGFMT_TOKEN = r'([\w.\-/@]+)=("(?:[^"\\]|\\.)*"|[^\s"]*)'
+
+
+@method("parse_logfmt")
+def _parse_logfmt(c: Column) -> Column:
+    """parse_logfmt (methods.adoc:3602): key=value pairs separated by
+    spaces where values may be double-quoted (quotes honored, \\" and
+    \\\\ unescaped) — the doc's own example is
+    `msg="hello world"` → {"msg": "hello world"}."""
+    keys = F.regexp_extract_all(c, F.lit(_LOGFMT_TOKEN), 1)
+    raw_vals = F.regexp_extract_all(c, F.lit(_LOGFMT_TOKEN), 2)
+    vals = F.transform(
+        raw_vals,
+        lambda v: F.when(
+            v.startswith('"') & v.endswith('"') & (F.length(v) >= 2),
+            F.regexp_replace(
+                F.substring(v, 2, F.length(v) - 2), r"\\(.)", "$1"
+            ),
+        ).otherwise(v),
+    )
+    return F.map_from_arrays(keys, vals)
 
 
 @method("parse_yaml")

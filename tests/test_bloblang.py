@@ -243,18 +243,78 @@ def test_duration_uuid_url_methods(spark):
         root.ns = this.d.parse_duration()
         root.esc = this.s.escape_url_query()
         root.unesc = this.u.unescape_url_query()
-        root.u5 = this.s.uuid_v5("ns")
+        root.u5 = this.s.uuid_v5("dns")
         """,
     )
     assert got[0]["ns"] == 3 * 3600_000_000_000 + 2 * 60_000_000_000 + 1_000_000_000
     assert got[0]["esc"] == "a+b%26c"
     assert got[0]["unesc"] == "a b"
-    import re
+    import uuid
 
-    assert re.fullmatch(
-        r"[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}",
-        got[0]["u5"],
+    assert got[0]["u5"] == str(uuid.uuid5(uuid.NAMESPACE_DNS, "a b&c"))
+
+
+def test_uuid_v5_rfc4122_vectors(spark):
+    """uuid_v5 must produce REAL RFC 4122/9562 name-based UUIDs
+    (methods.adoc:3931,3937): pinned against CPython's uuid.uuid5 over
+    every predefined namespace, an explicit namespace UUID, and the
+    nil-UUID default."""
+    import uuid
+
+    rows = [Row(s="example"), Row(s="www.widgets.com"), Row(s="")]
+    explicit = "77f836b7-9f61-46c0-851e-9b6ca3535e69"
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.dns = this.s.uuid_v5("dns")
+        root.url = this.s.uuid_v5("url")
+        root.oid = this.s.uuid_v5("oid")
+        root.x500 = this.s.uuid_v5("x500")
+        root.nil = this.s.uuid_v5()
+        root.expl = this.s.uuid_v5("77f836b7-9f61-46c0-851e-9b6ca3535e69")
+        """,
     )
+    for row, r in zip(rows, got):
+        assert r["dns"] == str(uuid.uuid5(uuid.NAMESPACE_DNS, row.s))
+        assert r["url"] == str(uuid.uuid5(uuid.NAMESPACE_URL, row.s))
+        assert r["oid"] == str(uuid.uuid5(uuid.NAMESPACE_OID, row.s))
+        assert r["x500"] == str(uuid.uuid5(uuid.NAMESPACE_X500, row.s))
+        assert r["nil"] == str(uuid.uuid5(uuid.UUID(int=0), row.s))
+        assert r["expl"] == str(uuid.uuid5(uuid.UUID(explicit), row.s))
+
+
+def test_parse_logfmt_quoted_values(spark):
+    """parse_logfmt honors double-quoted values with spaces and
+    escapes — the reference doc's own example (methods.adoc:3609-3613):
+    level=info msg="hello world" dur=1.5s."""
+    rows = [Row(l='level=info msg="hello world" dur=1.5s')]
+    got = run_mapping(
+        spark,
+        rows,
+        """
+        root.level = this.l.parse_logfmt().get("level")
+        root.msg = this.l.parse_logfmt().get("msg")
+        root.dur = this.l.parse_logfmt().get("dur")
+        """,
+    )
+    assert got[0]["level"] == "info"
+    assert got[0]["msg"] == "hello world"
+    assert got[0]["dur"] == "1.5s"
+
+    rows2 = [Row(l=r'k="quoted \" value" path=/var/log x=""')]
+    got2 = run_mapping(
+        spark,
+        rows2,
+        """
+        root.k = this.l.parse_logfmt().get("k")
+        root.path = this.l.parse_logfmt().get("path")
+        root.x = this.l.parse_logfmt().get("x")
+        """,
+    )
+    assert got2[0]["k"] == 'quoted " value'
+    assert got2[0]["path"] == "/var/log"
+    assert got2[0]["x"] == ""
 
 
 def test_with_without_struct_methods(spark):
