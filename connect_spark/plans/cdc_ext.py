@@ -136,9 +136,53 @@ for _kind, _spec in _CDC_SPECS.items():
 # --------------------------------------------------------------------
 
 # populated by Pipeline.dataframe() from config[input_resources] /
-# config[output_resources]
+# config[output_resources] — the BUILD-TIME fallback namespace. A
+# running stream must not depend on these module dicts (a second
+# pipeline's build clears them mid-flight), so delivery-time lookups
+# first consult the per-pipeline scope installed via
+# resource_scope() around each foreachBatch delivery.
 _INPUT_RESOURCES: dict[str, dict] = {}
 _OUTPUT_RESOURCES: dict[str, dict] = {}
+
+import contextvars as _contextvars
+
+_RESOURCE_SCOPE: _contextvars.ContextVar = _contextvars.ContextVar(
+    "connect_spark_resource_scope", default=None
+)
+
+
+class resource_scope:
+    """Context manager pinning a pipeline's (input_resources,
+    output_resources) snapshot for the duration of a delivery, so
+    `resource` kinds resolve against THIS pipeline's namespace even if
+    another Pipeline.dataframe() has since repopulated the module
+    registries (round-4 ADVICE: registry wipe mid-stream)."""
+
+    def __init__(self, inputs: dict[str, dict], outputs: dict[str, dict]):
+        self._scope = (dict(inputs), dict(outputs))
+        self._token = None
+
+    def __enter__(self):
+        self._token = _RESOURCE_SCOPE.set(self._scope)
+        return self
+
+    def __exit__(self, *exc):
+        _RESOURCE_SCOPE.reset(self._token)
+        return False
+
+
+def lookup_input_resource(name: str) -> dict | None:
+    scope = _RESOURCE_SCOPE.get()
+    if scope is not None and name in scope[0]:
+        return scope[0][name]
+    return _INPUT_RESOURCES.get(name)
+
+
+def lookup_output_resource(name: str) -> dict | None:
+    scope = _RESOURCE_SCOPE.get()
+    if scope is not None and name in scope[1]:
+        return scope[1][name]
+    return _OUTPUT_RESOURCES.get(name)
 
 
 @input_kind("resource")
@@ -148,7 +192,7 @@ def _i_resource(spark: SparkSession, c) -> DataFrame:
     from connect_spark.plans.pipeline import _build_input
 
     name = c if isinstance(c, str) else c["name"]
-    spec = _INPUT_RESOURCES.get(name)
+    spec = lookup_input_resource(name)
     if spec is None:
         raise PipelineConfigError(
             f"unknown input resource {name!r}; known: "
@@ -164,7 +208,7 @@ def _o_resource(df: DataFrame, c) -> DataFrame | None:
     from connect_spark.plans.pipeline import _run_output
 
     name = c if isinstance(c, str) else c["name"]
-    spec = _OUTPUT_RESOURCES.get(name)
+    spec = lookup_output_resource(name)
     if spec is None:
         raise PipelineConfigError(
             f"unknown output resource {name!r}; known: "

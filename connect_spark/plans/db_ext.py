@@ -470,13 +470,30 @@ def _transport(c: dict):
     return get_http_transport(c)
 
 
+
+def _payload_cols(df: DataFrame) -> list[str]:
+    """Message columns only — reserved `_cs_*` plumbing columns (the
+    batching split id) never enter a delivered payload."""
+    return [x for x in df.columns if not x.startswith("_cs_")]
+
 def _post_lines(df: DataFrame, line: Column, url: str, c: dict,
                 batch_header: str | None = None) -> None:
     """One POST per partition, body = newline-joined lines — the
-    bulk-request shape (sinks/search.py es_bulk_lines pattern)."""
+    bulk-request shape (sinks/search.py es_bulk_lines pattern).
+
+    When an output batching policy formed batches, the reserved
+    `_cs_batch_id` column rides along: hash repartitioning keeps each
+    batch whole in one partition but may co-locate several batches, so
+    requests split per batch id WITHIN the partition — one POST per
+    formed batch, never a merged over-sized body (round-4 ADVICE #3).
+    """
     t = _transport(c)
     headers = dict(c.get("headers", {}))
-    rows = df.select(line.alias("_l"))
+    has_batch = "_cs_batch_id" in df.columns
+    if has_batch:
+        rows = df.select(line.alias("_l"), F.col("_cs_batch_id").alias("_b"))
+    else:
+        rows = df.select(line.alias("_l"), F.lit(0).alias("_b"))
     # one request per partition, streamed through the driver one
     # partition at a time (the http_output_batches_raw pattern —
     # injectable transports are driver-resident; a cluster impl moves
@@ -486,10 +503,14 @@ def _post_lines(df: DataFrame, line: Column, url: str, c: dict,
     max_in_flight = int(c.get("max_in_flight", 1))
 
     def bodies():
-        for part in rows.rdd.map(lambda r: r[0]).glom().toLocalIterator():
-            body = "\n".join(x for x in part if x is not None)
-            if body:
-                yield (batch_header or "") + body + "\n"
+        for part in rows.rdd.map(tuple).glom().toLocalIterator():
+            groups: dict = {}
+            for val, bid in part:
+                groups.setdefault(bid, []).append(val)
+            for bid in sorted(groups, key=lambda x: (x is None, x)):
+                body = "\n".join(x for x in groups[bid] if x is not None)
+                if body:
+                    yield (batch_header or "") + body + "\n"
 
     if max_in_flight <= 1:
         for body in bodies():
@@ -543,12 +564,14 @@ def _o_es8(df: DataFrame, c: dict) -> None:
         id_col = c.get("id", "id")
         lines = es_bulk_lines(
             df, c["index"], id_col,
-            [x for x in df.columns if x != id_col],
+            [x for x in _payload_cols(df) if x != id_col],
+            carry_cols=[x for x in df.columns if x.startswith("_cs_")],
         )
         _post_lines(lines, F.col("bulk"), url.rstrip("/") + "/_bulk", c)
         return
     es_bulk_write(
-        df, {"index": c["index"], "url": url}, _dict_transport(c),
+        df.drop(*[x for x in df.columns if x.startswith("_cs_")]),
+        {"index": c["index"], "url": url}, _dict_transport(c),
         id_col=c.get("id", "id"),
     )
 
@@ -568,7 +591,7 @@ def _o_splunk_hec(df: DataFrame, c: dict) -> None:
     """outputs/splunk_hec.adoc — HEC event envelopes
     ({"event": ..., "sourcetype": ..., "index": ...}) POSTed per
     partition batch."""
-    event = F.to_json(F.struct(*df.columns))
+    event = F.to_json(F.struct(*_payload_cols(df)))
     envelope = F.to_json(
         F.struct(
             F.from_json(event, "map<string,string>").alias("event"),
@@ -588,6 +611,8 @@ def _o_questdb(df: DataFrame, c: dict) -> None:
     parts: list[Column] = [F.lit(table), F.lit(" ")]
     fields: list[Column] = []
     for name, dtype in df.dtypes:
+        if name.startswith("_cs_"):
+            continue
         key = F.lit(name + "=")
         if dtype in ("string",):
             val = F.concat(F.lit('"'), F.col(name).cast("string"), F.lit('"'))
@@ -603,7 +628,7 @@ def _o_doris(df: DataFrame, c: dict) -> None:
     """outputs/doris_stream_load.adoc — stream-load PUT of JSON rows
     per partition batch."""
     _post_lines(
-        df, F.to_json(F.struct(*df.columns)),
+        df, F.to_json(F.struct(*_payload_cols(df))),
         f"{c['url'].rstrip('/')}/api/{c['database']}/{c['table']}"
         "/_stream_load", c,
     )
@@ -628,7 +653,7 @@ def _o_pusher(df: DataFrame, c: dict) -> None:
     body = F.to_json(F.struct(
         F.lit(c["channel"]).alias("channel"),
         F.lit(c["event"]).alias("name"),
-        F.to_json(F.struct(*df.columns)).alias("data"),
+        F.to_json(F.struct(*_payload_cols(df))).alias("data"),
     ))
     _post_lines(df, body, c.get("url", "https://api.pusherapp.com"), c)
 
@@ -714,3 +739,19 @@ def _i_schema_registry(spark: SparkSession, c: dict) -> DataFrame:
     return spark.createDataFrame(
         rows or [], "subject string, version int, schema string"
     )
+
+
+# partition-granular HTTP sinks that split requests per formed batch
+# (_post_lines honors the reserved `_cs_batch_id` column) — registered
+# so _run_output keeps the column for them and drops it for all others
+def _register_batch_split_kinds():
+    from connect_spark.plans.pipeline import BATCH_SPLIT_KINDS
+
+    BATCH_SPLIT_KINDS.update({
+        "elasticsearch_v8", "elasticsearch_v9", "opensearch",
+        "splunk_hec", "questdb", "doris_stream_load", "cypher",
+        "pusher",
+    })
+
+
+_register_batch_split_kinds()

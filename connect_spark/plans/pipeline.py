@@ -56,6 +56,12 @@ PROCESSORS: dict[str, ProcessorFn] = {}
 INPUT_KINDS: dict[str, Callable[..., DataFrame]] = {}
 OUTPUT_KINDS: dict[str, Callable[..., Any]] = {}
 
+# output kinds whose delivery unit is partition-granular (one request
+# per partition) AND that split requests per `_cs_batch_id` when the
+# output's batching policy formed batches — they receive the reserved
+# column; every other kind has it dropped before dispatch
+BATCH_SPLIT_KINDS: set[str] = set()
+
 
 def input_kind(name: str):
     def deco(fn):
@@ -1081,18 +1087,42 @@ def _apply_output_batching(df: DataFrame, bconf: dict) -> DataFrame:
     if "batch_id" in out.columns:
         out = out.repartition(F.col("batch_id"))
         if not bconf.get("keep_batch_id"):
-            out = out.drop("batch_id")
+            # hash partitioning keeps each batch WHOLE in one partition
+            # but can co-locate several batches per partition, so
+            # partition-granular sinks (one request per partition) need
+            # the id to split requests per batch (round-4 ADVICE #3).
+            # Carry it under a reserved name; _run_output drops it for
+            # sinks that don't split (file writers etc.).
+            out = out.withColumnRenamed("batch_id", "_cs_batch_id")
     return out
 
 
-def _streaming_safe_output(conf: dict[str, Any]) -> dict[str, Any]:
+def _streaming_safe_output(
+    conf: dict[str, Any], resources: dict[str, dict] | None = None
+) -> dict[str, Any]:
     """Rewrite an output tree for continuous per-micro-batch delivery
     (Pipeline.start): file writers default to append so micro-batches
     ACCUMULATE (their batch default, overwrite, would erase prior
     batches), memory outputs are rejected (silently discarding every
-    batch), and combinators (broker/switch/fallback/retry/...) rewrite
-    recursively so nested children get the same treatment."""
+    batch), combinators (broker/switch/fallback/retry/...) rewrite
+    recursively so nested children get the same treatment, and
+    `resource` outputs are resolved from the pipeline's named-output
+    namespace and inlined so a parquet/csv/json_lines (or memory) sink
+    hiding behind a resource gets the same append-default/rejection
+    treatment (round-4 ADVICE finding #2)."""
     (kind, c), = conf.items()
+    if kind == "resource":
+        from connect_spark.plans.cdc_ext import lookup_output_resource
+
+        name = c if isinstance(c, str) else c["name"]
+        spec = (resources or {}).get(name) or lookup_output_resource(name)
+        if spec is None:
+            raise PipelineConfigError(
+                f"unknown output resource {name!r} in streaming output"
+            )
+        # inline the resolved spec: delivery no longer consults the
+        # registry for this node, and the rewrite below applies to it
+        return _streaming_safe_output(dict(spec), resources)
     if kind == "memory":
         raise PipelineConfigError(
             "start(): a memory output would discard every micro-batch; "
@@ -1107,15 +1137,19 @@ def _streaming_safe_output(conf: dict[str, Any]) -> dict[str, Any]:
         out = dict(c)
         for child_key in ("output", "dlq"):
             if isinstance(out.get(child_key), dict):
-                out[child_key] = _streaming_safe_output(out[child_key])
+                out[child_key] = _streaming_safe_output(
+                    out[child_key], resources
+                )
         if isinstance(out.get("outputs"), list):
             out["outputs"] = [
-                _streaming_safe_output(cc) if isinstance(cc, dict) else cc
+                _streaming_safe_output(cc, resources)
+                if isinstance(cc, dict) else cc
                 for cc in out["outputs"]
             ]
         if isinstance(out.get("cases"), list):
             out["cases"] = [
-                dict(case, output=_streaming_safe_output(case["output"]))
+                dict(case, output=_streaming_safe_output(
+                    case["output"], resources))
                 if isinstance(case, dict)
                 and isinstance(case.get("output"), dict) else case
                 for case in out["cases"]
@@ -1128,10 +1162,11 @@ def _streaming_safe_output(conf: dict[str, Any]) -> dict[str, Any]:
                 cc["output"], dict
             ):  # switch case {check, output}
                 rewritten.append(
-                    dict(cc, output=_streaming_safe_output(cc["output"]))
+                    dict(cc, output=_streaming_safe_output(
+                        cc["output"], resources))
                 )
             elif isinstance(cc, dict) and len(cc) == 1:
-                rewritten.append(_streaming_safe_output(cc))
+                rewritten.append(_streaming_safe_output(cc, resources))
             else:
                 rewritten.append(cc)
         return {kind: rewritten}
@@ -1151,6 +1186,8 @@ def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
     if isinstance(c, dict) and c.get("batching"):
         c = dict(c)
         df = _apply_output_batching(df, c.pop("batching"))
+        if "_cs_batch_id" in df.columns and kind not in BATCH_SPLIT_KINDS:
+            df = df.drop("_cs_batch_id")
     if kind == "memory":
         return df
     if kind == "parquet":
@@ -1259,6 +1296,13 @@ class Pipeline:
         for item in self.config.get("output_resources", []):
             item = dict(item)
             _OUTPUT_RESOURCES[item.pop("label")] = item
+        # snapshot THIS pipeline's resource namespace — delivery-time
+        # `resource` lookups (run()/start() foreachBatch) resolve
+        # against the snapshot, so a later pipeline's build repopulating
+        # the module registries can't wipe or shadow a running stream's
+        # named resources (round-4 ADVICE finding #1)
+        self._input_res = dict(_INPUT_RESOURCES)
+        self._output_res = dict(_OUTPUT_RESOURCES)
         # labeled cache resources (caches/*.adoc) for `cache`,
         # `cached` and `dedupe` processors (plans/state_ext.py)
         from connect_spark.plans.state_ext import register_cache_resources
@@ -1342,11 +1386,13 @@ class Pipeline:
                 q.processAllAvailable()
             finally:
                 q.stop()
-            result = _run_output(
-                df.sparkSession.table(name), self.config.get("output")
-            )
+            with self._resource_scope():
+                result = _run_output(
+                    df.sparkSession.table(name), self.config.get("output")
+                )
         else:
-            result = _run_output(df, self.config.get("output"))
+            with self._resource_scope():
+                result = _run_output(df, self.config.get("output"))
         # observability sections (metrics/*.adoc, tracers/*.adoc)
         if self.config.get("metrics") or self.config.get("tracer"):
             from connect_spark.plans.state_ext import (
@@ -1362,6 +1408,16 @@ class Pipeline:
             )
         return result
 
+    def _resource_scope(self):
+        """Pin this pipeline's named-resource snapshot around a
+        delivery (see cdc_ext.resource_scope)."""
+        from connect_spark.plans.cdc_ext import resource_scope
+
+        return resource_scope(
+            getattr(self, "_input_res", {}),
+            getattr(self, "_output_res", {}),
+        )
+
     def start(self, checkpoint: str | None = None):
         """Continuous streaming execution: every micro-batch delivers
         through the configured output via foreachBatch (the
@@ -1376,10 +1432,17 @@ class Pipeline:
         self.flush_writes()
         output_conf = self.config.get("output")
         if output_conf is not None:
-            output_conf = _streaming_safe_output(output_conf)
+            output_conf = _streaming_safe_output(
+                output_conf, getattr(self, "_output_res", {})
+            )
+        scope = self._resource_scope
 
         def deliver(batch_df: DataFrame, batch_id: int) -> None:
-            _run_output(batch_df, output_conf)
+            # the snapshot travels in the closure: a later pipeline
+            # build repopulating the module registries can't reroute
+            # or break this stream's `resource` outputs
+            with scope():
+                _run_output(batch_df, output_conf)
 
         writer = df.writeStream.foreachBatch(deliver)
         if checkpoint:

@@ -58,6 +58,15 @@ def _row_transport(c: dict):
     return get_http_transport(c)
 
 
+def _q(v) -> str:
+    """Percent-encode a user-config value for a URL query component —
+    a jql like `project = X` or a quoted SOQL/search query must reach
+    the real urllib transport as a valid URL (round-4 ADVICE #5)."""
+    import urllib.parse
+
+    return urllib.parse.quote(str(v), safe="")
+
+
 # --------------------------------------------------------------------
 # REST-polling SaaS inputs
 # --------------------------------------------------------------------
@@ -68,14 +77,14 @@ _SAAS_INPUTS: dict[str, tuple] = {
     "discord": (
         ("channel_id", "bot_token"),
         lambda c: "https://discord.com/api/v10/channels/"
-        f"{c['channel_id']}/messages",
+        f"{_q(c['channel_id'])}/messages",
         "GET", (),
     ),
     # inputs/slack.adoc — conversations.history
     "slack": (
         ("channel_id", "bot_token"),
         lambda c: "https://slack.com/api/conversations.history?channel="
-        f"{c['channel_id']}",
+        f"{_q(c['channel_id'])}",
         "GET", ("messages",),
     ),
     # inputs/slack_users.adoc — users.list
@@ -88,21 +97,21 @@ _SAAS_INPUTS: dict[str, tuple] = {
     "twitter_search": (
         ("query",),
         lambda c: "https://api.twitter.com/2/tweets/search/recent?query="
-        f"{c['query']}",
+        f"{_q(c['query'])}",
         "GET", ("data",),
     ),
     # inputs/jira.adoc — JQL search
     "jira": (
         ("base_url", "jql"),
         lambda c: f"{c['base_url'].rstrip('/')}/rest/api/3/search?jql="
-        f"{c['jql']}",
+        f"{_q(c['jql'])}",
         "GET", ("issues",),
     ),
     # inputs/salesforce.adoc — SOQL query
     "salesforce": (
         ("instance_url", "query"),
         lambda c: f"{c['instance_url'].rstrip('/')}/services/data/"
-        f"query?q={c['query']}",
+        f"query?q={_q(c['query'])}",
         "GET", ("records",),
     ),
     # inputs/salesforce_graphql.adoc

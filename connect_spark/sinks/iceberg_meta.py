@@ -656,10 +656,16 @@ class IcebergTable:
             aggs.append(F.max(c).alias(f"_hi_{c}"))
         # stats key = path RELATIVE to staging (basenames collide
         # across partition directories — one task writes the same
-        # part-file name into several partitions)
+        # part-file name into several partitions). input_file_name()
+        # yields a URL-encoded file:// URI while the matching os.walk
+        # below sees raw filesystem paths — unquote so a partition
+        # value needing URI encoding (space, '%', '#') still keys the
+        # same file (round-4 ADVICE #4).
+        import urllib.parse as _uparse
+
         marker = f"stage-{commit_uuid}/"
         stats = {
-            r["f"].split(marker, 1)[-1]: r
+            _uparse.unquote(r["f"].split(marker, 1)[-1]): r
             for r in staged.groupBy(F.input_file_name().alias("f"))
             .agg(*aggs)
             .collect()

@@ -38,10 +38,13 @@ def es_bulk_lines(
     id_col: str,
     doc_cols: Sequence[str],
     op: str = "index",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Each row → its two bulk-API lines (action + source) as one
     string column `bulk`; newline-joining a partition of these IS the
-    bulk body (elasticsearch output semantics: one bulk per batch)."""
+    bulk body (elasticsearch output semantics: one bulk per batch).
+    `carry_cols` pass through untouched (e.g. the reserved batching
+    split id) without entering the document source."""
     action = F.to_json(
         F.struct(
             F.struct(
@@ -50,10 +53,13 @@ def es_bulk_lines(
             ).alias(op)
         )
     )
+    extra = [F.col(x) for x in carry_cols]
     source = F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
     if op == "delete":
-        return df.select(action.alias("bulk"))
-    return df.select(F.concat(action, F.lit("\n"), source).alias("bulk"))
+        return df.select(action.alias("bulk"), *extra)
+    return df.select(
+        F.concat(action, F.lit("\n"), source).alias("bulk"), *extra
+    )
 
 
 def es_bulk_write(

@@ -478,3 +478,31 @@ def test_truncate_partition_transform(spark, tmp_path):
     assert [r.v for r in got2.collect()] == [23]
     got3 = t2.scan([("v", "<", 10)])
     assert sorted(r.v for r in got3.collect()) == [1, 7]
+
+
+def test_partition_value_needing_uri_encoding_keeps_stats(spark, tmp_path):
+    """Round-4 ADVICE #4: stats are keyed by input_file_name() (a
+    URL-encoded file:// URI) but matched against os.walk paths — a
+    partition value with a space / '%' / '#' must still carry
+    record_count and column bounds into the manifest."""
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "enc_parted"))
+    df = spark.createDataFrame(
+        [("a b", 1), ("a b", 2), ("x%y", 3), ("q#r", 4)],
+        "region string, n long")
+    t.append(df, partition_by=["region"])
+    files = t.current_files()
+    counts: dict = {}
+    for d in files:
+        key = d["partition"]["region"]
+        counts[key] = counts.get(key, 0) + d["record_count"]
+    assert counts == {"a b": 2, "x%y": 1, "q#r": 1}
+    # column bounds present for every file (no zeroed stats row)
+    for d in files:
+        assert d["record_count"] > 0
+    # values resolve back on read and prune exactly
+    got = sorted((r.region, r.n) for r in t.read().collect())
+    assert got == [("a b", 1), ("a b", 2), ("q#r", 4), ("x%y", 3)]
+    pruned = t.scan([("region", "=", "a b")])
+    assert sorted(r.n for r in pruned.collect()) == [1, 2]

@@ -294,3 +294,35 @@ def test_aws_lambda_payload_bound(spark):
         PROCESSORS["aws_lambda"](df, {
             "function": "f", "transport": "fake_l2",
             "max_unique_payloads": 3})
+
+
+def test_saas_url_query_is_percent_encoded(spark):
+    """Round-4 ADVICE #5: user config interpolated into URL query
+    strings must be percent-encoded — a jql like `project = X AND
+    status = "Open"` has to survive the real urllib transport."""
+    urls: list[str] = []
+    register_http_transport(
+        "cap_url", lambda url, verb, headers, body:
+        urls.append(url) or json.dumps({"issues": [{"k": 1}]}))
+    Pipeline(spark, {"input": {"jira": {
+        "base_url": "https://j", "jql": 'project = X AND s = "Open"',
+        "transport": "cap_url"}}}).dataframe().collect()
+    assert urls[0] == (
+        "https://j/rest/api/3/search?jql="
+        "project%20%3D%20X%20AND%20s%20%3D%20%22Open%22"
+    )
+    # the encoded URL must parse as a valid http URL
+    import urllib.parse
+
+    parsed = urllib.parse.urlsplit(urls[0])
+    assert " " not in urls[0] and parsed.query.startswith("jql=")
+
+    urls.clear()
+    register_http_transport(
+        "cap_url2", lambda url, verb, headers, body:
+        urls.append(url) or json.dumps({"records": [{"Id": "a"}]}))
+    Pipeline(spark, {"input": {"salesforce": {
+        "instance_url": "https://sf",
+        "query": "SELECT Id FROM Account WHERE Name = 'x y'",
+        "transport": "cap_url2"}}}).dataframe().collect()
+    assert " " not in urls[0] and "%20" in urls[0]
