@@ -98,6 +98,18 @@ def _cdc_input(kind: str, spec: CdcKindSpec):
 
         _reg(spark)
         reader = spark.readStream.format("cdc_wal").option("path", wal_path)
+        # postgres kinds consume RECORDED pgoutput wire bytes when the
+        # WAL directory holds .pgcopy segments (sources/pgoutput.py) —
+        # the real logical-decoding format, not the JSONL bridge.
+        wal_format = c.get("wal_format")
+        if wal_format is None and kind in ("postgres_cdc", "pg_stream"):
+            import glob as _glob
+            import os as _os
+
+            if _glob.glob(_os.path.join(wal_path, "*.pgcopy")):
+                wal_format = "pgoutput"
+        if wal_format:
+            reader = reader.option("wal_format", wal_format)
         if c.get("stream_snapshot") and c.get("snapshot_path"):
             reader = reader.option("snapshot_path", c["snapshot_path"])
             if c.get("snapshot_lsn") is not None:

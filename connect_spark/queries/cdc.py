@@ -93,7 +93,119 @@ FROM latest WHERE rn = 1 AND operation <> 'delete'
 """
 
 
+def cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pgoutput wire-format decode → materialize (round-4 verdict
+    task #1): a change log derived from `orders` is RECORDED as binary
+    pgoutput COPY-BOTH frames (Relation/Begin/Insert/Update/Delete/
+    Commit — the exact logical-replication bytes a PostgreSQL server
+    emits, sources/pgoutput.py), decoded back through the independent
+    binary decoder, and the decoded envelope is materialized in Spark
+    with last-writer-wins per key.  The oracle reproduces the SAME
+    change semantics directly in SQL — so a decoder bug (wrong tuple
+    category, endianness, type normalization, LSN ordering) breaks the
+    value hash.
+
+    The fixture recording is a bounded driver-side control path
+    (~150 rows at sf0.01 — recording a replication session is
+    inherently a single-connection concern, as in the reference);
+    decode+materialize of the envelope is the distributed part.
+    """
+    import json as _json
+
+    from connect_spark.sources.cdc_stream import CDC_ENVELOPE, _rec_to_row
+    from connect_spark.sources.pgoutput import (
+        OID_FLOAT8,
+        OID_INT8,
+        OID_TEXT,
+        PgoutputFixtureWriter,
+        decode_pgoutput_bytes,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    rows = sorted(
+        (r.o_orderkey, r.o_orderstatus, r.o_totalprice)
+        for r in orders.collect()
+    )
+    w = PgoutputFixtureWriter()
+    w.relation(16385, "orders", [
+        ("o_orderkey", OID_INT8),
+        ("o_orderstatus", OID_TEXT),
+        ("o_totalprice", OID_FLOAT8),
+    ])
+    w.begin(commit_ts_us=1_000_000, xid=1)
+    for k, s, p in rows:
+        w.insert({"o_orderkey": k, "o_orderstatus": s,
+                  "o_totalprice": repr(p)})
+    w.commit(commit_ts_us=1_000_000)
+    w.begin(commit_ts_us=2_000_000, xid=2)
+    for k, s, p in rows:
+        if k % 300 == 0:
+            w.update({"o_orderkey": k, "o_orderstatus": "X",
+                      "o_totalprice": repr(p + 1.0)},
+                     before={"o_orderkey": k}, key_only=True)
+    for k, _s, _p in rows:
+        if k % 700 == 0:
+            w.delete({"o_orderkey": k})
+    w.commit(commit_ts_us=2_000_000)
+    w.copy_done()
+
+    recs = [
+        r for r in decode_pgoutput_bytes(w.getvalue())
+        if r["operation"] not in ("begin", "commit")
+    ]
+    env = spark.createDataFrame(
+        [_rec_to_row(r) for r in recs], CDC_ENVELOPE)
+    parsed = env.select(
+        "lsn", "operation",
+        F.coalesce(
+            F.get_json_object("after", "$.o_orderkey"),
+            F.get_json_object("before", "$.o_orderkey"),
+        ).cast("bigint").alias("o_orderkey"),
+        F.get_json_object("after", "$.o_orderstatus").alias("status"),
+        F.get_json_object("after", "$.o_totalprice")
+            .cast("double").alias("price"),
+    )
+    w_ = Window.partitionBy("o_orderkey").orderBy(F.col("lsn").desc())
+    return (
+        parsed.withColumn("_rn", F.row_number().over(w_))
+        .filter((F.col("_rn") == 1) & (F.col("operation") != "delete"))
+        .select(
+            "o_orderkey",
+            F.col("operation").alias("src_op"),
+            "status",
+            "price",
+        )
+    )
+
+
+CDC_PGOUTPUT_SQL = """
+WITH log AS (
+  SELECT o_orderkey, 'insert' AS operation, o_orderkey AS seq,
+         o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, 'update', 1000000000 + o_orderkey,
+         'X', o_totalprice + 1.0
+  FROM orders WHERE o_orderkey % 300 = 0
+  UNION ALL
+  SELECT o_orderkey, 'delete', 2000000000 + o_orderkey, NULL, NULL
+  FROM orders WHERE o_orderkey % 700 = 0
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT o_orderkey, operation AS src_op, status, price
+FROM latest WHERE rn = 1 AND operation <> 'delete'
+"""
+
+
 QUERIES = [
     QuerySpec("cdc_materialize_orders", cdc_materialize_orders,
               CDC_MATERIALIZE_SQL, headline=True),
+    QuerySpec("cdc_pgoutput_decode", cdc_pgoutput_decode,
+              CDC_PGOUTPUT_SQL),
 ]

@@ -178,6 +178,59 @@ class CdcWal:
                         yield rec
 
 
+class PgoutputWal:
+    """Read-side twin of ``CdcWal`` over RECORDED pgoutput wire bytes:
+    a directory of ``*.pgcopy`` segment files, each holding the
+    COPY-BOTH frames of one recorded stretch of a replication session
+    (sources/pgoutput.py documents the byte format).  Relation state
+    flows across segments through one decoder instance — exactly how
+    the reference's single replication connection carries schema
+    messages forward (internal/impl/postgresql/pglogicalstream/
+    logical_stream.go).  LSNs come from each XLogData's walStart, so
+    resume-from-offset filters on the REAL replication position."""
+
+    SUFFIX = ".pgcopy"
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _segments(self) -> list[str]:
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        return sorted(f for f in names if f.endswith(self.SUFFIX))
+
+    def records(self, after_lsn: int) -> Iterator[dict]:
+        from connect_spark.sources.pgoutput import (
+            PgoutputDecoder,
+            decode_pgoutput_file,
+        )
+
+        dec = PgoutputDecoder()
+        for seg in self._segments():
+            for rec in decode_pgoutput_file(
+                os.path.join(self.path, seg), dec
+            ):
+                # transaction markers surface like the reference's
+                # include_transaction_markers rows; the input kind
+                # filters them by default
+                if rec["lsn"] > after_lsn:
+                    yield rec
+
+    def last_lsn(self) -> int:
+        last = 0
+        for rec in self.records(after_lsn=0):
+            last = max(last, rec["lsn"])
+        return last
+
+
+def _open_wal(path: str, wal_format: str):
+    if wal_format == "pgoutput":
+        return PgoutputWal(path)
+    return CdcWal(path)
+
+
 def _rec_to_row(rec: dict) -> tuple:
     return (
         rec["lsn"],
@@ -201,6 +254,7 @@ class CdcWalStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options):
         self.wal_path = options["path"]
+        self.wal_format = options.get("wal_format", "jsonl")
         self.snapshot_path = options.get("snapshot_path")
         self.max_records = int(options.get("max_records_per_batch", 10_000))
         self.snapshot_lsn = int(options.get("snapshot_lsn", 0))
@@ -244,7 +298,7 @@ class CdcWalStreamReader(SimpleDataSourceStreamReader):
             return iter(snap[i:j]), {"snap": j, "lsn": start["lsn"]}
         rows: list[tuple] = []
         last = start["lsn"]
-        wal = CdcWal(self.wal_path)
+        wal = _open_wal(self.wal_path, self.wal_format)
         for rec in wal.records(after_lsn=start["lsn"]):
             rows.append(_rec_to_row(rec))
             last = rec["lsn"]
@@ -260,7 +314,7 @@ class CdcWalStreamReader(SimpleDataSourceStreamReader):
         if start["snap"] < end["snap"]:
             rows.extend(snap[start["snap"]:end["snap"]])
         if end["lsn"] > start["lsn"]:
-            wal = CdcWal(self.wal_path)
+            wal = _open_wal(self.wal_path, self.wal_format)
             for rec in wal.records(after_lsn=start["lsn"]):
                 if rec["lsn"] <= end["lsn"]:
                     rows.append(_rec_to_row(rec))
