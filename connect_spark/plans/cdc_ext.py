@@ -102,14 +102,28 @@ def _cdc_input(kind: str, spec: CdcKindSpec):
         # WAL directory holds .pgcopy segments (sources/pgoutput.py) —
         # the real logical-decoding format, not the JSONL bridge.
         wal_format = c.get("wal_format")
-        if wal_format is None and kind in ("postgres_cdc", "pg_stream"):
+        if wal_format is None:
             import glob as _glob
             import os as _os
 
-            if _glob.glob(_os.path.join(wal_path, "*.pgcopy")):
+            if kind in ("postgres_cdc", "pg_stream") and _glob.glob(
+                _os.path.join(wal_path, "*.pgcopy")
+            ):
                 wal_format = "pgoutput"
+            elif kind == "mysql_cdc" and _glob.glob(
+                _os.path.join(wal_path, "*.binlog")
+            ):
+                wal_format = "binlog"
         if wal_format:
             reader = reader.option("wal_format", wal_format)
+        if c.get("column_names"):
+            # binlog TABLE_MAP carries no column names; the reference
+            # resolves them from the live schema — offline recordings
+            # supply them per table here
+            import json as _json
+
+            reader = reader.option(
+                "column_names", _json.dumps(c["column_names"]))
         if c.get("stream_snapshot") and c.get("snapshot_path"):
             reader = reader.option("snapshot_path", c["snapshot_path"])
             if c.get("snapshot_lsn") is not None:

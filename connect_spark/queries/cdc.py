@@ -110,8 +110,6 @@ def cdc_pgoutput_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently a single-connection concern, as in the reference);
     decode+materialize of the envelope is the distributed part.
     """
-    import json as _json
-
     from connect_spark.sources.cdc_stream import CDC_ENVELOPE, _rec_to_row
     from connect_spark.sources.pgoutput import (
         OID_FLOAT8,
@@ -203,9 +201,122 @@ FROM latest WHERE rn = 1 AND operation <> 'delete'
 """
 
 
+def cdc_binlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MySQL binlog ROW-format decode → materialize (round-4
+    verdict task #2): a change log derived from `customer` is RECORDED
+    as v4 binlog files (FDE/GTID/BEGIN/TABLE_MAP/WRITE/UPDATE/DELETE_
+    ROWS v2/XID — sources/binlog.py), decoded back through the
+    independent event decoder (including NEWDECIMAL packed decimals),
+    and materialized last-writer-wins on the binlog coordinates.  The
+    oracle reproduces the change semantics in SQL, so an endianness /
+    bitmap / packed-decimal / coordinate-ordering bug breaks the hash.
+    Fixture recording is the bounded driver-side control path; the
+    envelope materialization is the distributed part."""
+    from connect_spark.sources.binlog import (
+        BinlogDecoder,
+        BinlogFixtureWriter,
+        T_LONGLONG,
+        T_NEWDECIMAL,
+        T_VARCHAR,
+        decode_binlog_bytes,
+    )
+    from connect_spark.sources.cdc_stream import CDC_ENVELOPE, _rec_to_row
+
+    cols = [("c_custkey", T_LONGLONG, 0), ("c_name", T_VARCHAR, 64),
+            ("c_acctbal", T_NEWDECIMAL, (14 << 8) | 2)]
+    names = {"tpch.customer": ["c_custkey", "c_name", "c_acctbal"]}
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    rows = sorted(
+        (r.c_custkey, r.c_name, r.c_acctbal) for r in cust.collect()
+    )
+    w = BinlogFixtureWriter(ts=1_700_000_000)
+    w.gtid("ab" * 16, 1)
+    w.begin()
+    w.table_map(7, "tpch", "customer", cols)
+    w.write_rows([
+        {"c_custkey": k, "c_name": n, "c_acctbal": f"{b:.2f}"}
+        for k, n, b in rows
+    ])
+    w.xid(1)
+    w2 = BinlogFixtureWriter(ts=1_700_000_100)
+    w2.gtid("ab" * 16, 2)
+    w2.begin()
+    w2.table_map(7, "tpch", "customer", cols)
+    w2.update_rows([
+        ({"c_custkey": k, "c_name": n, "c_acctbal": f"{b:.2f}"},
+         {"c_custkey": k, "c_name": "UPDATED",
+          "c_acctbal": f"{b + 10.0:.2f}"})
+        for k, n, b in rows if k % 30 == 0
+    ])
+    w2.delete_rows([
+        {"c_custkey": k, "c_name": n, "c_acctbal": f"{b:.2f}"}
+        for k, n, b in rows if k % 70 == 0
+    ])
+    w2.xid(2)
+
+    dec = BinlogDecoder(column_names=names)
+    recs = [
+        r
+        for seq, blob in enumerate([w.getvalue(), w2.getvalue()])
+        for r in decode_binlog_bytes(blob, dec, file_seq=seq)
+        if r["operation"] not in ("begin", "commit")
+    ]
+    env = spark.createDataFrame(
+        [_rec_to_row(r) for r in recs], CDC_ENVELOPE)
+    parsed = env.select(
+        "lsn", "operation",
+        F.coalesce(
+            F.get_json_object("after", "$.c_custkey"),
+            F.get_json_object("before", "$.c_custkey"),
+        ).cast("bigint").alias("c_custkey"),
+        F.get_json_object("after", "$.c_name").alias("name"),
+        F.get_json_object("after", "$.c_acctbal")
+            .cast("double").alias("acctbal"),
+    )
+    w_ = Window.partitionBy("c_custkey").orderBy(F.col("lsn").desc())
+    return (
+        parsed.withColumn("_rn", F.row_number().over(w_))
+        .filter((F.col("_rn") == 1) & (F.col("operation") != "delete"))
+        .select(
+            "c_custkey",
+            F.col("operation").alias("src_op"),
+            "name",
+            "acctbal",
+        )
+    )
+
+
+CDC_BINLOG_SQL = """
+WITH log AS (
+  SELECT c_custkey, 'insert' AS operation, c_custkey AS seq,
+         c_name AS name, CAST(printf('%.2f', c_acctbal) AS DOUBLE) AS acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 'update', 1000000000 + c_custkey,
+         'UPDATED', CAST(printf('%.2f', c_acctbal + 10.0) AS DOUBLE)
+  FROM customer WHERE c_custkey % 30 = 0
+  UNION ALL
+  SELECT c_custkey, 'delete', 2000000000 + c_custkey, NULL, NULL
+  FROM customer WHERE c_custkey % 70 = 0
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT c_custkey, operation AS src_op, name, acctbal
+FROM latest WHERE rn = 1 AND operation <> 'delete'
+"""
+
+
 QUERIES = [
     QuerySpec("cdc_materialize_orders", cdc_materialize_orders,
               CDC_MATERIALIZE_SQL, headline=True),
     QuerySpec("cdc_pgoutput_decode", cdc_pgoutput_decode,
               CDC_PGOUTPUT_SQL),
+    QuerySpec("cdc_binlog_decode", cdc_binlog_decode,
+              CDC_BINLOG_SQL),
 ]

@@ -225,9 +225,61 @@ class PgoutputWal:
         return last
 
 
-def _open_wal(path: str, wal_format: str):
+class BinlogWal:
+    """Read-side twin of ``CdcWal`` over RECORDED MySQL binlog files:
+    a directory of ``*.binlog`` files (v4 magic + events) in filename
+    order — the files ``mysqlbinlog --raw`` saves.  TABLE_MAP state
+    carries across files through one decoder; LSN = (file_seq << 32) |
+    log_pos, i.e. the canonical binlog coordinates, so checkpointed
+    resume filters on the real replication position exactly like the
+    reference's cached binlog offset (internal/impl/mysql/
+    input_mysql_stream.go:202,313).  Column names come from
+    ``column_names`` (binlog TABLE_MAP carries none by default; the
+    reference resolves them from the live schema the same way)."""
+
+    SUFFIX = ".binlog"
+
+    def __init__(self, path: str, column_names: dict | None = None):
+        self.path = path
+        self.column_names = column_names or {}
+
+    def _segments(self) -> list[str]:
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        return sorted(f for f in names if f.endswith(self.SUFFIX))
+
+    def records(self, after_lsn: int) -> Iterator[dict]:
+        from connect_spark.sources.binlog import (
+            BinlogDecoder,
+            decode_binlog_file,
+        )
+
+        dec = BinlogDecoder(column_names=dict(self.column_names))
+        for seq, seg in enumerate(self._segments()):
+            for rec in decode_binlog_file(
+                os.path.join(self.path, seg), dec, file_seq=seq
+            ):
+                if rec["lsn"] > after_lsn:
+                    yield rec
+
+    def last_lsn(self) -> int:
+        last = 0
+        for rec in self.records(after_lsn=0):
+            last = max(last, rec["lsn"])
+        return last
+
+
+def _open_wal(path: str, wal_format: str, options: dict | None = None):
     if wal_format == "pgoutput":
         return PgoutputWal(path)
+    if wal_format == "binlog":
+        cols = {}
+        raw = (options or {}).get("column_names")
+        if raw:
+            cols = json.loads(raw) if isinstance(raw, str) else raw
+        return BinlogWal(path, column_names=cols)
     return CdcWal(path)
 
 
@@ -255,6 +307,7 @@ class CdcWalStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.wal_path = options["path"]
         self.wal_format = options.get("wal_format", "jsonl")
+        self._options = dict(options)
         self.snapshot_path = options.get("snapshot_path")
         self.max_records = int(options.get("max_records_per_batch", 10_000))
         self.snapshot_lsn = int(options.get("snapshot_lsn", 0))
@@ -298,7 +351,7 @@ class CdcWalStreamReader(SimpleDataSourceStreamReader):
             return iter(snap[i:j]), {"snap": j, "lsn": start["lsn"]}
         rows: list[tuple] = []
         last = start["lsn"]
-        wal = _open_wal(self.wal_path, self.wal_format)
+        wal = _open_wal(self.wal_path, self.wal_format, self._options)
         for rec in wal.records(after_lsn=start["lsn"]):
             rows.append(_rec_to_row(rec))
             last = rec["lsn"]
@@ -314,7 +367,8 @@ class CdcWalStreamReader(SimpleDataSourceStreamReader):
         if start["snap"] < end["snap"]:
             rows.extend(snap[start["snap"]:end["snap"]])
         if end["lsn"] > start["lsn"]:
-            wal = _open_wal(self.wal_path, self.wal_format)
+            wal = _open_wal(self.wal_path, self.wal_format,
+                            self._options)
             for rec in wal.records(after_lsn=start["lsn"]):
                 if rec["lsn"] <= end["lsn"]:
                     rows.append(_rec_to_row(rec))

@@ -1,0 +1,206 @@
+"""MySQL binlog ROW-format decoder matrix (round-4 verdict task #2).
+
+Fixture binlog files are synthesized byte-for-byte from the PUBLIC
+binlog v4 file format (magic, FORMAT_DESCRIPTION, GTID, QUERY/BEGIN,
+TABLE_MAP, WRITE/UPDATE/DELETE_ROWS v2, XID) and decoded by the
+independent decoder under test — mirroring the event surface
+internal/impl/mysql/input_mysql_stream.go consumes via go-mysql.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+
+from connect_spark.sources.binlog import (
+    BinlogDecoder,
+    BinlogFixtureWriter,
+    T_BLOB,
+    T_DATE,
+    T_DATETIME2,
+    T_DOUBLE,
+    T_FLOAT,
+    T_INT24,
+    T_LONG,
+    T_LONGLONG,
+    T_NEWDECIMAL,
+    T_SHORT,
+    T_TINY,
+    T_VARCHAR,
+    T_YEAR,
+    _decode_decimal,
+    _encode_decimal,
+    decode_binlog_bytes,
+)
+
+COLS = [("id", T_LONGLONG, 0), ("name", T_VARCHAR, 64),
+        ("qty", T_LONG, 0)]
+NAMES = {"shop.items": ["id", "name", "qty"]}
+
+
+def _decode(w: BinlogFixtureWriter, names=NAMES, seq=0):
+    dec = BinlogDecoder(column_names=dict(names))
+    return list(decode_binlog_bytes(w.getvalue(), dec, file_seq=seq))
+
+
+def test_write_update_delete_roundtrip():
+    w = BinlogFixtureWriter(ts=1_700_000_000)
+    w.gtid("aa" * 16, 5)
+    w.begin()
+    w.table_map(101, "shop", "items", COLS)
+    w.write_rows([{"id": 1, "name": "ann", "qty": 5},
+                  {"id": 2, "name": "bob", "qty": 7}])
+    w.update_rows([({"id": 2, "name": "bob", "qty": 7},
+                    {"id": 2, "name": "bob", "qty": 8})])
+    w.delete_rows([{"id": 1, "name": "ann", "qty": 5}])
+    w.xid(9)
+    recs = _decode(w)
+    ops = [r["operation"] for r in recs]
+    assert ops == ["begin", "insert", "insert", "update", "delete",
+                   "commit"]
+    assert recs[1]["table"] == "items"
+    assert recs[1]["after"] == {"id": 1, "name": "ann", "qty": 5}
+    assert recs[3]["before"]["qty"] == 7
+    assert recs[3]["after"]["qty"] == 8
+    assert recs[4]["before"]["id"] == 1 and recs[4]["after"] is None
+    # header timestamp (seconds) → ms
+    assert all(r["commit_ts_ms"] == 1_700_000_000_000 for r in recs)
+    # binlog coordinates: strictly increasing log_pos in file 0
+    lsns = [r["lsn"] for r in recs]
+    assert lsns == sorted(lsns) and len(set(lsns)) == len(lsns)
+
+
+def test_gtid_offsets_tracked():
+    w = BinlogFixtureWriter()
+    w.gtid("ab" * 16, 42)
+    w.begin()
+    w.table_map(101, "shop", "items", COLS)
+    w.write_rows([{"id": 1, "name": "x", "qty": 0}])
+    w.xid()
+    dec = BinlogDecoder(column_names=dict(NAMES))
+    list(decode_binlog_bytes(w.getvalue(), dec))
+    assert dec.last_gtid == ("ab" * 16, 42)
+
+
+def test_numeric_type_matrix():
+    cols = [
+        ("t", T_TINY, 0), ("s", T_SHORT, 0), ("i3", T_INT24, 0),
+        ("l", T_LONG, 0), ("ll", T_LONGLONG, 0), ("f", T_FLOAT, 0),
+        ("d", T_DOUBLE, 0), ("y", T_YEAR, 0),
+    ]
+    names = {"db.nums": ["t", "s", "i3", "l", "ll", "f", "d", "y"]}
+    w = BinlogFixtureWriter()
+    w.begin()
+    w.table_map(7, "db", "nums", cols)
+    w.write_rows([{"t": -5, "s": -300, "i3": -70000, "l": -2**31,
+                   "ll": 2**60, "f": 0.5, "d": -1.25, "y": 2024}])
+    w.xid()
+    row = _decode(w, names)[1]["after"]
+    assert row == {"t": -5, "s": -300, "i3": -70000, "l": -2**31,
+                   "ll": 2**60, "f": 0.5, "d": -1.25, "y": 2024}
+
+
+def test_string_blob_date_datetime():
+    cols = [("v", T_VARCHAR, 300), ("b", T_BLOB, 2),
+            ("dt", T_DATE, 0), ("ts", T_DATETIME2, 6)]
+    names = {"db.misc": ["v", "b", "dt", "ts"]}
+    w = BinlogFixtureWriter()
+    w.begin()
+    w.table_map(8, "db", "misc", cols)
+    w.write_rows([{
+        "v": "héllo wörld",  # 2-byte length path (max 300 > 255)
+        "b": b"\x00\x01\xfe",
+        "dt": "2024-03-09",
+        "ts": "2024-03-09 12:34:56.789012",
+    }])
+    w.xid()
+    row = _decode(w, names)[1]["after"]
+    assert row["v"] == "héllo wörld"
+    assert row["b"] == base64.b64encode(b"\x00\x01\xfe").decode()
+    assert row["dt"] == "2024-03-09"
+    assert row["ts"] == "2024-03-09 12:34:56.789012"
+
+
+def test_null_bitmap():
+    w = BinlogFixtureWriter()
+    w.begin()
+    w.table_map(101, "shop", "items", COLS)
+    w.write_rows([{"id": 3, "name": None, "qty": None}])
+    w.xid()
+    row = _decode(w)[1]["after"]
+    assert row == {"id": 3, "name": None, "qty": None}
+
+
+@pytest.mark.parametrize("value,precision,scale", [
+    ("1234567890.1234", 14, 4),
+    ("-1234567890.1234", 14, 4),
+    ("0.00", 10, 2),
+    ("-0.01", 10, 2),
+    ("999999999999999999.999999999", 27, 9),  # multi-group both sides
+    ("-999999999999999999.999999999", 27, 9),
+    ("42", 5, 0),
+    ("-7.5", 3, 1),
+])
+def test_newdecimal_packed_roundtrip(value, precision, scale):
+    raw = _encode_decimal(value, precision, scale)
+    got = _decode_decimal(raw, precision, scale)
+    # normalize to fixed scale for compare
+    def norm(s):
+        neg = s.startswith("-")
+        s = s.lstrip("-")
+        i, _, f = s.partition(".")
+        f = f.ljust(scale, "0")[:scale]
+        out = (i.lstrip("0") or "0") + ("." + f if scale else "")
+        return ("-" if neg and out.strip("0.") else "") + out
+    assert norm(got) == norm(value)
+
+
+def test_decimal_in_rows_event():
+    cols = [("id", T_LONGLONG, 0),
+            ("amount", T_NEWDECIMAL, (12 << 8) | 2)]
+    names = {"db.pay": ["id", "amount"]}
+    w = BinlogFixtureWriter()
+    w.begin()
+    w.table_map(9, "db", "pay", cols)
+    w.write_rows([{"id": 1, "amount": "12345.67"},
+                  {"id": 2, "amount": "-0.99"}])
+    w.xid()
+    recs = _decode(w, names)
+    assert recs[1]["after"]["amount"] == "12345.67"
+    assert recs[2]["after"]["amount"] == "-0.99"
+
+
+def test_rows_event_before_table_map_errors():
+    w = BinlogFixtureWriter()
+    w.table_map(11, "db", "t", COLS)
+    ok = w.getvalue()
+    w2 = BinlogFixtureWriter()
+    w2._tm_cols = COLS
+    w2._tm_id = 999  # never mapped
+    w2.write_rows([{"id": 1, "name": "x", "qty": 0}])
+    with pytest.raises(ValueError, match="unmapped table"):
+        _decode(w2)
+    assert ok[:4] == b"\xfebin"
+
+
+def test_table_map_state_carries_across_files():
+    """File 2 of a recorded session reuses file 1's TABLE_MAP via a
+    shared decoder; LSNs embed the file sequence so they stay
+    monotonic across rotation."""
+    w1 = BinlogFixtureWriter()
+    w1.begin()
+    w1.table_map(101, "shop", "items", COLS)
+    w1.write_rows([{"id": 1, "name": "a", "qty": 1}])
+    w1.xid()
+    w2 = BinlogFixtureWriter()
+    w2.begin()
+    w2._tm_cols = COLS
+    w2._tm_id = 101
+    w2.write_rows([{"id": 2, "name": "b", "qty": 2}])
+    w2.xid()
+    dec = BinlogDecoder(column_names=dict(NAMES))
+    r1 = list(decode_binlog_bytes(w1.getvalue(), dec, file_seq=0))
+    r2 = list(decode_binlog_bytes(w2.getvalue(), dec, file_seq=1))
+    assert r2[1]["after"]["id"] == 2 and r2[1]["table"] == "items"
+    assert min(r["lsn"] for r in r2) > max(r["lsn"] for r in r1)
