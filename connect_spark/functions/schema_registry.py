@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -27,13 +28,137 @@ from connect_spark.errors import flag_error
 
 @dataclass(frozen=True)
 class RegistrySchema:
-    """One registry subject version: `fmt` is "json" or "avro";
-    `spark_ddl` is the Spark-side row type; `avro_schema` is the Avro
-    writer schema JSON (avro only)."""
+    """One registry subject version: `fmt` is "json", "avro" or
+    "protobuf"; `spark_ddl` is the Spark-side row type; `avro_schema`
+    is the Avro writer schema JSON (avro only); `proto_messages` is
+    the tuple of top-level message descriptors of the schema file
+    (functions/protobuf_codec.py desc dicts, nested messages under a
+    "nested" key) that the payload's message-index path selects into
+    (protobuf only)."""
 
     fmt: str
     spark_ddl: str
     avro_schema: str | None = None
+    proto_messages: tuple = ()
+
+
+# --- Confluent protobuf payloads -------------------------------------
+#
+# A protobuf-framed payload prefixes the encoded message with a
+# MESSAGE-INDEX array (confluent serde; mirrored from the reference's
+# readMessageIndexes/toMessageIndexBytes in
+# internal/impl/confluent/serde_protobuf.go:299-345): zigzag-varint
+# array length then zigzag-varint indexes, selecting the target
+# message definition by position (file-level index, then nested
+# message index, ...). A single 0 byte is the shortcut for the first
+# top-level message.
+
+
+def _zigzag_read(data: bytes, i: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = data[i]
+        i += 1
+        acc |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+    return (acc >> 1) ^ -(acc & 1), i
+
+
+def _zigzag_bytes(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_message_indexes(payload: bytes) -> tuple[list[int], int]:
+    """payload → (indexes, bytes consumed)."""
+    n, i = _zigzag_read(payload, 0)
+    if n == 0:
+        return [0], i
+    idx = []
+    for _ in range(n):
+        v, i = _zigzag_read(payload, i)
+        idx.append(v)
+    return idx, i
+
+
+def message_index_bytes(indexes: list[int]) -> bytes:
+    if indexes == [0]:
+        return b"\x00"
+    out = _zigzag_bytes(len(indexes))
+    for v in indexes:
+        out += _zigzag_bytes(v)
+    return out
+
+
+def _resolve_message(proto_messages, indexes: list[int]) -> dict:
+    node = proto_messages[indexes[0]]
+    for i in indexes[1:]:
+        node = node["nested"][i]
+    return node
+
+
+def confluent_protobuf_decode_udf(proto_messages):
+    """Arrow-batched UDF: message-index-prefixed protobuf payload →
+    JSON string (the serde_protobuf.go decode path)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from connect_spark.functions import protobuf_codec as pc
+
+    msgs = tuple(proto_messages)
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(b):
+            if b is None:
+                return None
+            data = bytes(b)
+            idx, consumed = read_message_indexes(data)
+            desc = _resolve_message(msgs, idx)
+            return _json.dumps(pc.decode(data[consumed:], desc))
+
+        return s.map(one)
+
+    return _dec
+
+
+def confluent_protobuf_encode_udf(proto_messages,
+                                  indexes: list[int] | None = None):
+    """Arrow-batched UDF: JSON string → message-index-prefixed
+    protobuf payload (serde_protobuf.go encode path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from connect_spark.functions import protobuf_codec as pc
+
+    idx = list(indexes or [0])
+    msgs = tuple(proto_messages)
+    desc = _resolve_message(msgs, idx)
+    prefix = message_index_bytes(idx)
+
+    @pandas_udf("binary")
+    def _enc(s: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(v):
+            if v is None:
+                return None
+            return prefix + pc.encode(_json.loads(v), desc)
+
+        return s.map(one)
+
+    return _enc
 
 _MAX_LEN = (1 << 31) - 1
 
@@ -88,6 +213,15 @@ def schema_registry_decode(
             branch = F.to_json(
                 F.from_json(
                     avro_decode_udf(entry.avro_schema)(F.col("_frame.payload")),
+                    entry.spark_ddl,
+                )
+            )
+        elif entry.fmt == "protobuf":
+            branch = F.to_json(
+                F.from_json(
+                    confluent_protobuf_decode_udf(entry.proto_messages)(
+                        F.col("_frame.payload")
+                    ),
                     entry.spark_ddl,
                 )
             )

@@ -122,3 +122,56 @@ def test_schema_registry_avro_and_errors(spark):
     bad = schema_registry_decode(df.withColumn("_f", framed_unknown), "_f", reg)
     row = bad.collect()[0]
     assert row._error is not None and "unknown schema id" in row._error
+
+
+def test_message_index_bytes_roundtrip():
+    """Confluent protobuf message-index prefix (serde_protobuf.go:
+    299-345): single-0 shortcut, flat index, nested path — zigzag
+    varints both ways."""
+    from connect_spark.functions.schema_registry import (
+        message_index_bytes,
+        read_message_indexes,
+    )
+
+    assert message_index_bytes([0]) == b"\x00"
+    for idx in ([0], [1], [3], [1, 2], [2, 0, 5], [70, 130]):
+        raw = message_index_bytes(idx) + b"\xffpayload"
+        got, consumed = read_message_indexes(raw)
+        assert got == idx
+        assert raw[consumed:] == b"\xffpayload"
+
+
+def test_schema_registry_protobuf_nested_message(spark):
+    """A payload whose message-index path selects a NESTED message
+    definition ([1, 0] = second top-level message's first nested)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from connect_spark.functions.schema_registry import (
+        RegistrySchema,
+        confluent_protobuf_encode_udf,
+        encode_confluent_frame,
+        schema_registry_decode,
+    )
+
+    inner = {"fields": {1: {"name": "n", "type": "int64"},
+                        2: {"name": "tag", "type": "string"}}}
+    outer = {"fields": {1: {"name": "x", "type": "int64"}},
+             "nested": [inner]}
+    first = {"fields": {1: {"name": "y", "type": "int64"}}}
+    msgs = (first, outer)
+
+    df = spark.createDataFrame([Row(j='{"n": 42, "tag": "deep"}')])
+    framed = encode_confluent_frame(
+        confluent_protobuf_encode_udf(msgs, [1, 0])(F.col("j")), 9)
+    out = schema_registry_decode(
+        df.withColumn("_f", framed), "_f",
+        {9: RegistrySchema("protobuf", "n BIGINT, tag STRING",
+                           proto_messages=msgs)},
+    )
+    r = out.select(
+        F.from_json("decoded", "n BIGINT, tag STRING").alias("d"),
+        "schema_id",
+    ).first()
+    assert r.schema_id == 9
+    assert r.d.n == 42 and r.d.tag == "deep"
