@@ -51,13 +51,24 @@ def start_http_server(
                     return
                 size = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(size)
-                fname = os.path.join(
-                    spool_dir, f"msg-{time.time_ns():020d}.jsonl"
-                )
-                with open(fname + ".tmp", "wb") as fh:
-                    fh.write(body)
-                    if not body.endswith(b"\n"):
-                        fh.write(b"\n")
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/x-protobuf"):
+                    # binary bodies (e.g. OTLP protobuf) spool as one
+                    # .bin file each — no newline framing, bytes kept
+                    # verbatim for the decoder
+                    fname = os.path.join(
+                        spool_dir, f"msg-{time.time_ns():020d}.bin"
+                    )
+                    with open(fname + ".tmp", "wb") as fh:
+                        fh.write(body)
+                else:
+                    fname = os.path.join(
+                        spool_dir, f"msg-{time.time_ns():020d}.jsonl"
+                    )
+                    with open(fname + ".tmp", "wb") as fh:
+                        fh.write(body)
+                        if not body.endswith(b"\n"):
+                            fh.write(b"\n")
                 os.rename(fname + ".tmp", fname)  # atomic publish
                 self.send_response(200)
                 self.end_headers()

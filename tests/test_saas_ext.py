@@ -326,3 +326,100 @@ def test_saas_url_query_is_percent_encoded(spark):
         "query": "SELECT Id FROM Account WHERE Name = 'x y'",
         "transport": "cap_url2"}}}).dataframe().collect()
     assert " " not in urls[0] and "%20" in urls[0]
+
+
+def test_otlp_proto_roundtrip_unit():
+    """Vendored OTLP trace descriptors: encode a request, decode it
+    back — ids hexed per the OTLP/JSON special-case, attributes and
+    fixed64 timestamps intact."""
+    from connect_spark.functions.otlp_proto import (
+        decode_traces_request,
+        encode_traces_request,
+    )
+
+    doc = {
+        "resourceSpans": [{
+            "resource": {"attributes": [
+                {"key": "service.name",
+                 "value": {"stringValue": "checkout"}},
+            ]},
+            "scopeSpans": [{
+                "scope": {"name": "lib", "version": "1.2"},
+                "spans": [{
+                    "traceId": "0af7651916cd43dd8448eb211c80319c",
+                    "spanId": "b7ad6b7169203331",
+                    "name": "GET /cart",
+                    "kind": 2,
+                    "startTimeUnixNano": 1_700_000_000_000_000_000,
+                    "endTimeUnixNano": 1_700_000_000_100_000_000,
+                    "attributes": [
+                        {"key": "http.status",
+                         "value": {"intValue": 200}},
+                        {"key": "latency",
+                         "value": {"doubleValue": 0.125}},
+                    ],
+                }],
+            }],
+        }],
+    }
+    raw = encode_traces_request(doc)
+    back = decode_traces_request(raw)
+    span = back["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+    assert span["traceId"] == "0af7651916cd43dd8448eb211c80319c"
+    assert span["spanId"] == "b7ad6b7169203331"
+    assert span["name"] == "GET /cart"
+    assert span["kind"] == 2
+    assert span["startTimeUnixNano"] == 1_700_000_000_000_000_000
+    attrs = {a["key"]: a["value"] for a in span["attributes"]}
+    assert attrs["http.status"]["intValue"] == 200
+    assert attrs["latency"]["doubleValue"] == 0.125
+    res_attrs = back["resourceSpans"][0]["resource"]["attributes"]
+    assert res_attrs[0]["key"] == "service.name"
+    assert res_attrs[0]["value"]["stringValue"] == "checkout"
+
+
+def test_otlp_http_input_accepts_binary_protobuf(spark, tmp_path):
+    """otlp_http accepts BINARY OTLP protobuf request bodies
+    (Content-Type: application/x-protobuf) alongside OTLP/JSON —
+    the otlp_grpc payload surface without a gRPC runtime (round-4
+    verdict task #9)."""
+    import urllib.request
+
+    from connect_spark.functions.otlp_proto import encode_traces_request
+    from connect_spark.sources.http_server import (
+        http_server_port,
+        stop_http_server,
+    )
+
+    spool = str(tmp_path / "otlp_pb_spool")
+    conf = {"label": "otlp_pb_test", "spool_dir": spool}
+    try:
+        Pipeline(spark, {"input": {"otlp_http": conf}}).dataframe()
+        port = http_server_port("otlp_pb_test")
+        # one JSON body and one protobuf body
+        envelope = json.dumps({"resourceSpans": [{"scopeSpans": [{
+            "spans": [{"name": "json-span"}]}]}]})
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/post", data=envelope.encode(),
+            method="POST"))
+        pb = encode_traces_request({"resourceSpans": [{"scopeSpans": [{
+            "spans": [{
+                "traceId": "00" * 15 + "01",
+                "spanId": "00" * 7 + "02",
+                "name": "pb-span",
+                "kind": 1,
+            }]}]}]})
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/post", data=pb,
+            headers={"Content-Type": "application/x-protobuf"},
+            method="POST"))
+        df = Pipeline(spark, {"input": {"otlp_http": conf}}).dataframe()
+        spans = [json.loads(r.content) for r in df.collect()]
+        names = sorted(s["name"] for s in spans)
+        assert names == ["json-span", "pb-span"]
+        pb_span = next(s for s in spans if s["name"] == "pb-span")
+        assert pb_span["traceId"] == "00" * 15 + "01"
+        assert pb_span["spanId"] == "00" * 7 + "02"
+        assert pb_span["kind"] == 1
+    finally:
+        stop_http_server("otlp_pb_test")
