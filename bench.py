@@ -95,22 +95,34 @@ def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
 
     out: dict = {}
 
-    # Migrator: copy sf-scaled ~1KB messages (the baseline's unit —
-    # 30M x 1KB msgs at 1.0 GB/s, redpanda-migrator.md). Payloads are
-    # synthesized JVM-side (md5 repeat, whole-stage codegen) so the
-    # measurement is the copy path, not driver row creation.
+    # Migrator: READ→WRITE copy of sf-scaled ~1KB messages (the
+    # baseline's unit — 30M x 1KB msgs at 1.0 GB/s,
+    # redpanda-migrator.md). Round-4 verdict task #6: the workload is
+    # staged to parquet ONCE (untimed), then the timed loop copies
+    # source→dest so both the read and write sides are measured; and
+    # each payload is 32 DISTINCT md5 blocks (chained ids), not one
+    # block repeated 32x — self-repetition was pathologically
+    # compressible and flattered the bytes/s.
     m = re.search(r"sf([0-9.]+)", sf_dir)
     n_msgs = max(100_000, int(10_000_000 * (float(m.group(1)) if m else 0.01)))
     msgs = spark.range(n_msgs).select(
         F.col("id"),
-        F.repeat(F.md5(F.col("id").cast("string")), 32).alias("payload"),
+        F.concat_ws(
+            "",
+            *[
+                F.md5((F.col("id") * 32 + j).cast("string"))
+                for j in range(32)
+            ],
+        ).alias("payload"),
     )
     tmp = tempfile.mkdtemp(prefix="bench_migrate_")
     try:
+        msgs.write.mode("overwrite").parquet(tmp + "/src")  # staged, untimed
+        src = spark.read.parquet(tmp + "/src")
         copy_ts = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            msgs.write.mode("overwrite").parquet(tmp + "/out")
+            src.write.mode("overwrite").parquet(tmp + "/out")
             copy_ts.append(time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

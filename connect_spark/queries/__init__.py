@@ -38,63 +38,19 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 4 rotation (standing policy: oldest driver verification
-    # first). Order: (a) the 18 queries that have NEVER had a driver
-    # row (all new this round — wasm/ffi/iceberg/streaming plus the
-    # session-2 connector, span-dedup, and partitioned-iceberg
-    # gates), (b) queries whose latest green predates the round's
-    # code churn (latest = r02). The 50-slot window verifies the
-    # head; overflow entries rotate to the front next round.
-    "wasm_transform_events",
-    "ffi_libc_events",
-    "iceberg_commit_roundtrip",
-    "streaming_session_window",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_excess_stock",
-    "pipeline_yaml_route",
-    "parse_log_events",
-    "unicode_segments_docs",
-    "jmespath_project_events",
-    "streaming_running_totals",
-    "amqp_envelope_events",
-    "mongo_filter_orders",
-    "buffer_window_stamp",
-    "dedup_line_removal",
-    "iceberg_partitioned_scan",
-    "mapping_project",
-    "mutation_enrich",
-    "switch_route",
-    "group_by_value_agg",
-    "dedupe_first_per_user",
-    "select_parts_topk",
-    "archive_lines",
-    "archive_json",
-    "unarchive_explode",
-    "bounds_check_filter",
-    "error_model",
-    "join_sharded_full_outer",
-    "join_enrichment_lookup",
-    "join_semi_big_spenders",
-    "join_anti_no_orders",
-    "join_star_revenue_by_nation",
-    "window_tumbling_hourly",
-    "window_sliding",
-    "window_session",
-    "window_daily_orders",
-    "fn_string_matrix",
-    "fn_map_matrix",
-    "fn_regex_matrix",
-    "fn_timestamp_matrix",
-    "fn_number_matrix",
-    "fn_encoding_matrix",
-    "fn_array_matrix",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    # Round 5 rotation (standing policy: oldest driver verification
+    # first). Order: (a) the 5 queries that have NEVER had a driver
+    # row (all new this round — uuid_v5 vectors, logfmt, Confluent
+    # protobuf, pgoutput + binlog wire decodes), (b) the 17 queries
+    # whose latest green is r2, (c) the 50 whose latest green is r3,
+    # registry-stable within each group. The 50-slot window verifies
+    # the head; the 22 overflow entries rotate to the front next
+    # round, keeping every query within two rounds of its last green.
+    "uuid_v5_vectors",
+    "parse_logfmt_events",
+    "schema_registry_protobuf",
+    "cdc_pgoutput_decode",
+    "cdc_binlog_decode",
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
@@ -112,6 +68,56 @@ _DRIVER_PRIORITY: list[str] = [
     "grok_extract_events",
     "chunk_documents",
     "compress_roundtrip",
+    "q1_pricing_summary",
+    "join_salted_skew",
+    "branch_enrich_orders",
+    "dedup_neardup_verified",
+    "multimodal_frames",
+    "chunk_recursive_character",
+    "chunk_markdown",
+    "asof_attribution",
+    "archive_tar_roundtrip",
+    "xml_roundtrip",
+    "json_schema_events",
+    "avro_roundtrip",
+    "schema_registry_avro",
+    "protobuf_roundtrip",
+    "msgpack_roundtrip",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "range_join_view_purchase",
+    "funnel_signup_view_purchase",
+    "sketch_kmv_distinct",
+    "percentiles_by_type",
+    "histogram_values",
+    "batch_policy_events",
+    "cdc_materialize_orders",
+    "mq_subject_route",
+    "ai_chat_extract",
+    "ai_embed_rerank",
+    "jq_project_events",
+    "jwt_sign_matrix",
+    "bloblang_eval_dynamic",
+    "awk_extract_events",
+    "geoip_enrich_events",
+    "js_transform_events",
+    "window_tumbling_streamed",
+    "streaming_dedupe_keys",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    "fn_window_matrix",
 ]
 
 
