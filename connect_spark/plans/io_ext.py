@@ -647,3 +647,14 @@ for _scheme, _name in (
     ("hdfs", "hdfs"),
 ):
     output_kind(_name)(_object_store_output(_scheme))
+
+
+@input_kind("kafka_log_segment")
+def _i_kafka_log_segment(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded Kafka .log segments (RecordBatch v2 on-disk format) →
+    typed rows with CRC verification — the broker-less twin of the
+    kafka input for recorded/exported data (sources/kafka.py::
+    kafka_log_segment_input)."""
+    from connect_spark.sources.kafka import kafka_log_segment_input
+
+    return kafka_log_segment_input(spark, c)

@@ -51,6 +51,7 @@ _DRIVER_PRIORITY: list[str] = [
     "schema_registry_protobuf",
     "cdc_pgoutput_decode",
     "cdc_binlog_decode",
+    "kafka_recordbatch_roundtrip",
     "text_lang_id",
     "text_quality_score",
     "text_token_count",

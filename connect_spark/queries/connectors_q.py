@@ -125,6 +125,80 @@ GROUP BY 1, 2
 """
 
 
+def kafka_recordbatch_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Kafka RecordBatch v2 wire roundtrip (round 5,
+    functions/kafka_records.py): events become keyed records, encode
+    into LZ4-compressed v2 batches and decode back — ENTIRELY
+    executor-side (two mapInPandas passes, one batch per Arrow chunk,
+    no driver collect), CRC32C verified on decode.  The oracle is the
+    base table, so any wire bug (varint, bitmaps, CRC, compression,
+    offset/timestamp delta math) breaks the value hash.  This is the
+    byte format every reference kafka/redpanda connector and the
+    migrator moves (public Kafka protocol, "Record Batch")."""
+    import json as _json
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def encode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.kafka_records import (
+            CODEC_LZ4,
+            KafkaRecord,
+            encode_batch,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = []
+            base = int(pdf["event_id"].min())
+            for eid, etype, val in zip(pdf["event_id"],
+                                       pdf["event_type"], pdf["value"]):
+                recs.append(KafkaRecord(
+                    offset=int(eid),
+                    timestamp_ms=1_700_000_000_000 + int(eid),
+                    key=str(int(eid)).encode(),
+                    value=_json.dumps(
+                        {"event_type": etype, "value": float(val)}
+                    ).encode(),
+                    headers=[("src", b"events")],
+                ))
+            yield _pd.DataFrame({
+                "segment": [encode_batch(recs, base_offset=base,
+                                         codec=CODEC_LZ4)],
+            })
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.kafka_records import decode_segment
+
+        for pdf in batches:
+            out = {"event_id": [], "kf_type": [], "kf_value": []}
+            for blob in pdf["segment"]:
+                for rec in decode_segment(bytes(blob)):
+                    doc = _json.loads(rec.value)
+                    out["event_id"].append(int(rec.key))
+                    out["kf_type"].append(doc["event_type"])
+                    out["kf_value"].append(doc["value"])
+            yield _pd.DataFrame(out)
+
+    segments = ev.mapInPandas(encode, "segment BINARY")
+    return segments.mapInPandas(
+        decode, "event_id LONG, kf_type STRING, kf_value DOUBLE"
+    )
+
+
+KAFKA_RB_SQL = """
+SELECT event_id, event_type AS kf_type, value AS kf_value
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("amqp_envelope_events", amqp_envelope_events,
               AMQP_ENVELOPE_SQL),
@@ -132,4 +206,6 @@ QUERIES = [
               MONGO_FILTER_SQL),
     QuerySpec("buffer_window_stamp", buffer_window_stamp,
               BUFFER_WINDOW_SQL),
+    QuerySpec("kafka_recordbatch_roundtrip", kafka_recordbatch_roundtrip,
+              KAFKA_RB_SQL),
 ]
