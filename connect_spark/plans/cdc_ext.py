@@ -114,6 +114,10 @@ def _cdc_input(kind: str, spec: CdcKindSpec):
                 _os.path.join(wal_path, "*.binlog")
             ):
                 wal_format = "binlog"
+            elif kind == "oracledb_cdc" and _glob.glob(
+                _os.path.join(wal_path, "*.logmnr.jsonl")
+            ):
+                wal_format = "logminer"
         if wal_format:
             reader = reader.option("wal_format", wal_format)
         if c.get("column_names"):

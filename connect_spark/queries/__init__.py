@@ -52,6 +52,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cdc_pgoutput_decode",
     "cdc_binlog_decode",
     "kafka_recordbatch_roundtrip",
+    "cdc_logminer_decode",
     "text_lang_id",
     "text_quality_score",
     "text_token_count",

@@ -312,6 +312,112 @@ FROM latest WHERE rn = 1 AND operation <> 'delete'
 """
 
 
+def cdc_logminer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle LogMiner SQL_REDO decode → materialize (round 5;
+    internal/impl/oracledb/logminer/sqlredo): redo statements are
+    BUILT from `supplier` as Column algebra (with proper '' escaping
+    of embedded quotes), parsed back through the independent SQL_REDO
+    parser (sources/sqlredo.py) in an Arrow-batched mapInPandas —
+    fully distributed, no driver collect — then materialized
+    last-writer-wins on SCN.  The oracle reproduces the change
+    semantics in SQL, so a parser bug (quote escapes, NULLs, aliases,
+    WHERE extraction) breaks the value hash."""
+    import json as _json
+
+    sup = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    esc = lambda c: F.regexp_replace(c, "'", "''")  # noqa: E731
+    bal = F.format_number(F.col("s_acctbal").cast("double"), 4)
+    bal = F.regexp_replace(bal, ",", "")  # format_number inserts commas
+
+    ins = sup.select(
+        k.cast("bigint").alias("scn"),
+        F.concat(
+            F.lit('insert into "TPCH"."SUPPLIER" ("ID","NAME","BAL") '
+                  "values ('"),
+            k.cast("string"), F.lit("','"), esc(F.col("s_name")),
+            F.lit("','"), bal, F.lit("')"),
+        ).alias("sql_redo"),
+    )
+    upd = sup.filter(k % 7 == 0).select(
+        (F.lit(1_000_000_000) + k).alias("scn"),
+        F.concat(
+            F.lit('update "TPCH"."SUPPLIER" a set a."NAME" = '
+                  "'RENAMED', a.\"BAL\" = NULL where a.\"ID\" = '"),
+            k.cast("string"), F.lit("'"),
+        ).alias("sql_redo"),
+    )
+    dele = sup.filter(k % 13 == 0).select(
+        (F.lit(2_000_000_000) + k).alias("scn"),
+        F.concat(
+            F.lit('delete from "TPCH"."SUPPLIER" where "ID" = \''),
+            k.cast("string"), F.lit("'"),
+        ).alias("sql_redo"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+
+    def parse(batches):
+        import pandas as _pd
+
+        from connect_spark.sources.sqlredo import parse_redo
+
+        for pdf in batches:
+            out = {"scn": [], "operation": [], "sup_id": [],
+                   "name": [], "bal": []}
+            for scn, sql in zip(pdf["scn"], pdf["sql_redo"]):
+                st = parse_redo(sql)
+                img = st.new_values or {}
+                key = img.get("ID") or st.old_values.get("ID")
+                out["scn"].append(int(scn))
+                out["operation"].append(st.operation)
+                out["sup_id"].append(int(key))
+                out["name"].append(img.get("NAME"))
+                out["bal"].append(img.get("BAL"))
+            yield _pd.DataFrame(out)
+
+    parsed = log.mapInPandas(
+        parse,
+        "scn LONG, operation STRING, sup_id LONG, name STRING, "
+        "bal STRING",
+    )
+    w_ = Window.partitionBy("sup_id").orderBy(F.col("scn").desc())
+    return (
+        parsed.withColumn("_rn", F.row_number().over(w_))
+        .filter((F.col("_rn") == 1) & (F.col("operation") != "delete"))
+        .select(
+            "sup_id",
+            F.col("operation").alias("src_op"),
+            "name",
+            # the update image explicitly sets BAL = NULL, so the
+            # winning image's BAL is the final value as-is
+            F.col("bal").cast("double").alias("bal_v"),
+        )
+    )
+
+
+CDC_LOGMINER_SQL = """
+WITH log AS (
+  SELECT s_suppkey AS sup_id, 'insert' AS operation, s_suppkey AS scn,
+         s_name AS name,
+         CAST(printf('%.4f', CAST(s_acctbal AS DOUBLE)) AS DOUBLE)
+           AS bal_v
+  FROM supplier
+  UNION ALL
+  SELECT s_suppkey, 'update', 1000000000 + s_suppkey, 'RENAMED', NULL
+  FROM supplier WHERE s_suppkey % 7 = 0
+  UNION ALL
+  SELECT s_suppkey, 'delete', 2000000000 + s_suppkey, NULL, NULL
+  FROM supplier WHERE s_suppkey % 13 = 0
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY sup_id ORDER BY scn DESC)
+           AS rn
+  FROM log
+)
+SELECT sup_id, operation AS src_op, name, bal_v
+FROM latest WHERE rn = 1 AND operation <> 'delete'
+"""
+
+
 QUERIES = [
     QuerySpec("cdc_materialize_orders", cdc_materialize_orders,
               CDC_MATERIALIZE_SQL, headline=True),
@@ -319,4 +425,6 @@ QUERIES = [
               CDC_PGOUTPUT_SQL),
     QuerySpec("cdc_binlog_decode", cdc_binlog_decode,
               CDC_BINLOG_SQL),
+    QuerySpec("cdc_logminer_decode", cdc_logminer_decode,
+              CDC_LOGMINER_SQL),
 ]

@@ -36,10 +36,10 @@ length by metadata max), BLOB (metadata length-bytes), DATE (3B
 packed), DATETIME2 (5B big-endian packed + fsp fractional),
 NEWDECIMAL (packed 9-digit groups, sign-bit in MSB, negatives
 bit-inverted) → decimal STRING (arbitrary precision preserved, the
-same normalization the postgres path applies to numeric), JSON
-(binary JSON decoded is out of scope — delivered as base64, like an
-opaque blob; the reference surfaces MySQL JSON through its own
-binary-JSON decoder).
+same normalization the postgres path applies to numeric), and JSON —
+MySQL binary JSON (small/large objects and arrays, inlined literals
+and int16/uint16, varlen strings, all numeric scalars) decoded to the
+structural value, as the reference's go-mysql decoder surfaces it.
 
 The envelope matches sources/cdc_stream.py::CDC_ENVELOPE; the LSN is
 the canonical binlog position packed as (file_seq << 32) | log_pos so
@@ -284,8 +284,9 @@ class BinlogDecoder:
             raw = cur.take(n)
             if ctype == T_BLOB:
                 return base64.b64encode(raw).decode()
-            # MySQL binary-JSON decode is out of scope — opaque
-            return base64.b64encode(raw).decode()
+            # JSON columns carry MySQL binary JSON — decode to the
+            # structural value (decode_mysql_json below)
+            return decode_mysql_json(raw)
         if ctype == T_DATE:
             return _decode_date(cur.u24())
         if ctype == T_DATETIME2:
@@ -574,7 +575,11 @@ class BinlogFixtureWriter:
             if (meta & 0xFF if ctype == T_STRING else meta) > 255:
                 return struct.pack("<H", len(raw)) + raw
             return bytes([len(raw)]) + raw
-        if ctype in (T_BLOB, T_JSON):
+        if ctype == T_JSON:
+            raw = v if isinstance(v, bytes) else encode_mysql_json(v)
+            nbytes = meta or 2
+            return len(raw).to_bytes(nbytes, "little") + raw
+        if ctype == T_BLOB:
             raw = v if isinstance(v, bytes) else str(v).encode()
             nbytes = meta or 2
             return len(raw).to_bytes(nbytes, "little") + raw
@@ -681,3 +686,185 @@ def _encode_decimal(s: str, precision: int, scale: int) -> bytes:
     else:
         out[0] |= 0x80
     return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# MySQL binary JSON (the T_JSON column payload; public format docs —
+# MySQL Internals "JSON binary format"). Decoded to Python values so
+# JSON columns surface structurally, as the reference's go-mysql
+# decoder does, instead of as opaque blobs.
+# ---------------------------------------------------------------------
+
+_JB_SMALL_OBJECT = 0x00
+_JB_LARGE_OBJECT = 0x01
+_JB_SMALL_ARRAY = 0x02
+_JB_LARGE_ARRAY = 0x03
+_JB_LITERAL = 0x04
+_JB_INT16 = 0x05
+_JB_UINT16 = 0x06
+_JB_INT32 = 0x07
+_JB_UINT32 = 0x08
+_JB_INT64 = 0x09
+_JB_UINT64 = 0x0A
+_JB_DOUBLE = 0x0B
+_JB_STRING = 0x0C
+
+
+def _jb_varlen(data: bytes, i: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = data[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return n, i
+
+
+def _jb_value(data: bytes, jtype: int) -> Any:
+    """Decode one value whose payload starts at data[0]."""
+    if jtype in (_JB_SMALL_OBJECT, _JB_LARGE_OBJECT,
+                 _JB_SMALL_ARRAY, _JB_LARGE_ARRAY):
+        large = jtype in (_JB_LARGE_OBJECT, _JB_LARGE_ARRAY)
+        is_obj = jtype in (_JB_SMALL_OBJECT, _JB_LARGE_OBJECT)
+        w = 4 if large else 2
+
+        def rd(off):
+            return int.from_bytes(data[off:off + w], "little")
+
+        count = rd(0)
+        pos = 2 * w  # count + size
+        keys = []
+        if is_obj:
+            for k in range(count):
+                koff = rd(pos)
+                klen = int.from_bytes(
+                    data[pos + w:pos + w + 2], "little")
+                keys.append(data[koff:koff + klen].decode("utf-8"))
+                pos += w + 2
+        vals = []
+        for _ in range(count):
+            vtype = data[pos]
+            inlined_types = (_JB_LITERAL, _JB_INT16, _JB_UINT16)
+            if large:
+                inlined_types += (_JB_INT32, _JB_UINT32)
+            if vtype in inlined_types:
+                raw = data[pos + 1:pos + 1 + w]
+                if vtype == _JB_LITERAL:
+                    vals.append({0: None, 1: True, 2: False}[raw[0]])
+                elif vtype == _JB_INT16:
+                    vals.append(int.from_bytes(
+                        raw[:2], "little", signed=True))
+                elif vtype == _JB_UINT16:
+                    vals.append(int.from_bytes(raw[:2], "little"))
+                elif vtype == _JB_INT32:
+                    vals.append(int.from_bytes(
+                        raw[:4], "little", signed=True))
+                else:
+                    vals.append(int.from_bytes(raw[:4], "little"))
+            else:
+                voff = int.from_bytes(
+                    data[pos + 1:pos + 1 + w], "little")
+                vals.append(_jb_value(data[voff:], vtype))
+            pos += 1 + w
+        return dict(zip(keys, vals)) if is_obj else vals
+    if jtype == _JB_LITERAL:
+        return {0: None, 1: True, 2: False}[data[0]]
+    if jtype == _JB_INT16:
+        return int.from_bytes(data[:2], "little", signed=True)
+    if jtype == _JB_UINT16:
+        return int.from_bytes(data[:2], "little")
+    if jtype == _JB_INT32:
+        return int.from_bytes(data[:4], "little", signed=True)
+    if jtype == _JB_UINT32:
+        return int.from_bytes(data[:4], "little")
+    if jtype == _JB_INT64:
+        return int.from_bytes(data[:8], "little", signed=True)
+    if jtype == _JB_UINT64:
+        return int.from_bytes(data[:8], "little")
+    if jtype == _JB_DOUBLE:
+        return struct.unpack("<d", data[:8])[0]
+    if jtype == _JB_STRING:
+        n, i = _jb_varlen(data, 0)
+        return data[i:i + n].decode("utf-8")
+    raise ValueError(f"binlog json: unsupported type byte {jtype:#x}")
+
+
+def decode_mysql_json(data: bytes) -> Any:
+    """Full binary-JSON document (leading type byte) → Python value."""
+    if not data:
+        return None
+    return _jb_value(data[1:], data[0])
+
+
+def encode_mysql_json(value: Any) -> bytes:
+    """Python value → binary JSON (for fixture recording)."""
+    jtype, payload = _jb_encode_value(value)
+    return bytes([jtype]) + payload
+
+
+def _jb_encode_value(value: Any) -> tuple[int, bytes]:
+    if value is None:
+        return _JB_LITERAL, b"\x00"
+    if value is True:
+        return _JB_LITERAL, b"\x01"
+    if value is False:
+        return _JB_LITERAL, b"\x02"
+    if isinstance(value, int):
+        if -(1 << 15) <= value < (1 << 15):
+            return _JB_INT16, value.to_bytes(2, "little", signed=True)
+        if -(1 << 31) <= value < (1 << 31):
+            return _JB_INT32, value.to_bytes(4, "little", signed=True)
+        return _JB_INT64, value.to_bytes(8, "little", signed=True)
+    if isinstance(value, float):
+        return _JB_DOUBLE, struct.pack("<d", value)
+    if isinstance(value, str):
+        raw = value.encode("utf-8")
+        n = len(raw)
+        varlen = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                varlen.append(b | 0x80)
+            else:
+                varlen.append(b)
+                break
+        return _JB_STRING, bytes(varlen) + raw
+    if isinstance(value, (list, dict)):
+        is_obj = isinstance(value, dict)
+        items = (sorted(value.items(), key=lambda kv: (len(kv[0]), kv[0]))
+                 if is_obj else [(None, v) for v in value])
+        count = len(items)
+        w = 2  # small form (fixture surface)
+        header = 2 * w + (w + 2) * count * (1 if is_obj else 0) \
+            + (1 + w) * count
+        body = bytearray()
+        key_entries = bytearray()
+        val_entries = bytearray()
+        key_blob = bytearray()
+        # keys first (after the entry tables), then values
+        key_base = header
+        for k, _v in items:
+            if is_obj:
+                kb = k.encode("utf-8")
+                key_entries += (key_base + len(key_blob)).to_bytes(
+                    2, "little")
+                key_entries += len(kb).to_bytes(2, "little")
+                key_blob += kb
+        val_base = key_base + len(key_blob)
+        val_blob = bytearray()
+        for _k, v in items:
+            jt, payload = _jb_encode_value(v)
+            if jt in (_JB_LITERAL, _JB_INT16, _JB_UINT16):
+                val_entries += bytes([jt]) + payload.ljust(w, b"\0")
+            else:
+                val_entries += bytes([jt]) + (
+                    val_base + len(val_blob)).to_bytes(2, "little")
+                val_blob += payload
+        total = val_base + len(val_blob)
+        out = count.to_bytes(2, "little") + total.to_bytes(2, "little") \
+            + bytes(key_entries) + bytes(val_entries) \
+            + bytes(key_blob) + bytes(val_blob)
+        return (_JB_SMALL_OBJECT if is_obj else _JB_SMALL_ARRAY), out
+    raise ValueError(f"binlog json: cannot encode {type(value)}")

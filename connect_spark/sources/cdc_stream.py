@@ -271,9 +271,65 @@ class BinlogWal:
         return last
 
 
+class LogMinerWal:
+    """Read-side twin of ``CdcWal`` over RECORDED LogMiner output:
+    ``*.logmnr.jsonl`` files where each line is one V$LOGMNR_CONTENTS
+    row — {"scn": int, "timestamp_ms": int, "operation":
+    INSERT|UPDATE|DELETE, "sql_redo": str} — exactly the resultset the
+    reference's oracledb_cdc session pages through SCN windows
+    (internal/impl/oracledb/logminer/).  Row images come from parsing
+    each SQL_REDO statement (sources/sqlredo.py), the same extraction
+    step the reference's sqlredo package performs; LSN = SCN so resume
+    filters on the real redo position."""
+
+    SUFFIX = ".logmnr.jsonl"
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _segments(self) -> list[str]:
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        return sorted(f for f in names if f.endswith(self.SUFFIX))
+
+    def records(self, after_lsn: int) -> Iterator[dict]:
+        from connect_spark.sources.sqlredo import parse_redo
+
+        for seg in self._segments():
+            with open(os.path.join(self.path, seg),
+                      encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    row = json.loads(line)
+                    scn = int(row["scn"])
+                    if scn <= after_lsn:
+                        continue
+                    st = parse_redo(row["sql_redo"])
+                    yield {
+                        "lsn": scn,
+                        "operation": st.operation,
+                        "table": st.table,
+                        "commit_ts_ms": int(row.get("timestamp_ms", 0)),
+                        "before": st.old_values or None,
+                        "after": st.new_values or None,
+                    }
+
+    def last_lsn(self) -> int:
+        last = 0
+        for rec in self.records(after_lsn=0):
+            last = max(last, rec["lsn"])
+        return last
+
+
 def _open_wal(path: str, wal_format: str, options: dict | None = None):
     if wal_format == "pgoutput":
         return PgoutputWal(path)
+    if wal_format == "logminer":
+        return LogMinerWal(path)
     if wal_format == "binlog":
         cols = {}
         raw = (options or {}).get("column_names")

@@ -204,3 +204,44 @@ def test_table_map_state_carries_across_files():
     r2 = list(decode_binlog_bytes(w2.getvalue(), dec, file_seq=1))
     assert r2[1]["after"]["id"] == 2 and r2[1]["table"] == "items"
     assert min(r["lsn"] for r in r2) > max(r["lsn"] for r in r1)
+
+
+def test_mysql_binary_json_column():
+    """T_JSON columns carry MySQL binary JSON — decoded structurally
+    (MySQL Internals 'JSON binary format'), not as opaque blobs."""
+    from connect_spark.sources.binlog import T_JSON, T_LONGLONG
+
+    cols = [("id", T_LONGLONG, 0), ("doc", T_JSON, 2)]
+    names = {"db.docs": ["id", "doc"]}
+    w = BinlogFixtureWriter()
+    w.begin()
+    w.table_map(10, "db", "docs", cols)
+    w.write_rows([
+        {"id": 1, "doc": {"a": 1, "bb": [True, 2.5, None], "s": "x"}},
+        {"id": 2, "doc": [1, "two", {"deep": False}]},
+        {"id": 3, "doc": "bare string"},
+        {"id": 4, "doc": None},
+    ])
+    w.xid()
+    recs = _decode(w, names)
+    docs = {r["after"]["id"]: r["after"]["doc"] for r in recs[1:5]}
+    assert docs[1] == {"a": 1, "bb": [True, 2.5, None], "s": "x"}
+    assert docs[2] == [1, "two", {"deep": False}]
+    assert docs[3] == "bare string"
+    assert docs[4] is None
+
+
+def test_mysql_binary_json_codec_matrix():
+    from connect_spark.sources.binlog import (
+        decode_mysql_json,
+        encode_mysql_json,
+    )
+
+    cases = [
+        None, True, False, 0, -1, 32767, -32768, 1 << 20, -(1 << 20),
+        1 << 40, 3.14159, "", "héllo", "x" * 200,
+        [], [1, 2, 3], {"k": "v"},
+        {"obj": {"arr": [1, [2, [3]]], "n": None}},
+    ]
+    for v in cases:
+        assert decode_mysql_json(encode_mysql_json(v)) == v, v
