@@ -118,8 +118,19 @@ def _cdc_input(kind: str, spec: CdcKindSpec):
                 _os.path.join(wal_path, "*.logmnr.jsonl")
             ):
                 wal_format = "logminer"
+            else:
+                # structured-representation kinds: the service's own
+                # documented change format (sources/cdc_formats.py)
+                from connect_spark.sources.cdc_formats import (
+                    open_format_wal,
+                )
+
+                if open_format_wal(kind, wal_path) is not None:
+                    wal_format = "native"
         if wal_format:
             reader = reader.option("wal_format", wal_format)
+            if wal_format == "native":
+                reader = reader.option("cdc_kind", kind)
         if c.get("column_names"):
             # binlog TABLE_MAP carries no column names; the reference
             # resolves them from the live schema — offline recordings

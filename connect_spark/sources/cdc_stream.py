@@ -330,6 +330,16 @@ def _open_wal(path: str, wal_format: str, options: dict | None = None):
         return PgoutputWal(path)
     if wal_format == "logminer":
         return LogMinerWal(path)
+    if wal_format == "native":
+        from connect_spark.sources.cdc_formats import open_format_wal
+
+        kind = (options or {}).get("cdc_kind", "")
+        wal = open_format_wal(kind, path)
+        if wal is None:
+            raise ValueError(
+                f"cdc: no native-format recording for {kind!r} in {path}"
+            )
+        return wal
     if wal_format == "binlog":
         cols = {}
         raw = (options or {}).get("column_names")
