@@ -53,6 +53,10 @@ _DRIVER_PRIORITY: list[str] = [
     "cdc_binlog_decode",
     "kafka_recordbatch_roundtrip",
     "cdc_logminer_decode",
+    "text_pii_scrub",
+    "quality_gopher_rules",
+    "pack_sequences",
+    "contamination_13gram",
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
@@ -136,6 +140,7 @@ def all_queries() -> list[QuerySpec]:
         formats,
         functions as fns,
         joins,
+        llmops,
         mq,
         pipeline_q,
         relational,
@@ -152,7 +157,7 @@ def all_queries() -> list[QuerySpec]:
     for mod in (
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
-        tpch, winfns, pipeline_q, tpch_ps, connectors_q,
+        tpch, winfns, pipeline_q, tpch_ps, connectors_q, llmops,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

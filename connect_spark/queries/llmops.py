@@ -1,0 +1,259 @@
+"""Training-data pipeline operators beyond dedup/ANN (round 5):
+PII scrubbing, Gopher-style quality rules, sequence packing, and
+benchmark-contamination detection — the remaining table-stakes ops of
+a 100-TB LLM data pipeline, each as pure Column algebra with a DuckDB
+oracle.
+
+Scale notes:
+- `text_pii_scrub` / `quality_gopher_rules`: narrow projections over
+  one scan — zero shuffles, whole-stage codegen.
+- `pack_sequences`: one global sort-window (cumulative token sum) —
+  the deterministic sequential-packing contract; at 100 TB you run it
+  per shard (partitionBy on a shard key gives the same plan with a
+  hash exchange instead of a global sort, packing within shards, as
+  real pipelines do).
+- `contamination_13gram`: benchmark n-gram set is tiny relative to
+  the corpus (a benchmark is KBs); candidates come from an equality
+  semi-join on the gram hash — never a cross join; AQE broadcasts the
+  benchmark side at real scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from connect_spark.catalog import load_table
+from connect_spark.queries import QuerySpec
+
+# regex subset valid in BOTH Java regex (Spark) and RE2 (DuckDB)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers from document text —
+    regex-based PII scrubbing (the standard pre-training hygiene
+    pass).  Patterns stay in the Java-regex ∩ RE2 subset so the DuckDB
+    oracle applies the IDENTICAL expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _IPV4_RE, "<IP>"),
+        _PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.substring(scrubbed, 1, 64).alias("scrub_head"),
+        F.length(scrubbed).alias("scrub_len"),
+        (F.length("text") - F.length(F.regexp_replace(
+            "text", _EMAIL_RE, ""))).alias("email_chars_removed"),
+    )
+
+
+PII_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IPV4_RE}', '<IP>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       substr(scrubbed, 1, 64) AS scrub_head,
+       length(scrubbed) AS scrub_len,
+       length(text) - length(
+         regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+         AS email_chars_removed
+FROM s
+"""
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word count bounds, mean word length band, symbol-to-word ratio,
+    bullet-line ratio, alphabetic-word ratio — each as a flag plus the
+    overall keep decision.  Pure Column algebra; ratios in exact
+    integer basis points so both engines hash identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
+    # mean word length in basis points (×100), integer math
+    mwl_x100 = (total_chars * 100 / n_words).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_hash = F.length("text") - F.length(
+        F.regexp_replace("text", "#", ""))
+    n_ellips = (F.length("text") - F.length(
+        F.regexp_replace("text", r"\.\.\.", ""))) / 3
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.rlike("^[-*•]")))
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl_x100.alias("mwl_x100"),
+        ((n_hash + n_ellips.cast("bigint")) * 10000 / n_words)
+            .cast("bigint").alias("symbol_ratio_bp"),
+        (n_alpha * 10000 / n_words).cast("bigint").alias("alpha_bp"),
+        (n_bullet * 10000 / n_lines).cast("bigint").alias("bullet_bp"),
+    )
+    keep = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mwl_x100") >= 300) & (F.col("mwl_x100") <= 1000)
+        & (F.col("symbol_ratio_bp") <= 1000)
+        & (F.col("alpha_bp") >= 8000)
+        & (F.col("bullet_bp") <= 9000)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, ' +') AS toks,
+         string_split(text, chr(10)) AS lines,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> len(x))) * 100
+              // len(toks) AS BIGINT) AS mwl_x100,
+         CAST((
+             (length(text) - length(replace(text, '#', '')))
+             + CAST((length(text) - length(replace(text, '...', '')))
+                    // 3 AS BIGINT)
+           ) * 10000 // len(toks) AS BIGINT) AS symbol_ratio_bp,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              * 10000 // len(toks) AS BIGINT) AS alpha_bp,
+         CAST(len(list_filter(lines,
+                              x -> regexp_matches(x, '^[-*•]')))
+              * 10000 // len(lines) AS BIGINT) AS bullet_bp
+  FROM t
+)
+SELECT *,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mwl_x100 BETWEEN 300 AND 1000
+            AND symbol_ratio_bp <= 1000
+            AND alpha_bp >= 8000
+            AND bullet_bp <= 9000 AS INT) AS keep
+FROM m
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents (whitespace token
+    counts) are packed in doc_id order into 2048-token bins by
+    cumulative-sum bucketing — pack_id = floor((cumsum - tokens) /
+    seq_len) over the deterministic order.  One window over one sort;
+    at 100 TB the same plan runs per shard (partitionBy a shard key)
+    — packing is embarrassingly shardable since bins never span
+    shards in real pipelines."""
+    seq_len = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " +")).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    with_cum = docs.select(
+        "doc_id", toks.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    out = with_cum.select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("cum") - F.col("n_tokens")) / seq_len)
+            .cast("bigint").alias("pack_id"),
+    )
+    return (
+        out.groupBy("pack_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+PACK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS pack_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+"""
+
+
+def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: documents sharing 13-gram word
+    sequences with a held-out 'benchmark' set (docs with doc_id % 50
+    == 0 stand in for it).  Grams hash to md5-derived keys; candidates
+    come from an equality join on the hash — benchmark grams are tiny,
+    AQE broadcasts them at scale.  Output: per contaminated corpus doc,
+    how many distinct benchmark grams it contains."""
+    n = 13
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda j: F.md5(F.concat_ws(
+            " ", *[F.get(toks, j + i) for i in range(n)])),
+    )
+    exploded = docs.filter(F.size(toks) >= n).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    bench = exploded.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("g").alias("bg")).distinct()
+    corpus = exploded.filter(F.col("doc_id") % 50 != 0)
+    return (
+        corpus.join(bench, corpus.g == bench.bg)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated_grams"))
+    )
+
+
+CONTAMINATION_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 11),
+           j -> md5(array_to_string(toks[j:j+12], ' '))))) AS g
+  FROM t WHERE len(toks) >= 13
+), bench AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0
+)
+SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_contaminated_grams
+FROM g c JOIN bench b ON c.g = b.g
+WHERE c.doc_id % 50 <> 0
+GROUP BY 1
+"""
+
+
+QUERIES = [
+    QuerySpec("text_pii_scrub", text_pii_scrub, PII_SQL),
+    QuerySpec("quality_gopher_rules", quality_gopher_rules, GOPHER_SQL),
+    QuerySpec("pack_sequences", pack_sequences, PACK_SQL),
+    QuerySpec("contamination_13gram", contamination_13gram,
+              CONTAMINATION_SQL),
+]
