@@ -1,0 +1,223 @@
+"""MQTT 3.1.1 control-packet codec over recorded sessions.
+
+The reference's mqtt input/output speak the OASIS MQTT 3.1.1 protocol
+(inputs/mqtt.adoc — urls/topics/qos/client_id).  This module
+independently implements the PUBLIC packet format so *recorded*
+broker↔client byte streams decode (and fixture sessions encode)
+without a broker — the same recorded-bytes contract as the CDC and
+Kafka codecs.
+
+Packet layout (MQTT 3.1.1 spec §2):
+  fixed header: byte 1 = packet type (high nibble) | flags (low);
+  remaining length = 1-4 byte varint (7 bits/byte, MSB continuation)
+  PUBLISH (type 3): flags = dup(bit3) qos(bits2-1) retain(bit0);
+    variable header: topic (u16-len UTF-8) [+ packet id u16 if qos>0];
+    payload = rest of the packet.
+  CONNECT (1): protocol name "MQTT", level 4, connect flags,
+    keepalive u16, client id [+ will topic/message] [+ user] [+ pass].
+  SUBSCRIBE (8): packet id u16, then (topic filter, qos) pairs.
+  CONNACK/PUBACK/SUBACK/PINGREQ/PINGRESP/DISCONNECT: parsed and
+  surfaced as control entries.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Iterator
+
+CONNECT = 1
+CONNACK = 2
+PUBLISH = 3
+PUBACK = 4
+SUBSCRIBE = 8
+SUBACK = 9
+PINGREQ = 12
+PINGRESP = 13
+DISCONNECT = 14
+
+_TYPE_NAMES = {
+    CONNECT: "connect", CONNACK: "connack", PUBLISH: "publish",
+    PUBACK: "puback", SUBSCRIBE: "subscribe", SUBACK: "suback",
+    PINGREQ: "pingreq", PINGRESP: "pingresp",
+    DISCONNECT: "disconnect",
+}
+
+
+def _enc_remaining(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n % 128
+        n //= 128
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _dec_remaining(data: bytes, i: int) -> tuple[int, int]:
+    mult = 1
+    val = 0
+    for _ in range(4):
+        b = data[i]
+        i += 1
+        val += (b & 0x7F) * mult
+        if not b & 0x80:
+            return val, i
+        mult *= 128
+    raise ValueError("mqtt: malformed remaining length")
+
+
+def _utf8(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return struct.pack(">H", len(raw)) + raw
+
+
+def _read_utf8(data: bytes, i: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from(">H", data, i)
+    return data[i + 2:i + 2 + n].decode("utf-8"), i + 2 + n
+
+
+@dataclass
+class MqttPacket:
+    type_name: str
+    topic: str | None = None
+    payload: bytes | None = None
+    qos: int = 0
+    retain: bool = False
+    dup: bool = False
+    packet_id: int | None = None
+    client_id: str | None = None
+    topics: list[tuple[str, int]] = field(default_factory=list)
+
+
+def decode_session(data: bytes) -> Iterator[MqttPacket]:
+    """Recorded wire bytes → packets in stream order."""
+    i = 0
+    n = len(data)
+    while i < n:
+        b1 = data[i]
+        ptype = b1 >> 4
+        flags = b1 & 0x0F
+        length, j = _dec_remaining(data, i + 1)
+        body = data[j:j + length]
+        i = j + length
+        name = _TYPE_NAMES.get(ptype)
+        if name is None:
+            raise ValueError(f"mqtt: unknown packet type {ptype}")
+        if ptype == PUBLISH:
+            qos = (flags >> 1) & 0x3
+            topic, k = _read_utf8(body, 0)
+            pid = None
+            if qos > 0:
+                (pid,) = struct.unpack_from(">H", body, k)
+                k += 2
+            yield MqttPacket(
+                "publish", topic=topic, payload=body[k:], qos=qos,
+                retain=bool(flags & 1), dup=bool(flags & 8),
+                packet_id=pid)
+        elif ptype == CONNECT:
+            proto, k = _read_utf8(body, 0)
+            level = body[k]
+            cflags = body[k + 1]
+            k += 4  # level + flags + keepalive
+            client_id, k = _read_utf8(body, k)
+            if proto not in ("MQTT", "MQIsdp"):
+                raise ValueError(f"mqtt: bad protocol name {proto!r}")
+            yield MqttPacket("connect", client_id=client_id)
+        elif ptype == SUBSCRIBE:
+            (pid,) = struct.unpack_from(">H", body, 0)
+            k = 2
+            topics = []
+            while k < len(body):
+                t, k = _read_utf8(body, k)
+                topics.append((t, body[k]))
+                k += 1
+            yield MqttPacket("subscribe", packet_id=pid, topics=topics)
+        elif ptype in (PUBACK, SUBACK):
+            (pid,) = struct.unpack_from(">H", body, 0)
+            yield MqttPacket(_TYPE_NAMES[ptype], packet_id=pid)
+        else:
+            yield MqttPacket(name)
+
+
+class MqttFixtureWriter:
+    """Encodes the same wire format for recorded-session fixtures."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def _packet(self, b1: int, body: bytes) -> None:
+        self.buf += bytes([b1]) + _enc_remaining(len(body)) + body
+
+    def connect(self, client_id: str, keepalive: int = 60) -> None:
+        body = (_utf8("MQTT") + bytes([4, 2])
+                + struct.pack(">H", keepalive) + _utf8(client_id))
+        self._packet(CONNECT << 4, body)
+
+    def connack(self) -> None:
+        self._packet(CONNACK << 4, bytes([0, 0]))
+
+    def publish(self, topic: str, payload: bytes, qos: int = 0,
+                retain: bool = False, dup: bool = False,
+                packet_id: int | None = None) -> None:
+        flags = (qos << 1) | (1 if retain else 0) | (8 if dup else 0)
+        body = _utf8(topic)
+        if qos > 0:
+            body += struct.pack(">H", packet_id or 1)
+        body += payload
+        self._packet((PUBLISH << 4) | flags, body)
+
+    def puback(self, packet_id: int) -> None:
+        self._packet(PUBACK << 4, struct.pack(">H", packet_id))
+
+    def subscribe(self, packet_id: int,
+                  topics: list[tuple[str, int]]) -> None:
+        body = struct.pack(">H", packet_id)
+        for t, q in topics:
+            body += _utf8(t) + bytes([q])
+        self._packet((SUBSCRIBE << 4) | 2, body)
+
+    def pingreq(self) -> None:
+        self._packet(PINGREQ << 4, b"")
+
+    def disconnect(self) -> None:
+        self._packet(DISCONNECT << 4, b"")
+
+    def getvalue(self) -> bytes:
+        return bytes(self.buf)
+
+
+# --------------------------------------------------------------------
+# NATS text protocol (recorded server→client stream)
+# --------------------------------------------------------------------
+
+def decode_nats_stream(data: bytes) -> Iterator[dict]:
+    """Recorded NATS server output → delivered messages.  The NATS
+    client protocol is PUBLIC plain text: ``MSG <subject> <sid>
+    [reply-to] <#bytes>\\r\\n<payload>\\r\\n`` plus INFO/PING/PONG/+OK
+    lines (nats.io protocol docs), which are consumed silently."""
+    i = 0
+    n = len(data)
+    while i < n:
+        eol = data.find(b"\r\n", i)
+        if eol < 0:
+            return
+        line = data[i:eol].decode("utf-8", "replace")
+        i = eol + 2
+        if line.startswith("MSG "):
+            parts = line.split(" ")
+            if len(parts) == 4:
+                _, subject, sid, nbytes = parts
+                reply = None
+            elif len(parts) == 5:
+                _, subject, sid, reply, nbytes = parts
+            else:
+                raise ValueError(f"nats: malformed MSG line {line!r}")
+            size = int(nbytes)
+            payload = data[i:i + size]
+            i += size + 2  # payload + trailing CRLF
+            yield {"subject": subject, "sid": sid, "reply": reply,
+                   "payload": payload}
+        # INFO {...} / PING / PONG / +OK / -ERR lines carry no message

@@ -586,9 +586,14 @@ for _scheme, _name in (
 def _i_nats(spark: SparkSession, c: dict) -> DataFrame:
     """inputs/nats.adoc — subject-routed messages over the replayable
     local bus (sources/mq.py MessageBus; live broker config maps via
-    nats_reader_options)."""
+    nats_reader_options).  With `session_path`, decodes RECORDED NATS
+    text-protocol streams instead (plans/mq_ext.py)."""
     from connect_spark.sources.mq import MessageBus, nats_envelope
 
+    if c.get("session_path"):
+        from connect_spark.plans.mq_ext import _nats_session_input
+
+        return _nats_session_input(spark, c)
     bus = MessageBus(c["bus_path"])
     return nats_envelope(
         bus.subscribe(

@@ -227,8 +227,89 @@ def _envelope(df: DataFrame, c: dict, spec: MqKindSpec) -> DataFrame:
     return df.select(*cols)
 
 
+def _mqtt_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded MQTT 3.1.1 sessions (functions/mqtt_codec.py): decode
+    PUBLISH packets from `session_path` wire-byte files executor-side
+    into the documented mqtt metadata envelope."""
+    schema = "content STRING, _meta MAP<STRING, STRING>"
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.mqtt_codec import decode_session
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for pkt in decode_session(bytes(blob)):
+                    if pkt.type_name != "publish":
+                        continue
+                    contents.append(
+                        pkt.payload.decode("utf-8", "replace"))
+                    metas.append({
+                        "mqtt_topic": pkt.topic,
+                        "mqtt_message_id": str(pkt.packet_id or 0),
+                        "mqtt_duplicate": str(pkt.dup).lower(),
+                        "mqtt_retained": str(pkt.retain).lower(),
+                        "mqtt_qos": str(pkt.qos),
+                    })
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", c.get("glob", "*.mqtt"))
+        .load(c["session_path"])
+        .select("content")
+        .mapInPandas(decode, schema)
+    )
+
+
+def _nats_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded NATS text-protocol streams: MSG frames decode to the
+    documented nats metadata envelope."""
+    schema = "content STRING, _meta MAP<STRING, STRING>"
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.mqtt_codec import (
+            decode_nats_stream,
+        )
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for msg in decode_nats_stream(bytes(blob)):
+                    contents.append(
+                        msg["payload"].decode("utf-8", "replace"))
+                    meta = {"nats_subject": msg["subject"]}
+                    if msg.get("reply"):
+                        meta["nats_reply_subject"] = msg["reply"]
+                    metas.append(meta)
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", c.get("glob", "*.nats"))
+        .load(c["session_path"])
+        .select("content")
+        .mapInPandas(decode, schema)
+    )
+
+
 def _mq_input(kind: str, spec: MqKindSpec):
     def build(spark: SparkSession, c: dict) -> DataFrame:
+        # recorded wire-format sessions (round 5): the kind's REAL
+        # protocol bytes, decoded without a broker
+        if c.get("session_path"):
+            if kind == "mqtt":
+                return _mqtt_session_input(spark, c)
+            if kind == "nats":
+                return _nats_session_input(spark, c)
+            raise PipelineConfigError(
+                f"{kind}: session_path recordings are supported for "
+                "mqtt (wire packets) and nats (text protocol)"
+            )
         from connect_spark.sources.mq import MessageBus
 
         bus = MessageBus(c.get("bus_path") or c["path"])

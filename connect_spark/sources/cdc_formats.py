@@ -298,6 +298,28 @@ def _salesforce_translate(row: dict, ordinal: int) -> Iterator[dict]:
                "after": None if op == "delete" else img}
 
 
+# --- tigerbeetle_cdc --------------------------------------------------
+
+def _tigerbeetle_translate(row: dict, ordinal: int) -> Iterator[dict]:
+    """TigerBeetle change events (inputs/tigerbeetle_cdc.adoc:49-92 —
+    {timestamp ns, type single_phase/two_phase_*, ledger, transfer,
+    debit_account, credit_account}).  Transfers are immutable ledger
+    entries, so every event is an insert of the transfer image; the
+    nanosecond cluster timestamp is the position."""
+    ts_ns = int(row.get("timestamp", 0))
+    transfer = row.get("transfer") or {}
+    after = {
+        "type": row.get("type"),
+        "ledger": row.get("ledger"),
+        **{f"transfer_{k}": v for k, v in transfer.items()},
+        "debit_account_id": (row.get("debit_account") or {}).get("id"),
+        "credit_account_id": (row.get("credit_account") or {}).get("id"),
+    }
+    yield {"lsn": ts_ns, "operation": "insert", "table": "transfers",
+           "commit_ts_ms": ts_ns // 1_000_000,
+           "before": None, "after": after}
+
+
 # --- registry ---------------------------------------------------------
 
 def open_format_wal(kind: str, path: str):
@@ -321,6 +343,9 @@ def open_format_wal(kind: str, path: str):
         "salesforce_cdc": (".sfcdc.jsonl", lambda p:
                            JsonlEnvelopeWal(p, ".sfcdc.jsonl",
                                             _salesforce_translate)),
+        "tigerbeetle_cdc": (".tbcdc.jsonl", lambda p:
+                            JsonlEnvelopeWal(p, ".tbcdc.jsonl",
+                                             _tigerbeetle_translate)),
     }
     entry = table.get(kind)
     if entry is None:

@@ -282,3 +282,25 @@ def test_mongodb_cdc_input_consumes_change_stream(spark, tmp_path):
     assert len(rows_out) == 1
     assert rows_out[0].operation == "insert"
     assert json.loads(rows_out[0].after) == {"_id": "k", "n": 5}
+
+
+def test_tigerbeetle_cdc_events(tmp_path):
+    rows = [
+        {"timestamp": "1745328372758695656", "type": "single_phase",
+         "ledger": 2,
+         "transfer": {"id": "9082709", "amount": "3794", "code": 20295},
+         "debit_account": {"id": "3750"},
+         "credit_account": {"id": "6765"}},
+    ]
+    _write(tmp_path / "w", "r.tbcdc.jsonl", rows)
+    wal = open_format_wal("tigerbeetle_cdc", str(tmp_path / "w"))
+    recs = list(wal.records(0))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["operation"] == "insert" and r["table"] == "transfers"
+    assert r["after"]["transfer_id"] == "9082709"
+    assert r["after"]["transfer_amount"] == "3794"
+    assert r["after"]["debit_account_id"] == "3750"
+    assert r["after"]["ledger"] == 2
+    assert r["lsn"] == 1745328372758695656
+    assert r["commit_ts_ms"] == 1745328372758
