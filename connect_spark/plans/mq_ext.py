@@ -297,6 +297,48 @@ def _nats_session_input(spark: SparkSession, c: dict) -> DataFrame:
     )
 
 
+def _amqp_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded AMQP 0-9-1 sessions (functions/amqp_codec.py):
+    basic.deliver + content frames reassemble executor-side into the
+    documented amqp_0_9 metadata envelope."""
+    schema = "content STRING, _meta MAP<STRING, STRING>"
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.amqp_codec import decode_session
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for d in decode_session(bytes(blob)):
+                    contents.append(
+                        d.body.decode("utf-8", "replace"))
+                    meta = {
+                        "amqp_routing_key": d.routing_key,
+                        "amqp_delivery_tag": str(d.delivery_tag),
+                        "amqp_consumer_tag": d.consumer_tag,
+                        "amqp_exchange": d.exchange,
+                        "amqp_redelivered": str(d.redelivered).lower(),
+                    }
+                    if d.content_type:
+                        meta["amqp_content_type"] = d.content_type
+                    if d.timestamp is not None:
+                        meta["amqp_timestamp"] = str(d.timestamp)
+                    for hk, hv in (d.headers or {}).items():
+                        meta[f"amqp_header_{hk}"] = str(hv)
+                    metas.append(meta)
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", c.get("glob", "*.amqp"))
+        .load(c["session_path"])
+        .select("content")
+        .mapInPandas(decode, schema)
+    )
+
+
 def _mq_input(kind: str, spec: MqKindSpec):
     def build(spark: SparkSession, c: dict) -> DataFrame:
         # recorded wire-format sessions (round 5): the kind's REAL
@@ -306,9 +348,12 @@ def _mq_input(kind: str, spec: MqKindSpec):
                 return _mqtt_session_input(spark, c)
             if kind == "nats":
                 return _nats_session_input(spark, c)
+            if kind == "amqp_0_9":
+                return _amqp_session_input(spark, c)
             raise PipelineConfigError(
                 f"{kind}: session_path recordings are supported for "
-                "mqtt (wire packets) and nats (text protocol)"
+                "amqp_0_9 (frames), mqtt (wire packets) and nats "
+                "(text protocol)"
             )
         from connect_spark.sources.mq import MessageBus
 

@@ -101,3 +101,70 @@ def test_nats_input_kind_session_path(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r._meta["nats_subject"])
     assert [r.content for r in rows] == ["hello", "world"]
     assert rows[0]._meta["nats_subject"] == "sub.a"
+
+
+# --- AMQP 0-9-1 -------------------------------------------------------
+
+def test_amqp_session_roundtrip():
+    from connect_spark.functions.amqp_codec import (
+        AmqpFixtureWriter,
+        decode_session as amqp_decode,
+    )
+
+    w = AmqpFixtureWriter(frame_max=8)
+    w.heartbeat()
+    w.deliver(b"hello world over frames", routing_key="orders.us",
+              exchange="ex", consumer_tag="c-1", delivery_tag=7,
+              content_type="application/json",
+              headers={"k": "v", "n": 5, "b": True},
+              delivery_mode=2, timestamp=1_700_000_000)
+    w.deliver(b"", routing_key="empty.body", delivery_tag=8,
+              channel=2)
+    dels = list(amqp_decode(w.getvalue()))
+    assert len(dels) == 2
+    d = dels[0]
+    # multi-frame body reassembled (frame_max=8 splits it)
+    assert d.body == b"hello world over frames"
+    assert d.routing_key == "orders.us" and d.exchange == "ex"
+    assert d.delivery_tag == 7 and d.consumer_tag == "c-1"
+    assert d.content_type == "application/json"
+    assert d.headers == {"k": "v", "n": 5, "b": True}
+    assert d.delivery_mode == 2 and d.timestamp == 1_700_000_000
+    # zero-size body completes on the header frame
+    assert dels[1].body == b"" and dels[1].routing_key == "empty.body"
+
+
+def test_amqp_frame_end_validation():
+    import pytest as _pytest
+
+    from connect_spark.functions.amqp_codec import (
+        AmqpFixtureWriter,
+        decode_session as amqp_decode,
+    )
+
+    w = AmqpFixtureWriter()
+    w.deliver(b"x", routing_key="r")
+    raw = bytearray(w.getvalue())
+    raw[-1] = 0x00  # clobber the last frame-end octet
+    with _pytest.raises(ValueError, match="frame-end"):
+        list(amqp_decode(bytes(raw)))
+
+
+def test_amqp_input_kind_session_path(spark, tmp_path):
+    from connect_spark.functions.amqp_codec import AmqpFixtureWriter
+    from connect_spark.plans.pipeline import Pipeline
+
+    w = AmqpFixtureWriter()
+    w.deliver(b'{"id": 1}', routing_key="q.a", delivery_tag=5,
+              headers={"trace": "t1"})
+    d = tmp_path / "asess"
+    d.mkdir()
+    (d / "cap-001.amqp").write_bytes(w.getvalue())
+    df = Pipeline(spark, {"input": {"amqp_0_9": {
+        "session_path": str(d), "queue": "q"}}}).dataframe()
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].content == '{"id": 1}'
+    assert rows[0]._meta["amqp_routing_key"] == "q.a"
+    assert rows[0]._meta["amqp_delivery_tag"] == "5"
+    assert rows[0]._meta["amqp_header_trace"] == "t1"
