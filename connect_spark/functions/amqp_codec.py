@@ -39,10 +39,39 @@ METHOD_DELIVER = 60
 
 # basic-properties flags (spec §4.2.6.1), high bit first
 FLAG_CONTENT_TYPE = 1 << 15
+FLAG_CONTENT_ENCODING = 1 << 14
 FLAG_HEADERS = 1 << 13
 FLAG_DELIVERY_MODE = 1 << 12
 FLAG_PRIORITY = 1 << 11
+FLAG_CORRELATION_ID = 1 << 10
+FLAG_REPLY_TO = 1 << 9
+FLAG_EXPIRATION = 1 << 8
+FLAG_MESSAGE_ID = 1 << 7
 FLAG_TIMESTAMP = 1 << 6
+FLAG_TYPE = 1 << 5
+FLAG_USER_ID = 1 << 4
+FLAG_APP_ID = 1 << 3
+FLAG_CLUSTER_ID = 1 << 2
+
+# the COMPLETE basic-class property list in flag order: (flag, name,
+# kind) where kind is shortstr | table | u8 | u64 — decoding walks
+# this list so every set flag advances the cursor correctly
+_BASIC_PROPS = (
+    (FLAG_CONTENT_TYPE, "content_type", "shortstr"),
+    (FLAG_CONTENT_ENCODING, "content_encoding", "shortstr"),
+    (FLAG_HEADERS, "headers", "table"),
+    (FLAG_DELIVERY_MODE, "delivery_mode", "u8"),
+    (FLAG_PRIORITY, "priority", "u8"),
+    (FLAG_CORRELATION_ID, "correlation_id", "shortstr"),
+    (FLAG_REPLY_TO, "reply_to", "shortstr"),
+    (FLAG_EXPIRATION, "expiration", "shortstr"),
+    (FLAG_MESSAGE_ID, "message_id", "shortstr"),
+    (FLAG_TIMESTAMP, "timestamp", "u64"),
+    (FLAG_TYPE, "type", "shortstr"),
+    (FLAG_USER_ID, "user_id", "shortstr"),
+    (FLAG_APP_ID, "app_id", "shortstr"),
+    (FLAG_CLUSTER_ID, "cluster_id", "shortstr"),
+)
 
 
 def _shortstr(s: str) -> bytes:
@@ -114,6 +143,9 @@ class AmqpDelivery:
     delivery_mode: int | None = None
     priority: int | None = None
     timestamp: int | None = None
+    correlation_id: str | None = None
+    reply_to: str | None = None
+    message_id: str | None = None
 
 
 def decode_session(data: bytes) -> Iterator[AmqpDelivery]:
@@ -154,20 +186,22 @@ def decode_session(data: bytes) -> Iterator[AmqpDelivery]:
                 ">HHQH", payload, 0)
             k = 14
             props: dict[str, Any] = {}
-            if flags & FLAG_CONTENT_TYPE:
-                props["content_type"], k = _read_shortstr(payload, k)
-            if flags & FLAG_HEADERS:
-                props["headers"], k = _read_field_table(payload, k)
-            if flags & FLAG_DELIVERY_MODE:
-                props["delivery_mode"] = payload[k]
-                k += 1
-            if flags & FLAG_PRIORITY:
-                props["priority"] = payload[k]
-                k += 1
-            if flags & FLAG_TIMESTAMP:
-                (props["timestamp"],) = struct.unpack_from(
-                    ">Q", payload, k)
-                k += 8
+            # walk EVERY flag in spec order so any combination of set
+            # properties advances the cursor correctly
+            for flag, name, kind in _BASIC_PROPS:
+                if not flags & flag:
+                    continue
+                if kind == "shortstr":
+                    props[name], k = _read_shortstr(payload, k)
+                elif kind == "table":
+                    props[name], k = _read_field_table(payload, k)
+                elif kind == "u8":
+                    props[name] = payload[k]
+                    k += 1
+                else:  # u64
+                    (props[name],) = struct.unpack_from(
+                        ">Q", payload, k)
+                    k += 8
             p["props"] = props
             p["need"] = body_size
             if body_size == 0:
@@ -194,6 +228,9 @@ def _finish(p: dict) -> AmqpDelivery:
         delivery_mode=props.get("delivery_mode"),
         priority=props.get("priority"),
         timestamp=props.get("timestamp"),
+        correlation_id=props.get("correlation_id"),
+        reply_to=props.get("reply_to"),
+        message_id=props.get("message_id"),
     )
 
 
@@ -217,7 +254,10 @@ class AmqpFixtureWriter:
                 channel: int = 1, content_type: str | None = None,
                 headers: dict | None = None,
                 delivery_mode: int | None = None,
-                timestamp: int | None = None) -> None:
+                timestamp: int | None = None,
+                correlation_id: str | None = None,
+                reply_to: str | None = None,
+                message_id: str | None = None) -> None:
         method = (
             struct.pack(">HH", CLASS_BASIC, METHOD_DELIVER)
             + _shortstr(consumer_tag)
@@ -237,6 +277,15 @@ class AmqpFixtureWriter:
         if delivery_mode is not None:
             flags |= FLAG_DELIVERY_MODE
             props += bytes([delivery_mode])
+        if correlation_id is not None:
+            flags |= FLAG_CORRELATION_ID
+            props += _shortstr(correlation_id)
+        if reply_to is not None:
+            flags |= FLAG_REPLY_TO
+            props += _shortstr(reply_to)
+        if message_id is not None:
+            flags |= FLAG_MESSAGE_ID
+            props += _shortstr(message_id)
         if timestamp is not None:
             flags |= FLAG_TIMESTAMP
             props += struct.pack(">Q", timestamp)

@@ -74,29 +74,10 @@ def crc32c(data: bytes) -> int:
     return c ^ 0xFFFFFFFF
 
 
-def _zz_enc(n: int) -> bytes:
-    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
-    out = bytearray()
-    while True:
-        b = u & 0x7F
-        u >>= 7
-        if u:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def _zz_dec(data: bytes, i: int) -> tuple[int, int]:
-    shift = acc = 0
-    while True:
-        b = data[i]
-        i += 1
-        acc |= (b & 0x7F) << shift
-        shift += 7
-        if not b & 0x80:
-            break
-    return (acc >> 1) ^ -(acc & 1), i
+from connect_spark.functions.varints import (
+    zigzag_decode as _zz_dec,
+    zigzag_encode as _zz_enc,
+)
 
 
 CODEC_NONE = 0
@@ -110,7 +91,11 @@ def _compress(data: bytes, codec: int) -> bytes:
     if codec == CODEC_NONE:
         return data
     if codec == CODEC_GZIP:
-        return zlib.compress(data, 6)
+        # real gzip framing (magic 1f 8b) — a Java GZIPInputStream
+        # consumer rejects bare zlib streams
+        import gzip as _gzip
+
+        return _gzip.compress(data, 6)
     if codec == CODEC_SNAPPY:
         from connect_spark.functions.snappy_codec import compress
 

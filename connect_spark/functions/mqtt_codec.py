@@ -220,4 +220,27 @@ def decode_nats_stream(data: bytes) -> Iterator[dict]:
             i += size + 2  # payload + trailing CRLF
             yield {"subject": subject, "sid": sid, "reply": reply,
                    "payload": payload}
+        elif line.startswith("HMSG "):
+            # headers-enabled delivery: HMSG <subject> <sid>
+            # [reply-to] <hdr_len> <total_len>; the first hdr_len
+            # payload bytes are the header block (NATS/1.0 + fields)
+            parts = line.split(" ")
+            if len(parts) == 5:
+                _, subject, sid, hdr_len_s, total_s = parts
+                reply = None
+            elif len(parts) == 6:
+                _, subject, sid, reply, hdr_len_s, total_s = parts
+            else:
+                raise ValueError(f"nats: malformed HMSG line {line!r}")
+            hdr_len = int(hdr_len_s)
+            total = int(total_s)
+            block = data[i:i + total]
+            i += total + 2
+            headers: dict[str, str] = {}
+            for hline in block[:hdr_len].split(b"\r\n"):
+                if b":" in hline:
+                    hk, _, hv = hline.partition(b":")
+                    headers[hk.decode().strip()] = hv.decode().strip()
+            yield {"subject": subject, "sid": sid, "reply": reply,
+                   "payload": block[hdr_len:], "headers": headers}
         # INFO {...} / PING / PONG / +OK / -ERR lines carry no message

@@ -54,29 +54,10 @@ class RegistrySchema:
 # top-level message.
 
 
-def _zigzag_read(data: bytes, i: int) -> tuple[int, int]:
-    shift = acc = 0
-    while True:
-        b = data[i]
-        i += 1
-        acc |= (b & 0x7F) << shift
-        shift += 7
-        if not b & 0x80:
-            break
-    return (acc >> 1) ^ -(acc & 1), i
-
-
-def _zigzag_bytes(n: int) -> bytes:
-    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
-    out = bytearray()
-    while True:
-        b = u & 0x7F
-        u >>= 7
-        if u:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+from connect_spark.functions.varints import (
+    zigzag_decode as _zigzag_read,
+    zigzag_encode as _zigzag_bytes,
+)
 
 
 def read_message_indexes(payload: bytes) -> tuple[list[int], int]:

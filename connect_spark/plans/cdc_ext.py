@@ -156,9 +156,11 @@ def _cdc_input(kind: str, spec: CdcKindSpec):
         if tables:
             names = [t.split(".")[-1] for t in tables]
             df = df.filter(F.col("table").isin(names))
-        if kind in ("postgres_cdc", "pg_stream") and not c.get(
+        if kind in ("postgres_cdc", "pg_stream", "mysql_cdc") and not c.get(
             "include_transaction_markers", False
         ):
+            # binlog recordings also surface QUERY-BEGIN/XID markers;
+            # the reference's mysql_cdc emits data rows only
             df = df.filter(~F.col("operation").isin("begin", "commit"))
         return df
 

@@ -269,13 +269,11 @@ def _o_otlp_http(df: DataFrame, c: dict) -> None:
 @input_kind("otlp_http")
 def _i_otlp_http(spark: SparkSession, c: dict) -> DataFrame:
     """inputs/otlp_http.adoc — push endpoint: OTLP/JSON bodies land in
-    the http_server spool as .jsonl, binary OTLP protobuf bodies
-    (Content-Type: application/x-protobuf) as .bin; both decode to one
-    span message each.  Protobuf decode goes through the vendored
-    public OTLP descriptors (functions/otlp_proto.py) — no gRPC
-    runtime needed, closing the round-4 verdict's otlp gap."""
-    import os as _os
-
+    the http_server spool as raw lines, binary OTLP protobuf bodies
+    (Content-Type: application/x-protobuf) as base64 wrapper lines in
+    the SAME spool — so batch and `streaming: true` tails both carry
+    them.  Protobuf decode goes through the vendored public OTLP
+    descriptors (functions/otlp_proto.py) — no gRPC runtime needed."""
     from connect_spark.sources.http_server import http_server_input
 
     df = http_server_input(spark, c)
@@ -288,28 +286,8 @@ def _i_otlp_http(spark: SparkSession, c: dict) -> DataFrame:
                     out.append(json.dumps(span, sort_keys=True))
 
     def flatten(batches):
-        import pandas as _pd
+        import base64 as _b64
 
-        for pdf in batches:
-            out: list = []
-            for doc_s in pdf["content"].tolist():
-                try:
-                    doc = json.loads(doc_s)
-                except (TypeError, ValueError):
-                    continue
-                _flatten_doc(doc, out)
-            yield _pd.DataFrame({"content": out})
-
-    json_spans = df.mapInPandas(flatten, schema)
-
-    spool = c["spool_dir"]
-    has_bin = not df.isStreaming and any(
-        f.endswith(".bin") for f in _os.listdir(spool)
-    )
-    if not has_bin:
-        return json_spans
-
-    def flatten_pb(batches):
         import pandas as _pd
 
         from connect_spark.functions.otlp_proto import (
@@ -318,18 +296,18 @@ def _i_otlp_http(spark: SparkSession, c: dict) -> DataFrame:
 
         for pdf in batches:
             out: list = []
-            for raw in pdf["content"].tolist():
-                doc = decode_traces_request(bytes(raw))
+            for doc_s in pdf["content"].tolist():
+                try:
+                    doc = json.loads(doc_s)
+                except (TypeError, ValueError):
+                    continue
+                if isinstance(doc, dict) and "__binary_b64__" in doc:
+                    doc = decode_traces_request(
+                        _b64.b64decode(doc["__binary_b64__"]))
                 _flatten_doc(doc, out)
             yield _pd.DataFrame({"content": out})
 
-    pb = (
-        spark.read.format("binaryFile")
-        .load(spool + "/*.bin")
-        .select("content")
-        .mapInPandas(flatten_pb, schema)
-    )
-    return json_spans.unionByName(pb)
+    return df.mapInPandas(flatten, schema)
 
 
 def _otlp_grpc_gate(*_a, **_k):

@@ -237,6 +237,11 @@ class BinlogDecoder:
     tables: dict[int, TableMap] = field(default_factory=dict)
     last_gtid: tuple[str, int] | None = None
     _ts_ms: int = 0
+    # binlog_checksum algorithm from the FDE (0 = off, 1 = CRC32).
+    # Real servers default to CRC32 since 5.6.6: every event then
+    # carries a 4-byte CRC32 trailer inside event_size that must be
+    # stripped (and can be verified) before body parsing.
+    checksum_alg: int = 0
 
     # -- value decoding -------------------------------------------------
     def _value(self, cur: _Cur, ctype: int, meta: int) -> Any:
@@ -298,9 +303,10 @@ class BinlogDecoder:
             secs = int.from_bytes(cur.take(4), "big")
             out = str(secs)
             if fsp:
+                # same storage rule as DATETIME2: 2*ceil(fsp/2) digits
                 nbytes = (fsp + 1) // 2
                 frac = int.from_bytes(cur.take(nbytes), "big")
-                out += f".{frac}"
+                out += "." + str(frac).zfill(2 * nbytes)[:fsp]
             return out
         if ctype == T_NEWDECIMAL:
             precision = meta >> 8
@@ -454,12 +460,20 @@ class BinlogDecoder:
 
 
 def decode_binlog_bytes(data: bytes, decoder: BinlogDecoder,
-                        file_seq: int = 0) -> Iterator[dict]:
+                        file_seq: int = 0,
+                        verify_checksum: bool = True) -> Iterator[dict]:
     """One binlog FILE (magic + events) → envelope records with
     lsn = ((file_seq << 32) | log_pos) << 16 | row_index — the
     canonical binlog coordinates in the high bits (so resume filters
     on real replication position) with within-event row order in the
-    low 16 (a multi-row event shares one log_pos in the real log)."""
+    low 16 (a multi-row event shares one log_pos in the real log).
+
+    The FDE's checksum-algorithm byte is honored: with
+    binlog_checksum=CRC32 (the server default since 5.6.6) every
+    event's 4-byte trailer is stripped before body parsing and
+    verified with zlib.crc32 unless verify_checksum=False."""
+    import zlib as _zlib
+
     if data[:4] != BINLOG_MAGIC:
         raise ValueError("binlog: missing magic bytes")
     i = 4
@@ -468,6 +482,29 @@ def decode_binlog_bytes(data: bytes, decoder: BinlogDecoder,
         ts, etype = struct.unpack_from("<IB", data, i)
         event_size, log_pos = struct.unpack_from("<II", data, i + 9)
         body = data[i + 19:i + event_size]
+        if etype == EV_FORMAT_DESCRIPTION and len(body) >= 57:
+            # servers >= 5.6.1 append checksum_alg(1) + own_crc(4) to
+            # the FDE (0 off / 1 CRC32); older versions have neither,
+            # so gate on the embedded server-version string
+            ver = body[2:52].split(b"\0", 1)[0].decode(
+                "latin-1", "replace")
+            parts = ver.split("-")[0].split(".")
+            try:
+                vtup = tuple(int(x) for x in parts[:3])
+            except ValueError:
+                vtup = (0,)
+            if vtup >= (5, 6, 1) and len(body) >= 5:
+                decoder.checksum_alg = body[-5] if body[-5] == 1 else 0
+        if decoder.checksum_alg == 1:
+            trailer = body[-4:]
+            body = body[:-4]
+            if verify_checksum:
+                crc = _zlib.crc32(data[i:i + event_size - 4])
+                if crc != struct.unpack("<I", trailer)[0]:
+                    raise ValueError(
+                        f"binlog: CRC32 mismatch on event at {i} "
+                        f"(type {etype})"
+                    )
         lsn = ((file_seq << 32) | log_pos) << 16
         yield from decoder.decode_event(etype, ts, log_pos, body, lsn)
         i += event_size
@@ -490,25 +527,33 @@ class BinlogFixtureWriter:
     Column values encode through the same public type formats the
     decoder reads."""
 
-    def __init__(self, server_id: int = 1, ts: int = 1_700_000_000):
+    def __init__(self, server_id: int = 1, ts: int = 1_700_000_000,
+                 checksum: bool = False):
         self.buf = bytearray(BINLOG_MAGIC)
         self.server_id = server_id
         self.ts = ts
+        self.checksum = checksum
         self._fde()
 
     # -- low level ------------------------------------------------------
     def _event(self, etype: int, body: bytes, flags: int = 0) -> None:
-        size = 19 + len(body)
+        import zlib as _zlib
+
+        trailer = 4 if self.checksum else 0
+        size = 19 + len(body) + trailer
         log_pos = len(self.buf) + size
-        self.buf += struct.pack(
+        header = struct.pack(
             "<IBIIIH", self.ts, etype, self.server_id, size, log_pos,
             flags)
-        self.buf += body
+        self.buf += header + body
+        if self.checksum:
+            crc = _zlib.crc32(header + body)
+            self.buf += struct.pack("<I", crc)
 
     def _fde(self) -> None:
-        body = struct.pack("<H", 4) + b"8.0.0".ljust(50, b"\0") \
+        body = struct.pack("<H", 4) + b"8.0.30".ljust(50, b"\0") \
             + struct.pack("<I", self.ts) + bytes([19]) \
-            + bytes(40)
+            + bytes(39) + bytes([1 if self.checksum else 0])
         self._event(EV_FORMAT_DESCRIPTION, body)
 
     # -- events ---------------------------------------------------------

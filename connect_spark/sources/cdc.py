@@ -84,9 +84,39 @@ def apply_cdc_batch(cache, changes, key: str, op_col: str = "operation"):
     `changes` carries the row image + `operation` metadata
     (input_pg_stream.go:86-89) + a `_seq` ordering column (commit LSN /
     commit_ts_ms). One upsert + one delete per batch — set-based, no
-    per-row round-trips."""
+    per-row round-trips.
+
+    Unchanged-TOAST handling (pgoutput tuple category 'u' —
+    sources/pgoutput.py::UNCHANGED_TOAST): a string column delivered
+    as the marker resolves to its most recent real value — first by a
+    forward-fill window WITHIN the batch (same partitioning as the
+    last-writer window, no extra exchange), then from the cache's
+    existing row for markers with no in-batch predecessor; a marker
+    with no previous value anywhere becomes null."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from connect_spark.sources.pgoutput import UNCHANGED_TOAST
+
+    str_cols = [
+        c for c, t in changes.dtypes
+        if t == "string" and c not in (key, op_col, "_seq")
+    ]
+    if str_cols:
+        w_ff = Window.partitionBy(key).orderBy("_seq").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        for c in str_cols:
+            is_marker = F.col(c).eqNullSafe(UNCHANGED_TOAST)
+            # wrap in a struct so a REAL null value still counts as a
+            # present (non-marker) image and is never filled over
+            non_marker = F.when(
+                ~is_marker, F.struct(F.col(c).alias("v")))
+            filled = F.last(non_marker, ignorenulls=True).over(w_ff)
+            changes = changes.withColumn(
+                c,
+                F.when(filled.isNotNull(), filled["v"])
+                .otherwise(F.lit(UNCHANGED_TOAST)),
+            )
 
     w = Window.partitionBy(key).orderBy(F.col("_seq").desc())
     latest = (
@@ -97,6 +127,29 @@ def apply_cdc_batch(cache, changes, key: str, op_col: str = "operation"):
     upserts = latest.filter(
         F.col(op_col).isin("read", "insert", "update")
     ).drop(op_col, "_seq")
+    if str_cols:
+        cur = cache.read()
+        prev_cols = [
+            c for c in str_cols
+            if cur is not None and c in cur.columns
+        ]
+        if prev_cols:
+            prev = cur.select(
+                F.col(cache.key).alias(key),
+                *[F.col(c).alias(f"_prev_{c}") for c in prev_cols],
+            )
+            upserts = upserts.join(F.broadcast(prev), key, "left")
+        for c in str_cols:
+            fallback = (
+                F.col(f"_prev_{c}") if c in prev_cols
+                else F.lit(None).cast("string")
+            )
+            upserts = upserts.withColumn(
+                c,
+                F.when(F.col(c).eqNullSafe(UNCHANGED_TOAST), fallback)
+                .otherwise(F.col(c)),
+            )
+        upserts = upserts.drop(*[f"_prev_{c}" for c in prev_cols])
     deletes = latest.filter(F.col(op_col) == "delete").select(key)
     cache.set(upserts)
     cache.delete(deletes)

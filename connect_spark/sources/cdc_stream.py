@@ -507,6 +507,15 @@ def materialize_cdc_stream(
         .option("path", wal_path)
         .option("snapshot_lsn", snapshot_lsn)
     )
+    # recorded native formats auto-detect like the input kinds do
+    try:
+        names = os.listdir(wal_path)
+    except FileNotFoundError:
+        names = []
+    if any(f.endswith(".pgcopy") for f in names):
+        reader = reader.option("wal_format", "pgoutput")
+    elif any(f.endswith(".binlog") for f in names):
+        reader = reader.option("wal_format", "binlog")
     if snapshot_path:
         reader = reader.option("snapshot_path", snapshot_path)
     stream = reader.load()

@@ -52,23 +52,25 @@ def start_http_server(
                 size = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(size)
                 ctype = self.headers.get("Content-Type", "")
-                if ctype.startswith("application/x-protobuf"):
-                    # binary bodies (e.g. OTLP protobuf) spool as one
-                    # .bin file each — no newline framing, bytes kept
-                    # verbatim for the decoder
-                    fname = os.path.join(
-                        spool_dir, f"msg-{time.time_ns():020d}.bin"
-                    )
-                    with open(fname + ".tmp", "wb") as fh:
-                        fh.write(body)
-                else:
-                    fname = os.path.join(
-                        spool_dir, f"msg-{time.time_ns():020d}.jsonl"
-                    )
-                    with open(fname + ".tmp", "wb") as fh:
-                        fh.write(body)
-                        if not body.endswith(b"\n"):
-                            fh.write(b"\n")
+                if ctype.startswith("application/x-protobuf") or \
+                        ctype.startswith("application/octet-stream"):
+                    # binary bodies (e.g. OTLP protobuf) spool as a
+                    # base64 JSON wrapper LINE so the same .jsonl
+                    # spool (and the streaming text tail) carries
+                    # them — consumers unwrap __binary_b64__
+                    import base64 as _b64
+                    import json as _json
+
+                    body = _json.dumps({
+                        "__binary_b64__": _b64.b64encode(body).decode()
+                    }).encode()
+                fname = os.path.join(
+                    spool_dir, f"msg-{time.time_ns():020d}.jsonl"
+                )
+                with open(fname + ".tmp", "wb") as fh:
+                    fh.write(body)
+                    if not body.endswith(b"\n"):
+                        fh.write(b"\n")
                 os.rename(fname + ".tmp", fname)  # atomic publish
                 self.send_response(200)
                 self.end_headers()

@@ -129,7 +129,10 @@ def kafka_log_segment_input(spark: SparkSession, conf: dict) -> DataFrame:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 part = 0
                 if partition_from_name:
-                    m = _re.search(r"(\d+)", _os.path.basename(
+                    # Kafka log dirs are <topic>-<partition>: anchor
+                    # to the TRAILING digits so topics containing
+                    # digits (events2024-0) resolve correctly
+                    m = _re.search(r"-(\d+)$", _os.path.basename(
                         _os.path.dirname(fpath)) or "")
                     if m:
                         part = int(m.group(1))

@@ -245,3 +245,48 @@ def test_mysql_binary_json_codec_matrix():
     ]
     for v in cases:
         assert decode_mysql_json(encode_mysql_json(v)) == v, v
+
+
+def test_crc32_checksummed_binlog():
+    """binlog_checksum=CRC32 (server default since 5.6.6): every event
+    carries a 4-byte trailer inside event_size; the decoder strips it
+    (so row parsing and BEGIN detection stay correct) and verifies it
+    with zlib.crc32."""
+    w = BinlogFixtureWriter(checksum=True)
+    w.gtid("cd" * 16, 3)
+    w.begin()
+    w.table_map(101, "shop", "items", COLS)
+    w.write_rows([{"id": 1, "name": "ann", "qty": 5},
+                  {"id": 2, "name": "bob", "qty": 7}])
+    w.xid()
+    recs = _decode(w)
+    assert [r["operation"] for r in recs] == [
+        "begin", "insert", "insert", "commit"]
+    assert recs[1]["after"] == {"id": 1, "name": "ann", "qty": 5}
+    # corruption is caught
+    raw = bytearray(w.getvalue())
+    at = raw.index(b"bob")
+    raw[at] ^= 0x20
+    dec = BinlogDecoder(column_names=dict(NAMES))
+    with pytest.raises(ValueError, match="CRC32"):
+        list(decode_binlog_bytes(bytes(raw), dec))
+    # a checksum-free file still decodes (alg byte 0)
+    w2 = BinlogFixtureWriter(checksum=False)
+    w2.begin()
+    w2.table_map(101, "shop", "items", COLS)
+    w2.write_rows([{"id": 9, "name": "z", "qty": 0}])
+    w2.xid()
+    recs2 = _decode(w2)
+    assert recs2[1]["after"]["id"] == 9
+
+
+def test_timestamp2_fraction_padding():
+    """TIMESTAMP2 fractional seconds zero-pad to the storage digits
+    (.05 must not decode as .5)."""
+    from connect_spark.sources.binlog import T_TIMESTAMP2, _Cur, BinlogDecoder
+
+    dec = BinlogDecoder()
+    # secs=1700000000 BE, fsp=2 -> 1 byte storing 5 (i.e. .05)
+    raw = (1_700_000_000).to_bytes(4, "big") + bytes([5])
+    got = dec._value(_Cur(raw), T_TIMESTAMP2, 2)
+    assert got == "1700000000.05"

@@ -91,3 +91,30 @@ def test_mysql_cdc_input_consumes_binlog(spark, tmp_path):
     # event-header timestamps (s → ms)
     assert by_op["insert"][0].commit_ts_ms == 1_700_000_000_000
     assert by_op["update"][0].commit_ts_ms == 1_700_000_100_000
+
+
+def test_mysql_cdc_filters_transaction_markers(spark, tmp_path):
+    """QUERY-BEGIN/XID markers from binlog recordings are filtered by
+    default (the reference's mysql_cdc emits data rows only);
+    include_transaction_markers: true surfaces them."""
+    wal_dir = tmp_path / "binwal"
+    _record_files(wal_dir)
+    for flag, expect_markers in ((False, False), (True, True)):
+        df = Pipeline(spark, {"input": {"mysql_cdc": {
+            "dsn": "mysql://u@h/shop", "wal_path": str(wal_dir),
+            "column_names": NAMES,
+            "include_transaction_markers": flag,
+        }}}).dataframe()
+        import uuid
+
+        name = "bm_" + uuid.uuid4().hex[:8]
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ops = {r.operation for r in spark.table(name).collect()}
+        assert ("begin" in ops) == expect_markers
+        assert ("commit" in ops) == expect_markers
+        assert "insert" in ops

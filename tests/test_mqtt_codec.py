@@ -168,3 +168,51 @@ def test_amqp_input_kind_session_path(spark, tmp_path):
     assert rows[0]._meta["amqp_routing_key"] == "q.a"
     assert rows[0]._meta["amqp_delivery_tag"] == "5"
     assert rows[0]._meta["amqp_header_trace"] == "t1"
+
+
+def test_amqp_all_property_flags_advance_cursor():
+    """Properties set BETWEEN the handled ones (content-encoding,
+    correlation-id, reply-to, message-id) must not shift later
+    property offsets — the full spec §4.2.6.1 flag walk."""
+    from connect_spark.functions.amqp_codec import (
+        AmqpFixtureWriter,
+        decode_session as amqp_decode,
+    )
+
+    w = AmqpFixtureWriter()
+    w.deliver(b"payload", routing_key="r", delivery_tag=3,
+              content_type="text/plain",
+              headers={"h": "1"},
+              delivery_mode=2,
+              correlation_id="corr-99",
+              reply_to="amq.reply",
+              message_id="msg-7",
+              timestamp=1_700_000_123)
+    d = list(amqp_decode(w.getvalue()))[0]
+    assert d.content_type == "text/plain"
+    assert d.headers == {"h": "1"}
+    assert d.delivery_mode == 2
+    assert d.correlation_id == "corr-99"
+    assert d.reply_to == "amq.reply"
+    assert d.message_id == "msg-7"
+    assert d.timestamp == 1_700_000_123
+    assert d.body == b"payload"
+
+
+def test_nats_hmsg_frames():
+    """Headers-enabled NATS deliveries (HMSG) parse the header block
+    and payload without desyncing the stream."""
+    hdr = b"NATS/1.0\r\nTrace-Id: t-9\r\n\r\n"
+    payload = b"MSG looks like a frame"
+    total = len(hdr) + len(payload)
+    data = (
+        b"HMSG sub.h 3 " + str(len(hdr)).encode() + b" "
+        + str(total).encode() + b"\r\n" + hdr + payload + b"\r\n"
+        + b"MSG sub.t 4 2\r\nok\r\n"
+    )
+    msgs = list(decode_nats_stream(data))
+    assert len(msgs) == 2
+    assert msgs[0]["subject"] == "sub.h"
+    assert msgs[0]["payload"] == payload
+    assert msgs[0]["headers"]["Trace-Id"] == "t-9"
+    assert msgs[1]["payload"] == b"ok"

@@ -126,3 +126,77 @@ def test_postgres_cdc_pgoutput_materializes(spark, tmp_path):
         2: ("closed", "2.50"),
         4: ("open", "4.50"),
     }
+
+
+def test_unchanged_toast_resolves_to_previous_value(spark, tmp_path):
+    """pgoutput tuple category 'u' (unchanged TOAST): the apply layer
+    must fall back to the previous row image — within the batch AND
+    across batches from stored state — never persist the marker."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from connect_spark.sources.cdc_stream import materialize_cdc_stream
+    from connect_spark.sources.pgoutput import UNCHANGED_TOAST
+    from connect_spark.state.cache import ParquetKVCache
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("blob", StringType()),
+        StructField("st", StringType()),
+    ])
+    cols = [("id", OID_INT8), ("blob", OID_TEXT), ("st", OID_TEXT)]
+    wal = tmp_path / "toastwal"
+    wal.mkdir()
+    w = PgoutputFixtureWriter()
+    w.relation(900, "t", cols)
+    w.begin(0)
+    # insert with real blob, then update that leaves it TOASTed
+    w.insert({"id": 1, "blob": "BIGVALUE", "st": "a"})
+    w.update({"id": 1, "blob": UNCHANGED_TOAST, "st": "b"},
+             before={"id": 1})
+    # a second key whose toast marker has NO predecessor in any batch
+    w.update({"id": 2, "blob": UNCHANGED_TOAST, "st": "z"},
+             before={"id": 2})
+    w.commit(0)
+    w.copy_done()
+    (wal / "seg-0.pgcopy").write_bytes(w.getvalue())
+
+    cache = ParquetKVCache(spark, str(tmp_path / "state"), key="id")
+    q = materialize_cdc_stream(
+        spark, wal_path=str(wal), snapshot_path=None,
+        row_schema=schema, key="id", cache=cache,
+        checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {r.id: (r.blob, r.st) for r in cache.read().collect()}
+    # in-batch fallback: blob survives the TOASTed update
+    assert state[1] == ("BIGVALUE", "b")
+    # no previous image anywhere: marker becomes null, not the literal
+    assert state[2] == (None, "z")
+
+    # cross-batch: a later segment's TOASTed update must pull the
+    # value from the STORED state
+    w2 = PgoutputFixtureWriter(start_lsn=100)
+    w2.use_relation(900, cols)
+    w2.begin(0)
+    w2.update({"id": 1, "blob": UNCHANGED_TOAST, "st": "c"},
+              before={"id": 1})
+    w2.commit(0)
+    w2.copy_done()
+    (wal / "seg-1.pgcopy").write_bytes(w2.getvalue())
+    q = materialize_cdc_stream(
+        spark, wal_path=str(wal), snapshot_path=None,
+        row_schema=schema, key="id", cache=cache,
+        checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {r.id: (r.blob, r.st) for r in cache.read().collect()}
+    assert state[1] == ("BIGVALUE", "c")
