@@ -339,6 +339,71 @@ def _amqp_session_input(spark: SparkSession, c: dict) -> DataFrame:
     )
 
 
+def _redis_pubsub_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded RESP pub/sub sessions (functions/resp_codec.py):
+    message/pmessage pushes decode executor-side into the documented
+    redis_pubsub metadata envelope."""
+    schema = "content STRING, _meta MAP<STRING, STRING>"
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.resp_codec import pubsub_messages
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for m in pubsub_messages(bytes(blob)):
+                    contents.append(
+                        m["payload"].decode("utf-8", "replace")
+                        if isinstance(m["payload"], bytes)
+                        else str(m["payload"]))
+                    metas.append({
+                        "redis_pubsub_channel": m["channel"],
+                        "redis_pubsub_pattern": m["pattern"] or "",
+                    })
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", c.get("glob", "*.resp"))
+        .load(c["session_path"])
+        .select("content")
+        .mapInPandas(decode, schema)
+    )
+
+
+def _redis_streams_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded XREAD replies → stream entries with the adoc's
+    body_key/metadata-split contract."""
+    schema = "content STRING, _meta MAP<STRING, STRING>"
+    body_key = c.get("body_key", "body")
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.resp_codec import xread_entries
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for e in xread_entries(bytes(blob)):
+                    fields = dict(e["fields"])
+                    contents.append(fields.pop(body_key, None))
+                    fields["redis_stream"] = e["stream"]
+                    fields["redis_stream_id"] = e["id"]
+                    metas.append(fields)
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", c.get("glob", "*.resp"))
+        .load(c["session_path"])
+        .select("content")
+        .mapInPandas(decode, schema)
+    )
+
+
 def _mq_input(kind: str, spec: MqKindSpec):
     def build(spark: SparkSession, c: dict) -> DataFrame:
         # recorded wire-format sessions (round 5): the kind's REAL
@@ -350,6 +415,8 @@ def _mq_input(kind: str, spec: MqKindSpec):
                 return _nats_session_input(spark, c)
             if kind == "amqp_0_9":
                 return _amqp_session_input(spark, c)
+            if kind == "redis_pubsub":
+                return _redis_pubsub_session_input(spark, c)
             raise PipelineConfigError(
                 f"{kind}: session_path recordings are supported for "
                 "amqp_0_9 (frames), mqtt (wire packets) and nats "
@@ -386,6 +453,8 @@ def _i_redis_streams(spark: SparkSession, c: dict) -> DataFrame:
     contract), plus the entry id as `redis_stream_id`."""
     from connect_spark.sources.mq import MessageBus
 
+    if c.get("session_path"):
+        return _redis_streams_session_input(spark, c)
     bus = MessageBus(c.get("bus_path") or c["path"])
     streams = c.get("streams", [])
     subject = None
