@@ -151,28 +151,35 @@ FROM m
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training: documents (whitespace token
-    counts) are packed in doc_id order into 2048-token bins by
-    cumulative-sum bucketing — pack_id = floor((cumsum - tokens) /
-    seq_len) over the deterministic order.  One window over one sort;
-    at 100 TB the same plan runs per shard (partitionBy a shard key)
-    — packing is embarrassingly shardable since bins never span
-    shards in real pipelines."""
+    counts) are packed into 2048-token bins by cumulative-sum
+    bucketing WITHIN a shard — pack_id = floor((cumsum - tokens) /
+    seq_len) over (shard, doc_id) order.  The window partitions by a
+    shard key (doc_id % 16 here; a directory shard in production), so
+    the plan is a hash exchange + per-partition sort — never a
+    single-partition global sort.  Bins never span shards, exactly as
+    real pipelines pack per input shard."""
     seq_len = 2048
+    n_shards = 16
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(F.split(F.col("text"), " +")).cast("bigint")
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     with_cum = docs.select(
-        "doc_id", toks.alias("n_tokens")
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        toks.alias("n_tokens"),
     ).withColumn("cum", F.sum("n_tokens").over(w))
     out = with_cum.select(
         "doc_id",
+        "shard",
         "n_tokens",
         ((F.col("cum") - F.col("n_tokens")) / seq_len)
             .cast("bigint").alias("pack_id"),
     )
     return (
-        out.groupBy("pack_id").agg(
+        out.groupBy("shard", "pack_id").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
             F.min("doc_id").alias("first_doc"),
@@ -184,22 +191,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SQL = """
 WITH t AS (
   SELECT doc_id,
+         doc_id % 16 AS shard,
          CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
            AS n_tokens
   FROM documents
 ), c AS (
-  SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
            ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )
-SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+SELECT shard,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS pack_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c
-GROUP BY 1
+GROUP BY 1, 2
 """
 
 
