@@ -337,6 +337,51 @@ WHERE CAST(floor(i * 10000.0 / (x.n + y.n - i)) AS BIGINT)
 """
 
 
+# --- near-dup cluster resolution (pairs -> one doc per component) ---
+
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve verified near-dup PAIRS into connected components and
+    flag one representative doc (the min doc_id) per cluster — the
+    step that turns pair detection into an actual training-set dedup.
+    Components come from `operators/cluster.py` min-label propagation
+    with pointer jumping: O(log diameter) rounds of equality joins,
+    lineage cut per round with localCheckpoint."""
+    from connect_spark.operators.cluster import resolve_clusters
+
+    pairs = dedup_neardup_verified(spark, sf_dir)
+    return resolve_clusters(pairs, "doc_a", "doc_b")
+
+
+# The oracle computes the same components with a recursive CTE:
+# reachability closure seeded from each node, then MIN over reached
+# ids.  Closure size is sum of squared component sizes — fine at
+# oracle scale; the Spark side is the log-round algorithm.
+CLUSTER_RESOLVE_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {NEARDUP_VERIFIED_SQL}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+), comp AS (
+  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+), sz AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT c.node AS doc_id,
+       c.cluster_id,
+       CAST(c.node = c.cluster_id AS INT) AS is_representative,
+       CAST(sz.cluster_size AS BIGINT) AS cluster_size
+FROM comp c JOIN sz USING (cluster_id)
+"""
+
+
 # --- simhash fingerprint ---
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +898,9 @@ QUERIES = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     QuerySpec(
         "dedup_neardup_verified", dedup_neardup_verified, NEARDUP_VERIFIED_SQL
+    ),
+    QuerySpec(
+        "dedup_cluster_resolve", dedup_cluster_resolve, CLUSTER_RESOLVE_SQL
     ),
     QuerySpec("dedup_simhash", dedup_simhash, SIMHASH_SQL),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
