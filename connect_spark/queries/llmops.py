@@ -149,7 +149,9 @@ FROM m
 """
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, token_mode: str = "ws"
+) -> DataFrame:
     """Sequence packing for training: documents (whitespace token
     counts) are packed into 2048-token bins by cumulative-sum
     bucketing WITHIN a shard — pack_id = floor((cumsum - tokens) /
@@ -161,7 +163,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq_len = 2048
     n_shards = 16
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.col("text"), " +")).cast("bigint")
+    if token_mode == "bpe":
+        # real subword counts: broadcast merge table + Arrow-batched
+        # UDF (text/bpe.py) — same plan shape, no extra shuffle
+        from connect_spark.text.bpe import bpe_count_udf
+
+        toks = bpe_count_udf(spark)(F.col("text"))
+    else:
+        toks = F.size(F.split(F.col("text"), " +")).cast("bigint")
     w = (
         Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -210,6 +219,78 @@ SELECT shard,
 FROM c
 GROUP BY 1, 2
 """
+
+
+# --- BPE token counting (public-spec byte-level BPE, text/bpe.py) ---
+#
+# The encoder can't run inside DuckDB, so the oracle is literal-pinned:
+# the SAME pure-Python reference encoder runs at import time over a
+# fixed vector set (edge cases included) and its outputs are embedded
+# as VALUES.  The Spark side runs the vectors through the DISTRIBUTED
+# path — broadcast merge table + Arrow-batched pandas UDF — so the row
+# checks Spark-executor encoding == reference encoding, token for
+# token.
+
+_BPE_VECTORS: list[tuple[str, str]] = [
+    ("english", "the quick brown fox jumps over the lazy dog"),
+    ("repeat", "the the the the the"),
+    ("contraction", "it's we're they'll don't I'd you've I'm"),
+    ("numbers", "order 12345 totals 67890 discount 10 percent"),
+    ("code", "for i in range(100): total += values[i] * weights[i]"),
+    ("sql", "select count(*) from orders where o_orderkey >= 1995"),
+    ("unicode", "naïve café über žluťoučký kůň 日本語のテキスト"),
+    ("emoji_bytes", "rocket 🚀 and snowman ☃ fall back to bytes"),
+    ("empty", ""),
+    ("spaces", "   leading and    internal   and trailing   "),
+    ("newlines", "line one\nline two\n\nline four"),
+    ("longword", "internationalization" * 3),
+    ("punct_run", "!!! ??? ... --- ### %%% &&&"),
+    ("mixed", "Training data pipelines tokenize 100TB of text daily."),
+    ("tabs", "a\tb\tc\td"),
+    ("single_char", "x"),
+]
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_oracle_sql() -> str:
+    from connect_spark.text.bpe import default_tokenizer
+
+    tok = default_tokenizer()
+    rows = []
+    for name, text in _BPE_VECTORS:
+        toks = tok.encode(text)
+        head = " ".join(toks[:8])
+        rows.append(
+            f"({_sql_quote(name)}, {len(toks)}, {_sql_quote(head)})")
+    return (
+        "SELECT name, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,"
+        " head_tokens FROM (VALUES\n  "
+        + ",\n  ".join(rows)
+        + "\n) AS t(name, n_bpe_tokens, head_tokens)"
+    )
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE token counts over the pinned vector set via the
+    distributed path: merge table broadcast once per executor, counts
+    and token heads from Arrow-batched pandas UDFs.  At corpus scale
+    this is a narrow map over the documents table (see
+    `pack_sequences(token_mode='bpe')`); the registered query uses
+    pinned vectors so the oracle can literal-check every token."""
+    from connect_spark.text.bpe import bpe_count_udf, bpe_encode_udf
+
+    df = spark.createDataFrame(_BPE_VECTORS, "name string, text string")
+    count_udf = bpe_count_udf(spark)
+    encode_udf = bpe_encode_udf(spark)
+    return df.select(
+        "name",
+        count_udf("text").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice(encode_udf("text"), 1, 8))
+            .alias("head_tokens"),
+    )
 
 
 def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +346,8 @@ QUERIES = [
     QuerySpec("text_pii_scrub", text_pii_scrub, PII_SQL),
     QuerySpec("quality_gopher_rules", quality_gopher_rules, GOPHER_SQL),
     QuerySpec("pack_sequences", pack_sequences, PACK_SQL),
+    QuerySpec("text_token_count_bpe", text_token_count_bpe,
+              _bpe_oracle_sql()),
     QuerySpec("contamination_13gram", contamination_13gram,
               CONTAMINATION_SQL),
 ]

@@ -650,10 +650,24 @@ FROM s
 
 # --- token counting ---
 
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_token_count(
+    spark: SparkSession, sf_dir: str, token_mode: str = "ws"
+) -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish regex count
-    (letter runs / digit runs / single punctuation)."""
+    (letter runs / digit runs / single punctuation).  With
+    ``token_mode='bpe'`` counts real byte-level BPE subword tokens
+    instead (text/bpe.py; broadcast merge table, Arrow-batched UDF) —
+    that path's encoder parity is oracle-checked by
+    `text_token_count_bpe` in queries/llmops.py."""
     docs = load_table(spark, sf_dir, "documents")
+    if token_mode == "bpe":
+        from connect_spark.text.bpe import bpe_count_udf
+
+        return docs.select(
+            "doc_id",
+            bpe_count_udf(spark)(F.col("text")).alias("bpe_tokens"),
+            F.length("text").alias("chars"),
+        )
     pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
     return docs.select(
         "doc_id",
