@@ -199,6 +199,86 @@ FROM events
 """
 
 
+def amqp1_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMQP 1.0 wire roundtrip (functions/amqp1_codec.py — OASIS AMQP
+    1.0, the reference's amqp_1 input internal/impl/amqp1/): events
+    encode into bare messages (properties + application-properties +
+    data sections) carried by transfer frames — small frame budget so
+    messages SPLIT across frames and decode exercises multi-transfer
+    reassembly — then decode back.  Entirely executor-side (two
+    mapInPandas passes, no collect); the oracle is the base table, so
+    any type-system or framing bug breaks the value hash."""
+    import json as _json
+    import math as _math
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+
+    def encode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.amqp1_codec import (
+            encode_message,
+            encode_transfer,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf = bytearray()
+            for k, (eid, etype, val) in enumerate(
+                    zip(pdf["event_id"], pdf["event_type"],
+                        pdf["value"])):
+                msg = encode_message(
+                    message_id=int(eid),
+                    to="queue://events",
+                    subject=str(etype),
+                    content_type="application/json",
+                    application_properties={
+                        "value_x100": _math.floor(float(val) * 100)},
+                    data=_json.dumps({"event_type": str(etype)}).encode(),
+                )
+                buf += encode_transfer(
+                    channel=k % 4, handle=1, delivery_id=int(eid),
+                    delivery_tag=b"dt-%d" % int(eid), message=msg,
+                    max_frame_payload=96)
+            yield _pd.DataFrame({"session": [bytes(buf)]})
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.amqp1_codec import decode_session
+
+        for pdf in batches:
+            out = {"event_id": [], "subject": [], "a1_type": [],
+                   "a1_value_x100": []}
+            for blob in pdf["session"]:
+                for m in decode_session(bytes(blob)):
+                    doc = _json.loads(m.data)
+                    out["event_id"].append(m.delivery_id)
+                    out["subject"].append(m.subject)
+                    out["a1_type"].append(doc["event_type"])
+                    out["a1_value_x100"].append(
+                        m.application_properties["value_x100"])
+            yield _pd.DataFrame(out)
+
+    sessions = ev.mapInPandas(encode, "session BINARY")
+    return sessions.mapInPandas(
+        decode,
+        "event_id LONG, subject STRING, a1_type STRING,"
+        " a1_value_x100 LONG",
+    )
+
+
+AMQP1_DECODE_SQL = """
+SELECT event_id,
+       event_type AS subject,
+       event_type AS a1_type,
+       CAST(floor(value * 100) AS BIGINT) AS a1_value_x100
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("amqp_envelope_events", amqp_envelope_events,
               AMQP_ENVELOPE_SQL),
@@ -208,4 +288,6 @@ QUERIES = [
               BUFFER_WINDOW_SQL),
     QuerySpec("kafka_recordbatch_roundtrip", kafka_recordbatch_roundtrip,
               KAFKA_RB_SQL),
+    QuerySpec("amqp1_envelope_decode", amqp1_envelope_decode,
+              AMQP1_DECODE_SQL),
 ]
