@@ -271,7 +271,9 @@ def decode_segment(data: bytes, skip_control: bool = True,
                    verify_crc: bool = True) -> Iterator[KafkaRecord]:
     """A .log segment (concatenated RecordBatches — the on-disk and
     Fetch-response layout) → records in offset order.  Control batches
-    (transaction markers) are skipped by default, as consumers do."""
+    (transaction markers) are skipped by default, as consumers do.
+    This is read_uncommitted: aborted-transaction records ARE yielded;
+    use `decode_segment_read_committed` for read_committed."""
     i = 0
     n = len(data)
     while i + 12 <= n:
@@ -279,3 +281,78 @@ def decode_segment(data: bytes, skip_control: bool = True,
         if batch["control"] and skip_control:
             continue
         yield from batch["records"]
+
+
+# --- transactions (KIP-98: control records + read_committed) ---
+
+CONTROL_ABORT = 0
+CONTROL_COMMIT = 1
+
+
+def encode_control_batch(base_offset: int, producer_id: int,
+                         commit: bool, timestamp_ms: int = 0,
+                         coordinator_epoch: int = 0) -> bytes:
+    """One transaction-marker control batch (KIP-98).  The single
+    control record's key is version int16 (0) + type int16 (0 abort /
+    1 commit); the value is version int16 + coordinator-epoch int32.
+    Batch attributes set both the transactional (bit 4) and control
+    (bit 5) flags."""
+    key = struct.pack(">hh", 0, CONTROL_COMMIT if commit
+                      else CONTROL_ABORT)
+    value = struct.pack(">hi", 0, coordinator_epoch)
+    rec = KafkaRecord(offset=base_offset, timestamp_ms=timestamp_ms,
+                      key=key, value=value)
+    payload = _encode_record(rec, base_offset, timestamp_ms)
+    attributes = 0x10 | 0x20  # transactional + control
+    after_crc = (
+        struct.pack(">hiqqqhii", attributes, 0, timestamp_ms,
+                    timestamp_ms, producer_id, 0, -1, 1)
+        + payload
+    )
+    crc = crc32c(after_crc)
+    body = struct.pack(">iB", 0, 2) + struct.pack(">I", crc) + after_crc
+    return struct.pack(">qi", base_offset, len(body)) + body
+
+
+def parse_control_record(rec: KafkaRecord) -> int:
+    """Control-record key → marker type (CONTROL_ABORT/COMMIT)."""
+    if rec.key is None or len(rec.key) < 4:
+        raise ValueError("kafka: malformed control record key")
+    version, ctype = struct.unpack_from(">hh", rec.key, 0)
+    if version != 0 or ctype not in (CONTROL_ABORT, CONTROL_COMMIT):
+        raise ValueError(
+            f"kafka: unknown control record v{version} type {ctype}")
+    return ctype
+
+
+def decode_segment_read_committed(
+    data: bytes, verify_crc: bool = True
+) -> list[KafkaRecord]:
+    """read_committed consumption of a .log segment (the reference's
+    franz-go reader honors `isolation_level: read_committed` on every
+    kafka input): transactional batches buffer per producerId until
+    that producer's control marker arrives — COMMIT releases them,
+    ABORT drops them (exactly the records of that producer since its
+    previous marker).  Records of a transaction still open at the end
+    of the segment sit past the last stable offset and are withheld.
+    Returns committed records in offset order."""
+    committed: list[KafkaRecord] = []
+    pending: dict[int, list[KafkaRecord]] = {}
+    i = 0
+    n = len(data)
+    while i + 12 <= n:
+        batch, i = decode_batch(data, i, verify_crc=verify_crc)
+        pid = batch["producer_id"]
+        transactional = bool(batch["attributes"] & 0x10)
+        if batch["control"]:
+            marker = parse_control_record(batch["records"][0])
+            buffered = pending.pop(pid, [])
+            if marker == CONTROL_COMMIT:
+                committed.extend(buffered)
+            continue
+        if transactional and pid >= 0:
+            pending.setdefault(pid, []).extend(batch["records"])
+        else:
+            committed.extend(batch["records"])
+    committed.sort(key=lambda r: r.offset)
+    return committed

@@ -279,6 +279,76 @@ FROM events
 """
 
 
+def kafka_read_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka read_committed isolation (KIP-98,
+    functions/kafka_records.py): events split by event_id % 4 into an
+    ABORTED transaction (0), a COMMITTED transaction (1), plain
+    non-transactional batches (2) and a transaction left OPEN with no
+    marker (3).  Each Arrow chunk encodes all four as interleaved
+    RecordBatches + control markers into one .log segment, then
+    decodes with read_committed — only classes 1 and 2 may survive
+    (the oracle filter).  A decoder that ignores abort markers, marker
+    producer scoping, or the last-stable-offset rule hash-mismatches.
+    Executor-side end to end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type")
+
+    def roundtrip(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.kafka_records import (
+            KafkaRecord,
+            decode_segment_read_committed,
+            encode_batch,
+            encode_control_batch,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            groups: dict[int, list[KafkaRecord]] = {0: [], 1: [],
+                                                    2: [], 3: []}
+            for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
+                groups[int(eid) % 4].append(KafkaRecord(
+                    offset=int(eid),
+                    timestamp_ms=1_700_000_000_000 + int(eid),
+                    key=str(int(eid)).encode(),
+                    value=str(etype).encode()))
+            top = int(pdf["event_id"].max()) + 1
+            seg = bytearray()
+            # interleave: aborted + committed + open txn batches all
+            # in flight before any marker lands
+            for cls, pid in ((0, 100), (1, 200), (3, 300)):
+                if groups[cls]:
+                    seg += encode_batch(
+                        groups[cls],
+                        base_offset=min(r.offset for r in groups[cls]),
+                        producer_id=pid, transactional=True)
+            if groups[2]:
+                seg += encode_batch(
+                    groups[2],
+                    base_offset=min(r.offset for r in groups[2]))
+            if groups[0]:
+                seg += encode_control_batch(top, 100, commit=False)
+            if groups[1]:
+                seg += encode_control_batch(top + 1, 200, commit=True)
+            # producer 300's transaction never gets a marker: open
+            out = {"event_id": [], "rc_type": []}
+            for rec in decode_segment_read_committed(bytes(seg)):
+                out["event_id"].append(int(rec.key))
+                out["rc_type"].append(rec.value.decode())
+            yield _pd.DataFrame(out)
+
+    return ev.mapInPandas(roundtrip, "event_id LONG, rc_type STRING")
+
+
+KAFKA_RC_SQL = """
+SELECT event_id, event_type AS rc_type
+FROM events
+WHERE event_id % 4 IN (1, 2)
+"""
+
+
 QUERIES = [
     QuerySpec("amqp_envelope_events", amqp_envelope_events,
               AMQP_ENVELOPE_SQL),
@@ -290,4 +360,6 @@ QUERIES = [
               KAFKA_RB_SQL),
     QuerySpec("amqp1_envelope_decode", amqp1_envelope_decode,
               AMQP1_DECODE_SQL),
+    QuerySpec("kafka_read_committed", kafka_read_committed,
+              KAFKA_RC_SQL),
 ]

@@ -103,12 +103,20 @@ def kafka_log_segment_input(spark: SparkSession, conf: dict) -> DataFrame:
     (JSON).  Decode runs executor-side (binaryFile + mapInPandas, one
     task per segment — partition-parallel exactly like real segment
     files); CRC32C verified per batch; control batches skipped like a
-    consumer.  `functions/kafka_records.py` documents the format; the
-    reference moves the same bytes through franz-go."""
+    consumer.  `isolation_level: read_committed` additionally drops
+    records of aborted transactions by replaying KIP-98 control
+    markers per producerId (the reference's franz-go reader honors the
+    same option on every kafka input).  `functions/kafka_records.py`
+    documents the format; the reference moves the same bytes through
+    franz-go."""
     import json as _json
 
     path = conf["path"]
     partition_from_name = bool(conf.get("partition_from_filename", True))
+    isolation = conf.get("isolation_level", "read_uncommitted")
+    if isolation not in ("read_uncommitted", "read_committed"):
+        raise ValueError(
+            f"kafka_log_segment: unknown isolation_level {isolation!r}")
     schema = (
         "partition INT, offset LONG, timestamp_ms LONG, "
         "key BINARY, value BINARY, headers STRING"
@@ -120,7 +128,10 @@ def kafka_log_segment_input(spark: SparkSession, conf: dict) -> DataFrame:
 
         import pandas as _pd
 
-        from connect_spark.functions.kafka_records import decode_segment
+        from connect_spark.functions.kafka_records import (
+            decode_segment,
+            decode_segment_read_committed,
+        )
 
         for pdf in batches:
             rows = {k: [] for k in ("partition", "offset",
@@ -136,7 +147,11 @@ def kafka_log_segment_input(spark: SparkSession, conf: dict) -> DataFrame:
                         _os.path.dirname(fpath)) or "")
                     if m:
                         part = int(m.group(1))
-                for rec in decode_segment(bytes(blob)):
+                if isolation == "read_committed":
+                    recs = decode_segment_read_committed(bytes(blob))
+                else:
+                    recs = decode_segment(bytes(blob))
+                for rec in recs:
                     rows["partition"].append(part)
                     rows["offset"].append(rec.offset)
                     rows["timestamp_ms"].append(rec.timestamp_ms)
