@@ -488,21 +488,45 @@ _LOGFMT_TOKEN = r'([\w.\-/@]+)=("(?:[^"\\]|\\.)*"|[^\s"]*)'
 @method("parse_logfmt")
 def _parse_logfmt(c: Column) -> Column:
     """parse_logfmt (methods.adoc:3602): key=value pairs separated by
-    spaces where values may be double-quoted (quotes honored, \\" and
-    \\\\ unescaped) — the doc's own example is
-    `msg="hello world"` → {"msg": "hello world"}."""
+    spaces where values may be double-quoted — the doc's own example
+    is `msg="hello world"` → {"msg": "hello world"}.  Quoted values
+    honor the standard escapes \\n \\t \\r \\" \\\\ (an escaped
+    backslash is resolved FIRST so \\\\n stays a backslash + n, via a
+    NUL sentinel no logfmt line contains); any other \\x drops the
+    backslash.  Repeated keys keep the LAST value instead of tripping
+    Spark's default spark.sql.mapKeyDedupPolicy=EXCEPTION."""
     keys = F.regexp_extract_all(c, F.lit(_LOGFMT_TOKEN), 1)
     raw_vals = F.regexp_extract_all(c, F.lit(_LOGFMT_TOKEN), 2)
+
+    def _unescape(s: Column) -> Column:
+        s = F.regexp_replace(s, r"\\\\", "\x00")
+        s = F.regexp_replace(s, r"\\n", "\n")
+        s = F.regexp_replace(s, r"\\t", "\t")
+        s = F.regexp_replace(s, r"\\r", "\r")
+        s = F.regexp_replace(s, r"\\(.)", "$1")
+        return F.replace(s, F.lit("\x00"), F.lit("\\"))
+
     vals = F.transform(
         raw_vals,
         lambda v: F.when(
             v.startswith('"') & v.endswith('"') & (F.length(v) >= 2),
-            F.regexp_replace(
-                F.substring(v, 2, F.length(v) - 2), r"\\(.)", "$1"
-            ),
+            _unescape(F.substring(v, 2, F.length(v) - 2)),
         ).otherwise(v),
     )
-    return F.map_from_arrays(keys, vals)
+    entries = F.zip_with(
+        keys, vals, lambda k, v: F.struct(k.alias("k"), v.alias("v")))
+    # last-wins dedup: keep entry i only when no LATER entry repeats
+    # its key (logfmt lines hold a handful of pairs, so the per-entry
+    # tail scan is trivially cheap)
+    n = F.size(entries)
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.greatest(n - i - 1, F.lit(0))),
+            lambda e2: e2["k"] == e["k"],
+        ),
+    )
+    return F.map_from_entries(deduped)
 
 
 @method("parse_yaml")

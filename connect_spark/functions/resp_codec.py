@@ -40,6 +40,13 @@ def decode_resp(data: bytes, i: int = 0) -> tuple[Any, int]:
         n = int(line)
         if n < 0:
             return None, i
+        if i + n + 2 > len(data):
+            raise ValueError(
+                f"resp: truncated bulk string at {i} "
+                f"(need {n + 2} bytes, have {len(data) - i})")
+        if data[i + n:i + n + 2] != b"\r\n":
+            raise ValueError(
+                f"resp: bulk string at {i} missing CRLF terminator")
         val = data[i:i + n]
         return val, i + n + 2
     if t == b"*":

@@ -419,8 +419,9 @@ def _mq_input(kind: str, spec: MqKindSpec):
                 return _redis_pubsub_session_input(spark, c)
             raise PipelineConfigError(
                 f"{kind}: session_path recordings are supported for "
-                "amqp_0_9 (frames), mqtt (wire packets) and nats "
-                "(text protocol)"
+                "amqp_0_9 (frames), mqtt (wire packets), nats (text "
+                "protocol), redis_pubsub (RESP2) and redis_streams "
+                "(its own session input)"
             )
         from connect_spark.sources.mq import MessageBus
 

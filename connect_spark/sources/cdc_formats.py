@@ -89,12 +89,22 @@ class JsonlEnvelopeWal:
 
 def parse_mssql_lsn(text: str) -> int:
     """'vlf:block:slot' hex (the 10-byte __$start_lsn) → ordered int.
-    Packed (vlf & 0xFFFF) << 48 | block << 16 | slot — VLF sequence
-    numbers beyond 16 bits would need the full 80-bit token (which the
-    reference also carries opaquely); recordings stay ordered."""
+    Packed (vlf & 0x3FFF) << 50 | block << 18 | slot << 6, leaving the
+    LOW 6 BITS free for a __$seqval ordinal (all changes of one
+    transaction share __$start_lsn and order by __$seqval — SQL Server
+    cdc.fn_cdc_get_all_changes).  VLF sequence numbers beyond 14 bits
+    would need the full 80-bit token (which the reference also carries
+    opaquely); recordings stay ordered."""
     vlf, block, slot = (int(x, 16) for x in text.split(":"))
-    return ((vlf & 0xFFFF) << 48) | ((block & 0xFFFFFFFF) << 16) \
-        | (slot & 0xFFFF)
+    return ((vlf & 0x3FFF) << 50) | ((block & 0xFFFFFFFF) << 18) \
+        | ((slot & 0xFFF) << 6)
+
+
+# Low-bit budget for the per-transaction __$seqval ordinal; ordinals
+# saturate at the cap (changes 63+ of one transaction tie — strictly
+# better than the pre-fix behavior where ALL of them tied).
+_MSSQL_SEQ_BITS = 6
+_MSSQL_SEQ_MAX = (1 << _MSSQL_SEQ_BITS) - 1
 
 
 class MssqlCdcWal(JsonlEnvelopeWal):
@@ -102,17 +112,33 @@ class MssqlCdcWal(JsonlEnvelopeWal):
 
     def __init__(self, path: str, table: str = ""):
         self._pending: dict | None = None
+        self._seq_state: tuple[int, str, int] | None = None
         self.table = table
         super().__init__(path, self.SUFFIX, self._translate)
 
     def records(self, after_lsn: int) -> Iterator[dict]:
         self._pending = None  # fresh pairing state per scan
+        self._seq_state = None
         yield from super().records(after_lsn)
+
+    def _seq_ordinal(self, start_lsn: int, seqval: str) -> int:
+        """Deterministic per-transaction ordinal: the change table is
+        scanned in (start_lsn, seqval) order, so each NEW seqval under
+        the same start_lsn bumps the ordinal (op 3/4 update pairs
+        share a seqval and must share the ordinal)."""
+        if self._seq_state is None or self._seq_state[0] != start_lsn:
+            self._seq_state = (start_lsn, seqval, 0)
+        elif self._seq_state[1] != seqval:
+            self._seq_state = (
+                start_lsn, seqval,
+                min(self._seq_state[2] + 1, _MSSQL_SEQ_MAX))
+        return self._seq_state[2]
 
     def _translate(self, row: dict, ordinal: int) -> Iterator[dict]:
         op = int(row["__$operation"])
-        lsn = parse_mssql_lsn(row["__$start_lsn"])
         seq = row.get("__$seqval", "")
+        start = parse_mssql_lsn(row["__$start_lsn"])
+        lsn = start | self._seq_ordinal(start, seq)
         cols = {k: v for k, v in row.items()
                 if not k.startswith("__$")}
         table = row.get("__$table", self.table)
@@ -253,9 +279,12 @@ def _cockroach_translate(row: dict, ordinal: int) -> Iterator[dict]:
     updated = str(row.get("updated") or "0.0")
     nanos_s, _, logical = updated.partition(".")
     nanos = int(nanos_s or 0)
-    # nanosecond wall clock IS the position; fold the logical counter
-    # into the low bits only as a same-instant tie-break
-    lsn = nanos + (int(logical or 0) & 0xFF)
+    # microsecond wall clock shifted left 10 bits with the HLC logical
+    # counter (saturated) in the low bits: the tie-break bits never
+    # overlap real >=1µs time deltas, and adding logical to raw nanos
+    # (the pre-fix scheme) could invert events <256ns apart.  Fits
+    # int64 until year ~2255.
+    lsn = ((nanos // 1000) << 10) | min(int(logical or 0), 0x3FF)
     after = row.get("after")
     before = row.get("before")
     if after is None:

@@ -62,6 +62,33 @@ def test_mssql_change_table_rows(tmp_path):
     assert [r["operation"] for r in tail] == ["delete"]
 
 
+def test_mssql_same_transaction_seqval_ordering(tmp_path):
+    # two changes to the same key inside ONE transaction: identical
+    # __$start_lsn, ordered by __$seqval.  Pre-fix both got the same
+    # lsn (nondeterministic last-writer-wins; resume could drop or
+    # replay half the transaction).
+    rows = [
+        {"__$start_lsn": "0000003a:00000100:0001", "__$seqval": "q1",
+         "__$operation": 2, "__$table": "ACCT",
+         "__$commit_ts_ms": 5000, "id": 1, "st": "open"},
+        {"__$start_lsn": "0000003a:00000100:0001", "__$seqval": "q2",
+         "__$operation": 3, "__$table": "ACCT",
+         "__$commit_ts_ms": 5000, "id": 1, "st": "open"},
+        {"__$start_lsn": "0000003a:00000100:0001", "__$seqval": "q2",
+         "__$operation": 4, "__$table": "ACCT",
+         "__$commit_ts_ms": 5000, "id": 1, "st": "closed"},
+    ]
+    _write(tmp_path / "w", "c.mssqlcdc.jsonl", rows)
+    recs = list(MssqlCdcWal(str(tmp_path / "w")).records(0))
+    assert [r["operation"] for r in recs] == ["insert", "update"]
+    assert recs[0]["lsn"] < recs[1]["lsn"]
+    # resume at the insert's lsn replays exactly the update — the
+    # second half of the transaction is neither dropped nor duplicated
+    tail = list(MssqlCdcWal(str(tmp_path / "w")).records(recs[0]["lsn"]))
+    assert [r["operation"] for r in tail] == ["update"]
+    assert tail[0]["after"] == {"id": 1, "st": "closed"}
+
+
 # --- Mongo ------------------------------------------------------------
 
 def test_mongo_change_stream_events(tmp_path):
@@ -177,9 +204,9 @@ def test_cockroach_changefeed_envelopes(tmp_path):
          "updated": "1700000000000000000.0000000001"},
         {"after": {"id": 1, "v": "b"}, "before": {"id": 1, "v": "a"},
          "key": [1], "table": "t",
-         "updated": "1700000000000000100.0000000001"},
+         "updated": "1700000000000000000.0000000002"},
         {"after": None, "before": {"id": 1, "v": "b"}, "key": [1],
-         "table": "t", "updated": "1700000000000000200.0000000001"},
+         "table": "t", "updated": "1700000000000002000.0000000001"},
     ]
     _write(tmp_path / "w", "r.changefeed.jsonl", rows)
     wal = open_format_wal("cockroachdb_changefeed", str(tmp_path / "w"))
@@ -188,7 +215,14 @@ def test_cockroach_changefeed_envelopes(tmp_path):
         "insert", "update", "delete"]
     assert recs[1]["before"] == {"id": 1, "v": "a"}
     assert recs[0]["commit_ts_ms"] == 1_700_000_000_000
+    # same-instant events order by the HLC logical counter (rows 0/1
+    # share wall nanos, logical 1 vs 2); later wall time dominates
+    # regardless of a smaller logical (row 2)
     assert recs[0]["lsn"] < recs[1]["lsn"] < recs[2]["lsn"]
+    # the logical counter only occupies tie-break bits: a 2µs wall
+    # delta beats any logical value (the pre-fix nanos+logical scheme
+    # inverted events <256ns apart)
+    assert recs[2]["lsn"] - recs[1]["lsn"] > 0x3FF
 
 
 # --- Salesforce -------------------------------------------------------
