@@ -38,64 +38,21 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 5 rotation (standing policy: oldest driver verification
-    # first). Order: (a) the 5 queries that have NEVER had a driver
-    # row (all new this round — uuid_v5 vectors, logfmt, Confluent
-    # protobuf, pgoutput + binlog wire decodes), (b) the 17 queries
-    # whose latest green is r2, (c) the 50 whose latest green is r3,
-    # registry-stable within each group. The 50-slot window verifies
-    # the head; the 22 overflow entries rotate to the front next
-    # round, keeping every query within two rounds of its last green.
-    "uuid_v5_vectors",
-    "parse_logfmt_events",
-    "schema_registry_protobuf",
-    "cdc_pgoutput_decode",
-    "cdc_binlog_decode",
-    "kafka_recordbatch_roundtrip",
-    "cdc_logminer_decode",
-    "text_pii_scrub",
-    "quality_gopher_rules",
+    # Round 6 rotation (standing policy: oldest driver verification
+    # first). Order: (a) the 5 queries with NO driver row —
+    # pack_sequences leads (red r5, fixed this round: shard window +
+    # oracle BIGINT cast) followed by the four new round-6 rows
+    # (cluster resolution, BPE vectors, AMQP 1.0 decode, Kafka
+    # read_committed); (b) the 28 queries whose latest green is r3;
+    # (c) 17 of the 50 whose latest green is r4, registry-stable.
+    # That fills the 50-slot window; the 33 r4-latest overflow rotate
+    # to the front next round, keeping every query ≤2 rounds from its
+    # last green.
     "pack_sequences",
-    "contamination_13gram",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_meta",
-    "ann_topk_bruteforce",
-    "embedding_neardup_pairs",
-    "ann_ivf_assign",
-    "ann_ivf_probe",
-    "pivot_status_by_priority",
-    "rollup_lineitem",
-    "setops_segments",
-    "workflow_enrich_lineitem",
-    "sql_select_orders",
-    "grok_extract_events",
-    "chunk_documents",
-    "compress_roundtrip",
-    "q1_pricing_summary",
-    "join_salted_skew",
-    "branch_enrich_orders",
-    "dedup_neardup_verified",
-    "multimodal_frames",
-    "chunk_recursive_character",
-    "chunk_markdown",
-    "asof_attribution",
-    "archive_tar_roundtrip",
-    "xml_roundtrip",
-    "json_schema_events",
-    "avro_roundtrip",
-    "schema_registry_avro",
-    "protobuf_roundtrip",
-    "msgpack_roundtrip",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "range_join_view_purchase",
-    "funnel_signup_view_purchase",
-    "sketch_kmv_distinct",
+    "dedup_cluster_resolve",
+    "text_token_count_bpe",
+    "amqp1_envelope_decode",
+    "kafka_read_committed",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",
@@ -124,6 +81,58 @@ _DRIVER_PRIORITY: list[str] = [
     "q19_disjunctive_revenue",
     "q22_sales_opportunity",
     "fn_window_matrix",
+    "mapping_project",
+    "mutation_enrich",
+    "switch_route",
+    "group_by_value_agg",
+    "dedupe_first_per_user",
+    "select_parts_topk",
+    "archive_lines",
+    "archive_json",
+    "unarchive_explode",
+    "bounds_check_filter",
+    "error_model",
+    "join_sharded_full_outer",
+    "join_enrichment_lookup",
+    "join_semi_big_spenders",
+    "join_anti_no_orders",
+    "join_star_revenue_by_nation",
+    "window_tumbling_hourly",
+    # --- 50-slot window boundary (r4-latest remainder below rotates
+    # to the front in round 7) ---
+    "window_sliding",
+    "window_session",
+    "window_daily_orders",
+    "fn_string_matrix",
+    "fn_map_matrix",
+    "fn_regex_matrix",
+    "fn_timestamp_matrix",
+    "fn_number_matrix",
+    "fn_encoding_matrix",
+    "fn_array_matrix",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "unicode_segments_docs",
+    "dedup_line_removal",
+    "jmespath_project_events",
+    "wasm_transform_events",
+    "ffi_libc_events",
+    "streaming_running_totals",
+    "streaming_session_window",
+    "pipeline_yaml_route",
+    "parse_log_events",
+    "iceberg_partitioned_scan",
+    "iceberg_commit_roundtrip",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_excess_stock",
+    "amqp_envelope_events",
+    "mongo_filter_orders",
+    "buffer_window_stamp",
 ]
 
 
