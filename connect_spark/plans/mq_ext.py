@@ -404,6 +404,218 @@ def _redis_streams_session_input(spark: SparkSession, c: dict) -> DataFrame:
     )
 
 
+def _sessions_df(spark: SparkSession, c: dict, default_glob: str):
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", c.get("glob", default_glob))
+        .load(c["session_path"])
+        .select("content")
+    )
+
+
+_SESSION_SCHEMA = "content STRING, _meta MAP<STRING, STRING>"
+
+
+def _nsq_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded nsqd→client V2 streams (functions/broker_codecs.py):
+    message frames decode to the documented nsq metadata envelope
+    (inputs/nsq.adoc: nsq_id / nsq_attempts / nsq_timestamp)."""
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.broker_codecs import (
+            decode_nsq_stream,
+        )
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for m in decode_nsq_stream(bytes(blob)):
+                    contents.append(
+                        m["body"].decode("utf-8", "replace"))
+                    metas.append({
+                        "nsq_id": m["message_id"],
+                        "nsq_attempts": str(m["attempts"]),
+                        "nsq_timestamp": str(m["timestamp_ns"]),
+                    })
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return _sessions_df(spark, c, "*.nsq").mapInPandas(
+        decode, _SESSION_SCHEMA)
+
+
+def _beanstalkd_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded beanstalkd reserve sessions: RESERVED jobs decode to
+    rows (inputs/beanstalkd.adoc documents no metadata; the job id is
+    carried for completeness)."""
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.broker_codecs import (
+            decode_beanstalkd_stream,
+        )
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for j in decode_beanstalkd_stream(bytes(blob)):
+                    contents.append(
+                        j["body"].decode("utf-8", "replace"))
+                    metas.append({
+                        "beanstalkd_job_id": str(j["job_id"])})
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return _sessions_df(spark, c, "*.beanstalkd").mapInPandas(
+        decode, _SESSION_SCHEMA)
+
+
+def _zmq_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded ZMTP 3.x streams (zmq4 input): multipart messages
+    decode with the leading part as the SUB topic when present
+    (inputs/zmq4.adoc documents no metadata)."""
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.broker_codecs import (
+            decode_zmtp_stream,
+        )
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for parts in decode_zmtp_stream(bytes(blob)):
+                    payload = parts[-1]
+                    meta = {"zmq_parts": str(len(parts))}
+                    if len(parts) > 1:
+                        meta["zmq_topic"] = parts[0].decode(
+                            "utf-8", "replace")
+                    contents.append(
+                        payload.decode("utf-8", "replace"))
+                    metas.append(meta)
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return _sessions_df(spark, c, "*.zmtp").mapInPandas(
+        decode, _SESSION_SCHEMA)
+
+
+def _nanomsg_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded nanomsg SP-over-TCP streams (inputs/nanomsg.adoc
+    documents no metadata)."""
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.broker_codecs import (
+            decode_sp_stream,
+        )
+
+        for pdf in batches:
+            contents = []
+            for blob in pdf["content"]:
+                for payload in decode_sp_stream(bytes(blob)):
+                    contents.append(
+                        payload.decode("utf-8", "replace"))
+            yield _pd.DataFrame({
+                "content": contents,
+                "_meta": [{} for _ in contents]})
+
+    return _sessions_df(spark, c, "*.sp").mapInPandas(
+        decode, _SESSION_SCHEMA)
+
+
+def _pulsar_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded Pulsar binary-protocol sessions
+    (functions/pulsar_codec.py): MESSAGE frames decode to the
+    documented pulsar metadata envelope (inputs/pulsar.adoc:
+    pulsar_message_id / pulsar_publish_time_unix / pulsar_key /
+    pulsar_producer_name) plus message properties."""
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.pulsar_codec import decode_stream
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for m in decode_stream(bytes(blob)):
+                    contents.append(
+                        m["payload"].decode("utf-8", "replace"))
+                    meta = dict(m["properties"])
+                    meta.update({
+                        "pulsar_message_id":
+                            f"{m['ledger_id']}:{m['entry_id']}",
+                        "pulsar_publish_time_unix":
+                            str(m["publish_time_ms"] // 1000),
+                        "pulsar_producer_name": m["producer_name"],
+                        "pulsar_redelivery_count": "0",
+                    })
+                    if m["partition_key"]:
+                        meta["pulsar_key"] = m["partition_key"]
+                    metas.append(meta)
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return _sessions_df(spark, c, "*.pulsar").mapInPandas(
+        decode, _SESSION_SCHEMA)
+
+
+def _amqp1_session_input(spark: SparkSession, c: dict) -> DataFrame:
+    """Recorded AMQP 1.0 sessions (functions/amqp1_codec.py):
+    transfer frames reassemble into bare messages; application
+    properties merge into the metadata map like the reference's
+    amqp_1 input, plus the documented amqp_content_type /
+    amqp_creation_time keys when present."""
+
+    def decode(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.amqp1_codec import (
+            Timestamp,
+            decode_session,
+        )
+
+        for pdf in batches:
+            contents, metas = [], []
+            for blob in pdf["content"]:
+                for m in decode_session(bytes(blob)):
+                    body = m.data if m.data else (
+                        str(m.value).encode() if m.value is not None
+                        else b"")
+                    contents.append(body.decode("utf-8", "replace"))
+                    meta = {
+                        str(k): str(v)
+                        for k, v in m.application_properties.items()
+                    }
+                    if m.subject is not None:
+                        meta["amqp_subject"] = str(m.subject)
+                    if m.content_type is not None:
+                        meta["amqp_content_type"] = str(m.content_type)
+                    props = m.properties
+                    if len(props) > 9 and isinstance(
+                            props[9], Timestamp):
+                        meta["amqp_creation_time"] = str(
+                            props[9].millis)
+                    meta["amqp_delivery_id"] = str(m.delivery_id)
+                    metas.append(meta)
+            yield _pd.DataFrame({"content": contents, "_meta": metas})
+
+    return _sessions_df(spark, c, "*.amqp1").mapInPandas(
+        decode, _SESSION_SCHEMA)
+
+
+_SESSION_INPUTS = {
+    "nsq": _nsq_session_input,
+    "beanstalkd": _beanstalkd_session_input,
+    "zmq4": _zmq_session_input,
+    "nanomsg": _nanomsg_session_input,
+    "pulsar": _pulsar_session_input,
+    "amqp_1": _amqp1_session_input,
+}
+
+
 def _mq_input(kind: str, spec: MqKindSpec):
     def build(spark: SparkSession, c: dict) -> DataFrame:
         # recorded wire-format sessions (round 5): the kind's REAL
@@ -417,11 +629,13 @@ def _mq_input(kind: str, spec: MqKindSpec):
                 return _amqp_session_input(spark, c)
             if kind == "redis_pubsub":
                 return _redis_pubsub_session_input(spark, c)
+            if kind in _SESSION_INPUTS:
+                return _SESSION_INPUTS[kind](spark, c)
             raise PipelineConfigError(
                 f"{kind}: session_path recordings are supported for "
-                "amqp_0_9 (frames), mqtt (wire packets), nats (text "
-                "protocol), redis_pubsub (RESP2) and redis_streams "
-                "(its own session input)"
+                "amqp_0_9, amqp_1, mqtt, nats, redis_pubsub, "
+                "redis_streams, nsq, beanstalkd, pulsar, zmq4 and "
+                "nanomsg"
             )
         from connect_spark.sources.mq import MessageBus
 

@@ -39,20 +39,22 @@ class QuerySpec:
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
     # Round 6 rotation (standing policy: oldest driver verification
-    # first). Order: (a) the 5 queries with NO driver row —
+    # first). Order: (a) the 7 queries with NO driver row —
     # pack_sequences leads (red r5, fixed this round: shard window +
-    # oracle BIGINT cast) followed by the four new round-6 rows
-    # (cluster resolution, BPE vectors, AMQP 1.0 decode, Kafka
-    # read_committed); (b) the 28 queries whose latest green is r3;
-    # (c) 17 of the 50 whose latest green is r4, registry-stable.
-    # That fills the 50-slot window; the 33 r4-latest overflow rotate
-    # to the front next round, keeping every query ≤2 rounds from its
-    # last green.
+    # oracle BIGINT cast) followed by the six new round-6 rows
+    # (cluster resolution, BPE vectors, AMQP 1.0 / Pulsar / broker
+    # wire decodes, Kafka read_committed); (b) the 28 queries whose
+    # latest green is r3; (c) 15 of the 50 whose latest green is r4,
+    # registry-stable.  That fills the 50-slot window; the 35
+    # r4-latest overflow rotate to the front next round, keeping
+    # every query ≤2 rounds from its last green.
     "pack_sequences",
     "dedup_cluster_resolve",
     "text_token_count_bpe",
     "amqp1_envelope_decode",
     "kafka_read_committed",
+    "pulsar_envelope_decode",
+    "broker_wire_roundtrip",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

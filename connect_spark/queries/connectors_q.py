@@ -349,6 +349,129 @@ WHERE event_id % 4 IN (1, 2)
 """
 
 
+def pulsar_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pulsar binary-protocol roundtrip (functions/pulsar_codec.py —
+    the public Pulsar wire spec the reference's pulsar input consumes
+    via its client library): events encode into MESSAGE payload
+    frames (BaseCommand + MessageMetadata protobufs, CRC32C-stamped)
+    and decode back, executor-side.  Any protobuf-descriptor, framing
+    or checksum bug breaks the value hash against the base table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+
+    def roundtrip(batches):
+        import pandas as _pd
+
+        from connect_spark.functions.pulsar_codec import (
+            decode_stream,
+            encode_message_frame,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf = bytearray()
+            for eid, etype, uid in zip(pdf["event_id"],
+                                       pdf["event_type"],
+                                       pdf["user_id"]):
+                buf += encode_message_frame(
+                    consumer_id=1,
+                    ledger_id=int(eid) // 1000,
+                    entry_id=int(eid) % 1000,
+                    producer_name="bench",
+                    sequence_id=int(eid),
+                    publish_time_ms=1_700_000_000_000 + int(eid),
+                    partition_key=str(uid),
+                    properties={"event_type": str(etype)},
+                    payload=str(etype).encode())
+            out = {"event_id": [], "p_type": [], "p_key": []}
+            for m in decode_stream(bytes(buf)):
+                out["event_id"].append(m["sequence_id"])
+                out["p_type"].append(m["properties"]["event_type"])
+                out["p_key"].append(m["partition_key"])
+            yield _pd.DataFrame(out)
+
+    return ev.mapInPandas(
+        roundtrip, "event_id LONG, p_type STRING, p_key STRING")
+
+
+PULSAR_DECODE_SQL = """
+SELECT event_id,
+       event_type AS p_type,
+       CAST(user_id AS VARCHAR) AS p_key
+FROM events
+"""
+
+
+def broker_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining broker wire formats in one gate
+    (functions/broker_codecs.py): each event rides the codec picked
+    by event_id % 4 — NSQ V2 frame, beanstalkd RESERVED reply, ZMTP
+    multipart message (topic + payload), nanomsg SP message — encoded
+    into one recorded stream per codec per Arrow chunk and decoded
+    back.  The oracle is the base table plus the same mod-4 codec
+    label, so any framing bug in any of the four breaks the hash."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type")
+    codecs = ["nsq", "beanstalkd", "zmtp", "sp"]
+
+    def roundtrip(batches):
+        import pandas as _pd
+
+        from connect_spark.functions import broker_codecs as bc
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            streams = {k: bytearray() for k in codecs}
+            streams["zmtp"] += bc.encode_zmtp_greeting()
+            streams["sp"] += bc.encode_sp_handshake()
+            for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
+                body = (b"%d:%s" % (int(eid), str(etype).encode()))
+                k = codecs[int(eid) % 4]
+                if k == "nsq":
+                    streams[k] += bc.encode_nsq_message(
+                        int(eid), 1, "%016x" % int(eid), body)
+                elif k == "beanstalkd":
+                    streams[k] += bc.encode_beanstalkd_reserved(
+                        int(eid), body)
+                elif k == "zmtp":
+                    streams[k] += bc.encode_zmtp_message(
+                        [b"events", body])
+                else:
+                    streams[k] += bc.encode_sp_message(body)
+            out = {"event_id": [], "wire_codec": [], "w_type": []}
+
+            def emit(eid_bytes, codec):
+                eid, _, etype = bytes(eid_bytes).partition(b":")
+                out["event_id"].append(int(eid))
+                out["wire_codec"].append(codec)
+                out["w_type"].append(etype.decode())
+
+            for m in bc.decode_nsq_stream(bytes(streams["nsq"])):
+                emit(m["body"], "nsq")
+            for j in bc.decode_beanstalkd_stream(
+                    bytes(streams["beanstalkd"])):
+                emit(j["body"], "beanstalkd")
+            for parts in bc.decode_zmtp_stream(bytes(streams["zmtp"])):
+                emit(parts[-1], "zmtp")
+            for payload in bc.decode_sp_stream(bytes(streams["sp"])):
+                emit(payload, "sp")
+            yield _pd.DataFrame(out)
+
+    return ev.mapInPandas(
+        roundtrip, "event_id LONG, wire_codec STRING, w_type STRING")
+
+
+BROKER_WIRE_SQL = """
+SELECT event_id,
+       CASE event_id % 4 WHEN 0 THEN 'nsq' WHEN 1 THEN 'beanstalkd'
+            WHEN 2 THEN 'zmtp' ELSE 'sp' END AS wire_codec,
+       event_type AS w_type
+FROM events
+"""
+
+
 QUERIES = [
     QuerySpec("amqp_envelope_events", amqp_envelope_events,
               AMQP_ENVELOPE_SQL),
@@ -362,4 +485,8 @@ QUERIES = [
               AMQP1_DECODE_SQL),
     QuerySpec("kafka_read_committed", kafka_read_committed,
               KAFKA_RC_SQL),
+    QuerySpec("pulsar_envelope_decode", pulsar_envelope_decode,
+              PULSAR_DECODE_SQL),
+    QuerySpec("broker_wire_roundtrip", broker_wire_roundtrip,
+              BROKER_WIRE_SQL),
 ]

@@ -58,11 +58,12 @@ def test_session_path_error_lists_all_supported_kinds(spark):
     )
 
     with pytest.raises(PipelineConfigError) as exc:
-        _build_input(spark, {"pulsar": {"session_path": "/nope",
-                                        "url": "x", "topics": ["t"]}})
+        _build_input(spark, {"gcp_pubsub": {"session_path": "/nope",
+                                            "subscription": "s"}})
     msg = str(exc.value)
-    for kind in ("amqp_0_9", "mqtt", "nats", "redis_pubsub",
-                 "redis_streams"):
+    for kind in ("amqp_0_9", "amqp_1", "mqtt", "nats", "redis_pubsub",
+                 "redis_streams", "nsq", "beanstalkd", "pulsar",
+                 "zmq4", "nanomsg"):
         assert kind in msg
 
 
