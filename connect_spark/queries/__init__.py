@@ -39,14 +39,14 @@ class QuerySpec:
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
     # Round 6 rotation (standing policy: oldest driver verification
-    # first). Order: (a) the 7 queries with NO driver row —
+    # first). Order: (a) the queries with NO driver row —
     # pack_sequences leads (red r5, fixed this round: shard window +
-    # oracle BIGINT cast) followed by the six new round-6 rows
-    # (cluster resolution, BPE vectors, AMQP 1.0 / Pulsar / broker
-    # wire decodes, Kafka read_committed); (b) the 28 queries whose
-    # latest green is r3; (c) 15 of the 50 whose latest green is r4,
-    # registry-stable.  That fills the 50-slot window; the 35
-    # r4-latest overflow rotate to the front next round, keeping
+    # oracle BIGINT cast) followed by the new round-6 rows (cluster
+    # resolution + training-set dedup, BPE vectors, AMQP 1.0 /
+    # Pulsar / broker wire decodes, Kafka read_committed); (b) the 28
+    # queries whose latest green is r3; (c) the oldest r4-latest
+    # remainder, registry-stable, filling the 50-slot window.  The
+    # r4-latest overflow rotates to the front next round, keeping
     # every query ≤2 rounds from its last green.
     "pack_sequences",
     "dedup_cluster_resolve",
@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kafka_read_committed",
     "pulsar_envelope_decode",
     "broker_wire_roundtrip",
+    "dedup_training_set",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",
@@ -97,11 +98,11 @@ _DRIVER_PRIORITY: list[str] = [
     "join_sharded_full_outer",
     "join_enrichment_lookup",
     "join_semi_big_spenders",
+    # --- 50-slot window boundary (r4-latest remainder below rotates
+    # to the front in round 7) ---
     "join_anti_no_orders",
     "join_star_revenue_by_nation",
     "window_tumbling_hourly",
-    # --- 50-slot window boundary (r4-latest remainder below rotates
-    # to the front in round 7) ---
     "window_sliding",
     "window_session",
     "window_daily_orders",

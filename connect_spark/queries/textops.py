@@ -382,6 +382,57 @@ FROM comp c JOIN sz USING (cluster_id)
 """
 
 
+def dedup_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup endgame: corpus minus non-representative
+    near-dup cluster members — every doc that never appeared in a
+    verified pair survives as 'unique', one representative (min
+    doc_id) survives per cluster, the rest are dropped.  An anti-join
+    keyed on doc_id: the cluster table is tiny relative to the corpus
+    (only docs IN pairs), so at scale AQE broadcasts it and the
+    corpus is scanned exactly once."""
+    from connect_spark.operators.cluster import resolve_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = resolve_clusters(
+        dedup_neardup_verified(spark, sf_dir), "doc_a", "doc_b")
+    reps = clusters.select(
+        "doc_id", F.col("is_representative").alias("_rep"))
+    return (
+        docs.join(reps, "doc_id", "left")
+        .filter(F.coalesce(F.col("_rep"), F.lit(1)) == 1)
+        .select(
+            "doc_id",
+            F.when(F.col("_rep").isNotNull(), "representative")
+                .otherwise("unique").alias("kept_reason"),
+        )
+    )
+
+
+TRAINING_SET_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {NEARDUP_VERIFIED_SQL}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+), comp AS (
+  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CASE WHEN comp.node IS NOT NULL THEN 'representative'
+            ELSE 'unique' END AS kept_reason
+FROM documents d
+LEFT JOIN comp ON comp.node = d.doc_id
+WHERE comp.node IS NULL OR comp.node = comp.cluster_id
+"""
+
+
 # --- simhash fingerprint ---
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,6 +966,9 @@ QUERIES = [
     ),
     QuerySpec(
         "dedup_cluster_resolve", dedup_cluster_resolve, CLUSTER_RESOLVE_SQL
+    ),
+    QuerySpec(
+        "dedup_training_set", dedup_training_set, TRAINING_SET_SQL
     ),
     QuerySpec("dedup_simhash", dedup_simhash, SIMHASH_SQL),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
