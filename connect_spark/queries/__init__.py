@@ -56,6 +56,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pulsar_envelope_decode",
     "broker_wire_roundtrip",
     "dedup_training_set",
+    "ann_topk_quantized",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",
