@@ -124,11 +124,26 @@ def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
             t0 = time.perf_counter()
             src.write.mode("overwrite").parquet(tmp + "/out")
             copy_ts.append(time.perf_counter() - t0)
+        # format-identical fast path (streaming/migrator.py::
+        # migrate_files_passthrough): same staged bytes moved without
+        # decode — reported ALONGSIDE the honest decode+encode number,
+        # never instead of it
+        from connect_spark.streaming.migrator import (
+            migrate_files_passthrough,
+        )
+
+        pt_ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            migrate_files_passthrough(spark, tmp + "/src", tmp + "/pt")
+            pt_ts.append(time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     dt = _median(copy_ts)
     out["migrator_mb_s"] = round(n_msgs * 1032 / dt / 1e6, 1)
     out["migrator_msg_s"] = round(n_msgs / dt)
+    dt_pt = _median(pt_ts)
+    out["migrator_passthrough_mb_s"] = round(n_msgs * 1032 / dt_pt / 1e6, 1)
 
     cdc_df = cdc_materialize_orders(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
