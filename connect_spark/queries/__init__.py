@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     "broker_wire_roundtrip",
     "dedup_training_set",
     "ann_topk_quantized",
+    "iceberg_delete_roundtrip",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

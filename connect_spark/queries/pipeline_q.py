@@ -158,6 +158,53 @@ GROUP BY o_orderstatus
 
 
 
+def iceberg_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION deletes in the gate (merge-on-read,
+    sinks/iceberg_meta.py::delete_where): orders commits once, then a
+    row-level delete tombstones every '3-MEDIUM' priority row WITHOUT
+    rewriting data files; the read applies the (file_path, pos)
+    tombstones via the parquet metadata columns.  The aggregate over
+    the post-delete table must hash-equal the oracle's plain filtered
+    aggregate — a bug in delete-file layout, the deletes manifest, or
+    the anti-join apply breaks the value hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_del_")
+    try:
+        t = IcebergTable(spark, loc)
+        t.append(orders)
+        t.delete_where([("o_orderpriority", "=", "3-MEDIUM")])
+        back = t.read()
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ICEBERG_DELETE_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderpriority <> '3-MEDIUM'
+GROUP BY o_orderstatus
+"""
+
+
 def iceberg_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned Iceberg in the gate (identity spec + manifest
     pruning, sinks/iceberg_meta.py): orders commits partitioned by
@@ -219,5 +266,10 @@ QUERIES = [
         "iceberg_commit_roundtrip",
         iceberg_commit_roundtrip,
         ICEBERG_ROUNDTRIP_SQL,
+    ),
+    QuerySpec(
+        "iceberg_delete_roundtrip",
+        iceberg_delete_roundtrip,
+        ICEBERG_DELETE_SQL,
     ),
 ]

@@ -931,9 +931,12 @@ class IcebergTable:
 
     # ---- read back (current snapshot) -------------------------------
 
-    def current_files(self) -> list[dict]:
+    def current_files(self, content: int = 0) -> list[dict]:
         """data_file records of the current snapshot, resolved through
-        manifest-list → manifests (the read path an engine follows)."""
+        manifest-list → manifests (the read path an engine follows).
+        `content` selects DATA (0, the default) or POSITION_DELETES
+        (1) entries — files written before the delete feature carry no
+        content field and count as data."""
         meta = self.metadata()
         if meta is None or meta.get("current-snapshot-id") is None:
             return []
@@ -950,8 +953,224 @@ class IcebergTable:
                 e["data_file"]
                 for e in entries
                 if e["status"] in (0, 1)  # EXISTING | ADDED
+                and (e["data_file"].get("content") or 0) == content
             ]
         return files
+
+    def current_delete_files(self) -> list[dict]:
+        return self.current_files(content=1)
+
+    # ---- row-level deletes (v2 merge-on-read) -----------------------
+
+    _FILE_PATH_NORM = "regexp_replace(_metadata.file_path, '^file:(//)?', '')"
+
+    def _apply_position_deletes(self, df: DataFrame) -> DataFrame:
+        """Anti-join the frame against the current snapshot's
+        positional delete files (spec: schema file_path string /
+        pos long, field ids 2147483546/2147483545).  The per-row
+        (file, position) identity comes from Spark's parquet metadata
+        columns — no row ids are invented.  Delete sets are small
+        relative to data (that is the point of merge-on-read), so the
+        join side broadcasts under AQE; the data side stays one
+        scan."""
+        deletes = self.current_delete_files()
+        if not deletes:
+            return df
+        del_df = self.spark.read.parquet(
+            *[d["file_path"] for d in deletes]
+        ).select("file_path", "pos").distinct()
+        keyed = df.withColumn(
+            "_del_path", F.expr(self._FILE_PATH_NORM)
+        ).withColumn("_del_pos", F.col("_metadata.row_index"))
+        return (
+            keyed.join(
+                del_df,
+                (keyed._del_path == del_df.file_path)
+                & (keyed._del_pos == del_df.pos),
+                "left_anti",
+            )
+            .drop("_del_path", "_del_pos")
+        )
+
+    def delete_where(self, filters: list[tuple]) -> dict:
+        """Row-level DELETE as Iceberg v2 POSITION deletes
+        (merge-on-read): rows matching ALL `filters` (column, op,
+        literal — the scan() grammar) are recorded as (file_path, pos)
+        pairs in sorted parquet delete files; data files are NOT
+        rewritten.  One delete manifest (content=deletes) joins the
+        manifest list under a new 'delete' snapshot; readers apply
+        the tombstones at scan time (`_apply_position_deletes`).
+        This is the mechanism behind DELETE/UPDATE/MERGE in every v2
+        engine — at 100 TB a delete touching 0.1% of rows writes KBs
+        of tombstones instead of rewriting TBs of data."""
+        prev = self.metadata()
+        if prev is None or prev.get("current-snapshot-id") is None:
+            raise ValueError("iceberg table has no current snapshot")
+        data_files = self.current_files()
+        raw = self._read_files([d["file_path"] for d in data_files])
+        df = self._normalize_partitions(raw, prev)
+        cond = None
+        for col, op, lit in filters:
+            c = F.col(col)
+            piece = {
+                "<": c < lit, "<=": c <= lit, ">": c > lit,
+                ">=": c >= lit, "=": c == lit,
+            }[op]
+            cond = piece if cond is None else (cond & piece)
+        matches = (
+            df.filter(cond)
+            .select(
+                F.expr(self._FILE_PATH_NORM).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            # spec: delete files sort by (file_path, pos); the global
+            # sort range-partitions, so every output file is sorted
+            .sort("file_path", "pos")
+        )
+        commit_uuid = uuid.uuid4().hex
+        staging = os.path.join(self.data_dir, f"stage-del-{commit_uuid}")
+        matches.write.parquet(staging)
+        staged = self.spark.read.parquet(staging)
+        counts = {
+            r["f"].rsplit("/", 1)[-1]: r["_n"]
+            for r in staged.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        delete_files = []
+        n_deleted = 0
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                self.data_dir, f"{commit_uuid}-delete-{fname}")
+            os.rename(os.path.join(staging, fname), final)
+            cnt = counts.get(fname, 0)
+            if cnt == 0:
+                os.remove(final)
+                continue
+            n_deleted += cnt
+            delete_files.append({
+                "content": 1,  # POSITION_DELETES
+                "file_path": final,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": cnt,
+                "file_size_in_bytes": os.path.getsize(final),
+                "lower_bounds": None,
+                "upper_bounds": None,
+            })
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+        now_ms = int(time.time() * 1000)
+        seq = prev["last-sequence-number"] + 1
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        spec_fields = [
+            dict(f, iceberg_type="string")
+            for f in self._current_partition_spec()
+        ]
+        schema_id = prev["current-schema-id"]
+        schema = next(
+            sc for sc in prev["schemas"] if sc["schema-id"] == schema_id
+        )
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": d,
+            }
+            for d in delete_files
+        ]
+        manifest_path = os.path.join(
+            self.meta_dir, f"{commit_uuid}-m0.avro")
+        manifest_bytes = write_ocf(
+            entries,
+            _manifest_entry_schema(spec_fields),
+            extra_meta={
+                "schema": json.dumps(schema),
+                "schema-id": str(schema_id),
+                "partition-spec": json.dumps([
+                    {k: v for k, v in f.items() if k != "iceberg_type"}
+                    for f in spec_fields
+                ]),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        with open(manifest_path, "wb") as fh:
+            fh.write(manifest_bytes)
+        cur = next(
+            s for s in prev["snapshots"]
+            if s["snapshot-id"] == prev["current-snapshot-id"]
+        )
+        _, prior_manifests = read_ocf(
+            open(cur["manifest-list"], "rb").read())
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": 0,
+            "content": 1,  # deletes manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(delete_files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_deleted,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        mlist_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
+        with open(mlist_path, "wb") as fh:
+            fh.write(write_ocf(
+                [new_manifest] + prior_manifests,
+                _MANIFEST_FILE_SCHEMA,
+                extra_meta={"format-version": "2"},
+            ))
+        prev_total = int(
+            cur["summary"].get("total-records", 0))
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "schema-id": schema_id,
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": str(len(delete_files)),
+                "added-position-deletes": str(n_deleted),
+                "total-records": str(prev_total - n_deleted),
+            },
+        }
+        meta = dict(prev)
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["current-snapshot-id"] = snap_id
+        meta["snapshots"] = prev["snapshots"] + [snapshot]
+        meta["snapshot-log"] = prev.get("snapshot-log", []) + [
+            {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+        ]
+        meta["metadata-log"] = prev.get("metadata-log", []) + [{
+            "metadata-file": os.path.join(
+                self.meta_dir, f"v{self._version()}.metadata.json"),
+            "timestamp-ms": now_ms,
+        }]
+        v = self._version() + 1
+        tmp = os.path.join(self.meta_dir, f".v{v}.metadata.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.rename(tmp, os.path.join(self.meta_dir, f"v{v}.metadata.json"))
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(v))
+        return meta
 
     def _normalize_partitions(
         self, df: DataFrame, meta: dict | None = None
@@ -1026,7 +1245,8 @@ class IcebergTable:
         files = [f["file_path"] for f in self.current_files()]
         if not files:
             raise ValueError("iceberg table has no current snapshot")
-        return self._normalize_partitions(self._read_files(files), meta)
+        return self._normalize_partitions(
+            self._apply_position_deletes(self._read_files(files)), meta)
 
     def scan(self, filters: list[tuple] | None = None) -> DataFrame:
         """Manifest-pruned scan: `filters` are (column, op, literal)
@@ -1049,7 +1269,9 @@ class IcebergTable:
         for m in manifests:
             _, entries = read_ocf(open(m["manifest_path"], "rb").read())
             files += [
-                e["data_file"] for e in entries if e["status"] in (0, 1)
+                e["data_file"] for e in entries
+                if e["status"] in (0, 1)
+                and (e["data_file"].get("content") or 0) == 0
             ]
         if not files:
             raise ValueError("iceberg table has no current snapshot")
@@ -1173,7 +1395,8 @@ class IcebergTable:
                 self._read_files([files[0]["file_path"]]).limit(0),
                 meta,
             )
-        df = self._normalize_partitions(self._read_files(kept), meta)
+        df = self._normalize_partitions(
+            self._apply_position_deletes(self._read_files(kept)), meta)
         for col, op, lit in filters or []:
             if col not in df.columns:
                 continue

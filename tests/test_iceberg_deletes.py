@@ -1,0 +1,123 @@
+"""Iceberg v2 positional deletes (merge-on-read):
+delete_where → sorted parquet tombstones + deletes manifest + delete
+snapshot; read()/scan() apply them without rewriting data files."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connect_spark.functions.avro_codec import read_ocf
+from connect_spark.sinks.iceberg_meta import IcebergTable
+
+
+def _table(spark, tmp_path, n=1000):
+    t = IcebergTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    t.append(df)
+    return t
+
+
+def test_delete_where_masks_rows_without_rewriting_data(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    data_before = sorted(d["file_path"] for d in t.current_files())
+    sizes_before = {p: os.path.getsize(p) for p in data_before}
+    meta = t.delete_where([("grp", "=", 3)])
+    # data files untouched, byte for byte
+    data_after = sorted(d["file_path"] for d in t.current_files())
+    assert data_after == data_before
+    assert {p: os.path.getsize(p) for p in data_after} == sizes_before
+    # rows masked at read time
+    got = t.read()
+    assert got.filter(F.col("grp") == 3).count() == 0
+    expected_live = 1000 - (1000 + 7 - 1 - 3) // 7  # ids ≡ 3 (mod 7)
+    assert got.count() == expected_live
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["total-records"] == str(expected_live)
+
+
+def test_delete_files_sorted_with_spec_schema(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where([("k", "<", 50)])
+    dels = t.current_delete_files()
+    assert dels and all(d["content"] == 1 for d in dels)
+    rows = spark.read.parquet(
+        *[d["file_path"] for d in dels]).collect()
+    assert len(rows) == 50
+    assert set(rows[0].asDict()) == {"file_path", "pos"}
+    # per-file sort by (file_path, pos) — the spec's ordering
+    for d in dels:
+        content = spark.read.parquet(d["file_path"]).collect()
+        keys = [(r["file_path"], r["pos"]) for r in content]
+        assert keys == sorted(keys)
+        # tombstones reference real current data files
+        data_paths = {f["file_path"] for f in t.current_files()}
+        assert {r["file_path"] for r in content} <= data_paths
+
+
+def test_deletes_manifest_content_flag(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    meta = t.delete_where([("grp", "=", 0)])
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, manifests = read_ocf(open(snap["manifest-list"], "rb").read())
+    contents = sorted(m["content"] for m in manifests)
+    assert contents == [0, 1]  # one data manifest, one deletes manifest
+    delete_manifest = next(m for m in manifests if m["content"] == 1)
+    ocf_meta, entries = read_ocf(
+        open(delete_manifest["manifest_path"], "rb").read())
+    assert all(e["data_file"]["content"] == 1 for e in entries)
+
+
+def test_successive_deletes_accumulate(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where([("k", "<", 10)])
+    t.delete_where([("k", ">=", 990)])
+    got = t.read()
+    assert got.count() == 980
+    assert got.agg(F.min("k")).collect()[0][0] == 10
+    assert got.agg(F.max("k")).collect()[0][0] == 989
+    # second delete over already-deleted rows is a no-op on the result
+    t.delete_where([("k", "<", 10)])
+    assert t.read().count() == 980
+
+
+def test_scan_applies_deletes_with_pruning(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where([("grp", "=", 5)])
+    got = t.scan(filters=[("k", ">=", 500)])
+    assert got.filter(F.col("grp") == 5).count() == 0
+    assert got.count() == 500 - len(
+        [k for k in range(500, 1000) if k % 7 == 5])
+
+
+def test_delete_without_snapshot_raises(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError):
+        t.delete_where([("k", "=", 1)])
+
+
+def test_delete_matching_nothing_adds_no_files(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where([("k", "=", -1)])
+    assert t.current_delete_files() == []
+    assert t.read().count() == 1000
+
+
+def test_delete_on_partitioned_table(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "ptbl"))
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+    )
+    t.append(df, partition_by=["bucket"])
+    t.delete_where([("k", "<", 20)])
+    got = t.read()
+    assert got.count() == 180
+    assert got.agg(F.min("k")).collect()[0][0] == 20
