@@ -256,6 +256,15 @@ _DATA_FILE_SCHEMA = {
             "default": None,
             "field-id": 128,
         },
+        # spec field-id 135: the schema field ids an EQUALITY delete
+        # file (content=2) matches on; null for data/position files
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int",
+                              "element-id": 136}],
+            "default": None,
+            "field-id": 135,
+        },
     ],
 }
 
@@ -949,12 +958,22 @@ class IcebergTable:
         files = []
         for m in manifests:
             _, entries = read_ocf(open(m["manifest_path"], "rb").read())
-            files += [
-                e["data_file"]
-                for e in entries
-                if e["status"] in (0, 1)  # EXISTING | ADDED
-                and (e["data_file"].get("content") or 0) == content
-            ]
+            for e in entries:
+                if e["status"] not in (0, 1):  # EXISTING | ADDED
+                    continue
+                d = e["data_file"]
+                if (d.get("content") or 0) != content:
+                    continue
+                # v2 sequence inheritance: a null entry sequence takes
+                # the manifest's — the number delete-apply scoping
+                # keys on
+                d = dict(d)
+                d["_seq"] = (
+                    e.get("sequence_number")
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                )
+                files.append(d)
         return files
 
     def current_delete_files(self) -> list[dict]:
@@ -965,32 +984,89 @@ class IcebergTable:
     _FILE_PATH_NORM = "regexp_replace(_metadata.file_path, '^file:(//)?', '')"
 
     def _apply_position_deletes(self, df: DataFrame) -> DataFrame:
-        """Anti-join the frame against the current snapshot's
-        positional delete files (spec: schema file_path string /
-        pos long, field ids 2147483546/2147483545).  The per-row
-        (file, position) identity comes from Spark's parquet metadata
-        columns — no row ids are invented.  Delete sets are small
-        relative to data (that is the point of merge-on-read), so the
-        join side broadcasts under AQE; the data side stays one
-        scan."""
-        deletes = self.current_delete_files()
-        if not deletes:
+        """Anti-join the frame against the current snapshot's delete
+        files with the spec's sequence-number scoping:
+
+        - POSITION deletes (content=1; schema file_path string / pos
+          long, field ids 2147483546/2147483545) mask a row when its
+          data file's sequence number <= the delete's.  The per-row
+          (file, position) identity comes from Spark's parquet
+          metadata columns — no row ids are invented.
+        - EQUALITY deletes (content=2; columns named by equality_ids)
+          mask a row when every equality column matches (null-safe)
+          AND the data sequence is STRICTLY below the delete's — so a
+          row re-appended after the delete survives, which is what
+          makes upsert() correct.
+
+        Delete sets are small relative to data (that is the point of
+        merge-on-read), so join sides broadcast under AQE; the data
+        side stays one scan."""
+        pos = self.current_files(content=1)
+        eq = self.current_files(content=2)
+        if not pos and not eq:
             return df
-        del_df = self.spark.read.parquet(
-            *[d["file_path"] for d in deletes]
-        ).select("file_path", "pos").distinct()
-        keyed = df.withColumn(
-            "_del_path", F.expr(self._FILE_PATH_NORM)
-        ).withColumn("_del_pos", F.col("_metadata.row_index"))
-        return (
-            keyed.join(
-                del_df,
-                (keyed._del_path == del_df.file_path)
-                & (keyed._del_pos == del_df.pos),
+        data_files = self.current_files(content=0)
+        seq_df = self.spark.createDataFrame(
+            [(d["file_path"], d["_seq"]) for d in data_files],
+            "_del_path string, _data_seq long",
+        )
+        keyed = (
+            df.withColumn("_del_path", F.expr(self._FILE_PATH_NORM))
+            .withColumn("_del_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(seq_df), "_del_path", "left")
+        )
+
+        def _with_seq(paths_seqs, cols):
+            parts = [
+                self.spark.read.parquet(p)
+                .select(*cols)
+                .withColumn("_dseq", F.lit(s))
+                for p, s in paths_seqs
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.groupBy(*cols).agg(F.max("_dseq").alias("_dseq"))
+
+        if pos:
+            pos_df = _with_seq(
+                [(d["file_path"], d["_seq"]) for d in pos],
+                ["file_path", "pos"],
+            )
+            keyed = keyed.join(
+                pos_df,
+                (keyed._del_path == pos_df.file_path)
+                & (keyed._del_pos == pos_df.pos)
+                & (keyed._data_seq <= pos_df._dseq),
                 "left_anti",
             )
-            .drop("_del_path", "_del_pos")
-        )
+        if eq:
+            meta = self.metadata()
+            cur_schema = next(
+                sc for sc in meta["schemas"]
+                if sc["schema-id"] == meta["current-schema-id"]
+            )
+            id_to_name = {f["id"]: f["name"]
+                          for f in cur_schema["fields"]}
+            by_ids: dict[tuple, list] = {}
+            for d in eq:
+                by_ids.setdefault(
+                    tuple(d.get("equality_ids") or ()), []
+                ).append(d)
+            for ids, group in by_ids.items():
+                cols = [id_to_name[i] for i in ids]
+                eq_df = _with_seq(
+                    [(d["file_path"], d["_seq"]) for d in group], cols)
+                renamed = eq_df.select(
+                    *[F.col(c).alias(f"_eq_{c}") for c in cols],
+                    "_dseq",
+                )
+                cond = keyed._data_seq < renamed._dseq
+                for c in cols:
+                    cond = cond & keyed[c].eqNullSafe(
+                        renamed[f"_eq_{c}"])
+                keyed = keyed.join(renamed, cond, "left_anti")
+        return keyed.drop("_del_path", "_del_pos", "_data_seq")
 
     def delete_where(self, filters: list[tuple]) -> dict:
         """Row-level DELETE as Iceberg v2 POSITION deletes
@@ -1063,10 +1139,181 @@ class IcebergTable:
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
+        prev_total = int(next(
+            s for s in prev["snapshots"]
+            if s["snapshot-id"] == prev["current-snapshot-id"]
+        )["summary"].get("total-records", 0))
+        return self._commit_delete_snapshot(
+            prev,
+            delete_files,
+            {
+                "operation": "delete",
+                "added-delete-files": str(len(delete_files)),
+                "added-position-deletes": str(n_deleted),
+                "total-records": str(prev_total - n_deleted),
+            },
+        )
 
+    def delete_by_keys(self, keys_df: DataFrame) -> dict:
+        """Row-level DELETE as Iceberg v2 EQUALITY deletes: every
+        distinct row of `keys_df` (columns must exist in the table
+        schema) becomes an equality tombstone masking ALL earlier rows
+        whose key columns match.  Unlike position deletes this never
+        scans the data — the CDC-sink primitive: O(|keys|) work for
+        any table size.  Rows appended AFTER this delete are not
+        masked (sequence-number scoping), which is exactly what
+        `upsert` composes on."""
+        prev = self.metadata()
+        if prev is None or prev.get("current-snapshot-id") is None:
+            raise ValueError("iceberg table has no current snapshot")
+        cur_schema = next(
+            sc for sc in prev["schemas"]
+            if sc["schema-id"] == prev["current-schema-id"]
+        )
+        name_to_id = {f["name"]: f["id"] for f in cur_schema["fields"]}
+        missing = [c for c in keys_df.columns if c not in name_to_id]
+        if missing:
+            raise ValueError(
+                f"delete_by_keys: columns {missing} not in table schema")
+        equality_ids = [name_to_id[c] for c in keys_df.columns]
+        commit_uuid = uuid.uuid4().hex
+        staging = os.path.join(self.data_dir, f"stage-eq-{commit_uuid}")
+        keys_df.distinct().write.parquet(staging)
+        staged = self.spark.read.parquet(staging)
+        counts = {
+            r["f"].rsplit("/", 1)[-1]: r["_n"]
+            for r in staged.groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        delete_files = []
+        n_keys = 0
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                self.data_dir, f"{commit_uuid}-eqdelete-{fname}")
+            os.rename(os.path.join(staging, fname), final)
+            cnt = counts.get(fname, 0)
+            if cnt == 0:
+                os.remove(final)
+                continue
+            n_keys += cnt
+            delete_files.append({
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": final,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": cnt,
+                "file_size_in_bytes": os.path.getsize(final),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": equality_ids,
+            })
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        prev_total = int(next(
+            s for s in prev["snapshots"]
+            if s["snapshot-id"] == prev["current-snapshot-id"]
+        )["summary"].get("total-records", 0))
+        return self._commit_delete_snapshot(
+            prev,
+            delete_files,
+            {
+                "operation": "delete",
+                "added-delete-files": str(len(delete_files)),
+                "added-equality-deletes": str(n_keys),
+                # equality deletes match an unknown number of rows —
+                # the spec's engines also carry the prior total here
+                "total-records": str(prev_total),
+            },
+        )
+
+    def upsert(self, df: DataFrame, key_cols: list[str]) -> dict:
+        """MERGE/upsert as the v2 composition every CDC sink uses:
+        one equality-delete of the incoming keys (masks the old
+        versions) + one append of the new rows (higher sequence, so
+        they survive the delete).  Two snapshots, zero data-file
+        rewrites, O(|batch|) work regardless of table size."""
+        self.delete_by_keys(df.select(*key_cols))
+        return self.append(df)
+
+    def rewrite_data_files(self) -> dict:
+        """Compaction: materialize the LIVE rows (all delete files
+        applied) into fresh data files and commit a 'replace' snapshot
+        whose manifest list contains ONLY the rewritten manifest —
+        dropping every tombstone.  This is the maintenance op that
+        keeps merge-on-read read amplification bounded; time travel to
+        pre-compaction snapshots still resolves the old manifests."""
+        prev = self.metadata()
+        if prev is None or prev.get("current-snapshot-id") is None:
+            raise ValueError("iceberg table has no current snapshot")
+        spec = self._current_partition_spec()
+        if any(f.get("transform", "identity") != "identity"
+               for f in spec):
+            raise ValueError(
+                "rewrite_data_files supports identity partition specs")
+        live = self.read()
+        meta = self.append(
+            live, partition_by=[f["name"] for f in spec] or None)
+        # the append put its own manifest FIRST in the new manifest
+        # list; re-commit a replace snapshot holding only that one
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifests = read_ocf(open(snap["manifest-list"], "rb").read())
+        keep = [manifests[0]]
+        now_ms = int(time.time() * 1000)
+        seq = meta["last-sequence-number"] + 1
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        commit_uuid = uuid.uuid4().hex
+        mlist_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-{commit_uuid}.avro")
+        with open(mlist_path, "wb") as fh:
+            fh.write(write_ocf(
+                keep, _MANIFEST_FILE_SCHEMA,
+                extra_meta={"format-version": "2"},
+            ))
+        live_rows = keep[0]["added_rows_count"]
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "schema-id": meta["current-schema-id"],
+            "summary": {
+                "operation": "replace",
+                "total-records": str(live_rows),
+            },
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["current-snapshot-id"] = snap_id
+        new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+        new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+        ]
+        v = self._version() + 1
+        tmp = os.path.join(self.meta_dir, f".v{v}.metadata.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(new_meta, fh)
+        os.rename(tmp, os.path.join(
+            self.meta_dir, f"v{v}.metadata.json"))
+        with open(os.path.join(
+                self.meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(v))
+        return new_meta
+
+    def _commit_delete_snapshot(
+        self, prev: dict, delete_files: list[dict], summary: dict
+    ) -> dict:
         now_ms = int(time.time() * 1000)
         seq = prev["last-sequence-number"] + 1
         snap_id = int(uuid.uuid4().int % (1 << 62))
+        commit_uuid = uuid.uuid4().hex
         spec_fields = [
             dict(f, iceberg_type="string")
             for f in self._current_partition_spec()
@@ -1121,7 +1368,8 @@ class IcebergTable:
             "added_files_count": len(delete_files),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": n_deleted,
+            "added_rows_count": sum(
+                d["record_count"] for d in delete_files),
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
@@ -1133,20 +1381,13 @@ class IcebergTable:
                 _MANIFEST_FILE_SCHEMA,
                 extra_meta={"format-version": "2"},
             ))
-        prev_total = int(
-            cur["summary"].get("total-records", 0))
         snapshot = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
             "schema-id": schema_id,
-            "summary": {
-                "operation": "delete",
-                "added-delete-files": str(len(delete_files)),
-                "added-position-deletes": str(n_deleted),
-                "total-records": str(prev_total - n_deleted),
-            },
+            "summary": summary,
         }
         meta = dict(prev)
         meta["last-sequence-number"] = seq

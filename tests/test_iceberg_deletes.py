@@ -121,3 +121,79 @@ def test_delete_on_partitioned_table(spark, tmp_path):
     got = t.read()
     assert got.count() == 180
     assert got.agg(F.min("k")).collect()[0][0] == 20
+
+
+# --- equality deletes / upsert / compaction ---
+
+def test_equality_delete_masks_matching_rows(spark, tmp_path):
+    t = _table(spark, tmp_path, n=100)
+    keys = spark.createDataFrame([(3,), (7,)], "grp long")
+    meta = t.delete_by_keys(keys)
+    got = t.read()
+    assert got.filter(F.col("grp").isin(3, 7)).count() == 0
+    expected = 100 - len([k for k in range(100) if k % 7 in (3, 7)])
+    assert got.count() == expected
+    dels = t.current_files(content=2)
+    assert dels and all(d["content"] == 2 for d in dels)
+    # equality_ids reference the grp field id in the schema
+    schema = next(
+        sc for sc in meta["schemas"]
+        if sc["schema-id"] == meta["current-schema-id"])
+    grp_id = next(f["id"] for f in schema["fields"]
+                  if f["name"] == "grp")
+    assert all(d["equality_ids"] == [grp_id] for d in dels)
+
+
+def test_equality_delete_not_applied_to_later_appends(spark, tmp_path):
+    t = _table(spark, tmp_path, n=50)
+    t.delete_by_keys(spark.createDataFrame([(1,)], "grp long"))
+    # re-append rows with the deleted key AFTER the delete: strictly
+    # higher sequence, so the tombstone must not mask them
+    t.append(spark.createDataFrame(
+        [(1000, 1, "resurrected")], "k long, grp long, payload string"))
+    got = t.read()
+    assert got.filter(F.col("grp") == 1).count() == 1
+    assert got.filter(F.col("k") == 1000).count() == 1
+
+
+def test_upsert_replaces_by_key(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "utbl"))
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    t.upsert(spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k long, v string"), ["k"])
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # upsert again over the same key: latest wins
+    t.upsert(spark.createDataFrame([(2, "B3")], "k long, v string"),
+             ["k"])
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[2] == "B3" and len(got) == 4
+
+
+def test_rewrite_data_files_drops_tombstones(spark, tmp_path):
+    t = _table(spark, tmp_path, n=200)
+    t.delete_where([("k", "<", 50)])
+    t.delete_by_keys(spark.createDataFrame([(5,)], "grp long"))
+    live_before = t.read()
+    n_live = live_before.count()
+    rows_before = {r["k"] for r in live_before.collect()}
+    meta = t.rewrite_data_files()
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "replace"
+    assert snap["summary"]["total-records"] == str(n_live)
+    # all tombstones gone; reads still correct
+    assert t.current_files(content=1) == []
+    assert t.current_files(content=2) == []
+    after = t.read()
+    assert after.count() == n_live
+    assert {r["k"] for r in after.collect()} == rows_before
+
+
+def test_position_delete_after_equality_delete_composes(spark, tmp_path):
+    t = _table(spark, tmp_path, n=100)
+    t.delete_by_keys(spark.createDataFrame([(0,)], "grp long"))
+    t.delete_where([("k", ">=", 90)])
+    got = t.read()
+    assert got.filter(F.col("grp") == 0).count() == 0
+    assert got.filter(F.col("k") >= 90).count() == 0
