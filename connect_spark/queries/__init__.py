@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_training_set",
     "ann_topk_quantized",
     "iceberg_delete_roundtrip",
+    "sample_stratified",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

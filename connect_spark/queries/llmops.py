@@ -342,8 +342,58 @@ GROUP BY 1
 """
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix builder:
+    docs stratify into length bands (short/medium/long) with per-band
+    keep rates (10% / 50% / 90%), and the keep decision is a pure
+    hash of doc_id (first 4 hex chars of md5 compared against the
+    band's hex threshold — lexicographic compare of lowercase hex IS
+    the numeric compare).  No RNG: the same corpus always yields the
+    same sample on any cluster, resumable and auditable, and the
+    operator is one narrow projection+filter — no shuffle, fully
+    pushed into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    stratum = (
+        F.when(F.length("text") < 500, "short")
+        .when(F.length("text") < 2000, "medium")
+        .otherwise("long")
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = (
+        F.when(stratum == "short", "1999")    # 10% of 0x10000
+        .when(stratum == "medium", "7fff")    # 50%
+        .otherwise("e666")                    # 90%
+    )
+    return (
+        docs.select(
+            "doc_id", stratum.alias("stratum"), key.alias("sample_key"),
+            thr.alias("thr"))
+        .filter(F.col("sample_key") < F.col("thr"))
+        .select("doc_id", "stratum", "sample_key")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 500 THEN 'short'
+              WHEN length(text) < 2000 THEN 'medium'
+              ELSE 'long' END AS stratum,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+  FROM documents
+)
+SELECT doc_id, stratum, sample_key
+FROM t
+WHERE sample_key < CASE stratum WHEN 'short' THEN '1999'
+                                WHEN 'medium' THEN '7fff'
+                                ELSE 'e666' END
+"""
+
+
 QUERIES = [
     QuerySpec("text_pii_scrub", text_pii_scrub, PII_SQL),
+    QuerySpec("sample_stratified", sample_stratified,
+              SAMPLE_STRATIFIED_SQL),
     QuerySpec("quality_gopher_rules", quality_gopher_rules, GOPHER_SQL),
     QuerySpec("pack_sequences", pack_sequences, PACK_SQL),
     QuerySpec("text_token_count_bpe", text_token_count_bpe,
