@@ -181,12 +181,16 @@ def _o_http_client(df: DataFrame, c: dict) -> None:
 
 @output_kind("iceberg")
 def _o_iceberg(df: DataFrame, c: dict) -> None:
-    """outputs/iceberg.adoc:26 — append to an Iceberg v2 table.
+    """outputs/iceberg.adoc:26 — write to an Iceberg v2 table.
     `location` commits catalog-less (sinks/iceberg_meta.py);
     `catalog_url` + `namespace` + `table` routes the commit through
     the REST catalog client (sinks/iceberg_rest.py) with the spec's
     optimistic snapshot requirement. Schema evolution is on by
-    default like the reference's schema_evolution.enabled."""
+    default like the reference's schema_evolution.enabled.
+
+    `mode` (location path): `append` (default), `upsert` (equality-
+    delete the batch's `keys` then append — the CDC MERGE sink), or
+    `delete` (equality-tombstone the batch's key columns only)."""
     if c.get("catalog_url"):
         from connect_spark.plans.processors_ext import get_http_transport
         from connect_spark.sinks.iceberg_rest import RestCatalog
@@ -201,9 +205,20 @@ def _o_iceberg(df: DataFrame, c: dict) -> None:
         return
     from connect_spark.sinks.iceberg_meta import IcebergTable
 
-    IcebergTable(df.sparkSession, c["location"]).append(
-        df, partition_by=c.get("partition_by")
-    )
+    t = IcebergTable(df.sparkSession, c["location"])
+    mode = c.get("mode", "append")
+    if mode == "append":
+        t.append(df, partition_by=c.get("partition_by"))
+    elif mode == "upsert":
+        keys = c.get("keys")
+        if not keys:
+            raise ValueError("iceberg output: upsert mode needs `keys`")
+        t.upsert(df, keys)
+    elif mode == "delete":
+        keys = c.get("keys") or df.columns
+        t.delete_by_keys(df.select(*keys))
+    else:
+        raise ValueError(f"iceberg output: unknown mode {mode!r}")
 
 
 

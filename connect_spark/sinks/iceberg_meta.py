@@ -1235,8 +1235,11 @@ class IcebergTable:
         one equality-delete of the incoming keys (masks the old
         versions) + one append of the new rows (higher sequence, so
         they survive the delete).  Two snapshots, zero data-file
-        rewrites, O(|batch|) work regardless of table size."""
-        self.delete_by_keys(df.select(*key_cols))
+        rewrites, O(|batch|) work regardless of table size.  The
+        first batch into an empty table is a plain append."""
+        prev = self.metadata()
+        if prev is not None and prev.get("current-snapshot-id") is not None:
+            self.delete_by_keys(df.select(*key_cols))
         return self.append(df)
 
     def rewrite_data_files(self) -> dict:

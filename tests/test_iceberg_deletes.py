@@ -197,3 +197,30 @@ def test_position_delete_after_equality_delete_composes(spark, tmp_path):
     got = t.read()
     assert got.filter(F.col("grp") == 0).count() == 0
     assert got.filter(F.col("k") >= 90).count() == 0
+
+
+def test_iceberg_output_kind_upsert_mode(spark, tmp_path):
+    """The YAML iceberg output's upsert mode: successive CDC-shaped
+    batches land last-writer-wins state in the table."""
+    from connect_spark.plans.io_ext import _o_iceberg
+
+    loc = str(tmp_path / "sink")
+    b1 = spark.createDataFrame(
+        [(1, "open"), (2, "open")], "k long, st string")
+    b2 = spark.createDataFrame(
+        [(2, "closed"), (3, "open")], "k long, st string")
+    _o_iceberg(b1, {"location": loc, "mode": "upsert", "keys": ["k"]})
+    _o_iceberg(b2, {"location": loc, "mode": "upsert", "keys": ["k"]})
+    got = {r["k"]: r["st"]
+           for r in IcebergTable(spark, loc).read().collect()}
+    assert got == {1: "open", 2: "closed", 3: "open"}
+    # delete mode tombstones by key
+    _o_iceberg(
+        spark.createDataFrame([(1,)], "k long"),
+        {"location": loc, "mode": "delete"})
+    got = {r["k"] for r in IcebergTable(spark, loc).read().collect()}
+    assert got == {2, 3}
+    with pytest.raises(ValueError):
+        _o_iceberg(b1, {"location": loc, "mode": "upsert"})
+    with pytest.raises(ValueError):
+        _o_iceberg(b1, {"location": loc, "mode": "bogus"})
