@@ -224,3 +224,37 @@ def test_iceberg_output_kind_upsert_mode(spark, tmp_path):
         _o_iceberg(b1, {"location": loc, "mode": "upsert"})
     with pytest.raises(ValueError):
         _o_iceberg(b1, {"location": loc, "mode": "bogus"})
+
+
+def test_cdc_changelog_to_iceberg_sink(spark, tmp_path):
+    """CDC → Iceberg: a change log (insert/update/delete envelopes)
+    applied batch-by-batch through upsert/delete modes yields exactly
+    the last-writer-wins state — the lakehouse CDC sink composition
+    the reference's snowflake/iceberg users run."""
+    from connect_spark.plans.io_ext import _o_iceberg
+
+    loc = str(tmp_path / "cdc_sink")
+    conf_up = {"location": loc, "mode": "upsert", "keys": ["k"]}
+    conf_del = {"location": loc, "mode": "delete", "keys": ["k"]}
+    batches = [
+        [("insert", 1, "a1"), ("insert", 2, "b1"), ("insert", 3, "c1")],
+        [("update", 2, "b2"), ("delete", 3, None), ("insert", 4, "d1")],
+        [("update", 4, "d2"), ("insert", 3, "c2")],
+    ]
+    for batch in batches:
+        rows = spark.createDataFrame(
+            batch, "op string, k long, v string")
+        ups = rows.filter("op != 'delete'").select("k", "v")
+        dels = rows.filter("op = 'delete'").select("k")
+        if ups.count():
+            _o_iceberg(ups, conf_up)
+        if dels.count():
+            _o_iceberg(dels, conf_del)
+    got = {r["k"]: r["v"]
+           for r in IcebergTable(spark, loc).read().collect()}
+    assert got == {1: "a1", 2: "b2", 3: "c2", 4: "d2"}
+    # compaction over the full history keeps the same state
+    t = IcebergTable(spark, loc)
+    t.rewrite_data_files()
+    got2 = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got2 == got
