@@ -426,3 +426,203 @@ def read_ocf(data: bytes) -> tuple[dict, list]:
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch")
     return schema, records
+
+
+# ---------------------------------------------- schema resolution
+
+
+def _skip(buf: BytesIO, schema) -> None:
+    """Skip one datum of `schema` (spec: writer fields absent from
+    the reader are read and discarded)."""
+    if isinstance(schema, list):
+        _skip(buf, schema[_read_long(buf)])
+        return
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        buf.read(1)
+    elif t in ("int", "long", "enum"):
+        _read_long(buf)
+    elif t == "float":
+        buf.read(4)
+    elif t == "double":
+        buf.read(8)
+    elif t in ("bytes", "string"):
+        buf.read(_read_long(buf))
+    elif t == "fixed":
+        buf.read(schema["size"])
+    elif t == "array":
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                buf.read(_read_long(buf))
+                continue
+            for _ in range(n):
+                _skip(buf, schema["items"])
+    elif t == "map":
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                buf.read(_read_long(buf))
+                continue
+            for _ in range(n):
+                buf.read(_read_long(buf))
+                _skip(buf, schema["values"])
+    elif t == "record":
+        for f in schema["fields"]:
+            _skip(buf, f["type"])
+    else:
+        raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _type_name(schema) -> str:
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"] if isinstance(schema, dict) else schema
+
+
+# writer type → reader types it promotes to (spec "Schema Resolution")
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _reader_match(writer, reader_branches):
+    """First reader-union branch the writer schema resolves against."""
+    wt = _type_name(writer)
+    for rb in reader_branches:
+        rt = _type_name(rb)
+        if rt == wt or rt in _PROMOTIONS.get(wt, ()):
+            return rb
+        if (
+            wt == rt == "record"
+            and writer.get("name", "").split(".")[-1]
+            == rb.get("name", "").split(".")[-1]
+        ):
+            return rb
+    raise ValueError(
+        f"avro resolution: writer {wt} matches no reader branch")
+
+
+def decode_resolved(data: bytes, writer_schema, reader_schema):
+    """Decode bytes written with `writer_schema` into the shape of
+    `reader_schema` — the published Avro 'Schema Resolution' rules:
+    record fields match by name (writer-only fields are skipped,
+    reader-only fields take their defaults), primitives promote
+    (int→long/float/double, long→float/double, float→double,
+    string↔bytes), unions re-resolve per branch, enum symbols must
+    exist in the reader (or its declared default).  This is what
+    schema-registry consumers do on every read when producers have
+    evolved the schema."""
+    buf = BytesIO(data)
+    return _decode_resolved(
+        buf, resolve_names(writer_schema), resolve_names(reader_schema))
+
+
+def _decode_resolved(buf: BytesIO, writer, reader):
+    if isinstance(writer, list):
+        branch = writer[_read_long(buf)]
+        if isinstance(reader, list):
+            return _decode_resolved(
+                buf, branch, _reader_match(branch, reader))
+        return _decode_resolved(buf, branch, reader)
+    if isinstance(reader, list):
+        return _decode_resolved(buf, writer, _reader_match(writer, reader))
+    wt = _type_name(writer)
+    rt = _type_name(reader)
+    if wt == rt and wt not in ("record", "enum", "array", "map"):
+        return _decode(buf, writer)
+    if rt in _PROMOTIONS.get(wt, ()):
+        v = _decode(buf, writer)
+        if rt in ("float", "double"):
+            return float(v)
+        if rt == "long":
+            return int(v)
+        return v  # string<->bytes: both surface as str here
+    if wt == rt == "enum":
+        sym = writer["symbols"][_read_long(buf)]
+        if sym in reader["symbols"]:
+            return sym
+        if "default" in reader:
+            return reader["default"]
+        raise ValueError(
+            f"avro resolution: enum symbol {sym!r} not in reader")
+    if wt == rt == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_decode_resolved(
+                    buf, writer["items"], reader["items"]))
+        return out
+    if wt == rt == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = buf.read(_read_long(buf)).decode("utf-8")
+                out[k] = _decode_resolved(
+                    buf, writer["values"], reader["values"])
+        return out
+    if wt == rt == "record":
+        reader_fields = {}
+        for f in reader["fields"]:
+            reader_fields[f["name"]] = f
+            for alias in f.get("aliases", []):
+                reader_fields[alias] = f
+        out = {}
+        seen = set()
+        for wf in writer["fields"]:
+            rf = reader_fields.get(wf["name"])
+            if rf is None:
+                _skip(buf, wf["type"])
+                continue
+            out[rf["name"]] = _decode_resolved(
+                buf, wf["type"], rf["type"])
+            seen.add(rf["name"])
+        for rf in reader["fields"]:
+            if rf["name"] in seen:
+                continue
+            if "default" not in rf:
+                raise ValueError(
+                    f"avro resolution: reader field {rf['name']!r} "
+                    "missing from writer and has no default")
+            out[rf["name"]] = rf["default"]
+        return out
+    raise ValueError(
+        f"avro resolution: cannot resolve writer {wt} as reader {rt}")
+
+
+def avro_resolved_decode_udf(writer_json: str, reader_json: str):
+    """Avro binary written under `writer_json` → JSON string shaped by
+    `reader_json` (schema resolution applied per record)."""
+    writer = resolve_names(json.loads(writer_json))
+    reader = resolve_names(json.loads(reader_json))
+
+    @pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else json.dumps(
+                _decode_resolved(BytesIO(bytes(b)), writer, reader))
+        )
+
+    return _dec

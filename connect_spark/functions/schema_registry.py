@@ -40,6 +40,11 @@ class RegistrySchema:
     spark_ddl: str
     avro_schema: str | None = None
     proto_messages: tuple = ()
+    # avro only: when a consumer pins a READER schema, payloads decode
+    # through the Avro spec's schema-resolution rules (field defaults,
+    # aliases, promotions) instead of the writer shape — the evolution
+    # behavior every registry consumer relies on
+    reader_schema: str | None = None
 
 
 # --- Confluent protobuf payloads -------------------------------------
@@ -189,11 +194,19 @@ def schema_registry_decode(
         if entry.fmt == "json":
             branch = F.to_json(F.from_json(payload_str, entry.spark_ddl))
         elif entry.fmt == "avro":
-            from connect_spark.functions.avro_codec import avro_decode_udf
+            from connect_spark.functions.avro_codec import (
+                avro_decode_udf,
+                avro_resolved_decode_udf,
+            )
 
+            if entry.reader_schema:
+                dec = avro_resolved_decode_udf(
+                    entry.avro_schema, entry.reader_schema)
+            else:
+                dec = avro_decode_udf(entry.avro_schema)
             branch = F.to_json(
                 F.from_json(
-                    avro_decode_udf(entry.avro_schema)(F.col("_frame.payload")),
+                    dec(F.col("_frame.payload")),
                     entry.spark_ddl,
                 )
             )

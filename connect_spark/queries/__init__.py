@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_topk_quantized",
     "iceberg_delete_roundtrip",
     "sample_stratified",
+    "schema_registry_evolution",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",
@@ -98,11 +99,11 @@ _DRIVER_PRIORITY: list[str] = [
     "unarchive_explode",
     "bounds_check_filter",
     "error_model",
+    # --- 50-slot window boundary (r4-latest remainder below rotates
+    # to the front in round 7) ---
     "join_sharded_full_outer",
     "join_enrichment_lookup",
     "join_semi_big_spenders",
-    # --- 50-slot window boundary (r4-latest remainder below rotates
-    # to the front in round 7) ---
     "join_anti_no_orders",
     "join_star_revenue_by_nation",
     "window_tumbling_hourly",

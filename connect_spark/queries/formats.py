@@ -187,6 +187,71 @@ FROM events
 """
 
 
+_AVRO_READER_V2 = """
+{"type": "record", "name": "Event", "fields": [
+  {"name": "event_id", "type": "long"},
+  {"name": "kind", "type": ["null", "string"],
+   "aliases": ["event_type"], "default": null},
+  {"name": "value", "type": "double"},
+  {"name": "source", "type": "string", "default": "unknown"}
+]}
+"""
+
+
+def schema_registry_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (the Avro spec's Schema Resolution,
+    functions/avro_codec.py::decode_resolved): payloads produced under
+    the v1 writer schema decode through a pinned v2 READER schema —
+    a renamed field resolved via alias (event_type→kind), a brand-new
+    field taking its default ('unknown'), and the writer-only field k
+    skipped.  The oracle supplies the expected evolved shape straight
+    from the base table, so a wrong skip, default, alias, or
+    promotion breaks the hash."""
+    from connect_spark.functions.avro_codec import avro_encode_udf
+    from connect_spark.functions.schema_registry import (
+        RegistrySchema,
+        encode_confluent_frame,
+        schema_registry_decode,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    as_json = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.lit(None).cast("long").alias("k"),
+        )
+    )
+    framed = encode_confluent_frame(
+        avro_encode_udf(_AVRO_SCHEMA)(as_json), schema_id=8
+    )
+    df = ev.withColumn("_framed", framed)
+    ddl = "event_id BIGINT, kind STRING, value DOUBLE, source STRING"
+    out = schema_registry_decode(
+        df,
+        "_framed",
+        {8: RegistrySchema("avro", ddl, _AVRO_SCHEMA,
+                           reader_schema=_AVRO_READER_V2)},
+    )
+    decoded = F.from_json(F.col("decoded"), ddl)
+    return out.select(
+        "event_id",
+        decoded["kind"].alias("kind"),
+        decoded["source"].alias("source"),
+        decoded["value"].alias("sr_value"),
+    )
+
+
+SR_EVOLUTION_SQL = """
+SELECT event_id,
+       event_type AS kind,
+       'unknown' AS source,
+       value AS sr_value
+FROM events
+"""
+
+
 # --- Protobuf (descriptor-based pure-Python codec) ---
 
 _PB_DESC = {
@@ -396,6 +461,8 @@ QUERIES = [
     QuerySpec("json_schema_events", json_schema_events, JSON_SCHEMA_SQL),
     QuerySpec("avro_roundtrip", avro_roundtrip, AVRO_SQL),
     QuerySpec("schema_registry_avro", schema_registry_avro, SR_AVRO_SQL),
+    QuerySpec("schema_registry_evolution", schema_registry_evolution,
+              SR_EVOLUTION_SQL),
     QuerySpec("schema_registry_protobuf", schema_registry_protobuf,
               SR_PB_SQL),
     QuerySpec("protobuf_roundtrip", protobuf_roundtrip, PB_SQL),
