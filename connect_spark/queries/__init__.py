@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "iceberg_delete_roundtrip",
     "sample_stratified",
     "schema_registry_evolution",
+    "multimodal_wav_decode",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

@@ -809,6 +809,68 @@ FROM documents
 """
 
 
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the gate (text/media_codecs.py — no
+    library, no stub): each event synthesizes a deterministic 64-
+    sample PCM16 RIFF/WAVE payload (s_i = ((event_id·7 + i·13) mod
+    256 − 128) · 128), the full encode→container→decode roundtrip
+    runs executor-side through decode_media's real-codec path, and
+    the output reduces to exact integers the oracle recomputes from
+    the same arithmetic — sample-rate/channel plumbing, RIFF chunk
+    walk, and PCM16 decoding are all value-checked."""
+    from connect_spark.text.multimodal import decode_media
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_wav
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    [((int(e) * 7 + i * 13) % 256 - 128) * 128
+                     for i in range(64)],
+                    sample_rate=8000,
+                )
+                for e in pdf["event_id"]
+            ]
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["audio/wav"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    from connect_spark.text.multimodal import MEDIA_SCHEMA
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    out = decode_media(media, decode_stub=False)
+    return out.select(
+        F.col("media_id").alias("event_id"),
+        F.col("width").alias("sample_rate"),
+        F.col("height").alias("n_channels"),
+        F.element_at("feature", 1).cast("bigint").alias("duration_ms"),
+        F.element_at("feature", 2).cast("bigint").alias("n_samples"),
+        F.round(F.element_at("feature", 3) * 32768).cast("bigint")
+            .alias("peak"),
+    )
+
+
+MULTIMODAL_WAV_SQL = """
+SELECT event_id,
+       8000 AS sample_rate,
+       1 AS n_channels,
+       8 AS duration_ms,
+       64 AS n_samples,
+       CAST(list_max(list_transform(range(0, 64),
+             i -> abs(((event_id * 7 + i * 13) % 256 - 128) * 128)))
+            AS BIGINT) AS peak
+FROM events
+"""
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (text/multimodal.py::sample_frames): each media
     row explodes to 4 frames via the one-to-many mapInPandas path; the
@@ -977,6 +1039,8 @@ QUERIES = [
     QuerySpec("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
     QuerySpec("multimodal_meta", multimodal_meta, MULTIMODAL_SQL),
+    QuerySpec("multimodal_wav_decode", multimodal_wav_decode,
+              MULTIMODAL_WAV_SQL),
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL),
     QuerySpec(
         "unicode_segments_docs", unicode_segments_docs, UNICODE_SEGMENTS_SQL

@@ -106,11 +106,48 @@ def _select_decoder(decode_stub):
         return _fake_decode
 
 
+def _bmp_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    from connect_spark.text.media_codecs import decode_bmp
+
+    d = decode_bmp(payload)
+    return d["width"], d["height"], [
+        d["mean_r_x1000"] / 255000.0,
+        d["mean_g_x1000"] / 255000.0,
+        d["mean_b_x1000"] / 255000.0,
+    ]
+
+
+def _wav_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    # width/height carry sample_rate/n_channels for audio; feature is
+    # [duration_ms, n_samples, peak/32768]
+    from connect_spark.text.media_codecs import decode_wav
+
+    d = decode_wav(payload)
+    peak = max((abs(s) for s in d["samples"]), default=0)
+    return d["sample_rate"], d["n_channels"], [
+        float(d["duration_ms"]), float(d["n_samples"]),
+        round(peak / 32768.0, 6),
+    ]
+
+
+# mime → REAL pure-Python decoder (text/media_codecs.py) — these
+# formats never need the stub, whatever decode_stub says
+_REAL_DECODERS = {
+    "image/bmp": _bmp_decode,
+    "image/x-bmp": _bmp_decode,
+    "audio/wav": _wav_decode,
+    "audio/x-wav": _wav_decode,
+    "audio/wave": _wav_decode,
+}
+
+
 def decode_media(df: DataFrame, decode_stub: bool | str = True) -> DataFrame:
     """Decode/feature-extract over the media envelope via mapInPandas
     (Arrow batches; one output row per input row; payload column is
     dropped on output so downstream stages don't drag bytes along).
-    Decoder selection is an executor-side import probe
+    Uncompressed containers (BMP, RIFF/WAVE) ALWAYS decode for real
+    via the repo's own codecs (text/media_codecs.py); for compressed
+    mimes decoder selection is an executor-side import probe
     (`_select_decoder`): PIL when present, deterministic stub
     otherwise — the stub ceiling lifts automatically on a cluster
     with image libs installed."""
@@ -118,7 +155,15 @@ def decode_media(df: DataFrame, decode_stub: bool | str = True) -> DataFrame:
     def decode_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        decoder = _select_decoder(decode_stub)
+        # resolved lazily: an all-real-mime batch must not trip the
+        # decode_stub=False gate for a decoder it never needs
+        _sel: list = []
+
+        def fallback(payload: bytes):
+            if not _sel:
+                _sel.append(_select_decoder(decode_stub))
+            return _sel[0](payload)
+
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
@@ -127,12 +172,13 @@ def decode_media(df: DataFrame, decode_stub: bool | str = True) -> DataFrame:
                     lambda b: 0 if b is None else len(b)
                 ),
             }
-            decoded = pdf["payload"].map(
-                lambda b: decoder(bytes(b or b""))
-            )
-            out["width"] = decoded.map(lambda t: t[0])
-            out["height"] = decoded.map(lambda t: t[1])
-            out["feature"] = decoded.map(lambda t: t[2])
+            decoded = [
+                _REAL_DECODERS.get(mime, fallback)(bytes(b or b""))
+                for mime, b in zip(pdf["mime"], pdf["payload"])
+            ]
+            out["width"] = [t[0] for t in decoded]
+            out["height"] = [t[1] for t in decoded]
+            out["feature"] = [t[2] for t in decoded]
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode_batches, FEATURE_SCHEMA)
