@@ -61,6 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "sample_stratified",
     "schema_registry_evolution",
     "multimodal_wav_decode",
+    "iceberg_upsert_roundtrip",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

@@ -205,6 +205,57 @@ GROUP BY o_orderstatus
 """
 
 
+def iceberg_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes + upsert in the gate
+    (sinks/iceberg_meta.py::upsert — the CDC MERGE composition):
+    orders commits once, then every 'F'-status order upserts again
+    with its price doubled; sequence-number scoping must mask exactly
+    the OLD versions (the re-appended rows survive their own
+    tombstones).  The aggregate over the merged table hash-checks
+    against the oracle computing the same merge arithmetically."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    loc = tempfile.mkdtemp(prefix="iceberg_ups_")
+    try:
+        t = IcebergTable(spark, loc)
+        t.append(orders)
+        t.upsert(
+            orders.filter(F.col("o_orderstatus") == "F").withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2),
+            ["o_orderkey"],
+        )
+        back = t.read()
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ICEBERG_UPSERT_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(CASE WHEN o_orderstatus = 'F'
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def iceberg_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned Iceberg in the gate (identity spec + manifest
     pruning, sinks/iceberg_meta.py): orders commits partitioned by
@@ -271,5 +322,10 @@ QUERIES = [
         "iceberg_delete_roundtrip",
         iceberg_delete_roundtrip,
         ICEBERG_DELETE_SQL,
+    ),
+    QuerySpec(
+        "iceberg_upsert_roundtrip",
+        iceberg_upsert_roundtrip,
+        ICEBERG_UPSERT_SQL,
     ),
 ]
