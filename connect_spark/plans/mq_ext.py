@@ -905,7 +905,36 @@ def _o_websocket(df: DataFrame, c: dict) -> None:
 def _i_websocket(spark: SparkSession, c: dict) -> DataFrame:
     """inputs/websocket.adoc — poll frames through the injectable
     transport (same seam as the output; `open_message` sent first when
-    configured, matching the adoc's connect-handshake field)."""
+    configured, matching the adoc's connect-handshake field).  With
+    `session_path`, recorded RFC 6455 wire bytes decode executor-side
+    instead (functions/websocket_codec.py — handshake skip, masked
+    payloads, fragment reassembly)."""
+    if c.get("session_path"):
+
+        def decode(batches):
+            import pandas as _pd
+
+            from connect_spark.functions.websocket_codec import (
+                OP_TEXT,
+                decode_session,
+            )
+
+            for pdf in batches:
+                contents, metas = [], []
+                for blob in pdf["content"]:
+                    for m in decode_session(bytes(blob)):
+                        contents.append(
+                            m.payload.decode("utf-8", "replace"))
+                        metas.append({
+                            "websocket_opcode":
+                                "text" if m.opcode == OP_TEXT
+                                else "binary"})
+                yield _pd.DataFrame(
+                    {"content": contents, "_meta": metas})
+
+        return _sessions_df(spark, c, "*.ws").mapInPandas(
+            decode, _SESSION_SCHEMA)
+
     from connect_spark.plans.processors_ext import _HTTP_TRANSPORTS
 
     name = c.get("transport", "urllib")
