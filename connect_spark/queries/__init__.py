@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     "schema_registry_evolution",
     "multimodal_wav_decode",
     "iceberg_upsert_roundtrip",
+    "quality_repetition_rules",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

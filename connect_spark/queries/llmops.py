@@ -149,6 +149,111 @@ FROM m
 """
 
 
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's REPETITION rules (Rae et al. 2021 §A1.1, public — the
+    half `quality_gopher_rules` doesn't cover): fraction of the
+    document covered by its most frequent 2-gram and 3-gram, and the
+    fraction of duplicate lines.  High values mark boilerplate /
+    degenerate generations.  One explode + per-(doc, gram) count +
+    per-doc max — a single shuffle keyed by doc_id whose volume is
+    the token stream, exactly like the shingle pipeline; ratios in
+    integer basis points so both engines hash identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    ).filter(F.size("toks") >= 3)
+
+    def gram_top(n: int, alias: str) -> DataFrame:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda j: F.concat_ws(" ", F.slice("toks", j + 1, n)),
+        )
+        ex = base.select(
+            "doc_id", F.explode(grams).alias("g"),
+            (F.size("toks") - n + 1).alias("n_grams"))
+        return (
+            ex.groupBy("doc_id", "n_grams", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                (F.max("c") * 10000 / F.first("n_grams"))
+                .cast("bigint").alias(alias))
+        )
+
+    dup_lines = base.select(
+        "doc_id",
+        (
+            (F.size("lines")
+             - F.size(F.array_distinct("lines"))) * 10000
+            / F.size("lines")
+        ).cast("bigint").alias("dup_line_bp"),
+    )
+    out = (
+        base.select("doc_id")
+        .join(gram_top(2, "top_bigram_bp"), "doc_id")
+        .join(gram_top(3, "top_trigram_bp"), "doc_id")
+        .join(dup_lines, "doc_id")
+    )
+    keep = (
+        (F.col("top_bigram_bp") <= 2000)
+        & (F.col("top_trigram_bp") <= 1800)
+        & (F.col("dup_line_bp") <= 3000)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, ' +') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), base AS (
+  SELECT * FROM t WHERE len(toks) >= 3
+), g2 AS (
+  SELECT doc_id, len(toks) - 1 AS n_grams,
+         unnest(list_transform(range(1, len(toks)),
+                j -> toks[j] || ' ' || toks[j+1])) AS g
+  FROM base
+), top2 AS (
+  SELECT doc_id,
+         CAST(MAX(c) * 10000 // ANY_VALUE(n_grams) AS BIGINT)
+           AS top_bigram_bp
+  FROM (SELECT doc_id, n_grams, g, COUNT(*) AS c
+        FROM g2 GROUP BY 1, 2, 3)
+  GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, len(toks) - 2 AS n_grams,
+         unnest(list_transform(range(1, len(toks) - 1),
+                j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]))
+           AS g
+  FROM base
+), top3 AS (
+  SELECT doc_id,
+         CAST(MAX(c) * 10000 // ANY_VALUE(n_grams) AS BIGINT)
+           AS top_trigram_bp
+  FROM (SELECT doc_id, n_grams, g, COUNT(*) AS c
+        FROM g3 GROUP BY 1, 2, 3)
+  GROUP BY doc_id
+), dl AS (
+  SELECT doc_id,
+         CAST((len(lines) - len(list_distinct(lines))) * 10000
+              // len(lines) AS BIGINT) AS dup_line_bp
+  FROM base
+)
+SELECT b.doc_id, top_bigram_bp, top_trigram_bp, dup_line_bp,
+       CAST(top_bigram_bp <= 2000 AND top_trigram_bp <= 1800
+            AND dup_line_bp <= 3000 AS INT) AS keep
+FROM base b
+JOIN top2 USING (doc_id)
+JOIN top3 USING (doc_id)
+JOIN dl USING (doc_id)
+"""
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, token_mode: str = "ws"
 ) -> DataFrame:
@@ -395,6 +500,8 @@ QUERIES = [
     QuerySpec("sample_stratified", sample_stratified,
               SAMPLE_STRATIFIED_SQL),
     QuerySpec("quality_gopher_rules", quality_gopher_rules, GOPHER_SQL),
+    QuerySpec("quality_repetition_rules", quality_repetition_rules,
+              REPETITION_SQL),
     QuerySpec("pack_sequences", pack_sequences, PACK_SQL),
     QuerySpec("text_token_count_bpe", text_token_count_bpe,
               _bpe_oracle_sql()),
