@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_wav_decode",
     "iceberg_upsert_roundtrip",
     "quality_repetition_rules",
+    "quality_bigram_lm",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

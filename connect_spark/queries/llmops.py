@@ -254,6 +254,60 @@ JOIN dl USING (doc_id)
 """
 
 
+def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring, the CCNet/KenLM idea with exact
+    integer math: train bigram document frequencies on the corpus
+    itself, then score each doc by the mean corpus-df of its DISTINCT
+    bigrams — low scores mark text unlike the rest of the corpus
+    (gibberish, foreign boilerplate), high scores mark boilerplate.
+    Two map-side-combined aggregations and ONE equality join keyed by
+    the bigram — the same shuffle shape as the shingle pipeline; at
+    100 TB you'd train df on a sample and broadcast, which is the
+    same plan with a smaller build side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda j: F.concat_ws(" ", F.slice(toks, j + 1, 2)),
+    )
+    ex = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    df_tbl = ex.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(df_tbl, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("df") * 100 / F.count(F.lit(1)))
+            .cast("bigint").alias("mean_df_x100"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, ' +') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                j -> toks[j] || ' ' || toks[j+1])) AS g
+  FROM t WHERE len(toks) >= 2
+), dfs AS (
+  SELECT g, COUNT(*) AS df FROM g GROUP BY g
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(df) * 100 // COUNT(*) AS BIGINT) AS mean_df_x100,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique
+FROM g JOIN dfs USING (g)
+GROUP BY doc_id
+"""
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, token_mode: str = "ws"
 ) -> DataFrame:
@@ -502,6 +556,7 @@ QUERIES = [
     QuerySpec("quality_gopher_rules", quality_gopher_rules, GOPHER_SQL),
     QuerySpec("quality_repetition_rules", quality_repetition_rules,
               REPETITION_SQL),
+    QuerySpec("quality_bigram_lm", quality_bigram_lm, BIGRAM_LM_SQL),
     QuerySpec("pack_sequences", pack_sequences, PACK_SQL),
     QuerySpec("text_token_count_bpe", text_token_count_bpe,
               _bpe_oracle_sql()),
