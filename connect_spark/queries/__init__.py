@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "iceberg_upsert_roundtrip",
     "quality_repetition_rules",
     "quality_bigram_lm",
+    "dedup_incremental",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

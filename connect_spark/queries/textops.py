@@ -337,6 +337,97 @@ WHERE CAST(floor(i * 10000.0 / (x.n + y.n - i)) AS BIGINT)
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW batch of
+    documents (doc_id % 10 == 0 stands in for today's crawl) probes
+    the EXISTING corpus's LSH band index instead of re-pairing the
+    whole corpus.  The band join is new-side × matching buckets only,
+    so daily cost tracks |batch| × collision rate, not |corpus|²;
+    at 100 TB the corpus bands are a bucketed table the probe joins
+    co-located.  Output: per new doc, its best-matching corpus doc
+    and the verified exact Jaccard (basis points) — ready for a
+    keep/drop decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    # band index over corpus + probe over batch reuse the minhash
+    # machinery; the split is a filter pushed to both sides
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    batch_pairs = (
+        pairs.filter(
+            (F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0))
+        .select(
+            F.when(F.col("doc_a") % 10 == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b")).alias("new_doc"),
+            F.when(F.col("doc_a") % 10 == 0, F.col("doc_b"))
+            .otherwise(F.col("doc_a")).alias("corpus_doc"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("new_doc"), "shingle")
+    b = sh.select(F.col("doc_id").alias("corpus_doc"), "shingle")
+    inter = (
+        batch_pairs.join(a, "new_doc")
+        .join(b, ["corpus_doc", "shingle"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_doc"),
+                         F.col("n").alias("na")), "new_doc")
+        .join(
+            sizes.select(F.col("doc_id").alias("corpus_doc"),
+                         F.col("n").alias("nb")), "corpus_doc")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("i") * 10000.0
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("new_doc").orderBy(
+        F.col("jaccard_bp").desc(), F.col("corpus_doc"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("new_doc", "corpus_doc", "jaccard_bp")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = MINHASH_SQL.replace(
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b",
+    """, pairs AS (
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b""",
+) + f"""
+), xp AS (
+  SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+         CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END
+           AS corpus_doc
+  FROM pairs
+  WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+, inter AS (
+  SELECT xp.new_doc, xp.corpus_doc, count(*) AS i
+  FROM xp
+  JOIN sh a ON a.doc_id = xp.new_doc
+  JOIN sh b ON b.doc_id = xp.corpus_doc AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), scored AS (
+  SELECT new_doc, corpus_doc,
+         CAST(floor(i * 10000.0 / (x.n + y.n - i)) AS BIGINT)
+           AS jaccard_bp
+  FROM inter JOIN sz x ON new_doc = x.doc_id
+             JOIN sz y ON corpus_doc = y.doc_id
+)
+SELECT new_doc, corpus_doc, jaccard_bp FROM (
+  SELECT *, row_number() OVER (PARTITION BY new_doc
+             ORDER BY jaccard_bp DESC, corpus_doc) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
 # --- near-dup cluster resolution (pairs -> one doc per component) ---
 
 def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,6 +1122,9 @@ QUERIES = [
     ),
     QuerySpec(
         "dedup_training_set", dedup_training_set, TRAINING_SET_SQL
+    ),
+    QuerySpec(
+        "dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL
     ),
     QuerySpec("dedup_simhash", dedup_simhash, SIMHASH_SQL),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
