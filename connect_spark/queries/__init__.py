@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_repetition_rules",
     "quality_bigram_lm",
     "dedup_incremental",
+    "html_extract_main",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

@@ -524,6 +524,76 @@ WHERE comp.node IS NULL OR comp.node = comp.cluster_id
 """
 
 
+def html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction from HTML — the boilerplate-removal
+    pass every web-crawl training pipeline runs (trafilatura/jusText
+    family, heuristic form): each doc renders into a page (nav +
+    per-line <p> paragraphs + footer), then extraction strips
+    script/nav/footer blocks, drops remaining tags, and keeps only
+    text lines dense enough to be content (>= 20 chars after trim).
+    Pure Column algebra in the Java-regex ∩ RE2 subset so the oracle
+    applies the IDENTICAL pipeline; zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    safe = F.regexp_replace("text", "[<>]", " ")
+    html = F.concat(
+        F.lit("<html><head><title>doc</title>"
+              "<script>var x = 1;</script></head><body>"
+              "<nav>Home | About | Contact | Login</nav><p>"),
+        F.regexp_replace(safe, "\n", "</p><p>"),
+        F.lit("</p><footer>(c) 2026 Example Corp | Privacy"
+              "</footer></body></html>"),
+    )
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(html, "<script>.*?</script>", " "),
+            "<nav>.*?</nav>|<footer>.*?</footer>", " "),
+        "<[^>]+>", "\n")
+    kept = F.filter(
+        F.transform(F.split(stripped, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) >= 20,
+    )
+    joined = F.array_join(kept, "\n")
+    return docs.select(
+        "doc_id",
+        F.size(kept).alias("n_content_lines"),
+        F.length(joined).alias("content_len"),
+        F.substring(joined, 1, 64).alias("content_head"),
+    )
+
+
+HTML_EXTRACT_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>doc</title><script>var x = 1;</script>'
+         || '</head><body><nav>Home | About | Contact | Login</nav><p>'
+         || regexp_replace(regexp_replace(text, '[<>]', ' ', 'g'),
+                           chr(10), '</p><p>', 'g')
+         || '</p><footer>(c) 2026 Example Corp | Privacy</footer>'
+         || '</body></html>' AS html
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(html, '<script>.*?</script>', ' ', 'g'),
+             '<nav>.*?</nav>|<footer>.*?</footer>', ' ', 'g'),
+           '<[^>]+>', chr(10), 'g') AS stripped
+  FROM h
+), k AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(stripped, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) >= 20) AS kept
+  FROM s
+)
+SELECT doc_id,
+       len(kept) AS n_content_lines,
+       length(array_to_string(kept, chr(10))) AS content_len,
+       substr(array_to_string(kept, chr(10)), 1, 64) AS content_head
+FROM k
+"""
+
+
 # --- simhash fingerprint ---
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,6 +1195,9 @@ QUERIES = [
     ),
     QuerySpec(
         "dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL
+    ),
+    QuerySpec(
+        "html_extract_main", html_extract_main, HTML_EXTRACT_SQL
     ),
     QuerySpec("dedup_simhash", dedup_simhash, SIMHASH_SQL),
     QuerySpec("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_PAIRS_SQL),
