@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_bigram_lm",
     "dedup_incremental",
     "html_extract_main",
+    "q21_suppliers_kept_waiting",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

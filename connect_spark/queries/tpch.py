@@ -32,6 +32,84 @@ def _t(spark, sf_dir, name):
 
 # --- Q4: order priority checking (EXISTS semi join) -----------------
 
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    hardest TPC-H join structure: a fact self-correlation with BOTH an
+    EXISTS and a NOT-EXISTS branch.  The dataset lacks
+    commit/receipt dates, so 'late' re-shapes onto l_returnflag='R'
+    with the SAME operator structure: suppliers of one nation whose
+    RETURNED lineitems sit in finished multi-supplier orders where
+    (EXISTS) another supplier participated but (NOT EXISTS) no other
+    supplier also returned.  Plan: the EXISTS is a left-semi and the
+    NOT EXISTS a left-anti, both equality joins on l_orderkey — no
+    correlated per-row subquery survives into the physical plan, and
+    at 100 TB all three lineitem branches shuffle on the same
+    orderkey key so AQE coalesces them into co-partitioned SMJs."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    late = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey")
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    late_d = late.distinct()
+    l1 = late.alias("l1")
+    # EXISTS: another supplier in the same order
+    with_other = l1.join(
+        others.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier also returned in that order
+    sole_blame = with_other.join(
+        late_d.alias("l3"),
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey"))
+    one_nation = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole_blame.join(finished, "l_orderkey")
+        .join(one_nation,
+              F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders in one quarter that have at least one
     returned lineitem (the dataset's analogue of the late-commit
@@ -596,6 +674,8 @@ GROUP BY c_nationkey
 
 
 QUERIES = [
+    QuerySpec("q21_suppliers_kept_waiting", q21_suppliers_kept_waiting,
+              Q21_SQL),
     QuerySpec("q4_order_priority", q4_order_priority, Q4_SQL),
     QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL,
               headline=True),
