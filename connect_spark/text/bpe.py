@@ -61,9 +61,13 @@ def unicode_to_bytes() -> dict[str, int]:
 # Stdlib-re approximation of the published GPT-2 split regex:
 # contractions, optional-space letter runs, optional-space digit
 # runs, optional-space punctuation runs, whitespace.
+# NOTE: the punctuation run must INCLUDE underscore — GPT-2's class
+# is [^\s\p{L}\p{N}] and '_' is neither letter nor number, but
+# Python's [^\s\w] wrongly excludes it (found by the lossless-ness
+# property test: '_' vanished from the token stream).
 _PRETOKEN_RE = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+",
     re.UNICODE,
 )
 
