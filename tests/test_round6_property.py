@@ -155,3 +155,72 @@ def test_read_committed_equals_manual_filter(spec):
                 expected += [r.offset for r in recs]
     got = decode_segment_read_committed(bytes(seg + markers))
     assert [r.offset for r in got] == sorted(expected)
+
+
+# --- model-based: connected components vs union-find -----------------
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)),
+    min_size=1, max_size=25))
+def test_connected_components_matches_union_find(spark, edges):
+    from connect_spark.operators.cluster import connected_components
+
+    parent = list(range(21))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e if e[0] != e[1]}
+    expected = {n: min(m for m in nodes if find(m) == find(n))
+                for n in nodes}
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(df).collect()}
+    assert got == expected
+
+
+# --- model-based: iceberg upsert/delete vs a dict --------------------
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["upsert", "delete"]),
+              st.lists(st.integers(0, 6), min_size=1, max_size=4)),
+    min_size=1, max_size=6))
+def test_iceberg_merge_matches_dict_model(spark, tmp_path_factory, ops):
+    from pyspark.sql import functions as F
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    loc = str(tmp_path_factory.mktemp("icemodel") / "tbl")
+    t = IcebergTable(spark, loc)
+    model: dict[int, str] = {}
+    version = 0
+    for kind, keys in ops:
+        version += 1
+        if kind == "upsert":
+            rows = [(k, f"v{version}") for k in sorted(set(keys))]
+            t.upsert(spark.createDataFrame(rows, "k long, v string"),
+                     ["k"])
+            for k, v in rows:
+                model[k] = v
+        else:
+            if t.metadata() is None:
+                continue
+            t.delete_by_keys(spark.createDataFrame(
+                [(k,) for k in sorted(set(keys))], "k long"))
+            for k in keys:
+                model.pop(k, None)
+    if t.metadata() is None:
+        return
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == model
