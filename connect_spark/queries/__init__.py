@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_incremental",
     "html_extract_main",
     "q21_suppliers_kept_waiting",
+    "retention_cohorts",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

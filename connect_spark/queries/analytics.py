@@ -173,7 +173,49 @@ GROUP BY 1, 2
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the standard product-analytics matrix: each
+    user joins the cohort of their FIRST active week; cells count
+    distinct users active k weeks after their cohort week.  Two
+    map-side-combined aggregations (per-user min, then per-cell
+    distinct) — both shuffles keyed by user_id then by the
+    (cohort, offset) cell; at 100 TB the per-user reduction shrinks
+    the stream to |users| before the matrix agg sees it."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / (7 * 86400)))
+        .cast("bigint").alias("week"),
+    ).distinct()
+    first = weekly.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(first, "user_id")
+        .withColumn("week_offset",
+                    (F.col("week") - F.col("cohort_week")))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / (7 * 86400)) AS BIGINT) AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY 1
+)
+SELECT cohort_week,
+       week - cohort_week AS week_offset,
+       COUNT(DISTINCT w.user_id) AS n_users
+FROM weekly w JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
+    QuerySpec("retention_cohorts", retention_cohorts, RETENTION_SQL),
     QuerySpec("funnel_signup_view_purchase", funnel_signup_view_purchase, FUNNEL_SQL),
     QuerySpec("sketch_kmv_distinct", sketch_kmv_distinct, KMV_SQL),
     QuerySpec("percentiles_by_type", percentiles_by_type, PERCENTILES_SQL),
