@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: list[str] = [
     "html_extract_main",
     "q21_suppliers_kept_waiting",
     "retention_cohorts",
+    "vocab_top_bigrams",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

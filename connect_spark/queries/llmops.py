@@ -308,6 +308,46 @@ GROUP BY doc_id
 """
 
 
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics — the distributed half of
+    tokenizer training (text/bpe.py trains merges from exactly these
+    counts): top-50 bigrams by corpus frequency with deterministic
+    tie-break.  One map-side-combined count agg; the top-k is a tiny
+    final reduction (50 rows through one exchange) — the plan shape
+    vocabulary construction uses at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda j: F.concat_ws(" ", F.slice(toks, j + 1, 2)),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(50)
+    )
+
+
+VOCAB_SQL = """
+SELECT bigram, freq FROM (
+  SELECT g AS bigram, COUNT(*) AS freq
+  FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  j -> toks[j] || ' ' || toks[j+1])) AS g
+    FROM (SELECT regexp_split_to_array(text, ' +') AS toks
+          FROM documents)
+    WHERE len(toks) >= 2
+  )
+  GROUP BY g
+)
+ORDER BY freq DESC, bigram
+LIMIT 50
+"""
+
+
 def pack_sequences(
     spark: SparkSession, sf_dir: str, token_mode: str = "ws"
 ) -> DataFrame:
@@ -557,6 +597,7 @@ QUERIES = [
     QuerySpec("quality_repetition_rules", quality_repetition_rules,
               REPETITION_SQL),
     QuerySpec("quality_bigram_lm", quality_bigram_lm, BIGRAM_LM_SQL),
+    QuerySpec("vocab_top_bigrams", vocab_top_bigrams, VOCAB_SQL),
     QuerySpec("pack_sequences", pack_sequences, PACK_SQL),
     QuerySpec("text_token_count_bpe", text_token_count_bpe,
               _bpe_oracle_sql()),
