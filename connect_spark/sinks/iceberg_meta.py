@@ -27,7 +27,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1241,6 +1241,34 @@ class IcebergTable:
         if prev is not None and prev.get("current-snapshot-id") is not None:
             self.delete_by_keys(df.select(*key_cols))
         return self.append(df)
+
+    def update_where(self, filters: list[tuple],
+                     set_exprs: dict) -> dict:
+        """Row-level UPDATE (the third v2 DML verb, completing
+        delete_where/upsert): rows matching `filters` are position-
+        deleted and re-appended with `set_exprs` applied (column →
+        Column expression or literal) — copy-on-write for exactly the
+        matching rows, merge-on-read for everything else.  The
+        matching set is materialized (localCheckpoint) BEFORE the
+        tombstones commit, so the transform reads pre-delete state."""
+        prev = self.metadata()
+        if prev is None or prev.get("current-snapshot-id") is None:
+            raise ValueError("iceberg table has no current snapshot")
+        cond = None
+        for col, op, lit in filters:
+            c = F.col(col)
+            piece = {
+                "<": c < lit, "<=": c <= lit, ">": c > lit,
+                ">=": c >= lit, "=": c == lit,
+            }[op]
+            cond = piece if cond is None else (cond & piece)
+        matching = self.read().filter(cond)
+        for col, expr in set_exprs.items():
+            matching = matching.withColumn(
+                col, expr if isinstance(expr, Column) else F.lit(expr))
+        matching = matching.localCheckpoint(eager=True)
+        self.delete_where(filters)
+        return self.append(matching)
 
     def rewrite_data_files(self) -> dict:
         """Compaction: materialize the LIVE rows (all delete files

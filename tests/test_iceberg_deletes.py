@@ -327,3 +327,20 @@ def test_streaming_cdc_to_iceberg_checkpointed(spark, tmp_path):
     got = {r["id"]: r["val"]
            for r in IcebergTable(spark, loc).read().collect()}
     assert got == {1: "a2", 3: "c"}
+
+
+def test_update_where_transforms_matching_rows(spark, tmp_path):
+    t = _table(spark, tmp_path, n=100)
+    t.update_where([("grp", "=", 2)],
+                   {"payload": F.lit("UPDATED")})
+    got = t.read()
+    updated = got.filter(F.col("grp") == 2).collect()
+    assert updated and all(r["payload"] == "UPDATED" for r in updated)
+    assert len(updated) == len([k for k in range(100) if k % 7 == 2])
+    untouched = got.filter(F.col("grp") != 2).collect()
+    assert all(r["payload"] != "UPDATED" for r in untouched)
+    assert got.count() == 100  # row count preserved
+    # updating the updated rows again composes
+    t.update_where([("grp", "=", 2)], {"payload": F.lit("TWICE")})
+    assert t.read().filter(
+        F.col("payload") == "TWICE").count() == len(updated)
