@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q21_suppliers_kept_waiting",
     "retention_cohorts",
     "vocab_top_bigrams",
+    "anomaly_event_spikes",
     "percentiles_by_type",
     "histogram_values",
     "batch_policy_events",

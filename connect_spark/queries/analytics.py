@@ -214,8 +214,63 @@ GROUP BY 1, 2
 """
 
 
+def anomaly_event_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count sits more
+    than 3 population-σ above that event type's hourly mean.  The
+    3σ test runs in EXACT integer arithmetic over counts —
+    (x·n − Σx)² > 9·(n·Σx² − (Σx)²) is algebraically (x − μ)² > 9σ²
+    with no floating point, so both engines flag identical hours.
+    Two aggregations (hour cells, then per-type moments) and one
+    broadcastable join of the tiny stats table back onto the cells."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = hours.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sxx"),
+    )
+    j = hours.join(stats, "event_type")
+    dev = F.col("cnt") * F.col("n") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        j.filter((dev > 0) & (dev * dev > 9 * var_n2))
+        .select(
+            "event_type",
+            F.col("hour").cast("string").alias("hour"),
+            "cnt",
+        )
+    )
+
+
+ANOMALY_SQL = """
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS sx,
+         SUM(cnt * cnt) AS sxx
+  FROM hours GROUP BY 1
+)
+SELECT h.event_type,
+       CAST(h.hour AS VARCHAR) AS hour,
+       h.cnt
+FROM hours h JOIN stats s USING (event_type)
+WHERE (h.cnt * s.n - s.sx) > 0
+  AND (h.cnt * s.n - s.sx) * (h.cnt * s.n - s.sx)
+      > 9 * (s.n * s.sxx - s.sx * s.sx)
+"""
+
+
 QUERIES = [
     QuerySpec("retention_cohorts", retention_cohorts, RETENTION_SQL),
+    QuerySpec("anomaly_event_spikes", anomaly_event_spikes,
+              ANOMALY_SQL),
     QuerySpec("funnel_signup_view_purchase", funnel_signup_view_purchase, FUNNEL_SQL),
     QuerySpec("sketch_kmv_distinct", sketch_kmv_distinct, KMV_SQL),
     QuerySpec("percentiles_by_type", percentiles_by_type, PERCENTILES_SQL),
