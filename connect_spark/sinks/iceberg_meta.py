@@ -1267,8 +1267,15 @@ class IcebergTable:
             matching = matching.withColumn(
                 col, expr if isinstance(expr, Column) else F.lit(expr))
         matching = matching.localCheckpoint(eager=True)
+        spec = self._current_partition_spec()
+        if any(f.get("transform", "identity") != "identity"
+               for f in spec):
+            raise ValueError(
+                "update_where supports identity partition specs")
         self.delete_where(filters)
-        return self.append(matching)
+        return self.append(
+            matching,
+            partition_by=[f["name"] for f in spec] or None)
 
     def rewrite_data_files(self) -> dict:
         """Compaction: materialize the LIVE rows (all delete files

@@ -344,3 +344,21 @@ def test_update_where_transforms_matching_rows(spark, tmp_path):
     t.update_where([("grp", "=", 2)], {"payload": F.lit("TWICE")})
     assert t.read().filter(
         F.col("payload") == "TWICE").count() == len(updated)
+
+
+def test_update_where_on_partitioned_table(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "uptbl"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("bucket"),
+        F.lit("orig").alias("v"),
+    )
+    t.append(df, partition_by=["bucket"])
+    t.update_where([("k", "<", 10)], {"v": F.lit("new")})
+    got = t.read()
+    assert got.count() == 100
+    assert got.filter(F.col("v") == "new").count() == 10
+    assert got.filter(
+        (F.col("k") >= 10) & (F.col("v") != "orig")).count() == 0
+    # partition values preserved through the rewrite
+    assert got.filter(F.col("k") == 4).collect()[0]["bucket"] == "1"
