@@ -1,0 +1,123 @@
+"""Property tests (hypothesis) for the round-5 wire codecs that the
+round-6 additions build on: snappy/LZ4 block compression (the Kafka
+batch codecs ride these), RecordBatch v2 roundtrips across codecs,
+RESP value framing, and the Avro resolution identity (reader ==
+writer must decode exactly like plain decode)."""
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from connect_spark.functions.lz4_codec import (
+    compress as lz4_compress,
+    decompress as lz4_decompress,
+)
+from connect_spark.functions.snappy_codec import (
+    compress as snappy_compress,
+    decompress as snappy_decompress,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=10_000))
+def test_snappy_roundtrips_any_bytes(data):
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.one_of(
+    st.binary(max_size=10_000),
+    # highly repetitive inputs exercise the match/copy paths
+    st.builds(lambda b, n: b * n, st.binary(min_size=1, max_size=20),
+              st.integers(1, 500)),
+))
+def test_lz4_roundtrips_any_bytes(data):
+    assert lz4_decompress(lz4_compress(data)) == data
+
+
+_records = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.binary(max_size=40)),   # key
+        st.one_of(st.none(), st.binary(max_size=200)),  # value
+        st.lists(st.tuples(
+            st.text(max_size=10),
+            st.one_of(st.none(), st.binary(max_size=20))), max_size=3),
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_records, st.sampled_from([0, 1, 2, 3]))
+def test_kafka_batch_roundtrips_any_records(rows, codec):
+    from connect_spark.functions.kafka_records import (
+        KafkaRecord,
+        decode_segment,
+        encode_batch,
+    )
+
+    recs = [
+        KafkaRecord(offset=100 + i, timestamp_ms=1_700_000_000_000 + i,
+                    key=k, value=v, headers=list(h))
+        for i, (k, v, h) in enumerate(rows)
+    ]
+    seg = encode_batch(recs, base_offset=100, codec=codec)
+    got = list(decode_segment(seg))
+    assert [(r.offset, r.key, r.value, r.headers) for r in got] == [
+        (r.offset, r.key, r.value, r.headers) for r in recs]
+
+
+_resp_values = st.recursive(
+    st.one_of(
+        st.none(),
+        st.integers(min_value=-(2 ** 60), max_value=2 ** 60),
+        st.binary(max_size=60),
+    ),
+    lambda kids: st.lists(kids, max_size=5),
+    max_leaves=15,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_resp_values, max_size=6))
+def test_resp_stream_roundtrips(values):
+    from connect_spark.functions.resp_codec import (
+        decode_stream,
+        encode_resp,
+    )
+
+    wire = b"".join(encode_resp(v) for v in values)
+    assert list(decode_stream(wire)) == values
+
+
+_avro_rec = st.fixed_dictionaries({
+    "a": st.integers(min_value=-(2 ** 50), max_value=2 ** 50),
+    "b": st.one_of(st.none(), st.text(max_size=30)),
+    "c": st.lists(st.integers(-1000, 1000), max_size=5),
+})
+
+_AVRO = {
+    "type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": {"type": "array", "items": "int"}},
+    ],
+}
+
+
+@settings(max_examples=100, deadline=None)
+@given(_avro_rec)
+def test_avro_resolution_identity(rec):
+    # reader == writer must behave exactly like the plain decoder
+    from connect_spark.functions.avro_codec import (
+        decode,
+        decode_resolved,
+        encode,
+        resolve_names,
+    )
+
+    schema = resolve_names(json.loads(json.dumps(_AVRO)))
+    raw = encode(rec, schema)
+    assert decode_resolved(raw, _AVRO, _AVRO) == decode(raw, schema)
