@@ -121,3 +121,61 @@ def test_avro_resolution_identity(rec):
     schema = resolve_names(json.loads(json.dumps(_AVRO)))
     raw = encode(rec, schema)
     assert decode_resolved(raw, _AVRO, _AVRO) == decode(raw, schema)
+
+
+_topic = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=1000,
+                           blacklist_characters="#+"),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    st.tuples(_topic, st.binary(max_size=500),
+              st.integers(0, 2), st.booleans()),
+    min_size=1, max_size=8))
+def test_mqtt_session_roundtrips_any_publishes(pubs):
+    from connect_spark.functions.mqtt_codec import (
+        MqttFixtureWriter,
+        decode_session,
+    )
+
+    w = MqttFixtureWriter()
+    w.connect("fuzz")
+    for i, (topic, payload, qos, retain) in enumerate(pubs):
+        w.publish(topic, payload, qos=qos, retain=retain,
+                  packet_id=i + 1 if qos else None)
+    got = [p for p in decode_session(bytes(w.buf))
+           if p.type_name == "publish"]
+    assert [(p.topic, p.payload, p.qos, p.retain) for p in got] == [
+        (t, b, q, r) for t, b, q, r in pubs]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.binary(max_size=6000),       # body (multi-frame at >4096)
+        st.text(min_size=1, max_size=30),  # routing key
+        st.dictionaries(
+            st.text(min_size=1, max_size=10),
+            st.one_of(st.text(max_size=20),
+                      st.integers(-(2 ** 31), 2 ** 31 - 1),
+                      st.booleans()),
+            max_size=3),
+    ),
+    min_size=1, max_size=5))
+def test_amqp09_session_roundtrips_any_deliveries(msgs):
+    from connect_spark.functions.amqp_codec import (
+        AmqpFixtureWriter,
+        decode_session,
+    )
+
+    w = AmqpFixtureWriter()
+    for i, (body, rkey, headers) in enumerate(msgs):
+        w.deliver(body, rkey, delivery_tag=i + 1,
+                  headers=headers or None)
+        if i % 2:
+            w.heartbeat()
+    got = list(decode_session(bytes(w.buf)))
+    assert [(d.body, d.routing_key, d.headers or {}) for d in got] == [
+        (b, r, h) for b, r, h in msgs]
