@@ -179,3 +179,45 @@ def test_amqp09_session_roundtrips_any_deliveries(msgs):
     got = list(decode_session(bytes(w.buf)))
     assert [(d.body, d.routing_key, d.headers or {}) for d in got] == [
         (b, r, h) for b, r, h in msgs]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "delete"]),
+        st.integers(min_value=-(2 ** 40), max_value=2 ** 40),
+        st.text(max_size=40).filter(lambda s: "\x00" not in s),
+        st.integers(min_value=-(2 ** 30), max_value=2 ** 30),
+    ),
+    min_size=1, max_size=10))
+def test_pgoutput_transaction_roundtrips_any_rows(ops):
+    from connect_spark.sources.pgoutput import (
+        OID_INT4,
+        OID_INT8,
+        OID_TEXT,
+        PgoutputFixtureWriter,
+        decode_pgoutput_bytes,
+    )
+
+    w = PgoutputFixtureWriter()
+    w.relation(16385, "fuzz",
+               [("id", OID_INT8), ("name", OID_TEXT),
+                ("qty", OID_INT4)])
+    w.begin(commit_ts_us=1_000_000, xid=1)
+    for kind, i, name, qty in ops:
+        row = {"id": i, "name": name, "qty": qty}
+        if kind == "insert":
+            w.insert(row)
+        else:
+            w.delete({"id": i})
+    w.commit(commit_ts_us=1_000_000)
+    w.copy_done()
+    recs = [r for r in decode_pgoutput_bytes(w.getvalue())
+            if r["operation"] in ("insert", "delete")]
+    assert len(recs) == len(ops)
+    for rec, (kind, i, name, qty) in zip(recs, ops):
+        assert rec["operation"] == kind
+        if kind == "insert":
+            assert rec["after"] == {"id": i, "name": name, "qty": qty}
+        else:
+            assert rec["before"]["id"] == i
