@@ -221,3 +221,40 @@ def test_pgoutput_transaction_roundtrips_any_rows(ops):
             assert rec["after"] == {"id": i, "name": name, "qty": qty}
         else:
             assert rec["before"]["id"] == i
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2 ** 50), max_value=2 ** 50),
+            st.text(max_size=20).filter(lambda s: len(s.encode()) < 64),
+            st.integers(min_value=-(2 ** 31), max_value=2 ** 31 - 1),
+        ),
+        min_size=1, max_size=8),
+    st.booleans(),
+)
+def test_binlog_write_rows_roundtrips_any_values(rows, checksum):
+    from connect_spark.sources.binlog import (
+        BinlogDecoder,
+        BinlogFixtureWriter,
+        T_LONG,
+        T_LONGLONG,
+        T_VARCHAR,
+        decode_binlog_bytes,
+    )
+
+    cols = [("id", T_LONGLONG, 0), ("name", T_VARCHAR, 64),
+            ("qty", T_LONG, 0)]
+    w = BinlogFixtureWriter(ts=1_700_000_000, checksum=checksum)
+    w.begin()
+    w.table_map(101, "shop", "items", cols)
+    w.write_rows([{"id": i, "name": n, "qty": q}
+                  for i, n, q in rows])
+    w.xid(9)
+    dec = BinlogDecoder(column_names={"shop.items": ["id", "name",
+                                                     "qty"]})
+    recs = [r for r in decode_binlog_bytes(w.getvalue(), dec)
+            if r["operation"] == "insert"]
+    assert [(r["after"]["id"], r["after"]["name"], r["after"]["qty"])
+            for r in recs] == rows
