@@ -190,6 +190,14 @@ class PgoutputDecoder:
     # current transaction context from Begin
     _tx_commit_ts_ms: int = 0
     _tx_xid: int = 0
+    # protocol v2 streamed-transaction state (PG 14 streaming of
+    # in-progress large transactions): between StreamStart and
+    # StreamStop every R/I/U/D/T/M message carries an int32
+    # (sub)transaction-id prefix; changes buffer per top-level xid
+    # until StreamCommit emits them (StreamAbort drops one
+    # subtransaction's changes)
+    _stream_xid: int | None = None
+    _stream_buf: dict[int, list] = field(default_factory=dict)
 
     # -- tuple decoding -------------------------------------------------
     def _tuple(self, buf: _Buf, rel: Relation) -> dict[str, Any]:
@@ -219,9 +227,58 @@ class PgoutputDecoder:
 
     # -- message decoding -----------------------------------------------
     def decode_message(self, lsn: int, payload: bytes) -> Iterator[dict]:
-        """Decode ONE pgoutput message; yield 0+ envelope records."""
+        """Decode ONE pgoutput message; yield 0+ envelope records.
+        Protocol v2 stream messages (S/E/c/A) manage the streamed-
+        transaction buffers; everything else defers to the per-tag
+        parser (with the v2 xid prefix consumed inside streams)."""
         buf = _Buf(payload)
         tag = buf.byte()
+        if tag == "S":  # Stream Start: xid, first-segment flag
+            self._stream_xid = buf.i32()
+            buf.u8()
+            return
+        if tag == "E":  # Stream Stop
+            self._stream_xid = None
+            return
+        if tag == "c":  # Stream Commit
+            xid = buf.i32()
+            buf.u8()   # flags
+            buf.i64()  # commit LSN
+            buf.i64()  # end LSN
+            commit_ts_us = buf.i64()
+            ts_ms = (commit_ts_us + PG_EPOCH_US) // 1000
+            yield {
+                "lsn": lsn, "operation": "begin", "table": "",
+                "commit_ts_ms": ts_ms, "before": None, "after": None,
+            }
+            for _sub, rec in self._stream_buf.pop(xid, []):
+                yield dict(rec, commit_ts_ms=ts_ms)
+            yield {
+                "lsn": lsn, "operation": "commit", "table": "",
+                "commit_ts_ms": ts_ms, "before": None, "after": None,
+            }
+            return
+        if tag == "A":  # Stream Abort: top xid + subtransaction xid
+            xid = buf.i32()
+            sub = buf.i32()
+            if xid == sub:  # whole-transaction abort
+                self._stream_buf.pop(xid, None)
+            else:
+                self._stream_buf[xid] = [
+                    (s, r) for s, r in self._stream_buf.get(xid, [])
+                    if s != sub
+                ]
+            return
+        if self._stream_xid is not None and tag in "RIUDTM":
+            sub_xid = buf.i32()
+            recs = list(self._decode_tagged(tag, buf, lsn))
+            self._stream_buf.setdefault(self._stream_xid, []).extend(
+                (sub_xid, r) for r in recs)
+            return
+        yield from self._decode_tagged(tag, buf, lsn)
+
+    def _decode_tagged(self, tag: str, buf: _Buf,
+                       lsn: int) -> Iterator[dict]:
         if tag == "B":  # Begin
             buf.i64()  # final LSN of tx
             commit_ts_us = buf.i64()
@@ -417,8 +474,16 @@ class PgoutputFixtureWriter:
     def __init__(self, start_lsn: int = 1):
         self.frames = bytearray()
         self.lsn = start_lsn
+        self._wstream_sub: int | None = None
 
     def _xlog(self, payload: bytes) -> None:
+        # protocol v2: inside a stream segment, content messages carry
+        # the (sub)transaction xid right after the tag byte
+        if self._wstream_sub is not None and payload[:1] in (
+                b"R", b"I", b"U", b"D", b"T", b"M"):
+            payload = (payload[:1]
+                       + struct.pack(">i", self._wstream_sub)
+                       + payload[1:])
         body = (
             b"w"
             + struct.pack(">qqq", self.lsn, self.lsn, 0)
@@ -426,6 +491,32 @@ class PgoutputFixtureWriter:
         )
         self.frames += b"d" + struct.pack(">i", 4 + len(body)) + body
         self.lsn += 1
+
+    # -- protocol v2 streamed transactions -----------------------------
+
+    def stream_start(self, xid: int, first_segment: bool = True,
+                     sub_xid: int | None = None) -> None:
+        self._wstream_sub = None  # the S message itself is unprefixed
+        self._xlog(b"S" + struct.pack(">i", xid)
+                   + bytes([1 if first_segment else 0]))
+        self._wstream_sub = sub_xid if sub_xid is not None else xid
+
+    def stream_sub(self, sub_xid: int) -> None:
+        """Switch the xid prefix mid-segment (a subtransaction)."""
+        self._wstream_sub = sub_xid
+
+    def stream_stop(self) -> None:
+        self._wstream_sub = None
+        self._xlog(b"E")
+
+    def stream_commit(self, xid: int, commit_ts_us: int) -> None:
+        self._xlog(b"c" + struct.pack(">i", xid) + bytes([0])
+                   + struct.pack(">qqq", self.lsn, self.lsn,
+                                 commit_ts_us))
+
+    def stream_abort(self, xid: int, sub_xid: int | None = None) -> None:
+        self._xlog(b"A" + struct.pack(
+            ">ii", xid, sub_xid if sub_xid is not None else xid))
 
     def relation(self, oid: int, name: str,
                  columns: list[tuple[str, int]],
