@@ -49,7 +49,9 @@ def decode_resp(data: bytes, i: int = 0) -> tuple[Any, int]:
                 f"resp: bulk string at {i} missing CRLF terminator")
         val = data[i:i + n]
         return val, i + n + 2
-    if t == b"*":
+    if t == b"*" or t == b">":
+        # array — and the RESP3 push type (>), which frames pub/sub
+        # deliveries when the client has sent HELLO 3
         n = int(line)
         if n < 0:
             return None, i
@@ -57,12 +59,51 @@ def decode_resp(data: bytes, i: int = 0) -> tuple[Any, int]:
         for _ in range(n):
             v, i = decode_resp(data, i)
             out.append(v)
-        return out, i
+        return RespPush(out) if t == b">" else out, i
+    # --- RESP3 types (redis.io "RESP3 specification") ---
+    if t == b"_":  # null
+        return None, i
+    if t == b"#":  # boolean: #t / #f
+        return line == b"t", i
+    if t == b",":  # double
+        return float(line), i
+    if t == b"(":  # big number
+        return int(line), i
+    if t == b"%":  # map: n key-value PAIRS follow
+        n = int(line)
+        out_m: dict = {}
+        for _ in range(n):
+            k, i = decode_resp(data, i)
+            v, i = decode_resp(data, i)
+            out_m[k if not isinstance(k, bytes)
+                  else k.decode("utf-8", "replace")] = v
+        return out_m, i
+    if t == b"~":  # set → list (order preserved from the wire)
+        n = int(line)
+        out_s = []
+        for _ in range(n):
+            v, i = decode_resp(data, i)
+            out_s.append(v)
+        return out_s, i
+    if t == b"=":  # verbatim string: <len>\r\ntxt:<payload>\r\n
+        n = int(line)
+        if i + n + 2 > len(data) or data[i + n:i + n + 2] != b"\r\n":
+            raise ValueError(f"resp: truncated verbatim string at {i}")
+        val = data[i:i + n]
+        # the 3-char format prefix + ':' is framing, not payload
+        return val[4:] if len(val) >= 4 and val[3:4] == b":" else val, \
+            i + n + 2
     raise ValueError(f"resp: unknown type byte {t!r} at {i}")
 
 
 class RespError(str):
     """A RESP -ERR reply (kept distinct from simple strings)."""
+
+
+class RespPush(list):
+    """A RESP3 push frame (>): out-of-band server-initiated data —
+    pub/sub deliveries under HELLO 3.  A list subclass, so the
+    pub/sub helpers consume RESP2 arrays and RESP3 pushes alike."""
 
 
 def decode_stream(data: bytes) -> Iterator[Any]:

@@ -91,3 +91,41 @@ def test_redis_streams_input_session_path(spark, tmp_path):
     assert rows[0]._meta["region"] == "eu"
     assert rows[0]._meta["redis_stream"] == "orders"
     assert rows[0]._meta["redis_stream_id"] == "1-1"
+
+
+def test_resp3_types_decode():
+    from connect_spark.functions.resp_codec import (
+        RespPush,
+        decode_resp,
+        decode_stream,
+    )
+
+    assert decode_resp(b"_\r\n")[0] is None
+    assert decode_resp(b"#t\r\n")[0] is True
+    assert decode_resp(b"#f\r\n")[0] is False
+    assert decode_resp(b",3.25\r\n")[0] == 3.25
+    assert decode_resp(b"(12345678901234567890\r\n")[0] == \
+        12345678901234567890
+    m, _ = decode_resp(b"%2\r\n$1\r\na\r\n:1\r\n$1\r\nb\r\n:2\r\n")
+    assert m == {"a": 1, "b": 2}
+    s, _ = decode_resp(b"~2\r\n:1\r\n:2\r\n")
+    assert s == [1, 2]
+    v, _ = decode_resp(b"=15\r\ntxt:Some string\r\n")
+    assert v == b"Some string"
+    p, _ = decode_resp(b">3\r\n$7\r\nmessage\r\n$2\r\nch\r\n$2\r\nhi\r\n")
+    assert isinstance(p, RespPush) and p[2] == b"hi"
+    # mixed RESP2/RESP3 stream decodes end to end
+    wire = b":1\r\n_\r\n%1\r\n$1\r\nk\r\n#t\r\n"
+    assert list(decode_stream(wire)) == [1, None, {"k": True}]
+
+
+def test_resp3_push_framed_pubsub():
+    from connect_spark.functions.resp_codec import pubsub_messages
+
+    wire = (b">3\r\n$7\r\nmessage\r\n$4\r\nnews\r\n$5\r\nhello\r\n"
+            b">4\r\n$8\r\npmessage\r\n$3\r\nn.*\r\n$5\r\nnews2\r\n"
+            b"$2\r\nok\r\n")
+    got = list(pubsub_messages(wire))
+    assert got[0] == {"channel": "news", "pattern": None,
+                      "payload": b"hello"}
+    assert got[1]["pattern"] == "n.*" and got[1]["payload"] == b"ok"
