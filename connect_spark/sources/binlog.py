@@ -405,6 +405,25 @@ class BinlogDecoder:
                             (meta_raw.u8() << 8) | meta_raw.u8())
             names = self.column_names.get(
                 f"{schema}.{name}", self.column_names.get(name, []))
+            # MySQL 8.0 optional metadata (binlog_row_metadata=FULL):
+            # after the null-allowed bitmap the event may carry TLV
+            # blocks; COLUMN_NAME (type 4) makes the log
+            # self-describing — embedded names beat the external map
+            if len(cur.b) - cur.i >= (ncols + 7) // 8:
+                cur.take((ncols + 7) // 8)  # null-allowed bitmap
+            embedded: list[str] = []
+            while len(cur.b) - cur.i >= 2:
+                tlv_type = cur.u8()
+                tlv_len = cur.lenenc()
+                tlv = _Cur(cur.take(tlv_len))
+                if tlv_type == 4:  # COLUMN_NAME
+                    while tlv.i < len(tlv.b):
+                        n = tlv.lenenc()
+                        embedded.append(tlv.take(n).decode())
+                # SIGNEDNESS/charset/enum TLVs carry no info the
+                # envelope needs — skipped by the length field
+            if embedded:
+                names = embedded
             self.tables[table_id] = TableMap(
                 table_id, schema, name, ctypes, metas, names)
             return
@@ -570,7 +589,8 @@ class BinlogFixtureWriter:
         self._event(EV_XID, struct.pack("<Q", xid))
 
     def table_map(self, table_id: int, schema: str, name: str,
-                  columns: list[tuple[str, int, int]]) -> None:
+                  columns: list[tuple[str, int, int]],
+                  embed_names: bool = False) -> None:
         """columns: (name, type_code, metadata). Metadata per type:
         VARCHAR max byte length; NEWDECIMAL (precision<<8)|scale;
         BLOB/JSON length-bytes; DATETIME2/TIMESTAMP2 fsp."""
@@ -596,6 +616,13 @@ class BinlogFixtureWriter:
                 meta += bytes([m])
         body += bytes([len(meta)]) + bytes(meta)
         body += bytes((len(columns) + 7) // 8)  # null-allowed bitmap
+        if embed_names:
+            # binlog_row_metadata=FULL COLUMN_NAME TLV: the log names
+            # its own columns, no external mapping needed
+            blob = b"".join(
+                bytes([len(n.encode())]) + n.encode()
+                for n, _t, _m in columns)
+            body += bytes([4, len(blob)]) + blob
         self._event(EV_TABLE_MAP, body)
 
     def _encode_value(self, v: Any, ctype: int, meta: int) -> bytes:

@@ -290,3 +290,22 @@ def test_timestamp2_fraction_padding():
     raw = (1_700_000_000).to_bytes(4, "big") + bytes([5])
     got = dec._value(_Cur(raw), T_TIMESTAMP2, 2)
     assert got == "1700000000.05"
+
+
+def test_table_map_full_metadata_embeds_column_names():
+    """binlog_row_metadata=FULL (MySQL 8.0): the COLUMN_NAME TLV makes
+    the log self-describing — no external column mapping required, and
+    embedded names take precedence over a wrong external map."""
+    w = BinlogFixtureWriter(ts=1_700_000_000)
+    w.begin()
+    w.table_map(101, "shop", "items", COLS, embed_names=True)
+    w.write_rows([{"id": 7, "name": "zoe", "qty": 3}])
+    w.xid(1)
+    # NO external names at all
+    recs = _decode(w, names={})
+    ins = [r for r in recs if r["operation"] == "insert"]
+    assert ins[0]["after"] == {"id": 7, "name": "zoe", "qty": 3}
+    # embedded names beat a conflicting external map
+    recs2 = _decode(w, names={"shop.items": ["x", "y", "z"]})
+    ins2 = [r for r in recs2 if r["operation"] == "insert"]
+    assert ins2[0]["after"] == {"id": 7, "name": "zoe", "qty": 3}
