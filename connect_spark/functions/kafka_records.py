@@ -38,8 +38,9 @@ Layout (big-endian, as on the wire):
 CRC32C is the Castagnoli polynomial (reflected 0x82F63B78),
 table-driven. Compression: gzip via zlib; snappy + lz4(frame) via the
 repo's pure-Python codecs (functions/{snappy,lz4}_codec.py — the
-framings Kafka v2 uses); zstd decodes only if the zstandard package
-happens to be importable (honest gate otherwise).
+framings Kafka v2 uses); zstd via pyarrow's bundled libzstd
+(functions/zstd_codec.py, RFC 8878 frame-header size parse) — all
+five Kafka codecs are real.
 """
 
 from __future__ import annotations
@@ -104,6 +105,10 @@ def _compress(data: bytes, codec: int) -> bytes:
         from connect_spark.functions.lz4_codec import compress
 
         return compress(data)
+    if codec == CODEC_ZSTD:
+        from connect_spark.functions.zstd_codec import compress
+
+        return compress(data)
     raise ValueError(f"kafka: unsupported compression codec {codec}")
 
 
@@ -121,14 +126,9 @@ def _decompress(data: bytes, codec: int) -> bytes:
 
         return decompress(data)
     if codec == CODEC_ZSTD:
-        try:
-            import zstandard  # type: ignore
-        except ImportError as exc:
-            raise ValueError(
-                "kafka: zstd-compressed batch and no zstandard package "
-                "in this environment"
-            ) from exc
-        return zstandard.ZstdDecompressor().decompress(data)
+        from connect_spark.functions.zstd_codec import decompress
+
+        return decompress(data)
     raise ValueError(f"kafka: unknown compression codec {codec}")
 
 
