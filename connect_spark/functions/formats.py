@@ -58,6 +58,10 @@ def _codec_fns(codec: str, direction: str):
         from connect_spark.functions import lz4_codec as _lz
 
         return _lz.compress if direction == "compress" else _lz.decompress
+    if codec == "zstd":
+        from connect_spark.functions import zstd_codec as _zs
+
+        return _zs.compress if direction == "compress" else _zs.decompress
     mod_name, comp, decomp = _CODECS[codec]
     mod = __import__(mod_name)
     return getattr(mod, comp if direction == "compress" else decomp)
