@@ -90,12 +90,71 @@ class MqttPacket:
     packet_id: int | None = None
     client_id: str | None = None
     topics: list[tuple[str, int]] = field(default_factory=list)
+    # MQTT 5 variable-header properties (OASIS MQTT 5.0 §2.2.2 /
+    # §3.3.2.3) — empty for 3.1.1 sessions
+    properties: dict = field(default_factory=dict)
+
+
+# MQTT 5 property identifiers relevant to PUBLISH (§2.2.2.2)
+_PROP_PAYLOAD_FORMAT = 0x01
+_PROP_MESSAGE_EXPIRY = 0x02
+_PROP_CONTENT_TYPE = 0x03
+_PROP_RESPONSE_TOPIC = 0x08
+_PROP_CORRELATION_DATA = 0x09
+_PROP_SUBSCRIPTION_ID = 0x0B
+_PROP_TOPIC_ALIAS = 0x23
+_PROP_USER_PROPERTY = 0x26
+
+
+def _read_props(body: bytes, k: int) -> tuple[dict, int]:
+    """One MQTT 5 property block (varint length + properties)."""
+    plen, k = _dec_remaining(body, k)
+    end = k + plen
+    props: dict = {}
+    user: list[tuple[str, str]] = []
+    while k < end:
+        pid = body[k]
+        k += 1
+        if pid == _PROP_PAYLOAD_FORMAT:
+            props["payload_format"] = body[k]
+            k += 1
+        elif pid == _PROP_MESSAGE_EXPIRY:
+            (props["message_expiry"],) = struct.unpack_from(
+                ">I", body, k)
+            k += 4
+        elif pid == _PROP_TOPIC_ALIAS:
+            (props["topic_alias"],) = struct.unpack_from(">H", body, k)
+            k += 2
+        elif pid in (_PROP_CONTENT_TYPE, _PROP_RESPONSE_TOPIC):
+            v, k = _read_utf8(body, k)
+            props["content_type" if pid == _PROP_CONTENT_TYPE
+                  else "response_topic"] = v
+        elif pid == _PROP_CORRELATION_DATA:
+            (n,) = struct.unpack_from(">H", body, k)
+            props["correlation_data"] = body[k + 2:k + 2 + n]
+            k += 2 + n
+        elif pid == _PROP_SUBSCRIPTION_ID:
+            v, k = _dec_remaining(body, k)
+            props["subscription_id"] = v
+        elif pid == _PROP_USER_PROPERTY:
+            uk, k = _read_utf8(body, k)
+            uv, k = _read_utf8(body, k)
+            user.append((uk, uv))
+        else:
+            raise ValueError(f"mqtt5: unknown property id {pid:#x}")
+    if user:
+        props["user"] = user
+    return props, end
 
 
 def decode_session(data: bytes) -> Iterator[MqttPacket]:
-    """Recorded wire bytes → packets in stream order."""
+    """Recorded wire bytes → packets in stream order.  The CONNECT
+    packet's protocol level selects 3.1.1 or 5 parsing for the rest
+    of the session (v5 adds property blocks to CONNECT and
+    PUBLISH)."""
     i = 0
     n = len(data)
+    level = 4
     while i < n:
         b1 = data[i]
         ptype = b1 >> 4
@@ -113,15 +172,20 @@ def decode_session(data: bytes) -> Iterator[MqttPacket]:
             if qos > 0:
                 (pid,) = struct.unpack_from(">H", body, k)
                 k += 2
+            props: dict = {}
+            if level >= 5:
+                props, k = _read_props(body, k)
             yield MqttPacket(
                 "publish", topic=topic, payload=body[k:], qos=qos,
                 retain=bool(flags & 1), dup=bool(flags & 8),
-                packet_id=pid)
+                packet_id=pid, properties=props)
         elif ptype == CONNECT:
             proto, k = _read_utf8(body, 0)
             level = body[k]
             cflags = body[k + 1]
             k += 4  # level + flags + keepalive
+            if level >= 5:
+                _cprops, k = _read_props(body, k)
             client_id, k = _read_utf8(body, k)
             if proto not in ("MQTT", "MQIsdp"):
                 raise ValueError(f"mqtt: bad protocol name {proto!r}")
@@ -147,13 +211,19 @@ class MqttFixtureWriter:
 
     def __init__(self):
         self.buf = bytearray()
+        self._level = 4
 
     def _packet(self, b1: int, body: bytes) -> None:
         self.buf += bytes([b1]) + _enc_remaining(len(body)) + body
 
-    def connect(self, client_id: str, keepalive: int = 60) -> None:
-        body = (_utf8("MQTT") + bytes([4, 2])
-                + struct.pack(">H", keepalive) + _utf8(client_id))
+    def connect(self, client_id: str, keepalive: int = 60,
+                level: int = 4) -> None:
+        self._level = level
+        body = (_utf8("MQTT") + bytes([level, 2])
+                + struct.pack(">H", keepalive))
+        if level >= 5:
+            body += _enc_remaining(0)  # empty CONNECT properties
+        body += _utf8(client_id)
         self._packet(CONNECT << 4, body)
 
     def connack(self) -> None:
@@ -161,11 +231,36 @@ class MqttFixtureWriter:
 
     def publish(self, topic: str, payload: bytes, qos: int = 0,
                 retain: bool = False, dup: bool = False,
-                packet_id: int | None = None) -> None:
+                packet_id: int | None = None,
+                properties: dict | None = None) -> None:
         flags = (qos << 1) | (1 if retain else 0) | (8 if dup else 0)
         body = _utf8(topic)
         if qos > 0:
             body += struct.pack(">H", packet_id or 1)
+        if self._level >= 5:
+            pb = bytearray()
+            p = properties or {}
+            if "payload_format" in p:
+                pb += bytes([_PROP_PAYLOAD_FORMAT, p["payload_format"]])
+            if "message_expiry" in p:
+                pb += bytes([_PROP_MESSAGE_EXPIRY]) + struct.pack(
+                    ">I", p["message_expiry"])
+            if "content_type" in p:
+                pb += bytes([_PROP_CONTENT_TYPE]) + _utf8(
+                    p["content_type"])
+            if "response_topic" in p:
+                pb += bytes([_PROP_RESPONSE_TOPIC]) + _utf8(
+                    p["response_topic"])
+            if "correlation_data" in p:
+                pb += bytes([_PROP_CORRELATION_DATA]) + struct.pack(
+                    ">H", len(p["correlation_data"])
+                ) + p["correlation_data"]
+            if "topic_alias" in p:
+                pb += bytes([_PROP_TOPIC_ALIAS]) + struct.pack(
+                    ">H", p["topic_alias"])
+            for uk, uv in p.get("user", []):
+                pb += bytes([_PROP_USER_PROPERTY]) + _utf8(uk) + _utf8(uv)
+            body += _enc_remaining(len(pb)) + bytes(pb)
         body += payload
         self._packet((PUBLISH << 4) | flags, body)
 

@@ -216,3 +216,38 @@ def test_nats_hmsg_frames():
     assert msgs[0]["payload"] == payload
     assert msgs[0]["headers"]["Trace-Id"] == "t-9"
     assert msgs[1]["payload"] == b"ok"
+
+
+def test_mqtt5_publish_properties_roundtrip():
+    """MQTT 5 sessions (protocol level 5): the CONNECT level switches
+    the parser; PUBLISH property blocks decode to a dict."""
+    w = MqttFixtureWriter()
+    w.connect("c5", level=5)
+    w.publish("t/a", b'{"v":1}', qos=1, packet_id=3, properties={
+        "content_type": "application/json",
+        "response_topic": "replies/a",
+        "correlation_data": b"\x01\x02",
+        "message_expiry": 120,
+        "payload_format": 1,
+        "user": [("trace", "abc"), ("env", "prod")],
+    })
+    w.publish("t/b", b"plain")  # v5 publish with no properties
+    pkts = [p for p in decode_session(w.getvalue())
+            if p.type_name == "publish"]
+    p = pkts[0].properties
+    assert p["content_type"] == "application/json"
+    assert p["response_topic"] == "replies/a"
+    assert p["correlation_data"] == b"\x01\x02"
+    assert p["message_expiry"] == 120 and p["payload_format"] == 1
+    assert p["user"] == [("trace", "abc"), ("env", "prod")]
+    assert pkts[0].payload == b'{"v":1}'
+    assert pkts[1].properties == {} and pkts[1].payload == b"plain"
+
+
+def test_mqtt311_sessions_unchanged():
+    w = MqttFixtureWriter()
+    w.connect("c4")  # level 4: no property blocks anywhere
+    w.publish("t", b"x", qos=1, packet_id=9)
+    pkts = [p for p in decode_session(w.getvalue())
+            if p.type_name == "publish"]
+    assert pkts[0].payload == b"x" and pkts[0].properties == {}
