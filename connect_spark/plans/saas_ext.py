@@ -676,7 +676,21 @@ processor("jira")(_rest_write_processor(
 def _drive_lookup(df: DataFrame, conf: dict, url_fn, out: str) -> DataFrame:
     t = _row_transport(conf)
     key = conf.get("key_column", "file_id")
-    uniq = [r[0] for r in df.select(key).distinct().collect()]
+    # bounded distinct-collect, same contract as aws_lambda above: an
+    # unbounded file-id keyspace must fail loudly, not flood the
+    # driver's request loop silently at scale
+    bound = int(conf.get("max_unique_payloads", 10_000))
+    uniq = [
+        r[0]
+        for r in df.select(key).distinct().limit(bound + 1).collect()
+    ]
+    if len(uniq) > bound:
+        raise PipelineConfigError(
+            f"google_drive lookup: more than {bound} distinct "
+            f"'{key}' values in one batch; raise max_unique_payloads "
+            "or reduce the lookup keyspace (per-file RPC does not "
+            "scale past the driver's request loop)"
+        )
     fetched = [(k, str(t(url_fn(conf, k), "GET", {}, ""))) for k in uniq]
     rep = df.sparkSession.createDataFrame(
         fetched or [], f"{key} string, {out} string")

@@ -140,9 +140,12 @@ class VectorSink:
                 F.transform(F.col(vector_col), lambda x: x.cast("double")), q
             ),
         )
+        # orderBy().limit(k) compiles to TakeOrderedAndProject — each
+        # partition keeps its local top-k and only k rows ever cross to
+        # the driver-side merge, vs a global row_number window that
+        # forces the whole store through one sorting task. Rank is then
+        # stamped over the k-row result (a k-row single partition is
+        # the point, not a smell).
+        topk = sims.orderBy(F.col("sim").desc(), F.col(self.id_col)).limit(k)
         w = Window.orderBy(F.col("sim").desc(), F.col(self.id_col))
-        return (
-            sims.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .drop("sim")
-        )
+        return topk.withColumn("rank", F.row_number().over(w)).drop("sim")

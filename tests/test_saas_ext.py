@@ -234,6 +234,16 @@ def test_google_drive_processors(spark):
     assert out2.collect()[0].labels.startswith("FILE:")
 
 
+def test_google_drive_lookup_bound_trips(spark):
+    register_http_transport(
+        "fake_drive_b", lambda url, verb, headers, body: "x")
+    df = spark.createDataFrame(
+        [(f"f{i}",) for i in range(5)], "file_id string")
+    with pytest.raises(PipelineConfigError, match="max_unique_payloads"):
+        PROCESSORS["google_drive_download"](
+            df, {"transport": "fake_drive_b", "max_unique_payloads": 3})
+
+
 def test_ai_aliases_and_modalities(spark):
     df = spark.createDataFrame(
         [("summarize the quarterly report",)], "content string")

@@ -58,3 +58,18 @@ def test_vector_sink_upsert_search_delete(spark, tmp_path):
     top2 = sink.search([1.0, 0.0], k=3).collect()
     assert [r.id for r in top2] == [2, 3] or [r.id for r in top2] == [3, 2]
     assert {r.tag for r in top2} == {"y2", "z"}
+
+
+def test_vector_sink_search_plan_takeordered(spark, tmp_path):
+    """search() must TakeOrdered, not sort the whole store in one task."""
+    sink = VectorSink(spark, str(tmp_path / "vecs_p"), id_col="id")
+    sink.upsert(spark.createDataFrame(
+        [Row(id=i, vector=[float(i), 1.0]) for i in range(20)]))
+    res = sink.search([1.0, 0.0], k=3)
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    # the only remaining sort feeds the k-row rank window, never the
+    # full store: no Sort may appear below the TakeOrdered boundary
+    below = plan.split("TakeOrdered", 1)[1]
+    assert "Sort " not in below and "Sort\n" not in below
