@@ -1,0 +1,214 @@
+"""Migrator control plane: schema-registry sync + consumer-group
+offset translation (reference internal/impl/redpanda/migrator/
+migrator_schema_registry.go, migrator_groups.go — offline semantics
+the reference itself tests without brokers in
+migrator_groups_test.go / migrator_schema_registry_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connect_spark.streaming.migrator_control import (
+    GroupsMigratorConfig,
+    MigratorError,
+    RecordedRegistry,
+    SchemaMigratorConfig,
+    SchemaRef,
+    SchemaRegistryMigrator,
+    SubjectSchema,
+    translate_frame_ids,
+    translate_group_offsets,
+)
+
+AV = '{"type":"record","name":"%s","fields":[{"name":"a","type":"int"}]}'
+
+
+def _src_registry() -> RecordedRegistry:
+    src = RecordedRegistry()
+    # base schema referenced by events v2
+    src.add(SubjectSchema("base-value", 1, 50, AV % "Base"))
+    src.add(SubjectSchema("events-value", 1, 10, AV % "EvV1"),
+            compatibility="BACKWARD")
+    src.add(SubjectSchema(
+        "events-value", 2, 12, AV % "EvV2",
+        references=(SchemaRef("Base", "base-value", 1),)))
+    src.add(SubjectSchema("orders-value", 1, 11, AV % "Ord"))
+    src.add(SubjectSchema("tmp-test", 1, 13, AV % "Tmp"))
+    return src
+
+
+def test_schema_sync_translated_ids_refs_first():
+    src = _src_registry()
+    dst = RecordedRegistry()
+    m = SchemaRegistryMigrator(src, dst, SchemaMigratorConfig(
+        translate_ids=True, exclude=(".*-test",)))
+    synced = m.sync()
+    # excluded subject never copied
+    assert "tmp-test" not in dst.subjects()
+    # references created before dependents: base-value exists and
+    # events-value v2's reference resolves in the destination
+    ev2 = dst.schema_by_version("events-value", 2)
+    assert ev2.references[0].subject == "base-value"
+    assert dst.schema_by_version("base-value", 1) is not None
+    # translated ids are destination-assigned (dense from 1)
+    dst_ids = sorted(s.dst_id for s in synced)
+    assert dst_ids == [1, 2, 3, 4]
+    # id map serves the data plane
+    assert m.destination_schema_id(10) == \
+        dst.schema_by_version("events-value", 1).id
+    # compatibility copied per subject
+    assert dst.compatibility["events-value"] == "BACKWARD"
+
+
+def test_schema_sync_fixed_ids_and_conflict():
+    src = _src_registry()
+    dst = RecordedRegistry()
+    m = SchemaRegistryMigrator(src, dst, SchemaMigratorConfig())
+    m.sync()
+    assert dst.schema_by_version("events-value", 2).id == 12
+    # importing a DIFFERENT schema under an existing id fails with the
+    # reference's translate-ids hint
+    with pytest.raises(MigratorError, match="translate-ids"):
+        dst.create_schema_with_id_and_version(
+            "other-value", AV % "Other", 12, 1)
+    # re-sync is idempotent: known subject-versions are skipped
+    assert m.sync() == []
+
+
+def test_schema_sync_subject_rename_and_latest_only():
+    src = _src_registry()
+    dst = RecordedRegistry()
+    m = SchemaRegistryMigrator(src, dst, SchemaMigratorConfig(
+        translate_ids=True, versions="latest",
+        subject_resolver=lambda s: "mig_" + s))
+    m.sync()
+    subs = dst.subjects()
+    assert all(s.startswith("mig_") for s in subs)
+    # latest-only: events-value v1 is NOT copied unless referenced;
+    # v2 lands as version 1 in the destination
+    assert dst.versions("mig_events-value") == [1]
+    # but its reference (base) was still pulled in by the DFS
+    assert "mig_base-value" in subs
+
+
+def test_schema_sync_strict_unknown_id():
+    src = _src_registry()
+    m = SchemaRegistryMigrator(src, RecordedRegistry(),
+                               SchemaMigratorConfig(strict=True,
+                                                    translate_ids=True))
+    m.sync()
+    with pytest.raises(MigratorError, match="not found"):
+        m.destination_schema_id(999)
+    # non-strict passes unknown ids through (mixed-format topics)
+    m.conf.strict = False
+    assert m.destination_schema_id(999) == 999
+
+
+def test_schema_identical_text_shares_destination_id():
+    src = RecordedRegistry()
+    src.add(SubjectSchema("a-value", 1, 7, AV % "Same"))
+    src.add(SubjectSchema("b-value", 1, 8, AV % "Same"))
+    dst = RecordedRegistry()
+    m = SchemaRegistryMigrator(src, dst,
+                               SchemaMigratorConfig(translate_ids=True))
+    synced = m.sync()
+    # Confluent registries assign one global id per schema text
+    assert synced[0].dst_id == synced[1].dst_id
+
+
+def test_translate_frame_ids_spark(spark):
+    src = _src_registry()
+    dst = RecordedRegistry()
+    m = SchemaRegistryMigrator(src, dst,
+                               SchemaMigratorConfig(translate_ids=True))
+    m.sync()
+    id_map = m.id_map_df(spark)
+    rows = [
+        (1, bytes([0, 0, 0, 0, 10]) + b"payload-a"),   # known id 10
+        (2, bytes([0, 0, 0, 0, 99]) + b"payload-b"),   # unknown id
+        (3, b"\x01not-framed"),                         # bad magic
+    ]
+    df = spark.createDataFrame(rows, "i INT, rec BINARY")
+    out = {r.i: bytes(r.rec) for r in
+           translate_frame_ids(df, "rec", id_map).collect()}
+    want_id = m.destination_schema_id(10)
+    assert out[1] == bytes([0, 0, 0, 0, want_id]) + b"payload-a"
+    assert out[2] == rows[1][1]  # unknown id passthrough
+    assert out[3] == rows[2][1]  # unframed passthrough
+    plan = translate_frame_ids(df, "rec", id_map)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def _cluster_fixture(spark):
+    # source log: topic t, partitions 0/1, offsets 0..9, ts = 1000+10*o
+    src = spark.createDataFrame(
+        [("t", p, o, 1000 + 10 * o) for p in (0, 1) for o in range(10)],
+        "topic STRING, partition INT, offset LONG, ts LONG")
+    # destination log: first 3 source records compacted away, offsets
+    # restart at 0 -> dst offset = src offset - 3; carries the source
+    # offset in a header column
+    dst = spark.createDataFrame(
+        [("t", p, o - 3, 1000 + 10 * o, o)
+         for p in (0, 1) for o in range(3, 10)],
+        "topic STRING, partition INT, offset LONG, ts LONG, src_off LONG")
+    return src, dst
+
+
+def test_group_offset_translation_timestamp(spark):
+    src, dst = _cluster_fixture(spark)
+    offsets = spark.createDataFrame(
+        [("g1", "Stable", "t", 0, 7),   # in range -> ts path
+         ("g1", "Stable", "t", 1, 10),  # == end -> allowed
+         ("g2", "Dead", "t", 0, 5),     # Dead dropped
+         ("g3", "Stable", "t", 0, 0),   # <= start dropped
+         ("g4", "Stable", "t", 0, 11),  # > end dropped
+         ("mig", "Stable", "t", 0, 5)],  # migrator's own group
+        "group STRING, state STRING, topic STRING, partition INT,"
+        " committed LONG")
+    out = translate_group_offsets(
+        offsets, src, dst,
+        conf=GroupsMigratorConfig(skip_source_group="mig"))
+    got = {(r.group, r.partition): r.dst_offset for r in out.collect()}
+    # committed=7: prev record 6 has ts 1060; dst first ts>=1060 is
+    # src-record 6 at dst offset 3, tie -> +1 = 4 (= 7-3)
+    assert got == {("g1", 0): 4, ("g1", 1): 7}
+
+
+def test_group_offset_translation_exact_header_and_no_rewind(spark):
+    src, dst = _cluster_fixture(spark)
+    offsets = spark.createDataFrame(
+        [("e1", "Empty", "t", 0, 8),
+         ("e2", "Empty", "t", 1, 6),
+         ("s1", "Stable", "t", 0, 8)],
+        "group STRING, state STRING, topic STRING, partition INT,"
+        " committed LONG")
+    cur = spark.createDataFrame(
+        [("e2", "t", 1, 9)],  # destination already ahead -> skip
+        "group STRING, topic STRING, partition INT, committed LONG")
+    out = translate_group_offsets(
+        offsets, src, dst, dst_committed=cur,
+        conf=GroupsMigratorConfig(offset_header_col="src_off"))
+    got = {(r.group, r.partition): r.dst_offset for r in out.collect()}
+    # exact: dst record with src_off==7 sits at dst offset 4 -> 5
+    assert got == {("e1", 0): 5, ("s1", 0): 5}
+
+
+def test_group_offset_translation_topic_rename_and_filters(spark):
+    src, dst = _cluster_fixture(spark)
+    dst2 = dst.withColumn("topic", F.lit("t2"))
+    offsets = spark.createDataFrame(
+        [("keep-a", "Empty", "t", 0, 5),
+         ("keep-b", "Stable", "t", 0, 5),   # only_empty drops
+         ("drop-x", "Empty", "t", 0, 5)],
+        "group STRING, state STRING, topic STRING, partition INT,"
+        " committed LONG")
+    out = translate_group_offsets(
+        offsets, src, dst2,
+        conf=GroupsMigratorConfig(
+            include=("keep-.*",), exclude=(".*-x",), only_empty=True,
+            topic_map={"t": "t2"}))
+    rows = out.collect()
+    assert [r.group for r in rows] == ["keep-a"]
+    assert rows[0].dst_topic == "t2" and rows[0].dst_offset == 2
