@@ -167,6 +167,7 @@ def all_queries() -> list[QuerySpec]:
         functions as fns,
         joins,
         llmops,
+        migrator_q,
         mq,
         pipeline_q,
         relational,
@@ -184,6 +185,7 @@ def all_queries() -> list[QuerySpec]:
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
         tpch, winfns, pipeline_q, tpch_ps, connectors_q, llmops,
+        migrator_q,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

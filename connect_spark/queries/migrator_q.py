@@ -1,0 +1,313 @@
+"""Migrator control-plane semantics as oracle-checked queries
+(reference internal/impl/redpanda/migrator/ — the flagship migrator's
+schema and consumer-group planes; README.md:3 "topics, schemas, and
+consumer groups").
+
+- `migrator_schema_sync` — a recorded source registry derived from
+  `nation` (one subject per nation, two versions, v2 referencing a
+  shared base schema, an excluded test subject) synced with
+  translate_ids + subject rename into an empty destination. The output
+  is the full id-translation chain. Destination ids are
+  creation-ordered, so the oracle reproduces them with a rank over
+  subject sort order (references-first DFS pins the base schema to
+  id 1).
+- `migrator_id_translate` — the data plane of translate_ids: every
+  `events` record framed with its source schema id (Confluent magic0 +
+  BE32), header rewritten via a broadcast join against the sync's id
+  map; unknown ids (event_id % 7 == 0 -> 999) pass through, per the
+  non-strict contract (migrator_schema_registry.go:1156).
+- `migrator_group_offsets` — timestamp-based offset translation
+  (migrator_groups.go:741) for recorded source/destination logs derived
+  from `events`: the destination is missing each partition's first five
+  records (offsets restart at 0), timestamps TIE in pairs so the
+  timestamp path is genuinely approximate (rewinds one record when a
+  committed boundary splits a tie — the reference's monotonic-ts
+  caveat), and the Empty group refines to the EXACT offset via the
+  source-offset header (tryFindExactOffset:805). Dead groups, excluded
+  groups and out-of-range commits are dropped (ListGroupOffsets,
+  Sync:489-499).
+
+Scale notes: sync output is control-plane-sized (registry entries,
+constant in SF). The data-plane queries scan `events` once each; the
+id map and the offset list broadcast; `translate_group_offsets`
+aggregates min() map-side — no per-offset fetch loop, no global sort
+(the fixture's row_number window partitions by (topic, partition), the
+same keyed shuffle any offset-assignment recording has).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connect_spark.catalog import load_table
+from connect_spark.queries import QuerySpec
+
+_AVRO = ('{"type":"record","name":"%s",'
+         '"fields":[{"name":"a","type":"int"}]}')
+
+
+def _synced_migrator(spark: SparkSession, sf_dir: str):
+    """Build the recorded source registry from `nation` and run a full
+    translated-id sync. nation is a constant 25-row dimension at every
+    SF — collecting it is the control-plane analogue of broadcasting a
+    dim table (the registry itself IS driver-side state, like the
+    iceberg catalog client)."""
+    from connect_spark.streaming.migrator_control import (
+        RecordedRegistry,
+        SchemaMigratorConfig,
+        SchemaRef,
+        SchemaRegistryMigrator,
+        SubjectSchema,
+    )
+
+    nations = sorted(
+        (int(r.n_nationkey), str(r.n_name))
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name").collect())
+
+    src = RecordedRegistry()
+    src.add(SubjectSchema("aaa-base-value", 1, 990, _AVRO % "Base"))
+    for k, name in nations:
+        subj = f"evt-{name}-value"
+        compat = "BACKWARD" if k % 2 == 0 else None
+        src.add(SubjectSchema(subj, 1, 100 + 2 * k, _AVRO % f"Ev{k}V1"),
+                compatibility=compat)
+        src.add(SubjectSchema(
+            subj, 2, 101 + 2 * k, _AVRO % f"Ev{k}V2",
+            references=(SchemaRef("Base", "aaa-base-value", 1),)))
+    src.add(SubjectSchema("zzz-test-value", 1, 980, _AVRO % "Tmp"))
+
+    m = SchemaRegistryMigrator(
+        src, RecordedRegistry(),
+        SchemaMigratorConfig(translate_ids=True, exclude=(".*-test.*",),
+                             subject_resolver=lambda s: "mig_" + s))
+    m.sync()
+    return m
+
+
+def migrator_schema_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _synced_migrator(spark, sf_dir)
+    rows = [
+        (s.src_subject, s.src_version, s.src_id, s.dst_subject,
+         s.dst_version, s.dst_id, s.compatibility)
+        for s in m.known_schemas.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "src_subject STRING, src_version INT, src_id INT,"
+        " dst_subject STRING, dst_version INT, dst_id INT,"
+        " compat STRING")
+
+
+MIGRATOR_SCHEMA_SYNC_SQL = """
+WITH r AS (
+    SELECT n_nationkey AS k, n_name AS name,
+           ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS rnk
+    FROM nation
+)
+SELECT 'aaa-base-value' AS src_subject, 1 AS src_version,
+       990 AS src_id, 'mig_aaa-base-value' AS dst_subject,
+       1 AS dst_version, 1 AS dst_id, CAST(NULL AS VARCHAR) AS compat
+UNION ALL
+SELECT 'evt-' || name || '-value' AS src_subject,
+       v.v AS src_version,
+       CAST(100 + 2 * k + (v.v - 1) AS INT) AS src_id,
+       'mig_evt-' || name || '-value' AS dst_subject,
+       v.v AS dst_version,
+       CAST(2 * rnk + 1 + v.v AS INT) AS dst_id,
+       CASE WHEN k % 2 = 0 THEN 'BACKWARD' END AS compat
+FROM r CROSS JOIN (VALUES (1), (2)) AS v(v)
+"""
+
+
+def migrator_id_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connect_spark.functions.schema_registry import (
+        parse_confluent_frame,
+    )
+    from connect_spark.streaming.migrator_control import (
+        encode_confluent_frame_col,
+        translate_frame_ids,
+    )
+
+    m = _synced_migrator(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type")
+    src_id = F.when(F.col("event_id") % 7 == 0, F.lit(999)).otherwise(
+        (F.lit(100) + 2 * (F.col("event_id") % 25)).cast("int"))
+    framed = ev.select(
+        "event_id",
+        src_id.alias("src_id"),
+        encode_confluent_frame_col(
+            F.col("event_type").cast("binary"), src_id).alias("rec"))
+    out = translate_frame_ids(framed, "rec", m.id_map_df(spark))
+    frame = parse_confluent_frame("rec")
+    return out.select(
+        "event_id", "src_id",
+        frame["schema_id"].alias("dst_id"),
+        frame["payload"].cast("string").alias("payload"))
+
+
+MIGRATOR_ID_TRANSLATE_SQL = """
+WITH r AS (
+    SELECT n_nationkey AS k,
+           ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS rnk
+    FROM nation
+)
+SELECT e.event_id,
+       CASE WHEN e.event_id % 7 = 0 THEN 999
+            ELSE CAST(100 + 2 * (e.event_id % 25) AS INT)
+       END AS src_id,
+       CASE WHEN e.event_id % 7 = 0 THEN 999
+            ELSE CAST(2 * r.rnk + 2 AS INT)
+       END AS dst_id,
+       e.event_type AS payload
+FROM events e JOIN r ON r.k = e.event_id % 25
+"""
+
+
+def migrator_group_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connect_spark.streaming.migrator_control import (
+        GroupsMigratorConfig,
+        translate_group_offsets,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    w = Window.partitionBy("event_type", (F.col("user_id") % 4)) \
+        .orderBy("event_id")
+    src = ev.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+    ).withColumn(
+        "ts", (F.lit(1000) + 10 * F.floor(F.col("offset") / 2))
+        .cast("long"))
+    # destination log: first five records per partition compacted away,
+    # offsets restart at zero; source offset stamped as a header
+    dst = src.filter(F.col("offset") >= 5).select(
+        "topic", "partition",
+        (F.col("offset") - 5).alias("offset"), "ts",
+        F.col("offset").alias("src_off"))
+    counts = src.groupBy("topic", "partition").agg(
+        F.count("*").alias("n"))
+    offsets = counts.select(
+        "topic", "partition",
+        F.explode(F.array(
+            F.struct(F.lit("g-stable").alias("group"),
+                     F.lit("Stable").alias("state"),
+                     F.greatest(F.lit(7),
+                                F.floor((2 * F.col("n")) / 3))
+                     .cast("long").alias("committed")),
+            F.struct(F.lit("g-empty").alias("group"),
+                     F.lit("Empty").alias("state"),
+                     F.greatest(F.lit(7), F.floor(F.col("n") / 2))
+                     .cast("long").alias("committed")),
+            F.struct(F.lit("g-dead").alias("group"),
+                     F.lit("Dead").alias("state"),
+                     F.floor(F.col("n") / 2).cast("long")
+                     .alias("committed")),
+            F.struct(F.lit("skip-grp").alias("group"),
+                     F.lit("Stable").alias("state"),
+                     F.floor(F.col("n") / 2).cast("long")
+                     .alias("committed")),
+            F.struct(F.lit("g-over").alias("group"),
+                     F.lit("Stable").alias("state"),
+                     (F.col("n") + 1).cast("long").alias("committed")),
+        )).alias("g"),
+    ).select("g.group", "g.state", "topic", "partition", "g.committed")
+    out = translate_group_offsets(
+        offsets, src, dst,
+        conf=GroupsMigratorConfig(exclude=("skip-.*",),
+                                  offset_header_col="src_off",
+                                  # fixture sides derive from the
+                                  # events scan: AQE owns the
+                                  # broadcast decision at runtime
+                                  hint_broadcast=False))
+    return out.select("group", "topic", "partition", "src_offset",
+                      "dst_topic", "dst_offset")
+
+
+MIGRATOR_GROUP_OFFSETS_SQL = """
+WITH src AS (
+    SELECT event_type AS topic,
+           CAST(user_id % 4 AS INT) AS partition,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, user_id % 4
+               ORDER BY event_id) - 1 AS off,
+           1000 + 10 * ((ROW_NUMBER() OVER (
+               PARTITION BY event_type, user_id % 4
+               ORDER BY event_id) - 1) // 2) AS ts
+    FROM events
+),
+dst AS (
+    SELECT topic, partition, off - 5 AS off, ts, off AS src_off
+    FROM src WHERE off >= 5
+),
+counts AS (
+    SELECT topic, partition, COUNT(*) AS n FROM src
+    GROUP BY topic, partition
+),
+offs AS (
+    SELECT g.grp AS grp, g.state AS state, topic, partition,
+           CASE g.grp
+               WHEN 'g-stable' THEN GREATEST(7, 2 * n // 3)
+               WHEN 'g-empty' THEN GREATEST(7, n // 2)
+               WHEN 'g-dead' THEN n // 2
+               WHEN 'skip-grp' THEN n // 2
+               ELSE n + 1
+           END AS committed
+    FROM counts CROSS JOIN (VALUES
+        ('g-stable', 'Stable'), ('g-empty', 'Empty'),
+        ('g-dead', 'Dead'), ('skip-grp', 'Stable'),
+        ('g-over', 'Stable')) AS g(grp, state)
+),
+kept AS (
+    SELECT o.* FROM offs o
+    JOIN (SELECT topic, partition, MIN(off) AS s, MAX(off) + 1 AS e
+          FROM src GROUP BY topic, partition) b
+      ON b.topic = o.topic AND b.partition = o.partition
+     AND o.committed > b.s AND o.committed <= b.e
+    WHERE o.state <> 'Dead' AND NOT regexp_matches(o.grp, 'skip-.*')
+),
+with_ts AS (
+    SELECT k.*, s.ts AS src_ts FROM kept k
+    JOIN src s ON s.topic = k.topic AND s.partition = k.partition
+              AND s.off = k.committed - 1
+),
+tsed AS (
+    SELECT t.grp, t.state, t.topic, t.partition, t.committed,
+           t.src_ts,
+           MIN({'ts': d.ts, 'off': d.off}) AS first_pair
+    FROM with_ts t
+    JOIN dst d ON d.topic = t.topic AND d.partition = t.partition
+              AND d.ts >= t.src_ts
+    GROUP BY ALL
+),
+approx AS (
+    SELECT grp, state, topic, partition, committed,
+           CASE WHEN first_pair.ts = src_ts
+                THEN first_pair.off + 1 ELSE first_pair.off
+           END AS ts_off
+    FROM tsed
+)
+SELECT a.grp AS "group", a.topic, a.partition,
+       a.committed AS src_offset, a.topic AS dst_topic,
+       CASE WHEN a.state = 'Empty' AND h.off IS NOT NULL
+            THEN h.off + 1 ELSE a.ts_off
+       END AS dst_offset
+FROM approx a
+LEFT JOIN dst h ON h.topic = a.topic AND h.partition = a.partition
+               AND h.src_off = a.committed - 1 AND a.state = 'Empty'
+"""
+
+
+QUERIES = [
+    QuerySpec("migrator_schema_sync", migrator_schema_sync,
+              MIGRATOR_SCHEMA_SYNC_SQL),
+    QuerySpec("migrator_id_translate", migrator_id_translate,
+              MIGRATOR_ID_TRANSLATE_SQL),
+    QuerySpec("migrator_group_offsets", migrator_group_offsets,
+              MIGRATOR_GROUP_OFFSETS_SQL),
+]

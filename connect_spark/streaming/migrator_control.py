@@ -461,6 +461,12 @@ class GroupsMigratorConfig:
     offset_header_col: Optional[str] = None
     # src topic -> dst topic renames (nameConverter, conv.go:20)
     topic_map: dict[str, str] = field(default_factory=dict)
+    # hint the offset/bounds sides broadcast. True fits the production
+    # contract (admin-API-sized group lists); pass False when the
+    # inputs derive from sf-scaled scans and AQE should own the choice
+    # (it converts to broadcast at runtime when the shuffle stats come
+    # in small)
+    hint_broadcast: bool = True
 
 
 def translate_group_offsets(
@@ -504,6 +510,7 @@ def translate_group_offsets(
     and broadcast into both record scans; records are scanned ONCE each
     with map-side min() aggregation — no per-offset RPC loop."""
     conf = conf or GroupsMigratorConfig()
+    hint = F.broadcast if conf.hint_broadcast else (lambda df: df)
 
     o = offsets
     if conf.include:
@@ -521,7 +528,7 @@ def translate_group_offsets(
     bounds = src_records.groupBy("topic", "partition").agg(
         F.min("offset").alias("_start"),
         (F.max("offset") + 1).alias("_end"))
-    o = (o.join(F.broadcast(bounds), ["topic", "partition"])
+    o = (o.join(hint(bounds), ["topic", "partition"])
          .filter((F.col("committed") > F.col("_start"))
                  & (F.col("committed") <= F.col("_end")))
          .drop("_start", "_end"))
@@ -530,7 +537,7 @@ def translate_group_offsets(
     # offsets side broadcasts into the source-record scan)
     src = src_records.select("topic", "partition", "offset",
                              F.col("ts").alias("_src_ts"))
-    want = F.broadcast(o.withColumn("_prev", F.col("committed") - 1))
+    want = hint(o.withColumn("_prev", F.col("committed") - 1))
     with_ts = want.join(
         src,
         (want["topic"] == src["topic"])
@@ -555,7 +562,7 @@ def translate_group_offsets(
     dst = dst_records.select(
         F.col("topic").alias("_dt"), F.col("partition").alias("_dp"),
         F.col("offset").alias("_do"), F.col("ts").alias("_dts"))
-    w = F.broadcast(with_ts)
+    w = hint(with_ts)
     cand = w.join(
         dst,
         (w["dst_topic"] == dst["_dt"]) & (w["partition"] == dst["_dp"])
@@ -575,7 +582,7 @@ def translate_group_offsets(
             F.col("topic").alias("_ht"), F.col("partition").alias("_hp"),
             F.col("offset").alias("_ho"),
             F.col(conf.offset_header_col).alias("_hsrc"))
-        t = F.broadcast(translated)
+        t = hint(translated)
         translated = t.join(
             hdr,
             (t["dst_topic"] == hdr["_ht"]) & (t["partition"] == hdr["_hp"])
@@ -600,7 +607,7 @@ def translate_group_offsets(
             F.col("partition").alias("_cp"),
             F.col("committed").alias("_cur"))
         result = (result.join(
-            F.broadcast(cur),
+            hint(cur),
             (result["group"] == cur["_cg"])
             & (result["dst_topic"] == cur["_ct"])
             & (result["partition"] == cur["_cp"]), "left")

@@ -48,6 +48,11 @@ def _bounded(node) -> bool:
     kids = _children(node)
     if name in ("GlobalLimit", "LocalLimit", "LocalRelation", "OneRowRelation"):
         return True
+    if name == "LogicalRDD":
+        # createDataFrame over driver-local rows (control-plane state:
+        # id maps, recorded registries) — driver-resident by
+        # construction, cannot be an sf-scaled scan
+        return True
     if name == "Aggregate":
         if node.groupingExpressions().isEmpty():
             return True  # 1-row scalar aggregate
