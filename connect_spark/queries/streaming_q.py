@@ -302,9 +302,110 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def streaming_join_hydration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-stream watermarked join run as a real multi-micro-batch
+    Structured Streaming query — the comments⋈articles hydration of
+    the reference's worked example (config/examples/
+    joining_streams.yaml:23-60, comments hydrated with their parent
+    article from a second stream; there the join is a cache
+    race, here it is engine state).
+
+    Articles (view events) and comments (click events) are staged into
+    4 files EACH and consumed as two independent file streams with
+    maxFilesPerTrigger=1, so matches routinely span micro-batches and
+    the join state store genuinely carries rows across triggers. Both
+    sides carry event-time watermarks and the join condition bounds
+    comment time to [article_ts, article_ts + 24h] — the exact shape
+    Spark needs to evict state at scale (state per key is bounded by
+    the time range, not the stream length). The 90-day watermark
+    exceeds the data span, so nothing real is ever dropped and the
+    drained append-mode sink must hash-equal the batch oracle."""
+    import shutil
+    import tempfile
+
+    _prepare_session(spark)
+    ev = spark.read.parquet(table_path(sf_dir, "events")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    staged = tempfile.mkdtemp(prefix="join_stream_")
+    try:
+        # key by user_id, not event_id: event ids are assigned in time
+        # order (corr ~1 with ts), which would push every same-key pair
+        # outside the 24h join window
+        articles = ev.filter(F.col("event_type") == "view").select(
+            (F.col("user_id") % 300).alias("article_id"),
+            F.col("ts").alias("a_ts"),
+            F.col("user_id").alias("author_id"),
+        )
+        comments = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("comment_id"),
+            (F.col("user_id") % 300).alias("article_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        articles.repartition(4).write.parquet(staged + "/articles")
+        comments.repartition(4).write.parquet(staged + "/comments")
+        a_stream = (
+            spark.readStream
+            .schema("article_id long, a_ts timestamp, author_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged + "/articles")
+            .withWatermark("a_ts", "90 days")
+        )
+        c_stream = (
+            spark.readStream
+            .schema("comment_id long, article_id long, c_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged + "/comments")
+            .withWatermark("c_ts", "90 days")
+        )
+        joined = c_stream.alias("c").join(
+            a_stream.alias("a"),
+            F.expr(
+                "c.article_id = a.article_id AND "
+                "c_ts >= a_ts AND c_ts <= a_ts + INTERVAL 24 HOURS"
+            ),
+        ).select(
+            "comment_id",
+            F.col("c.article_id").alias("article_id"),
+            "author_id",
+            F.col("c_ts").cast("string").alias("comment_ts"),
+            F.col("a_ts").cast("string").alias("article_ts"),
+        )
+        name = "strq_" + uuid.uuid4().hex[:12]
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
+STREAM_JOIN_SQL = """
+SELECT c.event_id AS comment_id,
+       a.user_id % 300 AS article_id,
+       a.user_id AS author_id,
+       CAST(c.ts AS VARCHAR) AS comment_ts,
+       CAST(a.ts AS VARCHAR) AS article_ts
+FROM events c
+JOIN events a
+  ON c.user_id % 300 = a.user_id % 300
+ AND c.ts >= a.ts AND c.ts <= a.ts + INTERVAL 24 HOURS
+WHERE c.event_type = 'click' AND a.event_type = 'view'
+"""
+
+
 QUERIES = [
     QuerySpec("window_tumbling_streamed", window_tumbling_streamed,
               TUMBLING_SQL),
+    QuerySpec("streaming_join_hydration", streaming_join_hydration,
+              STREAM_JOIN_SQL),
     QuerySpec("streaming_dedupe_keys", streaming_dedupe_keys,
               STREAM_DEDUPE_SQL),
     QuerySpec("streaming_running_totals", streaming_running_totals,
