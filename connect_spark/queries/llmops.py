@@ -492,6 +492,26 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING as a distributed iterative Spark job
+    (text/bpe_train.py): one corpus pass builds the vocabulary-sized
+    word-count table, then each merge round is a map-side-combined
+    pair count + TakeOrdered argmax + pure-Column merge fold — the
+    driver holds only the learned merge table. Bit-identical to the
+    in-process trainer (tests/test_bpe_train_spark.py parity);
+    deterministic tie-break (count desc, pair asc), so the output is
+    stable. Iterative and therefore not SQL-expressible — registered
+    with the rows-only driver check; the pytest parity gate is the
+    correctness anchor."""
+    from connect_spark.text.bpe_train import train_bpe_spark
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = train_bpe_spark(docs, "text", 16)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING")
+
+
 def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination: documents sharing 13-gram word
     sequences with a held-out 'benchmark' set (docs with doc_id % 50
@@ -599,6 +619,7 @@ QUERIES = [
     QuerySpec("quality_bigram_lm", quality_bigram_lm, BIGRAM_LM_SQL),
     QuerySpec("vocab_top_bigrams", vocab_top_bigrams, VOCAB_SQL),
     QuerySpec("pack_sequences", pack_sequences, PACK_SQL),
+    QuerySpec("bpe_train_distributed", bpe_train_distributed, None),
     QuerySpec("text_token_count_bpe", text_token_count_bpe,
               _bpe_oracle_sql()),
     QuerySpec("contamination_13gram", contamination_13gram,
