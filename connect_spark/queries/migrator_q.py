@@ -295,11 +295,11 @@ approx AS (
 SELECT a.grp AS "group", a.topic, a.partition,
        a.committed AS src_offset, a.topic AS dst_topic,
        CASE WHEN a.state = 'Empty' AND h.off IS NOT NULL
-            THEN h.off + 1 ELSE a.ts_off
+            THEN h.off ELSE a.ts_off
        END AS dst_offset
 FROM approx a
 LEFT JOIN dst h ON h.topic = a.topic AND h.partition = a.partition
-               AND h.src_off = a.committed - 1 AND a.state = 'Empty'
+               AND h.src_off = a.committed AND a.state = 'Empty'
 """
 
 

@@ -216,8 +216,12 @@ def build_bdec_blob(
         write_statistics=True, data_page_version="1.0")
     raw = buf.getvalue()
     unencrypted_len = len(raw)
+    # totalUncompressedSize(parquetMetadata) (streaming.go:529): the
+    # sum of row-group uncompressed byte sizes from the file we just
+    # wrote — NOT an in-memory estimate.
+    meta = pq.ParquetFile(io.BytesIO(raw)).metadata
     uncompressed = sum(
-        series.memory_usage(deep=True) for _, series in norm.items())
+        meta.row_group(i).total_byte_size for i in range(meta.num_row_groups))
 
     encrypted = encrypt_bdec(raw, encryption_key_b64, blob_path)
     eps_columns = {

@@ -534,18 +534,20 @@ def translate_group_offsets(
          .drop("_start", "_end"))
 
     # timestamp of the record at committed-1 (equality join; the small
-    # offsets side broadcasts into the source-record scan)
-    src = src_records.select("topic", "partition", "offset",
-                             F.col("ts").alias("_src_ts"))
+    # offsets side broadcasts into the source-record scan). The source
+    # side is renamed _st/_sp/_so so the join keys are unambiguous even
+    # when offsets and src_records share lineage (self-join fixtures).
+    src = src_records.select(
+        F.col("topic").alias("_st"), F.col("partition").alias("_sp"),
+        F.col("offset").alias("_so"), F.col("ts").alias("_src_ts"))
     want = hint(o.withColumn("_prev", F.col("committed") - 1))
     with_ts = want.join(
         src,
-        (want["topic"] == src["topic"])
-        & (want["partition"] == src["partition"])
-        & (want["_prev"] == src["offset"]),
-    ).select(want["group"], want["state"], want["topic"],
-             want["partition"], want["committed"], want["_prev"],
-             src["_src_ts"])
+        (F.col("topic") == F.col("_st"))
+        & (F.col("partition") == F.col("_sp"))
+        & (F.col("_prev") == F.col("_so")),
+    ).select("group", "state", "topic", "partition", "committed",
+             "_prev", "_src_ts")
 
     # destination topic rename (nameConverter)
     if conf.topic_map:
@@ -565,8 +567,9 @@ def translate_group_offsets(
     w = hint(with_ts)
     cand = w.join(
         dst,
-        (w["dst_topic"] == dst["_dt"]) & (w["partition"] == dst["_dp"])
-        & (dst["_dts"] >= w["_src_ts"]),
+        (F.col("dst_topic") == F.col("_dt"))
+        & (F.col("partition") == F.col("_dp"))
+        & (F.col("_dts") >= F.col("_src_ts")),
     )
     first = (cand.groupBy("group", "state", "topic", "partition",
                           "committed", "_prev", "_src_ts", "dst_topic")
@@ -576,7 +579,13 @@ def translate_group_offsets(
         F.when(F.col("_first._dts") == F.col("_src_ts"),
                F.col("_first._do") + 1).otherwise(F.col("_first._do")))
 
-    # exact refinement for Empty groups via the source-offset header
+    # exact refinement for Empty groups via the source-offset header:
+    # tryFindExactOffset:805 locates the DESTINATION record whose
+    # header equals the committed offset and commits that destination
+    # offset directly (committed = next-to-consume on both sides).
+    # Joining at committed — not committed-1 — keeps the exact path
+    # alive when the committed-1 record was compacted away but the
+    # committed record survives; ts translation is the fallback.
     if conf.offset_header_col:
         hdr = dst_records.select(
             F.col("topic").alias("_ht"), F.col("partition").alias("_hp"),
@@ -585,12 +594,14 @@ def translate_group_offsets(
         t = hint(translated)
         translated = t.join(
             hdr,
-            (t["dst_topic"] == hdr["_ht"]) & (t["partition"] == hdr["_hp"])
-            & (t["_prev"] == hdr["_hsrc"]) & (t["state"] == "Empty"),
+            (F.col("dst_topic") == F.col("_ht"))
+            & (F.col("partition") == F.col("_hp"))
+            & (F.col("committed") == F.col("_hsrc"))
+            & (F.col("state") == "Empty"),
             "left",
         ).withColumn(
             "dst_offset",
-            F.coalesce(F.col("_ho") + 1, F.col("dst_offset_ts")),
+            F.coalesce(F.col("_ho"), F.col("dst_offset_ts")),
         ).drop("_ht", "_hp", "_ho", "_hsrc")
     else:
         translated = translated.withColumn(

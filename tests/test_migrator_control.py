@@ -191,8 +191,38 @@ def test_group_offset_translation_exact_header_and_no_rewind(spark):
         offsets, src, dst, dst_committed=cur,
         conf=GroupsMigratorConfig(offset_header_col="src_off"))
     got = {(r.group, r.partition): r.dst_offset for r in out.collect()}
-    # exact: dst record with src_off==7 sits at dst offset 4 -> 5
+    # exact (tryFindExactOffset): dst record with src_off==committed==8
+    # sits at dst offset 5 -> commit 5 directly
     assert got == {("e1", 0): 5, ("s1", 0): 5}
+
+
+def test_group_offset_exact_survives_compacted_prev(spark):
+    """tryFindExactOffset:805 joins header == committed (not
+    committed-1): when the committed-1 record was compacted away in the
+    destination but the committed record survives, the exact path still
+    fires — and beats the ts path, which ties backwards here."""
+    src = spark.createDataFrame(
+        [("t", 0, o, 1000 + 10 * (o // 2)) for o in range(10)],
+        "topic STRING, partition INT, offset LONG, ts LONG")
+    # destination kept only EVEN source offsets (compaction), offsets
+    # re-densified; source offset carried as a header
+    dst = spark.createDataFrame(
+        [("t", 0, i, 1000 + 10 * (o // 2), o)
+         for i, o in enumerate(range(0, 10, 2))],
+        "topic STRING, partition INT, offset LONG, ts LONG, src_off LONG")
+    offsets = spark.createDataFrame(
+        [("e", "Empty", "t", 0, 6)],  # committed-1=5 compacted, 6 kept
+        "group STRING, state STRING, topic STRING, partition INT,"
+        " committed LONG")
+    out = translate_group_offsets(
+        offsets, src, dst,
+        conf=GroupsMigratorConfig(offset_header_col="src_off"))
+    rows = out.collect()
+    # exact: dst record with src_off==6 is at dst offset 3.  The ts
+    # path would say: src ts at offset 5 is 1020; first dst ts >= 1020
+    # is dst offset 2 (src 4), tie -> 3 — but only the header join is
+    # GUARANTEED exact under compaction; assert it fired.
+    assert [(r.group, r.dst_offset) for r in rows] == [("e", 3)]
 
 
 def test_group_offset_translation_topic_rename_and_filters(spark):
