@@ -442,12 +442,54 @@ def _o_snowflake_put(df: DataFrame, c: dict) -> None:
 
 @output_kind("snowflake_streaming")
 def _o_snowflake_streaming(df: DataFrame, c: dict) -> None:
-    """outputs/snowflake_streaming.adoc — Snowpipe-streaming channel
-    appends: rows append under the channel's directory with the
-    channel name stamped (offset continuation is the WAL's job)."""
-    df.withColumn(
-        "_channel", F.lit(c.get("channel_name", "default"))
-    ).write.mode("append").parquet(c["stage_path"])
+    """outputs/snowflake_streaming.adoc — Snowpipe Streaming channel
+    appends built as REAL bdec blobs (streaming.go:462-545): each
+    executor partition writes one zstd-parquet chunk encrypted with the
+    path-diversified AES-256-CTR key (compat.go:55-87) under
+    `<stage_path>/blobs/`, chunk-registration rows land as parquet
+    under `<stage_path>/chunks/`, and the registerBlobRequest JSON
+    (rest.go:222-236) — driver-assembled from the partition-count-sized
+    chunk rows, the same control-plane shape as an iceberg commit —
+    is written to `<stage_path>/register.json`. Live HTTPS registration
+    is the one sandbox-gated step."""
+    import base64
+    import json as _json
+    import os
+
+    from connect_spark.sinks.snowflake_ingest import (
+        bdec_chunks,
+        blob_metadata,
+        register_blob_request,
+    )
+
+    stage = c["stage_path"]
+    key = c.get("encryption_key",
+                base64.b64encode(bytes(32)).decode())
+    channel = c.get("channel_name", "default")
+    chunks = bdec_chunks(df, key, client_prefix=channel,
+                         stage_dir=os.path.join(stage, "blobs"))
+    meta = chunks.drop("blob").cache()
+    meta.write.mode("append").parquet(os.path.join(stage, "chunks"))
+    blobs = [
+        blob_metadata(
+            r.blob_path, b"", {
+                "chunk_start_offset": 0,
+                "chunk_length": r.chunk_length,
+                "chunk_length_uncompressed": r.chunk_length_uncompressed,
+                "chunk_md5": r.chunk_md5,
+                "eps": _json.loads(r.eps_json),
+            },
+            database=c.get("database", "db"),
+            schema=c.get("schema", "public"),
+            table=c.get("table", "t"), channel=channel,
+        ) | {"md5": r.blob_md5}
+        for r in meta.collect()  # one row per partition: control plane
+    ]
+    with open(os.path.join(stage, "register.json"), "w") as f:
+        f.write(register_blob_request(
+            blobs, request_id=c.get("request_id", "req-0"),
+            role=c.get("role", "ingest")))
+    meta.unpersist()
 
 
 @output_kind("arc")

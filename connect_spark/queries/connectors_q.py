@@ -472,7 +472,36 @@ FROM events
 """
 
 
+def snowflake_bdec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowpipe Streaming bdec blob path, executor-side and verified
+    in-flight (sinks/snowflake_ingest.py vs the reference's
+    internal/impl/snowflake/streaming/streaming.go:462-545,
+    compat.go:55-137, rest.go:222-236): every `orders` partition is
+    built into a zstd-parquet chunk with primaryFileId + EP stats,
+    AES-256-CTR-encrypted with the path-diversified key, then
+    decrypted and parquet-read back with chunk-MD5 / uncompressed-size
+    / EP re-verification before the rows are yielded. A green oracle
+    row therefore pins the full encode+encrypt+register metadata
+    contract bit-exactly. Scale: no shuffle — one Arrow pass per
+    partition, identical to the reference's per-channel builders."""
+    import base64
+
+    from connect_spark.sinks.snowflake_ingest import bdec_roundtrip
+
+    key = base64.b64encode(bytes(range(32))).decode()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    return bdec_roundtrip(orders, key)
+
+
+SNOWFLAKE_BDEC_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
 QUERIES = [
+    QuerySpec("snowflake_bdec_roundtrip", snowflake_bdec_roundtrip,
+              SNOWFLAKE_BDEC_SQL),
     QuerySpec("amqp_envelope_events", amqp_envelope_events,
               AMQP_ENVELOPE_SQL),
     QuerySpec("mongo_filter_orders", mongo_filter_orders,

@@ -291,7 +291,8 @@ def register_blob_request(blobs: list[dict], *, request_id: str,
 
 _CHUNK_SCHEMA = (
     "blob_path STRING, blob_md5 STRING, chunk_md5 STRING,"
-    " chunk_length LONG, rows LONG, eps_json STRING, blob BINARY"
+    " chunk_length LONG, chunk_length_uncompressed LONG, rows LONG,"
+    " eps_json STRING, blob BINARY"
 )
 
 
@@ -333,9 +334,65 @@ def bdec_chunks(
             "blob_md5": [md5_hex(encrypted)],
             "chunk_md5": [chunk["chunk_md5"]],
             "chunk_length": [chunk["chunk_length"]],
+            "chunk_length_uncompressed":
+                [chunk["chunk_length_uncompressed"]],
             "rows": [chunk["eps"]["rows"]],
             "eps_json": [json.dumps(chunk["eps"], sort_keys=True)],
             "blob": [encrypted],
         })
 
     return df.mapInPandas(build, _CHUNK_SCHEMA)
+
+
+def bdec_roundtrip(
+    df: DataFrame,
+    encryption_key_b64: str,
+    *,
+    client_prefix: str = "rt",
+    now_s: int = 1_700_000_000,
+) -> DataFrame:
+    """Executor-side proof of the full bdec path: per partition, build
+    the encrypted blob exactly as `bdec_chunks` would, then decrypt +
+    parquet-read it back and re-verify every registration artifact —
+    chunk MD5 (streaming.go:531), primaryFileId (streaming.go:462),
+    totalUncompressedSize (streaming.go:529) and the per-column EP
+    stats (stats.go computeColumnEpInfo) — before yielding the decoded
+    rows. Any deviation raises in the executor, so a green oracle row
+    pins encrypt/decrypt/parquet/EP parity end-to-end. No shuffle: one
+    Arrow pass per partition, rows out == rows in."""
+    orig_cols = list(df.columns)
+
+    def run(it):
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in it if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        path = generate_blob_path(client_prefix, pid, 1, now_s)
+        encrypted, chunk = build_bdec_blob(pdf, path, encryption_key_b64)
+        if md5_hex(encrypted[:chunk["chunk_length"]]) != chunk["chunk_md5"]:
+            raise ValueError("bdec chunk md5 mismatch")
+        raw = decrypt_bdec(encrypted, encryption_key_b64,
+                           path)[:chunk["chunk_length"]]
+        pf = pq.ParquetFile(io.BytesIO(raw))
+        kv = pf.metadata.metadata or {}
+        if kv.get(b"primaryFileId", b"").decode() != path.rsplit("/", 1)[-1]:
+            raise ValueError("bdec primaryFileId mismatch")
+        uncompressed = sum(pf.metadata.row_group(i).total_byte_size
+                           for i in range(pf.metadata.num_row_groups))
+        if uncompressed != chunk["chunk_length_uncompressed"]:
+            raise ValueError("bdec uncompressed-length mismatch")
+        out = pf.read().to_pandas()
+        if len(out) != chunk["eps"]["rows"]:
+            raise ValueError("bdec row-count mismatch")
+        for i, name in enumerate(out.columns):
+            if (column_ep_properties(out[name], i + 1)
+                    != chunk["eps"]["columns"][name]):
+                raise ValueError(f"bdec EP mismatch for column {name}")
+        out.columns = orig_cols  # undo Snowflake normalization
+        yield out
+
+    return df.mapInPandas(run, df.schema)

@@ -140,9 +140,14 @@ def test_snowflake_put_stages_files(spark, tmp_path):
         r.id for r in spark.read.parquet(stage).collect()) == [1, 2]
     OUTPUT_KINDS["snowflake_streaming"](
         df, {"stage_path": stage + "2", "channel_name": "ch1"})
-    got = spark.read.parquet(stage + "2")
-    assert got.columns[-1] == "_channel"
-    assert {r._channel for r in got.collect()} == {"ch1"}
+    # bdec contract: chunk-registration rows + staged encrypted blobs +
+    # registerBlobRequest JSON (full parity in test_snowflake_ingest.py)
+    import os
+
+    got = spark.read.parquet(stage + "2/chunks")
+    assert sum(r.rows for r in got.collect()) == 2
+    assert os.path.exists(stage + "2/register.json")
+    assert os.listdir(stage + "2/blobs")
 
 
 def test_es_bulk_and_aliases(spark):
