@@ -38,66 +38,24 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 6 rotation (standing policy: oldest driver verification
-    # first). Order: (a) the queries with NO driver row —
-    # pack_sequences leads (red r5, fixed this round: shard window +
-    # oracle BIGINT cast) followed by the new round-6 rows (cluster
-    # resolution + training-set dedup, BPE vectors, AMQP 1.0 /
-    # Pulsar / broker wire decodes, Kafka read_committed); (b) the 28
-    # queries whose latest green is r3; (c) the oldest r4-latest
-    # remainder, registry-stable, filling the 50-slot window.  The
-    # r4-latest overflow rotates to the front next round, keeping
-    # every query ≤2 rounds from its last green.
-    "pack_sequences",
-    "dedup_cluster_resolve",
-    "text_token_count_bpe",
-    "amqp1_envelope_decode",
-    "kafka_read_committed",
-    "pulsar_envelope_decode",
-    "broker_wire_roundtrip",
-    "dedup_training_set",
-    "ann_topk_quantized",
-    "iceberg_delete_roundtrip",
-    "sample_stratified",
-    "schema_registry_evolution",
-    "multimodal_wav_decode",
-    "iceberg_upsert_roundtrip",
-    "quality_repetition_rules",
-    "quality_bigram_lm",
-    "dedup_incremental",
-    "html_extract_main",
-    "q21_suppliers_kept_waiting",
-    "retention_cohorts",
-    "vocab_top_bigrams",
-    "anomaly_event_spikes",
-    "percentiles_by_type",
-    "histogram_values",
-    "batch_policy_events",
-    "cdc_materialize_orders",
-    "mq_subject_route",
-    "ai_chat_extract",
-    "ai_embed_rerank",
-    "jq_project_events",
-    "jwt_sign_matrix",
-    "bloblang_eval_dynamic",
-    "awk_extract_events",
-    "geoip_enrich_events",
-    "js_transform_events",
-    "window_tumbling_streamed",
-    "streaming_dedupe_keys",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_disjunctive_revenue",
-    "q22_sales_opportunity",
-    "fn_window_matrix",
+    # Round 8 rotation (standing policy: oldest driver verification
+    # first — the r7 failure-to-rotate left this window identical to
+    # r6's, so r8 front-loads the backlog). Order: (a) the 5 round-7
+    # queries that have NEVER had a driver row (migrator control
+    # plane, stream-stream join, BPE training) plus the 3 new round-8
+    # queries (snowflake bdec roundtrip, composed migrator
+    # end-to-end, BPE train parity); (b) the 42 oldest r4-latest
+    # entries.  The 8 r4-latest remainder + the 49 r5-latest queries
+    # queue below the boundary for round 9; the 50 r7-verified
+    # queries are unlisted and sort last (registry order).
+    "migrator_schema_sync",
+    "migrator_id_translate",
+    "migrator_group_offsets",
+    "streaming_join_hydration",
+    "bpe_train_distributed",
+    "snowflake_bdec_roundtrip",
+    "migrator_end_to_end",
+    "bpe_train_parity",
     "mapping_project",
     "mutation_enrich",
     "switch_route",
@@ -109,8 +67,6 @@ _DRIVER_PRIORITY: list[str] = [
     "unarchive_explode",
     "bounds_check_filter",
     "error_model",
-    # --- 50-slot window boundary (r4-latest remainder below rotates
-    # to the front in round 7) ---
     "join_sharded_full_outer",
     "join_enrichment_lookup",
     "join_semi_big_spenders",
@@ -142,6 +98,8 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_yaml_route",
     "parse_log_events",
     "iceberg_partitioned_scan",
+    # --- 50-slot window boundary (everything below queues for the
+    # round-9 rotation: 8 r4-latest, then the 49 r5-latest) ---
     "iceberg_commit_roundtrip",
     "q2_min_cost_supplier",
     "q11_important_stock",
@@ -150,6 +108,55 @@ _DRIVER_PRIORITY: list[str] = [
     "amqp_envelope_events",
     "mongo_filter_orders",
     "buffer_window_stamp",
+    "q1_pricing_summary",
+    "join_salted_skew",
+    "branch_enrich_orders",
+    "uuid_v5_vectors",
+    "parse_logfmt_events",
+    "dedup_neardup_verified",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_meta",
+    "multimodal_frames",
+    "ann_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "ann_ivf_assign",
+    "ann_ivf_probe",
+    "pivot_status_by_priority",
+    "rollup_lineitem",
+    "setops_segments",
+    "workflow_enrich_lineitem",
+    "sql_select_orders",
+    "grok_extract_events",
+    "chunk_documents",
+    "chunk_recursive_character",
+    "chunk_markdown",
+    "compress_roundtrip",
+    "asof_attribution",
+    "archive_tar_roundtrip",
+    "xml_roundtrip",
+    "json_schema_events",
+    "avro_roundtrip",
+    "schema_registry_avro",
+    "schema_registry_protobuf",
+    "protobuf_roundtrip",
+    "msgpack_roundtrip",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "range_join_view_purchase",
+    "funnel_signup_view_purchase",
+    "sketch_kmv_distinct",
+    "cdc_pgoutput_decode",
+    "cdc_binlog_decode",
+    "cdc_logminer_decode",
+    "kafka_recordbatch_roundtrip",
+    "text_pii_scrub",
+    "quality_gopher_rules",
+    "contamination_13gram",
 ]
 
 

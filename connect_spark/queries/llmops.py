@@ -512,6 +512,46 @@ def bpe_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "rank INT, left STRING, right STRING")
 
 
+def bpe_train_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate bit-parity for distributed BPE training: train the
+    SAME bounded corpus slice (doc_id < 300 — deterministic, counts
+    are order-independent) through both `train_bpe_spark` (the
+    production iterative Spark job) and `text/bpe.py::train_bpe` (the
+    in-process reference trainer serving as the oracle side, the one
+    place a corpus collect is legitimate: it IS the gate's reference
+    implementation, bounded by construction) and return every rank
+    where the learned merge tables differ. Expected: zero rows — the
+    greedy argmax, (count desc, pair asc) tie-break and stop rule must
+    agree exactly, so the SQL oracle is the empty relation. This
+    upgrades `bpe_train_distributed` from a rows-only driver check to
+    a value-level one."""
+    from connect_spark.text.bpe import train_bpe
+    from connect_spark.text.bpe_train import train_bpe_spark
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < 300).select("doc_id", "text")
+    texts = [r.text for r in docs.select("text").collect()]
+    local = train_bpe(texts, 12)
+    dist = train_bpe_spark(docs.select("text"), "text", 12)
+    rows = [
+        (i + 1,) + (dist[i] if i < len(dist) else ("", ""))
+        + (local[i] if i < len(local) else ("", ""))
+        for i in range(max(len(local), len(dist)))
+        if (dist[i] if i < len(dist) else None)
+        != (local[i] if i < len(local) else None)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, spark_left STRING, spark_right STRING,"
+        " local_left STRING, local_right STRING")
+
+
+BPE_TRAIN_PARITY_SQL = """
+SELECT CAST(NULL AS INT) AS rank, '' AS spark_left, '' AS spark_right,
+       '' AS local_left, '' AS local_right
+WHERE FALSE
+"""
+
+
 def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination: documents sharing 13-gram word
     sequences with a held-out 'benchmark' set (docs with doc_id % 50
@@ -620,6 +660,8 @@ QUERIES = [
     QuerySpec("vocab_top_bigrams", vocab_top_bigrams, VOCAB_SQL),
     QuerySpec("pack_sequences", pack_sequences, PACK_SQL),
     QuerySpec("bpe_train_distributed", bpe_train_distributed, None),
+    QuerySpec("bpe_train_parity", bpe_train_parity,
+              BPE_TRAIN_PARITY_SQL),
     QuerySpec("text_token_count_bpe", text_token_count_bpe,
               _bpe_oracle_sql()),
     QuerySpec("contamination_13gram", contamination_13gram,

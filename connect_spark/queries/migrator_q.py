@@ -303,6 +303,162 @@ LEFT JOIN dst h ON h.topic = a.topic AND h.partition = a.partition
 """
 
 
+def migrator_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three migrator planes composed — the reference flagship's
+    actual run shape (internal/impl/redpanda/migrator/migrator.go;
+    README.md:3 "topics, schemas, and consumer groups"):
+
+      1. schema plane: `_synced_migrator` syncs the recorded registry
+         with translated ids (migrator_schema_registry.go Sync),
+      2. record plane: every source record's Confluent frame is
+         rewritten to the destination id via the sync's id map
+         (translate_frame_ids; unknown ids pass through non-strict,
+         migrator_schema_registry.go:1156) and appended to a
+         destination topic `mig_<topic>` that already holds 3
+         unframed records per partition — so migrated offsets shift
+         by +3, exactly the offset drift Sync() must absorb,
+      3. group plane: committed offsets translate against the
+         MIGRATED log (translate_group_offsets; ts path for the
+         Stable group, exact source-offset-header refinement for the
+         Empty group, tryFindExactOffset:805).
+
+    The output joins each translated commit to the destination record
+    AT that offset and exposes its re-framed schema id + payload — an
+    id-map bug, an offset-translation bug, or a frame-rewrite bug each
+    breaks the oracle match.
+
+    Scale shape: records are scanned once per plane (Column algebra +
+    one broadcast id-map join); the offsets side is control-plane
+    sized; the only collects are the 25-row nation registry fixture
+    and the ~5-entry topic-rename map (admin-API-sized, the same
+    contract as the reference's nameConverter config)."""
+    from connect_spark.functions.schema_registry import (
+        parse_confluent_frame,
+    )
+    from connect_spark.streaming.migrator_control import (
+        GroupsMigratorConfig,
+        encode_confluent_frame_col,
+        translate_frame_ids,
+        translate_group_offsets,
+    )
+
+    m = _synced_migrator(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    w = Window.partitionBy("event_type", (F.col("user_id") % 4)) \
+        .orderBy("event_id")
+    src_id = F.when(F.col("event_id") % 7 == 0, F.lit(999)).otherwise(
+        (F.lit(100) + 2 * (F.col("event_id") % 25)).cast("int"))
+    src = ev.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        encode_confluent_frame_col(
+            F.col("event_type").cast("binary"), src_id).alias("rec"),
+    ).withColumn("ts", (F.lit(1000) + F.col("offset")).cast("long"))
+
+    # record plane: re-frame ids, land at mig_<topic> offset+3 (three
+    # pre-existing unframed records per destination partition)
+    migrated = translate_frame_ids(src, "rec", m.id_map_df(spark)).select(
+        F.concat(F.lit("mig_"), F.col("topic")).alias("topic"),
+        "partition", (F.col("offset") + 3).alias("offset"), "ts",
+        F.col("offset").alias("src_off"), "rec")
+    pre = (src.groupBy("topic", "partition").agg(F.count("*").alias("n"))
+           .select(F.concat(F.lit("mig_"), F.col("topic")).alias("topic"),
+                   "partition",
+                   F.explode(F.sequence(F.lit(0), F.lit(2))).alias("offset"))
+           .select("topic", "partition", F.col("offset").cast("long"),
+                   F.col("offset").cast("long").alias("ts"),
+                   F.lit(None).cast("long").alias("src_off"),
+                   F.lit(b"raw").alias("rec")))
+    dst = pre.unionByName(migrated)
+
+    # group plane against the migrated log
+    counts = src.groupBy("topic", "partition").agg(F.count("*").alias("n"))
+    offsets = counts.select(
+        "topic", "partition",
+        F.explode(F.array(
+            F.struct(F.lit("g-stable").alias("group"),
+                     F.lit("Stable").alias("state"),
+                     F.floor((2 * F.col("n")) / 3).cast("long")
+                     .alias("committed")),
+            F.struct(F.lit("g-empty").alias("group"),
+                     F.lit("Empty").alias("state"),
+                     F.floor(F.col("n") / 2).cast("long")
+                     .alias("committed")),
+        )).alias("g"),
+    ).select("g.group", "g.state", "topic", "partition", "g.committed")
+    topic_map = {t: "mig_" + t for t in sorted(
+        r.topic for r in src.select("topic").distinct().collect())}
+    commits = translate_group_offsets(
+        offsets, src.select("topic", "partition", "offset", "ts"),
+        dst.select("topic", "partition", "offset", "ts", "src_off"),
+        conf=GroupsMigratorConfig(topic_map=topic_map,
+                                  offset_header_col="src_off",
+                                  hint_broadcast=False))
+
+    # integration check: the destination record AT the translated
+    # offset, with its re-framed schema id
+    recs = dst.select(
+        F.col("topic").alias("_rt"), F.col("partition").alias("_rp"),
+        F.col("offset").alias("_ro"), "rec")
+    frame = parse_confluent_frame("rec")
+    return (commits.join(
+        recs,
+        (F.col("dst_topic") == F.col("_rt"))
+        & (F.col("partition") == F.col("_rp"))
+        & (F.col("dst_offset") == F.col("_ro")))
+        .select("group", "topic", "partition", "src_offset", "dst_topic",
+                "dst_offset",
+                frame["schema_id"].alias("dst_schema_id"),
+                frame["payload"].cast("string").alias("payload")))
+
+
+MIGRATOR_END_TO_END_SQL = """
+WITH r AS (
+    SELECT n_nationkey AS k,
+           ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS rnk
+    FROM nation
+),
+src AS (
+    SELECT event_id, event_type AS topic,
+           CAST(user_id % 4 AS INT) AS partition,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, user_id % 4
+               ORDER BY event_id) - 1 AS off
+    FROM events
+),
+counts AS (
+    SELECT topic, partition, COUNT(*) AS n FROM src
+    GROUP BY topic, partition
+),
+offs AS (
+    SELECT 'g-stable' AS grp, topic, partition,
+           2 * n // 3 AS committed FROM counts
+    UNION ALL
+    SELECT 'g-empty', topic, partition, n // 2 FROM counts
+),
+-- both the Stable ts path (monotonic ts, tie at committed-1 -> +1)
+-- and the Empty exact-header path land on the record that was at the
+-- source committed offset, shifted by the 3 pre-existing records
+sel AS (
+    SELECT o.grp, o.topic, o.partition, o.committed, s.event_id
+    FROM offs o
+    JOIN src s ON s.topic = o.topic AND s.partition = o.partition
+              AND s.off = o.committed
+)
+SELECT sel.grp AS "group", sel.topic, sel.partition,
+       sel.committed AS src_offset,
+       'mig_' || sel.topic AS dst_topic,
+       sel.committed + 3 AS dst_offset,
+       CASE WHEN sel.event_id % 7 = 0 THEN 999
+            ELSE CAST(2 * r.rnk + 2 AS INT)
+       END AS dst_schema_id,
+       sel.topic AS payload
+FROM sel JOIN r ON r.k = sel.event_id % 25
+"""
+
+
 QUERIES = [
     QuerySpec("migrator_schema_sync", migrator_schema_sync,
               MIGRATOR_SCHEMA_SYNC_SQL),
@@ -310,4 +466,6 @@ QUERIES = [
               MIGRATOR_ID_TRANSLATE_SQL),
     QuerySpec("migrator_group_offsets", migrator_group_offsets,
               MIGRATOR_GROUP_OFFSETS_SQL),
+    QuerySpec("migrator_end_to_end", migrator_end_to_end,
+              MIGRATOR_END_TO_END_SQL),
 ]
