@@ -42,12 +42,13 @@ _DRIVER_PRIORITY: list[str] = [
     # first — the r7 failure-to-rotate left this window identical to
     # r6's, so r8 front-loads the backlog). Order: (a) the 5 round-7
     # queries that have NEVER had a driver row (migrator control
-    # plane, stream-stream join, BPE training) plus the 3 new round-8
+    # plane, stream-stream join, BPE training) plus the 5 new round-8
     # queries (snowflake bdec roundtrip, composed migrator
-    # end-to-end, BPE train parity); (b) the 42 oldest r4-latest
-    # entries.  The 8 r4-latest remainder + the 49 r5-latest queries
-    # queue below the boundary for round 9; the 50 r7-verified
-    # queries are unlisted and sort last (registry order).
+    # end-to-end, BPE train parity, topic-plane sync + ACL
+    # translation); (b) the 40 oldest r4-latest entries.  The 10
+    # r4-latest remainder + the 49 r5-latest queries queue below the
+    # boundary for round 9; the 50 r7-verified queries are unlisted
+    # and sort last (registry order).
     "migrator_schema_sync",
     "migrator_id_translate",
     "migrator_group_offsets",
@@ -56,6 +57,8 @@ _DRIVER_PRIORITY: list[str] = [
     "snowflake_bdec_roundtrip",
     "migrator_end_to_end",
     "bpe_train_parity",
+    "migrator_topic_sync",
+    "migrator_acl_translate",
     "mapping_project",
     "mutation_enrich",
     "switch_route",
@@ -96,10 +99,10 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_running_totals",
     "streaming_session_window",
     "pipeline_yaml_route",
+    # --- 50-slot window boundary (everything below queues for the
+    # round-9 rotation: 10 r4-latest, then the 49 r5-latest) ---
     "parse_log_events",
     "iceberg_partitioned_scan",
-    # --- 50-slot window boundary (everything below queues for the
-    # round-9 rotation: 8 r4-latest, then the 49 r5-latest) ---
     "iceberg_commit_roundtrip",
     "q2_min_cost_supplier",
     "q11_important_stock",

@@ -459,6 +459,146 @@ FROM sel JOIN r ON r.k = sel.event_id % 25
 """
 
 
+def migrator_topic_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-plane sync (migrator_topic.go createTopicLocked:273-360 +
+    SyncACLs:466-518) over a recorded source cluster derived from
+    `nation`: one topic per nation with partitions/rf/configs keyed on
+    the nation key (including an unsupported config key that must NOT
+    be copied), five source ACLs per topic exercising every MM2 rule
+    (ALLOW WRITE dropped, ALLOW ALL -> READ, DENY kept, PREFIXED not
+    described), and two pre-existing destination topics pinning the
+    already-exists branch — one needing an UPWARD partition increase,
+    one whose larger count must be left alone but recorded in the
+    mapping. Output: one row per (topic, replicated ACL) with the
+    mapping's destination partition count, the destination rf, and the
+    number of configs actually applied. Control-plane sized end to end
+    (25 topics × 3 ACLs); the cluster-scale ACL path is
+    `migrator_acl_translate`."""
+    from connect_spark.streaming.migrator_topic import (
+        RecordedAdmin,
+        RecordedTopic,
+        TopicACL,
+        TopicMigrator,
+        TopicMigratorConfig,
+    )
+
+    nations = sorted(
+        (int(r.n_nationkey), str(r.n_name))
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name").collect())
+
+    src, dst = RecordedAdmin(), RecordedAdmin()
+    for k, name in nations:
+        t = f"top-{name}"
+        src.add_topic(t, RecordedTopic(
+            partitions=k % 4 + 1, rf=k % 3 + 1,
+            configs={"cleanup.policy": "compact" if k % 2 else "delete",
+                     "retention.ms": str(1000 * (k + 1)),
+                     "segment.bytes": "4096",
+                     "unsupported.key": "x"}))
+        src.acls += [
+            TopicACL(t, "User:alice", "*", "READ", "ALLOW"),
+            TopicACL(t, "User:bob", "", "WRITE", "ALLOW"),
+            TopicACL(t, "User:carol", "", "ALL", "ALLOW"),
+            TopicACL(t, "User:dave", "10.0.0.1", "ALL", "DENY"),
+            TopicACL(t, "User:eve", "", "READ", "ALLOW", "PREFIXED"),
+        ]
+    for k, name in nations[:2]:
+        # k=0: src 1 partition < pre-existing 2 -> mapping records 2;
+        # k=1: src 2 > pre-existing 1 -> increased to 2
+        dst.add_topic(f"mig_top-{name}", RecordedTopic(
+            partitions=2 - k, rf=1,
+            configs={"cleanup.policy": "preexist"}))
+
+    m = TopicMigrator(TopicMigratorConfig(
+        name_resolver=lambda t: "mig_" + t))
+    m.sync(src, dst, [f"top-{name}" for _, name in nations])
+
+    acls_by_topic: dict = {}
+    for a in dst.acls:
+        acls_by_topic.setdefault(a.topic, []).append(a)
+    rows = []
+    for mp in m.topic_mapping():
+        d = dst.topic_details(mp.dst.topic)
+        for a in acls_by_topic[mp.dst.topic]:
+            rows.append((mp.src.topic, mp.dst.topic, mp.dst.partitions,
+                         d.rf, len(d.configs), a.principal, a.operation,
+                         a.permission))
+    return spark.createDataFrame(
+        rows,
+        "src_topic STRING, dst_topic STRING, dst_partitions INT,"
+        " dst_rf INT, n_configs INT, principal STRING, operation STRING,"
+        " permission STRING")
+
+
+MIGRATOR_TOPIC_SYNC_SQL = """
+WITH t AS (SELECT n_nationkey AS k, n_name AS name FROM nation)
+SELECT 'top-' || name AS src_topic, 'mig_top-' || name AS dst_topic,
+       CAST(CASE WHEN k <= 1 THEN 2 ELSE k % 4 + 1 END AS INT)
+           AS dst_partitions,
+       CAST(CASE WHEN k <= 1 THEN 1 ELSE k % 3 + 1 END AS INT)
+           AS dst_rf,
+       CAST(CASE WHEN k <= 1 THEN 1 ELSE 3 END AS INT) AS n_configs,
+       a.principal, a.operation, a.permission
+FROM t CROSS JOIN (VALUES
+    ('User:alice', 'READ', 'ALLOW'),
+    ('User:carol', 'READ', 'ALLOW'),
+    ('User:dave', 'ALL', 'DENY')) AS a(principal, operation, permission)
+"""
+
+
+def migrator_acl_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACL sync rules (shouldReplicateACL:524 /
+    transformACLForTarget:531 / LITERAL-only describe:539) as ONE
+    Column-algebra scan over a cluster-scale ACL table derived from
+    `events` (10k ACLs at sf0.01): LITERAL filter, ALLOW WRITE
+    dropped, ALLOW ALL downgraded to READ, topic renamed through the
+    broadcast topic map. The set-based form of the per-topic loop the
+    reference runs — at a million ACLs this is still one scan + one
+    broadcast join."""
+    from connect_spark.streaming.migrator_topic import translate_acls
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    acls = ev.select(
+        F.col("event_type").alias("topic"),
+        F.concat(F.lit("User:u"),
+                 (F.col("user_id") % 50).cast("string")).alias("principal"),
+        F.col("event_id").cast("string").alias("host"),
+        F.element_at(
+            F.array(F.lit("READ"), F.lit("WRITE"), F.lit("ALL"),
+                    F.lit("DESCRIBE"), F.lit("CREATE")),
+            (F.col("event_id") % 5 + 1).cast("int")).alias("operation"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("DENY"))
+        .otherwise(F.lit("ALLOW")).alias("permission"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("PREFIXED"))
+        .otherwise(F.lit("LITERAL")).alias("pattern"))
+    tmap = spark.createDataFrame(
+        [(t, "mig_" + t) for t in sorted(
+            r.topic for r in acls.select("topic").distinct().collect())],
+        "src_topic STRING, dst_topic STRING")
+    return translate_acls(acls, tmap)
+
+
+MIGRATOR_ACL_TRANSLATE_SQL = """
+SELECT 'mig_' || event_type AS topic,
+       'User:u' || CAST(user_id % 50 AS VARCHAR) AS principal,
+       CAST(event_id AS VARCHAR) AS host,
+       CASE WHEN event_id % 5 = 2 AND event_id % 3 <> 0 THEN 'READ'
+            ELSE CASE event_id % 5
+                     WHEN 0 THEN 'READ' WHEN 1 THEN 'WRITE'
+                     WHEN 2 THEN 'ALL' WHEN 3 THEN 'DESCRIBE'
+                     ELSE 'CREATE' END
+       END AS operation,
+       CASE WHEN event_id % 3 = 0 THEN 'DENY' ELSE 'ALLOW'
+       END AS permission,
+       'LITERAL' AS pattern
+FROM events
+WHERE event_id % 11 <> 0
+  AND NOT (event_id % 5 = 1 AND event_id % 3 <> 0)
+"""
+
+
 QUERIES = [
     QuerySpec("migrator_schema_sync", migrator_schema_sync,
               MIGRATOR_SCHEMA_SYNC_SQL),
@@ -468,4 +608,8 @@ QUERIES = [
               MIGRATOR_GROUP_OFFSETS_SQL),
     QuerySpec("migrator_end_to_end", migrator_end_to_end,
               MIGRATOR_END_TO_END_SQL),
+    QuerySpec("migrator_topic_sync", migrator_topic_sync,
+              MIGRATOR_TOPIC_SYNC_SQL),
+    QuerySpec("migrator_acl_translate", migrator_acl_translate,
+              MIGRATOR_ACL_TRANSLATE_SQL),
 ]
