@@ -42,13 +42,14 @@ _DRIVER_PRIORITY: list[str] = [
     # first — the r7 failure-to-rotate left this window identical to
     # r6's, so r8 front-loads the backlog). Order: (a) the 5 round-7
     # queries that have NEVER had a driver row (migrator control
-    # plane, stream-stream join, BPE training) plus the 5 new round-8
+    # plane, stream-stream join, BPE training) plus the 6 new round-8
     # queries (snowflake bdec roundtrip, composed migrator
     # end-to-end, BPE train parity, topic-plane sync + ACL
-    # translation); (b) the 40 oldest r4-latest entries.  The 10
-    # r4-latest remainder + the 49 r5-latest queries queue below the
-    # boundary for round 9; the 50 r7-verified queries are unlisted
-    # and sort last (registry order).
+    # translation, bucketed co-located join); (b) the 39 oldest
+    # r4-latest entries.  The 11 r4-latest remainder + the 49
+    # r5-latest queries queue below the boundary for round 9; the 50
+    # r7-verified queries are unlisted and sort last (registry
+    # order).
     "migrator_schema_sync",
     "migrator_id_translate",
     "migrator_group_offsets",
@@ -59,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_train_parity",
     "migrator_topic_sync",
     "migrator_acl_translate",
+    "bucketed_join_revenue",
     "mapping_project",
     "mutation_enrich",
     "switch_route",
@@ -98,9 +100,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ffi_libc_events",
     "streaming_running_totals",
     "streaming_session_window",
-    "pipeline_yaml_route",
     # --- 50-slot window boundary (everything below queues for the
-    # round-9 rotation: 10 r4-latest, then the 49 r5-latest) ---
+    # round-9 rotation: 11 r4-latest, then the 49 r5-latest) ---
+    "pipeline_yaml_route",
     "parse_log_events",
     "iceberg_partitioned_scan",
     "iceberg_commit_roundtrip",

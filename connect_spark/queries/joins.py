@@ -248,8 +248,54 @@ FROM orders
 """
 
 
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join via bucketed tables
+    (operators/bucketed.py): orders and customer are both persisted
+    `bucketBy(8, custkey)` + `sortBy(custkey)` as external tables,
+    then joined — the SortMergeJoin consumes the bucketed scans with
+    NO shuffle and NO sort on either side
+    (tests/test_bucketed.py asserts the plan).  This is the persisted
+    form of the reference's sharded `sequence` join (sequence.adoc
+    shard mapping): pay the layout once, every later join on the
+    bucket key is shuffle-free — at 100 TB that removes the two
+    largest exchanges of the pipeline.  The write+read here exercises
+    the full cycle in one query; only the post-join segment
+    aggregation shuffles (5 groups)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from connect_spark.operators.bucketed import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"cs_bucketed_{tag}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    write_bucketed(orders, f"cs_b_orders_{tag}",
+                   os.path.join(base, "orders"), ["o_custkey"])
+    write_bucketed(customer, f"cs_b_customer_{tag}",
+                   os.path.join(base, "customer"), ["c_custkey"])
+    o = spark.table(f"cs_b_orders_{tag}")
+    c = spark.table(f"cs_b_customer_{tag}")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_revenue")))
+
+
+BUCKETED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = [
     QuerySpec("join_sharded_full_outer", join_sharded_full_outer, SHARDED_SQL),
+    QuerySpec("bucketed_join_revenue", bucketed_join_revenue, BUCKETED_SQL),
     QuerySpec("join_enrichment_lookup", join_enrichment_lookup, ENRICH_SQL, headline=True),
     QuerySpec("join_semi_big_spenders", join_semi_big_spenders, SEMI_SQL),
     QuerySpec("join_anti_no_orders", join_anti_no_orders, ANTI_SQL),
