@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -136,6 +137,23 @@ def _max_field_id(t) -> int:
     return 0
 
 
+def _promotes_to(old_t, new_t) -> bool:
+    """Iceberg spec "Schema Evolution" legal primitive promotions:
+    int -> long, float -> double, decimal(P,S) -> decimal(P',S) with
+    P' > P (scale must not change). Only primitives promote; any
+    nested-type change stays an error."""
+    if not (isinstance(old_t, str) and isinstance(new_t, str)):
+        return False
+    if (old_t, new_t) in (("int", "long"), ("float", "double")):
+        return True
+    m_old = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", old_t)
+    m_new = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", new_t)
+    return bool(
+        m_old and m_new
+        and int(m_new.group(1)) > int(m_old.group(1))
+        and m_new.group(2) == m_old.group(2))
+
+
 def _iceberg_schema(
     schema: T.StructType,
     prev_schema: dict | None = None,
@@ -174,13 +192,24 @@ def _iceberg_schema(
     for f in schema.fields:
         if f.name in known:
             old = known[f.name]
-            if _strip_ids(old["type"]) != probe_type(f.dataType):
+            new_t = probe_type(f.dataType)
+            old_t = _strip_ids(old["type"])
+            if old_t == new_t:
+                fields.append(old)
+            elif _promotes_to(old_t, new_t):
+                # spec-sanctioned widening (Schema Evolution: int->long,
+                # float->double, decimal(P,S)->decimal(P'>P,S)): the
+                # column keeps its field id, the table type widens
+                fields.append(dict(old, type=new_t))
+            elif _promotes_to(new_t, old_t):
+                # incoming batch is NARROWER than the table column —
+                # data fits, table type stays (readers resolve by id)
+                fields.append(old)
+            else:
                 raise ValueError(
                     f"iceberg schema evolution: column {f.name!r} "
-                    f"changed type {old['type']} -> "
-                    f"{probe_type(f.dataType)}"
+                    f"changed type {old['type']} -> {new_t}"
                 )
-            fields.append(old)
         else:
             fid = alloc()
             fields.append(

@@ -506,3 +506,53 @@ def test_partition_value_needing_uri_encoding_keeps_stats(spark, tmp_path):
     assert got == [("a b", 1), ("a b", 2), ("q#r", 4), ("x%y", 3)]
     pruned = t.scan([("region", "=", "a b")])
     assert sorted(r.n for r in pruned.collect()) == [1, 2]
+
+
+def test_type_promotion_int_to_long_and_float_to_double(spark, tmp_path):
+    """Iceberg spec 'Schema Evolution': int->long, float->double are
+    legal widenings — the column keeps its field id, the table type
+    widens, and old+new files read back together."""
+    from pyspark.sql import functions as F
+
+    t = IcebergTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 1.5)], "n INT, x FLOAT"))
+    meta = t.append(
+        spark.createDataFrame([(2**40, 2.5)], "n LONG, x DOUBLE"))
+    cur = meta["schemas"][meta["current-schema-id"]]
+    types = {f["name"]: f["type"] for f in cur["fields"]}
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    assert types == {"n": "long", "x": "double"}
+    assert ids == {"n": 1, "x": 2}  # ids survive the promotion
+    got = sorted(r.n for r in t.read().collect())
+    assert got == [1, 2**40]
+
+    # a NARROWER batch appends against the widened table unchanged
+    meta = t.append(spark.createDataFrame([(3, 3.5)], "n INT, x FLOAT"))
+    cur = meta["schemas"][meta["current-schema-id"]]
+    assert {f["name"]: f["type"] for f in cur["fields"]} == \
+        {"n": "long", "x": "double"}
+    assert t.read().count() == 3
+
+    # illegal changes still raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="changed type"):
+        t.append(spark.createDataFrame([("s", 1.0)], "n STRING, x DOUBLE"))
+
+
+def test_type_promotion_decimal_widening(spark, tmp_path):
+    """decimal(P,S) -> decimal(P',S) with P' > P widens; a scale
+    change is NOT a legal promotion and raises."""
+    import pytest as _pytest
+
+    t = IcebergTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([("1.23",)], "d STRING")
+             .selectExpr("CAST(d AS DECIMAL(10, 2)) AS d"))
+    meta = t.append(spark.createDataFrame([("4.56",)], "d STRING")
+                    .selectExpr("CAST(d AS DECIMAL(20, 2)) AS d"))
+    cur = meta["schemas"][meta["current-schema-id"]]
+    assert cur["fields"][0]["type"] == "decimal(20, 2)"
+    assert cur["fields"][0]["id"] == 1
+    with _pytest.raises(ValueError, match="changed type"):
+        t.append(spark.createDataFrame([("9.9",)], "d STRING")
+                 .selectExpr("CAST(d AS DECIMAL(20, 3)) AS d"))
