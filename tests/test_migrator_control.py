@@ -242,3 +242,119 @@ def test_group_offset_translation_topic_rename_and_filters(spark):
     rows = out.collect()
     assert [r.group for r in rows] == ["keep-a"]
     assert rows[0].dst_topic == "t2" and rows[0].dst_offset == 2
+
+
+# --- property-based pin vs a per-offset reference implementation -----
+
+
+def _translate_reference(offsets, src, dst, conf):
+    """Straightforward per-offset loop implementing
+    migrator_groups.go's Sync semantics directly (the shape the Go
+    code actually runs) — the oracle for the set-based Spark path."""
+    import re as _re
+
+    by_tp_src = {}
+    for t, p, o, ts in src:
+        by_tp_src.setdefault((t, p), {})[o] = ts
+    by_tp_dst = {}
+    for t, p, o, ts, hdr in dst:
+        by_tp_dst.setdefault((t, p), []).append((o, ts, hdr))
+    for v in by_tp_dst.values():
+        v.sort()
+    out = []
+    for group, state, t, p, committed in offsets:
+        if conf.include and not any(_re.search(x, group)
+                                    for x in conf.include):
+            continue
+        if conf.exclude and any(_re.search(x, group)
+                                for x in conf.exclude):
+            continue
+        if conf.skip_source_group and group == conf.skip_source_group:
+            continue
+        if conf.only_empty and state != "Empty":
+            continue
+        if not conf.only_empty and state == "Dead":
+            continue
+        offs = by_tp_src.get((t, p))
+        if not offs:
+            continue
+        start, end = min(offs), max(offs) + 1
+        if not (start < committed <= end):
+            continue
+        if committed - 1 not in offs:
+            continue  # join semantics: record at committed-1 required
+        src_ts = offs[committed - 1]
+        dt = conf.topic_map.get(t, t)
+        recs = by_tp_dst.get((dt, p), [])
+        # exact: destination record whose header == committed
+        exact = None
+        if conf.offset_header_col and state == "Empty":
+            for o, ts, hdr in recs:
+                if hdr == committed:
+                    exact = o
+                    break
+        if exact is not None:
+            out.append((group, t, p, committed, dt, exact))
+            continue
+        cands = [(ts, o) for o, ts, _ in recs if ts >= src_ts]
+        if not cands:
+            continue
+        ts0, o0 = min(cands)
+        out.append((group, t, p, committed, dt,
+                    o0 + 1 if ts0 == src_ts else o0))
+    return sorted(out)
+
+
+def test_group_offset_translation_property(spark):
+    """Randomized logs with duplicate timestamps, compaction gaps and
+    out-of-range commits: the one-pass Spark translation must equal
+    the per-offset reference loop on every draw."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(4):
+        topics = ["ta", "tb"]
+        src_rows, dst_rows = [], []
+        for t in topics:
+            for p in range(2):
+                n = rng.randint(3, 12)
+                ts = 0
+                for o in range(n):
+                    ts += rng.choice([0, 0, 10])  # tied runs
+                    src_rows.append((t, p, o, 1000 + ts))
+        # destination: drop a random subset (compaction), re-densify,
+        # stamp the source offset as header
+        for (t, p) in {(r[0], r[1]) for r in src_rows}:
+            part = sorted(r for r in src_rows if r[0] == t and r[1] == p)
+            kept = [r for r in part if rng.random() > 0.3]
+            for i, (tt, pp, o, ts) in enumerate(kept):
+                dst_rows.append((tt, pp, i, ts, o))
+        offsets = []
+        gid = 0
+        for t in topics:
+            for p in range(2):
+                n = len([r for r in src_rows
+                         if r[0] == t and r[1] == p])
+                for _ in range(3):
+                    gid += 1
+                    offsets.append(
+                        (f"g{gid}",
+                         rng.choice(["Stable", "Empty", "Dead"]),
+                         t, p, rng.randint(0, n + 1)))
+        conf = GroupsMigratorConfig(offset_header_col="src_off",
+                                    hint_broadcast=False)
+        want = _translate_reference(offsets, src_rows, dst_rows, conf)
+        src_df = spark.createDataFrame(
+            src_rows, "topic STRING, partition INT, offset LONG, ts LONG")
+        dst_df = spark.createDataFrame(
+            dst_rows, "topic STRING, partition INT, offset LONG,"
+            " ts LONG, src_off LONG")
+        off_df = spark.createDataFrame(
+            offsets, "group STRING, state STRING, topic STRING,"
+            " partition INT, committed LONG")
+        got = sorted(
+            (r.group, r.topic, r.partition, r.src_offset, r.dst_topic,
+             r.dst_offset)
+            for r in translate_group_offsets(
+                off_df, src_df, dst_df, conf=conf).collect())
+        assert got == want, f"trial {trial}: {got} != {want}"
