@@ -171,6 +171,17 @@ def column_ep_properties(series: pd.Series, ordinal: int) -> dict:
     if kind in "iu":
         props["minIntValue"] = int(non_null.min())
         props["maxIntValue"] = int(non_null.max())
+    elif kind == "b":
+        # booleans register as 0/1 int EPs (the SDK's BOOLEAN columns
+        # carry integer min/max)
+        props["minIntValue"] = int(non_null.min())
+        props["maxIntValue"] = int(non_null.max())
+    elif kind in "Mm":
+        # timestamps/intervals register as scaled-integer EPs (the SDK
+        # stores TIMESTAMP_* as scaled ints); epoch-nanos here
+        asi = non_null.astype("int64")
+        props["minIntValue"] = int(asi.min())
+        props["maxIntValue"] = int(asi.max())
     elif kind == "f":
         props["minRealValue"] = float(non_null.min())
         props["maxRealValue"] = float(non_null.max())

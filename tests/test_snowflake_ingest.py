@@ -103,6 +103,12 @@ def test_column_ep_properties():
         (1.0, 9.0, 1)
     p2 = column_ep_properties(pd.Series([5, -2, 7]), 2)
     assert (p2["minIntValue"], p2["maxIntValue"]) == (-2, 7)
+    ts = pd.Series(pd.to_datetime(["2024-01-01", "2024-06-01", None]))
+    pt = column_ep_properties(ts, 9)
+    assert (pt["minIntValue"], pt["maxIntValue"], pt["nullCount"]) == \
+        (1704067200000000000, 1717200000000000000, 1)  # epoch nanos
+    pb = column_ep_properties(pd.Series([True, False, True]), 8)
+    assert (pb["minIntValue"], pb["maxIntValue"]) == (0, 1)
     s = pd.Series(["b" * 40, "a", None])
     p3 = column_ep_properties(s, 3)
     assert p3["minStrValue"] == b"a".hex()
@@ -242,3 +248,38 @@ def test_snowflake_streaming_sink_stages_bdec(spark, tmp_path):
         ids += pq.ParquetFile(io.BytesIO(raw)).read().to_pandas()[
             "ID"].tolist()
     assert sorted(ids) == list(range(20))
+
+
+def test_example_yaml_pipeline_stages_bdec(spark, tmp_path, monkeypatch):
+    """examples/snowflake_ingest.yaml end-to-end: the YAML-configured
+    snowflake_streaming sink produces decryptable staged blobs whose
+    rows match the routed purchases."""
+    import base64
+    import os
+
+    import yaml
+
+    from connect_spark.plans.pipeline import build_pipeline
+
+    cfg = yaml.safe_load(open("examples/snowflake_ingest.yaml"))
+    stage = str(tmp_path / "stage")
+    case0 = cfg["output"]["switch"]["cases"][0]["output"]
+    case0["snowflake_streaming"]["stage_path"] = stage
+    cfg["output"]["switch"]["cases"][1]["output"]["parquet"]["path"] = \
+        str(tmp_path / "other")
+    build_pipeline(spark, cfg).run()
+
+    chunks = spark.read.parquet(os.path.join(stage, "chunks"))
+    n_purchases = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter("event_type = 'purchase'").count())
+    assert sum(r.rows for r in chunks.collect()) == n_purchases
+    assert os.path.exists(os.path.join(stage, "register.json"))
+    # default key (32 zero bytes) decrypts a staged blob
+    r = chunks.orderBy("blob_path").first()
+    blob = open(os.path.join(
+        stage, "blobs", r.blob_path.replace("/", "_")), "rb").read()
+    key = base64.b64encode(bytes(32)).decode()
+    raw = decrypt_bdec(blob, key, r.blob_path)[:r.chunk_length]
+    out = pq.ParquetFile(io.BytesIO(raw)).read()
+    assert "VALUE_CENTS" in out.schema.names  # mapping ran, normalized
