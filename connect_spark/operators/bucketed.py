@@ -52,12 +52,28 @@ def bucketed(spark: SparkSession, table: str) -> DataFrame:
 
 
 def is_exchange_free_join(joined: DataFrame) -> bool:
-    """True when the executed join plan contains no Exchange between
-    the scans and the join — the bucketed co-location proof used by
-    tests (plan-shape guard, not a correctness gate)."""
+    """True when the first shuffle-join node's OWN subtree contains no
+    Exchange — the bucketed co-location proof used by tests
+    (plan-shape guard, not a correctness gate). The subtree is scoped
+    by the plan printer's indentation, so Exchanges in sibling
+    operator subtrees printed after the join don't pollute the
+    verdict."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
-    if not m:
-        return False
-    below = plan[m.start():]
-    return "Exchange" not in below
+    lines = plan.splitlines()
+
+    def prefix_len(line: str) -> int:
+        # tree-drawing prefix before the node text (":  +- " etc.,
+        # optionally followed by a codegen stage tag "*(3) ")
+        m = re.match(r"^([\s:+\-|]*)(\*\(\d+\)\s*)?", line)
+        return len(m.group(1))
+
+    for i, line in enumerate(lines):
+        if re.search(r"SortMergeJoin|ShuffledHashJoin", line):
+            d = prefix_len(line)
+            j = i + 1
+            while j < len(lines) and prefix_len(lines[j]) > d:
+                if "Exchange" in lines[j]:
+                    return False
+                j += 1
+            return True
+    return False

@@ -462,11 +462,20 @@ def _o_snowflake_streaming(df: DataFrame, c: dict) -> None:
         register_blob_request,
     )
 
+    import time
+    import uuid
+
     stage = c["stage_path"]
     key = c.get("encryption_key",
                 base64.b64encode(bytes(32)).decode())
     channel = c.get("channel_name", "default")
-    chunks = bdec_chunks(df, key, client_prefix=channel,
+    # blob paths must be unique PER INVOCATION (the reference threads
+    # wall-clock + client prefix + counter, compat.go:100): a repeated
+    # run on the same stage must add blobs, never overwrite ones whose
+    # registration rows were already appended
+    run_id = c.get("run_id") or f"{channel}-{uuid.uuid4().hex[:8]}"
+    chunks = bdec_chunks(df, key, client_prefix=run_id,
+                         now_s=int(c.get("now_s", time.time())),
                          stage_dir=os.path.join(stage, "blobs"))
     meta = chunks.drop("blob").cache()
     meta.write.mode("append").parquet(os.path.join(stage, "chunks"))
@@ -485,9 +494,11 @@ def _o_snowflake_streaming(df: DataFrame, c: dict) -> None:
         ) | {"md5": r.blob_md5}
         for r in meta.collect()  # one row per partition: control plane
     ]
-    with open(os.path.join(stage, "register.json"), "w") as f:
+    # one registration request per invocation, named by the run id so
+    # earlier runs' requests survive on the stage
+    with open(os.path.join(stage, f"register_{run_id}.json"), "w") as f:
         f.write(register_blob_request(
-            blobs, request_id=c.get("request_id", "req-0"),
+            blobs, request_id=c.get("request_id", run_id),
             role=c.get("role", "ingest")))
     meta.unpersist()
 

@@ -294,12 +294,17 @@ approx AS (
 )
 SELECT a.grp AS "group", a.topic, a.partition,
        a.committed AS src_offset, a.topic AS dst_topic,
-       CASE WHEN a.state = 'Empty' AND h.off IS NOT NULL
-            THEN h.off ELSE a.ts_off
+       CASE WHEN a.state = 'Empty' AND h.off IS NOT NULL THEN h.off
+            WHEN a.state = 'Empty' AND a.committed > e.hmax THEN e.eo
+            ELSE a.ts_off
        END AS dst_offset
 FROM approx a
 LEFT JOIN dst h ON h.topic = a.topic AND h.partition = a.partition
                AND h.src_off = a.committed AND a.state = 'Empty'
+LEFT JOIN (SELECT topic, partition, MAX(src_off) AS hmax,
+                  MAX(off) + 1 AS eo
+           FROM dst GROUP BY topic, partition) e
+       ON e.topic = a.topic AND e.partition = a.partition
 """
 
 
@@ -442,10 +447,14 @@ offs AS (
 -- and the Empty exact-header path land on the record that was at the
 -- source committed offset, shifted by the 3 pre-existing records
 sel AS (
+    -- committed must lie in (start, end]: a single-record partition
+    -- yields committed = 0 on both synthetic groups, which the
+    -- bounds filter drops on the Spark side
     SELECT o.grp, o.topic, o.partition, o.committed, s.event_id
     FROM offs o
     JOIN src s ON s.topic = o.topic AND s.partition = o.partition
               AND s.off = o.committed
+    WHERE o.committed > 0
 )
 SELECT sel.grp AS "group", sel.topic, sel.partition,
        sel.committed AS src_offset,

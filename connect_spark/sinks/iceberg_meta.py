@@ -1529,12 +1529,55 @@ class IcebergTable:
                 df = df.drop(name)
         return df
 
-    def _read_files(self, paths: list[str]) -> DataFrame:
+    _SPARK_PRIMITIVES = {
+        "int": T.IntegerType, "long": T.LongType,
+        "float": T.FloatType, "double": T.DoubleType,
+        "string": T.StringType, "boolean": T.BooleanType,
+        "date": T.DateType, "timestamp": T.TimestampNTZType,
+        "timestamptz": T.TimestampType, "binary": T.BinaryType,
+    }
+
+    def _spark_read_schema(self, meta: dict | None):
+        """The CURRENT Iceberg schema as a Spark StructType, for
+        all-primitive tables — the authority the parquet reader must
+        be given after type promotion (int->long etc.): inferring the
+        schema from one file makes reads of the other width crash in
+        the vectorized reader, and which file wins inference is
+        nondeterministic. Spark 4 parquet scans widen per-file types
+        to the declared schema. Tables with nested fields return None
+        (promotion never applies to them; inference stays)."""
+        if not meta:
+            return None
+        cur = next((s for s in meta.get("schemas", [])
+                    if s["schema-id"] == meta.get("current-schema-id")),
+                   None)
+        if cur is None:
+            return None
+        fields = []
+        for f in cur["fields"]:
+            t = f["type"]
+            if not isinstance(t, str):
+                return None  # nested: keep inference
+            m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            if m:
+                dt = T.DecimalType(int(m.group(1)), int(m.group(2)))
+            elif t in self._SPARK_PRIMITIVES:
+                dt = self._SPARK_PRIMITIVES[t]()
+            else:
+                return None
+            fields.append(T.StructField(f["name"], dt,
+                                        not f.get("required", False)))
+        return T.StructType(fields)
+
+    def _read_files(self, paths: list[str],
+                    meta: dict | None = None) -> DataFrame:
         """basePath read with partition TYPE INFERENCE OFF — inferred
         types come from path text (a string partition '00123' would
         become int 123, losing the zeros); partition columns arrive
         as strings and _normalize_partitions casts them per the TABLE
-        schema, which is the authority."""
+        schema, which is the authority. When the current table schema
+        is all-primitive it is passed to the reader explicitly so
+        mixed-width files (post-promotion) widen deterministically."""
         conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prior = self.spark.conf.get(conf_key, "true")
         self.spark.conf.set(conf_key, "false")
@@ -1542,9 +1585,12 @@ class IcebergTable:
             # the reader resolves the relation (and partition
             # discovery) eagerly here, so restoring the conf after is
             # safe
-            return self.spark.read.option(
-                "basePath", self.data_dir
-            ).parquet(*paths)
+            reader = self.spark.read.option("basePath", self.data_dir)
+            expected = self._spark_read_schema(
+                meta if meta is not None else self.metadata())
+            if expected is not None:
+                reader = reader.schema(expected)
+            return reader.parquet(*paths)
         finally:
             self.spark.conf.set(conf_key, prior)
 

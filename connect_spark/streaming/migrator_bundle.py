@@ -215,21 +215,32 @@ def migrate_cluster(
         F.col("value"),
         F.col("offset").alias("src_off"))
     migrated = translate_frame_ids(
-        migrated, "value", sm.id_map_df(spark))
-    migrated.write.mode("append").parquet(dst_records_path)
-    summary["records"] = spark.read.parquet(dst_records_path).count()
+        migrated, "value", sm.id_map_df(spark)).persist()
+    try:
+        migrated.write.mode("append").parquet(dst_records_path)
+        # the appended increment only — an incremental resume must not
+        # pay a full destination-log scan (or a pipeline recompute)
+        # for a summary number
+        summary["records_appended"] = migrated.count()
+    finally:
+        migrated.unpersist()
 
     # 4. consumer groups against the migrated destination log
     groups = _load_json(os.path.join(src_dir, "groups.json"), [])
     if groups:
-        gconf = groups_conf or GroupsMigratorConfig(hint_broadcast=False)
-        if topic_map and not gconf.topic_map:
+        import dataclasses
+
+        if groups_conf is None:
+            # bundle defaults: the migrated log always carries src_off
             gconf = GroupsMigratorConfig(
-                include=gconf.include, exclude=gconf.exclude,
-                only_empty=gconf.only_empty,
-                skip_source_group=gconf.skip_source_group,
                 offset_header_col="src_off", topic_map=topic_map,
-                hint_broadcast=gconf.hint_broadcast)
+                hint_broadcast=False)
+        else:
+            # caller config is authoritative; only fill the topic map
+            # the topic plane just established (unless overridden)
+            gconf = dataclasses.replace(
+                groups_conf,
+                topic_map=groups_conf.topic_map or topic_map)
         offsets = spark.createDataFrame(
             [(g["group"], g["state"], g["topic"], g["partition"],
               g["committed"]) for g in groups],

@@ -500,9 +500,13 @@ def translate_group_offsets(
         (translateOffset:770-787)
       - exact refinement: when destination records embed the source
         offset in a header, Empty groups translate exactly by locating
-        header == committed-1 (tryFindExactOffset:805 — the reference
-        delta-chases live fetches; over recorded records one equality
-        join is the closed form)
+        the destination record whose header == committed; a committed
+        offset beyond every migrated header commits the destination
+        END offset; a compacted-away committed record falls back to
+        the ts path (tryFindExactOffset:805-845 — the reference
+        delta-chases live fetches; over recorded records the
+        equality join + per-partition end aggregate is the closed
+        form)
       - no-rewind: drop commits where the destination group is already
         at or past the translated offset (Sync:531-536)
 
@@ -579,18 +583,29 @@ def translate_group_offsets(
         F.when(F.col("_first._dts") == F.col("_src_ts"),
                F.col("_first._do") + 1).otherwise(F.col("_first._do")))
 
-    # exact refinement for Empty groups via the source-offset header:
-    # tryFindExactOffset:805 locates the DESTINATION record whose
-    # header equals the committed offset and commits that destination
-    # offset directly (committed = next-to-consume on both sides).
-    # Joining at committed — not committed-1 — keeps the exact path
-    # alive when the committed-1 record was compacted away but the
-    # committed record survives; ts translation is the fallback.
+    # exact refinement for Empty groups via the source-offset header —
+    # the closed form of tryFindExactOffset's delta-chase (:805-845)
+    # over recorded logs:
+    #   1. a destination record whose header == committed exists ->
+    #      commit that destination offset (committed = next-to-consume
+    #      on both sides; surviving compaction of the committed-1
+    #      record, which the old committed-1/+1 join did not),
+    #   2. committed beyond EVERY migrated header (the group had
+    #      consumed the whole partition) -> the chase ascends until
+    #      o1 == eo and returns the destination END offset (:816),
+    #   3. committed <= max header but absent (the committed record
+    #      itself compacted away) -> the chase errors (negative
+    #      delta / attempts) and the caller keeps the ts translation.
     if conf.offset_header_col:
         hdr = dst_records.select(
             F.col("topic").alias("_ht"), F.col("partition").alias("_hp"),
             F.col("offset").alias("_ho"),
             F.col(conf.offset_header_col).alias("_hsrc"))
+        ends = (hdr.groupBy("_ht", "_hp")
+                .agg(F.max("_hsrc").alias("_hmax"),
+                     (F.max("_ho") + 1).alias("_eo"))
+                .withColumnRenamed("_ht", "_et")
+                .withColumnRenamed("_hp", "_ep"))
         t = hint(translated)
         translated = t.join(
             hdr,
@@ -599,10 +614,21 @@ def translate_group_offsets(
             & (F.col("committed") == F.col("_hsrc"))
             & (F.col("state") == "Empty"),
             "left",
+        ).join(
+            hint(ends),
+            (F.col("dst_topic") == F.col("_et"))
+            & (F.col("partition") == F.col("_ep")),
+            "left",
         ).withColumn(
             "dst_offset",
-            F.coalesce(F.col("_ho"), F.col("dst_offset_ts")),
-        ).drop("_ht", "_hp", "_ho", "_hsrc")
+            F.coalesce(
+                F.col("_ho"),
+                F.when((F.col("state") == "Empty")
+                       & (F.col("committed") > F.col("_hmax")),
+                       F.col("_eo")),
+                F.col("dst_offset_ts")),
+        ).drop("_ht", "_hp", "_ho", "_hsrc", "_et", "_ep", "_hmax",
+               "_eo")
     else:
         translated = translated.withColumn(
             "dst_offset", F.col("dst_offset_ts"))

@@ -146,7 +146,9 @@ def test_snowflake_put_stages_files(spark, tmp_path):
 
     got = spark.read.parquet(stage + "2/chunks")
     assert sum(r.rows for r in got.collect()) == 2
-    assert os.path.exists(stage + "2/register.json")
+    import glob as _glob
+
+    assert _glob.glob(stage + "2/register_*.json")
     assert os.listdir(stage + "2/blobs")
 
 

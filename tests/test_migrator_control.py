@@ -225,6 +225,29 @@ def test_group_offset_exact_survives_compacted_prev(spark):
     assert [(r.group, r.dst_offset) for r in rows] == [("e", 3)]
 
 
+def test_group_offset_exact_fully_consumed_commits_dst_end(spark):
+    """tryFindExactOffset:816 — a fully-caught-up Empty group
+    (committed == source end, so NO record carries that header) must
+    commit the destination END offset, not rewind through the tied-ts
+    path."""
+    src = spark.createDataFrame(
+        [("t", 0, o, 10) for o in range(5)],  # all timestamps tied
+        "topic STRING, partition INT, offset LONG, ts LONG")
+    dst = spark.createDataFrame(
+        [("t", 0, o, 10, o) for o in range(5)],
+        "topic STRING, partition INT, offset LONG, ts LONG, src_off LONG")
+    offsets = spark.createDataFrame(
+        [("e", "Empty", "t", 0, 5)],
+        "group STRING, state STRING, topic STRING, partition INT,"
+        " committed LONG")
+    out = translate_group_offsets(
+        offsets, src, dst,
+        conf=GroupsMigratorConfig(offset_header_col="src_off"))
+    # ts path alone would tie back to offset 1 (a 4-record rewind);
+    # the end-offset branch must win
+    assert [(r.group, r.dst_offset) for r in out.collect()] == [("e", 5)]
+
+
 def test_group_offset_translation_topic_rename_and_filters(spark):
     src, dst = _cluster_fixture(spark)
     dst2 = dst.withColumn("topic", F.lit("t2"))
@@ -286,13 +309,18 @@ def _translate_reference(offsets, src, dst, conf):
         src_ts = offs[committed - 1]
         dt = conf.topic_map.get(t, t)
         recs = by_tp_dst.get((dt, p), [])
-        # exact: destination record whose header == committed
+        # exact (tryFindExactOffset closed form): header == committed
+        # -> that offset; committed beyond every header -> dst end;
+        # compacted-away committed -> ts fallback
         exact = None
-        if conf.offset_header_col and state == "Empty":
+        if conf.offset_header_col and state == "Empty" and recs:
             for o, ts, hdr in recs:
                 if hdr == committed:
                     exact = o
                     break
+            headers = [hdr for _, _, hdr in recs if hdr is not None]
+            if exact is None and headers and committed > max(headers):
+                exact = max(o for o, _, _ in recs) + 1
         if exact is not None:
             out.append((group, t, p, committed, dt, exact))
             continue

@@ -220,6 +220,7 @@ def test_bdec_roundtrip_detects_tamper(spark, monkeypatch):
 
 
 def test_snowflake_streaming_sink_stages_bdec(spark, tmp_path):
+    import glob
     import os
 
     from connect_spark.plans.pipeline import OUTPUT_KINDS
@@ -234,7 +235,9 @@ def test_snowflake_streaming_sink_stages_bdec(spark, tmp_path):
     })
     chunks = spark.read.parquet(os.path.join(stage, "chunks")).collect()
     assert sum(r.rows for r in chunks) == 20
-    reg = json.loads(open(os.path.join(stage, "register.json")).read())
+    regs = glob.glob(os.path.join(stage, "register_*.json"))
+    assert len(regs) == 1
+    reg = json.loads(open(regs[0]).read())
     assert {b["chunks"][0]["chunk_md5"] for b in reg["blobs"]} == \
         {r.chunk_md5 for r in chunks}
     assert reg["blobs"][0]["chunks"][0]["channels"][0][
@@ -248,6 +251,33 @@ def test_snowflake_streaming_sink_stages_bdec(spark, tmp_path):
         ids += pq.ParquetFile(io.BytesIO(raw)).read().to_pandas()[
             "ID"].tolist()
     assert sorted(ids) == list(range(20))
+
+
+def test_snowflake_streaming_second_run_never_overwrites(spark, tmp_path):
+    """Two invocations on one stage: blob paths are run-unique, so
+    run 1's staged blobs still match their registered MD5s after run 2
+    (the overwrite hazard of fixed paths + appended chunk rows)."""
+    import glob
+    import os
+
+    from connect_spark.plans.pipeline import OUTPUT_KINDS
+
+    stage = str(tmp_path / "st")
+    df = spark.createDataFrame([(1,), (2,)], "id LONG").coalesce(1)
+    for _ in range(2):
+        OUTPUT_KINDS["snowflake_streaming"](df, {
+            "stage_path": stage, "channel_name": "ch",
+            "encryption_key": KEY,
+        })
+    chunks = spark.read.parquet(os.path.join(stage, "chunks")).collect()
+    assert len(chunks) == 2
+    assert len({r.blob_path for r in chunks}) == 2  # distinct paths
+    assert len(glob.glob(os.path.join(stage, "register_*.json"))) == 2
+    for r in chunks:  # EVERY registered chunk still matches its blob
+        blob = open(os.path.join(
+            stage, "blobs", r.blob_path.replace("/", "_")), "rb").read()
+        assert md5_hex(blob) == r.blob_md5
+        assert md5_hex(blob[:r.chunk_length]) == r.chunk_md5
 
 
 def test_example_yaml_pipeline_stages_bdec(spark, tmp_path, monkeypatch):
@@ -274,7 +304,9 @@ def test_example_yaml_pipeline_stages_bdec(spark, tmp_path, monkeypatch):
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         .filter("event_type = 'purchase'").count())
     assert sum(r.rows for r in chunks.collect()) == n_purchases
-    assert os.path.exists(os.path.join(stage, "register.json"))
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(stage, "register_*.json"))
     # default key (32 zero bytes) decrypts a staged blob
     r = chunks.orderBy("blob_path").first()
     blob = open(os.path.join(
