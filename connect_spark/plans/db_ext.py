@@ -450,8 +450,9 @@ def _o_snowflake_streaming(df: DataFrame, c: dict) -> None:
     under `<stage_path>/chunks/`, and the registerBlobRequest JSON
     (rest.go:222-236) — driver-assembled from the partition-count-sized
     chunk rows, the same control-plane shape as an iceberg commit —
-    is written to `<stage_path>/register.json`. Live HTTPS registration
-    is the one sandbox-gated step."""
+    is written to `<stage_path>/register_<run_id>.json` (run-unique so
+    repeated appends never clobber an earlier run's request). Live
+    HTTPS registration is the one sandbox-gated step."""
     import base64
     import json as _json
     import os
@@ -474,6 +475,11 @@ def _o_snowflake_streaming(df: DataFrame, c: dict) -> None:
     # run on the same stage must add blobs, never overwrite ones whose
     # registration rows were already appended
     run_id = c.get("run_id") or f"{channel}-{uuid.uuid4().hex[:8]}"
+    # run_id flows into file names (register_<run_id>.json and blob
+    # paths): a channel name with '/' or other path chars must not
+    # escape the stage dir
+    run_id = "".join(ch if ch.isalnum() or ch in "-_." else "_"
+                     for ch in run_id)
     chunks = bdec_chunks(df, key, client_prefix=run_id,
                          now_s=int(c.get("now_s", time.time())),
                          stage_dir=os.path.join(stage, "blobs"))

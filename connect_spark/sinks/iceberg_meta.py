@@ -1112,7 +1112,8 @@ class IcebergTable:
         if prev is None or prev.get("current-snapshot-id") is None:
             raise ValueError("iceberg table has no current snapshot")
         data_files = self.current_files()
-        raw = self._read_files([d["file_path"] for d in data_files])
+        raw = self._read_files([d["file_path"] for d in data_files],
+                               prev)
         df = self._normalize_partitions(raw, prev)
         cond = None
         for col, op, lit in filters:
@@ -1529,13 +1530,10 @@ class IcebergTable:
                 df = df.drop(name)
         return df
 
-    _SPARK_PRIMITIVES = {
-        "int": T.IntegerType, "long": T.LongType,
-        "float": T.FloatType, "double": T.DoubleType,
-        "string": T.StringType, "boolean": T.BooleanType,
-        "date": T.DateType, "timestamp": T.TimestampNTZType,
-        "timestamptz": T.TimestampType, "binary": T.BinaryType,
-    }
+    # the inverse of _SPARK_TO_ICEBERG (decimal handled separately
+    # below) — derived, so adding a primitive to one table cannot
+    # silently disable explicit-schema reads
+    _SPARK_PRIMITIVES = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
 
     def _spark_read_schema(self, meta: dict | None):
         """The CURRENT Iceberg schema as a Spark StructType, for
@@ -1600,7 +1598,8 @@ class IcebergTable:
         if not files:
             raise ValueError("iceberg table has no current snapshot")
         return self._normalize_partitions(
-            self._apply_position_deletes(self._read_files(files)), meta)
+            self._apply_position_deletes(self._read_files(files, meta)),
+            meta)
 
     def scan(self, filters: list[tuple] | None = None) -> DataFrame:
         """Manifest-pruned scan: `filters` are (column, op, literal)
@@ -1746,11 +1745,13 @@ class IcebergTable:
             # schema-correct empty frame from one file footer (never
             # re-walk the chain or build the full-table reader)
             return self._normalize_partitions(
-                self._read_files([files[0]["file_path"]]).limit(0),
+                self._read_files([files[0]["file_path"]],
+                                 meta).limit(0),
                 meta,
             )
         df = self._normalize_partitions(
-            self._apply_position_deletes(self._read_files(kept)), meta)
+            self._apply_position_deletes(self._read_files(kept, meta)),
+            meta)
         for col, op, lit in filters or []:
             if col not in df.columns:
                 continue

@@ -236,11 +236,17 @@ def migrate_cluster(
                 offset_header_col="src_off", topic_map=topic_map,
                 hint_broadcast=False)
         else:
-            # caller config is authoritative; only fill the topic map
-            # the topic plane just established (unless overridden)
+            # caller config is authoritative for filtering, but the
+            # bundle fills what the migration itself established: the
+            # topic map from the topic plane and the src_off header the
+            # migrated log ALWAYS carries (a caller passing a conf only
+            # for only_empty/include must not silently lose exact
+            # translation)
             gconf = dataclasses.replace(
                 groups_conf,
-                topic_map=groups_conf.topic_map or topic_map)
+                topic_map=groups_conf.topic_map or topic_map,
+                offset_header_col=(groups_conf.offset_header_col
+                                   or "src_off"))
         offsets = spark.createDataFrame(
             [(g["group"], g["state"], g["topic"], g["partition"],
               g["committed"]) for g in groups],

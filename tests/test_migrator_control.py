@@ -248,6 +248,29 @@ def test_group_offset_exact_fully_consumed_commits_dst_end(spark):
     assert [(r.group, r.dst_offset) for r in out.collect()] == [("e", 5)]
 
 
+def test_group_offset_ts_failure_skips_exact_path(spark):
+    """migrator_groups.go:438-442 — translateOffset returning
+    unknownOffset (no destination record with ts >= src_ts) errors out
+    BEFORE tryFindExactOffset is consulted, so a fully-consumed Empty
+    group against a tail-compacted destination log is skipped — NOT
+    resolved to the destination end via headers."""
+    src = spark.createDataFrame(
+        [("t", 0, 0, 10), ("t", 0, 1, 20), ("t", 0, 2, 30)],
+        "topic STRING, partition INT, offset LONG, ts LONG")
+    # destination kept only the first record: every dst ts < src_ts(=30)
+    dst = spark.createDataFrame(
+        [("t", 0, 0, 10, 0)],
+        "topic STRING, partition INT, offset LONG, ts LONG, src_off LONG")
+    offsets = spark.createDataFrame(
+        [("e", "Empty", "t", 0, 3)],
+        "group STRING, state STRING, topic STRING, partition INT,"
+        " committed LONG")
+    out = translate_group_offsets(
+        offsets, src, dst,
+        conf=GroupsMigratorConfig(offset_header_col="src_off"))
+    assert out.collect() == []
+
+
 def test_group_offset_translation_topic_rename_and_filters(spark):
     src, dst = _cluster_fixture(spark)
     dst2 = dst.withColumn("topic", F.lit("t2"))
@@ -309,6 +332,17 @@ def _translate_reference(offsets, src, dst, conf):
         src_ts = offs[committed - 1]
         dt = conf.topic_map.get(t, t)
         recs = by_tp_dst.get((dt, p), [])
+        # ts translation FIRST — the exact refinement only runs when
+        # translateOffset succeeded (migrator_groups.go:438-442: an
+        # unknownOffset ts result errors out BEFORE tryFindExactOffset
+        # is consulted, so a group whose src_ts is past every
+        # destination timestamp is skipped even if headers could
+        # resolve it)
+        cands = [(ts, o) for o, ts, _ in recs if ts >= src_ts]
+        if not cands:
+            continue
+        ts0, o0 = min(cands)
+        o1 = o0 + 1 if ts0 == src_ts else o0
         # exact (tryFindExactOffset closed form): header == committed
         # -> that offset; committed beyond every header -> dst end;
         # compacted-away committed -> ts fallback
@@ -321,15 +355,8 @@ def _translate_reference(offsets, src, dst, conf):
             headers = [hdr for _, _, hdr in recs if hdr is not None]
             if exact is None and headers and committed > max(headers):
                 exact = max(o for o, _, _ in recs) + 1
-        if exact is not None:
-            out.append((group, t, p, committed, dt, exact))
-            continue
-        cands = [(ts, o) for o, ts, _ in recs if ts >= src_ts]
-        if not cands:
-            continue
-        ts0, o0 = min(cands)
         out.append((group, t, p, committed, dt,
-                    o0 + 1 if ts0 == src_ts else o0))
+                    exact if exact is not None else o1))
     return sorted(out)
 
 
