@@ -50,6 +50,9 @@ _DRIVER_PRIORITY: list[str] = [
     # r5-latest queries queue below the boundary for round 9; the 50
     # r7-verified queries are unlisted and sort last (registry
     # order).
+    "dedup_substring_spans",
+    "quality_stupid_backoff",
+    "sample_temperature_rebalance",
     "migrator_schema_sync",
     "migrator_id_translate",
     "migrator_group_offsets",
@@ -173,6 +176,7 @@ def all_queries() -> list[QuerySpec]:
         cdc,
         connectors_q,
         core,
+        dataprep,
         engines,
         extended,
         formats,
@@ -197,7 +201,7 @@ def all_queries() -> list[QuerySpec]:
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
         tpch, winfns, pipeline_q, tpch_ps, connectors_q, llmops,
-        migrator_q,
+        migrator_q, dataprep,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
