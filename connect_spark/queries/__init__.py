@@ -53,6 +53,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_substring_spans",
     "quality_stupid_backoff",
     "sample_temperature_rebalance",
+    "pipeline_pretrain_corpus",
+    "dedup_semantic_keep",
     "migrator_schema_sync",
     "migrator_id_translate",
     "migrator_group_offsets",

@@ -135,8 +135,7 @@ def substring_spans(docs: DataFrame, k: int) -> DataFrame:
                     .alias("deduped_text")))
 
 
-SUBSTRING_SQL = f"""
-WITH t AS (
+_SUBSTRING_CTES = f"""t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
   FROM documents
 ), tt AS (
@@ -186,7 +185,10 @@ WITH t AS (
   FROM tok_pos tp
   ANTI JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.p
   GROUP BY tp.doc_id
-)
+)"""
+
+SUBSTRING_SQL = f"""
+WITH {{_SUBSTRING_CTES}}
 SELECT s.doc_id, tt.n_tokens,
        CAST(s.dup_tokens AS BIGINT) AS dup_tokens,
        CAST(s.n_spans AS BIGINT) AS n_spans,
@@ -194,7 +196,7 @@ SELECT s.doc_id, tt.n_tokens,
 FROM stats s
 JOIN tt USING (doc_id)
 LEFT JOIN kept k ON k.doc_id = s.doc_id
-"""
+""".format(_SUBSTRING_CTES=_SUBSTRING_CTES)
 
 
 def quality_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,9 +432,203 @@ GROUP BY d.lang
 """
 
 
+
+
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-corpus endgame — the round-8 dataprep
+    operators running as ONE pipeline, the way a real 100-TB data
+    build chains them:
+
+      1. substring dedup REWRITE: every doc's text with duplicated
+         K-token spans removed (all-but-first occurrence),
+      2. quality gate: 5 <= tokens <= 5000 and mean word length in
+         [2, 12] — integer compares only (char_sum vs k*n_tok), no
+         float thresholds,
+      3. temperature-rebalanced sampling per lang over the quality
+         survivors (rates derive from SURVIVOR counts — the stage
+         order matters and the oracle pins it),
+      4. greedy sequential packing into 512-token bins per lang
+         (cumulative-sum bucketing, the pack_sequences contract).
+
+    Output: one row per lang with the stage-by-stage funnel
+    (n_docs -> n_quality -> n_sampled) plus bin count and packed
+    token total.  Every stage is Column algebra over the previous
+    one; the whole pipeline is one Catalyst plan — no materialization
+    barriers between stages.  At 100 TB the packing window runs per
+    (lang, shard) exactly like pack_sequences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = substring_spans(docs, _K).select("doc_id", "deduped_text")
+    rew = (docs.join(spans, "doc_id", "left")
+           .select("doc_id", "lang",
+                   F.coalesce("deduped_text", F.col("text"))
+                   .alias("text")))
+    t = rew.select(
+        "doc_id", "lang", _toks().alias("toks")
+    ).select(
+        "doc_id", "lang",
+        F.size("toks").cast("long").alias("n_tok"),
+        F.aggregate(F.transform("toks", lambda x: F.length(x)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("char_sum"))
+    quality = t.filter(
+        (F.col("n_tok") >= 5) & (F.col("n_tok") <= 5000)
+        & (F.col("char_sum") <= 12 * F.col("n_tok"))
+        & (F.col("char_sum") >= 2 * F.col("n_tok")))
+    counts = quality.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    m = F.lit(2147483647).cast("long")
+    u = (((F.col("doc_id") % m) * F.lit(48271).cast("long")) % m) \
+        / F.lit(2147483647.0)
+    rate = F.least(F.lit(1.0), F.lit(8.0) / F.sqrt(F.col("c")))
+    samp = quality.join(counts, "lang").filter(u < rate)
+    wd = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    packed = samp.withColumn("cum", F.sum("n_tok").over(wd)).withColumn(
+        "bin", F.expr("(cum - n_tok) div 512"))
+    base = rew.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    cq = quality.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_quality"))
+    pb = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        (F.max("bin") + 1).alias("n_bins"),
+        F.sum("n_tok").alias("packed_tokens"))
+    return (base.join(cq, "lang", "left").join(pb, "lang", "left")
+            .select("lang", "n_docs",
+                    F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+                    F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+                    F.coalesce("packed_tokens", F.lit(0))
+                    .alias("packed_tokens")))
+
+
+PIPELINE_PRETRAIN_SQL = f"""
+WITH {{_SUBSTRING_CTES}},
+rew AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN s.doc_id IS NOT NULL
+              THEN COALESCE(k2.deduped_text, '')
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN stats s ON s.doc_id = d.doc_id
+  LEFT JOIN kept k2 ON k2.doc_id = d.doc_id
+), t3 AS (
+  SELECT doc_id, lang,
+         len(toks2) AS n_tok,
+         COALESCE(list_sum(list_transform(toks2, x -> length(x))), 0)
+           AS char_sum
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x != '')
+                 AS toks2
+        FROM rew)
+), quality AS (
+  SELECT * FROM t3
+  WHERE n_tok BETWEEN 5 AND 5000
+    AND char_sum <= 12 * n_tok AND char_sum >= 2 * n_tok
+), counts AS (
+  SELECT lang, COUNT(*) AS c FROM quality GROUP BY lang
+), samp AS (
+  SELECT q.* FROM quality q JOIN counts c USING (lang)
+  WHERE (((q.doc_id % 2147483647) * 48271) % 2147483647)
+          / 2147483647.0
+        < LEAST(1.0, 8.0 / sqrt(c.c))
+), packed AS (
+  SELECT lang, doc_id, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) // 512
+           AS bin
+  FROM samp
+), base AS (
+  SELECT lang, COUNT(*) AS n_docs FROM rew GROUP BY lang
+), cq AS (
+  SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY lang
+), pb AS (
+  SELECT lang, COUNT(*) AS n_sampled,
+         MAX(bin) + 1 AS n_bins,
+         SUM(n_tok) AS packed_tokens
+  FROM packed GROUP BY lang
+)
+SELECT b.lang, b.n_docs,
+       CAST(COALESCE(cq.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(pb.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(pb.n_bins, 0) AS BIGINT) AS n_bins,
+       CAST(COALESCE(pb.packed_tokens, 0) AS BIGINT) AS packed_tokens
+FROM base b
+LEFT JOIN cq ON cq.lang = b.lang
+LEFT JOIN pb ON pb.lang = b.lang
+""".format(_SUBSTRING_CTES=_SUBSTRING_CTES)
+
+
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe shape): resolve embedding
+    near-dup PAIRS (sign-band LSH candidates -> exact cosine >= 0.4,
+    queries/vectors.py) into connected components and keep ONE vector
+    per semantic cluster (the min vec_id) plus every vector that never
+    near-dupped — turning pair detection into the pruned corpus the
+    paper's clustering stage produces.
+
+    Scale: pair generation is the measured-linear LSH pipeline;
+    component resolution is O(log diameter) rounds of equality joins
+    (operators/cluster.py); the final keep is a left join of the
+    corpus against the cluster table, which holds only docs that
+    appeared in a pair (AQE broadcasts it at real scale)."""
+    from connect_spark.operators.cluster import resolve_clusters
+    from connect_spark.queries.vectors import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(spark, sf_dir)
+    clusters = resolve_clusters(pairs, "va", "vb").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id",
+        "is_representative", "cluster_size")
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label")
+    return (vecs.join(clusters, "vec_id", "left")
+            .filter(F.coalesce("is_representative", F.lit(1)) == 1)
+            .select(
+                "vec_id", "label",
+                F.when(F.col("cluster_id").isNotNull(),
+                       "representative").otherwise("unique")
+                .alias("kept_reason"),
+                F.coalesce("cluster_size", F.lit(1))
+                .cast("long").alias("cluster_size")))
+
+
+def _semantic_keep_sql() -> str:
+    from connect_spark.queries.vectors import NEARDUP_SQL
+    return f"""
+WITH RECURSIVE pairs AS (
+  {NEARDUP_SQL}
+), edges AS (
+  SELECT va AS a, vb AS b FROM pairs
+  UNION
+  SELECT vb AS a, va AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+), comp AS (
+  SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+), sz AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT v.vec_id, v.label,
+       CASE WHEN c.node IS NOT NULL THEN 'representative'
+            ELSE 'unique' END AS kept_reason,
+       CAST(COALESCE(sz.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM embeddings v
+LEFT JOIN comp c ON c.node = v.vec_id
+LEFT JOIN sz ON sz.cluster_id = c.cluster_id
+WHERE c.node IS NULL OR c.node = c.cluster_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_substring_spans", dedup_substring_spans,
               SUBSTRING_SQL),
+    QuerySpec("pipeline_pretrain_corpus", pipeline_pretrain_corpus,
+              PIPELINE_PRETRAIN_SQL),
+    QuerySpec("dedup_semantic_keep", dedup_semantic_keep,
+              _semantic_keep_sql()),
     QuerySpec("quality_stupid_backoff", quality_stupid_backoff,
               STUPID_BACKOFF_SQL),
     QuerySpec("sample_temperature_rebalance",

@@ -49,6 +49,7 @@ SALTED = {
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 DIMS = ["nation", "region"]
 
@@ -74,6 +75,23 @@ def build_replica(spark: SparkSession, n: int) -> str:
                 # salt text so shingles/minhashes don't collapse
                 c = c.withColumn(
                     "text", F.concat(F.lit(f"copy{i} "), F.col("text"))
+                )
+            if t == "embeddings" and i > 0:
+                # the vector analog of key re-salting: an element-wise
+                # sign PATTERN shared by every vector in copy i.  Within
+                # a copy, cos(s*a, s*b) == cos(a, b) exactly (s_j^2 = 1),
+                # so the copy's near-dup structure is preserved; across
+                # copies the patterns differ, so a vector is NOT an
+                # exact duplicate of its 15 siblings and pair counts
+                # scale linearly in n instead of quadratically.
+                def _signer(step: int, ii: int):
+                    return lambda x, j: F.when(
+                        (j * step + ii) % 4 < 2, -x
+                    ).otherwise(x)
+
+                c = c.withColumn(
+                    "embedding",
+                    F.transform("embedding", _signer(2 * i + 1, i)),
                 )
             copies.append(c)
         out = copies[0]

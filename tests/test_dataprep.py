@@ -126,3 +126,58 @@ def test_substring_spans_no_cartesian(spark):
     plan = substring_spans(docs, 3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_pretrain_funnel(spark):
+    """Stage funnel is monotone per lang, repeat-deterministic, and
+    the bin count is consistent with greedy 512-token packing."""
+    from connect_spark.queries.dataprep import pipeline_pretrain_corpus
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.lang: r for r in
+            pipeline_pretrain_corpus(spark, sf).collect()}
+    again = {r.lang: r for r in
+             pipeline_pretrain_corpus(spark, sf).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == \
+        {k: tuple(v) for k, v in again.items()}
+    assert rows
+    for lang, r in rows.items():
+        assert 0 <= r.n_quality <= r.n_docs, lang
+        assert 0 <= r.n_sampled <= r.n_quality, lang
+        if r.n_sampled:
+            # greedy cumsum bucketing: every bin but possibly the
+            # last holds >= 1 doc and bins cover the token total
+            assert 1 <= r.n_bins <= r.n_sampled
+            assert r.n_bins >= r.packed_tokens // 512 - r.n_sampled
+        else:
+            assert (r.n_bins, r.packed_tokens) == (0, 0)
+
+
+def test_semantic_keep_one_rep_per_cluster(spark):
+    """Exactly one kept vector per semantic cluster; uniques pass
+    through; kept set plus dropped members partitions the corpus."""
+    from connect_spark.catalog import load_table
+    from connect_spark.operators.cluster import resolve_clusters
+    from connect_spark.queries.dataprep import dedup_semantic_keep
+    from connect_spark.queries.vectors import embedding_neardup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    kept = dedup_semantic_keep(spark, sf).collect()
+    reps = [r for r in kept if r.kept_reason == "representative"]
+    # one representative per cluster: min vec_id of its component
+    clusters = resolve_clusters(
+        embedding_neardup_pairs(spark, sf), "va", "vb").collect()
+    by_cluster = {}
+    for c in clusters:
+        by_cluster.setdefault(c.cluster_id, []).append(c.doc_id)
+    assert len(reps) == len(by_cluster)
+    rep_ids = {r.vec_id for r in reps}
+    assert rep_ids == {min(v) for v in by_cluster.values()}
+    for r in reps:
+        assert r.cluster_size == len(by_cluster[r.vec_id])
+    # uniques = corpus minus every clustered member
+    n_total = load_table(spark, sf, "embeddings").count()
+    clustered = {c.doc_id for c in clusters}
+    uniques = [r for r in kept if r.kept_reason == "unique"]
+    assert len(uniques) == n_total - len(clustered)
+    assert all(r.cluster_size == 1 for r in uniques)
