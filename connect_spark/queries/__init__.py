@@ -55,6 +55,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sample_temperature_rebalance",
     "pipeline_pretrain_corpus",
     "dedup_semantic_keep",
+    "shard_shuffle_manifest",
+    "dsir_importance_resample",
+    "mixture_interleave_blocks",
     "migrator_schema_sync",
     "migrator_id_translate",
     "migrator_group_offsets",
@@ -178,6 +181,7 @@ def all_queries() -> list[QuerySpec]:
         cdc,
         connectors_q,
         core,
+        datamix,
         dataprep,
         engines,
         extended,
@@ -203,7 +207,7 @@ def all_queries() -> list[QuerySpec]:
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
         tpch, winfns, pipeline_q, tpch_ps, connectors_q, llmops,
-        migrator_q, dataprep,
+        migrator_q, dataprep, datamix,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]
