@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "shard_shuffle_manifest",
     "dsir_importance_resample",
     "mixture_interleave_blocks",
+    "pipeline_incremental_refresh",
     "migrator_schema_sync",
     "migrator_id_translate",
     "migrator_group_offsets",

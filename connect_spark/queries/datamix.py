@@ -159,7 +159,20 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, in_target).  At 100 TB the explode shuffle carries
     (doc_id, bucket) pairs only; the weight table stays
     bucket-sized."""
-    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_scored(load_table(spark, sf_dir, "documents"))
+    return (scored.groupBy("lang", "in_target")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.sum(F.when(F.col("keep"), F.col("n_tok"))
+                       .otherwise(0)).alias("tokens_kept")))
+
+
+def dsir_scored(docs: DataFrame) -> DataFrame:
+    """Doc-level DSIR scores over any (doc_id, lang, text) frame:
+    (doc_id, lang, in_target, n_tok, score, keep).  Weights are
+    trained on the full input frame; callers that want
+    corpus-trained weights applied to a new batch pass the corpus
+    and filter afterwards."""
     tok = (docs.select(
         "doc_id", "lang",
         F.array_contains(_toks(), _DSIR_TARGET_TOKEN).alias("in_target"),
@@ -184,20 +197,14 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * (F.col("p_tot") + B)).cast("double")
                        ) * F.lit(1000000.0), 0
                    ).cast("long").alias("w")))
-    scored = (tok.join(weights, "bucket")
-              .groupBy("doc_id", "lang", "in_target")
-              .agg(F.count(F.lit(1)).alias("n_tok"),
-                   F.sum("w").alias("score"))
-              .withColumn("keep", F.col("score") >= 0))
-    return (scored.groupBy("lang", "in_target")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
-                 F.sum(F.when(F.col("keep"), F.col("n_tok"))
-                       .otherwise(0)).alias("tokens_kept")))
+    return (tok.join(weights, "bucket")
+            .groupBy("doc_id", "lang", "in_target")
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.sum("w").alias("score"))
+            .withColumn("keep", F.col("score") >= 0))
 
 
-DSIR_SQL = f"""
-WITH tok AS (
+_DSIR_CTES = f"""tok AS (
   SELECT doc_id, lang,
          list_contains(list_filter(string_split(text, ' '),
                                    x -> x != ''),
@@ -229,7 +236,10 @@ WITH tok AS (
          COUNT(*) AS n_tok, SUM(w.w) AS score
   FROM tok t JOIN weights w USING (bucket)
   GROUP BY 1, 2, 3
-)
+)"""
+
+DSIR_SQL = f"""
+WITH {_DSIR_CTES}
 SELECT lang, in_target, COUNT(*) AS n_docs,
        SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS n_kept,
        SUM(CASE WHEN score >= 0 THEN n_tok ELSE 0 END) AS tokens_kept
@@ -290,9 +300,135 @@ GROUP BY 1, 2
 """
 
 
+# --- composed incremental corpus refresh ------------------------------
+
+_NEARDUP_DROP_BP = 5000   # drop batch docs >= 50% Jaccard vs corpus
+
+
+def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-refresh flagship: ingest a NEW batch of documents
+    (doc_id % 10 == 0 stands in for today's crawl) against the
+    standing corpus, running the full admission chain as ONE plan:
+
+      1. exact dedup: md5 fingerprint — first-in-batch wins, and
+         anything already in the corpus is dropped (anti join),
+      2. near-dup dedup: the incremental LSH probe
+         (queries/textops.py dedup_incremental) — batch docs whose
+         best corpus match is >= 50% Jaccard are dropped; cost is
+         |batch| x collision rate, never |corpus|^2,
+      3. quality gate: the integer token/word-length rules,
+      4. DSIR admission: log-likelihood score >= 0 (weights from
+         dsir_scored; production trains them on the standing corpus
+         — same plan shape either way),
+      5. shard assignment: the same md5 shuffle key the full-build
+         manifest uses, so appended docs land in their final shards.
+
+    Output: the manifest DELTA — docs/tokens appended per shard —
+    which is exactly what a trainer's loader needs to pick up the
+    refreshed corpus.  Every stage is an equality join or Column
+    algebra; nothing in the chain materializes between stages."""
+    from connect_spark.queries.textops import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+    batch = fp.filter(F.col("doc_id") % 10 == 0)
+    corp = fp.filter(F.col("doc_id") % 10 != 0)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    first_in_batch = (batch.withColumn("rn", F.row_number().over(w))
+                      .filter(F.col("rn") == 1).select("doc_id", "fp"))
+    not_in_corpus = first_in_batch.join(
+        corp.select("fp").distinct(), "fp", "left_anti").select("doc_id")
+    near_dups = (dedup_incremental(spark, sf_dir)
+                 .filter(F.col("jaccard_bp") >= _NEARDUP_DROP_BP)
+                 .select(F.col("new_doc").alias("doc_id")))
+    survivors = not_in_corpus.join(near_dups, "doc_id", "left_anti")
+
+    t = docs.join(survivors, "doc_id").select(
+        "doc_id", _toks().alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tok"),
+        F.aggregate(F.transform("toks", lambda x: F.length(x)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("char_sum"))
+    quality = t.filter(
+        (F.col("n_tok") >= 5) & (F.col("n_tok") <= 5000)
+        & (F.col("char_sum") <= 12 * F.col("n_tok"))
+        & (F.col("char_sum") >= 2 * F.col("n_tok"))).select(
+            "doc_id", "n_tok")
+    admitted = quality.join(
+        dsir_scored(docs).filter("keep").select("doc_id"), "doc_id")
+    sharded = admitted.withColumn(
+        "shard",
+        F.substring(
+            F.md5(F.concat(F.lit(_SHUFFLE_SALT),
+                           F.col("doc_id").cast("string"))),
+            1, N_SHARD_HEX))
+    return (sharded.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_added"),
+                 F.sum("n_tok").alias("tokens_added")))
+
+
+def _refresh_sql() -> str:
+    from connect_spark.queries.textops import DEDUP_INCREMENTAL_SQL
+
+    return f"""
+WITH best AS (
+{DEDUP_INCREMENTAL_SQL}
+),
+{_DSIR_CTES},
+fp AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+),
+first_in_batch AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp WHERE doc_id % 10 = 0
+  ) WHERE rn = 1
+),
+not_in_corpus AS (
+  SELECT b.doc_id FROM first_in_batch b
+  ANTI JOIN (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0) c
+    ON c.fp = b.fp
+),
+survivors AS (
+  SELECT n.doc_id FROM not_in_corpus n
+  ANTI JOIN (SELECT new_doc FROM best
+             WHERE jaccard_bp >= {_NEARDUP_DROP_BP}) d
+    ON d.new_doc = n.doc_id
+),
+qual AS (
+  SELECT doc_id, n_tok FROM (
+    SELECT s.doc_id,
+           len(toks2)::BIGINT AS n_tok,
+           COALESCE(list_sum(list_transform(toks2, x -> length(x))), 0)
+             AS char_sum
+    FROM (SELECT d.doc_id,
+                 list_filter(string_split(d.text, ' '), x -> x != '')
+                   AS toks2
+          FROM documents d JOIN survivors sv ON sv.doc_id = d.doc_id) s
+  ) WHERE n_tok BETWEEN 5 AND 5000
+      AND char_sum <= 12 * n_tok AND char_sum >= 2 * n_tok
+),
+admitted AS (
+  SELECT q.doc_id, q.n_tok FROM qual q
+  JOIN scored s ON s.doc_id = q.doc_id AND s.score >= 0
+)
+SELECT substr(md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)),
+              1, {N_SHARD_HEX}) AS shard,
+       COUNT(*) AS n_added, SUM(n_tok) AS tokens_added
+FROM admitted
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("shard_shuffle_manifest", shard_shuffle_manifest,
               SHARD_MANIFEST_SQL),
+    QuerySpec("pipeline_incremental_refresh", pipeline_incremental_refresh,
+              _refresh_sql()),
     QuerySpec("dsir_importance_resample", dsir_importance_resample,
               DSIR_SQL),
     QuerySpec("mixture_interleave_blocks", mixture_interleave_blocks,

@@ -110,6 +110,23 @@ def test_mixture_blocks_match_weights(spark):
                 assert comp[lang].last_vt < (block + 1) * 8400
 
 
+def test_incremental_refresh_funnel_bounds(spark):
+    """Admitted docs are a subset of the new batch; the quality gate
+    bounds per-doc token counts, so tokens_added is bounded by
+    n_added on both sides; the run is repeat-deterministic."""
+    from connect_spark.queries.datamix import pipeline_incremental_refresh
+
+    rows = pipeline_incremental_refresh(spark, SF).collect()
+    again = pipeline_incremental_refresh(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    batch_n = (load_table(spark, SF, "documents")
+               .filter(F.col("doc_id") % 10 == 0).count())
+    assert 0 < sum(r.n_added for r in rows) <= batch_n
+    for r in rows:
+        assert r.shard in set("0123456789abcdef")
+        assert 5 * r.n_added <= r.tokens_added <= 5000 * r.n_added
+
+
 def test_mixture_plan_has_no_global_sort(spark):
     """Blocks are virtual-time windows; the plan must not collapse to
     a single partition anywhere."""
