@@ -59,6 +59,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dsir_importance_resample",
     "mixture_interleave_blocks",
     "pipeline_incremental_refresh",
+    "multimodal_bmp_resize",
+    "multimodal_audio_features",
     "migrator_schema_sync",
     "migrator_id_translate",
     "migrator_group_offsets",

@@ -1072,6 +1072,121 @@ FROM f
 """
 
 
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize in the gate: each event synthesizes a
+    deterministic 8x8 24-bit BMP (pixel (x, y) channels are integer
+    functions of (event_id, x, y)), the payload goes through the full
+    encode -> nearest-neighbor resize to 4x4 -> decode chain
+    (media_codecs.resize_bmp via multimodal.resize_media — raster
+    bytes, BGR order, bottom-up rows, 4-byte padding all exercised),
+    and the output reduces to two integers the oracle recomputes
+    arithmetically: resized pixel (x, y) samples source (2x, 2y), so
+    sum_rgb and the position-weighted checksum pin the exact resized
+    raster, orientation included."""
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, bmp_pixel_stats, resize_media)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                rows = [[((e + 3 * x + 5 * y) % 256,
+                          (2 * e + 7 * x + y) % 256,
+                          (3 * e + x + 11 * y) % 256)
+                         for x in range(8)] for y in range(8)]
+                payloads.append(encode_bmp(rows))
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["image/bmp"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return bmp_pixel_stats(resize_media(media, 4, 4)).select(
+        F.col("media_id").alias("event_id"),
+        "width", "height", "sum_rgb", "pos_checksum")
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT event_id, 4 AS width, 4 AS height,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+              (event_id + 6 * (i % 4) + 10 * (i // 4)) % 256
+            + (2 * event_id + 14 * (i % 4) + 2 * (i // 4)) % 256
+            + (3 * event_id + 2 * (i % 4) + 22 * (i // 4)) % 256))
+         AS BIGINT) AS sum_rgb,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+            (i + 1) * (
+              ((event_id + 6 * (i % 4) + 10 * (i // 4)) % 256) * 65536
+            + ((2 * event_id + 14 * (i % 4) + 2 * (i // 4)) % 256) * 256
+            + ((3 * event_id + 2 * (i % 4) + 22 * (i // 4)) % 256))))
+         AS BIGINT) AS pos_checksum
+FROM events
+"""
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction in the gate: the same
+    deterministic 64-sample PCM16 WAV synthesis as
+    multimodal_wav_decode, then wav_window_features (REAL RIFF walk +
+    PCM decode) emits per-16-sample-window integer energy and strict
+    zero crossings — the one-to-many explode shape with every value
+    recomputable by the oracle from the sample formula
+    s_i = ((event_id*7 + i*13) mod 256 - 128) * 128."""
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, wav_window_features)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_wav
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    [((int(e) * 7 + i * 13) % 256 - 128) * 128
+                     for i in range(64)],
+                    sample_rate=8000,
+                )
+                for e in pdf["event_id"]
+            ]
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["audio/wav"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return wav_window_features(media, window=16).select(
+        F.col("media_id").alias("event_id"),
+        "win_idx", "n_samples", "energy", "zero_crossings")
+
+
+MULTIMODAL_AUDIO_SQL = """
+SELECT event_id, CAST(w AS INT) AS win_idx, 16 AS n_samples,
+       CAST(list_sum(list_transform(range(16 * w, 16 * w + 16), i ->
+            (((event_id * 7 + i * 13) % 256 - 128) * 128)
+          * (((event_id * 7 + i * 13) % 256 - 128) * 128)))
+         AS BIGINT) AS energy,
+       CAST(list_sum(list_transform(range(16 * w + 1, 16 * w + 16), i ->
+            CASE WHEN (((event_id * 7 + (i - 1) * 13) % 256 - 128) * 128)
+                    * (((event_id * 7 + i * 13) % 256 - 128) * 128) < 0
+                 THEN 1 ELSE 0 END))
+         AS INT) AS zero_crossings
+FROM events, unnest([0, 1, 2, 3]) AS t(w)
+"""
+
+
 def unicode_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unicode_segments (internal/impl/lang/bloblang.go:70-120) over
     the documents table: UAX #29 word segmentation per doc — segment
@@ -1209,6 +1324,10 @@ QUERIES = [
     QuerySpec("multimodal_wav_decode", multimodal_wav_decode,
               MULTIMODAL_WAV_SQL),
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL),
+    QuerySpec("multimodal_bmp_resize", multimodal_bmp_resize,
+              MULTIMODAL_RESIZE_SQL),
+    QuerySpec("multimodal_audio_features", multimodal_audio_features,
+              MULTIMODAL_AUDIO_SQL),
     QuerySpec(
         "unicode_segments_docs", unicode_segments_docs, UNICODE_SEGMENTS_SQL
     ),

@@ -146,3 +146,50 @@ def decode_bmp(payload: bytes) -> dict:
         "mean_g_x1000": tot_g * 1000 // n,
         "mean_b_x1000": tot_b * 1000 // n,
     }
+
+
+def decode_bmp_pixels(payload: bytes) -> dict:
+    """BMP bytes → dict(width, height, pixels) with pixels as
+    top-to-bottom rows of (r, g, b) tuples — the exact inverse of
+    encode_bmp.  Same format envelope as decode_bmp (24-bit
+    uncompressed BITMAPINFOHEADER)."""
+    if payload[:2] != b"BM":
+        raise ValueError("bmp: bad magic")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, width, height, _planes, depth, compression) = \
+        struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("bmp: pre-BITMAPINFOHEADER not supported")
+    if depth != 24 or compression != 0:
+        raise ValueError(
+            f"bmp: only 24-bit uncompressed (depth={depth}, "
+            f"compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if len(payload) < offset + stride * height:
+        raise ValueError("bmp: truncated raster")
+    rows = []
+    for y in range(height):
+        base = offset + y * stride
+        raw = payload[base:base + row_bytes]
+        rows.append([(raw[i + 2], raw[i + 1], raw[i])
+                     for i in range(0, row_bytes, 3)])
+    if bottom_up:
+        rows.reverse()
+    return {"width": width, "height": height, "pixels": rows}
+
+
+def resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor raster resize: output pixel (x, y) in
+    top-down coordinates samples source pixel
+    (x * w // new_w, y * h // new_h).  Decode → resample → re-encode,
+    all through this module's own codecs."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("bmp: resize dims must be positive")
+    d = decode_bmp_pixels(payload)
+    w, h, px = d["width"], d["height"], d["pixels"]
+    out = [[px[y * h // new_h][x * w // new_w] for x in range(new_w)]
+           for y in range(new_h)]
+    return encode_bmp(out)

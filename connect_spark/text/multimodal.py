@@ -247,3 +247,130 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             ),
         ),
     )
+
+
+_BMP_MIMES = {"image/bmp", "image/x-bmp"}
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL raster resize for BMP payloads: payload -> payload through
+    the repo's own codec (media_codecs.resize_bmp, nearest-neighbor),
+    same media envelope in and out, Arrow-batched, zero shuffle.
+    Non-BMP mimes keep resize_stub's metadata-only behavior (their
+    decoders are environment-gated), so one call handles a mixed-mime
+    corpus without dropping rows."""
+    from connect_spark.text.media_codecs import resize_bmp
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, mime, meta in zip(
+                    pdf["payload"], pdf["mime"], pdf["meta"]):
+                m = dict(meta or {})
+                m["resize"] = f"{width}x{height}"
+                if mime in _BMP_MIMES:
+                    payloads.append(
+                        resize_bmp(bytes(payload), width, height))
+                else:
+                    payloads.append(payload)
+                    m["resize_applied"] = "metadata-only"
+                metas.append(m)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "mime": pdf["mime"],
+                "meta": metas,
+            })
+
+    return df.mapInPandas(resize_batches, MEDIA_SCHEMA)
+
+
+def bmp_pixel_stats(df: DataFrame) -> DataFrame:
+    """Integer pixel statistics over BMP payloads: sum of all channel
+    values plus a position-weighted checksum
+    (sum over top-down raster order of (y*width + x + 1) *
+    (r*65536 + g*256 + b)) — any transposition, flip, or channel swap
+    changes it, so an oracle match pins the exact raster."""
+    from connect_spark.text.media_codecs import decode_bmp_pixels
+
+    def stat_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, checks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_bmp_pixels(bytes(payload))
+                w, h = d["width"], d["height"]
+                s = c = 0
+                for y, row in enumerate(d["pixels"]):
+                    for x, (r, g, b) in enumerate(row):
+                        s += r + g + b
+                        c += (y * w + x + 1) * (r * 65536 + g * 256 + b)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                sums.append(s)
+                checks.append(c)
+            yield pd.DataFrame({
+                "media_id": ids, "width": ws, "height": hs,
+                "sum_rgb": sums, "pos_checksum": checks,
+            })
+
+    return df.mapInPandas(stat_batches, PIXEL_STATS_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def wav_window_features(df: DataFrame, window: int = 16) -> DataFrame:
+    """Windowed audio feature extraction over PCM RIFF/WAVE payloads
+    (REAL decode via media_codecs.decode_wav): per fixed-size sample
+    window, exact integer energy (sum of squared samples) and strict
+    zero crossings (adjacent pairs with s[i-1]*s[i] < 0, pairs within
+    the window only).  One-to-many mapInPandas — a row per (media,
+    window) — mirroring sample_frames' explode shape, with every
+    output value integer so oracles recompute it bit-for-bit."""
+    from connect_spark.text.media_codecs import decode_wav
+
+    def feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, ns, energies, zcs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = decode_wav(bytes(payload))["samples"]
+                for w0 in range(0, len(samples), window):
+                    seg = samples[w0:w0 + window]
+                    ids.append(mid)
+                    wins.append(w0 // window)
+                    ns.append(len(seg))
+                    energies.append(sum(s * s for s in seg))
+                    zcs.append(sum(
+                        1 for i in range(1, len(seg))
+                        if seg[i - 1] * seg[i] < 0))
+            yield pd.DataFrame({
+                "media_id": ids, "win_idx": wins, "n_samples": ns,
+                "energy": energies, "zero_crossings": zcs,
+            })
+
+    return df.mapInPandas(feature_batches, AUDIO_WINDOW_SCHEMA)

@@ -103,3 +103,66 @@ def test_decode_media_real_wav_and_bmp(spark):
     assert abs(rows[2]["feature"][0] - 100 / 255) < 1e-2
     # compressed mime still rides the deterministic stub
     assert rows[3]["width"] >= 64
+
+
+def test_bmp_pixel_roundtrip_and_resize():
+    from connect_spark.text.media_codecs import (
+        decode_bmp_pixels, encode_bmp, resize_bmp)
+
+    rows = [[(x * 10 + y, (x * 3) % 256, (y * 7) % 256)
+             for x in range(6)] for y in range(4)]
+    payload = encode_bmp(rows)
+    d = decode_bmp_pixels(payload)
+    assert (d["width"], d["height"]) == (6, 4)
+    assert d["pixels"] == rows   # top-down orientation restored
+    # non-integral ratio: 6x4 -> 4x3, out (x,y) = src (x*6//4, y*4//3)
+    rz = decode_bmp_pixels(resize_bmp(payload, 4, 3))
+    for y in range(3):
+        for x in range(4):
+            assert rz["pixels"][y][x] == rows[y * 4 // 3][x * 6 // 4]
+    with pytest.raises(ValueError):
+        resize_bmp(payload, 0, 3)
+
+
+def test_resize_media_mixed_mimes(spark):
+    from connect_spark.text.media_codecs import (
+        decode_bmp_pixels, encode_bmp)
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, resize_media)
+
+    rows = [[(y, x, 0) for x in range(8)] for y in range(8)]
+    bmp = encode_bmp(rows)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), "image/bmp", {}),
+         (2, bytearray(b"opaque"), "video/fake", {})],
+        MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_media(df, 2, 2).collect()}
+    rz = decode_bmp_pixels(bytes(out[1].payload))
+    assert (rz["width"], rz["height"]) == (2, 2)
+    assert rz["pixels"] == [[(0, 0, 0), (0, 4, 0)],
+                            [(4, 0, 0), (4, 4, 0)]]
+    assert out[1].meta["resize"] == "2x2"
+    # non-BMP passes through untouched, flagged metadata-only
+    assert bytes(out[2].payload) == b"opaque"
+    assert out[2].meta["resize_applied"] == "metadata-only"
+
+
+def test_wav_window_features_values(spark):
+    from connect_spark.text.media_codecs import encode_wav
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, wav_window_features)
+
+    samples = [100, -100, 200, 0, -50, 50]   # 2 windows of 4 + tail 2
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_wav(samples)), "audio/wav", {})],
+        MEDIA_SCHEMA)
+    out = {r.win_idx: r for r in
+           wav_window_features(df, window=4).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_samples == 4
+    assert out[0].energy == 100**2 + 100**2 + 200**2 + 0**2
+    # crossings: 100->-100 yes, -100->200 yes, 200->0 no (strict)
+    assert out[0].zero_crossings == 2
+    assert out[1].n_samples == 2
+    assert out[1].energy == 50**2 + 50**2
+    assert out[1].zero_crossings == 1
