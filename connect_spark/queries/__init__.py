@@ -100,6 +100,10 @@ _DRIVER_PRIORITY: list[str] = [
     "fn_encoding_matrix",
     "fn_array_matrix",
     "dedup_exact",
+    # --- 50-slot window boundary (session-3 additions above pushed
+    # these 8 r4/r5-latest entries below the line; they front the
+    # round-9 rotation queue together with everything under the older
+    # marker below) ---
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -111,8 +115,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ffi_libc_events",
     "streaming_running_totals",
     "streaming_session_window",
-    # --- 50-slot window boundary (everything below queues for the
-    # round-9 rotation: 11 r4-latest, then the 49 r5-latest) ---
+    # --- former (session-2) window boundary ---
     "pipeline_yaml_route",
     "parse_log_events",
     "iceberg_partitioned_scan",
