@@ -125,9 +125,10 @@ WITH keyed AS (
                             ORDER BY shuffle_key, doc_id) AS pos
   FROM keyed
 )
-SELECT shard, COUNT(*) AS n_docs, SUM(n_tok) AS token_total,
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS token_total,
        MIN(shuffle_key) AS first_key, MAX(shuffle_key) AS last_key,
-       SUM(pos * (doc_id % 997)) AS order_checksum
+       CAST(SUM(pos * (doc_id % 997)) AS BIGINT) AS order_checksum
 FROM sharded GROUP BY shard
 """
 
@@ -241,8 +242,10 @@ _DSIR_CTES = f"""tok AS (
 DSIR_SQL = f"""
 WITH {_DSIR_CTES}
 SELECT lang, in_target, COUNT(*) AS n_docs,
-       SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN score >= 0 THEN n_tok ELSE 0 END) AS tokens_kept
+       CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN score >= 0 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept
 FROM scored
 GROUP BY lang, in_target
 """
@@ -418,7 +421,7 @@ admitted AS (
 )
 SELECT substr(md5('{_SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)),
               1, {N_SHARD_HEX}) AS shard,
-       COUNT(*) AS n_added, SUM(n_tok) AS tokens_added
+       COUNT(*) AS n_added, CAST(SUM(n_tok) AS BIGINT) AS tokens_added
 FROM admitted
 GROUP BY 1
 """
