@@ -608,7 +608,213 @@ WHERE event_id % 11 <> 0
 """
 
 
+_BUNDLE_SPLIT = 5  # pass-1 migrates source offsets < 5; pass 2 the tail
+
+
+def migrator_bundle_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RUN itself — `migrate_cluster`
+    (streaming/migrator_bundle.py), the recorded-cluster analogue of
+    the reference flagship's run loop (internal/impl/redpanda/migrator/
+    migrator.go; README.md:3 "topics, schemas, and consumer groups") —
+    driver-gated END TO END including the resume contract:
+
+      1. a recorded source cluster is built from `events` (records:
+         topic=event_type, partition=user_id%4, Confluent-framed
+         values whose schema ids come from the nation-derived registry
+         fixture; unknown id 999 for event_id%7==0) plus topics.json /
+         acls.json / registry.json / groups.json,
+      2. the destination log is PRE-POPULATED with 3 unframed records
+         per partition, so migrated offsets must shift by +3,
+      3. `migrate_cluster` runs TWICE: first over a partial source log
+         (offsets < 5), then — after the source grows to the full
+         log — again.  The second run's src_off tail-skip must append
+         ONLY the tail (duplicates would break n_records/max_offset;
+         a re-based offset would break contiguity),
+      4. the output folds in the group plane's final commits from the
+         destination groups.json: the Stable group travels the ts
+         path (monotonic unique ts -> committed+3 exactly), the Empty
+         group the exact src_off-header refinement
+         (tryFindExactOffset:805) -> also committed+3, which the
+         oracle reproduces in closed form.
+
+    Output per destination (topic, partition): record count,
+    max offset, tail-appended count, an id checksum over the
+    re-framed schema ids (sum dst_id*(src_off+1) — any frame-rewrite
+    or resume bug shifts it), and both groups' committed offsets.
+
+    Scale shape: records move through migrate_cluster's one scan +
+    broadcast id-map join + per-partition offset window per pass; the
+    only collects are control-plane sized (per-partition counts for
+    groups.json ~ topics*4 rows, the 25-row nation registry fixture,
+    the destination groups.json)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from connect_spark.functions.schema_registry import (
+        parse_confluent_frame,
+    )
+    from connect_spark.streaming.migrator_bundle import (
+        RECORD_SCHEMA,
+        migrate_cluster,
+        save_registry,
+    )
+    from connect_spark.streaming.migrator_control import (
+        RecordedRegistry,
+        SchemaRef,
+        SubjectSchema,
+        encode_confluent_frame_col,
+    )
+
+    base = tempfile.mkdtemp(prefix="mig_bundle_")
+    src_dir = os.path.join(base, "src")
+    dst_dir = os.path.join(base, "dst")
+    os.makedirs(src_dir)
+    os.makedirs(dst_dir)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    w = Window.partitionBy("event_type", (F.col("user_id") % 4)) \
+        .orderBy("event_id")
+    src_id = F.when(F.col("event_id") % 7 == 0, F.lit(999)).otherwise(
+        (F.lit(100) + 2 * (F.col("event_id") % 25)).cast("int"))
+    src = (ev.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        encode_confluent_frame_col(
+            F.col("event_type").cast("binary"), src_id).alias("value"))
+        .withColumn("ts", (F.lit(1000) + F.col("offset")).cast("long"))
+        .withColumn("src_off", F.lit(None).cast("long"))
+        .select("topic", "partition", "offset", "ts", "value", "src_off"))
+
+    counts = {(r.topic, int(r.partition)): int(r.n) for r in
+              src.groupBy("topic", "partition")
+              .agg(F.count("*").alias("n")).collect()}
+    topics = sorted({t for t, _ in counts})
+
+    with open(os.path.join(src_dir, "topics.json"), "w") as f:
+        _json.dump({t: {"partitions": 4, "rf": 3,
+                        "configs": {"cleanup.policy": "compact",
+                                    "unsupported.key": "x"}}
+                    for t in topics}, f)
+    with open(os.path.join(src_dir, "acls.json"), "w") as f:
+        _json.dump([{"topic": t, "principal": "User:svc", "host": "",
+                     "operation": "ALL", "permission": "ALLOW",
+                     "pattern": "LITERAL"} for t in topics], f)
+    nations = sorted(
+        (int(r.n_nationkey), str(r.n_name))
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name").collect())
+    reg = RecordedRegistry()
+    reg.add(SubjectSchema("aaa-base-value", 1, 990, _AVRO % "Base"))
+    for k, name in nations:
+        subj = f"evt-{name}-value"
+        reg.add(SubjectSchema(subj, 1, 100 + 2 * k, _AVRO % f"Ev{k}V1"))
+        reg.add(SubjectSchema(
+            subj, 2, 101 + 2 * k, _AVRO % f"Ev{k}V2",
+            references=(SchemaRef("Base", "aaa-base-value", 1),)))
+    save_registry(reg, src_dir)
+    groups = []
+    for (t, p), n in sorted(counts.items()):
+        groups.append({"group": "g-stable", "state": "Stable",
+                       "topic": t, "partition": p,
+                       "committed": 2 * n // 3})
+        groups.append({"group": "g-empty", "state": "Empty",
+                       "topic": t, "partition": p, "committed": n // 2})
+    with open(os.path.join(src_dir, "groups.json"), "w") as f:
+        _json.dump(groups, f)
+
+    # destination pre-populated: 3 unframed records per partition
+    spark.createDataFrame(
+        [("mig_" + t, p, o, o, b"raw", None)
+         for (t, p) in sorted(counts) for o in range(3)],
+        RECORD_SCHEMA).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, "records"))
+
+    rec_path = os.path.join(src_dir, "records")
+    src.filter(F.col("offset") < _BUNDLE_SPLIT) \
+        .write.mode("overwrite").parquet(rec_path)
+    migrate_cluster(spark, src_dir, dst_dir,
+                    topic_resolver=lambda t: "mig_" + t,
+                    subject_resolver=lambda s: "mig_" + s)
+    src.filter(F.col("offset") >= _BUNDLE_SPLIT) \
+        .write.mode("append").parquet(rec_path)
+    migrate_cluster(spark, src_dir, dst_dir,
+                    topic_resolver=lambda t: "mig_" + t,
+                    subject_resolver=lambda s: "mig_" + s)
+
+    recs = spark.read.schema(RECORD_SCHEMA).parquet(
+        os.path.join(dst_dir, "records"))
+    frame = parse_confluent_frame("value")
+    agg = (recs.groupBy("topic", "partition")
+           .agg(F.count("*").alias("n_records"),
+                F.max("offset").alias("max_offset"),
+                F.sum(F.when(F.col("src_off") >= _BUNDLE_SPLIT, 1)
+                      .otherwise(0)).cast("long").alias("n_tail"),
+                F.sum(F.when(
+                    F.col("src_off").isNotNull(),
+                    frame["schema_id"].cast("long")
+                    * (F.col("src_off") + 1)).otherwise(0))
+                .alias("id_checksum")))
+    gj = _json.load(open(os.path.join(dst_dir, "groups.json")))
+    commits = spark.createDataFrame(
+        [(g["group"], g["topic"], int(g["partition"]),
+          int(g["committed"])) for g in gj],
+        "group STRING, topic STRING, partition INT, committed LONG")
+    piv = (commits.groupBy("topic", "partition")
+           .agg(F.max(F.when(F.col("group") == "g-stable",
+                             F.col("committed")))
+                .alias("stable_committed"),
+                F.max(F.when(F.col("group") == "g-empty",
+                             F.col("committed")))
+                .alias("empty_committed")))
+    return agg.join(piv, ["topic", "partition"], "left")
+
+
+MIGRATOR_BUNDLE_RUN_SQL = f"""
+WITH r AS (
+    SELECT n_nationkey AS k,
+           ROW_NUMBER() OVER (ORDER BY n_name) - 1 AS rnk
+    FROM nation
+),
+src AS (
+    SELECT event_id, event_type AS topic,
+           CAST(user_id % 4 AS INT) AS partition,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type, user_id % 4
+               ORDER BY event_id) - 1 AS off
+    FROM events
+),
+ids AS (
+    SELECT s.topic, s.partition, s.off,
+           CASE WHEN s.event_id % 7 = 0 THEN 999
+                ELSE 2 * r.rnk + 2 END AS dst_id
+    FROM src s JOIN r ON r.k = s.event_id % 25
+),
+agg AS (
+    SELECT topic, partition, COUNT(*) AS n_src,
+           CAST(SUM(CASE WHEN off >= {_BUNDLE_SPLIT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail,
+           CAST(SUM(dst_id * (off + 1)) AS BIGINT) AS id_checksum
+    FROM ids GROUP BY topic, partition
+)
+SELECT 'mig_' || topic AS topic, partition,
+       CAST(n_src + 3 AS BIGINT) AS n_records,
+       CAST(n_src + 2 AS BIGINT) AS max_offset,
+       n_tail, id_checksum,
+       CASE WHEN 2 * n_src // 3 > 0
+            THEN CAST(2 * n_src // 3 + 3 AS BIGINT) END
+           AS stable_committed,
+       CASE WHEN n_src // 2 > 0
+            THEN CAST(n_src // 2 + 3 AS BIGINT) END AS empty_committed
+FROM agg
+"""
+
+
 QUERIES = [
+    QuerySpec("migrator_bundle_run", migrator_bundle_run,
+              MIGRATOR_BUNDLE_RUN_SQL),
     QuerySpec("migrator_schema_sync", migrator_schema_sync,
               MIGRATOR_SCHEMA_SYNC_SQL),
     QuerySpec("migrator_id_translate", migrator_id_translate,
