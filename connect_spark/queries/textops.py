@@ -1132,6 +1132,67 @@ FROM events
 """
 
 
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image resize in the gate: each event
+    synthesizes a deterministic 8x8 truecolor PNG — encoded through
+    the repo's own pure-stdlib codec (media_codecs.encode_png: zlib
+    DEFLATE + per-row adaptive filtering, so the payloads carry
+    Sub/Up/Paeth-filtered scanlines) — then travels the full
+    decode -> nearest-neighbor resize to 4x4 -> re-encode chain
+    (resize_media, container preserved) and reduces to the
+    position-weighted checksum the oracle recomputes arithmetically.
+    The same end-to-end shape as multimodal_bmp_resize, proving the
+    raster plumbing on a COMPRESSED container with every defilter
+    path live."""
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, bmp_pixel_stats, resize_media)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                rows = [[((e + 9 * x + 2 * y) % 256,
+                          (2 * e + 3 * x + 13 * y) % 256,
+                          (5 * e + 7 * x + y) % 256)
+                         for x in range(8)] for y in range(8)]
+                payloads.append(encode_png(rows))
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["image/png"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return bmp_pixel_stats(resize_media(media, 4, 4)).select(
+        F.col("media_id").alias("event_id"),
+        "width", "height", "sum_rgb", "pos_checksum")
+
+
+MULTIMODAL_PNG_RESIZE_SQL = """
+SELECT event_id, 4 AS width, 4 AS height,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+              (event_id + 18 * (i % 4) + 4 * (i // 4)) % 256
+            + (2 * event_id + 6 * (i % 4) + 26 * (i // 4)) % 256
+            + (5 * event_id + 14 * (i % 4) + 2 * (i // 4)) % 256))
+         AS BIGINT) AS sum_rgb,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+            (i + 1) * (
+              ((event_id + 18 * (i % 4) + 4 * (i // 4)) % 256) * 65536
+            + ((2 * event_id + 6 * (i % 4) + 26 * (i // 4)) % 256) * 256
+            + ((5 * event_id + 14 * (i % 4) + 2 * (i // 4)) % 256))))
+         AS BIGINT) AS pos_checksum
+FROM events
+"""
+
+
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio feature extraction in the gate: the same
     deterministic 64-sample PCM16 WAV synthesis as
@@ -1326,6 +1387,8 @@ QUERIES = [
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL),
     QuerySpec("multimodal_bmp_resize", multimodal_bmp_resize,
               MULTIMODAL_RESIZE_SQL),
+    QuerySpec("multimodal_png_resize", multimodal_png_resize,
+              MULTIMODAL_PNG_RESIZE_SQL),
     QuerySpec("multimodal_audio_features", multimodal_audio_features,
               MULTIMODAL_AUDIO_SQL),
     QuerySpec(

@@ -1,18 +1,21 @@
-"""REAL pure-Python media codecs for the uncompressed container
-formats — no external libraries needed, so these paths are never
-stubbed: RIFF/WAVE PCM audio and BMP (BITMAPINFOHEADER, 24-bit)
-images, both from their public format specifications.
+"""REAL pure-Python media codecs for the container formats the
+standard library can carry — no external libraries needed, so these
+paths are never stubbed: RIFF/WAVE PCM audio, BMP (BITMAPINFOHEADER,
+24-bit) images, and PNG (RGB/RGBA 8-bit, zlib DEFLATE via the stdlib,
+all five scanline filters including Paeth), each from its public
+format specification.
 
-Compressed codecs (JPEG/PNG/MP3/H.264) stay behind the honest
-`decode_stub` gates in text/multimodal.py — the container has no
-codec libraries — but WAV/BMP cover the real plumbing end to end:
-bytes → typed features with exact integer math both engines can
+Codecs the stdlib genuinely cannot decode (JPEG/MP3/H.264 entropy
+coding) stay behind the honest `decode_stub` gates in
+text/multimodal.py — but WAV/BMP/PNG cover the real plumbing end to
+end: bytes → typed features with exact integer math both engines can
 verify.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 
 # --- RIFF/WAVE PCM ---------------------------------------------------
@@ -179,6 +182,196 @@ def decode_bmp_pixels(payload: bytes) -> dict:
     if bottom_up:
         rows.reverse()
     return {"width": width, "height": height, "pixels": rows}
+
+
+# --- PNG (RGB/RGBA 8-bit, non-interlaced) ----------------------------
+#
+# Pure-stdlib implementation of the public PNG specification (RFC
+# 2083 / W3C PNG): chunk framing with CRC-32, IHDR, IDAT zlib
+# DEFLATE, IEND, and the five scanline filters (None/Sub/Up/Average/
+# Paeth).  The encoder picks the filter per row with the standard
+# minimum-sum-of-absolute-differences heuristic, so round-trips
+# exercise every defilter path, not just filter 0.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec 6.6): nearest of left/up/up-left
+    to the linear estimate a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_line(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    if ft == 0:
+        return line
+    out = bytearray(len(line))
+    for i, x in enumerate(line):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (x - pred) & 0xFF
+    return bytes(out)
+
+
+def _defilter_line(ft: int, line: bytearray, prev: bytes,
+                   bpp: int) -> None:
+    """In-place reconstruction of one scanline (PNG spec 6.2-6.6)."""
+    if ft == 0:
+        return
+    if ft == 1:
+        for i in range(bpp, len(line)):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif ft == 2:
+        for i in range(len(line)):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ft == 3:
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ft == 4:
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+    else:
+        raise ValueError(f"png: unknown filter type {ft}")
+
+
+def encode_png(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Rows of (r, g, b) top-to-bottom → an 8-bit truecolor PNG.
+    Per-row adaptive filtering (min-sum-of-abs heuristic, the libpng
+    default) so typical rasters emit Sub/Up/Paeth-filtered lines."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width * 3)
+    for row in pixels:
+        line = bytes(v for px in row for v in px)
+        best_ft, best_filt, best_score = 0, line, None
+        for ft in range(5):
+            filt = _filter_line(ft, line, prev, 3)
+            score = sum(b if b < 128 else 256 - b for b in filt)
+            if best_score is None or score < best_score:
+                best_ft, best_filt, best_score = ft, filt, score
+        raw.append(best_ft)
+        raw += best_filt
+        prev = line
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """PNG bytes → dict(width, height, pixels, color_type) with pixels
+    as top-to-bottom rows of (r, g, b) tuples — alpha dropped for
+    RGBA.  8-bit color types 2 (RGB) and 6 (RGBA), non-interlaced;
+    chunk CRCs are verified; IDAT may span multiple chunks."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    i = 8
+    n = len(payload)
+    ihdr = None
+    idat = bytearray()
+    while i + 12 <= n:
+        (size,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + size]
+        if len(data) != size:
+            raise ValueError("png: truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + size)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("png: missing IHDR or IDAT")
+    width, height, depth, color, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (2, 6):
+        raise ValueError(
+            f"png: only 8-bit RGB/RGBA (depth={depth}, color={color})")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("png: unsupported compression/filter/interlace")
+    bpp = 3 if color == 2 else 4
+    stride = width * bpp
+    recon = zlib.decompress(bytes(idat))
+    if len(recon) != height * (stride + 1):
+        raise ValueError("png: raster size mismatch")
+    rows = []
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(height):
+        ft = recon[pos]
+        line = bytearray(recon[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        _defilter_line(ft, line, prev, bpp)
+        rows.append([(line[x * bpp], line[x * bpp + 1],
+                      line[x * bpp + 2]) for x in range(width)])
+        prev = bytes(line)
+    return {"width": width, "height": height, "pixels": rows,
+            "color_type": color}
+
+
+def resize_png(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor PNG resize, decode → resample →
+    re-encode through this module's own codec (same sampling rule as
+    resize_bmp)."""
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("png: resize dims must be positive")
+    d = decode_png_pixels(payload)
+    w, h, px = d["width"], d["height"], d["pixels"]
+    out = [[px[y * h // new_h][x * w // new_w] for x in range(new_w)]
+           for y in range(new_h)]
+    return encode_png(out)
+
+
+# --- container dispatch ----------------------------------------------
+
+
+def decode_raster_pixels(payload: bytes) -> dict:
+    """Magic-byte dispatch over the REAL raster codecs: BMP or PNG →
+    dict(width, height, pixels) with top-down (r, g, b) rows."""
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png_pixels(payload)
+    raise ValueError("raster: unknown container (not BMP or PNG)")
+
+
+def resize_raster(payload: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resize preserving the input container."""
+    if payload[:2] == b"BM":
+        return resize_bmp(payload, new_w, new_h)
+    if payload[:8] == _PNG_SIG:
+        return resize_png(payload, new_w, new_h)
+    raise ValueError("raster: unknown container (not BMP or PNG)")
 
 
 def resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:

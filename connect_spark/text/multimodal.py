@@ -117,6 +117,21 @@ def _bmp_decode(payload: bytes) -> tuple[int, int, list[float]]:
     ]
 
 
+def _png_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    from connect_spark.text.media_codecs import decode_png_pixels
+
+    d = decode_png_pixels(payload)
+    n = max(d["width"] * d["height"], 1)
+    tot = [0, 0, 0]
+    for row in d["pixels"]:
+        for r, g, b in row:
+            tot[0] += r
+            tot[1] += g
+            tot[2] += b
+    return d["width"], d["height"], [
+        round(t / (255.0 * n), 6) for t in tot]
+
+
 def _wav_decode(payload: bytes) -> tuple[int, int, list[float]]:
     # width/height carry sample_rate/n_channels for audio; feature is
     # [duration_ms, n_samples, peak/32768]
@@ -135,6 +150,7 @@ def _wav_decode(payload: bytes) -> tuple[int, int, list[float]]:
 _REAL_DECODERS = {
     "image/bmp": _bmp_decode,
     "image/x-bmp": _bmp_decode,
+    "image/png": _png_decode,
     "audio/wav": _wav_decode,
     "audio/x-wav": _wav_decode,
     "audio/wave": _wav_decode,
@@ -250,6 +266,7 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 _BMP_MIMES = {"image/bmp", "image/x-bmp"}
+_RASTER_MIMES = _BMP_MIMES | {"image/png"}
 
 PIXEL_STATS_SCHEMA = T.StructType(
     [
@@ -263,13 +280,15 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL raster resize for BMP payloads: payload -> payload through
-    the repo's own codec (media_codecs.resize_bmp, nearest-neighbor),
-    same media envelope in and out, Arrow-batched, zero shuffle.
-    Non-BMP mimes keep resize_stub's metadata-only behavior (their
-    decoders are environment-gated), so one call handles a mixed-mime
-    corpus without dropping rows."""
-    from connect_spark.text.media_codecs import resize_bmp
+    """REAL raster resize for BMP and PNG payloads: payload -> payload
+    through the repo's own codecs (media_codecs.resize_raster,
+    nearest-neighbor, container preserved — PNG re-encodes through
+    zlib DEFLATE with adaptive scanline filters), same media envelope
+    in and out, Arrow-batched, zero shuffle.  Other mimes keep
+    resize_stub's metadata-only behavior (their decoders are
+    environment-gated), so one call handles a mixed-mime corpus
+    without dropping rows."""
+    from connect_spark.text.media_codecs import resize_raster
 
     def resize_batches(
         batches: Iterator[pd.DataFrame],
@@ -280,9 +299,9 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                     pdf["payload"], pdf["mime"], pdf["meta"]):
                 m = dict(meta or {})
                 m["resize"] = f"{width}x{height}"
-                if mime in _BMP_MIMES:
+                if mime in _RASTER_MIMES:
                     payloads.append(
-                        resize_bmp(bytes(payload), width, height))
+                        resize_raster(bytes(payload), width, height))
                 else:
                     payloads.append(payload)
                     m["resize_applied"] = "metadata-only"
@@ -298,12 +317,15 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def bmp_pixel_stats(df: DataFrame) -> DataFrame:
-    """Integer pixel statistics over BMP payloads: sum of all channel
-    values plus a position-weighted checksum
+    """Integer pixel statistics over raster payloads (BMP or PNG,
+    magic-byte dispatch): sum of all channel values plus a
+    position-weighted checksum
     (sum over top-down raster order of (y*width + x + 1) *
     (r*65536 + g*256 + b)) — any transposition, flip, or channel swap
     changes it, so an oracle match pins the exact raster."""
-    from connect_spark.text.media_codecs import decode_bmp_pixels
+    from connect_spark.text.media_codecs import (
+        decode_raster_pixels as decode_bmp_pixels,
+    )
 
     def stat_batches(
         batches: Iterator[pd.DataFrame],
