@@ -38,72 +38,22 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 8 rotation (standing policy: oldest driver verification
-    # first — the r7 failure-to-rotate left this window identical to
-    # r6's, so r8 front-loads the backlog). Order: (a) the 5 round-7
-    # queries that have NEVER had a driver row (migrator control
-    # plane, stream-stream join, BPE training) plus the 6 new round-8
-    # queries (snowflake bdec roundtrip, composed migrator
-    # end-to-end, BPE train parity, topic-plane sync + ACL
-    # translation, bucketed co-located join); (b) the 39 oldest
-    # r4-latest entries.  The 11 r4-latest remainder + the 49
-    # r5-latest queries queue below the boundary for round 9; the 50
-    # r7-verified queries are unlisted and sort last (registry
-    # order).
-    "dedup_substring_spans",
-    "quality_stupid_backoff",
-    "sample_temperature_rebalance",
-    "pipeline_pretrain_corpus",
-    "dedup_semantic_keep",
+    # Round 9 rotation (standing policy: never-verified first, then
+    # oldest driver green).  Front of window: (a) the new round-9
+    # queries with no driver row yet (composed migrator bundle run
+    # with resume, PNG raster resize); (b) the 3 round-8 datamix
+    # queries whose oracles shipped with uncast HUGEINT sums
+    # (driver-RED r8, fixed this round — re-fronted per the verdict);
+    # (c) the 45 oldest r4/r5-latest entries parked below the r8
+    # boundary.  Zero overlap with the r8 window beyond the 3 fixes.
+    # `bpe_train_distributed` (rows-only by design) is retired from
+    # the priority list — `bpe_train_parity` strictly supersedes it
+    # as a gate (verdict task #6); it stays registered for bench/docs.
+    "migrator_bundle_run",
+    "multimodal_png_resize",
     "shard_shuffle_manifest",
     "dsir_importance_resample",
-    "mixture_interleave_blocks",
     "pipeline_incremental_refresh",
-    "multimodal_bmp_resize",
-    "multimodal_audio_features",
-    "migrator_schema_sync",
-    "migrator_id_translate",
-    "migrator_group_offsets",
-    "streaming_join_hydration",
-    "bpe_train_distributed",
-    "snowflake_bdec_roundtrip",
-    "migrator_end_to_end",
-    "bpe_train_parity",
-    "migrator_topic_sync",
-    "migrator_acl_translate",
-    "bucketed_join_revenue",
-    "mapping_project",
-    "mutation_enrich",
-    "switch_route",
-    "group_by_value_agg",
-    "dedupe_first_per_user",
-    "select_parts_topk",
-    "archive_lines",
-    "archive_json",
-    "unarchive_explode",
-    "bounds_check_filter",
-    "error_model",
-    "join_sharded_full_outer",
-    "join_enrichment_lookup",
-    "join_semi_big_spenders",
-    "join_anti_no_orders",
-    "join_star_revenue_by_nation",
-    "window_tumbling_hourly",
-    "window_sliding",
-    "window_session",
-    "window_daily_orders",
-    "fn_string_matrix",
-    "fn_map_matrix",
-    "fn_regex_matrix",
-    "fn_timestamp_matrix",
-    "fn_number_matrix",
-    "fn_encoding_matrix",
-    "fn_array_matrix",
-    "dedup_exact",
-    # --- 50-slot window boundary (session-3 additions above pushed
-    # these 8 r4/r5-latest entries below the line; they front the
-    # round-9 rotation queue together with everything under the older
-    # marker below) ---
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -115,7 +65,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ffi_libc_events",
     "streaming_running_totals",
     "streaming_session_window",
-    # --- former (session-2) window boundary ---
     "pipeline_yaml_route",
     "parse_log_events",
     "iceberg_partitioned_scan",
@@ -150,6 +99,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sql_select_orders",
     "grok_extract_events",
     "chunk_documents",
+    # --- 50-slot window boundary (round 9) --- everything below
+    # queues for round 10 together with the unlisted long-green
+    # r7/r8-verified queries (registry order).
     "chunk_recursive_character",
     "chunk_markdown",
     "compress_roundtrip",
