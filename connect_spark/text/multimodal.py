@@ -145,12 +145,23 @@ def _wav_decode(payload: bytes) -> tuple[int, int, list[float]]:
     ]
 
 
+def _gif_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    from connect_spark.text.media_codecs import decode_gif_frames
+
+    d = decode_gif_frames(payload)
+    n = max(d["width"] * d["height"], 1)
+    mean_idx = sum(v for row in d["frames"][0] for v in row) / n
+    return d["width"], d["height"], [
+        float(len(d["frames"])), round(mean_idx / 255.0, 6)]
+
+
 # mime → REAL pure-Python decoder (text/media_codecs.py) — these
 # formats never need the stub, whatever decode_stub says
 _REAL_DECODERS = {
     "image/bmp": _bmp_decode,
     "image/x-bmp": _bmp_decode,
     "image/png": _png_decode,
+    "image/gif": _gif_decode,
     "audio/wav": _wav_decode,
     "audio/x-wav": _wav_decode,
     "audio/wave": _wav_decode,
@@ -351,6 +362,57 @@ def bmp_pixel_stats(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(stat_batches, PIXEL_STATS_SCHEMA)
+
+
+GIF_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_rgb", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ]
+)
+
+
+def gif_frame_stats(df: DataFrame, frame_idx: int) -> DataFrame:
+    """REAL animated-GIF frame sampling: decode the GIF (block walk +
+    LZW), select frame `frame_idx`, expand palette indices to RGB,
+    and reduce to the same integer position-weighted checksum as
+    bmp_pixel_stats — so an oracle match pins the exact decoded frame
+    raster, palette mapping included.  Negative frame_idx counts from
+    the end (Python slicing convention)."""
+    from connect_spark.text.media_codecs import decode_gif_frames
+
+    def stat_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, ws, hs, sums, checks = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_gif_frames(bytes(payload))
+                grid = d["frames"][frame_idx]
+                pal = d["palette"]
+                w, h = d["width"], d["height"]
+                s = c = 0
+                for y, row in enumerate(grid):
+                    for x, idx in enumerate(row):
+                        r, g, b = pal[idx]
+                        s += r + g + b
+                        c += (y * w + x + 1) * (r * 65536 + g * 256 + b)
+                ids.append(mid)
+                nfs.append(len(d["frames"]))
+                ws.append(w)
+                hs.append(h)
+                sums.append(s)
+                checks.append(c)
+            yield pd.DataFrame({
+                "media_id": ids, "n_frames": nfs, "width": ws,
+                "height": hs, "sum_rgb": sums, "pos_checksum": checks,
+            })
+
+    return df.mapInPandas(stat_batches, GIF_FRAME_STATS_SCHEMA)
 
 
 AUDIO_WINDOW_SCHEMA = T.StructType(

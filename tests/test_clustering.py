@@ -1,0 +1,75 @@
+"""Quantized Lloyd k-means (queries/clustering.py) vs an independent
+local reimplementation: numpy/pure-python runs the identical
+quantize -> assign -> floor-mean -> coalesce-empty algorithm over the
+same parquet and must reproduce the Spark partition exactly."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+
+from connect_spark.queries.clustering import (
+    DIMS, ITERS, K, Q_SCALE, kmeans_lloyd_clusters)
+from tests.conftest import SF_SMALL
+
+
+def _local_kmeans(sf_dir: str):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    q = {i: [math.floor(float(x) * Q_SCALE) for x in v]
+         for i, v in zip(ids, embs)}
+    cents = {i: list(q[i]) for i in sorted(q) if i < K}
+
+    def assign():
+        out = {}
+        for vid, v in q.items():
+            best = None
+            for cid in sorted(cents):
+                d2 = sum((a - b) * (a - b)
+                         for a, b in zip(v, cents[cid]))
+                if best is None or (d2, cid) < best[:2]:
+                    best = (d2, cid)
+            out[vid] = best
+        return out
+
+    for _ in range(ITERS):
+        a = assign()
+        sums: dict[int, list[int]] = {}
+        cnt: dict[int, int] = {}
+        for vid, (_, cid) in a.items():
+            s = sums.setdefault(cid, [0] * DIMS)
+            for i, x in enumerate(q[vid]):
+                s[i] += x
+            cnt[cid] = cnt.get(cid, 0) + 1
+        for cid in cents:
+            if cid in cnt:
+                cents[cid] = [math.floor(sums[cid][i] / cnt[cid])
+                              for i in range(DIMS)]
+    final = assign()
+    agg: dict[int, list[int]] = {}
+    for vid, (d2, cid) in final.items():
+        row = agg.setdefault(cid, [0, 0, 0])
+        row[0] += 1
+        row[1] += vid
+        row[2] += d2
+    return agg
+
+
+def test_kmeans_matches_local_reference(spark):
+    got = {
+        r["cluster_id"]: (r["n_vectors"], r["vec_id_checksum"], r["inertia"])
+        for r in kmeans_lloyd_clusters(spark, SF_SMALL).collect()
+    }
+    want = {cid: tuple(v) for cid, v in _local_kmeans(SF_SMALL).items()}
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(
+        pq.read_table(f"{SF_SMALL}/embeddings.parquet"))
+
+
+def test_kmeans_covers_all_clusters_or_documents_empty(spark):
+    rows = kmeans_lloyd_clusters(spark, SF_SMALL).collect()
+    # clusters are a subset of the K seeds; every member counted once
+    assert all(0 <= r["cluster_id"] < K for r in rows)
+    assert all(r["n_vectors"] > 0 for r in rows)

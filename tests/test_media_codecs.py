@@ -166,3 +166,111 @@ def test_wav_window_features_values(spark):
     assert out[1].n_samples == 2
     assert out[1].energy == 50**2 + 50**2
     assert out[1].zero_crossings == 1
+
+
+# --- GIF (LZW) --------------------------------------------------------
+
+
+def test_gif_golden_smallest_white():
+    """The canonical 35-byte 1x1 white GIF (external golden vector:
+    hand-assembled from the GIF89a spec, LZW stream 0x44 0x01 =
+    clear, index 0, EOI at 3-bit width)."""
+    from connect_spark.text.media_codecs import decode_gif_frames
+
+    golden = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "2c000000000100010000"
+        "02024401003b")
+    d = decode_gif_frames(golden)
+    assert (d["width"], d["height"]) == (1, 1)
+    assert d["frames"] == [[[0]]]
+    assert d["palette"][0] == (255, 255, 255)
+    assert d["palette"][1] == (0, 0, 0)
+
+
+def test_gif_lzw_roundtrip_property():
+    import random
+
+    from connect_spark.text.media_codecs import _lzw_decode, _lzw_encode
+
+    rnd = random.Random(7)
+    for _ in range(20):
+        n = rnd.choice([1, 5, 64, 300, 5000])
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        for mcs in (2, 4, 8):
+            d2 = bytes(b % (1 << mcs) for b in data)
+            assert _lzw_decode(_lzw_encode(d2, mcs), mcs) == d2
+
+
+def test_gif_animated_roundtrip_with_table_growth():
+    from connect_spark.text.media_codecs import (
+        decode_gif_frames, encode_gif)
+
+    pal = [(i, (3 * i) % 256, (7 * i) % 256) for i in range(256)]
+    frames = [
+        [[(11 + 17 * x + 29 * y + 53 * f) % 256 for x in range(8)]
+         for y in range(8)]
+        for f in range(3)
+    ]
+    d = decode_gif_frames(encode_gif(frames, pal, delay_cs=4))
+    assert d["frames"] == frames
+    assert d["palette"] == pal
+    assert d["delays_cs"] == [4, 4, 4]
+    # large frame: exercises 12-bit growth and the clear/reset path
+    big = [[(x * y + x + 3 * y) % 256 for x in range(80)]
+           for y in range(80)]
+    assert decode_gif_frames(encode_gif([big], pal))["frames"] == [big]
+
+
+def test_gif_small_palette_min_code_size():
+    from connect_spark.text.media_codecs import (
+        decode_gif_frames, encode_gif)
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    grid = [[(x + y) % 4 for x in range(5)] for y in range(3)]
+    d = decode_gif_frames(encode_gif([grid], pal))
+    assert d["frames"] == [grid]
+    assert d["palette"] == pal
+
+
+# --- G.711 mu-law -----------------------------------------------------
+
+
+def test_mulaw_known_anchors():
+    from connect_spark.text.media_codecs import mulaw_compress, mulaw_expand
+
+    assert mulaw_compress(0) == 0xFF
+    assert mulaw_expand(0xFF) == 0
+    assert mulaw_expand(0x7F) == 0          # negative zero folds to 0
+    assert mulaw_compress(32767) == 0x80    # positive clip
+    assert mulaw_expand(0x80) == 32124      # top reconstruction level
+    assert mulaw_compress(-32768) == 0x00
+    assert mulaw_expand(0x00) == -32124
+
+
+def test_mulaw_code_idempotence_and_error_bound():
+    from connect_spark.text.media_codecs import mulaw_compress, mulaw_expand
+
+    for c in range(256):
+        if c == 0x7F:
+            continue  # -0: expands to 0, which re-compresses as +0
+        assert mulaw_compress(mulaw_expand(c)) == c
+    for x in range(-32768, 32768, 97):
+        r = mulaw_expand(mulaw_compress(x))
+        clipped = max(-32635, min(32635, x))
+        # quantization step doubles per segment: error < 2^(seg+3)
+        assert abs(r - clipped) <= max(4, (abs(clipped) + 132) // 16)
+
+
+def test_mulaw_wav_roundtrip():
+    from connect_spark.text.media_codecs import (
+        decode_wav, encode_wav_mulaw, mulaw_compress, mulaw_expand)
+
+    samples = [((j * 7 + 5) % 256 - 128) * 128 for j in range(64)]
+    d = decode_wav(encode_wav_mulaw(samples, 8000))
+    assert d["encoding"] == "mulaw"
+    assert d["bits"] == 8
+    assert d["n_samples"] == 64
+    assert d["samples"] == [
+        mulaw_expand(mulaw_compress(s)) for s in samples]

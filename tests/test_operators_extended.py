@@ -41,8 +41,10 @@ def test_multimodal_decode_stub(spark):
 
 
 def test_multimodal_real_decode_raises(spark):
+    # image/jpeg has NO pure-stdlib codec (image/png now real-decodes
+    # via media_codecs), so decode_stub=False must hit the honest gate
     docs = load_table(spark, SF, "documents").limit(2)
-    media = as_media_frame(docs, "doc_id", "text", "image/png")
+    media = as_media_frame(docs, "doc_id", "text", "image/jpeg")
     with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
         decode_media(media, decode_stub=False).collect()
 
