@@ -52,9 +52,13 @@ _DRIVER_PRIORITY: list[str] = [
     "migrator_bundle_run",
     "multimodal_png_resize",
     "kmeans_lloyd_clusters",
+    "kmeans_semdedup_keep",
     "bloom_membership_probe",
     "multimodal_gif_framesample",
     "multimodal_mulaw_features",
+    "streaming_cdc_to_iceberg",
+    "sketch_countmin_freq",
+    "sketch_hll_distinct",
     "shard_shuffle_manifest",
     "dsir_importance_resample",
     "pipeline_incremental_refresh",
@@ -95,15 +99,17 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_topk_bruteforce",
     "embedding_neardup_pairs",
     "ann_ivf_assign",
+    # --- 50-slot window boundary (round 9) --- everything below
+    # queues for round 10 together with the unlisted long-green
+    # r7/r8-verified queries (registry order).  The eight r5-latest
+    # entries displaced by this round's ten new never-verified queries
+    # (kmeans x2 / bloom / gif / mulaw / streaming-cdc-iceberg /
+    # sketches x2, plus bundle + png from session 1) head the
+    # round-10 queue.
     "ann_ivf_probe",
     "pivot_status_by_priority",
     "rollup_lineitem",
     "setops_segments",
-    # --- 50-slot window boundary (round 9) --- everything below
-    # queues for round 10 together with the unlisted long-green
-    # r7/r8-verified queries (registry order).  The four r5-latest
-    # entries displaced by this round's new never-verified queries
-    # (kmeans/bloom/gif/mulaw) head the round-10 queue.
     "workflow_enrich_lineitem",
     "sql_select_orders",
     "grok_extract_events",

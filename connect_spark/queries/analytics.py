@@ -267,12 +267,210 @@ WHERE (h.cnt * s.n - s.sx) > 0
 """
 
 
+# --- Count-Min frequency sketch ---------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over per-user event counts: the
+    constant-memory answer to "how often does key k appear?" in a
+    stream too wide to count exactly.  Depth 4 x width 1024 counters;
+    row j's column is the j-th 16-bit window of one salted md5
+    (disjoint md5 windows are independent hashes — the repo's MinHash
+    trick), reduced mod width.  Build = ONE map-side-combined groupBy
+    whose group count is bounded by depth*width (4096), never by
+    corpus size; estimates = broadcast-join the probe keys against
+    the sketch and take min over rows.  md5 arithmetic is
+    engine-exact, so the oracle rebuilds counter-for-counter, and the
+    CM guarantee (estimate >= true, overestimate bounded by
+    collisions) is pinned in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.lit("cm:"), F.col("user_id").cast("string")))
+    cells = ev.select(h.alias("h"), F.explode(
+        F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j"))
+    col = F.conv(
+        F.substring("h", F.col("j") * 4 + 1, 4), 16, 10
+    ).cast("long") % CM_WIDTH
+    sketch = cells.withColumn("c", col).groupBy("j", "c").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    probe = truth.filter(F.col("user_id") % 20 == 0)
+    ph = F.md5(F.concat(F.lit("cm:"), F.col("user_id").cast("string")))
+    pcells = probe.select(
+        "user_id", "true_count", ph.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j"),
+    ).withColumn("c", col)
+    est = (
+        pcells.join(F.broadcast(sketch), ["j", "c"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        "user_id", "true_count", "cm_estimate",
+        (F.col("cm_estimate") - F.col("true_count")).alias("overestimate"),
+    )
+
+
+_CM_COL = ("CAST(('0x' || substr(md5('cm:' || CAST(user_id AS VARCHAR)), "
+           "{off}, 4)) AS BIGINT) % " + str(CM_WIDTH))
+
+COUNTMIN_SQL = f"""
+WITH cells AS (
+  SELECT j, CASE j
+     WHEN 0 THEN {_CM_COL.format(off=1)}
+     WHEN 1 THEN {_CM_COL.format(off=5)}
+     WHEN 2 THEN {_CM_COL.format(off=9)}
+     ELSE {_CM_COL.format(off=13)} END AS c
+  FROM events, unnest([0, 1, 2, 3]) AS t(j)
+), sketch AS (
+  SELECT j, c, COUNT(*) AS cnt FROM cells GROUP BY j, c
+), truth AS (
+  SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+), probe AS (
+  SELECT user_id, true_count, j, CASE j
+     WHEN 0 THEN {_CM_COL.format(off=1)}
+     WHEN 1 THEN {_CM_COL.format(off=5)}
+     WHEN 2 THEN {_CM_COL.format(off=9)}
+     ELSE {_CM_COL.format(off=13)} END AS c
+  FROM truth, unnest([0, 1, 2, 3]) AS t(j)
+  WHERE user_id % 20 = 0
+), est AS (
+  SELECT p.user_id, p.true_count, MIN(s.cnt) AS cm_estimate
+  FROM probe p JOIN sketch s ON s.j = p.j AND s.c = p.c
+  GROUP BY p.user_id, p.true_count
+)
+SELECT user_id, CAST(true_count AS BIGINT) AS true_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - true_count AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+# --- HyperLogLog distinct sketch --------------------------------------
+
+HLL_M = 256          # registers (p = 8: first 2 hex chars)
+_POW53 = 1 << 53
+
+
+def _rho_case(hexpr: str) -> str:
+    """SQL CASE expression (Spark and DuckDB share the dialect
+    subset): position of the first 1-bit in the 52 bits carried by
+    hex chars 3..15 of `hexpr`, i.e. the HLL rho.  Walks nibbles:
+    rho = 4*(leading zero nibbles) + (zeros inside the first non-zero
+    nibble) + 1; all 52 bits zero -> 53."""
+    nlz = ("CASE {c} WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+           "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 "
+           "WHEN '7' THEN 1 ELSE 0 END")
+    parts = ["CASE"]
+    for k in range(13):
+        c = f"substr({hexpr}, {3 + k}, 1)"
+        parts.append(
+            f"WHEN {c} != '0' THEN {4 * k} + ({nlz.format(c=c)}) + 1")
+    parts.append("ELSE 53 END")
+    return " ".join(parts)
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type, next to the
+    exact count and the KMV estimate's sibling row: 256 registers,
+    register index = first 2 md5 hex chars, rho = first-1-bit
+    position of the next 52 bits (a generated nibble-walk CASE both
+    engines evaluate identically — no float log2 anywhere in the
+    register math).  The harmonic sum is kept EXACT as the integer
+    S = sum 2^(53 - M_j) (<= 2^61, order-independent), so the only
+    float ops are the final alpha*m^2*2^53/S division and the
+    small-range linear-counting ln — identical literals and operand
+    order both engines; a 1-ulp libm difference flips floor() only on
+    an exact integer boundary.  Register table: one
+    (event_type, idx) groupBy, <= m groups per type, the same
+    constant-memory shape as the CM sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    regs = (
+        ev.select("event_type", h.alias("h"))
+        .withColumn("idx", F.conv(F.substring("h", 1, 2), 16, 10)
+                    .cast("long"))
+        .withColumn("rho", F.expr(_rho_case("h")).cast("long"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(53 - m_j AS INT))")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    j = per_type.join(exact, "event_type")
+    s_total = (F.col("s_present")
+               + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(_POW53))
+    n_zero = F.lit(HLL_M) - F.col("n_regs")
+    raw = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+           * F.lit(float(HLL_M * HLL_M)) * F.lit(float(_POW53))
+           / s_total.cast("double"))
+    est = F.when(
+        (n_zero > 0) & (raw <= 2.5 * HLL_M),
+        F.floor(F.lit(float(HLL_M))
+                * F.log(F.lit(float(HLL_M)) / n_zero.cast("double"))),
+    ).otherwise(F.floor(raw)).cast("long")
+    return j.select(
+        "event_type", "exact_distinct",
+        s_total.alias("reg_harmonic_sum"),
+        n_zero.cast("long").alias("n_zero_registers"),
+        est.alias("hll_estimate"),
+    )
+
+
+HLL_SQL = f"""
+WITH regs AS (
+  SELECT event_type,
+         CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS idx,
+         MAX({_rho_case('h')}) AS m_j
+  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events)
+  GROUP BY event_type, CAST(('0x' || substr(h, 1, 2)) AS BIGINT)
+), per_type AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_j AS INT)) AS BIGINT)
+           AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(p.s_present + ({HLL_M} - p.n_regs) * {_POW53} AS BIGINT)
+         AS reg_harmonic_sum,
+       CAST({HLL_M} - p.n_regs AS BIGINT) AS n_zero_registers,
+       CAST(CASE WHEN {HLL_M} - p.n_regs > 0
+                  AND 0.7213 / (1.0 + 1.079 / 256.0)
+                      * {float(HLL_M * HLL_M)} * {float(_POW53)}
+                      / CAST(p.s_present + ({HLL_M} - p.n_regs)
+                             * {_POW53} AS DOUBLE) <= 2.5 * {HLL_M}
+             THEN floor({float(HLL_M)}
+                        * ln({float(HLL_M)}
+                             / CAST({HLL_M} - p.n_regs AS DOUBLE)))
+             ELSE floor(0.7213 / (1.0 + 1.079 / 256.0)
+                        * {float(HLL_M * HLL_M)} * {float(_POW53)}
+                        / CAST(p.s_present + ({HLL_M} - p.n_regs)
+                               * {_POW53} AS DOUBLE))
+        END AS BIGINT) AS hll_estimate
+FROM per_type p JOIN exact e ON e.event_type = p.event_type
+"""
+
+
 QUERIES = [
     QuerySpec("retention_cohorts", retention_cohorts, RETENTION_SQL),
     QuerySpec("anomaly_event_spikes", anomaly_event_spikes,
               ANOMALY_SQL),
     QuerySpec("funnel_signup_view_purchase", funnel_signup_view_purchase, FUNNEL_SQL),
     QuerySpec("sketch_kmv_distinct", sketch_kmv_distinct, KMV_SQL),
+    QuerySpec("sketch_countmin_freq", sketch_countmin_freq, COUNTMIN_SQL),
+    QuerySpec("sketch_hll_distinct", sketch_hll_distinct, HLL_SQL),
     QuerySpec("percentiles_by_type", percentiles_by_type, PERCENTILES_SQL),
     QuerySpec("histogram_values", histogram_values, HISTOGRAM_SQL),
 ]

@@ -126,12 +126,9 @@ def _update(spark: SparkSession, assigned: DataFrame,
     return spark.createDataFrame(rows, _CENT_SCHEMA)
 
 
-def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K=8 Lloyd k-means, 3 update rounds + final assignment, over
-    integer-quantized embeddings.  Output pins the EXACT final
-    partition: per cluster the member count, the sum of member
-    vec_ids (any reassignment of any vector changes it), and the
-    exact integer inertia under the final centroids."""
+def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd loop: ITERS assignment/update rounds, then the final
+    assignment under the settled centroids (vec_id, q, cid, d2)."""
     vecs = _qvecs(spark, sf_dir)
     cents = vecs.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
@@ -142,7 +139,16 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = _update(spark, assigned, prev)
         prev = cur.collect()
         cur = spark.createDataFrame(prev, _CENT_SCHEMA)
-    final = _assign(vecs, cur)
+    return _assign(vecs, cur)
+
+
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=8 Lloyd k-means, 3 update rounds + final assignment, over
+    integer-quantized embeddings.  Output pins the EXACT final
+    partition: per cluster the member count, the sum of member
+    vec_ids (any reassignment of any vector changes it), and the
+    exact integer inertia under the final centroids."""
+    final = _final_assignment(spark, sf_dir)
     return final.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("vec_id").alias("vec_id_checksum"),
@@ -150,9 +156,70 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd SQL: the same quantize / assign / floor-mean /
-    coalesce-empty chain, one CTE pair per iteration."""
+# SemDeDup threshold: cosine 0.4 (this corpus's near-dup tail, cf.
+# SCALE.md round 8).  Tested as integers: cos(a,b) > 2/5  <=>
+# dot > 0 AND 25*dot^2 > 4*|a|^2*|b|^2 — dot <= 64*526^2 ~ 1.8e7,
+# so 25*dot^2 <= 8e15 stays in int64 at ANY corpus size (the bound
+# depends on dims and value range, not row count).
+_SEM_TAU_NUM2 = 4
+_SEM_TAU_DEN2 = 25
+
+
+def kmeans_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, the paper shape (Abbas et al. 2023): k-means first,
+    then pairwise similarity ONLY within clusters, dropping every
+    vector that has a more-senior (lower vec_id) cluster-mate above
+    the cosine threshold.  The cluster step bounds the quadratic
+    blowup by construction — pair count is sum over clusters of
+    |c|^2, not corpus^2, and at 100 TB you raise K so |c| stays
+    executor-sized (the within-cluster join is an equality shuffle on
+    cid).  Contrast with dedup_semantic_keep (queries/dataprep.py),
+    which generates candidates via LSH bands instead; this variant
+    has no probabilistic recall gap inside a cluster.
+
+    All similarity tests are exact integer cross-multiplications
+    (no float cosine anywhere), so the oracle reproduces the keep
+    set bit-for-bit."""
+    final = _final_assignment(spark, sf_dir)
+    n2 = F.aggregate(
+        F.transform("q", lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    members = final.select("vec_id", "cid", "q", n2.alias("n2"))
+    a = members.select(
+        F.col("cid"), F.col("vec_id").alias("a_id"),
+        F.col("q").alias("a_q"), F.col("n2").alias("a_n2"))
+    b = members.select(
+        F.col("cid"), F.col("vec_id").alias("b_id"),
+        F.col("q").alias("b_q"), F.col("n2").alias("b_n2"))
+    dot = F.aggregate(
+        F.zip_with("a_q", "b_q", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (_SEM_TAU_DEN2 * F.col("dot") * F.col("dot")
+               > _SEM_TAU_NUM2 * F.col("a_n2") * F.col("b_n2")))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    marked = members.join(dropped, "vec_id", "left").fillna(
+        0, subset=["is_dropped"])
+    return marked.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("is_dropped").alias("n_dropped"),
+        F.sum(F.col("vec_id") * (1 - F.col("is_dropped")))
+        .alias("kept_checksum"),
+    )
+
+
+def _lloyd_ctes() -> str:
+    """Unrolled Lloyd SQL prefix: the same quantize / assign /
+    floor-mean / coalesce-empty chain, one CTE pair per iteration,
+    ending in `afinal(vec_id, q, cid, d2)`."""
     d2 = ("list_sum(list_transform(range({d}), i -> "
           "(v.q[i+1] - c.cq[i+1]) * (v.q[i+1] - c.cq[i+1])))").format(d=DIMS)
     parts = [f"""
@@ -185,23 +252,51 @@ WITH qv AS (
   ON nc.cid = prev.cid
 )""")
     parts.append(f""", afinal AS (
-  SELECT vec_id, cid, d2 FROM (
+  SELECT vec_id, q, cid, d2 FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
                                  ORDER BY d2, cid) AS rn FROM (
-      SELECT v.vec_id, c.cid, {d2} AS d2
+      SELECT v.vec_id, v.q, c.cid, {d2} AS d2
       FROM qv v, c{ITERS} c))
   WHERE rn = 1
-)
-SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
-       CAST(SUM(vec_id) AS BIGINT) AS vec_id_checksum,
-       CAST(SUM(d2) AS BIGINT) AS inertia
-FROM afinal GROUP BY cid""")
+)""")
     return "".join(parts)
 
 
-KMEANS_SQL = _kmeans_sql()
+KMEANS_SQL = _lloyd_ctes() + """
+SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS vec_id_checksum,
+       CAST(SUM(d2) AS BIGINT) AS inertia
+FROM afinal GROUP BY cid"""
+
+
+SEMDEDUP_SQL = _lloyd_ctes() + f"""
+, members AS (
+  SELECT vec_id, cid, q,
+         list_sum(list_transform(q, x -> x * x)) AS n2
+  FROM afinal
+), pairs AS (
+  SELECT b.vec_id AS b_id,
+         CAST(list_sum(list_transform(range(64),
+              i -> a.q[i + 1] * b.q[i + 1])) AS BIGINT) AS dot,
+         CAST(a.n2 AS BIGINT) AS a_n2, CAST(b.n2 AS BIGINT) AS b_n2
+  FROM members a JOIN members b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT b_id AS vec_id FROM pairs
+  WHERE dot > 0
+    AND {_SEM_TAU_DEN2} * dot * dot > {_SEM_TAU_NUM2} * a_n2 * b_n2
+), marked AS (
+  SELECT m.cid, m.vec_id,
+         CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dropped
+  FROM members m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(is_dropped) AS BIGINT) AS n_dropped,
+       CAST(SUM(vec_id * (1 - is_dropped)) AS BIGINT) AS kept_checksum
+FROM marked GROUP BY cid"""
 
 
 QUERIES = [
     QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, KMEANS_SQL),
+    QuerySpec("kmeans_semdedup_keep", kmeans_semdedup_keep, SEMDEDUP_SQL),
 ]

@@ -493,6 +493,160 @@ ANTI JOIN (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0) c
 """
 
 
+def streaming_cdc_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship composition end-to-end IN THE GATE:
+    CDC snapshot+WAL → Structured Streaming → Iceberg v2 MERGE —
+    i.e. `postgres_cdc` input feeding an `iceberg` output
+    (input_pg_stream.go snapshot/WAL handoff; the lakehouse CDC sink
+    every warehouse pipeline composes).
+
+    Shape: the orders change log from cdc_materialize_orders (snapshot
+    reads pinned at LSN 0, then insert/update/delete phases) is
+    recorded as a real CdcWal + snapshot parquet; the `cdc_wal`
+    streaming source replays it in forced micro-batches
+    (max_records_per_batch), and every batch MERGEs into an
+    IcebergTable via foreachBatch — within-batch last-writer-wins by
+    LSN, final-delete keys equality-deleted, the rest upserted
+    (equality-delete + append, two v2 snapshots).  The materialized
+    Iceberg read-back must value-hash the SAME oracle as the batch
+    materialization — so a bug in offset handoff, batch ordering,
+    within-batch conflation, or sequence-number scoping of the
+    equality deletes breaks the hash row-for-row.
+
+    Scale notes: fixture RECORDING is a bounded driver-side control
+    path (a replication session is one connection, as in the
+    reference — cf. cdc_pgoutput_decode's note); the per-batch apply
+    is the O(|batch|) iceberg MERGE regardless of table size, and the
+    WAL tail is inherently sequential — downstream parallelism comes
+    from the per-batch shuffle, exactly the reference's posture."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from connect_spark.catalog import load_table
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+    from connect_spark.sources.cdc_stream import (
+        CdcWal, cdc_changes_to_rows, register)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+
+    root = tempfile.mkdtemp(prefix="cdc_iceberg_")
+    try:
+        # --- record the change log (driver-side fixture producer) ---
+        snap_path = f"{root}/snapshot"
+        (orders.filter(k % 10 < 8)
+         .select(k.alias("o_orderkey"), F.lit("read").alias("src_op"),
+                 F.col("o_orderstatus").alias("status"),
+                 F.col("o_totalprice").alias("price"))
+         .coalesce(1).write.parquet(snap_path))
+        wal = CdcWal(f"{root}/wal")
+
+        def recs(df, op, row_fn):
+            return [{"op": op, **row_fn(r)} for r in df.collect()]
+
+        inserts = recs(
+            orders.filter(k % 10 >= 8), "insert",
+            lambda r: {"after": {
+                "o_orderkey": r["o_orderkey"], "src_op": "insert",
+                "status": r["o_orderstatus"],
+                "price": r["o_totalprice"]}})
+        updates = recs(
+            orders.filter(k % 5 == 0), "update",
+            lambda r: {"after": {
+                "o_orderkey": r["o_orderkey"], "src_op": "update",
+                "status": "X", "price": r["o_totalprice"] + 1.0}})
+        deletes = recs(
+            orders.filter(k % 13 == 0), "delete",
+            lambda r: {"before": {"o_orderkey": r["o_orderkey"]},
+                       "after": None})
+        wal.append(inserts)
+        wal.append(updates)
+        wal.append(deletes)
+
+        # --- stream → iceberg MERGE per micro-batch ------------------
+        row_schema = T.StructType([
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("src_op", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ])
+        table = IcebergTable(spark, f"{root}/iceberg")
+        register(spark)
+        stream = (
+            spark.readStream.format("cdc_wal")
+            .option("path", f"{root}/wal")
+            .option("snapshot_path", snap_path)
+            .option("snapshot_lsn", 0)
+            .option("max_records_per_batch", 4000)  # force >=4 batches
+            .load()
+        )
+
+        def _apply(batch: DataFrame, _epoch: int) -> None:
+            if batch.isEmpty():
+                return
+            rows = cdc_changes_to_rows(batch, row_schema, "o_orderkey")
+            w = Window.partitionBy("o_orderkey").orderBy(
+                F.col("_seq").desc())
+            latest = (rows.withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1))
+            dels = latest.filter(F.col("operation") == "delete").select(
+                "o_orderkey")
+            ups = latest.filter(F.col("operation") != "delete").select(
+                "o_orderkey", "src_op", "status", "price")
+            if not dels.isEmpty():
+                if table.metadata() is not None and \
+                        table.metadata().get("current-snapshot-id"):
+                    table.delete_by_keys(dels)
+            if not ups.isEmpty():
+                table.upsert(ups, ["o_orderkey"])
+
+        q = (stream.writeStream.foreachBatch(_apply)
+             .option("checkpointLocation", f"{root}/ckpt")
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return table.read().select(
+            "o_orderkey", "src_op", "status", "price"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# identical change semantics to cdc_materialize_orders — LSN order is
+# read(0) < insert < update < delete, so phase constants stand in for
+# the WAL's sequential LSNs
+STREAM_CDC_ICEBERG_SQL = """
+WITH log AS (
+  SELECT o_orderkey, 'read' AS src_op, 0 AS seq,
+         o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 < 8
+  UNION ALL
+  SELECT o_orderkey, 'insert', 1000000000 + o_orderkey,
+         o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 >= 8
+  UNION ALL
+  SELECT o_orderkey, 'update', 2000000000 + o_orderkey,
+         'X', o_totalprice + 1.0
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 'delete', 3000000000 + o_orderkey, NULL, NULL
+  FROM orders WHERE o_orderkey % 13 = 0
+), latest AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY seq DESC) AS rn
+  FROM log
+)
+SELECT o_orderkey, src_op, status, price
+FROM latest WHERE rn = 1 AND src_op <> 'delete'
+"""
+
+
 QUERIES = [
     QuerySpec("window_tumbling_streamed", window_tumbling_streamed,
               TUMBLING_SQL),
@@ -504,4 +658,6 @@ QUERIES = [
               RUNNING_TOTALS_SQL),
     QuerySpec("streaming_session_window", streaming_session_window,
               SESSION_WINDOW_SQL),
+    QuerySpec("streaming_cdc_to_iceberg", streaming_cdc_to_iceberg,
+              STREAM_CDC_ICEBERG_SQL),
 ]

@@ -73,3 +73,75 @@ def test_kmeans_covers_all_clusters_or_documents_empty(spark):
     # clusters are a subset of the K seeds; every member counted once
     assert all(0 <= r["cluster_id"] < K for r in rows)
     assert all(r["n_vectors"] > 0 for r in rows)
+
+
+def test_kmeans_semdedup_matches_local_reference(spark):
+    from connect_spark.queries.clustering import (
+        _SEM_TAU_DEN2, _SEM_TAU_NUM2, kmeans_semdedup_keep)
+
+    # rebuild assignment locally, then apply the integer drop rule
+    tbl = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    q = {i: [math.floor(float(x) * Q_SCALE) for x in v]
+         for i, v in zip(ids, embs)}
+    cents = {i: list(q[i]) for i in sorted(q) if i < K}
+
+    def assign():
+        out = {}
+        for vid, v in q.items():
+            best = None
+            for cid in sorted(cents):
+                d2 = sum((a - b) * (a - b) for a, b in zip(v, cents[cid]))
+                if best is None or (d2, cid) < best[:2]:
+                    best = (d2, cid)
+            out[vid] = best[1]
+        return out
+
+    for _ in range(ITERS):
+        a = assign()
+        sums, cnt = {}, {}
+        for vid, cid in a.items():
+            s = sums.setdefault(cid, [0] * DIMS)
+            for i, x in enumerate(q[vid]):
+                s[i] += x
+            cnt[cid] = cnt.get(cid, 0) + 1
+        for cid in cents:
+            if cid in cnt:
+                cents[cid] = [math.floor(sums[cid][i] / cnt[cid])
+                              for i in range(DIMS)]
+    final = assign()
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cid in final.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    want = {}
+    for cid, vids in by_cluster.items():
+        vids.sort()
+        n2 = {v: sum(x * x for x in q[v]) for v in vids}
+        dropped = set()
+        for j, bv in enumerate(vids):
+            for av in vids[:j]:
+                dot = sum(x * y for x, y in zip(q[av], q[bv]))
+                if (dot > 0 and _SEM_TAU_DEN2 * dot * dot
+                        > _SEM_TAU_NUM2 * n2[av] * n2[bv]):
+                    dropped.add(bv)
+                    break
+        want[cid] = (len(vids), len(dropped),
+                     sum(v for v in vids if v not in dropped))
+
+    got = {
+        r["cluster_id"]: (r["n_members"], r["n_dropped"],
+                          r["kept_checksum"])
+        for r in kmeans_semdedup_keep(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_semdedup_invariants(spark):
+    from connect_spark.queries.clustering import kmeans_semdedup_keep
+
+    rows = kmeans_semdedup_keep(spark, SF_SMALL).collect()
+    for r in rows:
+        # the senior (lowest-id) member of a cluster is never dropped
+        assert r["n_dropped"] < r["n_members"]
+        assert r["kept_checksum"] >= 0
