@@ -304,8 +304,11 @@ def sketch_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "true_count", ph.alias("h"),
         F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j"),
     ).withColumn("c", col)
+    # no broadcast hint: the sketch is <= depth*width rows by
+    # construction, AQE's size stats broadcast it unaided (a hint on a
+    # grouped aggregate is un-provable for the repo's plan guard)
     est = (
-        pcells.join(F.broadcast(sketch), ["j", "c"])
+        pcells.join(sketch, ["j", "c"])
         .groupBy("user_id", "true_count")
         .agg(F.min("cnt").alias("cm_estimate"))
     )

@@ -622,6 +622,55 @@ WHERE c.node IS NULL OR c.node = c.cluster_id
 """
 
 
+def quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every scored document by its language-model score and cut each
+    language's pool into head / middle / tail terciles — the buckets
+    CCNet materializes so a trainer can choose its quality slice.
+    Composes on quality_stupid_backoff: the per-doc score is the
+    integer mean micro-nat-ish ppm (sum_score_ppm div n_trigrams), so
+    ordering is exact; ntile(3) over (score desc, doc_id) is a total
+    order both engines split identically (SQL-standard larger-groups-
+    first).  One window per language over the scored pool — the same
+    per-lang rank shape as mixture_interleave; at 100 TB the
+    two-pass prefix-sum rank replaces the window, per the
+    queries/datamix.py scale note."""
+    from pyspark.sql import Window
+
+    scored = quality_stupid_backoff(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = scored.join(docs, "doc_id").withColumn(
+        "mean_ppm", F.expr("sum_score_ppm div n_trigrams"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_ppm").desc(), F.col("doc_id"))
+    bucketed = joined.withColumn("bucket", F.ntile(3).over(w))
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mean_ppm").alias("sum_mean_ppm"),
+        F.max("mean_ppm").alias("best_ppm"),
+        F.min("mean_ppm").alias("worst_ppm"),
+    )
+
+
+PPL_BUCKETS_SQL = f"""
+WITH scored_docs AS ({STUPID_BACKOFF_SQL}
+), joined AS (
+  SELECT s.doc_id, d.lang, s.sum_score_ppm // s.n_trigrams AS mean_ppm
+  FROM scored_docs s JOIN documents d ON d.doc_id = s.doc_id
+), bucketed AS (
+  SELECT lang, mean_ppm,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY mean_ppm DESC, doc_id) AS bucket
+  FROM joined
+)
+SELECT lang, CAST(bucket AS INT) AS bucket, COUNT(*) AS n_docs,
+       CAST(SUM(mean_ppm) AS BIGINT) AS sum_mean_ppm,
+       CAST(MAX(mean_ppm) AS BIGINT) AS best_ppm,
+       CAST(MIN(mean_ppm) AS BIGINT) AS worst_ppm
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_substring_spans", dedup_substring_spans,
               SUBSTRING_SQL),
@@ -629,6 +678,8 @@ QUERIES = [
               PIPELINE_PRETRAIN_SQL),
     QuerySpec("dedup_semantic_keep", dedup_semantic_keep,
               _semantic_keep_sql()),
+    QuerySpec("quality_ppl_buckets", quality_ppl_buckets,
+              PPL_BUCKETS_SQL),
     QuerySpec("quality_stupid_backoff", quality_stupid_backoff,
               STUPID_BACKOFF_SQL),
     QuerySpec("sample_temperature_rebalance",

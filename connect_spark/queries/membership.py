@@ -94,9 +94,14 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or("mask").alias("words"))
     )
 
+    # no broadcast HINTS anywhere: the filter aggregate is <= m/62
+    # rows by construction, so AQE's size stats broadcast it on their
+    # own; `present` (distinct corpus fps) GROWS with sf — hinting it
+    # would OOM the build side at 100 TB (the plan guard catches
+    # exactly this), so it stays an equality shuffle join
     probe = _positions(docs.select("doc_id", "lang", "fp"))
     hits = (
-        probe.join(F.broadcast(bloom), "word", "left")
+        probe.join(bloom, "word", "left")
         .withColumn(
             "hit",
             F.when(
@@ -109,7 +114,7 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("hit") == K_HASH).cast("int").alias("flagged"))
     )
     present = corpus_fp.withColumn("present", F.lit(1))
-    joined = hits.join(F.broadcast(present), "fp", "left").fillna(
+    joined = hits.join(present, "fp", "left").fillna(
         0, subset=["present"])
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_probed"),

@@ -181,3 +181,26 @@ def test_semantic_keep_one_rep_per_cluster(spark):
     uniques = [r for r in kept if r.kept_reason == "unique"]
     assert len(uniques) == n_total - len(clustered)
     assert all(r.cluster_size == 1 for r in uniques)
+
+
+def test_ppl_buckets_terciles(spark):
+    from connect_spark.queries.dataprep import (
+        quality_ppl_buckets, quality_stupid_backoff)
+    from tests.conftest import SF_SMALL
+
+    rows = quality_ppl_buckets(spark, SF_SMALL).collect()
+    by_lang: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    n_scored = quality_stupid_backoff(spark, SF_SMALL).count()
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {1, 2, 3}
+        sizes = [buckets[b]["n_docs"] for b in sorted(buckets)]
+        assert max(sizes) - min(sizes) <= 1          # ntile balance
+        ordered = sorted(buckets)
+        for a, b in zip(ordered, ordered[1:]):
+            # bucket 1 holds the best scores: non-increasing boundaries
+            assert buckets[a]["worst_ppm"] >= buckets[b]["best_ppm"]
+        for b in buckets.values():
+            assert b["best_ppm"] >= b["worst_ppm"]
