@@ -129,6 +129,12 @@ def _update(spark: SparkSession, assigned: DataFrame,
 def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lloyd loop: ITERS assignment/update rounds, then the final
     assignment under the settled centroids (vec_id, q, cid, d2)."""
+    return _assign(_qvecs(spark, sf_dir),
+                   _trained_centroids(spark, sf_dir))
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The settled centroid table after ITERS Lloyd rounds."""
     vecs = _qvecs(spark, sf_dir)
     cents = vecs.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
@@ -139,7 +145,7 @@ def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = _update(spark, assigned, prev)
         prev = cur.collect()
         cur = spark.createDataFrame(prev, _CENT_SCHEMA)
-    return _assign(vecs, cur)
+    return cur
 
 
 def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,7 +302,96 @@ SELECT cid AS cluster_id, COUNT(*) AS n_members,
 FROM marked GROUP BY cid"""
 
 
+# --- IVF probe over TRAINED centroids ---------------------------------
+
+N_QUERY = 10      # vec_id < 10 are the query set (queries/vectors.py)
+N_PROBE = 2
+TOP_K = 5
+
+
+def ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search over k-means-TRAINED cells — the composition
+    the two families exist for: `ann_ivf_probe` (queries/vectors.py)
+    prunes against fixed seed centroids; this variant builds the index
+    from the Lloyd-settled centroids, the way a real IVF index is
+    trained (train k-means on a sample, partition the corpus by cell,
+    probe the nprobe nearest cells).  Everything stays in the
+    quantized integer space: cell choice and the final ranking are
+    exact int64 L2 distances (ties by id), so the result is
+    engine-exact with no float cosine anywhere.
+
+    At 100 TB: the corpus is written partitioned by trained cell
+    (partition pruning skips the other cells), queries broadcast
+    against the K-row centroid table, and the probe scan touches
+    nprobe/K of the data — identical plan shape to ann_ivf_probe with
+    strictly better cell balance (Lloyd equalizes cell populations;
+    seed cells are as skewed as the data)."""
+    cents = _trained_centroids(spark, sf_dir)
+    vecs = _qvecs(spark, sf_dir)
+    corpus = vecs.filter(F.col("vec_id") >= N_QUERY)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY)
+
+    assign = _assign(corpus, cents).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"),
+        "cid")
+
+    d2c = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pw = Window.partitionBy("vec_id").orderBy("d2c", "cid")
+    probe = (
+        queries.join(F.broadcast(cents))
+        .withColumn("d2c", d2c)
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("q").alias("qv"), "cid")
+    )
+    d2n = F.aggregate(
+        F.zip_with("qv", "nq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    rw = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        probe.join(assign, "cid")
+        .withColumn("d2", d2n)
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "d2")
+    )
+
+
+IVF_KMEANS_SQL = _lloyd_ctes() + f"""
+, assign AS (
+  SELECT vec_id AS neighbor_id, q AS nq, cid
+  FROM afinal WHERE vec_id >= {N_QUERY}
+), probe AS (
+  SELECT vec_id AS query_id, q AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2c, cid) AS rn FROM (
+      SELECT v.vec_id, v.q, c.cid,
+             list_sum(list_transform(range({DIMS}),
+                 i -> (v.q[i+1] - c.cq[i+1]) * (v.q[i+1] - c.cq[i+1])))
+               AS d2c
+      FROM qv v, c{ITERS} c WHERE v.vec_id < {N_QUERY}))
+  WHERE rn <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, rank, d2 FROM (
+  SELECT query_id, neighbor_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) AS rank
+  FROM (
+    SELECT p.query_id, a.neighbor_id,
+           CAST(list_sum(list_transform(range({DIMS}),
+               i -> (p.qv[i+1] - a.nq[i+1]) * (p.qv[i+1] - a.nq[i+1])))
+             AS BIGINT) AS d2
+    FROM probe p JOIN assign a ON a.cid = p.cid))
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, KMEANS_SQL),
     QuerySpec("kmeans_semdedup_keep", kmeans_semdedup_keep, SEMDEDUP_SQL),
+    QuerySpec("ann_ivf_kmeans_probe", ann_ivf_kmeans_probe,
+              IVF_KMEANS_SQL),
 ]

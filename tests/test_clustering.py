@@ -145,3 +145,35 @@ def test_kmeans_semdedup_invariants(spark):
         # the senior (lowest-id) member of a cluster is never dropped
         assert r["n_dropped"] < r["n_members"]
         assert r["kept_checksum"] >= 0
+
+
+def test_ivf_kmeans_probe_recall_vs_bruteforce(spark):
+    from connect_spark.queries.clustering import (
+        N_QUERY, TOP_K, ann_ivf_kmeans_probe)
+
+    tbl = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    q = {i: [math.floor(float(x) * Q_SCALE) for x in v]
+         for i, v in zip(ids, embs)}
+
+    def top5(qid):
+        scored = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(q[qid], q[n])), n)
+            for n in q if n >= N_QUERY)
+        return [n for _, n in scored[:TOP_K]]
+
+    got = {}
+    for r in ann_ivf_kmeans_probe(spark, SF_SMALL).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(got) == N_QUERY
+    hits = total = 0
+    for qid, nbrs in got.items():
+        assert len(nbrs) == TOP_K
+        truth = set(top5(qid))
+        hits += len(nbrs & truth)
+        total += TOP_K
+    recall = hits / total
+    # nprobe=2 of K=8 cells on this data: recall well above the
+    # 2/8 = 25% random-cell floor
+    assert recall >= 0.4, recall
