@@ -389,9 +389,77 @@ WHERE rank <= {TOP_K}
 """
 
 
+def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination: flag every corpus vector
+    whose cosine to ANY eval vector exceeds the threshold — the
+    embedding-space complement of the 13-gram lexical check
+    (queries/llmops.py `contamination_13gram`), catching paraphrased
+    benchmark leakage that n-grams miss.  The eval set is the fixed
+    query prefix (vec_id < 10 — O(1) in sf, broadcastable by
+    convention); the corpus is scanned once; the threshold test is
+    the same exact integer cross-multiplication as
+    kmeans_semdedup_keep, so flags are engine-exact.  Output is the
+    per-eval-vector contamination census plus an id checksum that
+    pins the exact flagged set."""
+    vecs = _qvecs(spark, sf_dir)
+    n2 = F.aggregate(F.transform("q", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    evals = vecs.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("eval_id"), F.col("q").alias("eq"),
+        n2.alias("en2"))
+    corpus = vecs.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("doc_id"), F.col("q").alias("dq"),
+        n2.alias("dn2"))
+    dot = F.aggregate(F.zip_with("eq", "dq", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    hits = (
+        corpus.join(F.broadcast(evals))
+        .withColumn("dot", dot)
+        .filter((F.col("dot") > 0)
+                & (_SEM_TAU_DEN2 * F.col("dot") * F.col("dot")
+                   > _SEM_TAU_NUM2 * F.col("en2") * F.col("dn2")))
+    )
+    return hits.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.sum("doc_id").alias("contaminated_checksum"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+CONTAMINATION_EMB_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {Q_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+), n AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM qv
+), hits AS (
+  SELECT e.vec_id AS eval_id, d.vec_id AS doc_id
+  FROM n e JOIN n d ON e.vec_id < {N_QUERY} AND d.vec_id >= {N_QUERY}
+  WHERE CAST(list_sum(list_transform(range({DIMS}),
+            i -> e.q[i+1] * d.q[i+1])) AS BIGINT) > 0
+    AND {_SEM_TAU_DEN2}
+        * CAST(list_sum(list_transform(range({DIMS}),
+              i -> e.q[i+1] * d.q[i+1])) AS BIGINT)
+        * CAST(list_sum(list_transform(range({DIMS}),
+              i -> e.q[i+1] * d.q[i+1])) AS BIGINT)
+        > {_SEM_TAU_NUM2} * e.n2 * d.n2
+)
+SELECT eval_id, COUNT(*) AS n_contaminated,
+       CAST(SUM(doc_id) AS BIGINT) AS contaminated_checksum,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM hits GROUP BY eval_id
+"""
+
+
 QUERIES = [
     QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, KMEANS_SQL),
     QuerySpec("kmeans_semdedup_keep", kmeans_semdedup_keep, SEMDEDUP_SQL),
     QuerySpec("ann_ivf_kmeans_probe", ann_ivf_kmeans_probe,
               IVF_KMEANS_SQL),
+    QuerySpec("contamination_embedding", contamination_embedding,
+              CONTAMINATION_EMB_SQL),
 ]

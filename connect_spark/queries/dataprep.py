@@ -671,7 +671,55 @@ FROM bucketed GROUP BY lang, bucket
 """
 
 
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card / datasheet rollup every corpus release ships:
+    per language, in ONE scan — document and token and char volumes,
+    source diversity, the exact-duplicate rate (docs minus distinct
+    fingerprints), and the short-doc fraction in basis points.  All
+    integer outputs; at 100 TB this is a single map-side-combined
+    groupBy over a handful of language groups, the cheapest query in
+    the training-data family and the one run most often."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    enriched = docs.select(
+        "lang", "source",
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_char"),
+    )
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("token_total"),
+        F.sum("n_char").alias("char_total"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.expr("CAST(sum(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) "
+               "* 10000 div count(1) AS BIGINT)").alias("short_bp"),
+    )
+
+
+DATASET_CARD_SQL = """
+WITH d AS (
+  SELECT lang, source, md5(lower(trim(text))) AS fp,
+         len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+           AS n_tok,
+         strlen(text)::BIGINT AS n_char
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS token_total,
+       CAST(SUM(n_char) AS BIGINT) AS char_total,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS short_bp
+FROM d GROUP BY lang
+"""
+
+
 QUERIES = [
+    QuerySpec("dataset_card_stats", dataset_card_stats,
+              DATASET_CARD_SQL),
     QuerySpec("dedup_substring_spans", dedup_substring_spans,
               SUBSTRING_SQL),
     QuerySpec("pipeline_pretrain_corpus", pipeline_pretrain_corpus,

@@ -177,3 +177,36 @@ def test_ivf_kmeans_probe_recall_vs_bruteforce(spark):
     # nprobe=2 of K=8 cells on this data: recall well above the
     # 2/8 = 25% random-cell floor
     assert recall >= 0.4, recall
+
+
+def test_contamination_embedding_matches_local(spark):
+    from connect_spark.queries.clustering import (
+        _SEM_TAU_DEN2, _SEM_TAU_NUM2, N_QUERY, contamination_embedding)
+
+    tbl = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    q = {i: [math.floor(float(x) * Q_SCALE) for x in v]
+         for i, v in zip(ids, embs)}
+    n2 = {i: sum(x * x for x in v) for i, v in q.items()}
+    want = {}
+    for e in q:
+        if e >= N_QUERY:
+            continue
+        hits = []
+        for d in q:
+            if d < N_QUERY:
+                continue
+            dot = sum(x * y for x, y in zip(q[e], q[d]))
+            if (dot > 0 and _SEM_TAU_DEN2 * dot * dot
+                    > _SEM_TAU_NUM2 * n2[e] * n2[d]):
+                hits.append(d)
+        if hits:
+            want[e] = (len(hits), sum(hits), min(hits))
+
+    got = {
+        r["eval_id"]: (r["n_contaminated"], r["contaminated_checksum"],
+                       r["first_doc"])
+        for r in contamination_embedding(spark, SF_SMALL).collect()
+    }
+    assert got == want

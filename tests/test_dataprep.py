@@ -204,3 +204,19 @@ def test_ppl_buckets_terciles(spark):
             assert buckets[a]["worst_ppm"] >= buckets[b]["best_ppm"]
         for b in buckets.values():
             assert b["best_ppm"] >= b["worst_ppm"]
+
+
+def test_dataset_card_stats_invariants(spark):
+    import pyarrow.parquet as pq
+
+    from connect_spark.queries.dataprep import dataset_card_stats
+    from tests.conftest import SF_SMALL
+
+    rows = dataset_card_stats(spark, SF_SMALL).collect()
+    tbl = pq.read_table(f"{SF_SMALL}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == len(tbl)
+    for r in rows:
+        assert r["token_total"] > 0 and r["char_total"] >= r["token_total"]
+        assert 1 <= r["n_sources"]
+        assert 0 <= r["n_exact_dups"] < r["n_docs"]
+        assert 0 <= r["short_bp"] <= 10000
