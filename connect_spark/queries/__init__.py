@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_ivf_kmeans_probe",
     "contamination_embedding",
     "dataset_card_stats",
+    "iceberg_metadata_count",
     "shard_shuffle_manifest",
     "dsir_importance_resample",
     "pipeline_incremental_refresh",
@@ -98,7 +99,6 @@ _DRIVER_PRIORITY: list[str] = [
     "text_quality_score",
     "text_token_count",
     "text_fingerprint",
-    "multimodal_meta",
     # --- 50-slot window boundary (round 9) --- everything below
     # queues for round 10 together with the unlisted long-green
     # r7/r8-verified queries (registry order).  The eight r5-latest
@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (kmeans x2 / bloom / gif / mulaw / streaming-cdc-iceberg /
     # sketches x2, plus bundle + png from session 1) head the
     # round-10 queue.
+    "multimodal_meta",
     "multimodal_frames",
     "ann_topk_bruteforce",
     "embedding_neardup_pairs",

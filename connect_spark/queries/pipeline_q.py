@@ -329,3 +329,65 @@ QUERIES = [
         ICEBERG_UPSERT_SQL,
     ),
 ]
+
+
+def iceberg_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation — the lakehouse trick every engine
+    (Spark/Trino/Dremio) plays: COUNT(*) GROUP BY partition answered
+    ENTIRELY from manifest statistics (per-file record_count keyed by
+    partition value), zero data-file reads.  Valid exactly when the
+    current snapshot carries no delete files (asserted); with
+    merge-on-read deletes present an engine must fall back to a scan.
+
+    The table commits in TWO appends (odd/even order keys) so the
+    count must merge record_counts across manifests through the
+    manifest-list walk — a single-manifest shortcut would still pass a
+    one-append test.  The manifest walk is driver-side by design: it
+    is the same O(#files) planning metadata Spark's scan planner
+    itself materializes on the driver; no row data moves."""
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    loc = tempfile.mkdtemp(prefix="iceberg_metacount_")
+    try:
+        t = IcebergTable(spark, loc)
+        t.append(orders.filter(F.col("o_orderkey") % 2 == 0),
+                 partition_by=["o_orderstatus"])
+        t.append(orders.filter(F.col("o_orderkey") % 2 == 1),
+                 partition_by=["o_orderstatus"])
+        assert not t.current_delete_files(), \
+            "metadata-only count requires a delete-free snapshot"
+        sums: dict[str, int] = defaultdict(int)
+        n_files = 0
+        for f in t.current_files():
+            sums[f["partition"]["o_orderstatus"]] += f["record_count"]
+            n_files += 1
+        assert n_files >= 2, "expected multiple data files"
+        return spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(sums.items())],
+            "o_orderstatus string, n_orders long",
+        )
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ICEBERG_METACOUNT_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES += [
+    QuerySpec(
+        "iceberg_metadata_count",
+        iceberg_metadata_count,
+        ICEBERG_METACOUNT_SQL,
+    ),
+]

@@ -556,3 +556,18 @@ def test_type_promotion_decimal_widening(spark, tmp_path):
     with _pytest.raises(ValueError, match="changed type"):
         t.append(spark.createDataFrame([("9.9",)], "d STRING")
                  .selectExpr("CAST(d AS DECIMAL(20, 3)) AS d"))
+
+
+def test_metadata_only_count_matches_scan(spark):
+    from connect_spark.queries.pipeline_q import iceberg_metadata_count
+    from tests.conftest import SF_SMALL
+
+    from connect_spark.catalog import load_table
+
+    got = {r["o_orderstatus"]: r["n_orders"]
+           for r in iceberg_metadata_count(spark, SF_SMALL).collect()}
+    want = {r["o_orderstatus"]: r["n"]
+            for r in load_table(spark, SF_SMALL, "orders")
+            .groupBy("o_orderstatus").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert got == want
