@@ -703,7 +703,7 @@ WITH d AS (
   SELECT lang, source, md5(lower(trim(text))) AS fp,
          len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
            AS n_tok,
-         strlen(text)::BIGINT AS n_char
+         length(text)::BIGINT AS n_char  -- chars, matching Spark length()
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
