@@ -101,11 +101,14 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _update(spark: SparkSession, assigned: DataFrame,
-            prev: list[Row]) -> DataFrame:
+def _update(assigned: DataFrame, prev: list[Row]) -> list[Row]:
     """Floor-mean centroid update; empty clusters keep the previous
     centroid.  The collect is K*DIMS longs — control-plane-sized,
-    the same centers-to-driver step MLlib's Lloyd loop performs."""
+    the same centers-to-driver step MLlib's Lloyd loop performs.
+    Returns driver-local rows (the caller builds the next broadcast
+    table from them — no extra collect round trip)."""
+    import math
+
     sums = (
         assigned.select("cid", F.posexplode("q").alias("pos", "x"))
         .groupBy("cid", "pos")
@@ -114,8 +117,6 @@ def _update(spark: SparkSession, assigned: DataFrame,
     )
     by_cid: dict[int, dict[int, int]] = {}
     for r in sums:
-        import math
-
         by_cid.setdefault(r["cid"], {})[r["pos"]] = int(
             math.floor(r["s"] / r["n"]))
     rows = []
@@ -123,7 +124,7 @@ def _update(spark: SparkSession, assigned: DataFrame,
         m = by_cid.get(p["cid"])
         cq = [m[i] for i in range(DIMS)] if m else list(p["cq"])
         rows.append(Row(cid=p["cid"], cq=cq))
-    return spark.createDataFrame(rows, _CENT_SCHEMA)
+    return rows
 
 
 def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,14 +137,11 @@ def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The settled centroid table after ITERS Lloyd rounds."""
     vecs = _qvecs(spark, sf_dir)
-    cents = vecs.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
-    prev = cents.collect()
+    prev = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")).collect()
     cur = spark.createDataFrame(prev, _CENT_SCHEMA)
     for _ in range(ITERS):
-        assigned = _assign(vecs, cur)
-        cur = _update(spark, assigned, prev)
-        prev = cur.collect()
+        prev = _update(_assign(vecs, cur), prev)
         cur = spark.createDataFrame(prev, _CENT_SCHEMA)
     return cur
 
@@ -436,17 +434,16 @@ WITH qv AS (
   SELECT vec_id, q,
          CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
   FROM qv
-), hits AS (
-  SELECT e.vec_id AS eval_id, d.vec_id AS doc_id
+), pairs AS (
+  SELECT e.vec_id AS eval_id, d.vec_id AS doc_id,
+         CAST(list_sum(list_transform(range({DIMS}),
+              i -> e.q[i+1] * d.q[i+1])) AS BIGINT) AS dot,
+         e.n2 AS en2, d.n2 AS dn2
   FROM n e JOIN n d ON e.vec_id < {N_QUERY} AND d.vec_id >= {N_QUERY}
-  WHERE CAST(list_sum(list_transform(range({DIMS}),
-            i -> e.q[i+1] * d.q[i+1])) AS BIGINT) > 0
-    AND {_SEM_TAU_DEN2}
-        * CAST(list_sum(list_transform(range({DIMS}),
-              i -> e.q[i+1] * d.q[i+1])) AS BIGINT)
-        * CAST(list_sum(list_transform(range({DIMS}),
-              i -> e.q[i+1] * d.q[i+1])) AS BIGINT)
-        > {_SEM_TAU_NUM2} * e.n2 * d.n2
+), hits AS (
+  SELECT eval_id, doc_id FROM pairs
+  WHERE dot > 0
+    AND {_SEM_TAU_DEN2} * dot * dot > {_SEM_TAU_NUM2} * en2 * dn2
 )
 SELECT eval_id, COUNT(*) AS n_contaminated,
        CAST(SUM(doc_id) AS BIGINT) AS contaminated_checksum,

@@ -49,7 +49,7 @@ from connect_spark.catalog import load_table
 from connect_spark.queries import QuerySpec
 
 K_HASH = 4
-M_BITS = 65536          # 1024 int64 words
+M_BITS = 65536          # positions; packed 62 per int64 word (1058 words)
 _SALT = "bloom:"
 
 
@@ -127,13 +127,9 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hex16(expr: str, off: int) -> str:
     """DuckDB: decode 4 hex chars of `expr` starting at 1-based `off`
-    into a BIGINT via a strpos polynomial (no conv() in DuckDB)."""
-    terms = [
-        f"(strpos('0123456789abcdef', substr({expr}, {off + i}, 1)) - 1)"
-        f" * {16 ** (3 - i)}"
-        for i in range(4)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    into a BIGINT (the '0x'-literal cast idiom the KMV/CM/HLL oracles
+    share)."""
+    return f"CAST(('0x' || substr({expr}, {off}, 4)) AS BIGINT)"
 
 
 def _bloom_sql() -> str:

@@ -757,7 +757,8 @@ def migrator_bundle_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                     frame["schema_id"].cast("long")
                     * (F.col("src_off") + 1)).otherwise(0))
                 .alias("id_checksum")))
-    gj = _json.load(open(os.path.join(dst_dir, "groups.json")))
+    with open(os.path.join(dst_dir, "groups.json")) as fh:
+        gj = _json.load(fh)
     commits = spark.createDataFrame(
         [(g["group"], g["topic"], int(g["partition"]),
           int(g["committed"])) for g in gj],

@@ -362,14 +362,20 @@ def iceberg_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  partition_by=["o_orderstatus"])
         t.append(orders.filter(F.col("o_orderkey") % 2 == 1),
                  partition_by=["o_orderstatus"])
-        assert not t.current_delete_files(), \
-            "metadata-only count requires a delete-free snapshot"
+        # explicit raises, not assert: this is the VALIDITY gate of the
+        # optimization (python -O would strip an assert and silently
+        # over-count deleted rows)
+        if t.current_delete_files():
+            raise ValueError(
+                "metadata-only count requires a delete-free snapshot; "
+                "fall back to a scan")
         sums: dict[str, int] = defaultdict(int)
         n_files = 0
         for f in t.current_files():
             sums[f["partition"]["o_orderstatus"]] += f["record_count"]
             n_files += 1
-        assert n_files >= 2, "expected multiple data files"
+        if n_files < 2:
+            raise ValueError("expected multiple data files")
         return spark.createDataFrame(
             [(k, int(v)) for k, v in sorted(sums.items())],
             "o_orderstatus string, n_orders long",

@@ -607,47 +607,69 @@ def encode_gif(frames: list[list[list[int]]],
 
 
 def decode_gif_frames(payload: bytes) -> dict:
-    """GIF bytes → dict(width, height, palette, frames, delays_cs)
-    with frames as top-down rows of palette indices.  Walks the real
-    block structure: global/local color tables, extension sub-blocks,
-    per-frame LZW decode; interlaced images are rejected (honest
-    gate — nothing in this repo emits them)."""
+    """GIF bytes → dict(width, height, palette, palettes, frames,
+    delays_cs) with frames as top-down rows of palette indices.
+    `palettes[f]` is frame f's EFFECTIVE color table (its local table
+    when present, else the global one); `palette` stays the global
+    table.  Walks the real block structure: global/local color
+    tables, extension sub-blocks, per-frame LZW decode; interlaced
+    images are rejected (honest gate — nothing in this repo emits
+    them); truncation anywhere raises ValueError per the module's
+    malformed-input contract."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     i = 13
+    n_pay = len(payload)
+
+    def _subblocks(j: int) -> tuple[bytearray, int]:
+        out = bytearray()
+        while True:
+            if j >= n_pay:
+                raise ValueError("gif: truncated sub-block stream")
+            size = payload[j]
+            if size == 0:
+                return out, j + 1
+            if j + 1 + size > n_pay:
+                raise ValueError("gif: truncated sub-block")
+            out += payload[j + 1:j + 1 + size]
+            j += 1 + size
+
     gct: list[tuple[int, int, int]] = []
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if i + 3 * n > n_pay:
+            raise ValueError("gif: truncated global color table")
         gct = [tuple(payload[i + 3 * j:i + 3 * j + 3]) for j in range(n)]
         i += 3 * n
     frames: list[list[list[int]]] = []
+    palettes: list[list[tuple[int, int, int]]] = []
     delays: list[int] = []
     pending_delay = 0
-    while i < len(payload):
+    while i < n_pay:
         b0 = payload[i]
         if b0 == 0x3B:                      # trailer
             break
         if b0 == 0x21:                      # extension
+            if i + 2 > n_pay:
+                raise ValueError("gif: truncated extension header")
             label = payload[i + 1]
-            i += 2
-            blocks = bytearray()
-            while payload[i] != 0:
-                size = payload[i]
-                blocks += payload[i + 1:i + 1 + size]
-                i += 1 + size
-            i += 1
+            blocks, i = _subblocks(i + 2)
             if label == 0xF9 and len(blocks) >= 4:
                 (pending_delay,) = struct.unpack_from("<H", blocks, 1)
             continue
         if b0 != 0x2C:
             raise ValueError(f"gif: unknown block 0x{b0:02x}")
+        if i + 11 > n_pay:
+            raise ValueError("gif: truncated image descriptor")
         left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload,
                                                         i + 1)
         i += 10
         pal = gct
         if fpacked & 0x80:                  # local color table
             n = 2 << (fpacked & 0x07)
+            if i + 3 * n > n_pay:
+                raise ValueError("gif: truncated local color table")
             pal = [tuple(payload[i + 3 * j:i + 3 * j + 3])
                    for j in range(n)]
             i += 3 * n
@@ -655,22 +677,20 @@ def decode_gif_frames(payload: bytes) -> dict:
             raise ValueError("gif: interlaced images not supported")
         if (left, top, fw, fh) != (0, 0, width, height):
             raise ValueError("gif: partial-canvas frames not supported")
+        if not pal:
+            raise ValueError("gif: frame has neither local nor global "
+                             "color table")
         min_code = payload[i]
         i += 1
-        lzw = bytearray()
-        while payload[i] != 0:
-            size = payload[i]
-            lzw += payload[i + 1:i + 1 + size]
-            i += 1 + size
-        i += 1
+        lzw, i = _subblocks(i)
         raw = _lzw_decode(bytes(lzw), min_code)
         if len(raw) < fw * fh:
             raise ValueError("gif: short frame raster")
         frames.append([list(raw[y * fw:(y + 1) * fw]) for y in range(fh)])
+        palettes.append(pal)
         delays.append(pending_delay)
         pending_delay = 0
-        _ = pal  # palette resolved per frame; exposed via return below
     if not frames:
         raise ValueError("gif: no image data")
     return {"width": width, "height": height, "palette": gct,
-            "frames": frames, "delays_cs": delays}
+            "palettes": palettes, "frames": frames, "delays_cs": delays}

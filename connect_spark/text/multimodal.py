@@ -150,9 +150,11 @@ def _gif_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
     d = decode_gif_frames(payload)
     n = max(d["width"] * d["height"], 1)
-    mean_idx = sum(v for row in d["frames"][0] for v in row) / n
+    pal = d["palettes"][0]
+    mean_lum = sum(sum(pal[v]) for row in d["frames"][0]
+                   for v in row) / (3.0 * n)
     return d["width"], d["height"], [
-        float(len(d["frames"])), round(mean_idx / 255.0, 6)]
+        float(len(d["frames"])), round(mean_lum / 255.0, 6)]
 
 
 # mime → REAL pure-Python decoder (text/media_codecs.py) — these
@@ -393,7 +395,7 @@ def gif_frame_stats(df: DataFrame, frame_idx: int) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 d = decode_gif_frames(bytes(payload))
                 grid = d["frames"][frame_idx]
-                pal = d["palette"]
+                pal = d["palettes"][frame_idx]  # frame's effective table
                 w, h = d["width"], d["height"]
                 s = c = 0
                 for y, row in enumerate(grid):

@@ -274,3 +274,37 @@ def test_mulaw_wav_roundtrip():
     assert d["n_samples"] == 64
     assert d["samples"] == [
         mulaw_expand(mulaw_compress(s)) for s in samples]
+
+
+def test_gif_local_color_table_and_truncation_contract():
+    """Review findings r9: a frame's LOCAL color table must be the
+    effective palette (not silently the global one), and truncated
+    payloads must raise ValueError — never IndexError."""
+    import struct
+
+    import pytest
+
+    from connect_spark.text.media_codecs import (
+        _gif_subblocks, _lzw_encode, decode_gif_frames, encode_gif)
+
+    pal = [(10, 20, 30), (200, 100, 50), (1, 2, 3), (4, 5, 6)]
+    grid = [[(x + y) % 4 for x in range(4)] for y in range(3)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 3, 0, 0, 0)      # no global table
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 3)
+    out.append(0x80 | 1)                             # LCT, 4 entries
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    raw = bytes(v for row in grid for v in row)
+    out.append(2)
+    out += _gif_subblocks(_lzw_encode(raw, 2))
+    out += b"\x3b"
+    d = decode_gif_frames(bytes(out))
+    assert d["frames"] == [grid]
+    assert d["palettes"][0] == pal
+    assert d["palette"] == []                        # global stays empty
+
+    enc = encode_gif([grid], pal + [(0, 0, 0)] * 252)
+    for cut in (20, len(enc) // 2, len(enc) - 3):
+        with pytest.raises(ValueError):
+            decode_gif_frames(enc[:cut])
