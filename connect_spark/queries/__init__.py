@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: list[str] = [
     "contamination_embedding",
     "dataset_card_stats",
     "iceberg_metadata_count",
+    "sketch_binned_quantiles",
+    "pipeline_semantic_curation",
     "shard_shuffle_manifest",
     "dsir_importance_resample",
     "pipeline_incremental_refresh",
@@ -97,8 +99,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_neardup_verified",
     "text_lang_id",
     "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
     # --- 50-slot window boundary (round 9) --- everything below
     # queues for round 10 together with the unlisted long-green
     # r7/r8-verified queries (registry order).  The eight r5-latest
@@ -106,6 +106,8 @@ _DRIVER_PRIORITY: list[str] = [
     # (kmeans x2 / bloom / gif / mulaw / streaming-cdc-iceberg /
     # sketches x2, plus bundle + png from session 1) head the
     # round-10 queue.
+    "text_token_count",
+    "text_fingerprint",
     "multimodal_meta",
     "multimodal_frames",
     "ann_topk_bruteforce",

@@ -466,6 +466,83 @@ FROM per_type p JOIN exact e ON e.event_type = p.event_type
 """
 
 
+# --- binned quantile sketch -------------------------------------------
+
+QB_WIDTH_CENTS = 64    # bin width: 64 cents
+
+
+def sketch_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin quantile sketch per event_type — the one-pass
+    mergeable answer to percentiles at 100 TB (exact percentiles need
+    a per-group sort; a histogram needs one map-side-combined groupBy
+    whose group count is bounded by the value range / bin width, and
+    histograms merge across shards by addition).  Value domain is
+    integer cents binned 64 wide; the p-quantile estimate is the
+    UPPER EDGE of the first bin whose cumulative count reaches
+    ceil(p·n) — deterministic integer math, so the oracle reproduces
+    the estimates exactly; error is bounded by the bin width.
+    Completes the sketch family: KMV/HLL (distinct), Count-Min
+    (frequency), binned histogram (quantiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select("event_type",
+                  F.expr(f"CAST(round(value * 100) AS BIGINT) "
+                         f"div {QB_WIDTH_CENTS}").alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("event_type").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(tot))
+
+    def est(p_num: int, p_den: int, name: str):
+        # ceil(p*n) = (n * p_num + p_den - 1) div p_den
+        need = F.expr(f"(n * {p_num} + {p_den} - 1) div {p_den}")
+        return F.min(
+            F.when(F.col("cum") >= need,
+                   F.col("bin") * QB_WIDTH_CENTS + QB_WIDTH_CENTS - 1)
+        ).alias(name)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        est(1, 2, "p50_est_cents"),
+        est(19, 20, "p95_est_cents"),
+        est(99, 100, "p99_est_cents"),
+    )
+
+
+BINNED_QUANTILES_SQL = f"""
+WITH hist AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) // {QB_WIDTH_CENTS} AS bin,
+         COUNT(*) AS c
+  FROM events GROUP BY event_type,
+         CAST(round(value * 100) AS BIGINT) // {QB_WIDTH_CENTS}
+), cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2
+            THEN bin * {QB_WIDTH_CENTS} + {QB_WIDTH_CENTS} - 1 END)
+         AS BIGINT) AS p50_est_cents,
+       CAST(MIN(CASE WHEN cum >= (n * 19 + 19) // 20
+            THEN bin * {QB_WIDTH_CENTS} + {QB_WIDTH_CENTS} - 1 END)
+         AS BIGINT) AS p95_est_cents,
+       CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+            THEN bin * {QB_WIDTH_CENTS} + {QB_WIDTH_CENTS} - 1 END)
+         AS BIGINT) AS p99_est_cents
+FROM cum GROUP BY event_type
+"""
+
+
 QUERIES = [
     QuerySpec("retention_cohorts", retention_cohorts, RETENTION_SQL),
     QuerySpec("anomaly_event_spikes", anomaly_event_spikes,
@@ -474,6 +551,8 @@ QUERIES = [
     QuerySpec("sketch_kmv_distinct", sketch_kmv_distinct, KMV_SQL),
     QuerySpec("sketch_countmin_freq", sketch_countmin_freq, COUNTMIN_SQL),
     QuerySpec("sketch_hll_distinct", sketch_hll_distinct, HLL_SQL),
+    QuerySpec("sketch_binned_quantiles", sketch_binned_quantiles,
+              BINNED_QUANTILES_SQL),
     QuerySpec("percentiles_by_type", percentiles_by_type, PERCENTILES_SQL),
     QuerySpec("histogram_values", histogram_values, HISTOGRAM_SQL),
 ]

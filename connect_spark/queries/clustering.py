@@ -452,6 +452,92 @@ FROM hits GROUP BY eval_id
 """
 
 
+def pipeline_semantic_curation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The composed semantic-curation flow a pretraining build runs:
+    k-means clusters → SemDeDup keep/drop inside each cluster → the
+    curated corpus joined back to its documents (vec_id IS doc_id in
+    this dataset) → the per-language curation report (kept/dropped
+    volumes, kept tokens, id checksum).  Everything downstream of the
+    Lloyd loop is one Catalyst plan; the drop rule is the exact
+    integer test of kmeans_semdedup_keep, so the report is
+    engine-exact row-for-row."""
+    final = _final_assignment(spark, sf_dir)
+    n2 = F.aggregate(F.transform("q", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda acc, x: acc + x)
+    members = final.select("vec_id", "cid", "q", n2.alias("n2"))
+    a = members.select(
+        F.col("cid"), F.col("vec_id").alias("a_id"),
+        F.col("q").alias("a_q"), F.col("n2").alias("a_n2"))
+    b = members.select(
+        F.col("cid"), F.col("vec_id").alias("b_id"),
+        F.col("q").alias("b_q"), F.col("n2").alias("b_n2"))
+    dot = F.aggregate(
+        F.zip_with("a_q", "b_q", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dot", dot)
+        .filter((F.col("dot") > 0)
+                & (_SEM_TAU_DEN2 * F.col("dot") * F.col("dot")
+                   > _SEM_TAU_NUM2 * F.col("a_n2") * F.col("b_n2")))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("long").alias("n_tok"))
+    marked = (members.select("vec_id")
+              .join(dropped, "vec_id", "left")
+              .fillna(0, subset=["is_dropped"])
+              .join(docs, "vec_id"))
+    keep = 1 - F.col("is_dropped")
+    return marked.groupBy("lang").agg(
+        F.sum(keep).alias("n_kept"),
+        F.sum("is_dropped").alias("n_dropped"),
+        F.sum(F.col("n_tok") * keep).alias("tokens_kept"),
+        F.sum(F.col("vec_id") * keep).alias("kept_checksum"),
+    )
+
+
+SEMANTIC_CURATION_SQL = _lloyd_ctes() + f"""
+, members AS (
+  SELECT vec_id, cid, q,
+         list_sum(list_transform(q, x -> x * x)) AS n2
+  FROM afinal
+), pairs AS (
+  SELECT b.vec_id AS b_id,
+         CAST(list_sum(list_transform(range({DIMS}),
+              i -> a.q[i + 1] * b.q[i + 1])) AS BIGINT) AS dot,
+         CAST(a.n2 AS BIGINT) AS a_n2, CAST(b.n2 AS BIGINT) AS b_n2
+  FROM members a JOIN members b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT b_id AS vec_id FROM pairs
+  WHERE dot > 0
+    AND {_SEM_TAU_DEN2} * dot * dot > {_SEM_TAU_NUM2} * a_n2 * b_n2
+), marked AS (
+  SELECT m.vec_id,
+         CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END AS is_dropped,
+         d.lang,
+         len(list_filter(string_split(d.text, ' '), x -> x != ''))::BIGINT
+           AS n_tok
+  FROM members m
+  LEFT JOIN dropped dr ON dr.vec_id = m.vec_id
+  JOIN documents d ON d.doc_id = m.vec_id
+)
+SELECT lang,
+       CAST(SUM(1 - is_dropped) AS BIGINT) AS n_kept,
+       CAST(SUM(is_dropped) AS BIGINT) AS n_dropped,
+       CAST(SUM(n_tok * (1 - is_dropped)) AS BIGINT) AS tokens_kept,
+       CAST(SUM(vec_id * (1 - is_dropped)) AS BIGINT) AS kept_checksum
+FROM marked GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, KMEANS_SQL),
     QuerySpec("kmeans_semdedup_keep", kmeans_semdedup_keep, SEMDEDUP_SQL),
@@ -459,4 +545,6 @@ QUERIES = [
               IVF_KMEANS_SQL),
     QuerySpec("contamination_embedding", contamination_embedding,
               CONTAMINATION_EMB_SQL),
+    QuerySpec("pipeline_semantic_curation", pipeline_semantic_curation,
+              SEMANTIC_CURATION_SQL),
 ]

@@ -210,3 +210,19 @@ def test_contamination_embedding_matches_local(spark):
         for r in contamination_embedding(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_semantic_curation_consistent_with_semdedup(spark):
+    from connect_spark.queries.clustering import (
+        kmeans_semdedup_keep, pipeline_semantic_curation)
+
+    cur = pipeline_semantic_curation(spark, SF_SMALL).collect()
+    sd = kmeans_semdedup_keep(spark, SF_SMALL).collect()
+    assert (sum(r["n_kept"] + r["n_dropped"] for r in cur)
+            == sum(r["n_members"] for r in sd))
+    assert sum(r["n_dropped"] for r in cur) == sum(
+        r["n_dropped"] for r in sd)
+    assert sum(r["kept_checksum"] for r in cur) == sum(
+        r["kept_checksum"] for r in sd)
+    for r in cur:
+        assert r["tokens_kept"] > 0

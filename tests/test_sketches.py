@@ -86,3 +86,30 @@ def test_hll_matches_local_and_error_bound(spark):
     for exact_n, _s, _z, est in got.values():
         # HLL standard error is 1.04/sqrt(m) ~ 6.5%; allow 4 sigma
         assert abs(est - exact_n) <= max(4, 0.26 * exact_n)
+
+
+def test_binned_quantiles_within_bin_width_of_exact(spark):
+    from connect_spark.queries.analytics import (
+        QB_WIDTH_CENTS, sketch_binned_quantiles)
+
+    tbl = pq.read_table(f"{SF_SMALL}/events.parquet",
+                        columns=["event_type", "value"])
+    by_type: dict[str, list[int]] = {}
+    for et, v in zip(tbl.column("event_type").to_pylist(),
+                     tbl.column("value").to_pylist()):
+        by_type.setdefault(et, []).append(round(v * 100))
+    rows = sketch_binned_quantiles(spark, SF_SMALL).collect()
+    assert {r["event_type"] for r in rows} == set(by_type)
+    for r in rows:
+        vals = sorted(by_type[r["event_type"]])
+        n = len(vals)
+        assert r["n_events"] == n
+        for p_num, p_den, col in ((1, 2, "p50_est_cents"),
+                                  (19, 20, "p95_est_cents"),
+                                  (99, 100, "p99_est_cents")):
+            k = (n * p_num + p_den - 1) // p_den   # ceil(p*n)
+            exact = vals[k - 1]
+            est = r[col]
+            # estimate = upper edge of the bin holding the k-th value
+            assert est >= exact
+            assert est - exact < QB_WIDTH_CENTS
