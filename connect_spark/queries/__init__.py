@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "iceberg_metadata_count",
     "sketch_binned_quantiles",
     "pipeline_semantic_curation",
+    "pagerank_purchase_graph",
     "shard_shuffle_manifest",
     "dsir_importance_resample",
     "pipeline_incremental_refresh",
@@ -98,7 +99,6 @@ _DRIVER_PRIORITY: list[str] = [
     "parse_logfmt_events",
     "dedup_neardup_verified",
     "text_lang_id",
-    "text_quality_score",
     # --- 50-slot window boundary (round 9) --- everything below
     # queues for round 10 together with the unlisted long-green
     # r7/r8-verified queries (registry order).  The eight r5-latest
@@ -106,6 +106,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (kmeans x2 / bloom / gif / mulaw / streaming-cdc-iceberg /
     # sketches x2, plus bundle + png from session 1) head the
     # round-10 queue.
+    "text_quality_score",
     "text_token_count",
     "text_fingerprint",
     "multimodal_meta",
@@ -165,6 +166,7 @@ def all_queries() -> list[QuerySpec]:
         extended,
         formats,
         functions as fns,
+        graph,
         joins,
         llmops,
         membership,
@@ -186,7 +188,7 @@ def all_queries() -> list[QuerySpec]:
         core, joins, windows, fns, textops, vectors, extended, asof, formats,
         relational, analytics, batching_q, cdc, mq, engines, streaming_q,
         tpch, winfns, pipeline_q, tpch_ps, connectors_q, llmops,
-        migrator_q, dataprep, datamix, clustering, membership,
+        migrator_q, dataprep, datamix, clustering, membership, graph,
     ):
         specs.extend(mod.QUERIES)
     names = [s.name for s in specs]

@@ -1,0 +1,55 @@
+"""Integer PageRank (queries/graph.py) vs an independent local
+reimplementation over the same parquet."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from connect_spark.queries.graph import (
+    DAMP_DEN, DAMP_NUM, PR_ITERS, R0, TELEPORT, pagerank_purchase_graph)
+from tests.conftest import SF_SMALL
+
+
+def _local(sf_dir: str):
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_suppkey"])
+    od = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey"])
+    cust = dict(zip(od.column("o_orderkey").to_pylist(),
+                    od.column("o_custkey").to_pylist()))
+    edges: dict[tuple[int, int], int] = {}
+    for ok, sk in zip(li.column("l_orderkey").to_pylist(),
+                      li.column("l_suppkey").to_pylist()):
+        key = (cust[ok] * 2, sk * 2 + 1)
+        edges[key] = edges.get(key, 0) + 1
+    deg: dict[int, int] = {}
+    nodes = set()
+    for (s, d), w in edges.items():
+        deg[s] = deg.get(s, 0) + w
+        nodes.update((s, d))
+    r = {n: R0 for n in nodes}
+    for _ in range(PR_ITERS):
+        inflow: dict[int, int] = {}
+        for (s, d), w in edges.items():
+            inflow[d] = inflow.get(d, 0) + (
+                r[s] * DAMP_NUM * w) // (DAMP_DEN * deg[s])
+        r = {n: TELEPORT + inflow.get(n, 0) for n in nodes}
+    in_w: dict[int, int] = {}
+    for (s, d), w in edges.items():
+        in_w[d] = in_w.get(d, 0) + w
+    return {(n - 1) // 2: (r[n], in_w[n])
+            for n in nodes if n % 2 == 1}
+
+
+def test_pagerank_matches_local_reference(spark):
+    got = {
+        row["s_suppkey"]: (row["pagerank_micro"],
+                           row["weighted_in_degree"])
+        for row in pagerank_purchase_graph(spark, SF_SMALL).collect()
+    }
+    want = _local(SF_SMALL)
+    assert got == want
+    assert len(got) > 0
+    # ranks differentiate: the graph is not regular
+    ranks = [v[0] for v in got.values()]
+    assert max(ranks) > min(ranks)
