@@ -73,6 +73,118 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# --- grouping sets ---
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with explicit GROUPING() markers — the general
+    form rollup/cube specialize (arbitrary aggregation lattices in one
+    pass; Catalyst expands to a single Expand + one aggregation, so
+    the fact table is scanned once, not once per set).  Emitted
+    per-column grouping flags disambiguate subtotal rows from genuine
+    NULL groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- time-series gap fill (the hypertable rollup family) ---
+
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled hourly rollup with LOCF: per
+    event_type, a dense hourly spine from the type's first to last
+    hour (sequence + explode — no data-dependent holes), the hourly
+    aggregate left-joined on, and empty hours carrying the last
+    observed value forward (last(ignorenulls) over the time order).
+    The TimescaleDB time_bucket_gapfill + locf() shape, expressed as
+    Catalyst primitives; all filled values are integers so the fill
+    is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type",
+                  F.date_trunc("hour", "ts").alias("h"),
+                  F.expr("CAST(round(value * 100) AS BIGINT)")
+                  .alias("cents"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("cents").alias("cents"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select("event_type",
+                F.explode(F.expr(
+                    "sequence(h0, h1, interval 1 hour)")).alias("h"))
+    )
+    from pyspark.sql import Window
+
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.select(
+        "event_type",
+        F.col("h").cast("string").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        (F.col("n").isNull()).cast("int").alias("filled"),
+        F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
+    )
+
+
+# portable LOCF (no IGNORE NULLS dependence): the gaps-and-islands
+# trick — each non-null observation opens a group; MAX within the
+# group IS that observation
+GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), bounds AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+  GROUP BY event_type
+), spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+           AS h
+  FROM bounds
+), joined AS (
+  SELECT s.event_type, s.h, hh.n, hh.cents
+  FROM spine s LEFT JOIN hourly hh
+    ON hh.event_type = s.event_type AND hh.h = s.h
+), grouped AS (
+  SELECT *, SUM(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END)
+              OVER (PARTITION BY event_type ORDER BY h
+                    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM joined
+)
+SELECT event_type, CAST(h AS VARCHAR) AS hour,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INT) AS filled,
+       CAST(MAX(cents) OVER (PARTITION BY event_type, grp) AS BIGINT)
+         AS cents_locf
+FROM grouped
+"""
+
+
 # --- set operations ---
 
 def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +461,10 @@ FROM documents
 QUERIES = [
     QuerySpec("pivot_status_by_priority", pivot_status_by_priority, PIVOT_SQL),
     QuerySpec("rollup_lineitem", rollup_lineitem, ROLLUP_SQL),
+    QuerySpec("grouping_sets_orders", grouping_sets_orders,
+              GROUPING_SETS_SQL),
+    QuerySpec("timeseries_gapfill_locf", timeseries_gapfill_locf,
+              GAPFILL_SQL),
     QuerySpec("setops_segments", setops_segments, SETOPS_SQL),
     QuerySpec("workflow_enrich_lineitem", workflow_enrich_lineitem, WORKFLOW_SQL),
     QuerySpec("sql_select_orders", sql_select_orders, SQL_SELECT_SQL),

@@ -270,3 +270,43 @@ def test_multimodal_decoder_probe_selects_stub_without_pil(spark):
         for r in decode_media(media, decode_stub=True).collect()
     )
     assert auto_rows == stub_rows
+
+
+def test_gapfill_locf_dense_and_filled(spark):
+    from connect_spark.queries.extended import timeseries_gapfill_locf
+
+    rows = timeseries_gapfill_locf(spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    import datetime as _dt
+
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour"])
+        hours = [_dt.datetime.fromisoformat(r["hour"]) for r in rs]
+        # dense spine: consecutive hours, no holes
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600
+        # locf: filled rows carry the previous observed value
+        prev = None
+        for r in rs:
+            if r["filled"] == 0:
+                prev = r["cents_locf"]
+                assert r["n_events"] > 0
+            else:
+                assert r["n_events"] == 0
+                assert r["cents_locf"] == prev
+
+
+def test_grouping_sets_totals_consistent(spark):
+    from connect_spark.queries.extended import grouping_sets_orders
+
+    rows = grouping_sets_orders(spark, SF).collect()
+    grand = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(grand) == 1
+    detail = sum(r["n"] for r in rows
+                 if r["g_status"] == 0 and r["g_priority"] == 0)
+    assert grand[0]["n"] == detail
+    by_status = sum(r["n"] for r in rows
+                    if r["g_status"] == 0 and r["g_priority"] == 1)
+    assert by_status == detail
