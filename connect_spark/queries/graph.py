@@ -143,7 +143,102 @@ WHERE node % 2 = 1""")
 PAGERANK_SQL = _pagerank_sql()
 
 
+MIN_SHARED = 2   # co-purchase edge threshold: >= 2 shared customers
+
+
+def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the supplier co-purchase graph — the
+    third classic graph primitive here (PageRank above, connected
+    components in operators/cluster.py).  Two stages:
+
+    1. PROJECTION: suppliers s1 < s2 are linked iff >= MIN_SHARED
+       customers bought from both (a self-join of the bipartite edge
+       list keyed on the customer — per-customer fan-out is (distinct
+       suppliers choose 2), bounded by purchase behavior, and the
+       threshold prunes the projection before the expensive stage).
+    2. TRIANGLES: the standard ordered-edge join — every edge is kept
+       oriented low-id -> high-id, so each triangle (a < b < c) is
+       found EXACTLY once as (a,b) ⋈ (b,c) ⋈ (a,c); the orientation is
+       also the classic fan-out bound (a node contributes pairs only
+       among its higher-id neighbors).
+
+    Output: per supplier, the number of triangles it participates in
+    and its projection degree — exact integers, oracle-pinned.  At
+    100 TB the projection threshold and degree-ordering are the two
+    standard knobs that keep both joins equality-shuffles with
+    bounded fan-out."""
+    edges = _edges(spark, sf_dir).select("src", "dst").distinct()
+    a = edges.select(F.col("src").alias("c"), F.col("dst").alias("s1"))
+    b = edges.select(F.col("src").alias("c"), F.col("dst").alias("s2"))
+    proj = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= MIN_SHARED)
+        .select("s1", "s2")
+    )
+    e1 = proj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = proj.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e3 = proj.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select(F.col("b").alias("node")))
+        .union(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        proj.select(F.col("s1").alias("node"))
+        .union(proj.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+                F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+                F.col("degree"))
+    )
+
+
+TRIANGLES_SQL = f"""
+WITH bip AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), proj AS (
+  SELECT a.s AS s1, b.s AS s2
+  FROM bip a JOIN bip b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= {MIN_SHARED}
+), tris AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM proj e1
+  JOIN proj e2 ON e2.s1 = e1.s2
+  JOIN proj e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+), per_node AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris)
+  GROUP BY node
+), deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT s1 AS node FROM proj
+    UNION ALL SELECT s2 FROM proj)
+  GROUP BY node
+)
+SELECT (d.node - 1) // 2 AS s_suppkey,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(d.degree AS BIGINT) AS degree
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+"""
+
+
 QUERIES = [
     QuerySpec("pagerank_purchase_graph", pagerank_purchase_graph,
               PAGERANK_SQL),
+    QuerySpec("triangles_copurchase", triangles_copurchase,
+              TRIANGLES_SQL),
 ]

@@ -53,3 +53,48 @@ def test_pagerank_matches_local_reference(spark):
     # ranks differentiate: the graph is not regular
     ranks = [v[0] for v in got.values()]
     assert max(ranks) > min(ranks)
+
+
+def test_triangles_matches_local_reference(spark):
+    from connect_spark.queries.graph import (
+        MIN_SHARED, triangles_copurchase)
+
+    li = pq.read_table(f"{SF_SMALL}/lineitem.parquet",
+                       columns=["l_orderkey", "l_suppkey"])
+    od = pq.read_table(f"{SF_SMALL}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey"])
+    cust = dict(zip(od.column("o_orderkey").to_pylist(),
+                    od.column("o_custkey").to_pylist()))
+    bip = {(cust[ok], sk * 2 + 1)
+           for ok, sk in zip(li.column("l_orderkey").to_pylist(),
+                             li.column("l_suppkey").to_pylist())}
+    by_c: dict[int, list[int]] = {}
+    for c, s in bip:
+        by_c.setdefault(c, []).append(s)
+    shared: dict[tuple[int, int], int] = {}
+    for sups in by_c.values():
+        sups.sort()
+        for i, s1 in enumerate(sups):
+            for s2 in sups[i + 1:]:
+                shared[(s1, s2)] = shared.get((s1, s2), 0) + 1
+    proj = {e for e, n in shared.items() if n >= MIN_SHARED}
+    adj: dict[int, set[int]] = {}
+    for s1, s2 in proj:
+        adj.setdefault(s1, set()).add(s2)
+    tri_count: dict[int, int] = {}
+    for a, b in proj:
+        for c in adj.get(a, set()) & adj.get(b, set()):
+            for n in (a, b, c):
+                tri_count[n] = tri_count.get(n, 0) + 1
+    deg: dict[int, int] = {}
+    for s1, s2 in proj:
+        deg[s1] = deg.get(s1, 0) + 1
+        deg[s2] = deg.get(s2, 0) + 1
+    want = {(n - 1) // 2: (tri_count.get(n, 0), deg[n]) for n in deg}
+
+    got = {
+        r["s_suppkey"]: (r["n_triangles"], r["degree"])
+        for r in triangles_copurchase(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert any(v[0] > 0 for v in got.values())   # triangles exist
