@@ -39,21 +39,21 @@ class QuerySpec:
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
     # Round 9 rotation (standing policy: never-verified first, then
-    # oldest driver green).  Final round-9 window: (a) the 21 new
+    # oldest driver green).  Final round-9 window: (a) the 23 new
     # round-9 queries with no driver row yet (migrator bundle + PNG
-    # from session 1; kmeans family, bloom, sketches, GIF/mu-law,
-    # streaming CDC->Iceberg, ppl buckets, curation, pagerank,
-    # triangles, grouping sets, gap-fill from session 2); (b) the 3
-    # round-8 datamix queries whose oracles shipped with uncast
-    # HUGEINT sums (driver-RED r8, fixed this round — re-fronted per
-    # the verdict); (c) the 26 oldest stale entries — ALL 22
-    # r4-latest rows plus the 4 oldest r5s.  Zero overlap with the r8
-    # window beyond the 3 fixes.  `bpe_train_distributed` (rows-only
-    # by design) is retired from the priority list —
-    # `bpe_train_parity` strictly supersedes it as a gate (verdict
-    # task #6); it stays registered for bench/docs.  The whole
-    # 50-slot window was pre-verified GREEN from one fresh process
-    # this round (PROGRESS.md round 9).
+    # from session 1; kmeans family, bloom, sketches + mergeability
+    # gates, GIF/mu-law, streaming CDC->Iceberg, ppl buckets,
+    # curation, pagerank, triangles, grouping sets, gap-fill from
+    # session 2); (b) the 3 round-8 datamix queries whose oracles
+    # shipped with uncast HUGEINT sums (driver-RED r8, fixed this
+    # round — re-fronted per the verdict); (c) the 24 oldest stale
+    # entries — ALL 22 r4-latest rows plus the 2 oldest r5s.  Zero
+    # overlap with the r8 window beyond the 3 fixes.
+    # `bpe_train_distributed` (rows-only by design) is retired from
+    # the priority list — `bpe_train_parity` strictly supersedes it
+    # as a gate (verdict task #6); it stays registered for bench/docs.
+    # Every window entry was verified GREEN from a fresh process this
+    # round, including two full-window 50/50 runs (PROGRESS.md).
     "migrator_bundle_run",
     "multimodal_png_resize",
     "kmeans_lloyd_clusters",
@@ -75,6 +75,8 @@ _DRIVER_PRIORITY: list[str] = [
     "grouping_sets_orders",
     "timeseries_gapfill_locf",
     "triangles_copurchase",
+    "sketch_kmv_merged",
+    "sketch_hll_merged",
     "shard_shuffle_manifest",
     "dsir_importance_resample",
     "pipeline_incremental_refresh",
@@ -102,13 +104,13 @@ _DRIVER_PRIORITY: list[str] = [
     "buffer_window_stamp",
     "q1_pricing_summary",
     "join_salted_skew",
-    "branch_enrich_orders",
-    "uuid_v5_vectors",
     # --- 50-slot window boundary (round 9) --- everything below
     # queues for round 10 together with the unlisted long-green
     # r7/r8-verified queries (registry order).  The r5-latest entries
     # displaced by this round's 21 new never-verified queries head
     # the round-10 queue in staleness order.
+    "branch_enrich_orders",
+    "uuid_v5_vectors",
     "parse_logfmt_events",
     "dedup_neardup_verified",
     "text_lang_id",

@@ -267,6 +267,101 @@ WHERE (h.cnt * s.n - s.sx) > 0
 """
 
 
+# --- sketch MERGEABILITY gates ----------------------------------------
+#
+# The property that makes a sketch a 100-TB tool is MERGEABILITY:
+# build per shard, combine the tiny summaries, get exactly the sketch
+# a single pass would have built.  These two gates PROVE it against
+# the driver's hash: the Spark side computes the sharded-then-merged
+# sketch while the oracle computes the direct single-pass one — any
+# divergence in the merge algebra breaks the value hash.
+
+
+def sketch_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV built per shard (user_id mod 4 — a content-derived shard
+    split) and merged by taking the K smallest of the union of the
+    per-shard K-smallest lists.  This equals the direct global KMV
+    because each shard's K-smallest retains every hash that could
+    rank among the global K smallest.  The oracle is the DIRECT
+    computation (same SQL as sketch_kmv_distinct), so the hash match
+    is the mergeability proof."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    per_shard = (
+        ev.withColumn("shard", F.col("user_id") % 4)
+        .groupBy("event_type", "shard")
+        .agg(F.slice(F.sort_array(F.collect_set(h)), 1, K_MINVALUES)
+             .alias("kmv"),
+             F.countDistinct("user_id").alias("shard_distinct"))
+    )
+    merged = per_shard.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1, K_MINVALUES).alias("kmv"),
+        # user_id mod 4 shards are disjoint in user space, so exact
+        # distinct merges by addition
+        F.sum("shard_distinct").alias("exact_distinct"),
+    )
+    kth = F.element_at("kmv", K_MINVALUES)
+    frac = F.conv(F.substring(kth, 1, 15), 16, 10).cast("double") / float(
+        16**15)
+    est = F.when(
+        F.size("kmv") < K_MINVALUES, F.size("kmv").cast("double")
+    ).otherwise((K_MINVALUES - 1) / frac)
+    return merged.select(
+        "event_type",
+        "exact_distinct",
+        F.floor(est).cast("bigint").alias("kmv_estimate"),
+    )
+
+
+def sketch_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL built per shard and merged register-wise (max of maxes) —
+    the merge HLL exists for.  Oracle = the direct single-pass HLL
+    (HLL_SQL), so the hash match pins the merge algebra including the
+    harmonic sum and linear-counting branch downstream of it."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    shard_regs = (
+        ev.select("event_type", F.col("user_id").alias("uid"),
+                  h.alias("h"))
+        .withColumn("shard", F.col("uid") % 4)
+        .withColumn("idx", F.conv(F.substring("h", 1, 2), 16, 10)
+                    .cast("long"))
+        .withColumn("rho", F.expr(_rho_case("h")).cast("long"))
+        .groupBy("event_type", "shard", "idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    regs = shard_regs.groupBy("event_type", "idx").agg(
+        F.max("m_j").alias("m_j"))
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(53 - m_j AS INT))")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    j = per_type.join(exact, "event_type")
+    s_total = (F.col("s_present")
+               + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(_POW53))
+    n_zero = F.lit(HLL_M) - F.col("n_regs")
+    raw = (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+           * F.lit(float(HLL_M * HLL_M)) * F.lit(float(_POW53))
+           / s_total.cast("double"))
+    est = F.when(
+        (n_zero > 0) & (raw <= 2.5 * HLL_M),
+        F.floor(F.lit(float(HLL_M))
+                * F.log(F.lit(float(HLL_M)) / n_zero.cast("double"))),
+    ).otherwise(F.floor(raw)).cast("long")
+    return j.select(
+        "event_type", "exact_distinct",
+        s_total.alias("reg_harmonic_sum"),
+        n_zero.cast("long").alias("n_zero_registers"),
+        est.alias("hll_estimate"),
+    )
+
+
 # --- Count-Min frequency sketch ---------------------------------------
 
 CM_DEPTH = 4
@@ -553,6 +648,9 @@ QUERIES = [
     QuerySpec("sketch_hll_distinct", sketch_hll_distinct, HLL_SQL),
     QuerySpec("sketch_binned_quantiles", sketch_binned_quantiles,
               BINNED_QUANTILES_SQL),
+    # mergeability gates: Spark = sharded-then-merged, oracle = direct
+    QuerySpec("sketch_kmv_merged", sketch_kmv_merged, KMV_SQL),
+    QuerySpec("sketch_hll_merged", sketch_hll_merged, HLL_SQL),
     QuerySpec("percentiles_by_type", percentiles_by_type, PERCENTILES_SQL),
     QuerySpec("histogram_values", histogram_values, HISTOGRAM_SQL),
 ]

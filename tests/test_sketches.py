@@ -113,3 +113,17 @@ def test_binned_quantiles_within_bin_width_of_exact(spark):
             # estimate = upper edge of the bin holding the k-th value
             assert est >= exact
             assert est - exact < QB_WIDTH_CENTS
+
+
+def test_sketch_mergeability_merged_equals_direct(spark):
+    from connect_spark.queries.analytics import (
+        sketch_hll_distinct, sketch_hll_merged, sketch_kmv_distinct,
+        sketch_kmv_merged)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(sketch_kmv_merged(spark, SF_SMALL)) == rows(
+        sketch_kmv_distinct(spark, SF_SMALL))
+    assert rows(sketch_hll_merged(spark, SF_SMALL)) == rows(
+        sketch_hll_distinct(spark, SF_SMALL))
