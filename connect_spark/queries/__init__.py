@@ -38,77 +38,17 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 9 rotation (standing policy: never-verified first, then
-    # oldest driver green).  Final round-9 window: (a) the 23 new
-    # round-9 queries with no driver row yet (migrator bundle + PNG
-    # from session 1; kmeans family, bloom, sketches + mergeability
-    # gates, GIF/mu-law, streaming CDC->Iceberg, ppl buckets,
-    # curation, pagerank, triangles, grouping sets, gap-fill from
-    # session 2); (b) the 3 round-8 datamix queries whose oracles
-    # shipped with uncast HUGEINT sums (driver-RED r8, fixed this
-    # round — re-fronted per the verdict); (c) the 24 oldest stale
-    # entries — ALL 22 r4-latest rows plus the 2 oldest r5s.  Zero
-    # overlap with the r8 window beyond the 3 fixes.
-    # `bpe_train_distributed` (rows-only by design) is retired from
-    # the priority list — `bpe_train_parity` strictly supersedes it
-    # as a gate (verdict task #6); it stays registered for bench/docs.
-    # Every window entry was verified GREEN from a fresh process this
-    # round, including two full-window 50/50 runs (PROGRESS.md).
-    "migrator_bundle_run",
-    "multimodal_png_resize",
-    "kmeans_lloyd_clusters",
-    "kmeans_semdedup_keep",
-    "bloom_membership_probe",
-    "multimodal_gif_framesample",
-    "multimodal_mulaw_features",
-    "streaming_cdc_to_iceberg",
-    "sketch_countmin_freq",
-    "sketch_hll_distinct",
-    "quality_ppl_buckets",
-    "ann_ivf_kmeans_probe",
-    "contamination_embedding",
-    "dataset_card_stats",
-    "iceberg_metadata_count",
-    "sketch_binned_quantiles",
-    "pipeline_semantic_curation",
-    "pagerank_purchase_graph",
-    "grouping_sets_orders",
-    "timeseries_gapfill_locf",
-    "triangles_copurchase",
-    "sketch_kmv_merged",
-    "sketch_hll_merged",
-    "shard_shuffle_manifest",
-    "dsir_importance_resample",
-    "pipeline_incremental_refresh",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "unicode_segments_docs",
-    "dedup_line_removal",
-    "jmespath_project_events",
-    "wasm_transform_events",
-    "ffi_libc_events",
-    "streaming_running_totals",
-    "streaming_session_window",
-    "pipeline_yaml_route",
-    "parse_log_events",
-    "iceberg_partitioned_scan",
-    "iceberg_commit_roundtrip",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_excess_stock",
-    "amqp_envelope_events",
-    "mongo_filter_orders",
-    "buffer_window_stamp",
-    "q1_pricing_summary",
-    "join_salted_skew",
-    # --- 50-slot window boundary (round 9) --- everything below
-    # queues for round 10 together with the unlisted long-green
-    # r7/r8-verified queries (registry order).  The r5-latest entries
-    # displaced by this round's 21 new never-verified queries head
-    # the round-10 queue in staleness order.
+    # Round 10 rotation (standing policy: never-verified first,
+    # then oldest driver green).  Window: (a) the 3 new round-10
+    # queries with no driver row yet (baseline-JPEG decode gate,
+    # the while-processor fixpoint, byte_size greedy batching);
+    # (b) ALL 47 r5-latest rows — the oldest staleness band —
+    # in the queue order the round-9 session prepared.  3 + 47
+    # = 50 exactly; zero overlap with the r9 window; max
+    # staleness moves from r5 to r7.
+    "multimodal_jpeg_resize",
+    "while_fixpoint",
+    "batch_policy_bytes",
     "branch_enrich_orders",
     "uuid_v5_vectors",
     "parse_logfmt_events",
@@ -156,7 +96,61 @@ _DRIVER_PRIORITY: list[str] = [
     "text_pii_scrub",
     "quality_gopher_rules",
     "contamination_13gram",
+    # --- 50-slot window boundary (round 10) --- everything below
+    # queues for round 11 (the 50 r7-latest rows, oldest band
+    # after this round, alphabetical within the band).
+    "ai_chat_extract",
+    "ai_embed_rerank",
+    "amqp1_envelope_decode",
+    "ann_topk_quantized",
+    "anomaly_event_spikes",
+    "awk_extract_events",
+    "batch_policy_events",
+    "bloblang_eval_dynamic",
+    "broker_wire_roundtrip",
+    "cdc_materialize_orders",
+    "dedup_cluster_resolve",
+    "dedup_incremental",
+    "dedup_training_set",
+    "fn_window_matrix",
+    "geoip_enrich_events",
+    "histogram_values",
+    "html_extract_main",
+    "iceberg_delete_roundtrip",
+    "iceberg_upsert_roundtrip",
+    "jq_project_events",
+    "js_transform_events",
+    "jwt_sign_matrix",
+    "kafka_read_committed",
+    "mq_subject_route",
+    "multimodal_wav_decode",
+    "pack_sequences",
+    "percentiles_by_type",
+    "pulsar_envelope_decode",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_bigram_lm",
+    "quality_repetition_rules",
+    "retention_cohorts",
+    "sample_stratified",
+    "schema_registry_evolution",
+    "streaming_dedupe_keys",
+    "text_token_count_bpe",
+    "vocab_top_bigrams",
+    "window_tumbling_streamed",
 ]
+
 
 
 def all_queries() -> list[QuerySpec]:

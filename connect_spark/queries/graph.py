@@ -143,33 +143,53 @@ WHERE node % 2 = 1""")
 PAGERANK_SQL = _pagerank_sql()
 
 
-MIN_SHARED = 2   # co-purchase edge threshold: >= 2 shared customers
+MIN_SHARED = 2     # co-purchase edge threshold: >= 2 shared customers
+CUST_DEG_CAP = 100  # hub-customer exclusion: > CAP distinct suppliers
 
 
 def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the supplier co-purchase graph — the
     third classic graph primitive here (PageRank above, connected
-    components in operators/cluster.py).  Two stages:
+    components in operators/cluster.py).  Three stages, the last two
+    being the standard scale bounds for exact triangle counting:
 
-    1. PROJECTION: suppliers s1 < s2 are linked iff >= MIN_SHARED
-       customers bought from both (a self-join of the bipartite edge
-       list keyed on the customer — per-customer fan-out is (distinct
-       suppliers choose 2), bounded by purchase behavior, and the
-       threshold prunes the projection before the expensive stage).
-    2. TRIANGLES: the standard ordered-edge join — every edge is kept
-       oriented low-id -> high-id, so each triangle (a < b < c) is
-       found EXACTLY once as (a,b) ⋈ (b,c) ⋈ (a,c); the orientation is
-       also the classic fan-out bound (a node contributes pairs only
-       among its higher-id neighbors).
+    1. HUB CAP: customers linking > CUST_DEG_CAP distinct suppliers
+       are excluded from the projection (part of the query's
+       semantics, mirrored in the oracle — the same df-cap discipline
+       as `dedup_ngram_jaccard`'s df>100 shingle cap).  Without it a
+       single whale customer fans out C(deg, 2) supplier pairs before
+       any pruning; with it the projection self-join's per-key fan-out
+       is capped at C(CAP, 2) at ANY corpus size.
+    2. PROJECTION: suppliers s1 < s2 are linked iff >= MIN_SHARED
+       kept customers bought from both (a self-join of the capped
+       bipartite edge list keyed on the customer).
+    3. TRIANGLES via DEGREE-ORDERED orientation: each projection edge
+       {u, v} is directed from the (degree, id)-smaller endpoint to
+       the larger, so each triangle is found exactly once as
+       (a→b) ⋈ (b→c) ⋈ (a→c) — and, the point of the ordering, every
+       node's pair enumeration in the wedge join is bounded by its
+       OUT-degree, which the orientation caps at O(√m) (the classic
+       O(m^1.5) bound; id-ordering has no such bound on hub nodes).
 
     Output: per supplier, the number of triangles it participates in
-    and its projection degree — exact integers, oracle-pinned.  At
-    100 TB the projection threshold and degree-ordering are the two
-    standard knobs that keep both joins equality-shuffles with
-    bounded fan-out."""
-    edges = _edges(spark, sf_dir).select("src", "dst").distinct()
-    a = edges.select(F.col("src").alias("c"), F.col("dst").alias("s1"))
-    b = edges.select(F.col("src").alias("c"), F.col("dst").alias("s2"))
+    and its projection degree — exact integers, oracle-pinned (the
+    oracle applies the same hub cap; orientation is plan-side only
+    and result-invariant, so the oracle keeps the simple id-ordered
+    enumeration)."""
+    bip = _edges(spark, sf_dir).select(
+        F.col("src").alias("c"), F.col("dst").alias("s")).distinct()
+    keep = (bip.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= CUST_DEG_CAP).select("c"))
+    bip = bip.join(keep, "c", "left_semi")
+    a = bip.select("c", F.col("s").alias("s1"))
+    b = bip.select("c", F.col("s").alias("s2"))
+    # The projection is referenced 6+ times downstream (degrees,
+    # orientation, all three triangle-join legs); without persist the
+    # whole self-join subtree is replicated into each reference and
+    # the physical plan grows combinatorially (measured: 752 parquet
+    # scans at 16x).  The thresholded projection is orders of
+    # magnitude smaller than the pair stream that builds it — exactly
+    # the intermediate a production pipeline materializes.
     proj = (
         a.join(b, "c")
         .filter(F.col("s1") < F.col("s2"))
@@ -177,10 +197,28 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= MIN_SHARED)
         .select("s1", "s2")
+        .persist()
     )
-    e1 = proj.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-    e2 = proj.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    e3 = proj.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    deg = (
+        proj.select(F.col("s1").alias("node"))
+        .union(proj.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    d1 = deg.select(F.col("node").alias("s1"), F.col("degree").alias("g1"))
+    d2 = deg.select(F.col("node").alias("s2"), F.col("degree").alias("g2"))
+    fwd = (F.col("g1") < F.col("g2")) | (
+        (F.col("g1") == F.col("g2")) & (F.col("s1") < F.col("s2")))
+    o = (
+        proj.join(d1, "s1").join(d2, "s2")
+        .select(F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+                F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"))
+        .persist()
+    )
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tris = e1.join(e2, "b").join(e3, ["a", "c"])
     per_node = (
         tris.select(F.col("a").alias("node"))
@@ -188,12 +226,6 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(tris.select(F.col("c").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    deg = (
-        proj.select(F.col("s1").alias("node"))
-        .union(proj.select(F.col("s2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
     )
     return (
         deg.join(per_node, "node", "left")
@@ -204,9 +236,13 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLES_SQL = f"""
-WITH bip AS (
+WITH bip0 AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey * 2 + 1 AS s
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), keep AS (
+  SELECT c FROM bip0 GROUP BY c HAVING COUNT(*) <= {CUST_DEG_CAP}
+), bip AS (
+  SELECT b.c, b.s FROM bip0 b JOIN keep k ON k.c = b.c
 ), proj AS (
   SELECT a.s AS s1, b.s AS s2
   FROM bip a JOIN bip b ON a.c = b.c AND a.s < b.s

@@ -397,3 +397,65 @@ QUERIES += [
         ICEBERG_METACOUNT_SQL,
     ),
 ]
+
+
+def while_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `while` processor as a driver-gated fixpoint
+    (processors/while.adoc:26 — child processors re-applied to rows
+    matching `check` until none match): pointer-jumping root
+    resolution on the implicit binary tree over v = event_id mod 1000
+    + 1, where each iteration jumps v -> floor(v / 2) and counts the
+    step.  Iteration count is DATA-DEPENDENT per row (depth of v =
+    floor(log2 v), up to 9 here), so the loop's filter/union/
+    checkpoint machinery is exercised on a genuinely ragged frontier;
+    rows exit the loop as they individually reach the root.  The
+    oracle closes the form: steps = floor(log2(v))."""
+    from connect_spark.plans.pipeline import build_pipeline
+
+    config = {
+        "input": {"table": {"sf_dir": sf_dir, "name": "events"}},
+        "pipeline": {
+            "processors": [
+                {
+                    "mapping": (
+                        "root.event_id = this.event_id\n"
+                        "root.v = this.event_id % 1000 + 1\n"
+                        "root.steps = 0"
+                    )
+                },
+                {
+                    "while": {
+                        "check": "this.v > 1",
+                        "max_loops": 12,
+                        "processors": [
+                            {
+                                "mutation": (
+                                    "root.v = (this.v / 2).floor()\n"
+                                    "root.steps = this.steps + 1"
+                                )
+                            }
+                        ],
+                    }
+                },
+            ]
+        },
+    }
+    df = build_pipeline(spark, config).dataframe()
+    return df.select(
+        "event_id",
+        F.col("v").cast("bigint").alias("root_v"),
+        F.col("steps").cast("bigint").alias("steps"),
+    )
+
+
+WHILE_FIXPOINT_SQL = """
+SELECT event_id,
+       CAST(1 AS BIGINT) AS root_v,
+       CAST(FLOOR(LOG2(event_id % 1000 + 1)) AS BIGINT) AS steps
+FROM events
+"""
+
+
+QUERIES += [
+    QuerySpec("while_fixpoint", while_fixpoint, WHILE_FIXPOINT_SQL),
+]

@@ -1193,6 +1193,90 @@ FROM events
 """
 
 
+def multimodal_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode in the gate: each event synthesizes a
+    16x16 JPEG of four constant-color 8x8 blocks (block (bx, by) color
+    r = (e + 31bx + 57by) mod 256, g = (2e + 43bx + 17by) mod 256,
+    b = (5e + 13bx + 71by) mod 256) through the repo's own encoder —
+    spec-valid entropy-coded baseline with per-component DC diff
+    prediction exercised by four different block colors — then runs
+    the FULL decode path (canonical Huffman from DHT, dequantize,
+    vectorized IDCT, integer YCbCr->RGB), nearest-neighbor resizes to
+    2x2 (one pixel per source block; JPEG thumbnails re-encode to
+    lossless PNG — see media_codecs.resize_jpeg), and reduces to the
+    position-weighted checksum.  Flat-8 quantization makes constant
+    blocks roundtrip losslessly in YCbCr space, so the oracle can
+    recompute every decoded pixel arithmetically: forward and inverse
+    integer color transforms mirrored verbatim in SQL."""
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, bmp_pixel_stats, resize_media)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                rows = [[((e + 31 * (x // 8) + 57 * (y // 8)) % 256,
+                          (2 * e + 43 * (x // 8) + 17 * (y // 8)) % 256,
+                          (5 * e + 13 * (x // 8) + 71 * (y // 8)) % 256)
+                         for x in range(16)] for y in range(16)]
+                payloads.append(encode_jpeg(rows))
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["image/jpeg"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return bmp_pixel_stats(resize_media(media, 2, 2)).select(
+        F.col("media_id").alias("event_id"),
+        "width", "height", "sum_rgb", "pos_checksum")
+
+
+# the oracle mirrors the codec's integer color math exactly: forward
+# RGB->YCbCr (non-negative fixed-point, truncating division == floor),
+# then the decoder's inverse with the +65536 bias trick and [0, 255]
+# clamps; flat-8 quantization + constant blocks mean the stored YCbCr
+# is exact, so decoded = inverse(forward(rgb)).
+MULTIMODAL_JPEG_RESIZE_SQL = """
+WITH px AS (
+  SELECT event_id, i,
+         (event_id + 31 * (i % 2) + 57 * (i // 2)) % 256 AS r0,
+         (2 * event_id + 43 * (i % 2) + 17 * (i // 2)) % 256 AS g0,
+         (5 * event_id + 13 * (i % 2) + 71 * (i // 2)) % 256 AS b0
+  FROM events, UNNEST([0, 1, 2, 3]) AS t(i)
+), ycc AS (
+  SELECT event_id, i,
+    LEAST((77 * r0 + 150 * g0 + 29 * b0 + 128) // 256, 255) AS yy,
+    LEAST((32768 - 43 * r0 - 85 * g0 + 128 * b0 + 128) // 256, 255) AS cb,
+    LEAST((32768 + 128 * r0 - 107 * g0 - 21 * b0 + 128) // 256, 255) AS cr
+  FROM px
+), rgb AS (
+  SELECT event_id, i,
+    GREATEST(0, LEAST(255, yy +
+      ((359 * (cr - 128) + 128 + 65536) // 256 - 256))) AS r,
+    GREATEST(0, LEAST(255, yy -
+      ((88 * (cb - 128) + 183 * (cr - 128) + 128 + 65536) // 256 - 256)))
+      AS g,
+    GREATEST(0, LEAST(255, yy +
+      ((454 * (cb - 128) + 128 + 65536) // 256 - 256))) AS b
+  FROM ycc
+)
+SELECT event_id, 2 AS width, 2 AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_rgb,
+       CAST(SUM((i + 1) * (r * 65536 + g * 256 + b)) AS BIGINT)
+         AS pos_checksum
+FROM rgb GROUP BY event_id
+"""
+
+
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio feature extraction in the gate: the same
     deterministic 64-sample PCM16 WAV synthesis as
@@ -1529,6 +1613,8 @@ QUERIES = [
     QuerySpec("multimodal_frames", multimodal_frames, MULTIMODAL_FRAMES_SQL),
     QuerySpec("multimodal_bmp_resize", multimodal_bmp_resize,
               MULTIMODAL_RESIZE_SQL),
+    QuerySpec("multimodal_jpeg_resize", multimodal_jpeg_resize,
+              MULTIMODAL_JPEG_RESIZE_SQL),
     QuerySpec("multimodal_png_resize", multimodal_png_resize,
               MULTIMODAL_PNG_RESIZE_SQL),
     QuerySpec("multimodal_gif_framesample", multimodal_gif_framesample,

@@ -132,6 +132,21 @@ def _png_decode(payload: bytes) -> tuple[int, int, list[float]]:
         round(t / (255.0 * n), 6) for t in tot]
 
 
+def _jpeg_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    from connect_spark.text.media_codecs import decode_jpeg_pixels
+
+    d = decode_jpeg_pixels(payload)
+    n = max(d["width"] * d["height"], 1)
+    tot = [0, 0, 0]
+    for row in d["pixels"]:
+        for r, g, b in row:
+            tot[0] += r
+            tot[1] += g
+            tot[2] += b
+    return d["width"], d["height"], [
+        round(t / (255.0 * n), 6) for t in tot]
+
+
 def _wav_decode(payload: bytes) -> tuple[int, int, list[float]]:
     # width/height carry sample_rate/n_channels for audio; feature is
     # [duration_ms, n_samples, peak/32768]
@@ -163,6 +178,8 @@ _REAL_DECODERS = {
     "image/bmp": _bmp_decode,
     "image/x-bmp": _bmp_decode,
     "image/png": _png_decode,
+    "image/jpeg": _jpeg_decode,
+    "image/jpg": _jpeg_decode,
     "image/gif": _gif_decode,
     "audio/wav": _wav_decode,
     "audio/x-wav": _wav_decode,
@@ -279,7 +296,7 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 _BMP_MIMES = {"image/bmp", "image/x-bmp"}
-_RASTER_MIMES = _BMP_MIMES | {"image/png"}
+_RASTER_MIMES = _BMP_MIMES | {"image/png", "image/jpeg", "image/jpg"}
 
 PIXEL_STATS_SCHEMA = T.StructType(
     [

@@ -1,0 +1,273 @@
+"""Baseline JPEG codec (text/media_codecs.py): golden-vector pins plus
+hand-ASSEMBLED baseline streams built with an independent bit-writer
+in this file (4:2:0 sampling, DRI/RSTn restarts, grayscale scans,
+16-bit DQT) so encoder and decoder can't share a bug — the decoder is
+exercised on streams the encoder cannot produce."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from connect_spark.text.media_codecs import (
+    decode_jpeg_pixels,
+    decode_raster_pixels,
+    encode_jpeg,
+    jpeg_rgb_to_ycc,
+    jpeg_ycc_to_rgb,
+    resize_jpeg,
+    resize_raster,
+)
+
+# ---- independent test-side helpers (no codec imports) ----------------
+
+# canonical codes for the simple tables the repo's DHT carries:
+# DC: 12 symbols, all length 4 -> symbol s has code s.
+# AC: 162 symbols, all length 8 -> EOB=0, ZRL=1, (run,size)=2+run*10+size-1.
+DC_BITS = [0, 0, 0, 12] + [0] * 12
+DC_VALS = list(range(12))
+AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)]
+AC_BITS = [0] * 7 + [162] + [0] * 8
+
+
+class BitW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v, k):
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+
+    def dc(self, diff):
+        size = 0 if diff == 0 else abs(diff).bit_length()
+        self.put(size, 4)  # DC symbol s == code s, 4 bits
+        if size:
+            self.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    def eob(self):
+        self.put(0, 8)  # AC symbol 0x00 -> canonical code 0, 8 bits
+
+    def done(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+        return bytes(self.buf)
+
+
+def seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def dqt(tq, val, precision16=False):
+    if precision16:
+        return seg(0xDB, bytes([0x10 | tq]) + struct.pack(">H", val) * 64)
+    return seg(0xDB, bytes([tq]) + bytes([val]) * 64)
+
+
+def dht_all():
+    out = b""
+    for tc, th, bits, vals in ((0, 0, DC_BITS, DC_VALS),
+                               (0, 1, DC_BITS, DC_VALS),
+                               (1, 0, AC_BITS, AC_VALS),
+                               (1, 1, AC_BITS, AC_VALS)):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                   + bytes(vals))
+    return out
+
+
+# ---- golden vector: pinned encoder bytes + pinned decode -------------
+
+def test_encoder_golden_vector_pinned():
+    rows = [[(10 * x, 20 * y, 30) for x in range(8)] for y in range(8)]
+    enc = encode_jpeg(rows)
+    # pinned byte-for-byte: any drift in FDCT, quantization, Huffman
+    # assignment, marker layout, or color math changes this hex
+    assert enc.hex() == GOLDEN_8x8_HEX
+    d = decode_jpeg_pixels(bytes.fromhex(GOLDEN_8x8_HEX))
+    assert (d["width"], d["height"]) == (8, 8)
+    # corners pinned by hand through the published integer math
+    assert d["pixels"][0][0] == GOLDEN_CORNERS[0]
+    assert d["pixels"][0][7] == GOLDEN_CORNERS[1]
+    assert d["pixels"][7][0] == GOLDEN_CORNERS[2]
+    assert d["pixels"][7][7] == GOLDEN_CORNERS[3]
+
+
+def test_constant_block_roundtrip_lossless_in_ycc():
+    for rgb in ((0, 0, 0), (255, 255, 255), (10, 200, 30), (128, 128, 128)):
+        rows = [[rgb] * 8 for _ in range(8)]
+        d = decode_jpeg_pixels(encode_jpeg(rows))
+        want = jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(*rgb))
+        assert all(p == want for r in d["pixels"] for p in r)
+
+
+def test_gradient_within_quantization_error():
+    rows = [[((x * 16 + y) % 256, (x * 7 + y * 11) % 256,
+              (x * 3 + y * 29) % 256) for x in range(16)]
+            for y in range(16)]
+    d = decode_jpeg_pixels(encode_jpeg(rows))
+    for ry, rd in zip(rows, d["pixels"]):
+        for (pr, pg, pb), (qr, qg, qb) in zip(ry, rd):
+            assert abs(pr - qr) <= 24
+            assert abs(pg - qg) <= 24
+            assert abs(pb - qb) <= 24
+
+
+def test_grayscale_identity_roundtrip():
+    # R=G=B=v -> Y=v, Cb=Cr=128 exactly, so grayscale constant blocks
+    # roundtrip to the IDENTICAL RGB
+    for v in (0, 1, 127, 128, 254, 255):
+        rows = [[(v, v, v)] * 8 for _ in range(8)]
+        d = decode_jpeg_pixels(encode_jpeg(rows))
+        assert all(p == (v, v, v) for r in d["pixels"] for p in r)
+
+
+# ---- hand-assembled streams the encoder cannot produce ---------------
+
+def _sof(marker, h, w, comps):
+    body = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hv, tq in comps:
+        body += bytes([cid, hv, tq])
+    return seg(marker, body)
+
+
+def _sos(comps):
+    body = bytes([len(comps)])
+    for cid, tdta in comps:
+        body += bytes([cid, tdta])
+    return body + b"\x00\x3f\x00"
+
+
+def test_decode_420_subsampled_hand_built():
+    """16x16 constant (200, 120, 40) as a 4:2:0 stream: one MCU of
+    four Y blocks + one Cb + one Cr; decoded RGB pinned by hand."""
+    # Y=135, Cb=75, Cr=175 through the published forward math
+    assert jpeg_rgb_to_ycc(200, 120, 40) == (135, 75, 175)
+    w = BitW()
+    w.dc(135 - 128)   # Y block 1: DC=7 after /8 quant
+    w.eob()
+    for _ in range(3):  # Y blocks 2..4: diff 0
+        w.dc(0)
+        w.eob()
+    w.dc(75 - 128)    # Cb: diff -53
+    w.eob()
+    w.dc(175 - 128)   # Cr: diff 47
+    w.eob()
+    buf = (b"\xff\xd8" + dqt(0, 8) + dqt(1, 8)
+           + _sof(0xC0, 16, 16, [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)])
+           + dht_all()
+           + seg(0xDA, _sos([(1, 0x00), (2, 0x11), (3, 0x11)]))
+           + w.done() + b"\xff\xd9")
+    d = decode_jpeg_pixels(buf)
+    assert (d["width"], d["height"]) == (16, 16)
+    # hand-computed inverse: r=135+floor(16873+128 /256)=201,
+    # g=135-floor((-4664+8601+128)/256)=120, b=135+floor(-23806/256)=41
+    assert jpeg_ycc_to_rgb(135, 75, 175) == (201, 120, 41)
+    assert all(p == (201, 120, 41) for r in d["pixels"] for p in r)
+
+
+def test_decode_dri_restart_markers_grayscale():
+    """8x16 single-component scan with DRI=1: an RST0 between the two
+    MCUs, DC predictors reset across it."""
+    w1 = BitW()
+    w1.dc(100 - 128)
+    w1.eob()
+    w2 = BitW()
+    w2.dc(50 - 128)   # full value again: predictor was reset
+    w2.eob()
+    buf = (b"\xff\xd8" + dqt(0, 8)
+           + _sof(0xC0, 8, 16, [(1, 0x11, 0)])
+           + dht_all()
+           + seg(0xDD, struct.pack(">H", 1))  # DRI = 1
+           + seg(0xDA, _sos([(1, 0x00)]))
+           + w1.done() + b"\xff\xd0" + w2.done() + b"\xff\xd9")
+    d = decode_jpeg_pixels(buf)
+    assert (d["width"], d["height"]) == (16, 8)
+    assert d["pixels"][0][0] == (100, 100, 100)
+    assert d["pixels"][0][15] == (50, 50, 50)
+
+
+def test_decode_16bit_dqt():
+    w = BitW()
+    w.dc(7)
+    w.eob()
+    buf = (b"\xff\xd8" + dqt(0, 8, precision16=True)
+           + _sof(0xC0, 8, 8, [(1, 0x11, 0)])
+           + dht_all()
+           + seg(0xDA, _sos([(1, 0x00)]))
+           + w.done() + b"\xff\xd9")
+    d = decode_jpeg_pixels(buf)
+    assert all(p == (135, 135, 135) for r in d["pixels"] for p in r)
+
+
+def test_progressive_and_arithmetic_rejected():
+    base = b"\xff\xd8" + dqt(0, 8)
+    sof2 = _sof(0xC2, 8, 8, [(1, 0x11, 0)])
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_pixels(base + sof2 + b"\xff\xd9")
+    sof9 = _sof(0xC9, 8, 8, [(1, 0x11, 0)])
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_pixels(base + sof9 + b"\xff\xd9")
+
+
+def test_resize_dispatch_and_png_output():
+    rows = [[((x // 8 * 100) % 256, 50, (y // 8 * 100) % 256)
+             for x in range(16)] for y in range(16)]
+    enc = encode_jpeg(rows)
+    out = resize_raster(enc, 2, 2)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"  # lossless thumbnail target
+    d = decode_raster_pixels(out)
+    assert (d["width"], d["height"]) == (2, 2)
+    for by in range(2):
+        for bx in range(2):
+            want = jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(
+                (bx * 100) % 256, 50, (by * 100) % 256))
+            assert d["pixels"][by][bx] == want
+    assert resize_jpeg(enc, 4, 4)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_byte_stuffing_roundtrip():
+    # hunt a block whose entropy stream contains a stuffed 0xFF
+    for v in range(0, 256, 3):
+        rows = [[(v, (v * 3) % 256, (v * 7) % 256)] * 8 for _ in range(8)]
+        enc = encode_jpeg(rows)
+        d = decode_jpeg_pixels(enc)
+        want = jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(v, (v * 3) % 256,
+                                                (v * 7) % 256))
+        assert all(p == want for r in d["pixels"] for p in r)
+
+
+# encode_jpeg([[(10x, 20y, 30) for x in 0..7] for y in 0..7]) — 649
+# bytes, pinned byte-for-byte (SOI/APP0/DQTx2/SOF0/DHTx4/SOS/EOI with
+# the entropy-coded gradient block)
+GOLDEN_8x8_HEX = (
+    "ffd8ffe000104a46494600010100000100010000ffdb004300080808080808080"
+    "80808080808080808080808080808080808080808080808080808080808080808"
+    "080808080808080808080808080808080808080808080808ffdb0043010808080"
+    "80808080808080808080808080808080808080808080808080808080808080808"
+    "08080808080808080808080808080808080808080808080808080808ffc000110"
+    "80008000803011100021101031101ffc4001f000000000c000000000000000000"
+    "000000000102030405060708090a0bffc4001f010000000c00000000000000000"
+    "0000000000102030405060708090a0bffc400b51000000000000000a200000000"
+    "0000000000f00102030405060708090a1112131415161718191a2122232425262"
+    "728292a3132333435363738393a4142434445464748494a515253545556575859"
+    "5a6162636465666768696a7172737475767778797a8182838485868788898a919"
+    "2939495969798999aa1a2a3a4a5a6a7a8a9aab1b2b3b4b5b6b7b8b9bac1c2c3c4"
+    "c5c6c7c8c9cad1d2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f"
+    "7f8f9faffc400b51100000000000000a2000000000000000000f0010203040506"
+    "0708090a1112131415161718191a2122232425262728292a31323334353637383"
+    "93a4142434445464748494a5152535455565758595a6162636465666768696a71"
+    "72737475767778797a8182838485868788898a9192939495969798999aa1a2a3a"
+    "4a5a6a7a8a9aab1b2b3b4b5b6b7b8b9bac1c2c3c4c5c6c7c8c9cad1d2d3d4d5d6"
+    "d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda000c030100021"
+    "10311003f0076c0801884017198008209017cfe00410540699005e66807ffd9"
+)
+GOLDEN_CORNERS = [(1, 0, 29), (69, 0, 31), (2, 140, 29), (70, 142, 32)]

@@ -89,7 +89,7 @@ def test_decode_media_real_wav_and_bmp(spark):
     df = spark.createDataFrame([
         (1, bytearray(wav), "audio/wav", {}),
         (2, bytearray(bmp), "image/bmp", {}),
-        (3, bytearray(b"whatever"), "image/jpeg", {}),
+        (3, bytearray(b"whatever"), "video/mp4", {}),
     ], MEDIA_SCHEMA)
     rows = {r["media_id"]: r
             for r in decode_media(df, decode_stub=True).collect()}
