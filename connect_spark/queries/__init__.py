@@ -39,16 +39,20 @@ class QuerySpec:
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
     # Round 10 rotation (standing policy: never-verified first,
-    # then oldest driver green).  Window: (a) the 3 new round-10
+    # then oldest driver green).  Window: (a) the 4 new round-10
     # queries with no driver row yet (baseline-JPEG decode gate,
-    # the while-processor fixpoint, byte_size greedy batching);
-    # (b) ALL 47 r5-latest rows — the oldest staleness band —
-    # in the queue order the round-9 session prepared.  3 + 47
-    # = 50 exactly; zero overlap with the r9 window; max
-    # staleness moves from r5 to r7.
+    # MJPEG-in-AVI video frame sampling, the while-processor
+    # fixpoint, byte_size greedy batching); (b) 46 of the 47
+    # r5-latest rows — the oldest staleness band — in the queue
+    # order the round-9 session prepared.  4 + 46 = 50; zero overlap
+    # with the r9 window.  The one r5 row the 4th new query
+    # displaces (contamination_13gram, end of the curated queue)
+    # heads the round-11 queue below and was re-verified GREEN
+    # beyond-window this round (PROGRESS.md).
     "multimodal_jpeg_resize",
     "while_fixpoint",
     "batch_policy_bytes",
+    "multimodal_video_framesample",
     "branch_enrich_orders",
     "uuid_v5_vectors",
     "parse_logfmt_events",
@@ -95,10 +99,11 @@ _DRIVER_PRIORITY: list[str] = [
     "kafka_recordbatch_roundtrip",
     "text_pii_scrub",
     "quality_gopher_rules",
-    "contamination_13gram",
     # --- 50-slot window boundary (round 10) --- everything below
-    # queues for round 11 (the 50 r7-latest rows, oldest band
-    # after this round, alphabetical within the band).
+    # queues for round 11: first the displaced r5 row, then the 50
+    # r7-latest rows (oldest band after this round, alphabetical
+    # within the band).
+    "contamination_13gram",
     "ai_chat_extract",
     "ai_embed_rerank",
     "amqp1_envelope_decode",

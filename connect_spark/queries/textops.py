@@ -1277,6 +1277,85 @@ FROM rgb GROUP BY event_id
 """
 
 
+def multimodal_video_framesample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """REAL video frame sampling in the gate (closing the last
+    multimodal stub the way GIF closed animation and JPEG closed
+    stills): each event synthesizes a 2-frame 8x8 MJPEG-in-AVI —
+    frame f constant color (e + 19f, 3e + 37f, 7e + 53f) mod 256,
+    every frame a spec-valid baseline JPEG inside a RIFF/AVI movi
+    list — then avi_frame_stats walks the container, entropy-decodes
+    frame 1 (Huffman + IDCT + integer YCbCr->RGB), and reduces to the
+    position-weighted checksum.  Constant blocks + flat-8 quant make
+    the decode arithmetic the oracle mirrors exactly; inter-frame
+    codecs (H.264 etc.) stay behind the honest ffmpeg gate."""
+    from connect_spark.text.multimodal import MEDIA_SCHEMA, avi_frame_stats
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                frames = [
+                    [[((e + 19 * f) % 256, (3 * e + 37 * f) % 256,
+                       (7 * e + 53 * f) % 256)] * 8 for _ in range(8)]
+                    for f in range(2)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=5))
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["video/x-msvideo"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return avi_frame_stats(media, 1).select(
+        F.col("media_id").alias("event_id"),
+        "n_frames", "width", "height", "sum_rgb", "pos_checksum")
+
+
+# constant 8x8 frame: sum_rgb = 64 * (r + g + b) of the roundtripped
+# color, pos_checksum = (sum of 1..64) * packed = 2080 * packed; the
+# color chain is the same forward/inverse integer math as
+# MULTIMODAL_JPEG_RESIZE_SQL with frame index f = 1.
+MULTIMODAL_VIDEO_SQL = """
+WITH px AS (
+  SELECT event_id,
+         (event_id + 19) % 256 AS r0,
+         (3 * event_id + 37) % 256 AS g0,
+         (7 * event_id + 53) % 256 AS b0
+  FROM events
+), ycc AS (
+  SELECT event_id,
+    LEAST((77 * r0 + 150 * g0 + 29 * b0 + 128) // 256, 255) AS yy,
+    LEAST((32768 - 43 * r0 - 85 * g0 + 128 * b0 + 128) // 256, 255) AS cb,
+    LEAST((32768 + 128 * r0 - 107 * g0 - 21 * b0 + 128) // 256, 255) AS cr
+  FROM px
+), rgb AS (
+  SELECT event_id,
+    GREATEST(0, LEAST(255, yy +
+      ((359 * (cr - 128) + 128 + 65536) // 256 - 256))) AS r,
+    GREATEST(0, LEAST(255, yy -
+      ((88 * (cb - 128) + 183 * (cr - 128) + 128 + 65536) // 256 - 256)))
+      AS g,
+    GREATEST(0, LEAST(255, yy +
+      ((454 * (cb - 128) + 128 + 65536) // 256 - 256))) AS b
+  FROM ycc
+)
+SELECT event_id, 2 AS n_frames, 8 AS width, 8 AS height,
+       CAST(64 * (r + g + b) AS BIGINT) AS sum_rgb,
+       CAST(2080 * (r * 65536 + g * 256 + b) AS BIGINT) AS pos_checksum
+FROM rgb
+"""
+
+
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed audio feature extraction in the gate: the same
     deterministic 64-sample PCM16 WAV synthesis as
@@ -1615,6 +1694,8 @@ QUERIES = [
               MULTIMODAL_RESIZE_SQL),
     QuerySpec("multimodal_jpeg_resize", multimodal_jpeg_resize,
               MULTIMODAL_JPEG_RESIZE_SQL),
+    QuerySpec("multimodal_video_framesample", multimodal_video_framesample,
+              MULTIMODAL_VIDEO_SQL),
     QuerySpec("multimodal_png_resize", multimodal_png_resize,
               MULTIMODAL_PNG_RESIZE_SQL),
     QuerySpec("multimodal_gif_framesample", multimodal_gif_framesample,

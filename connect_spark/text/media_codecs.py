@@ -1183,3 +1183,95 @@ def resize_jpeg(payload: bytes, new_w: int, new_h: int) -> bytes:
     out = [[px[y * h // new_h][x * w // new_w] for x in range(new_w)]
            for y in range(new_h)]
     return encode_png(out)
+
+
+# --- AVI (RIFF) with MJPEG video streams -------------------------------
+#
+# Pure-Python implementation of the public RIFF/AVI container layout
+# (the same RIFF chunk grammar the WAV codec above walks) carrying a
+# Motion-JPEG video stream: every '00dc' chunk in the 'movi' list is a
+# standalone baseline JPEG decoded by decode_jpeg_pixels.  This turns
+# the video frame-sampling gate real for MJPEG-in-AVI — the format a
+# capture pipeline actually emits — while inter-frame codecs (H.264
+# etc.) stay behind the honest ffmpeg gate in text/multimodal.py.
+
+
+def encode_avi_mjpeg(frames: list[list[list[tuple[int, int, int]]]],
+                     fps: int = 10) -> bytes:
+    """Pixel-grid frames → RIFF/AVI: hdrl (avih + one 'vids'/'MJPG'
+    strl), movi with one word-aligned 00dc JPEG chunk per frame, and
+    an idx1 keyframe index."""
+    if not frames:
+        raise ValueError("avi: need at least one frame")
+    h = len(frames[0])
+    w = len(frames[0][0])
+    payloads = [encode_jpeg(f) for f in frames]
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1,
+        max(len(p) for p in payloads), w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<10I", 0, 0, 0, 1, fps, 0, len(frames),
+        max(len(p) for p in payloads), 0, 0)
+        + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24,
+                       int.from_bytes(b"MJPG", "little"),
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_chunks)
+    idx, off = b"", 4
+    for p in payloads:
+        idx += b"00dc" + struct.pack("<3I", 0x10, off, len(p))
+        off += 8 + len(p) + (len(p) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> dict:
+    """RIFF/AVI walk → dict(width, height, fps, n_frames, frames):
+    every video-data chunk (##dc/##db) in the movi list decoded as a
+    baseline JPEG pixel grid."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI payload")
+    width = height = None
+    fps = None
+    frames: list[list[list[tuple[int, int, int]]]] = []
+
+    def walk(buf: bytes, i: int, end: int) -> None:
+        nonlocal width, height, fps
+        while i + 8 <= end:
+            fcc = buf[i:i + 4]
+            size = struct.unpack("<I", buf[i + 4:i + 8])[0]
+            body_start = i + 8
+            if fcc == b"LIST":
+                ltype = buf[body_start:body_start + 4]
+                if ltype in (b"hdrl", b"movi", b"strl"):
+                    walk(buf, body_start + 4, body_start + size)
+            elif fcc == b"avih":
+                vals = struct.unpack(
+                    "<14I", buf[body_start:body_start + 56])
+                width, height = vals[8], vals[9]
+            elif fcc == b"strh":
+                if buf[body_start:body_start + 4] == b"vids":
+                    scale, rate = struct.unpack(
+                        "<2I", buf[body_start + 20:body_start + 28])
+                    fps = rate // max(scale, 1)
+            elif fcc[2:4] in (b"dc", b"db") and fcc[:2].isdigit():
+                frames.append(decode_jpeg_pixels(
+                    buf[body_start:body_start + size])["pixels"])
+            i = body_start + size + (size % 2)
+
+    walk(payload, 12, 8 + struct.unpack("<I", payload[4:8])[0])
+    if width is None or not frames:
+        raise ValueError("avi: no video stream found")
+    return {"width": width, "height": height, "fps": fps,
+            "n_frames": len(frames), "frames": frames}

@@ -246,23 +246,63 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling (video → N frames): ONE input row explodes to
     `n_frames` output rows carrying (frame_idx, timestamp, frame
-    bytes). The one-to-many mapInPandas shape, stable output schema,
-    and byte-slicing plumbing are real; actual video decode is stubbed
-    (ffmpeg absent) — each fake frame is the payload's i-th chunk, so
-    outputs are deterministic and size-checkable."""
+    bytes).  MJPEG-in-AVI payloads (RIFF magic) decode FOR REAL —
+    every emitted frame is the actual baseline-JPEG chunk lifted from
+    the movi list, timestamped from the stream's fps, truncated or
+    cycled to `n_frames` — via the repo's own container walk
+    (media_codecs.decode_avi_frames walks the same grammar; here the
+    JPEG bytes are passed through undecoded).  Other containers
+    (inter-frame codecs: H.264 etc.) keep the deterministic stub —
+    each fake frame is the payload's i-th chunk — and `decode_stub=
+    False` raises honestly for them (ffmpeg territory)."""
+
+    def _avi_jpeg_chunks(raw: bytes) -> tuple[list[bytes], int]:
+        import struct as _st
+        chunks: list[bytes] = []
+        fps = 0
+
+        def walk(i: int, end: int) -> None:
+            nonlocal fps
+            while i + 8 <= end:
+                fcc = raw[i:i + 4]
+                size = _st.unpack("<I", raw[i + 4:i + 8])[0]
+                b0 = i + 8
+                if fcc == b"LIST" and raw[b0:b0 + 4] in (
+                        b"hdrl", b"movi", b"strl"):
+                    walk(b0 + 4, b0 + size)
+                elif fcc == b"strh" and raw[b0:b0 + 4] == b"vids":
+                    scale, rate = _st.unpack(
+                        "<2I", raw[b0 + 20:b0 + 28])
+                    fps = rate // max(scale, 1)
+                elif fcc[2:4] in (b"dc", b"db") and fcc[:2].isdigit():
+                    chunks.append(raw[b0:b0 + size])
+                i = b0 + size + (size % 2)
+
+        walk(12, 8 + _st.unpack("<I", raw[4:8])[0])
+        return chunks, fps
 
     def frame_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame extraction requires ffmpeg, which has no "
-                    "Python import probe here — run with decode_stub=True"
-                )
             ids, idxs, tss, frames = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload or b"")
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    chunks, fps = _avi_jpeg_chunks(raw)
+                    step = (1000 // fps) if fps else frame_interval_ms
+                    for i in range(min(n_frames, len(chunks))):
+                        ids.append(mid)
+                        idxs.append(i)
+                        tss.append(i * step)
+                        frames.append(chunks[i])
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real frame extraction beyond MJPEG-in-AVI "
+                        "requires ffmpeg, which has no Python import "
+                        "probe here — run with decode_stub=True"
+                    )
                 chunk = max(1, len(raw) // n_frames)
                 for i in range(n_frames):
                     ids.append(mid)
@@ -422,6 +462,44 @@ def gif_frame_stats(df: DataFrame, frame_idx: int) -> DataFrame:
                         c += (y * w + x + 1) * (r * 65536 + g * 256 + b)
                 ids.append(mid)
                 nfs.append(len(d["frames"]))
+                ws.append(w)
+                hs.append(h)
+                sums.append(s)
+                checks.append(c)
+            yield pd.DataFrame({
+                "media_id": ids, "n_frames": nfs, "width": ws,
+                "height": hs, "sum_rgb": sums, "pos_checksum": checks,
+            })
+
+    return df.mapInPandas(stat_batches, GIF_FRAME_STATS_SCHEMA)
+
+
+def avi_frame_stats(df: DataFrame, frame_idx: int) -> DataFrame:
+    """REAL MJPEG-in-AVI frame sampling: walk the RIFF container,
+    decode every 00dc chunk as a baseline JPEG
+    (media_codecs.decode_avi_frames), select frame `frame_idx`, and
+    reduce to the same integer position-weighted checksum as
+    bmp_pixel_stats — an oracle match pins the exact decoded frame
+    raster through container walk + entropy decode + IDCT + color
+    conversion.  Same output schema as gif_frame_stats."""
+    from connect_spark.text.media_codecs import decode_avi_frames
+
+    def stat_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, ws, hs, sums, checks = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_avi_frames(bytes(payload))
+                grid = d["frames"][frame_idx]
+                w, h = d["width"], d["height"]
+                s = c = 0
+                for y, row in enumerate(grid):
+                    for x, (r, g, b) in enumerate(row):
+                        s += r + g + b
+                        c += (y * w + x + 1) * (r * 65536 + g * 256 + b)
+                ids.append(mid)
+                nfs.append(d["n_frames"])
                 ws.append(w)
                 hs.append(h)
                 sums.append(s)

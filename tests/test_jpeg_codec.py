@@ -271,3 +271,54 @@ GOLDEN_8x8_HEX = (
     "10311003f0076c0801884017198008209017cfe00410540699005e66807ffd9"
 )
 GOLDEN_CORNERS = [(1, 0, 29), (69, 0, 31), (2, 140, 29), (70, 142, 32)]
+
+
+# ---- MJPEG-in-AVI container ------------------------------------------
+
+def test_avi_mjpeg_roundtrip():
+    from connect_spark.text.media_codecs import (
+        decode_avi_frames, encode_avi_mjpeg)
+
+    f0 = [[(10, 20, 30)] * 8 for _ in range(8)]
+    f1 = [[(200, 100, 50)] * 8 for _ in range(8)]
+    f2 = [[(0, 255, 128)] * 8 for _ in range(8)]
+    avi = encode_avi_mjpeg([f0, f1, f2], fps=5)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    d = decode_avi_frames(avi)
+    assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (8, 8, 5, 3)
+    for frame, (r, g, b) in zip(d["frames"],
+                                [(10, 20, 30), (200, 100, 50),
+                                 (0, 255, 128)]):
+        want = jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(r, g, b))
+        assert all(p == want for row in frame for p in row)
+
+
+def test_avi_rejects_non_avi():
+    from connect_spark.text.media_codecs import decode_avi_frames
+
+    with pytest.raises(ValueError, match="avi"):
+        decode_avi_frames(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="avi"):
+        decode_avi_frames(b"not riff at all")
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    from connect_spark.text.media_codecs import encode_avi_mjpeg
+    from connect_spark.text.multimodal import MEDIA_SCHEMA, sample_frames
+
+    frames = [[[(f * 40, 10, 20)] * 8 for _ in range(8)]
+              for f in range(3)]
+    avi = encode_avi_mjpeg(frames, fps=10)
+    df = spark.createDataFrame(
+        [(7, bytearray(avi), "video/x-msvideo", {})], MEDIA_SCHEMA)
+    rows = sorted(sample_frames(df, n_frames=2).collect(),
+                  key=lambda r: r["frame_idx"])
+    # real path: 2 of the 3 actual JPEG chunks, fps-derived timestamps
+    assert len(rows) == 2
+    assert [r["ts_ms"] for r in rows] == [0, 100]
+    for r in rows:
+        assert bytes(r["frame"])[:2] == b"\xff\xd8"  # real JPEG bytes
+        d = decode_jpeg_pixels(bytes(r["frame"]))
+        want = jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(
+            r["frame_idx"] * 40, 10, 20))
+        assert d["pixels"][0][0] == want
