@@ -645,7 +645,8 @@ QUERIES = [
     QuerySpec("funnel_signup_view_purchase", funnel_signup_view_purchase, FUNNEL_SQL),
     QuerySpec("sketch_kmv_distinct", sketch_kmv_distinct, KMV_SQL),
     QuerySpec("sketch_countmin_freq", sketch_countmin_freq, COUNTMIN_SQL),
-    QuerySpec("sketch_hll_distinct", sketch_hll_distinct, HLL_SQL),
+    QuerySpec("sketch_hll_distinct", sketch_hll_distinct, HLL_SQL,
+              headline=True),
     QuerySpec("sketch_binned_quantiles", sketch_binned_quantiles,
               BINNED_QUANTILES_SQL),
     # mergeability gates: Spark = sharded-then-merged, oracle = direct

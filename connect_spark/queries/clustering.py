@@ -539,7 +539,8 @@ FROM marked GROUP BY lang
 
 
 QUERIES = [
-    QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, KMEANS_SQL),
+    QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, KMEANS_SQL,
+              headline=True),
     QuerySpec("kmeans_semdedup_keep", kmeans_semdedup_keep, SEMDEDUP_SQL),
     QuerySpec("ann_ivf_kmeans_probe", ann_ivf_kmeans_probe,
               IVF_KMEANS_SQL),

@@ -143,15 +143,16 @@ WHERE node % 2 = 1""")
 PAGERANK_SQL = _pagerank_sql()
 
 
-MIN_SHARED = 2     # co-purchase edge threshold: >= 2 shared customers
+MIN_SHARED = 2      # absolute floor on shared customers per edge
 CUST_DEG_CAP = 100  # hub-customer exclusion: > CAP distinct suppliers
+TOP_PAIR_PCT = 99   # projection keeps pairs at/above this weight rank
 
 
 def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the supplier co-purchase graph — the
     third classic graph primitive here (PageRank above, connected
-    components in operators/cluster.py).  Three stages, the last two
-    being the standard scale bounds for exact triangle counting:
+    components in operators/cluster.py).  Three stages, each a
+    standard scale bound for exact triangle counting:
 
     1. HUB CAP: customers linking > CUST_DEG_CAP distinct suppliers
        are excluded from the projection (part of the query's
@@ -160,9 +161,19 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
        single whale customer fans out C(deg, 2) supplier pairs before
        any pruning; with it the projection self-join's per-key fan-out
        is capped at C(CAP, 2) at ANY corpus size.
-    2. PROJECTION: suppliers s1 < s2 are linked iff >= MIN_SHARED
-       kept customers bought from both (a self-join of the capped
-       bipartite edge list keyed on the customer).
+    2. DENSITY-ADAPTIVE PROJECTION: suppliers s1 < s2 are linked iff
+       their shared-customer count sits in the top (100-TOP_PAIR_PCT)%
+       of all pair weights (exact integer rank over the weight
+       HISTOGRAM — a table bounded by the max weight value, not the
+       corpus — with MIN_SHARED as an absolute floor).  A fixed
+       absolute threshold is meaningless under density growth: at
+       sf0.1 every supplier pair already shares ≥6 customers (the
+       raw co-purchase graph is the COMPLETE graph, C(1000,2) edges,
+       and exact triangle counting on it is Ω(C(1000,3)) ≈ 1.7e8
+       triangles of pure output cardinality).  Ranking by weight is
+       the classic "significant co-occurrence" projection: the edge
+       count stays a fixed small fraction of pair count at ANY
+       density, so downstream cost tracks corpus size, not its cube.
     3. TRIANGLES via DEGREE-ORDERED orientation: each projection edge
        {u, v} is directed from the (degree, id)-smaller endpoint to
        the larger, so each triangle is found exactly once as
@@ -173,9 +184,9 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: per supplier, the number of triangles it participates in
     and its projection degree — exact integers, oracle-pinned (the
-    oracle applies the same hub cap; orientation is plan-side only
-    and result-invariant, so the oracle keeps the simple id-ordered
-    enumeration)."""
+    oracle applies the same cap and histogram-rank threshold;
+    orientation is plan-side only and result-invariant, so the oracle
+    keeps the simple id-ordered enumeration)."""
     bip = _edges(spark, sf_dir).select(
         F.col("src").alias("c"), F.col("dst").alias("s")).distinct()
     keep = (bip.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
@@ -183,19 +194,43 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bip = bip.join(keep, "c", "left_semi")
     a = bip.select("c", F.col("s").alias("s1"))
     b = bip.select("c", F.col("s").alias("s2"))
-    # The projection is referenced 6+ times downstream (degrees,
-    # orientation, all three triangle-join legs); without persist the
-    # whole self-join subtree is replicated into each reference and
-    # the physical plan grows combinatorially (measured: 752 parquet
-    # scans at 16x).  The thresholded projection is orders of
-    # magnitude smaller than the pair stream that builds it — exactly
-    # the intermediate a production pipeline materializes.
-    proj = (
+    # The pair table is referenced by the histogram and the projection;
+    # the projection is referenced 6+ times downstream (degrees,
+    # orientation, all three triangle-join legs).  Without persist the
+    # self-join subtree is replicated into each reference and the
+    # physical plan grows combinatorially (measured: 752 parquet scans
+    # at 16x).  Both persisted frames are orders of magnitude smaller
+    # than the pair stream that builds them — exactly the
+    # intermediates a production pipeline materializes.
+    pairs = (
         a.join(b, "c")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= MIN_SHARED)
+        .persist()
+    )
+    # exact integer rank threshold over the weight histogram: thr is
+    # the weight at ascending rank (TOP_PAIR_PCT*n) div 100 + 1.  The
+    # histogram has at most max(shared) rows — O(1) in corpus size —
+    # so the rank window runs on a control-plane-sized table, and the
+    # two 1-row broadcasts are ungrouped aggregates (bounded by the
+    # plan guard's own rule).
+    from pyspark.sql import Window
+    hist = pairs.groupBy("shared").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("shared").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.expr(
+            f"({TOP_PAIR_PCT} * n) div 100 + 1"))
+        .agg(F.min("shared").alias("thr"))
+    )
+    proj = (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("shared")
+                >= F.greatest(F.col("thr"), F.lit(MIN_SHARED)))
         .select("s1", "s2")
         .persist()
     )
@@ -243,11 +278,22 @@ WITH bip0 AS (
   SELECT c FROM bip0 GROUP BY c HAVING COUNT(*) <= {CUST_DEG_CAP}
 ), bip AS (
   SELECT b.c, b.s FROM bip0 b JOIN keep k ON k.c = b.c
-), proj AS (
-  SELECT a.s AS s1, b.s AS s2
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
   FROM bip a JOIN bip b ON a.c = b.c AND a.s < b.s
   GROUP BY a.s, b.s
-  HAVING COUNT(*) >= {MIN_SHARED}
+), hist AS (
+  SELECT shared, COUNT(*) AS cnt FROM pairs GROUP BY shared
+), tot AS (
+  SELECT SUM(cnt) AS n FROM hist
+), thr AS (
+  SELECT MIN(shared) AS thr FROM (
+    SELECT shared, SUM(cnt) OVER (ORDER BY shared) AS cum FROM hist
+  ), tot
+  WHERE cum >= ({TOP_PAIR_PCT} * n) // 100 + 1
+), proj AS (
+  SELECT s1, s2 FROM pairs, thr
+  WHERE shared >= GREATEST(thr, {MIN_SHARED})
 ), tris AS (
   SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
   FROM proj e1
@@ -274,7 +320,7 @@ FROM deg d LEFT JOIN per_node p ON p.node = d.node
 
 QUERIES = [
     QuerySpec("pagerank_purchase_graph", pagerank_purchase_graph,
-              PAGERANK_SQL),
+              PAGERANK_SQL, headline=True),
     QuerySpec("triangles_copurchase", triangles_copurchase,
               TRIANGLES_SQL),
 ]

@@ -175,5 +175,6 @@ BLOOM_SQL = _bloom_sql()
 
 
 QUERIES = [
-    QuerySpec("bloom_membership_probe", bloom_membership_probe, BLOOM_SQL),
+    QuerySpec("bloom_membership_probe", bloom_membership_probe, BLOOM_SQL,
+              headline=True),
 ]

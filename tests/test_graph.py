@@ -57,7 +57,7 @@ def test_pagerank_matches_local_reference(spark):
 
 def test_triangles_matches_local_reference(spark):
     from connect_spark.queries.graph import (
-        MIN_SHARED, triangles_copurchase)
+        CUST_DEG_CAP, MIN_SHARED, TOP_PAIR_PCT, triangles_copurchase)
 
     li = pq.read_table(f"{SF_SMALL}/lineitem.parquet",
                        columns=["l_orderkey", "l_suppkey"])
@@ -73,11 +73,18 @@ def test_triangles_matches_local_reference(spark):
         by_c.setdefault(c, []).append(s)
     shared: dict[tuple[int, int], int] = {}
     for sups in by_c.values():
+        if len(sups) > CUST_DEG_CAP:  # hub-customer exclusion
+            continue
         sups.sort()
         for i, s1 in enumerate(sups):
             for s2 in sups[i + 1:]:
                 shared[(s1, s2)] = shared.get((s1, s2), 0) + 1
-    proj = {e for e, n in shared.items() if n >= MIN_SHARED}
+    # density-adaptive threshold: weight at ascending rank
+    # (TOP_PAIR_PCT*n) div 100 + 1, floored at MIN_SHARED
+    vals = sorted(shared.values())
+    rank = (TOP_PAIR_PCT * len(vals)) // 100 + 1
+    thr = max(vals[rank - 1], MIN_SHARED)
+    proj = {e for e, n in shared.items() if n >= thr}
     adj: dict[int, set[int]] = {}
     for s1, s2 in proj:
         adj.setdefault(s1, set()).add(s2)
