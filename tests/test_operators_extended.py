@@ -41,12 +41,34 @@ def test_multimodal_decode_stub(spark):
 
 
 def test_multimodal_real_decode_raises(spark):
-    # image/jpeg has NO pure-stdlib codec (image/png now real-decodes
-    # via media_codecs), so decode_stub=False must hit the honest gate
+    # image/webp has NO pure-stdlib codec (BMP/PNG/GIF/JPEG/WAV all
+    # real-decode via media_codecs now), so decode_stub=False must hit
+    # the honest gate for it
     docs = load_table(spark, SF, "documents").limit(2)
-    media = as_media_frame(docs, "doc_id", "text", "image/jpeg")
+    media = as_media_frame(docs, "doc_id", "text", "image/webp")
     with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
         decode_media(media, decode_stub=False).collect()
+
+
+def test_multimodal_jpeg_real_decode(spark):
+    # image/jpeg rides the REAL codec regardless of decode_stub: true
+    # dimensions + channel means, and garbage bytes raise the codec's
+    # own error instead of falling back to the stub
+    from connect_spark.text.media_codecs import encode_jpeg
+
+    jpg = encode_jpeg([[(120, 60, 30)] * 8 for _ in range(8)])
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg), "image/jpeg", {})],
+        "media_id long, payload binary, mime string, "
+        "meta map<string,string>")
+    row = decode_media(df, decode_stub=True).collect()[0]
+    assert (row["width"], row["height"]) == (8, 8)
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"not a jpeg"), "image/jpeg", {})],
+        "media_id long, payload binary, mime string, "
+        "meta map<string,string>")
+    with pytest.raises(Exception, match="missing SOI"):
+        decode_media(bad, decode_stub=True).collect()
 
 
 def test_resize_stub_meta(spark):
