@@ -85,19 +85,25 @@ def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Min-(d2, cid) assignment against a broadcast centroid table.
-    d2 is exact int64; ties break by centroid id (deterministic)."""
+    d2 is exact int64; ties break by centroid id (deterministic —
+    min over the (d2, cid) struct is lexicographic, identical to the
+    row_number(orderBy d2, cid) == 1 formulation it replaces, but the
+    groupBy gets MAP-SIDE partial aggregation: the exchange carries N
+    rows instead of the N×K scored candidates a per-vec window must
+    sort)."""
     d2 = F.aggregate(
         F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         vecs.join(F.broadcast(cents))
         .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cid", "d2")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"),
+             F.first("q").alias("q"))
+        .select("vec_id", "q",
+                F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
     )
 
 

@@ -65,14 +65,22 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 unrolled PageRank iterations over the purchase graph; output
     is every SUPPLIER node's final integer rank plus its weighted
-    in-degree — the exact rank vector, pinned by the oracle."""
-    edges = _edges(spark, sf_dir)
+    in-degree — the exact rank vector, pinned by the oracle.
+
+    The edge list (and the degree-joined copy every iteration reads)
+    is persisted: the lazy form re-derives the lineitem⋈orders +
+    groupBy subtree once per reference (deg, nodes, all PR_ITERS
+    contribution joins, the in-degree rollup) — the plan-duplication
+    pathology measured at 752 scans on the triangle query.  In
+    production the edge list is a materialized table to begin with."""
+    edges = _edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             .persist())
     ranks = nodes.withColumn("r", F.lit(R0).cast("long"))
-    ew = edges.join(deg, "src")  # (src, dst, w, deg)
+    ew = edges.join(deg, "src").persist()  # (src, dst, w, deg)
     for _ in range(PR_ITERS):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
