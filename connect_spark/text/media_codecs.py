@@ -846,12 +846,19 @@ def encode_jpeg(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     h = len(pixels)
     w = len(pixels[0])
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = np.zeros((3, ph, pw), dtype=np.int32)
-    for y in range(ph):
-        row = pixels[min(y, h - 1)]
-        for x in range(pw):
-            r, g, b = row[min(x, w - 1)]
-            planes[:, y, x] = jpeg_rgb_to_ycc(r, g, b)
+    # vectorized forward color transform — the same integer math as
+    # jpeg_rgb_to_ycc (non-negative numerators, floor division), then
+    # edge-replication padding to 8-multiples
+    rgb = np.asarray(pixels, dtype=np.int64)  # (h, w, 3)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    yp = np.minimum((77 * r + 150 * g + 29 * b + 128) // 256, 255)
+    cb = np.minimum(
+        (32768 - 43 * r - 85 * g + 128 * b + 128) // 256, 255)
+    cr = np.minimum(
+        (32768 + 128 * r - 107 * g - 21 * b + 128) // 256, 255)
+    planes = np.stack([yp, cb, cr])  # (3, h, w)
+    planes = np.pad(planes, ((0, 0), (0, ph - h), (0, pw - w)),
+                    mode="edge")
     m = _jpeg_dct_matrix()
     by, bx = ph // 8, pw // 8
     # FDCT all blocks of all components at once
@@ -1150,20 +1157,24 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                     plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
                 planes[comp["id"]] = plane[:frame["h"], :frame["w"]]
             ids = [c["id"] for c in frame["comps"]]
-            px = []
             if len(ids) == 1:
-                yp = planes[ids[0]]
-                for y in range(frame["h"]):
-                    px.append([(int(v), int(v), int(v)) for v in yp[y]])
+                yv = planes[ids[0]]
+                out = np.stack([yv, yv, yv], axis=-1)
             else:
-                yp, cbp, crp = (planes[ids[0]], planes[ids[1]],
-                                planes[ids[2]])
-                for y in range(frame["h"]):
-                    px.append([
-                        jpeg_ycc_to_rgb(int(yp[y, x]), int(cbp[y, x]),
-                                        int(crp[y, x]))
-                        for x in range(frame["w"])
-                    ])
+                # vectorized inverse color transform — same integer
+                # math as jpeg_ycc_to_rgb (+65536 bias keeps the
+                # numerators positive so floor == truncation)
+                yv = planes[ids[0]].astype(np.int64)
+                cbv = planes[ids[1]].astype(np.int64) - 128
+                crv = planes[ids[2]].astype(np.int64) - 128
+                rv = yv + ((359 * crv + 128 + 65536) // 256 - 256)
+                gv = yv - ((88 * cbv + 183 * crv + 128 + 65536)
+                           // 256 - 256)
+                bv = yv + ((454 * cbv + 128 + 65536) // 256 - 256)
+                out = np.clip(np.stack([rv, gv, bv], axis=-1), 0, 255)
+            px = [[tuple(int(v) for v in out[y, x])
+                   for x in range(frame["w"])]
+                  for y in range(frame["h"])]
             return {"width": frame["w"], "height": frame["h"],
                     "pixels": px}
         i += ln
