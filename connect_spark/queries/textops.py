@@ -981,7 +981,12 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk, and PCM16 decoding are all value-checked."""
     from connect_spark.text.multimodal import decode_media
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores — the events scan is a single small split locally, and
+    # a narrow map inherits that (at 100 TB the scan has many splits
+    # and this repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def make_media(batches):
         import pandas as _pd
@@ -1086,7 +1091,12 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_spark.text.multimodal import (
         MEDIA_SCHEMA, bmp_pixel_stats, resize_media)
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores — the events scan is a single small split locally, and
+    # a narrow map inherits that (at 100 TB the scan has many splits
+    # and this repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def make_media(batches):
         import pandas as _pd
@@ -1147,7 +1157,12 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_spark.text.multimodal import (
         MEDIA_SCHEMA, bmp_pixel_stats, resize_media)
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores — the events scan is a single small split locally, and
+    # a narrow map inherits that (at 100 TB the scan has many splits
+    # and this repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def make_media(batches):
         import pandas as _pd
@@ -1211,7 +1226,12 @@ def multimodal_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_spark.text.multimodal import (
         MEDIA_SCHEMA, bmp_pixel_stats, resize_media)
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores — the events scan is a single small split locally, and
+    # a narrow map inherits that (at 100 TB the scan has many splits
+    # and this repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def make_media(batches):
         import pandas as _pd
@@ -1291,7 +1311,12 @@ def multimodal_video_framesample(spark: SparkSession,
     codecs (H.264 etc.) stay behind the honest ffmpeg gate."""
     from connect_spark.text.multimodal import MEDIA_SCHEMA, avi_frame_stats
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores — the events scan is a single small split locally, and
+    # a narrow map inherits that (at 100 TB the scan has many splits
+    # and this repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def make_media(batches):
         import pandas as _pd
@@ -1367,7 +1392,12 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_spark.text.multimodal import (
         MEDIA_SCHEMA, wav_window_features)
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores — the events scan is a single small split locally, and
+    # a narrow map inherits that (at 100 TB the scan has many splits
+    # and this repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def make_media(batches):
         import pandas as _pd
@@ -1409,7 +1439,12 @@ def multimodal_gif_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes arithmetically."""
     from connect_spark.text.multimodal import MEDIA_SCHEMA, gif_frame_stats
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores — the events scan is a single small split locally, and
+    # a narrow map inherits that (at 100 TB the scan has many splits
+    # and this repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def make_media(batches):
         import pandas as _pd
@@ -1471,7 +1506,12 @@ def multimodal_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connect_spark.text.multimodal import (
         MEDIA_SCHEMA, wav_window_features)
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores — the events scan is a single small split locally, and
+    # a narrow map inherits that (at 100 TB the scan has many splits
+    # and this repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
 
     def make_media(batches):
         import pandas as _pd
