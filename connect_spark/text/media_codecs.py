@@ -3,13 +3,14 @@ specifications — no external image/audio libraries needed, so these
 paths are never stubbed: RIFF/WAVE PCM audio (+ G.711 mu-law), BMP
 (BITMAPINFOHEADER, 24-bit), PNG (RGB/RGBA 8-bit, zlib DEFLATE via the
 stdlib, all five scanline filters including Paeth), GIF87a/89a
-(variable-width LZW both directions, animation frames), and baseline
-JPEG (ITU-T T.81: canonical Huffman entropy coding, arbitrary
-DQT/DHT, 4:4:4/4:2:2/4:2:0 sampling, DRI/RSTn, numpy-vectorized
-FDCT/IDCT).
+(variable-width LZW both directions, animation frames), and JPEG
+(ITU-T T.81: canonical Huffman entropy coding, arbitrary DQT/DHT,
+4:4:4/4:2:2/4:2:0 sampling, DRI/RSTn, numpy-vectorized FDCT/IDCT —
+baseline AND progressive decode: spectral selection, successive
+approximation, EOB runs).
 
-Codecs genuinely out of pure-Python scope (MP3/H.264 and progressive
-or arithmetic-coded JPEG) stay behind the honest gates in
+Codecs genuinely out of pure-Python scope (MP3/H.264 and
+arithmetic-coded JPEG) stay behind the honest gates in
 text/multimodal.py — everything here covers the real plumbing end to
 end: bytes → typed features with exact integer math both engines can
 verify.
@@ -1014,12 +1015,92 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_ac_first(zz, br, atab, ss: int, se: int, al: int,
+                   eobrun: int) -> int:
+    """AC coefficients, first scan of a band (T.81 G.1.2.2; baseline
+    AC decode is the Al=0 / single-band special case — EOB0 is an
+    EOB-run of one).  `zz` is the block's zigzag-ordered coefficient
+    list; returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = atab.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: run of 2^r + bits blocks
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC run past band end")
+        zz[k] = _jpeg_extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(zz, br, atab, ss: int, se: int, al: int,
+                    eobrun: int) -> int:
+    """AC successive-approximation refinement scan (T.81 G.1.2.3):
+    one new-coefficient bit per newly-nonzero position, interleaved
+    with correction bits for every already-nonzero coefficient
+    traversed (including inside ZRL runs and EOB runs)."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(kk: int) -> None:
+        if br.bit() and (zz[kk] & p1) == 0:
+            zz[kk] += p1 if zz[kk] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = atab.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-HISTORY positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "jpeg: refinement scan with size > 1")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg_pixels(payload: bytes) -> dict:
-    """Full baseline JPEG decode from the public spec → dict(width,
-    height, pixels) with top-down (r, g, b) rows.  Handles arbitrary
-    DQT/DHT tables, h×v sampling (replication upsampling), DRI/RSTn,
-    1- or 3-component scans; raises honestly on progressive (SOF2)
-    and arithmetic-coded streams."""
+    """Full JPEG decode from the public spec → dict(width, height,
+    pixels) with top-down (r, g, b) rows.  Handles baseline
+    (SOF0/SOF1) AND progressive (SOF2: spectral selection +
+    successive approximation, DC and AC scans, EOB runs) streams,
+    arbitrary DQT/DHT tables, h×v sampling (replication upsampling),
+    DRI/RSTn, 1- or 3-component scans; raises honestly on
+    arithmetic-coded streams (out of pure-Python scope)."""
     import struct as _st
 
     import numpy as np
@@ -1030,6 +1111,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     huff: dict[tuple[int, int], _JpegHuff] = {}
     frame = None
     restart_interval = 0
+    coefs = None
+    hmax = vmax = 1
     i = 2
     while i < len(payload):
         if payload[i] != 0xFF:
@@ -1064,7 +1147,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 vals = list(seg[j + 17:j + 17 + n])
                 huff[(tc, th)] = _JpegHuff(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -1073,9 +1156,22 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"w": fw, "h": fh, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("jpeg: progressive (SOF2) not supported")
+            frame = {"w": fw, "h": fh, "comps": comps,
+                     "progressive": marker == 0xC2}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            frame["mcux"], frame["mcuy"] = mcux, mcuy
+            # coefficient planes persist ACROSS scans (zigzag order);
+            # a sequential stream fills them in its one scan
+            coefs = {
+                c["id"]: [
+                    [[0] * 64 for _ in range(mcux * c["h"])]
+                    for _ in range(mcuy * c["v"])
+                ]
+                for c in comps
+            }
         elif marker in (0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: arithmetic coding not supported")
         elif marker == 0xDD:  # DRI
@@ -1089,96 +1185,127 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 cid, t = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scan.append((comp, t >> 4, t & 0x0F))
-            hmax = max(c["h"] for c in frame["comps"])
-            vmax = max(c["v"] for c in frame["comps"])
-            mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-            mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-            coefs = {
-                c["id"]: np.zeros(
-                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
-                for c in frame["comps"]
-            }
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0
+            if ss > 0 and ns != 1:
+                raise ValueError("jpeg: AC scans must be single-component")
             br = _JpegBitReader(payload, i + ln)
             pred = {c["id"]: 0 for c in frame["comps"]}
-            nmcu = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if restart_interval and nmcu and \
-                            nmcu % restart_interval == 0:
-                        br.restart()
-                        pred = {c["id"]: 0 for c in frame["comps"]}
-                    nmcu += 1
-                    for comp, td, ta in scan:
-                        dtab, atab = huff[(0, td)], huff[(1, ta)]
-                        for v in range(comp["v"]):
-                            for hh in range(comp["h"]):
-                                zz = [0] * 64
-                                s = dtab.decode(br)
-                                if s:
-                                    diff = _jpeg_extend(br.bits(s), s)
-                                else:
-                                    diff = 0
-                                pred[comp["id"]] += diff
-                                zz[0] = pred[comp["id"]]
-                                k = 1
-                                while k < 64:
-                                    rs = atab.decode(br)
-                                    if rs == 0x00:
-                                        break
-                                    if rs == 0xF0:
-                                        k += 16
-                                        continue
-                                    k += rs >> 4
-                                    size = rs & 0x0F
-                                    zz[k] = _jpeg_extend(
-                                        br.bits(size), size)
-                                    k += 1
-                                coefs[comp["id"]][
-                                    my * comp["v"] + v,
-                                    mx * comp["h"] + hh] = zz
-            # dequantize, dezigzag, IDCT (vectorized per component)
-            m = _jpeg_dct_matrix()
-            planes = {}
-            for comp in frame["comps"]:
-                tbl = np.array(qt[comp["tq"]], dtype=np.int64)
-                zzblocks = coefs[comp["id"]] * tbl  # (by, bx, 64)
-                by, bx = zzblocks.shape[:2]
-                deq = np.zeros((by, bx, 8, 8))
-                for k, pos in enumerate(_JPEG_ZIGZAG):
-                    deq[:, :, pos // 8, pos % 8] = zzblocks[:, :, k]
-                spat = np.einsum("xu,ijuv,yv->ijxy", m.T, deq, m.T)
-                plane = np.floor(spat + 0.5).astype(np.int64) + 128
-                plane = np.clip(plane, 0, 255)
-                plane = (
-                    plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
-                # replication upsample to full-res grid
-                ry, rx = vmax // comp["v"], hmax // comp["h"]
-                if ry > 1 or rx > 1:
-                    plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
-                planes[comp["id"]] = plane[:frame["h"], :frame["w"]]
-            ids = [c["id"] for c in frame["comps"]]
-            if len(ids) == 1:
-                yv = planes[ids[0]]
-                out = np.stack([yv, yv, yv], axis=-1)
+            eobrun = 0
+            mcux, mcuy = frame["mcux"], frame["mcuy"]
+
+            def decode_block(zz, comp, td, ta):
+                nonlocal eobrun
+                if ss == 0:
+                    if ah == 0:  # DC first (baseline: the whole block)
+                        s = huff[(0, td)].decode(br)
+                        diff = _jpeg_extend(br.bits(s), s) if s else 0
+                        pred[comp["id"]] += diff
+                        zz[0] = pred[comp["id"]] << al
+                    else:  # DC refinement: one bit
+                        if br.bit():
+                            zz[0] |= 1 << al
+                    if not frame["progressive"]:
+                        eobrun = _jpeg_ac_first(
+                            zz, br, huff[(1, ta)], 1, 63, 0, eobrun)
+                elif ah == 0:
+                    eobrun = _jpeg_ac_first(
+                        zz, br, huff[(1, ta)], ss, se, al, eobrun)
+                else:
+                    eobrun = _jpeg_ac_refine(
+                        zz, br, huff[(1, ta)], ss, se, al, eobrun)
+
+            def maybe_restart(n: int) -> None:
+                nonlocal pred, eobrun
+                if restart_interval and n and n % restart_interval == 0:
+                    br.restart()
+                    pred = {c["id"]: 0 for c in frame["comps"]}
+                    eobrun = 0
+
+            if ns > 1:
+                # interleaved MCU traversal (DC/sequential scans)
+                nmcu = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        maybe_restart(nmcu)
+                        nmcu += 1
+                        for comp, td, ta in scan:
+                            for v in range(comp["v"]):
+                                for hh in range(comp["h"]):
+                                    decode_block(
+                                        coefs[comp["id"]][
+                                            my * comp["v"] + v][
+                                            mx * comp["h"] + hh],
+                                        comp, td, ta)
             else:
-                # vectorized inverse color transform — same integer
-                # math as jpeg_ycc_to_rgb (+65536 bias keeps the
-                # numerators positive so floor == truncation)
-                yv = planes[ids[0]].astype(np.int64)
-                cbv = planes[ids[1]].astype(np.int64) - 128
-                crv = planes[ids[2]].astype(np.int64) - 128
-                rv = yv + ((359 * crv + 128 + 65536) // 256 - 256)
-                gv = yv - ((88 * cbv + 183 * crv + 128 + 65536)
-                           // 256 - 256)
-                bv = yv + ((454 * cbv + 128 + 65536) // 256 - 256)
-                out = np.clip(np.stack([rv, gv, bv], axis=-1), 0, 255)
-            px = [[tuple(int(v) for v in out[y, x])
-                   for x in range(frame["w"])]
-                  for y in range(frame["h"])]
-            return {"width": frame["w"], "height": frame["h"],
-                    "pixels": px}
+                # non-interleaved: traverse the component's OWN block
+                # grid (T.81 A.2.2 — MCU is one block)
+                comp, td, ta = scan[0]
+                cw = (-(-frame["w"] * comp["h"] // hmax) + 7) // 8
+                ch = (-(-frame["h"] * comp["v"] // vmax) + 7) // 8
+                nblk = 0
+                for by in range(ch):
+                    for bx in range(cw):
+                        maybe_restart(nblk)
+                        nblk += 1
+                        decode_block(coefs[comp["id"]][by][bx],
+                                     comp, td, ta)
+            # advance past the entropy-coded data to the next marker
+            j = br.pos
+            while j + 1 < len(payload):
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                        and not (0xD0 <= payload[j + 1] <= 0xD7):
+                    break
+                j += 1
+            i = j
+            continue
         i += ln
-    raise ValueError("jpeg: no scan data")
+    if frame is None or coefs is None:
+        raise ValueError("jpeg: no scan data")
+    # dequantize, dezigzag, IDCT (vectorized per component)
+    m = _jpeg_dct_matrix()
+    planes = {}
+    for comp in frame["comps"]:
+        tbl = np.array(qt[comp["tq"]], dtype=np.int64)
+        zzblocks = np.asarray(
+            coefs[comp["id"]], dtype=np.int64) * tbl  # (by, bx, 64)
+        by, bx = zzblocks.shape[:2]
+        deq = np.zeros((by, bx, 8, 8))
+        for k, pos in enumerate(_JPEG_ZIGZAG):
+            deq[:, :, pos // 8, pos % 8] = zzblocks[:, :, k]
+        spat = np.einsum("xu,ijuv,yv->ijxy", m.T, deq, m.T)
+        plane = np.floor(spat + 0.5).astype(np.int64) + 128
+        plane = np.clip(plane, 0, 255)
+        plane = (
+            plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        # replication upsample to full-res grid
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes[comp["id"]] = plane[:frame["h"], :frame["w"]]
+    ids = [c["id"] for c in frame["comps"]]
+    if len(ids) == 1:
+        yv = planes[ids[0]]
+        out = np.stack([yv, yv, yv], axis=-1)
+    else:
+        # vectorized inverse color transform — same integer math as
+        # jpeg_ycc_to_rgb (+65536 bias keeps the numerators positive
+        # so floor == truncation)
+        yv = planes[ids[0]].astype(np.int64)
+        cbv = planes[ids[1]].astype(np.int64) - 128
+        crv = planes[ids[2]].astype(np.int64) - 128
+        rv = yv + ((359 * crv + 128 + 65536) // 256 - 256)
+        gv = yv - ((88 * cbv + 183 * crv + 128 + 65536)
+                   // 256 - 256)
+        bv = yv + ((454 * cbv + 128 + 65536) // 256 - 256)
+        out = np.clip(np.stack([rv, gv, bv], axis=-1), 0, 255)
+    px = [[tuple(int(v) for v in out[y, x])
+           for x in range(frame["w"])]
+          for y in range(frame["h"])]
+    return {"width": frame["w"], "height": frame["h"],
+            "pixels": px}
 
 
 def resize_jpeg(payload: bytes, new_w: int, new_h: int) -> bytes:

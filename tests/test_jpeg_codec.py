@@ -1,8 +1,12 @@
-"""Baseline JPEG codec (text/media_codecs.py): golden-vector pins plus
-hand-ASSEMBLED baseline streams built with an independent bit-writer
-in this file (4:2:0 sampling, DRI/RSTn restarts, grayscale scans,
-16-bit DQT) so encoder and decoder can't share a bug — the decoder is
-exercised on streams the encoder cannot produce."""
+"""JPEG codec (text/media_codecs.py): golden-vector pins plus
+hand-ASSEMBLED streams built with an independent bit-writer in this
+file (4:2:0 sampling, DRI/RSTn restarts, grayscale scans, 16-bit DQT,
+and PROGRESSIVE SOF2 scans — DC/AC successive approximation, EOB
+runs, component-grid traversal — with every bit hand-computed from
+T.81 G.1.2 and one stream asserted pixel-equal to a baseline twin
+carrying identical coefficients) so encoder and decoder can't share a
+bug — the decoder is exercised on streams the encoder cannot
+produce."""
 
 from __future__ import annotations
 
@@ -208,14 +212,117 @@ def test_decode_16bit_dqt():
     assert all(p == (135, 135, 135) for r in d["pixels"] for p in r)
 
 
-def test_progressive_and_arithmetic_rejected():
+def test_arithmetic_rejected():
     base = b"\xff\xd8" + dqt(0, 8)
-    sof2 = _sof(0xC2, 8, 8, [(1, 0x11, 0)])
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg_pixels(base + sof2 + b"\xff\xd9")
     sof9 = _sof(0xC9, 8, 8, [(1, 0x11, 0)])
     with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg_pixels(base + sof9 + b"\xff\xd9")
+
+
+# ---- progressive (SOF2) streams, hand-assembled ----------------------
+
+def _sos_prog(comps, ss, se, ah, al):
+    body = bytes([len(comps)])
+    for cid, tdta in comps:
+        body += bytes([cid, tdta])
+    return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def test_progressive_dc_successive_approximation():
+    """8x16 grayscale, two constant blocks (100, 53): DC sent in a
+    coarse Al=1 scan (diff-coded c>>1: -14, then -38-(-14)=-24) plus
+    an Ah=1->Al=0 refinement scan carrying the low bits (0, 1); an
+    AC first scan covers band 1-63 with an EOB run spanning both
+    blocks.  Every bit hand-computed."""
+    # scan 1: DC first, Al=1
+    w1 = BitW()
+    w1.dc(-14)            # block 1: c=-28 -> -28>>1 = -14
+    w1.dc(-38 - (-14))    # block 2: c=-75 -> -75>>1 = -38; diff -24
+    # scan 2: AC first, band 1..63, Al=0 — EOB1 with appended bit 0
+    # covers both blocks (run = 2^1 + 0 = 2)
+    # EOBn symbols are rs = (r<<4)|0; the simple table only carries
+    # EOB0 (0x00) and ZRL (0xF0), so hand-build a DHT with 0x10 (EOB1)
+    # appended as the 163rd canonical 8-bit code.
+    w2 = BitW()
+    w2.put(162, 8)        # EOB1
+    w2.put(0, 1)          # appended bit: run = 2 + 0
+    # scan 3: DC refinement Ah=1, Al=0: one raw bit per block
+    w3 = BitW()
+    w3.put(0, 1)          # block 1: -28 & 1 = 0
+    w3.put(1, 1)          # block 2: -75 & 1 = 1
+    ac_vals = AC_VALS + [0x10]
+    ac_bits = [0] * 7 + [163] + [0] * 8
+    dht = (seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)))
+    buf = (b"\xff\xd8" + dqt(0, 8)
+           + _sof(0xC2, 8, 16, [(1, 0x11, 0)])
+           + dht
+           + _sos_prog([(1, 0x00)], 0, 0, 0, 1) + w1.done()
+           + _sos_prog([(1, 0x00)], 1, 63, 0, 0) + w2.done()
+           + _sos_prog([(1, 0x00)], 0, 0, 1, 0) + w3.done()
+           + b"\xff\xd9")
+    d = decode_jpeg_pixels(buf)
+    assert (d["width"], d["height"]) == (16, 8)
+    assert d["pixels"][0][0] == (100, 100, 100)   # -28 + 128
+    assert d["pixels"][0][15] == (53, 53, 53)     # -75 + 128
+    assert all(p == (100, 100, 100) for row in d["pixels"]
+               for p in row[:8])
+    assert all(p == (53, 53, 53) for row in d["pixels"]
+               for p in row[8:])
+
+
+def test_progressive_ac_refinement_equals_baseline():
+    """One 8x8 grayscale block with AC coefficients {k1: 5, k3: -1,
+    k10: -9} (zigzag indices), DC 100-128=-28.  Progressive: DC first
+    (Al=0), AC first with Al=1 (sends trunc(c/2): 2, 0, -4 — the -1
+    vanishes), AC refinement Ah=1->Al=0 (correction bits 1 and 1 for
+    k1/k10, the -1 appears as newly-nonzero).  Baseline twin carries
+    the identical final coefficients; both streams must decode to the
+    SAME pixels.  Every bit hand-computed from T.81 G.1.2."""
+    # --- progressive stream ---
+    p1 = BitW()
+    p1.dc(-28)                     # DC first scan, Al=0
+    p2 = BitW()                    # AC first, band 1..63, Al=1
+    p2.put(2 + 0 * 10 + (2 - 1), 8)   # (r=0,s=2) -> code 2+0*10+1 = 3
+    p2.put(0b10, 2)                # value 2
+    p2.put(2 + 8 * 10 + (3 - 1), 8)   # (r=8,s=3) -> code 2+80+2 = 84
+    p2.put(0b011, 3)               # value -4 -> -4+7 = 3
+    p2.put(0, 8)                   # EOB0
+    p3 = BitW()                    # AC refinement, Ah=1, Al=0
+    p3.put(2 + 1 * 10 + (1 - 1), 8)   # (r=1,s=1): new coef after 1 zero
+    p3.put(0, 1)                   # its sign: -1
+    p3.put(1, 1)                   # correction for k=1 (5 = 4+1)
+    # k=2 consumes the run, k=3 places the new -1
+    p3.put(0, 8)                   # EOB0 -> correction sweep k=4..63
+    p3.put(1, 1)                   # correction for k=10 (-9 = -8-1)
+    buf_prog = (b"\xff\xd8" + dqt(0, 8)
+                + _sof(0xC2, 8, 8, [(1, 0x11, 0)])
+                + dht_all()
+                + _sos_prog([(1, 0x00)], 0, 0, 0, 0) + p1.done()
+                + _sos_prog([(1, 0x00)], 1, 63, 0, 1) + p2.done()
+                + _sos_prog([(1, 0x00)], 1, 63, 1, 0) + p3.done()
+                + b"\xff\xd9")
+    # --- baseline twin with the same final coefficients ---
+    b1 = BitW()
+    b1.dc(-28)
+    b1.put(2 + 0 * 10 + (3 - 1), 8)   # k=1: (r=0,s=3)
+    b1.put(0b101, 3)               # 5
+    b1.put(2 + 1 * 10 + (1 - 1), 8)   # k=3: (r=1,s=1)
+    b1.put(0b0, 1)                 # -1
+    b1.put(2 + 6 * 10 + (4 - 1), 8)   # k=10: (r=6,s=4)
+    b1.put(0b0110, 4)              # -9 -> -9+15 = 6
+    b1.put(0, 8)                   # EOB
+    buf_base = (b"\xff\xd8" + dqt(0, 8)
+                + _sof(0xC0, 8, 8, [(1, 0x11, 0)])
+                + dht_all()
+                + seg(0xDA, _sos([(1, 0x00)]))
+                + b1.done() + b"\xff\xd9")
+    dp = decode_jpeg_pixels(buf_prog)
+    db = decode_jpeg_pixels(buf_base)
+    assert dp["pixels"] == db["pixels"]
+    # sanity: the AC structure is visible (block is not constant)
+    flat = {p for row in db["pixels"] for p in row}
+    assert len(flat) > 1
 
 
 def test_resize_dispatch_and_png_output():
@@ -322,3 +429,37 @@ def test_sample_frames_real_mjpeg_avi(spark):
         want = jpeg_ycc_to_rgb(*jpeg_rgb_to_ycc(
             r["frame_idx"] * 40, 10, 20))
         assert d["pixels"][0][0] == want
+
+
+def test_progressive_420_component_grids():
+    """16x16 constant (200, 120, 40) as PROGRESSIVE 4:2:0: an
+    interleaved DC scan (4 Y blocks + Cb + Cr, Al=0), then three
+    non-interleaved AC scans — the Y scan walks ITS OWN 2x2 block
+    grid (4 EOB0s), the chroma scans one block each — exercising the
+    T.81 A.2.2 component-grid traversal."""
+    wdc = BitW()
+    wdc.dc(135 - 128)
+    for _ in range(3):
+        wdc.dc(0)
+    wdc.dc(75 - 128)
+    wdc.dc(175 - 128)
+    acy = BitW()
+    for _ in range(4):   # Y: cw=ch=2 -> 4 blocks, each EOB0
+        acy.put(0, 8)
+    accb = BitW()
+    accb.put(0, 8)       # Cb: 1 block
+    accr = BitW()
+    accr.put(0, 8)       # Cr: 1 block
+    buf = (b"\xff\xd8" + dqt(0, 8) + dqt(1, 8)
+           + _sof(0xC2, 16, 16, [(1, 0x22, 0), (2, 0x11, 1),
+                                 (3, 0x11, 1)])
+           + dht_all()
+           + _sos_prog([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 0)
+           + wdc.done()
+           + _sos_prog([(1, 0x00)], 1, 63, 0, 0) + acy.done()
+           + _sos_prog([(2, 0x11)], 1, 63, 0, 0) + accb.done()
+           + _sos_prog([(3, 0x11)], 1, 63, 0, 0) + accr.done()
+           + b"\xff\xd9")
+    d = decode_jpeg_pixels(buf)
+    assert (d["width"], d["height"]) == (16, 16)
+    assert all(p == (201, 120, 41) for r in d["pixels"] for p in r)
