@@ -1117,6 +1117,9 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        # optional 0xFF fill bytes before any marker (T.81 B.1.1.2)
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         i += 2
         if marker == 0xD9:  # EOI

@@ -463,3 +463,17 @@ def test_progressive_420_component_grids():
     d = decode_jpeg_pixels(buf)
     assert (d["width"], d["height"]) == (16, 16)
     assert all(p == (201, 120, 41) for r in d["pixels"] for p in r)
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes."""
+    w = BitW()
+    w.dc(7)
+    w.eob()
+    buf = (b"\xff\xd8" + b"\xff" + dqt(0, 8)
+           + b"\xff\xff" + _sof(0xC0, 8, 8, [(1, 0x11, 0)])
+           + dht_all()
+           + seg(0xDA, _sos([(1, 0x00)]))
+           + w.done() + b"\xff\xff\xd9")
+    d = decode_jpeg_pixels(buf)
+    assert all(p == (135, 135, 135) for r in d["pixels"] for p in r)
