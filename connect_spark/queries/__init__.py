@@ -39,20 +39,22 @@ class QuerySpec:
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
     # Round 10 rotation (standing policy: never-verified first,
-    # then oldest driver green).  Window: (a) the 4 new round-10
+    # then oldest driver green).  Window: (a) the 5 new round-10
     # queries with no driver row yet (baseline-JPEG decode gate,
-    # MJPEG-in-AVI video frame sampling, the while-processor
-    # fixpoint, byte_size greedy batching); (b) 46 of the 47
-    # r5-latest rows — the oldest staleness band — in the queue
-    # order the round-9 session prepared.  4 + 46 = 50; zero overlap
-    # with the r9 window.  The one r5 row the 4th new query
-    # displaces (contamination_13gram, end of the curated queue)
-    # heads the round-11 queue below and was re-verified GREEN
-    # beyond-window this round (PROGRESS.md).
+    # progressive-JPEG decode gate, MJPEG-in-AVI video frame
+    # sampling, the while-processor fixpoint, byte_size greedy
+    # batching); (b) 45 of the 47 r5-latest rows — the oldest
+    # staleness band — in the queue order the round-9 session
+    # prepared.  5 + 45 = 50; zero overlap with the r9 window.  The
+    # two r5 rows the new queries displace (quality_gopher_rules,
+    # contamination_13gram — end of the curated queue) head the
+    # round-11 queue below and were re-verified GREEN beyond-window
+    # this round (PROGRESS.md).
     "multimodal_jpeg_resize",
     "while_fixpoint",
     "batch_policy_bytes",
     "multimodal_video_framesample",
+    "multimodal_jpeg_progressive",
     "branch_enrich_orders",
     "uuid_v5_vectors",
     "parse_logfmt_events",
@@ -98,11 +100,11 @@ _DRIVER_PRIORITY: list[str] = [
     "cdc_logminer_decode",
     "kafka_recordbatch_roundtrip",
     "text_pii_scrub",
-    "quality_gopher_rules",
     # --- 50-slot window boundary (round 10) --- everything below
-    # queues for round 11: first the displaced r5 row, then the 50
-    # r7-latest rows (oldest band after this round, alphabetical
+    # queues for round 11: first the two displaced r5 rows, then the
+    # 50 r7-latest rows (oldest band after this round, alphabetical
     # within the band).
+    "quality_gopher_rules",
     "contamination_13gram",
     "ai_chat_extract",
     "ai_embed_rerank",

@@ -1297,6 +1297,86 @@ FROM rgb GROUP BY event_id
 """
 
 
+def multimodal_jpeg_progressive(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """PROGRESSIVE-JPEG decode in the gate: the same 4-block 16x16
+    constant-color synthesis shape as multimodal_jpeg_resize (block
+    (bx, by) color r = (3e + 23bx + 41by) mod 256, g = (e + 61bx +
+    29by) mod 256, b = (7e + 47bx + 11by) mod 256) but encoded as a
+    SOF2 spectral-selection stream — one interleaved DC scan plus a
+    per-component AC band scan (media_codecs.encode_jpeg_progressive)
+    — so the driver pins the multi-scan coefficient accumulation and
+    non-interleaved component-grid traversal, not just the baseline
+    path.  Decode -> 2x2 resize -> position-weighted checksum, same
+    lossless-constant-block arithmetic the oracle mirrors."""
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, bmp_pixel_stats, resize_media)
+
+    # the synthesis + codec chain is CPU-bound Python: spread it over
+    # all cores (see multimodal_jpeg_resize)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import (
+            encode_jpeg_progressive)
+
+        for pdf in batches:
+            payloads = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                rows = [[((3 * e + 23 * (x // 8) + 41 * (y // 8)) % 256,
+                          (e + 61 * (x // 8) + 29 * (y // 8)) % 256,
+                          (7 * e + 47 * (x // 8) + 11 * (y // 8)) % 256)
+                         for x in range(16)] for y in range(16)]
+                payloads.append(encode_jpeg_progressive(rows))
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["image/jpeg"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return bmp_pixel_stats(resize_media(media, 2, 2)).select(
+        F.col("media_id").alias("event_id"),
+        "width", "height", "sum_rgb", "pos_checksum")
+
+
+MULTIMODAL_JPEG_PROGRESSIVE_SQL = """
+WITH px AS (
+  SELECT event_id, i,
+         (3 * event_id + 23 * (i % 2) + 41 * (i // 2)) % 256 AS r0,
+         (event_id + 61 * (i % 2) + 29 * (i // 2)) % 256 AS g0,
+         (7 * event_id + 47 * (i % 2) + 11 * (i // 2)) % 256 AS b0
+  FROM events, UNNEST([0, 1, 2, 3]) AS t(i)
+), ycc AS (
+  SELECT event_id, i,
+    LEAST((77 * r0 + 150 * g0 + 29 * b0 + 128) // 256, 255) AS yy,
+    LEAST((32768 - 43 * r0 - 85 * g0 + 128 * b0 + 128) // 256, 255) AS cb,
+    LEAST((32768 + 128 * r0 - 107 * g0 - 21 * b0 + 128) // 256, 255) AS cr
+  FROM px
+), rgb AS (
+  SELECT event_id, i,
+    GREATEST(0, LEAST(255, yy +
+      ((359 * (cr - 128) + 128 + 65536) // 256 - 256))) AS r,
+    GREATEST(0, LEAST(255, yy -
+      ((88 * (cb - 128) + 183 * (cr - 128) + 128 + 65536) // 256 - 256)))
+      AS g,
+    GREATEST(0, LEAST(255, yy +
+      ((454 * (cb - 128) + 128 + 65536) // 256 - 256))) AS b
+  FROM ycc
+)
+SELECT event_id, 2 AS width, 2 AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_rgb,
+       CAST(SUM((i + 1) * (r * 65536 + g * 256 + b)) AS BIGINT)
+         AS pos_checksum
+FROM rgb GROUP BY event_id
+"""
+
+
 def multimodal_video_framesample(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """REAL video frame sampling in the gate (closing the last
@@ -1734,6 +1814,8 @@ QUERIES = [
               MULTIMODAL_RESIZE_SQL),
     QuerySpec("multimodal_jpeg_resize", multimodal_jpeg_resize,
               MULTIMODAL_JPEG_RESIZE_SQL),
+    QuerySpec("multimodal_jpeg_progressive", multimodal_jpeg_progressive,
+              MULTIMODAL_JPEG_PROGRESSIVE_SQL),
     QuerySpec("multimodal_video_framesample", multimodal_video_framesample,
               MULTIMODAL_VIDEO_SQL),
     QuerySpec("multimodal_png_resize", multimodal_png_resize,

@@ -834,14 +834,11 @@ def _encode_coeff_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def encode_jpeg(pixels: list[list[tuple[int, int, int]]]) -> bytes:
-    """Top-down (r, g, b) rows → a spec-valid baseline JFIF JPEG:
-    integer RGB→YCbCr, edge-replication padding to 8-multiples,
-    vectorized FDCT (numpy separable basis), flat-_JQ quantization,
-    zigzag, per-component DC diff prediction, canonical Huffman
-    entropy coding with byte stuffing, 4:4:4 interleaved MCUs."""
-    import struct as _st
-
+def _jpeg_quantized(pixels):
+    """Shared encoder pipeline: pixels → (h, w, by, bx, q) where q is
+    the (3, by, bx, 8, 8) int64 array of quantized DCT coefficients
+    (integer RGB→YCbCr, edge-replication padding, vectorized FDCT,
+    flat-_JQ quantization)."""
     import numpy as np
 
     h = len(pixels)
@@ -871,6 +868,74 @@ def encode_jpeg(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     q = np.floor(np.abs(coef) / _JQ + 0.5).astype(np.int64) * np.sign(
         coef
     ).astype(np.int64)
+    return h, w, by, bx, q
+
+
+def _encode_dc(bw, dc_codes, diff: int) -> None:
+    s = _jpeg_category(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(_encode_coeff_bits(diff, s), s)
+
+
+def _encode_ac_band(bw, ac_codes, zz, ss: int, se: int) -> None:
+    """Run-length AC coding of zigzag band [ss, se] (baseline body is
+    the ss=1, se=63 case; progressive spectral-selection scans reuse
+    it per band with EOB0 terminators)."""
+    run = 0
+    last_nz = max((k for k in range(ss, se + 1) if zz[k]), default=0)
+    for k in range(ss, max(last_nz, ss - 1) + 1):
+        if k > last_nz:
+            break
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _jpeg_category(zz[k])
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(_encode_coeff_bits(zz[k], s), s)
+        run = 0
+    if last_nz < se:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+
+
+def _jpeg_headers(h: int, w: int, sof_marker: int) -> bytearray:
+    import struct as _st
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + _st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        _st.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    for tq in (0, 1):  # DQT ×2 (flat tables)
+        out += b"\xff\xdb" + _st.pack(">H", 67) + bytes([tq]) + \
+            bytes([_JQ] * 64)
+    out += bytes([0xFF, sof_marker]) + _st.pack(
+        ">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for tc, th, bits, vals in (
+        (0, 0, _DC_BITS, _DC_VALS), (0, 1, _DC_BITS, _DC_VALS),
+        (1, 0, _AC_BITS, _AC_VALS), (1, 1, _AC_BITS, _AC_VALS),
+    ):
+        out += b"\xff\xc4" + _st.pack(">H", 19 + len(vals)) + \
+            bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return out
+
+
+def encode_jpeg(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Top-down (r, g, b) rows → a spec-valid baseline JFIF JPEG:
+    integer RGB→YCbCr, edge-replication padding to 8-multiples,
+    vectorized FDCT (numpy separable basis), flat-_JQ quantization,
+    zigzag, per-component DC diff prediction, canonical Huffman
+    entropy coding with byte stuffing, 4:4:4 interleaved MCUs."""
+    import struct as _st
+
+    h, w, by, bx, q = _jpeg_quantized(pixels)
     dc_codes = _canon_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canon_codes(_AC_BITS, _AC_VALS)
     bw = _JpegBitWriter()
@@ -880,54 +945,69 @@ def encode_jpeg(pixels: list[list[tuple[int, int, int]]]) -> bytes:
             for c in range(3):  # 4:4:4 → one block per component per MCU
                 blk = q[c, j, i]
                 zz = [int(blk[k // 8, k % 8]) for k in _JPEG_ZIGZAG]
-                diff = zz[0] - pred[c]
+                _encode_dc(bw, dc_codes, zz[0] - pred[c])
                 pred[c] = zz[0]
-                s = _jpeg_category(diff)
-                code, ln = dc_codes[s]
-                bw.write(code, ln)
-                if s:
-                    bw.write(_encode_coeff_bits(diff, s), s)
-                run = 0
-                last_nz = max(
-                    (k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    s = _jpeg_category(zz[k])
-                    code, ln = ac_codes[(run << 4) | s]
-                    bw.write(code, ln)
-                    bw.write(_encode_coeff_bits(zz[k], s), s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]
-                    bw.write(code, ln)
-    data = bw.done()
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + _st.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
-        _st.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
-    for tq in (0, 1):  # DQT ×2 (flat tables)
-        out += b"\xff\xdb" + _st.pack(">H", 67) + bytes([tq]) + \
-            bytes([_JQ] * 64)
-    out += b"\xff\xc0" + _st.pack(">HBHHB", 17, 8, h, w, 3)  # SOF0
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])
-    for tc, th, bits, vals in (
-        (0, 0, _DC_BITS, _DC_VALS), (0, 1, _DC_BITS, _DC_VALS),
-        (1, 0, _AC_BITS, _AC_VALS), (1, 1, _AC_BITS, _AC_VALS),
-    ):
-        out += b"\xff\xc4" + _st.pack(">H", 19 + len(vals)) + \
-            bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+                _encode_ac_band(bw, ac_codes, zz, 1, 63)
+    out = _jpeg_headers(h, w, 0xC0)
     out += b"\xff\xda" + _st.pack(">HB", 12, 3)  # SOS
     for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tdta])
     out += b"\x00\x3f\x00"
-    out += data
+    out += bw.done()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+        pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Top-down (r, g, b) rows → a spec-valid PROGRESSIVE (SOF2) JFIF
+    JPEG using spectral selection: one interleaved DC scan
+    (Ss=Se=0, Ah=Al=0) followed by one non-interleaved AC scan per
+    component covering band 1..63 — the same quantized coefficients
+    as encode_jpeg, reordered into the multi-scan layout, so the two
+    encodings decode to IDENTICAL pixels (pinned in
+    tests/test_jpeg_codec.py).  Successive approximation (Ah/Al > 0)
+    is a decoder-side capability; the gate exercises it via
+    hand-built streams."""
+    import struct as _st
+
+    h, w, by, bx, q = _jpeg_quantized(pixels)
+    dc_codes = _canon_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canon_codes(_AC_BITS, _AC_VALS)
+    zzs = [[[None] * bx for _ in range(by)] for _ in range(3)]
+    for c in range(3):
+        for j in range(by):
+            for i in range(bx):
+                blk = q[c, j, i]
+                zzs[c][j][i] = [
+                    int(blk[k // 8, k % 8]) for k in _JPEG_ZIGZAG]
+    out = _jpeg_headers(h, w, 0xC2)
+
+    def sos(comps, ss, se):
+        import struct as _s
+        seg = bytes([len(comps)])
+        for cid, tdta in comps:
+            seg += bytes([cid, tdta])
+        seg += bytes([ss, se, 0])
+        return b"\xff\xda" + _s.pack(">H", len(seg) + 2) + seg
+
+    # scan 1: interleaved DC
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for j in range(by):
+        for i in range(bx):
+            for c in range(3):
+                dc = zzs[c][j][i][0]
+                _encode_dc(bw, dc_codes, dc - pred[c])
+                pred[c] = dc
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0) + bw.done()
+    # scans 2-4: per-component AC band 1..63 (non-interleaved)
+    for c, cid in ((0, 1), (1, 2), (2, 3)):
+        bw = _JpegBitWriter()
+        for j in range(by):
+            for i in range(bx):
+                _encode_ac_band(bw, ac_codes, zzs[c][j][i], 1, 63)
+        out += sos([(cid, 0x00 if c == 0 else 0x01)], 1, 63) + bw.done()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

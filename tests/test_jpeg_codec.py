@@ -477,3 +477,23 @@ def test_fill_bytes_before_markers():
            + w.done() + b"\xff\xff\xd9")
     d = decode_jpeg_pixels(buf)
     assert all(p == (135, 135, 135) for r in d["pixels"] for p in r)
+
+
+def test_progressive_encoder_matches_baseline_pixels():
+    """encode_jpeg_progressive reorders the same quantized
+    coefficients into SOF2 multi-scan layout — decode must be
+    pixel-identical to the baseline encoding, on gradient (AC-rich)
+    and constant inputs."""
+    from connect_spark.text.media_codecs import encode_jpeg_progressive
+
+    for rows in (
+        [[((x * 16 + y) % 256, (x * 7 + y * 11) % 256,
+           (x * 3 + y * 29) % 256) for x in range(16)]
+         for y in range(16)],
+        [[(200, 120, 40)] * 8 for _ in range(8)],
+    ):
+        prog = encode_jpeg_progressive(rows)
+        assert b"\xff\xc2" in prog  # SOF2
+        dp = decode_jpeg_pixels(prog)
+        db = decode_jpeg_pixels(encode_jpeg(rows))
+        assert dp["pixels"] == db["pixels"]
