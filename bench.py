@@ -49,6 +49,12 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(spec.fn(spark, sf_dir))
             samples[spec.name].append(time.perf_counter() - t0)
+            # queries that persist() intermediates (pagerank, triangle
+            # projection) never see the final action inside their own
+            # call, so their cached plans would otherwise accumulate
+            # executor storage across the whole bench run (round-10
+            # ADVICE). Outside the timed region.
+            spark.catalog.clearCache()
 
     timings = {name: round(_median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)

@@ -1024,9 +1024,14 @@ class _JpegBitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("jpeg: truncated stream")
         b = self.buf[self.pos]
         if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
+            # a 0xFF as the very last byte reads as past-segment-end
+            # (same 1-padding as EOI) rather than an IndexError
+            nxt = (self.buf[self.pos + 1]
+                   if self.pos + 1 < len(self.buf) else 0xD9)
             if nxt == 0x00:
                 self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:
@@ -1057,8 +1062,10 @@ class _JpegBitReader:
         """Byte-align and consume an RSTn marker."""
         self.acc = 0
         self.n = 0
-        while self.buf[self.pos] != 0xFF:
+        while self.pos < len(self.buf) and self.buf[self.pos] != 0xFF:
             self.pos += 1
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("jpeg: truncated stream")
         if not (0xD0 <= self.buf[self.pos + 1] <= 0xD7):
             raise ValueError("jpeg: expected RSTn marker")
         self.pos += 2
@@ -1200,19 +1207,27 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
         # optional 0xFF fill bytes before any marker (T.81 B.1.1.2)
         while i + 1 < len(payload) and payload[i + 1] == 0xFF:
             i += 1
+        if i + 1 >= len(payload):
+            raise ValueError("jpeg: truncated stream")
         marker = payload[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
+        if i + 2 > len(payload):
+            raise ValueError("jpeg: truncated stream")
         ln = _st.unpack(">H", payload[i:i + 2])[0]
+        if ln < 2 or i + ln > len(payload):
+            raise ValueError("jpeg: truncated stream")
         seg = payload[i + 2:i + ln]
         if marker == 0xDB:  # DQT
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
                 j += 1
+                if len(seg) < j + (128 if pq else 64):
+                    raise ValueError("jpeg: truncated stream")
                 if pq:
                     tbl = [_st.unpack(">H", seg[j + 2 * k:j + 2 * k + 2])[0]
                            for k in range(64)]
@@ -1226,12 +1241,20 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0x0F
                 bits = list(seg[j + 1:j + 17])
+                if len(bits) < 16:
+                    raise ValueError("jpeg: truncated stream")
                 n = sum(bits)
+                if len(seg) < j + 17 + n:
+                    raise ValueError("jpeg: truncated stream")
                 vals = list(seg[j + 17:j + 17 + n])
                 huff[(tc, th)] = _JpegHuff(bits, vals)
                 j += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated stream")
             prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated stream")
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
             comps = []
@@ -1258,15 +1281,25 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
         elif marker in (0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: arithmetic coding not supported")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("jpeg: truncated stream")
             restart_interval = _st.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy-coded segment follows
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if not seg:
+                raise ValueError("jpeg: truncated stream")
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("jpeg: truncated stream")
             scan = []
             for c in range(ns):
                 cid, t = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cid)
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(
+                        f"jpeg: scan references unknown component {cid}")
                 scan.append((comp, t >> 4, t & 0x0F))
             ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
             ah, al = a >> 4, a & 0x0F

@@ -290,13 +290,18 @@ def sample_frames(
                 raw = bytes(payload or b"")
                 if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                     chunks, fps = _avi_jpeg_chunks(raw)
-                    step = (1000 // fps) if fps else frame_interval_ms
-                    for i in range(min(n_frames, len(chunks))):
-                        ids.append(mid)
-                        idxs.append(i)
-                        tss.append(i * step)
-                        frames.append(chunks[i])
-                    continue
+                    if chunks:
+                        step = (1000 // fps) if fps else frame_interval_ms
+                        # one row explodes to EXACTLY n_frames rows
+                        # (the documented contract, same as the stub
+                        # path): short streams cycle their chunks
+                        for i in range(n_frames):
+                            ids.append(mid)
+                            idxs.append(i)
+                            tss.append(i * step)
+                            frames.append(chunks[i % len(chunks)])
+                        continue
+                    # zero video chunks: fall through to the stub path
                 if not decode_stub:
                     raise NotImplementedError(
                         "real frame extraction beyond MJPEG-in-AVI "
@@ -350,36 +355,45 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL raster resize for BMP and PNG payloads: payload -> payload
-    through the repo's own codecs (media_codecs.resize_raster,
-    nearest-neighbor, container preserved — PNG re-encodes through
-    zlib DEFLATE with adaptive scanline filters), same media envelope
-    in and out, Arrow-batched, zero shuffle.  Other mimes keep
-    resize_stub's metadata-only behavior (their decoders are
-    environment-gated), so one call handles a mixed-mime corpus
-    without dropping rows."""
-    from connect_spark.text.media_codecs import resize_raster
+    """REAL raster resize for BMP/PNG/JPEG payloads: payload ->
+    payload through the repo's own codecs (media_codecs.resize_raster,
+    nearest-neighbor; BMP and PNG keep their container, JPEG
+    re-encodes to PNG — lossless thumbnail target, see resize_jpeg —
+    and the row's mime is rewritten to image/png to match the new
+    bytes), same media envelope in and out, Arrow-batched, zero
+    shuffle.  Other mimes keep resize_stub's metadata-only behavior
+    (their decoders are environment-gated), so one call handles a
+    mixed-mime corpus without dropping rows."""
+    from connect_spark.text.media_codecs import _PNG_SIG, resize_raster
 
     def resize_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, metas = [], []
+            payloads, mimes, metas = [], [], []
             for payload, mime, meta in zip(
                     pdf["payload"], pdf["mime"], pdf["meta"]):
                 m = dict(meta or {})
                 m["resize"] = f"{width}x{height}"
                 if mime in _RASTER_MIMES:
-                    payloads.append(
-                        resize_raster(bytes(payload), width, height))
+                    resized = resize_raster(bytes(payload), width, height)
+                    payloads.append(resized)
+                    # the container can change under resize (JPEG →
+                    # PNG): the mime must describe the NEW bytes or a
+                    # mime-keyed consumer downstream dispatches the
+                    # wrong decoder
+                    if resized[:8] == _PNG_SIG and mime != "image/png":
+                        m["resize_container"] = "png"
+                        mime = "image/png"
                 else:
                     payloads.append(payload)
                     m["resize_applied"] = "metadata-only"
+                mimes.append(mime)
                 metas.append(m)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": payloads,
-                "mime": pdf["mime"],
+                "mime": mimes,
                 "meta": metas,
             })
 

@@ -124,6 +124,12 @@ def main():
         except Exception as exc:
             ok = False
             print(f"[ERR ] {name}: {exc}")
+        finally:
+            # queries that persist() intermediates never see their
+            # final action inside the registry call — drop their
+            # cached plans so a long multi-query session doesn't
+            # accumulate executor storage (round-10 ADVICE)
+            spark.catalog.clearCache()
     print("RESULT:", "GREEN" if ok else "RED")
     sys.exit(0 if ok else 1)
 

@@ -497,3 +497,55 @@ def test_progressive_encoder_matches_baseline_pixels():
         dp = decode_jpeg_pixels(prog)
         db = decode_jpeg_pixels(encode_jpeg(rows))
         assert dp["pixels"] == db["pixels"]
+
+
+def test_sample_frames_cycles_short_avi(spark):
+    """The documented one-row-explodes-to-n_frames contract holds for
+    AVIs with fewer chunks than n_frames: chunks cycle (round-10
+    ADVICE #2)."""
+    from connect_spark.text.media_codecs import encode_avi_mjpeg
+    from connect_spark.text.multimodal import MEDIA_SCHEMA, sample_frames
+
+    frames = [[[(f * 40, 10, 20)] * 8 for _ in range(8)]
+              for f in range(3)]
+    avi = encode_avi_mjpeg(frames, fps=10)
+    df = spark.createDataFrame(
+        [(7, bytearray(avi), "video/x-msvideo", {})], MEDIA_SCHEMA)
+    rows = sorted(sample_frames(df, n_frames=5).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert len(rows) == 5
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    # cycled frames repeat the chunk bytes modulo len(chunks)
+    assert bytes(rows[3]["frame"]) == bytes(rows[0]["frame"])
+    assert bytes(rows[4]["frame"]) == bytes(rows[1]["frame"])
+    assert [r["ts_ms"] for r in rows] == [0, 100, 200, 300, 400]
+
+
+def test_resize_media_rewrites_jpeg_mime_to_png(spark):
+    """resize of a JPEG payload re-encodes to PNG — the mime column
+    must describe the NEW container (round-10 ADVICE #1)."""
+    from connect_spark.text.media_codecs import _PNG_SIG, encode_jpeg
+    from connect_spark.text.multimodal import MEDIA_SCHEMA, resize_media
+
+    jpg = encode_jpeg([[(200, 120, 40)] * 8 for _ in range(8)])
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg), "image/jpeg", {})], MEDIA_SCHEMA)
+    row = resize_media(df, 4, 4).collect()[0]
+    assert bytes(row.payload)[:8] == _PNG_SIG
+    assert row.mime == "image/png"
+    assert row.meta["resize_container"] == "png"
+
+
+def test_jpeg_truncated_streams_raise_value_error():
+    """Corrupt/truncated payloads surface the codec's structured
+    'jpeg: ...' ValueError, never IndexError/struct.error (round-10
+    ADVICE #3)."""
+    full = encode_jpeg([[(99, 99, 99)] * 8 for _ in range(8)])
+    for cut in (3, 6, 10, 25, len(full) // 2, len(full) - 3):
+        with pytest.raises(ValueError, match="jpeg"):
+            decode_jpeg_pixels(full[:cut])
+    # mangled marker space: SOI then garbage
+    with pytest.raises(ValueError, match="jpeg"):
+        decode_jpeg_pixels(b"\xff\xd8\xff")
+    with pytest.raises(ValueError, match="jpeg"):
+        decode_jpeg_pixels(b"\xff\xd8\xff\xda\x00\x03\x01")
