@@ -208,7 +208,8 @@ def _o_iceberg(df: DataFrame, c: dict) -> None:
     t = IcebergTable(df.sparkSession, c["location"])
     mode = c.get("mode", "append")
     if mode == "append":
-        t.append(df, partition_by=c.get("partition_by"))
+        t.append(df, partition_by=c.get("partition_by"),
+                 schema_evolution=c.get("schema_evolution"))
     elif mode == "upsert":
         keys = c.get("keys")
         if not keys:

@@ -459,3 +459,68 @@ FROM events
 QUERIES += [
     QuerySpec("while_fixpoint", while_fixpoint, WHILE_FIXPOINT_SQL),
 ]
+
+
+def iceberg_bucket_partition_roundtrip(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BUCKET partition transform in the gate (round-11;
+    reference grammar `internal/impl/iceberg/icebergx/
+    partition_key.go:238-241`, hash per Iceberg spec Appendix B
+    murmur3_x86_32): orders commits partitioned by
+    ``bucket(8, o_custkey)``, then an equality scan on the SOURCE
+    column must (a) prune to exactly the files of the matching bucket
+    — verified against an independent recomputation of the spec hash
+    — and (b) value-hash the oracle's plain WHERE.  Covers the parser,
+    the vectorized hash kernel, hive-layout bucket directories, typed
+    manifest partition values, and equality-only prune semantics end
+    to end."""
+    import shutil
+    import tempfile
+
+    from connect_spark.functions.murmur3 import bucket_long
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    key = orders.agg(F.min("o_custkey")).collect()[0][0]
+    loc = tempfile.mkdtemp(prefix="iceberg_bucket_gate_")
+    try:
+        t = IcebergTable(spark, loc)
+        t.append(orders, partition_by=["bucket(8, o_custkey)"])
+        out = t.scan([("o_custkey", "=", key)])
+        files = t.current_files()
+        want_bucket = bucket_long(int(key), 8)
+        n_match = sum(1 for d in files
+                      if d["partition"]["o_custkey_bucket"] == want_bucket)
+        # explicit raises, not assert (python -O strips asserts)
+        if t._last_scan_file_count != n_match:
+            raise ValueError(
+                "bucket prune kept the wrong file set "
+                f"({t._last_scan_file_count} != {n_match})")
+        if not t._last_scan_file_count < len(files):
+            raise ValueError(
+                "bucket pruning did not reduce the file set "
+                f"({t._last_scan_file_count}/{len(files)})")
+        return out.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice"), 2).alias("price"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ICEBERG_BUCKET_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+"""
+
+
+QUERIES += [
+    QuerySpec(
+        "iceberg_bucket_partition_roundtrip",
+        iceberg_bucket_partition_roundtrip,
+        ICEBERG_BUCKET_SQL,
+    ),
+]

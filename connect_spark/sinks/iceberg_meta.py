@@ -28,6 +28,8 @@ import re
 import time
 import uuid
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -373,35 +375,225 @@ def _coerce_filter_literal(iceberg_type: str, lit):
 
 
 def _parse_partition_term(term: str) -> tuple[str, str, str]:
-    """'col' → identity; 'day(col)' → the day transform. Returns
-    (source_column, transform, partition_field_name) — the field name
-    follows Iceberg's convention (ts → ts_day)."""
+    """One partition-spec term → (source_column, transform,
+    partition_field_name).
+
+    Full reference grammar (`internal/impl/iceberg/icebergx/
+    partition_key.go:238-241`, docs outputs/iceberg.adoc:177):
+    'col' / 'identity(col)', the time transforms 'year(col)',
+    'month(col)', 'day(col)', 'hour(col)', 'void(col)',
+    'bucket(n, col)', 'truncate(width, col)', an optional
+    'transform(col) as name' alias, and backtick-quoted identifiers.
+    The parameterized transforms also accept the Spark-DDL argument
+    order ('bucket(col, n)') — whichever argument is an integer is
+    the parameter.  Default field names follow Iceberg's convention
+    (ts → ts_day, key → key_bucket, void → col_null)."""
     term = term.strip()
+    alias = None
+    m = re.search(r"\)\s+as\s+(`?)([A-Za-z_][\w.]*)\1\s*$", term,
+                  re.IGNORECASE)
+    if m:
+        alias = m.group(2)
+        term = term[:m.start() + 1].strip()
+
+    def unquote(s: str) -> str:
+        s = s.strip()
+        if len(s) >= 2 and s[0] == "`" and s[-1] == "`":
+            return s[1:-1]
+        return s
+
     if term.endswith(")") and "(" in term:
         transform, _, rest = term.partition("(")
         transform = transform.strip().lower()
-        args = [a.strip() for a in rest[:-1].split(",")]
-        src = args[0]
-        if transform == "day":
-            return src, "day", f"{src}_day"
-        if transform == "truncate":
-            if len(args) != 2 or not args[1].isdigit():
+        args = [unquote(a) for a in rest[:-1].split(",")]
+        if transform in ("identity", "year", "month", "day", "hour",
+                         "void"):
+            if len(args) != 1:
                 raise ValueError(
-                    "truncate takes (column, width), e.g. "
-                    "truncate(name, 4)"
-                )
-            return src, f"truncate[{args[1]}]", f"{src}_trunc"
+                    f"{transform} takes exactly one column, got {args}")
+            src = args[0]
+            if transform == "identity":
+                return src, "identity", alias or src
+            suffix = "null" if transform == "void" else transform
+            return src, transform, alias or f"{src}_{suffix}"
+        if transform in ("bucket", "truncate"):
+            if len(args) != 2:
+                raise ValueError(
+                    f"{transform} takes (n, column), e.g. "
+                    f"{transform}(16, key)")
+            # reference order is (n, col); Spark DDL order is
+            # (col, n) — the integer argument is the parameter
+            if args[0].isdigit():
+                param, src = args
+            elif args[1].isdigit():
+                src, param = args
+            else:
+                raise ValueError(
+                    f"{transform} needs one integer argument, "
+                    f"got {args}")
+            if int(param) <= 0:
+                raise ValueError(f"{transform} parameter must be > 0")
+            return (src, f"{transform}[{param}]",
+                    alias or f"{src}_{'bucket' if transform == 'bucket' else 'trunc'}")
         raise ValueError(
             f"unsupported partition transform {transform!r} "
-            "(identity, day and truncate are implemented)"
+            "(identity, year, month, day, hour, void, bucket and "
+            "truncate are implemented)"
         )
-    return term, "identity", term
+    src = unquote(term)
+    return src, "identity", alias or src
 
 
 def _day_of(lit) -> int:
     """Filter literal → days since epoch (the day transform's output
     domain)."""
     return _to_epoch_micros(lit) // 86_400_000_000
+
+
+def _year_of(lit) -> int:
+    """Filter literal → years since 1970 (year transform domain)."""
+    import datetime
+
+    d = datetime.date(1970, 1, 1) + datetime.timedelta(
+        days=_day_of(lit))
+    return d.year - 1970
+
+
+def _month_of(lit) -> int:
+    """Filter literal → months since 1970-01 (month transform)."""
+    import datetime
+
+    d = datetime.date(1970, 1, 1) + datetime.timedelta(
+        days=_day_of(lit))
+    return (d.year - 1970) * 12 + d.month - 1
+
+
+def _hour_of(lit) -> int:
+    """Filter literal → hours since epoch (hour transform)."""
+    return _to_epoch_micros(lit) // 3_600_000_000
+
+
+def _bucket_of(lit, n: int) -> int:
+    """Filter literal → iceberg bucket index (spec Appendix B hash;
+    only valid for EQUALITY pruning — bucket is not monotone)."""
+    from connect_spark.functions.murmur3 import (
+        bucket_bytes, bucket_long, iceberg_bucket, iceberg_hash_decimal,
+    )
+    import datetime
+    import decimal
+
+    if isinstance(lit, bool):
+        raise TypeError("bucket: boolean sources are not bucketable")
+    if isinstance(lit, int):
+        return bucket_long(lit, n)
+    if isinstance(lit, str):
+        try:
+            # date/timestamp literals arrive as ISO strings for
+            # date/timestamp-typed columns — but for STRING columns
+            # the raw UTF-8 is correct, so only the caller knows;
+            # here a plain string hashes as UTF-8
+            return bucket_bytes(lit.encode("utf-8"), n)
+        except UnicodeEncodeError:
+            raise TypeError("bucket: unencodable string literal")
+    if isinstance(lit, datetime.datetime):
+        return bucket_long(_to_epoch_micros(lit), n)
+    if isinstance(lit, datetime.date):
+        return bucket_long(
+            (lit - datetime.date(1970, 1, 1)).days, n)
+    if isinstance(lit, (bytes, bytearray)):
+        return bucket_bytes(bytes(lit), n)
+    if isinstance(lit, decimal.Decimal):
+        sign, digits, _exp = lit.as_tuple()
+        unscaled = int("".join(map(str, digits))) * (-1 if sign else 1)
+        return iceberg_bucket(iceberg_hash_decimal(unscaled), n)
+    raise TypeError(f"bucket: unsupported literal {type(lit)}")
+
+
+def _bucket_column(col, src_t: T.DataType, n: int):
+    """The spec bucket transform as a Spark Column: an Arrow-batched
+    pandas_udf over the source column.  Fixed 8-byte layouts (int,
+    long, date, timestamp) run through the numpy-vectorized murmur3
+    kernel; variable-length inputs (string, binary, decimal) hash
+    per-row.  Nulls bucket to null (the null partition), matching
+    Iceberg's null handling.
+
+    Scale: a narrow Arrow-batched map, zero shuffle — the hash itself
+    is the cheap part of a bucketed write; partitionBy supplies the
+    one shuffle a bucketed layout inherently needs."""
+    from pyspark.sql.functions import pandas_udf
+
+    from connect_spark.functions.murmur3 import (
+        bucket_bytes, bucket_longs_np, iceberg_bucket,
+        iceberg_hash_decimal,
+    )
+
+    if isinstance(src_t, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        @pandas_udf("int")
+        def _b(s: pd.Series) -> pd.Series:
+            mask = s.isna().to_numpy()
+            filled = s.fillna(0).astype("int64").to_numpy()
+            out = pd.Series(bucket_longs_np(filled, n), dtype="Int32")
+            out[mask] = pd.NA
+            return out
+        return _b(col)
+    if isinstance(src_t, T.DateType):
+        @pandas_udf("int")
+        def _b(s: pd.Series) -> pd.Series:
+            import datetime
+
+            epoch = datetime.date(1970, 1, 1)
+            days = s.map(
+                lambda d: None if d is None else (d - epoch).days)
+            mask = days.isna().to_numpy()
+            filled = days.fillna(0).astype("int64").to_numpy()
+            out = pd.Series(bucket_longs_np(filled, n), dtype="Int32")
+            out[mask] = pd.NA
+            return out
+        return _b(col)
+    if isinstance(src_t, (T.TimestampType, T.TimestampNTZType)):
+        @pandas_udf("int")
+        def _b(s: pd.Series) -> pd.Series:
+            mask = s.isna().to_numpy()
+            micros = (s.fillna(pd.Timestamp(0))
+                      .astype("datetime64[us]").astype("int64")
+                      .to_numpy())
+            out = pd.Series(bucket_longs_np(micros, n), dtype="Int32")
+            out[mask] = pd.NA
+            return out
+        return _b(col)
+    if isinstance(src_t, T.StringType):
+        @pandas_udf("int")
+        def _b(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: None if v is None
+                else bucket_bytes(v.encode("utf-8"), n)
+            ).astype("Int32")
+        return _b(col)
+    if isinstance(src_t, T.BinaryType):
+        @pandas_udf("int")
+        def _b(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: None if v is None
+                else bucket_bytes(bytes(v), n)
+            ).astype("Int32")
+        return _b(col)
+    if isinstance(src_t, T.DecimalType):
+        @pandas_udf("int")
+        def _b(s: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None:
+                    return None
+                sign, digits, _exp = v.as_tuple()
+                unscaled = (int("".join(map(str, digits)))
+                            * (-1 if sign else 1))
+                return iceberg_bucket(iceberg_hash_decimal(unscaled), n)
+            return s.map(one).astype("Int32")
+        return _b(col)
+    raise ValueError(
+        f"bucket transform does not support {src_t} sources "
+        "(spec: int, long, decimal, date, time, timestamp, string, "
+        "uuid, fixed, binary)")
 
 
 def _parse_partition_value(dtype, s: str):
@@ -580,11 +772,150 @@ class IcebergTable:
     def _current_partition_names(self) -> list[str]:
         return [f["name"] for f in self._current_partition_spec()]
 
+    # valid targets for new_column_type_mapping / schema_metadata
+    # (reference config.go:388 field description)
+    _DECLARABLE_TYPES = re.compile(
+        r"boolean|int|long|float|double|string|binary|date|time|"
+        r"timestamp|timestamptz|uuid|decimal\(\d+,\s*\d+\)|fixed\[\d+\]")
+
+    def _resolve_new_column_types(
+        self, df: DataFrame, schema_evolution: dict | None
+    ) -> DataFrame:
+        """The reference's three-stage type resolution for NEW columns
+        (`internal/impl/iceberg/type_resolver.go:27-86`,
+        `output_iceberg.go:516-556`), recast for a typed DataFrame:
+
+        1. inference = the Spark column type's Iceberg mapping (the
+           existing behavior),
+        2. ``schema_metadata`` override — here the declared schema is
+           passed DIRECTLY as a {column: iceberg-type} dict (the
+           reference reads the same shape from a message metadata
+           field; a DataFrame batch has no metadata side-channel, so
+           the config carries the schema itself),
+        3. ``new_column_type_mapping`` — a Bloblang mapping run per
+           new column over {name, path, value, inferred_type,
+           message, namespace, table}, returning an Iceberg type name
+           that overrides stage 1/2 (primitive targets only, like the
+           reference).
+
+        A column whose resolved type differs from its inferred type is
+        CAST before the write, with the reference's numeric-time
+        semantics: a bare numeric resolving to timestamp/timestamptz
+        is interpreted as Unix SECONDS and a bare numeric resolving to
+        date as days-since-epoch — unless ``require_schema_metadata``
+        is true and ``schema_metadata`` does not cover the column, in
+        which case the write fails loudly (config.go:392-394: the
+        fallback is "silently wrong if upstream produced milliseconds
+        — fail rather than corrupt dates by ~50,000 years")."""
+        if not schema_evolution:
+            return df
+        declared = schema_evolution.get("schema_metadata") or {}
+        mapping_src = schema_evolution.get("new_column_type_mapping")
+        require_meta = bool(
+            schema_evolution.get("require_schema_metadata"))
+        if require_meta and not declared:
+            raise ValueError(
+                "schema_evolution.require_schema_metadata requires "
+                "schema_evolution.schema_metadata to be set")
+        prev = self.metadata()
+        known = set()
+        if prev is not None:
+            cur = next(sc for sc in prev["schemas"]
+                       if sc["schema-id"] == prev["current-schema-id"])
+            known = {f["name"] for f in cur["fields"]}
+        new_cols = [f for f in df.schema.fields if f.name not in known]
+        if not new_cols:
+            return df
+        sample = None
+        if mapping_src is not None:
+            head = df.limit(1).collect()
+            sample = head[0].asDict(recursive=True) if head else {}
+        sql_type = {
+            "boolean": "boolean", "int": "int", "long": "bigint",
+            "float": "float", "double": "double", "string": "string",
+            "binary": "binary", "date": "date",
+            "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+            "uuid": "string", }
+        for f in new_cols:
+            inferred = _iceberg_type_or_none(f.dataType)
+            resolved = declared.get(f.name, inferred)
+            if mapping_src is not None and isinstance(resolved, str):
+                from connect_spark.bloblang.pyeval import (
+                    eval_mapping_value,
+                )
+
+                out = eval_mapping_value(mapping_src, {
+                    "name": f.name,
+                    "path": f.name,
+                    "value": (sample or {}).get(f.name),
+                    "inferred_type": resolved,
+                    "message": sample or {},
+                    "namespace": "",
+                    "table": self.location,
+                })
+                if out is not None:
+                    if not (isinstance(out, str)
+                            and self._DECLARABLE_TYPES.fullmatch(out)):
+                        raise ValueError(
+                            "new_column_type_mapping must return a "
+                            f"valid Iceberg type name, got {out!r} "
+                            f"for column {f.name!r}")
+                    resolved = out
+            if resolved is None or resolved == inferred:
+                continue
+            numeric_src = isinstance(
+                f.dataType, (T.ByteType, T.ShortType, T.IntegerType,
+                             T.LongType, T.FloatType, T.DoubleType))
+            if resolved in ("timestamp", "timestamptz", "date", "time") \
+                    and numeric_src:
+                if require_meta and f.name not in declared:
+                    raise ValueError(
+                        f"column {f.name!r}: numeric value resolving "
+                        f"to {resolved} without a schema_metadata "
+                        "entry (require_schema_metadata is set — "
+                        "refusing the Unix-seconds fallback)")
+                if resolved == "date":
+                    df = df.withColumn(
+                        f.name,
+                        F.date_add(F.to_date(F.lit("1970-01-01")),
+                                   F.col(f.name).cast("int")))
+                    continue
+                if resolved == "time":
+                    raise ValueError(
+                        "time-typed columns are not representable in "
+                        "a Spark schema (no TimeType)")
+                # Unix-seconds fallback (reference type_inference
+                # semantics when metadata permits the conversion);
+                # timestamp_seconds then an ntz cast where needed —
+                # Spark has no direct bigint→timestamp_ntz cast
+                df = df.withColumn(
+                    f.name,
+                    F.timestamp_seconds(F.col(f.name).cast("long"))
+                    .cast(sql_type[resolved]))
+                continue
+            m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", resolved)
+            if m:
+                target = f"decimal({m.group(1)},{m.group(2)})"
+            elif re.fullmatch(r"fixed\[\d+\]", resolved):
+                target = "binary"
+            else:
+                target = sql_type.get(resolved)
+            if target is None:
+                raise ValueError(
+                    f"cannot declare column {f.name!r} as {resolved}")
+            df = df.withColumn(f.name, F.col(f.name).cast(target))
+        return df
+
     def append(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self, df: DataFrame, partition_by: list[str] | None = None,
+        schema_evolution: dict | None = None,
     ) -> dict:
         """Write df as parquet data files and commit one append
         snapshot. Returns the new table metadata dict.
+
+        `schema_evolution` carries the reference's evolution knobs
+        (`schema_metadata`, `new_column_type_mapping`,
+        `require_schema_metadata`) — see _resolve_new_column_types.
 
         `partition_by` applies the identity partition transform
         (hive-style directories, typed partition values recorded in
@@ -593,6 +924,7 @@ class IcebergTable:
         stay consistent across appends (Spark's directory inference
         rejects mixed layouts), so changing it on a non-empty table
         errors."""
+        df = self._resolve_new_column_types(df, schema_evolution)
         parsed = [
             _parse_partition_term(t) for t in (partition_by or [])
         ]
@@ -635,15 +967,59 @@ class IcebergTable:
         derived_names: list[str] = []
         derived_types: dict[str, T.DataType] = {}
         for src, transform, fname in parsed:
+            src_t = src_types.get(src)
             if transform == "day":
                 write_df = write_df.withColumn(
                     fname, F.to_date(F.col(src))
                 )
                 derived_names.append(fname)
                 derived_types[fname] = T.DateType()
+            elif transform == "year":
+                # years since 1970 (spec: int result)
+                write_df = write_df.withColumn(
+                    fname, (F.year(F.col(src)) - F.lit(1970))
+                    .cast("int"))
+                derived_names.append(fname)
+                derived_types[fname] = T.IntegerType()
+            elif transform == "month":
+                # months since 1970-01
+                write_df = write_df.withColumn(
+                    fname,
+                    ((F.year(F.col(src)) - F.lit(1970)) * F.lit(12)
+                     + F.month(F.col(src)) - F.lit(1)).cast("int"))
+                derived_names.append(fname)
+                derived_types[fname] = T.IntegerType()
+            elif transform == "hour":
+                # hours since epoch; timestamp→long cast is epoch
+                # seconds (session tz pinned UTC), floor division
+                # keeps pre-epoch hours correct
+                if not isinstance(
+                        src_t, (T.TimestampType, T.TimestampNTZType)):
+                    raise ValueError(
+                        f"hour transform needs a timestamp column, "
+                        f"got {src_t} for {src!r}")
+                write_df = write_df.withColumn(
+                    fname,
+                    F.floor(
+                        F.col(src).cast("timestamp").cast("double")
+                        / F.lit(3600.0)).cast("int"))
+                derived_names.append(fname)
+                derived_types[fname] = T.IntegerType()
+            elif transform == "void":
+                # always-null partition (spec: void) — every file
+                # lands in the __HIVE_DEFAULT_PARTITION__ directory
+                write_df = write_df.withColumn(
+                    fname, F.lit(None).cast("string"))
+                derived_names.append(fname)
+                derived_types[fname] = T.StringType()
+            elif transform.startswith("bucket["):
+                n = int(transform[len("bucket["):-1])
+                write_df = write_df.withColumn(
+                    fname, _bucket_column(F.col(src), src_t, n))
+                derived_names.append(fname)
+                derived_types[fname] = T.IntegerType()
             elif transform.startswith("truncate["):
                 width = int(transform[len("truncate["):-1])
-                src_t = src_types.get(src)
                 if isinstance(src_t, T.StringType):
                     derived = F.substring(F.col(src), 1, width)
                 elif isinstance(src_t, (T.IntegerType, T.LongType)):
@@ -807,13 +1183,19 @@ class IcebergTable:
         name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
         spec_fields = []
         for i, (src, transform, fname) in enumerate(parsed):
+            # spec result types: the whole time family and bucket
+            # yield int; identity/truncate/void keep the source type
+            int_result = (
+                transform in ("day", "year", "month", "hour")
+                or transform.startswith("bucket[")
+            )
             spec_fields.append({
                 "name": fname,
                 "transform": transform,
                 "source-id": name_to_id[src],
                 "field-id": 1000 + i,
                 "iceberg_type": (
-                    "int" if transform == "day" else next(
+                    "int" if int_result else next(
                         (f["type"] for f in schema["fields"]
                          if f["name"] == src
                          and isinstance(f["type"], str)),
@@ -1657,14 +2039,33 @@ class IcebergTable:
             if f.get("transform", "identity") != "identity"
         }
 
-        def transform_lit(transform: str, lit):
+        def transform_lit(transform: str, lit, coerced, op: str):
+            """transform(literal) for derived-partition pruning.
+            Monotone transforms (time family, truncate) prune every
+            comparison op; bucket is NOT monotone so it prunes
+            equality only; void never prunes.  Raises TypeError for
+            non-prunable (transform, op) pairs — the caller treats
+            that as 'cannot prune'."""
             if transform == "day":
                 return _day_of(lit)
+            if transform == "year":
+                return _year_of(lit)
+            if transform == "month":
+                return _month_of(lit)
+            if transform == "hour":
+                return _hour_of(lit)
             if transform.startswith("truncate["):
                 width = int(transform[len("truncate["):-1])
                 if isinstance(lit, str):
                     return lit[:width]
                 return int(lit) - int(lit) % width
+            if transform.startswith("bucket["):
+                if op != "=":
+                    raise TypeError("bucket prunes equality only")
+                n = int(transform[len("bucket["):-1])
+                # the coerced literal is already in the hash domain
+                # (date → days, timestamp → micros)
+                return _bucket_of(coerced, n)
             raise TypeError(transform)
 
         def file_matches(d: dict) -> bool:
@@ -1700,7 +2101,8 @@ class IcebergTable:
                     pfield, transform = derived_sources[col]
                     pv_t = part.get(pfield)
                     try:
-                        lit_t = transform_lit(transform, orig_lit)
+                        lit_t = transform_lit(transform, orig_lit,
+                                              lit, op)
                     except (TypeError, ValueError):
                         lit_t = None
                     if pv_t is not None and lit_t is not None:

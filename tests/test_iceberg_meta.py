@@ -571,3 +571,132 @@ def test_metadata_only_count_matches_scan(spark):
             .groupBy("o_orderstatus").count()
             .withColumnRenamed("count", "n").collect()}
     assert got == want
+
+
+def test_schema_evolution_new_column_type_mapping(spark, tmp_path):
+    """The reference's three-stage new-column type resolution
+    (type_resolver.go:27-86; output_iceberg.go:516-556): a Bloblang
+    new_column_type_mapping overrides the inferred type of columns
+    added by evolution."""
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "evo_map"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # evolve: new int column `score` is widened to long by the mapping
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 7)], "id long, v string, score int"),
+        schema_evolution={
+            "new_column_type_mapping": (
+                'root = if this.name == "score" { "long" } '
+                'else { this.inferred_type }'),
+        },
+    )
+    meta = t.metadata()
+    cur = next(sc for sc in meta["schemas"]
+               if sc["schema-id"] == meta["current-schema-id"])
+    types = {f["name"]: f["type"] for f in cur["fields"]}
+    assert types["score"] == "long"
+    # existing columns keep their ids/types — only NEW columns map
+    assert types["id"] == "long" and types["v"] == "string"
+    assert sorted((r.id, r.score) for r in t.read().collect()) == [
+        (1, None), (2, 7)]
+
+
+def test_schema_evolution_schema_metadata_declares_types(spark, tmp_path):
+    """schema_metadata (the declared-schema override, stage 2):
+    a numeric column declared as timestamp converts via the
+    Unix-seconds interpretation; a long declared long stays."""
+    import datetime
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "evo_meta"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 1700000000)], "id long, created long"),
+        schema_evolution={
+            "schema_metadata": {"created": "timestamptz"},
+        },
+    )
+    meta = t.metadata()
+    cur = meta["schemas"][-1]
+    types = {f["name"]: f["type"] for f in cur["fields"]}
+    assert types["created"] == "timestamptz"
+    row = t.read().collect()[0]
+    assert row.created == datetime.datetime(
+        2023, 11, 14, 22, 13, 20)
+
+
+def test_schema_evolution_require_schema_metadata(spark, tmp_path):
+    """require_schema_metadata=true: a numeric value resolving to a
+    time type WITHOUT a schema_metadata entry is a hard error (the
+    ~50,000-years corruption guard, config.go:392); and the flag
+    itself requires schema_metadata to be set (output_iceberg.go:
+    554-556)."""
+    import pytest
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "evo_req"))
+    with pytest.raises(ValueError, match="requires"):
+        t.append(
+            spark.createDataFrame([(1,)], "id long"),
+            schema_evolution={"require_schema_metadata": True},
+        )
+    # mapping (not metadata) declares a numeric as timestamp → refused
+    with pytest.raises(ValueError, match="Unix-seconds fallback"):
+        t.append(
+            spark.createDataFrame(
+                [(1, 1700000000)], "id long, created long"),
+            schema_evolution={
+                "schema_metadata": {"id": "long"},
+                "require_schema_metadata": True,
+                "new_column_type_mapping": (
+                    'root = if this.name == "created" '
+                    '{ "timestamp" } else { this.inferred_type }'),
+            },
+        )
+    # with the column covered by schema_metadata the same write lands
+    t.append(
+        spark.createDataFrame(
+            [(1, 1700000000)], "id long, created long"),
+        schema_evolution={
+            "schema_metadata": {"created": "timestamp"},
+            "require_schema_metadata": True,
+        },
+    )
+    types = {f["name"]: f["type"]
+             for f in t.metadata()["schemas"][-1]["fields"]}
+    assert types["created"] == "timestamp"
+
+
+def test_schema_evolution_mapping_rejects_bad_type(spark, tmp_path):
+    import pytest
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "evo_bad"))
+    with pytest.raises(ValueError, match="valid Iceberg type"):
+        t.append(
+            spark.createDataFrame([(1,)], "id long"),
+            schema_evolution={
+                "new_column_type_mapping": 'root = "varchar(99)"',
+            },
+        )
+
+
+def test_schema_evolution_date_from_epoch_days(spark, tmp_path):
+    import datetime
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "evo_date"))
+    t.append(
+        spark.createDataFrame([(1, 19723)], "id long, d int"),
+        schema_evolution={"schema_metadata": {"d": "date"}},
+    )
+    assert t.read().collect()[0].d == datetime.date(2024, 1, 1)
+    types = {f["name"]: f["type"]
+             for f in t.metadata()["schemas"][-1]["fields"]}
+    assert types["d"] == "date"
