@@ -787,3 +787,34 @@ def _p_moderation(df: DataFrame, conf: Any) -> DataFrame:
         flag_terms=tuple(conf.get("flag_terms", ())),
         out=conf.get("result_field", "safe"),
     )
+
+
+@processor("a2a_message")
+def _p_a2a_message(df: DataFrame, conf: Any) -> DataFrame:
+    """a2a_message (reference `internal/impl/a2a/
+    processor_message.go:35-60`): send each message to an A2A-protocol
+    agent (agent-card resolution, JSON-RPC message/send, task polling)
+    and return its response.  `transport` names a registered HTTP
+    transport (the http-processor seam); the default is the
+    deterministic fake agent so pipelines are runnable offline."""
+    from connect_spark.text.a2a import a2a_message, fake_a2a_transport
+
+    prompt = conf.get("prompt") or _field(conf)
+    transport_name = conf.get("transport")
+    if transport_name is None:
+        transport = fake_a2a_transport
+    elif transport_name in _HTTP_TRANSPORTS:
+        transport = _HTTP_TRANSPORTS[transport_name]
+    else:
+        raise PipelineConfigError(
+            f"a2a_message: unknown transport {transport_name!r}; "
+            "register it with "
+            "plans.processors_ext.register_http_transport")
+    return a2a_message(
+        df,
+        conf["agent_card_url"],
+        compile_expression(prompt) if prompt not in df.columns else prompt,
+        final_message_only=conf.get("final_message_only", True),
+        transport=transport,
+        out=conf.get("result_field", "reply"),
+    )

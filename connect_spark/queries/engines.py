@@ -577,3 +577,38 @@ QUERIES = [
     QuerySpec("geoip_enrich_events", geoip_enrich_events, GEOIP_SQL),
     QuerySpec("js_transform_events", js_transform_events, JS_SQL),
 ]
+
+
+def a2a_message_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a2a_message processor row (round-11; reference
+    `internal/impl/a2a/processor_message.go:35-60`): every document's
+    text goes to an A2A agent through the real pipeline — agent-card
+    resolution (well-known path), JSON-RPC message/send, tasks/get
+    polling out of the non-terminal `working` state, final-message
+    text extraction — against the deterministic fake agent
+    (text/a2a.py) whose reply ``A2A(<n_chars>):<md5(text)[:12]>`` and
+    task id ``task-<md5(text)>`` are pure md5 functions of the text,
+    so the oracle recomputes the full envelope (reply + the
+    reference's a2a_task_id/a2a_state metadata) in SQL."""
+    from connect_spark.text.a2a import a2a_message
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    return a2a_message(
+        docs, "https://agent.example", "text",
+    ).select("doc_id", "reply", "a2a_task_id", "a2a_state")
+
+
+A2A_MESSAGE_SQL = """
+SELECT doc_id,
+       'A2A(' || length(text) || '):' || substr(md5(text), 1, 12)
+           AS reply,
+       'task-' || md5(text) AS a2a_task_id,
+       'completed' AS a2a_state
+FROM documents
+"""
+
+
+QUERIES += [
+    QuerySpec("a2a_message_enrich", a2a_message_enrich, A2A_MESSAGE_SQL),
+]
