@@ -38,18 +38,78 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 10 rotation (standing policy: never-verified first,
-    # then oldest driver green).  Window: (a) the 5 new round-10
-    # queries with no driver row yet (baseline-JPEG decode gate,
-    # progressive-JPEG decode gate, MJPEG-in-AVI video frame
-    # sampling, the while-processor fixpoint, byte_size greedy
-    # batching); (b) 45 of the 47 r5-latest rows — the oldest
-    # staleness band — in the queue order the round-9 session
-    # prepared.  5 + 45 = 50; zero overlap with the r9 window.  The
-    # two r5 rows the new queries displace (quality_gopher_rules,
-    # contamination_13gram — end of the curated queue) head the
-    # round-11 queue below and were re-verified GREEN beyond-window
-    # this round (PROGRESS.md).
+    # Round 11 rotation (standing policy: never-verified first, then
+    # oldest driver green).  Window: (a) the 2 new round-11 queries
+    # with no driver row yet (Iceberg bucket partition transform,
+    # a2a_message); (b) the 2 r5-latest rows — the oldest driver
+    # band, displaced from the r10 window and twice re-verified green
+    # beyond-window since; (c) the first 46 of the 50 r7-latest rows
+    # (alphabetical within the band, the r10-prepared queue order).
+    # 2 + 2 + 46 = 50; zero overlap with the r10 window.  The 4 r7
+    # rows the new queries displace (streaming_dedupe_keys,
+    # text_token_count_bpe, vocab_top_bigrams,
+    # window_tumbling_streamed — end of the band) head the round-12
+    # queue below and were re-verified GREEN beyond-window this
+    # round (PROGRESS.md).
+    "iceberg_bucket_partition_roundtrip",
+    "a2a_message_enrich",
+    "quality_gopher_rules",
+    "contamination_13gram",
+    "ai_chat_extract",
+    "ai_embed_rerank",
+    "amqp1_envelope_decode",
+    "ann_topk_quantized",
+    "anomaly_event_spikes",
+    "awk_extract_events",
+    "batch_policy_events",
+    "bloblang_eval_dynamic",
+    "broker_wire_roundtrip",
+    "cdc_materialize_orders",
+    "dedup_cluster_resolve",
+    "dedup_incremental",
+    "dedup_training_set",
+    "fn_window_matrix",
+    "geoip_enrich_events",
+    "histogram_values",
+    "html_extract_main",
+    "iceberg_delete_roundtrip",
+    "iceberg_upsert_roundtrip",
+    "jq_project_events",
+    "js_transform_events",
+    "jwt_sign_matrix",
+    "kafka_read_committed",
+    "mq_subject_route",
+    "multimodal_wav_decode",
+    "pack_sequences",
+    "percentiles_by_type",
+    "pulsar_envelope_decode",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_sales_opportunity",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_bigram_lm",
+    "quality_repetition_rules",
+    "retention_cohorts",
+    "sample_stratified",
+    "schema_registry_evolution",
+    # --- 50-slot window boundary (round 11) --- everything below
+    # queues for round 12: first the 4 displaced r7 rows (re-verified
+    # green beyond-window this round), then the 47 r8-latest rows.
+    "streaming_dedupe_keys",
+    "text_token_count_bpe",
+    "vocab_top_bigrams",
+    "window_tumbling_streamed",
+    # r10 window (r10-latest rows, verified last round — deepest
+    # queue position after the r8 band rotates in round 12/13)
     "multimodal_jpeg_resize",
     "while_fixpoint",
     "batch_policy_bytes",
@@ -100,62 +160,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cdc_logminer_decode",
     "kafka_recordbatch_roundtrip",
     "text_pii_scrub",
-    # --- 50-slot window boundary (round 10) --- everything below
-    # queues for round 11: first the two displaced r5 rows, then the
-    # 50 r7-latest rows (oldest band after this round, alphabetical
-    # within the band).
-    "quality_gopher_rules",
-    "contamination_13gram",
-    "ai_chat_extract",
-    "ai_embed_rerank",
-    "amqp1_envelope_decode",
-    "ann_topk_quantized",
-    "anomaly_event_spikes",
-    "awk_extract_events",
-    "batch_policy_events",
-    "bloblang_eval_dynamic",
-    "broker_wire_roundtrip",
-    "cdc_materialize_orders",
-    "dedup_cluster_resolve",
-    "dedup_incremental",
-    "dedup_training_set",
-    "fn_window_matrix",
-    "geoip_enrich_events",
-    "histogram_values",
-    "html_extract_main",
-    "iceberg_delete_roundtrip",
-    "iceberg_upsert_roundtrip",
-    "jq_project_events",
-    "js_transform_events",
-    "jwt_sign_matrix",
-    "kafka_read_committed",
-    "mq_subject_route",
-    "multimodal_wav_decode",
-    "pack_sequences",
-    "percentiles_by_type",
-    "pulsar_envelope_decode",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume",
-    "q19_disjunctive_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_sales_opportunity",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "quality_bigram_lm",
-    "quality_repetition_rules",
-    "retention_cohorts",
-    "sample_stratified",
-    "schema_registry_evolution",
-    "streaming_dedupe_keys",
-    "text_token_count_bpe",
-    "vocab_top_bigrams",
-    "window_tumbling_streamed",
 ]
 
 
