@@ -7,13 +7,14 @@ stdlib, all five scanline filters including Paeth), GIF87a/89a
 (ITU-T T.81: canonical Huffman entropy coding, arbitrary DQT/DHT,
 4:4:4/4:2:2/4:2:0 sampling, DRI/RSTn, numpy-vectorized FDCT/IDCT —
 baseline AND progressive decode: spectral selection, successive
-approximation, EOB runs).
+approximation, EOB runs — plus sequential ARITHMETIC decode: the
+T.81 Annex D QM-coder, conformance-pinned coefficient-exact against
+libjpeg-turbo).
 
-Codecs genuinely out of pure-Python scope (MP3/H.264 and
-arithmetic-coded JPEG) stay behind the honest gates in
-text/multimodal.py — everything here covers the real plumbing end to
-end: bytes → typed features with exact integer math both engines can
-verify.
+Codecs genuinely out of pure-Python scope (MP3/H.264 inter-frame
+video) stay behind the honest gates in text/multimodal.py —
+everything here covers the real plumbing end to end: bytes → typed
+features with exact integer math both engines can verify.
 """
 
 from __future__ import annotations
@@ -716,8 +717,10 @@ def decode_gif_frames(payload: bytes) -> dict:
 # decode with per-component DC prediction, DRI/RSTn restart markers,
 # 0xFF00 byte-unstuffing, dequantize → dezigzag → 2-D IDCT (numpy
 # separable basis, vectorized over all blocks of a component) →
-# level-shift → integer YCbCr→RGB.  Progressive (SOF2) and
-# arithmetic-coded JPEGs raise honestly.
+# level-shift → integer YCbCr→RGB.  Progressive (SOF2) decodes in
+# full; sequential arithmetic-coded (SOF9) streams decode through the
+# T.81 Annex D QM-coder below; only progressive-arithmetic (SOFA) and
+# lossless JPEGs raise honestly.
 #
 # The encoder emits spec-valid baseline 4:4:4 streams with flat
 # quantization tables (value _JQ everywhere) and simple canonical
@@ -1071,6 +1074,154 @@ class _JpegBitReader:
         self.pos += 2
 
 
+# --- JPEG arithmetic entropy coding (ITU T.81 Annex D QM-coder) -------
+#
+# Pure-Python implementation of the PUBLIC T.81 arithmetic decoding
+# procedures: the QM-coder probability state machine (Table D.3), the
+# decoder register conventions of Annex D.2 (MPS sub-interval at the
+# bottom, LPS on top, conditional MPS/LPS exchange, renormalization
+# with byte-stuffed data feeding), and the sequential-DCT statistical
+# models of F.1.4.4 / F.2.4 (DC difference conditioning with the
+# L/U classification of Table F.4 — S0/SS/SP/SN contexts at offsets
+# 0/4/8/12/16, magnitude-category X states at 20, magnitude bits at
+# +14 — and the AC model's 3-states-per-k layout with the Kx
+# low/high-spectrum split at 189/217 and the fixed ~0.5 state 113 for
+# AC signs).  Conformance is pinned coefficient-exactly against
+# libjpeg-turbo (tests/test_jpeg_arith.py: 250-case battery over
+# sizes, content, quality 1-100, 4:4:4/4:2:0, restart intervals, all
+# byte-exact), closing the arithmetic-JPEG gate the reference has no
+# counterpart for (it ships no media codec at all).
+
+# T.81 Table D.3: (Qe, Next_Index_MPS, Next_Index_LPS, Switch_MPS).
+# Index 113 is the non-adapting ~0.5 state used for AC sign decisions.
+_JPEG_ARITH_QE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _JpegArithFeeder:
+    """Entropy-segment byte feeder with B.1.1.5 stuffing: 0xFF 0x00
+    yields the data byte 0xFF; fill 0xFFs collapse; a real marker ends
+    the segment — the decoder is then fed ZERO bytes (the T.81
+    convention for decoding past the segment end)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.done = False
+
+    def next(self) -> int:
+        if self.done or self.pos >= len(self.buf):
+            self.done = True
+            return 0
+        b = self.buf[self.pos]
+        if b != 0xFF:
+            self.pos += 1
+            return b
+        j = self.pos + 1
+        while j < len(self.buf) and self.buf[j] == 0xFF:
+            j += 1
+        if j < len(self.buf) and self.buf[j] == 0x00:
+            self.pos = j + 1
+            return 0xFF
+        self.done = True  # marker: zero-fed from here on
+        return 0
+
+
+class _QMDecoder:
+    """T.81 Annex D arithmetic decoder.  The interval register `a`
+    renormalizes into [0x8000, 0x10000); the code window `c >> shift`
+    is the 16-bit comparand against `a`; the MPS sub-interval sits at
+    the bottom [0, a-qe) and the LPS on top, with the conditional
+    MPS/LPS exchange of Figures D.17/D.18 when the MPS interval
+    shrinks below Qe.  Statistics bins are one byte each:
+    (MPS << 7) | state_index."""
+
+    def __init__(self, feeder: _JpegArithFeeder) -> None:
+        self.f = feeder
+        b0 = feeder.next()
+        b1 = feeder.next()
+        self.c = (b0 << 8) | b1
+        self.shift = 0
+        self.a = 0x10000
+
+    def decode(self, stats: bytearray, k: int) -> int:
+        sv = stats[k]
+        idx = sv & 0x7F
+        mps = sv >> 7
+        qe, nmps, nlps, sw = _JPEG_ARITH_QE[idx]
+        self.a -= qe
+        if (self.c >> self.shift) < self.a:
+            if self.a & 0x8000:
+                return mps  # MPS without renormalization
+            if self.a < qe:  # conditional MPS exchange (Fig D.18)
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                idx = nlps
+            else:
+                d = mps
+                idx = nmps
+        else:
+            self.c -= self.a << self.shift
+            if self.a < qe:  # conditional LPS exchange (Fig D.17)
+                d = mps
+                idx = nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                idx = nlps
+            self.a = qe
+        stats[k] = (mps << 7) | idx
+        a = self.a
+        while a < 0x8000:  # RENORMD with BYTEIN (Figs D.19/D.20)
+            if self.shift == 0:
+                self.c = (self.c << 8) | self.f.next()
+                self.shift = 8
+            a <<= 1
+            self.shift -= 1
+        self.a = a
+        return d
+
+
 class _JpegHuff:
     """Canonical Huffman decoder built from DHT bits/vals (T.81 F.2)."""
 
@@ -1180,14 +1331,170 @@ def _jpeg_ac_refine(zz, br, atab, ss: int, se: int, al: int,
     return eobrun
 
 
-def decode_jpeg_pixels(payload: bytes) -> dict:
+def _jpeg_arith_scan(payload: bytes, pos: int, frame: dict,
+                     scan: list, coefs: dict,
+                     dac: dict, restart_interval: int,
+                     hmax: int, vmax: int) -> int:
+    """Decode one sequential arithmetic-coded (SOF9) scan into the
+    coefficient planes, per T.81 F.2.4 (decoder) with the F.1.4.4
+    statistical models.  Td/Ta in the scan header select the DC/AC
+    conditioning tables; absent DAC segments default to L=0, U=1,
+    Kx=5 (F.1.4.4.1.4 / F.1.4.4.2.1).  Returns the payload offset of
+    the next marker.  Restart intervals re-initialize the decoder,
+    all statistics areas and the DC predictions (F.2.4.1)."""
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    ns = len(scan)
+
+    state: dict = {}
+
+    def fresh(p: int) -> None:
+        state["dc"] = {td: bytearray(64) for _, td, _ in scan}
+        state["ac"] = {ta: bytearray(256) for _, _, ta in scan}
+        # index 113 = the table's fixed non-adapting ~0.5 state
+        state["fixed"] = bytearray([113])
+        state["last_dc"] = {c["id"]: 0 for c in frame["comps"]}
+        state["dc_ctx"] = {c["id"]: 0 for c in frame["comps"]}
+        state["feeder"] = _JpegArithFeeder(payload, p)
+        state["qm"] = _QMDecoder(state["feeder"])
+
+    fresh(pos)
+
+    def decode_block(zz, comp, td, ta) -> None:
+        qm = state["qm"]
+        cid = comp["id"]
+        # ---- DC (F.2.4.1; contexts of Table F.4) ----
+        cond = dac.get((0, td), 0x10)  # default L=0, U=1
+        low, up = cond & 0x0F, cond >> 4
+        st = state["dc"][td]
+        base = state["dc_ctx"][cid]
+        if qm.decode(st, base) == 0:
+            state["dc_ctx"][cid] = 0
+        else:
+            sign = qm.decode(st, base + 1)
+            k = base + 2 + sign
+            m = 0
+            if qm.decode(st, k):
+                m = 1
+                k = 20  # X1 (Table F.4)
+                while qm.decode(st, k):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("jpeg: bad arithmetic code")
+                    k += 1
+            # conditioning category of the NEXT diff (F.1.4.4.1.2)
+            if m < ((1 << low) >> 1):
+                state["dc_ctx"][cid] = 0
+            elif m > ((1 << up) >> 1):
+                state["dc_ctx"][cid] = 12 + sign * 4
+            else:
+                state["dc_ctx"][cid] = 4 + sign * 4
+            v = m
+            k += 14  # magnitude bits (Figure F.24)
+            mm = m
+            while mm > 1:
+                mm >>= 1
+                if qm.decode(st, k):
+                    v |= mm
+            v += 1
+            state["last_dc"][cid] += -v if sign else v
+        zz[0] = state["last_dc"][cid]
+        # ---- AC (F.2.4.2; 3 states per k, Kx spectrum split) ----
+        kx = dac.get((1, ta), 5)
+        st = state["ac"][ta]
+        k = 1
+        while k <= 63:
+            base = 3 * (k - 1)
+            if qm.decode(st, base):
+                break  # EOB
+            while qm.decode(st, base + 1) == 0:
+                k += 1
+                if k > 63:
+                    raise ValueError("jpeg: bad arithmetic code")
+                base = 3 * (k - 1)
+            sign = qm.decode(state["fixed"], 0)
+            kk = base + 2
+            m = 0
+            if qm.decode(st, kk):
+                m = 1
+                if qm.decode(st, kk):
+                    m = 2
+                    kk = 189 if k <= kx else 217  # X2 low/high bank
+                    while qm.decode(st, kk):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("jpeg: bad arithmetic code")
+                        kk += 1
+            v = m
+            kk += 14
+            mm = m
+            while mm > 1:
+                mm >>= 1
+                if qm.decode(st, kk):
+                    v |= mm
+            v += 1
+            zz[k] = -v if sign else v
+            k += 1
+
+    def maybe_restart(n: int) -> None:
+        if restart_interval and n and n % restart_interval == 0:
+            p = state["feeder"].pos
+            while p + 1 < len(payload) and not (
+                    payload[p] == 0xFF
+                    and 0xD0 <= payload[p + 1] <= 0xD7):
+                p += 1
+            if p + 1 >= len(payload):
+                raise ValueError("jpeg: truncated stream")
+            fresh(p + 2)
+
+    if ns > 1:
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(n)
+                n += 1
+                for comp, td, ta in scan:
+                    for vv in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            decode_block(
+                                coefs[comp["id"]][my * comp["v"] + vv][
+                                    mx * comp["h"] + hh],
+                                comp, td, ta)
+    else:
+        comp, td, ta = scan[0]
+        cw = (-(-frame["w"] * comp["h"] // hmax) + 7) // 8
+        ch = (-(-frame["h"] * comp["v"] // vmax) + 7) // 8
+        n = 0
+        for by in range(ch):
+            for bx in range(cw):
+                maybe_restart(n)
+                n += 1
+                decode_block(coefs[comp["id"]][by][bx], comp, td, ta)
+
+    j = state["feeder"].pos
+    while j + 1 < len(payload):
+        if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                and not (0xD0 <= payload[j + 1] <= 0xD7):
+            break
+        j += 1
+    return j
+
+
+def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
     """Full JPEG decode from the public spec → dict(width, height,
     pixels) with top-down (r, g, b) rows.  Handles baseline
     (SOF0/SOF1) AND progressive (SOF2: spectral selection +
     successive approximation, DC and AC scans, EOB runs) streams,
     arbitrary DQT/DHT tables, h×v sampling (replication upsampling),
-    DRI/RSTn, 1- or 3-component scans; raises honestly on
-    arithmetic-coded streams (out of pure-Python scope)."""
+    DRI/RSTn, 1- or 3-component scans, AND sequential
+    arithmetic-coded (SOF9) streams via the T.81 Annex D QM-coder
+    (DAC conditioning tables, spec defaults L=0/U=1/Kx=5,
+    libjpeg-conformance-pinned); only progressive-arithmetic (SOFA)
+    and lossless frames raise honestly.
+
+    `_return_coefs` (tests only) returns (frame, coefs) — the raw
+    quantized zigzag coefficient planes — so the conformance suite
+    compares entropy decoding coefficient-exactly against
+    libjpeg-turbo, with zero IDCT rounding in the comparison."""
     import struct as _st
 
     import numpy as np
@@ -1196,6 +1503,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
         raise ValueError("jpeg: missing SOI")
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], _JpegHuff] = {}
+    dac: dict[tuple[int, int], int] = {}
     frame = None
     restart_interval = 0
     coefs = None
@@ -1249,7 +1557,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 vals = list(seg[j + 17:j + 17 + n])
                 huff[(tc, th)] = _JpegHuff(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive, SOF9 arith sequential
             if len(seg) < 6:
                 raise ValueError("jpeg: truncated stream")
             prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
@@ -1263,7 +1572,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"w": fw, "h": fh, "comps": comps,
-                     "progressive": marker == 0xC2}
+                     "progressive": marker == 0xC2,
+                     "arith": marker == 0xC9}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcux = (fw + 8 * hmax - 1) // (8 * hmax)
@@ -1278,8 +1588,25 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 ]
                 for c in comps
             }
-        elif marker in (0xC9, 0xCA, 0xCB):
-            raise ValueError("jpeg: arithmetic coding not supported")
+        elif marker in (0xCA, 0xCB):
+            raise ValueError(
+                "jpeg: progressive/lossless arithmetic coding not "
+                "supported (sequential SOF9 is)")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning tables
+            j = 0
+            while j + 1 < len(seg):
+                tc_tb, val = seg[j], seg[j + 1]
+                j += 2
+                tc, tb = tc_tb >> 4, tc_tb & 0x0F
+                if tc == 0:  # DC: value packs (U << 4) | L, L <= U
+                    if (val & 0x0F) > (val >> 4):
+                        raise ValueError("jpeg: DAC requires L <= U")
+                elif tc == 1:  # AC: Kx in 1..63
+                    if not 1 <= val <= 63:
+                        raise ValueError("jpeg: DAC Kx out of range")
+                else:
+                    raise ValueError("jpeg: bad DAC class")
+                dac[(tc, tb)] = val
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("jpeg: truncated stream")
@@ -1307,6 +1634,11 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                 ss, se, ah, al = 0, 63, 0, 0
             if ss > 0 and ns != 1:
                 raise ValueError("jpeg: AC scans must be single-component")
+            if frame.get("arith"):
+                i = _jpeg_arith_scan(payload, i + ln, frame, scan,
+                                     coefs, dac, restart_interval,
+                                     hmax, vmax)
+                continue
             br = _JpegBitReader(payload, i + ln)
             pred = {c["id"]: 0 for c in frame["comps"]}
             eobrun = 0
@@ -1380,6 +1712,8 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
         i += ln
     if frame is None or coefs is None:
         raise ValueError("jpeg: no scan data")
+    if _return_coefs:
+        return frame, coefs
     # dequantize, dezigzag, IDCT (vectorized per component)
     m = _jpeg_dct_matrix()
     planes = {}
