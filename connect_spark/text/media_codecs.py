@@ -718,8 +718,8 @@ def decode_gif_frames(payload: bytes) -> dict:
 # 0xFF00 byte-unstuffing, dequantize → dezigzag → 2-D IDCT (numpy
 # separable basis, vectorized over all blocks of a component) →
 # level-shift → integer YCbCr→RGB.  Progressive (SOF2) decodes in
-# full; sequential arithmetic-coded (SOF9) streams decode through the
-# T.81 Annex D QM-coder below; only progressive-arithmetic (SOFA) and
+# full; arithmetic-coded streams — sequential (SOF9) AND progressive
+# (SOFA) — decode through the T.81 Annex D QM-coder below; only
 # lossless JPEGs raise honestly.
 #
 # The encoder emits spec-valid baseline 4:4:4 streams with flat
@@ -1334,16 +1334,21 @@ def _jpeg_ac_refine(zz, br, atab, ss: int, se: int, al: int,
 def _jpeg_arith_scan(payload: bytes, pos: int, frame: dict,
                      scan: list, coefs: dict,
                      dac: dict, restart_interval: int,
-                     hmax: int, vmax: int) -> int:
-    """Decode one sequential arithmetic-coded (SOF9) scan into the
-    coefficient planes, per T.81 F.2.4 (decoder) with the F.1.4.4
-    statistical models.  Td/Ta in the scan header select the DC/AC
-    conditioning tables; absent DAC segments default to L=0, U=1,
-    Kx=5 (F.1.4.4.1.4 / F.1.4.4.2.1).  Returns the payload offset of
-    the next marker.  Restart intervals re-initialize the decoder,
-    all statistics areas and the DC predictions (F.2.4.1)."""
+                     hmax: int, vmax: int,
+                     ss: int = 0, se: int = 63,
+                     ah: int = 0, al: int = 0) -> int:
+    """Decode one arithmetic-coded scan into the coefficient planes:
+    sequential (SOF9, T.81 F.2.4 with the F.1.4.4 statistical models)
+    AND progressive (SOFA, the G.2 successive-approximation variants
+    — DC first/refine, AC first/refine over spectral bands).  Td/Ta
+    in the scan header select the DC/AC conditioning tables; absent
+    DAC segments default to L=0, U=1, Kx=5 (F.1.4.4.1.4 /
+    F.1.4.4.2.1).  Returns the payload offset of the next marker.
+    Restart intervals re-initialize the decoder, all statistics areas
+    and the DC predictions (F.2.4.1)."""
     mcux, mcuy = frame["mcux"], frame["mcuy"]
     ns = len(scan)
+    sequential = not frame["progressive"]
 
     state: dict = {}
 
@@ -1359,10 +1364,10 @@ def _jpeg_arith_scan(payload: bytes, pos: int, frame: dict,
 
     fresh(pos)
 
-    def decode_block(zz, comp, td, ta) -> None:
+    def decode_dc_first(zz, comp, td) -> None:
+        # ---- DC (F.2.4.1 / G.2; contexts of Table F.4) ----
         qm = state["qm"]
         cid = comp["id"]
-        # ---- DC (F.2.4.1; contexts of Table F.4) ----
         cond = dac.get((0, td), 0x10)  # default L=0, U=1
         low, up = cond & 0x0F, cond >> 4
         st = state["dc"][td]
@@ -1397,18 +1402,21 @@ def _jpeg_arith_scan(payload: bytes, pos: int, frame: dict,
                     v |= mm
             v += 1
             state["last_dc"][cid] += -v if sign else v
-        zz[0] = state["last_dc"][cid]
-        # ---- AC (F.2.4.2; 3 states per k, Kx spectrum split) ----
+        zz[0] = state["last_dc"][cid] << al
+
+    def decode_ac_first(zz, ta) -> None:
+        # ---- AC (F.2.4.2 / G.2; 3 states per k, Kx split) ----
+        qm = state["qm"]
         kx = dac.get((1, ta), 5)
         st = state["ac"][ta]
-        k = 1
-        while k <= 63:
+        k = ss if ss else 1
+        while k <= se:
             base = 3 * (k - 1)
             if qm.decode(st, base):
                 break  # EOB
             while qm.decode(st, base + 1) == 0:
                 k += 1
-                if k > 63:
+                if k > se:
                     raise ValueError("jpeg: bad arithmetic code")
                 base = 3 * (k - 1)
             sign = qm.decode(state["fixed"], 0)
@@ -1432,8 +1440,59 @@ def _jpeg_arith_scan(payload: bytes, pos: int, frame: dict,
                 if qm.decode(st, kk):
                     v |= mm
             v += 1
-            zz[k] = -v if sign else v
+            zz[k] = (-v if sign else v) << al
             k += 1
+
+    def decode_dc_refine(zz) -> None:
+        # G.2: one fixed-probability correction bit per block
+        if state["qm"].decode(state["fixed"], 0):
+            zz[0] |= 1 << al
+
+    def decode_ac_refine(zz, ta) -> None:
+        # G.2 successive approximation of the ss..se band: previously
+        # nonzero coefficients take a correction bit (st+2); newly
+        # nonzero ones a significance decision (st+1) + fixed sign;
+        # the EOB decision only applies beyond the previous scan's
+        # last nonzero index (kex)
+        qm = state["qm"]
+        st = state["ac"][ta]
+        p1 = 1 << al
+        m1 = -1 << al
+        kex = se
+        while kex > 0 and zz[kex] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex and qm.decode(st, base):
+                break  # EOB
+            while True:
+                if zz[k]:
+                    if qm.decode(st, base + 2):
+                        zz[k] += m1 if zz[k] < 0 else p1
+                    break
+                if qm.decode(st, base + 1):
+                    zz[k] = m1 if qm.decode(state["fixed"], 0) else p1
+                    break
+                k += 1
+                if k > se:
+                    raise ValueError("jpeg: bad arithmetic code")
+                base = 3 * (k - 1)
+            k += 1
+
+    def decode_block(zz, comp, td, ta) -> None:
+        if sequential:
+            decode_dc_first(zz, comp, td)
+            decode_ac_first(zz, ta)
+        elif ss == 0:
+            if ah == 0:
+                decode_dc_first(zz, comp, td)
+            else:
+                decode_dc_refine(zz)
+        elif ah == 0:
+            decode_ac_first(zz, ta)
+        else:
+            decode_ac_refine(zz, ta)
 
     def maybe_restart(n: int) -> None:
         if restart_interval and n and n % restart_interval == 0:
@@ -1485,11 +1544,11 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
     (SOF0/SOF1) AND progressive (SOF2: spectral selection +
     successive approximation, DC and AC scans, EOB runs) streams,
     arbitrary DQT/DHT tables, h×v sampling (replication upsampling),
-    DRI/RSTn, 1- or 3-component scans, AND sequential
-    arithmetic-coded (SOF9) streams via the T.81 Annex D QM-coder
-    (DAC conditioning tables, spec defaults L=0/U=1/Kx=5,
-    libjpeg-conformance-pinned); only progressive-arithmetic (SOFA)
-    and lossless frames raise honestly.
+    DRI/RSTn, 1- or 3-component scans, AND arithmetic-coded
+    streams — sequential (SOF9) and progressive (SOFA) — via the
+    T.81 Annex D QM-coder (DAC conditioning tables, spec defaults
+    L=0/U=1/Kx=5, libjpeg-conformance-pinned); only lossless frames
+    raise honestly.
 
     `_return_coefs` (tests only) returns (frame, coefs) — the raw
     quantized zigzag coefficient planes — so the conformance suite
@@ -1557,8 +1616,9 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                 vals = list(seg[j + 17:j + 17 + n])
                 huff[(tc, th)] = _JpegHuff(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 sequential, SOF2 progressive, SOF9 arith sequential
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF9/SOFA
+            # arithmetic sequential/progressive
             if len(seg) < 6:
                 raise ValueError("jpeg: truncated stream")
             prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
@@ -1572,8 +1632,8 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"w": fw, "h": fh, "comps": comps,
-                     "progressive": marker == 0xC2,
-                     "arith": marker == 0xC9}
+                     "progressive": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA)}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcux = (fw + 8 * hmax - 1) // (8 * hmax)
@@ -1588,10 +1648,9 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                 ]
                 for c in comps
             }
-        elif marker in (0xCA, 0xCB):
+        elif marker == 0xCB:
             raise ValueError(
-                "jpeg: progressive/lossless arithmetic coding not "
-                "supported (sequential SOF9 is)")
+                "jpeg: lossless arithmetic coding not supported")
         elif marker == 0xCC:  # DAC — arithmetic conditioning tables
             j = 0
             while j + 1 < len(seg):
@@ -1637,7 +1696,7 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
             if frame.get("arith"):
                 i = _jpeg_arith_scan(payload, i + ln, frame, scan,
                                      coefs, dac, restart_interval,
-                                     hmax, vmax)
+                                     hmax, vmax, ss, se, ah, al)
                 continue
             br = _JpegBitReader(payload, i + ln)
             pred = {c["id"]: 0 for c in frame["comps"]}

@@ -23,8 +23,8 @@ static unsigned char *read_all(FILE *f, size_t *n) {
 int main(int argc, char **argv) {
   if (argc < 2) return 2;
   if (strcmp(argv[1], "encode") == 0) {
-    int w, h, qual, arith, samp, rst;
-    if (scanf("%d %d %d %d %d %d", &w, &h, &qual, &arith, &samp, &rst) != 6 || fgetc(stdin) != 0x0A)
+    int w, h, qual, arith, samp, rst, prog = 0;
+    if (scanf("%d %d %d %d %d %d %d", &w, &h, &qual, &arith, &samp, &rst, &prog) != 7 || fgetc(stdin) != 0x0A)
       return 3;
     size_t need = (size_t)w * h * 3;
     unsigned char *rgb = malloc(need);
@@ -41,6 +41,8 @@ int main(int argc, char **argv) {
     jpeg_set_quality(&c, qual, TRUE);
     c.arith_code = arith ? TRUE : FALSE;
     c.restart_interval = rst;
+    if (prog)
+      jpeg_simple_progression(&c);
     if (samp == 1) { /* 4:4:4 */
       c.comp_info[0].h_samp_factor = 1; c.comp_info[0].v_samp_factor = 1;
     } /* samp == 2 keeps the default 4:2:0 */

@@ -1,5 +1,5 @@
-"""Arithmetic-coded JPEG (ITU T.81 Annex D QM-coder, SOF9) — the
-round-11 gate closure.
+"""Arithmetic-coded JPEG (ITU T.81 Annex D QM-coder: sequential
+SOF9 AND progressive SOFA) — the round-11 gate closure.
 
 Two evidence layers:
 
@@ -107,6 +107,38 @@ G3 = bytes.fromhex(
     "fa2951717dc8da88e11c231b64aa3f665c01658e3a0adf839cd8ef1598112d25"
     "c65a82cdc84c4f9cf7d0706186b9eb6492f5f1c4fee6135990ffd9")
 G3_CHECKSUM = 136005270
+
+# the SAME 13x11 image/quality as G3, encoded PROGRESSIVE-arithmetic
+# (SOFA, jpeg_simple_progression's 10-scan script: DC first+refine,
+# spectral-selection AC first scans, successive-approximation AC
+# refines) — must decode to coefficients IDENTICAL to G3's
+G4 = bytes.fromhex(
+    "ffd8ffe000104a46494600010100000100010000ffdb00430003020203020203"
+    "03030304030304050805050404050a070706080c0a0c0c0b0a0b0b0d0e12100d"
+    "0e110e0b0b1016101113141515150c0f171816141812141514ffdb0043010304"
+    "0405040509050509140d0b0d1414141414141414141414141414141414141414"
+    "141414141414141414141414141414141414141414141414141414141414ffca"
+    "001108000b000d03011100021101031101ffcc000600100110ffda000c030100"
+    "02100310000001fd9d827adc722686562d14d364cd80ffcc00041005ffda0008"
+    "0101000105021623c0ea6f11ae6f27f7d6948dc869a88cffcc00041105ffda00"
+    "08010301013f013a46fc8a25cc09f6fc1e1a3eacaf20f925e0def2dccfaa597f"
+    "6c10ff00f2e4c42397ccdd168a82200d25f60a41a190aecf611593327ef98eed"
+    "b941517fdadbfe0e61fbdcd4fba1be5af0bdf4e71306347db508471f7d8f764e"
+    "9b9f80ffcc00041105ffda0008010201013f0138fe9abeddef45cb60109782ee"
+    "a87e4ea46dcd45a496698cf5a42d2da77d02008174332a7d98be8f0a611a3917"
+    "e3ec162553f525f68ec71ee38d29bb1a880c1ba23beb56cc193b7b7623068e3c"
+    "bb6279c7795904ffcc00041005ffda0008010100063f028ea767a64ad6e2cfb5"
+    "e608368df0edc2f2ed6fa6463ac1217f00437fcf3e48b865133ec17f3edcea7e"
+    "a6257335c0a9c2d64da7031fa9fbc9b8e4b7ecfdcf4b94ffcc00041005ffda00"
+    "08010100013f2143599d396c6180b9fa62ee06bd57709bd933338c06ccb967b9"
+    "f7a9bf91f5423527691822f11f4e22aaffda000c030100020003000000102420"
+    "ffcc00041105ffda0008010301013f10aa849756a683800f7ce2e7ab51c1863e"
+    "34c0031bbdc06b51fa8d0b82ecca5e74f5ecf03e1fba4a7ef36bb326b5745cd5"
+    "12c0ffcc00041105ffda0008010201013f10fe7b446913878f36a31f6718c9ce"
+    "a3cd38f63e881480af8424eb391933851365b0de0292aab558460786b3db6a9e"
+    "d6ffcc00041005ffda0008010100013f101bd33f3d6b4549116395adb9a6035f"
+    "13aa9e1780cd62740d1d6d8aa454ef0c1b30e85283cfd497126c8f86ccffd9")
+
 G3_Y_BLOCK00 = [-20, -80, -17, 2, 20, 0, 2, -3, 7, -3, 9, 9, -3, -3, 3,
                 7, -17, -1, 18, 6, -15, -2, -1, 4, -9, -32, -2, 3, -1,
                 -5, -3, -2, -17, -14, -4, -1, -6, -1, 4, -6, -6, -2, 5,
@@ -185,13 +217,12 @@ def test_golden_g3_dense_ac():
     assert chk == G3_CHECKSUM
 
 
-def test_progressive_arith_and_lossless_still_raise():
+def test_lossless_arith_still_raises():
     bad = bytearray(G1)
     i = bad.index(b"\xff\xc9")
-    for marker in (0xCA, 0xCB):
-        bad[i + 1] = marker
-        with pytest.raises(ValueError, match="arithmetic"):
-            decode_jpeg_pixels(bytes(bad))
+    bad[i + 1] = 0xCB
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_pixels(bytes(bad))
 
 
 def test_dac_validation():
@@ -231,8 +262,8 @@ def jpeg_oracle(tmp_path_factory):
     return tools
 
 
-def _oracle_encode(tools, w, h, rgb, qual, samp, rst):
-    hdr = f"{w} {h} {qual} 1 {samp} {rst}\n".encode()
+def _oracle_encode(tools, w, h, rgb, qual, samp, rst, prog=0):
+    hdr = f"{w} {h} {qual} 1 {samp} {rst} {prog}\n".encode()
     p = subprocess.run([tools["jpeg_tool"], "encode"], input=hdr + rgb,
                        capture_output=True)
     assert p.returncode == 0
@@ -321,3 +352,56 @@ def test_arith_jpeg_flows_through_media_pipeline(spark):
     rez = resize_media(df, 4, 4).collect()[0]
     assert bytes(rez.payload)[:8] == _PNG_SIG
     assert rez.mime == "image/png"
+
+
+def test_golden_g4_progressive_arith_matches_g3():
+    """SOFA decode: the progressive-arithmetic encoding of G3's exact
+    image must yield byte-identical coefficients (and pixels) to the
+    sequential-arithmetic stream — a cross-stream invariant no
+    compensating bug can satisfy."""
+    assert b"\xff\xca" in G4
+    frame, nat = natural_blocks(G4)
+    assert frame["arith"] and frame["progressive"]
+    assert nat[1][0][0] == G3_Y_BLOCK00
+    chk = 0
+    for cid in sorted(nat):
+        hb = len(nat[cid])
+        wb = len(nat[cid][0])
+        for by in range(hb):
+            for bx in range(wb):
+                for k, v in enumerate(nat[cid][by][bx]):
+                    chk += (cid * 1000003 + (by * wb + bx) * 64
+                            + k + 1) * v
+    assert chk == G3_CHECKSUM
+    assert decode_jpeg_pixels(G4)["pixels"] == \
+        decode_jpeg_pixels(G3)["pixels"]
+
+
+def test_live_progressive_arith_battery(jpeg_oracle):
+    """Progressive-arithmetic conformance vs libjpeg-turbo (the
+    round-11 session ran 96/96 coefficient-exact)."""
+    import random
+
+    random.seed(2211)
+    cases = []
+    for (w, h) in [(8, 8), (16, 16), (13, 11), (40, 24)]:
+        for qual in (5, 75, 100):
+            for samp in (1, 2):
+                cases.append((w, h, qual, samp, 0))
+    random.shuffle(cases)
+    cases = cases[:16]
+    for i, (w, h, qual, samp, rst) in enumerate(cases):
+        if i % 2:
+            rgb = bytes(random.randrange(256) for _ in range(w * h * 3))
+        else:
+            rgb = bytes((x * 13 + y * 7 + c * 31) % 256
+                        for y in range(h) for x in range(w)
+                        for c in range(3))
+        jpg = _oracle_encode(jpeg_oracle, w, h, rgb, qual, samp, rst,
+                             prog=1)
+        want = _oracle_coefs(jpeg_oracle, jpg)
+        _, got = natural_blocks(jpg)
+        for cid in want:
+            hb, wb = len(want[cid]), len(want[cid][0])
+            mine = [row[:wb] for row in got[cid][:hb]]
+            assert mine == want[cid], (w, h, qual, samp, cid)

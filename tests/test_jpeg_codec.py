@@ -212,20 +212,20 @@ def test_decode_16bit_dqt():
     assert all(p == (135, 135, 135) for r in d["pixels"] for p in r)
 
 
-def test_progressive_and_lossless_arithmetic_rejected():
-    """SOF9 (sequential arithmetic) decodes for real since round 11
-    (tests/test_jpeg_arith.py); the progressive/lossless arithmetic
-    frames stay honestly gated."""
+def test_lossless_arithmetic_rejected():
+    """SOF9/SOFA (sequential/progressive arithmetic) decode for real
+    since round 11 (tests/test_jpeg_arith.py); only the lossless
+    arithmetic frame stays honestly gated."""
     base = b"\xff\xd8" + dqt(0, 8)
-    for marker in (0xCA, 0xCB):
-        sof = _sof(marker, 8, 8, [(1, 0x11, 0)])
-        with pytest.raises(ValueError, match="arithmetic"):
-            decode_jpeg_pixels(base + sof + b"\xff\xd9")
-    # a SOF9 frame header no longer errors — scanless frames decode
-    # like their Huffman siblings (all-zero coefficients → mid-gray)
-    sof9 = _sof(0xC9, 8, 8, [(1, 0x11, 0)])
-    d = decode_jpeg_pixels(base + sof9 + b"\xff\xd9")
-    assert d["pixels"][0][0] == (128, 128, 128)
+    sof = _sof(0xCB, 8, 8, [(1, 0x11, 0)])
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_pixels(base + sof + b"\xff\xd9")
+    # arithmetic frame headers no longer error — scanless frames
+    # decode like their Huffman siblings (all-zero coefs → mid-gray)
+    for marker in (0xC9, 0xCA):
+        sofx = _sof(marker, 8, 8, [(1, 0x11, 0)])
+        d = decode_jpeg_pixels(base + sofx + b"\xff\xd9")
+        assert d["pixels"][0][0] == (128, 128, 128)
 
 
 # ---- progressive (SOF2) streams, hand-assembled ----------------------
