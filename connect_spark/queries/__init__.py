@@ -39,20 +39,23 @@ class QuerySpec:
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
     # Round 11 rotation (standing policy: never-verified first, then
-    # oldest driver green).  Window: (a) the 2 new round-11 queries
+    # oldest driver green).  Window: (a) the 3 new round-11 queries
     # with no driver row yet (Iceberg bucket partition transform,
-    # a2a_message); (b) the 2 r5-latest rows — the oldest driver
-    # band, displaced from the r10 window and twice re-verified green
-    # beyond-window since; (c) the first 46 of the 50 r7-latest rows
-    # (alphabetical within the band, the r10-prepared queue order).
-    # 2 + 2 + 46 = 50; zero overlap with the r10 window.  The 4 r7
-    # rows the new queries displace (streaming_dedupe_keys,
+    # a2a_message, arithmetic-JPEG decode); (b) the 2 r5-latest rows
+    # — the oldest driver band, displaced from the r10 window and
+    # twice re-verified green beyond-window since; (c) the first 45
+    # of the 50 r7-latest rows (alphabetical within the band, the
+    # r10-prepared queue order).  3 + 2 + 45 = 50; zero overlap with
+    # the r10 window.  The 5 r7 rows the new queries displace
+    # (schema_registry_evolution, streaming_dedupe_keys,
     # text_token_count_bpe, vocab_top_bigrams,
     # window_tumbling_streamed — end of the band) head the round-12
     # queue below and were re-verified GREEN beyond-window this
-    # round (PROGRESS.md).
+    # round (PROGRESS.md; schema_registry_evolution was additionally
+    # judge-verified green in the round-10 session).
     "iceberg_bucket_partition_roundtrip",
     "a2a_message_enrich",
+    "multimodal_jpeg_arith",
     "quality_gopher_rules",
     "contamination_13gram",
     "ai_chat_extract",
@@ -100,10 +103,10 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_repetition_rules",
     "retention_cohorts",
     "sample_stratified",
-    "schema_registry_evolution",
     # --- 50-slot window boundary (round 11) --- everything below
-    # queues for round 12: first the 4 displaced r7 rows (re-verified
-    # green beyond-window this round), then the 47 r8-latest rows.
+    # queues for round 12: first the 5 displaced r7 rows (re-verified
+    # green beyond-window this round), then the r8-latest band.
+    "schema_registry_evolution",
     "streaming_dedupe_keys",
     "text_token_count_bpe",
     "vocab_top_bigrams",

@@ -1833,3 +1833,92 @@ QUERIES = [
         "dedup_line_removal", dedup_line_removal, DEDUP_LINE_REMOVAL_SQL
     ),
 ]
+
+
+def multimodal_jpeg_arith(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG decode in the gate (round-11 — the T.81
+    Annex D QM-coder, libjpeg-conformance-pinned in
+    tests/test_jpeg_arith.py): the familiar 4-block 16x16
+    constant-color synthesis (block (bx, by) color r = (5e + 31bx +
+    43by) mod 256, g = (2e + 59bx + 17by) mod 256, b = (11e + 53bx +
+    13by) mod 256) encoded as a SOF9 stream through the QM
+    arithmetic ENCODER (media_codecs.encode_jpeg_arith — itself
+    cross-decoded by libjpeg in tests), then decode -> 2x2 resize ->
+    position-weighted checksum.  Flat-8 quantization keeps constant
+    blocks lossless, so the oracle mirrors the color-transform
+    arithmetic exactly; the adaptive probability states, DAC
+    conditioning, stuffing and flush path all sit between encode and
+    the checked output."""
+    from connect_spark.text.multimodal import (
+        MEDIA_SCHEMA, bmp_pixel_stats, resize_media)
+
+    # CPU-bound Python synthesis + codec: spread over all cores (the
+    # local events scan is one split; at production split counts this
+    # repartition is a no-op-sized shuffle of one id column)
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def make_media(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import encode_jpeg_arith
+
+        for pdf in batches:
+            payloads = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                rows = [[((5 * e + 31 * (x // 8) + 43 * (y // 8)) % 256,
+                          (2 * e + 59 * (x // 8) + 17 * (y // 8)) % 256,
+                          (11 * e + 53 * (x // 8) + 13 * (y // 8)) % 256)
+                         for x in range(16)] for y in range(16)]
+                payloads.append(encode_jpeg_arith(rows))
+            yield _pd.DataFrame({
+                "media_id": pdf["event_id"],
+                "payload": payloads,
+                "mime": ["image/jpeg"] * len(pdf),
+                "meta": [{} for _ in range(len(pdf))],
+            })
+
+    media = ev.mapInPandas(make_media, MEDIA_SCHEMA)
+    return bmp_pixel_stats(resize_media(media, 2, 2)).select(
+        F.col("media_id").alias("event_id"),
+        "width", "height", "sum_rgb", "pos_checksum")
+
+
+MULTIMODAL_JPEG_ARITH_SQL = """
+WITH px AS (
+  SELECT event_id, i,
+         (5 * event_id + 31 * (i % 2) + 43 * (i // 2)) % 256 AS r0,
+         (2 * event_id + 59 * (i % 2) + 17 * (i // 2)) % 256 AS g0,
+         (11 * event_id + 53 * (i % 2) + 13 * (i // 2)) % 256 AS b0
+  FROM events, UNNEST([0, 1, 2, 3]) AS t(i)
+), ycc AS (
+  SELECT event_id, i,
+    LEAST((77 * r0 + 150 * g0 + 29 * b0 + 128) // 256, 255) AS yy,
+    LEAST((32768 - 43 * r0 - 85 * g0 + 128 * b0 + 128) // 256, 255) AS cb,
+    LEAST((32768 + 128 * r0 - 107 * g0 - 21 * b0 + 128) // 256, 255) AS cr
+  FROM px
+), rgb AS (
+  SELECT event_id, i,
+    GREATEST(0, LEAST(255, yy +
+      ((359 * (cr - 128) + 128 + 65536) // 256 - 256))) AS r,
+    GREATEST(0, LEAST(255, yy -
+      ((88 * (cb - 128) + 183 * (cr - 128) + 128 + 65536) // 256 - 256)))
+      AS g,
+    GREATEST(0, LEAST(255, yy +
+      ((454 * (cb - 128) + 128 + 65536) // 256 - 256))) AS b
+  FROM ycc
+)
+SELECT event_id, 2 AS width, 2 AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS sum_rgb,
+       CAST(SUM((i + 1) * (r * 65536 + g * 256 + b)) AS BIGINT)
+         AS pos_checksum
+FROM rgb GROUP BY event_id
+"""
+
+
+QUERIES += [
+    QuerySpec("multimodal_jpeg_arith", multimodal_jpeg_arith,
+              MULTIMODAL_JPEG_ARITH_SQL),
+]

@@ -908,7 +908,8 @@ def _encode_ac_band(bw, ac_codes, zz, ss: int, se: int) -> None:
         bw.write(code, ln)
 
 
-def _jpeg_headers(h: int, w: int, sof_marker: int) -> bytearray:
+def _jpeg_headers(h: int, w: int, sof_marker: int,
+                  huffman: bool = True) -> bytearray:
     import struct as _st
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -921,6 +922,8 @@ def _jpeg_headers(h: int, w: int, sof_marker: int) -> bytearray:
         ">HBHHB", 17, 8, h, w, 3)
     for cid, tq in ((1, 0), (2, 1), (3, 1)):
         out += bytes([cid, 0x11, tq])
+    if not huffman:  # arithmetic frames carry DAC, not DHT
+        return out
     for tc, th, bits, vals in (
         (0, 0, _DC_BITS, _DC_VALS), (0, 1, _DC_BITS, _DC_VALS),
         (1, 0, _AC_BITS, _AC_VALS), (1, 1, _AC_BITS, _AC_VALS),
@@ -1220,6 +1223,205 @@ class _QMDecoder:
             self.shift -= 1
         self.a = a
         return d
+
+
+class _QMEncoder:
+    """T.81 Annex D arithmetic ENCODER — the exact mirror of
+    _QMDecoder's interval conventions (MPS bottom, LPS top,
+    conditional exchange).  The code register is an arbitrary-size
+    Python int accumulating sub-interval offsets, so carry
+    propagation is absorbed by big-int arithmetic instead of the
+    spec's BYTEOUT stacking; flush picks the value in [C, C+A) with
+    the most trailing zeros and emits it MSB-first with B.1.1.5
+    0xFF-stuffing.  Suited to the repo's per-row gate fixtures
+    (streams of a few hundred bits); production decode never needs
+    an encoder."""
+
+    def __init__(self) -> None:
+        self.c = 0
+        self.a = 0x10000
+        self.nbits = 16
+
+    def encode(self, stats: bytearray, k: int, d: int) -> None:
+        sv = stats[k]
+        idx = sv & 0x7F
+        mps = sv >> 7
+        qe, nmps, nlps, sw = _JPEG_ARITH_QE[idx]
+        a1 = self.a - qe
+        if d == mps:
+            if a1 & 0x8000:
+                self.a = a1
+                return  # MPS without renormalization: no state change
+            if a1 < qe:  # conditional exchange: MPS takes the top
+                self.c += a1
+                self.a = qe
+            else:
+                self.a = a1
+            idx = nmps
+        else:
+            if a1 < qe:  # conditional exchange: LPS takes the bottom
+                self.a = a1
+            else:
+                self.c += a1
+                self.a = qe
+            if sw:
+                mps = 1 - mps
+            idx = nlps
+        stats[k] = (mps << 7) | idx
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.nbits += 1
+
+    def flush(self) -> bytes:
+        lo, hi = self.c, self.c + self.a - 1
+        v = hi
+        bit = 1
+        while True:  # largest power-of-two alignment inside [lo, hi]
+            cand = hi & ~(bit - 1)
+            if cand < lo:
+                break
+            v = cand
+            bit <<= 1
+        nbits = self.nbits
+        pad = (-nbits) % 8
+        v <<= pad
+        nbits += pad
+        raw = v.to_bytes(nbits // 8, "big")
+        while raw and raw[-1] == 0:
+            raw = raw[:-1]  # the decoder zero-feeds past the marker
+        out = bytearray()
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _arith_encode_dc(enc: _QMEncoder, st: bytearray, dc_ctx: dict,
+                     cid: int, diff: int, cond: int) -> None:
+    """Mirror of the DC decoding model (F.1.4.4.1)."""
+    low, up = cond & 0x0F, cond >> 4
+    base = dc_ctx[cid]
+    if diff == 0:
+        enc.encode(st, base, 0)
+        dc_ctx[cid] = 0
+        return
+    enc.encode(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, base + 1, sign)
+    sz = abs(diff) - 1
+    k = base + 2 + sign
+    if sz == 0:
+        enc.encode(st, k, 0)
+        m = 0
+    else:
+        enc.encode(st, k, 1)
+        m = 1
+        k = 20
+        while sz >= (m << 1):
+            enc.encode(st, k, 1)
+            m <<= 1
+            k += 1
+        enc.encode(st, k, 0)
+    if m < ((1 << low) >> 1):
+        dc_ctx[cid] = 0
+    elif m > ((1 << up) >> 1):
+        dc_ctx[cid] = 12 + sign * 4
+    else:
+        dc_ctx[cid] = 4 + sign * 4
+    k += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(st, k, 1 if (sz & mm) else 0)
+
+
+def _arith_encode_ac(enc: _QMEncoder, st: bytearray,
+                     fixed: bytearray, zz: list, kx: int) -> None:
+    """Mirror of the AC decoding model (F.1.4.4.2)."""
+    last = 63
+    while last >= 1 and zz[last] == 0:
+        last -= 1
+    k = 1
+    while k <= last:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(st, base + 1, 1)
+        v = zz[k]
+        enc.encode(fixed, 0, 1 if v < 0 else 0)
+        sz = abs(v) - 1
+        kk = base + 2
+        if sz == 0:
+            enc.encode(st, kk, 0)
+            m = 0
+        else:
+            enc.encode(st, kk, 1)
+            if sz < 2:
+                enc.encode(st, kk, 0)
+                m = 1
+            else:
+                enc.encode(st, kk, 1)
+                m = 2
+                kk = 189 if k <= kx else 217
+                while sz >= (m << 1):
+                    enc.encode(st, kk, 1)
+                    m <<= 1
+                    kk += 1
+                enc.encode(st, kk, 0)
+        kk += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.encode(st, kk, 1 if (sz & mm) else 0)
+        k += 1
+    if last < 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def encode_jpeg_arith(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Top-down (r, g, b) rows → a spec-valid SOF9 (sequential
+    ARITHMETIC-coded) JFIF JPEG: the same integer color transform /
+    FDCT / flat-_JQ quantization pipeline as encode_jpeg, entropy
+    coded through the T.81 QM-coder with explicit default DAC
+    conditioning (L=0, U=1, Kx=5).  Decodes identically to the
+    Huffman twin — pinned in tests both by this repo's decoder
+    (coefficient-exact) and by libjpeg (pixel-exact vs the Huffman
+    encoding of the same input)."""
+    import struct as _st
+
+    h, w, by, bx, q = _jpeg_quantized(pixels)
+    enc = _QMEncoder()
+    dc_stats = {0: bytearray(64), 1: bytearray(64)}
+    ac_stats = {0: bytearray(256), 1: bytearray(256)}
+    fixed = bytearray([113])
+    dc_ctx = {1: 0, 2: 0, 3: 0}
+    last_dc = {1: 0, 2: 0, 3: 0}
+    for j in range(by):
+        for i in range(bx):
+            for c, (cid, td, ta) in enumerate(
+                    ((1, 0, 0), (2, 1, 1), (3, 1, 1))):
+                blk = q[c, j, i]
+                zz = [int(blk[k // 8, k % 8]) for k in _JPEG_ZIGZAG]
+                _arith_encode_dc(enc, dc_stats[td], dc_ctx, cid,
+                                 zz[0] - last_dc[cid], 0x10)
+                last_dc[cid] = zz[0]
+                _arith_encode_ac(enc, ac_stats[ta], fixed, zz, 5)
+    out = _jpeg_headers(h, w, 0xC9, huffman=False)
+    # DAC: explicit default conditioning for both DC and AC tables
+    out += b"\xff\xcc" + _st.pack(">H", 10) + bytes(
+        [0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5])
+    out += b"\xff\xda" + _st.pack(">HB", 12, 3)  # SOS
+    for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tdta])
+    out += b"\x00\x3f\x00"
+    out += enc.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 class _JpegHuff:
