@@ -772,6 +772,42 @@ class IcebergTable:
     def _current_partition_names(self) -> list[str]:
         return [f["name"] for f in self._current_partition_spec()]
 
+    def _current_partition_terms(self) -> list[str]:
+        """Reconstruct the `partition_by` term strings from the
+        stored partition spec (the inverse of _parse_partition_term),
+        so DML that re-appends (update_where, rewrite_data_files) can
+        preserve ANY spec — identity or derived — across the
+        delete+append composition."""
+        meta = self.metadata()
+        if not meta:
+            return []
+        cur = next(sc for sc in meta["schemas"]
+                   if sc["schema-id"] == meta["current-schema-id"])
+        id_to_name = {f["id"]: f["name"] for f in cur["fields"]}
+        terms = []
+        for f in self._current_partition_spec():
+            src = id_to_name[f["source-id"]]
+            transform = f.get("transform", "identity")
+            if transform == "identity":
+                term, default_name = src, src
+            elif transform.startswith("bucket["):
+                n = transform[len("bucket["):-1]
+                term = f"bucket({n}, {src})"
+                default_name = f"{src}_bucket"
+            elif transform.startswith("truncate["):
+                w = transform[len("truncate["):-1]
+                term = f"truncate({w}, {src})"
+                default_name = f"{src}_trunc"
+            elif transform == "void":
+                term, default_name = f"void({src})", f"{src}_null"
+            else:  # year / month / day / hour
+                term = f"{transform}({src})"
+                default_name = f"{src}_{transform}"
+            if f["name"] != default_name:
+                term += f" as {f['name']}"
+            terms.append(term)
+        return terms
+
     # valid targets for new_column_type_mapping / schema_metadata
     # (reference config.go:388 field description)
     _DECLARABLE_TYPES = re.compile(
@@ -1679,15 +1715,9 @@ class IcebergTable:
             matching = matching.withColumn(
                 col, expr if isinstance(expr, Column) else F.lit(expr))
         matching = matching.localCheckpoint(eager=True)
-        spec = self._current_partition_spec()
-        if any(f.get("transform", "identity") != "identity"
-               for f in spec):
-            raise ValueError(
-                "update_where supports identity partition specs")
+        terms = self._current_partition_terms()
         self.delete_where(filters)
-        return self.append(
-            matching,
-            partition_by=[f["name"] for f in spec] or None)
+        return self.append(matching, partition_by=terms or None)
 
     def rewrite_data_files(self) -> dict:
         """Compaction: materialize the LIVE rows (all delete files
@@ -1699,14 +1729,9 @@ class IcebergTable:
         prev = self.metadata()
         if prev is None or prev.get("current-snapshot-id") is None:
             raise ValueError("iceberg table has no current snapshot")
-        spec = self._current_partition_spec()
-        if any(f.get("transform", "identity") != "identity"
-               for f in spec):
-            raise ValueError(
-                "rewrite_data_files supports identity partition specs")
+        terms = self._current_partition_terms()
         live = self.read()
-        meta = self.append(
-            live, partition_by=[f["name"] for f in spec] or None)
+        meta = self.append(live, partition_by=terms or None)
         # the append put its own manifest FIRST in the new manifest
         # list; re-commit a replace snapshot holding only that one
         snap = next(

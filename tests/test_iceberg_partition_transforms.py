@@ -270,3 +270,56 @@ def test_alias_and_reference_arg_order_end_to_end(spark, tmp_path):
     assert t.read().count() == 6
     got = t.scan([("d", "=", datetime.date(2024, 2, 1))])
     assert sorted(r.k for r in got.collect()) == [1, 4]
+
+
+def test_update_where_and_rewrite_on_bucketed_table(spark, tmp_path):
+    """Row-level DML and compaction preserve DERIVED partition specs:
+    the spec's terms are reconstructed from table metadata (round-11
+    lift of the identity-only restriction)."""
+    t = IcebergTable(spark, str(tmp_path / "dml_bucketed"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}", 10.0 * i) for i in range(20)],
+            "k long, v string, amt double").coalesce(1),
+        partition_by=["bucket(4, k)"],
+    )
+    # UPDATE ... WHERE k = 7
+    t.update_where([("k", "=", 7)], {"amt": 777.0})
+    got = {r.k: r.amt for r in t.read().collect()}
+    assert got[7] == 777.0 and got[6] == 60.0 and len(got) == 20
+    # spec survived the delete+append round trip
+    spec = t._current_partition_spec()
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("k_bucket", "bucket[4]")]
+    # compaction on the bucketed table drops tombstones, keeps rows
+    t.rewrite_data_files()
+    assert t.current_delete_files() == []
+    got2 = {r.k: r.amt for r in t.read().collect()}
+    assert got2 == got
+    spec2 = t._current_partition_spec()
+    assert [(f["name"], f["transform"]) for f in spec2] == [
+        ("k_bucket", "bucket[4]")]
+    # bucket pruning still works post-compaction
+    out = t.scan([("k", "=", 7)])
+    assert [r.amt for r in out.collect()] == [777.0]
+    assert t._last_scan_file_count < len(t.current_files())
+
+
+def test_terms_roundtrip_with_alias(spark, tmp_path):
+    import datetime
+
+    t = IcebergTable(spark, str(tmp_path / "alias_terms"))
+    t.append(
+        spark.createDataFrame(
+            [(i, datetime.date(2024, 1 + i % 3, 5)) for i in range(9)],
+            "k long, d date").coalesce(1),
+        partition_by=["bucket(2, k) as shard", "month(d)"],
+    )
+    assert t._current_partition_terms() == [
+        "bucket(2, k) as shard", "month(d)"]
+    t.update_where([("k", "=", 3)], {"k": 103})
+    spec = t._current_partition_spec()
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("shard", "bucket[2]"), ("d_month", "month")]
+    assert sorted(r.k for r in t.read().collect()) == sorted(
+        [0, 1, 2, 103, 4, 5, 6, 7, 8])
