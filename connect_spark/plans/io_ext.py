@@ -209,7 +209,8 @@ def _o_iceberg(df: DataFrame, c: dict) -> None:
     mode = c.get("mode", "append")
     if mode == "append":
         t.append(df, partition_by=c.get("partition_by"),
-                 schema_evolution=c.get("schema_evolution"))
+                 schema_evolution=c.get("schema_evolution"),
+                 identifier_fields=c.get("identifier_fields"))
     elif mode == "upsert":
         keys = c.get("keys")
         if not keys:

@@ -945,6 +945,7 @@ class IcebergTable:
     def append(
         self, df: DataFrame, partition_by: list[str] | None = None,
         schema_evolution: dict | None = None,
+        identifier_fields: list[str] | None = None,
     ) -> dict:
         """Write df as parquet data files and commit one append
         snapshot. Returns the new table metadata dict.
@@ -952,6 +953,11 @@ class IcebergTable:
         `schema_evolution` carries the reference's evolution knobs
         (`schema_metadata`, `new_column_type_mapping`,
         `require_schema_metadata`) — see _resolve_new_column_types.
+
+        `identifier_fields` (creation only — reference config.go:124)
+        registers the table's identifier-field-ids and creates those
+        columns REQUIRED; null identifier values are rejected on
+        every write, even inserts.
 
         `partition_by` applies the identity partition transform
         (hive-style directories, typed partition values recorded in
@@ -996,6 +1002,37 @@ class IcebergTable:
                     f"got {new_norm}; the spec must stay consistent "
                     "across appends"
                 )
+        # identifier-column null rejection (reference config.go:124:
+        # "a null or missing value in an identifier column is
+        # rejected on write, even for insert")
+        if prev is None:
+            ident_names = list(identifier_fields or [])
+        else:
+            id_map = {f["id"]: f["name"]
+                      for f in prev_cur_schema["fields"]}
+            ident_names = [
+                id_map[fid]
+                for fid in prev_cur_schema.get("identifier-field-ids",
+                                               [])
+                if fid in id_map
+            ]
+        if ident_names:
+            missing = [f for f in ident_names if f not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"identifier column(s) {missing} missing from the "
+                    "batch — identifier fields are required on every "
+                    "write")
+            null_cond = None
+            for f in ident_names:
+                piece = F.col(f).isNull()
+                null_cond = piece if null_cond is None \
+                    else (null_cond | piece)
+            if df.filter(null_cond).limit(1).count() > 0:
+                raise ValueError(
+                    f"null value in identifier column(s) "
+                    f"{ident_names} — rejected on write (identifier "
+                    "columns are required, even for inserts)")
         commit_uuid = uuid.uuid4().hex
         staging = os.path.join(self.data_dir, f"stage-{commit_uuid}")
         src_types = {f.name: f.dataType for f in df.schema.fields}
@@ -1189,6 +1226,29 @@ class IcebergTable:
         if evolved:
             schema_id += 1
             schema["schema-id"] = schema_id
+        # identifier_fields (reference config.go:124): honored at
+        # table CREATION only — the named columns are created as
+        # REQUIRED and registered as the Iceberg identifier-field-ids
+        # so downstream engines see the primary key.  Pre-existing
+        # tables are never modified.
+        if prev is None and identifier_fields:
+            by_name = {x["name"]: x for x in schema["fields"]}
+            missing = [f for f in identifier_fields if f not in by_name]
+            if missing:
+                raise ValueError(
+                    f"identifier_fields {missing} are not present in "
+                    "the table being created; they must appear in the "
+                    "first batch or be declared in schema_metadata")
+            for f in identifier_fields:
+                by_name[f]["required"] = True
+            schema["identifier-field-ids"] = [
+                by_name[f]["id"] for f in identifier_fields]
+        elif prev is not None:
+            schema.setdefault(
+                "identifier-field-ids",
+                prev_schema.get("identifier-field-ids", []))
+            if not schema["identifier-field-ids"]:
+                schema.pop("identifier-field-ids")
 
         # attach column bounds now that field ids are resolved
         field_ids = {

@@ -700,3 +700,50 @@ def test_schema_evolution_date_from_epoch_days(spark, tmp_path):
     types = {f["name"]: f["type"]
              for f in t.metadata()["schemas"][-1]["fields"]}
     assert types["d"] == "date"
+
+
+def test_identifier_fields_on_creation(spark, tmp_path):
+    """identifier_fields (reference config.go:124): creation registers
+    identifier-field-ids, the columns become required, and null
+    identifier values are rejected on EVERY write — even inserts.
+    Pre-existing tables are never modified."""
+    import pytest
+
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "pk_tbl"))
+    meta = t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, v string"),
+        identifier_fields=["id"],
+    )
+    sch = meta["schemas"][-1]
+    ids = {f["name"]: f for f in sch["fields"]}
+    assert sch["identifier-field-ids"] == [ids["id"]["id"]]
+    assert ids["id"]["required"] is True
+    assert ids["v"]["required"] is False
+    # nulls in the identifier column are rejected on later appends
+    with pytest.raises(ValueError, match="null value in identifier"):
+        t.append(spark.createDataFrame(
+            [(None, "c")], "id long, v string"))
+    # a batch simply missing the identifier column is rejected too
+    with pytest.raises(ValueError, match="missing from the batch"):
+        t.append(spark.createDataFrame([("d",)], "v string"))
+    # valid appends land; identifier-field-ids persist
+    meta2 = t.append(spark.createDataFrame(
+        [(3, "c")], "id long, v string"))
+    cur = next(sc for sc in meta2["schemas"]
+               if sc["schema-id"] == meta2["current-schema-id"])
+    assert cur["identifier-field-ids"] == [ids["id"]["id"]]
+    assert t.read().count() == 3
+    # missing identifier column AT CREATION is a config error
+    t2 = IcebergTable(spark, str(tmp_path / "pk_missing"))
+    with pytest.raises(ValueError, match="identifier"):
+        t2.append(spark.createDataFrame([("x",)], "v string"),
+                  identifier_fields=["id"])
+    # null in the identifier column of the FIRST batch also rejected
+    t3 = IcebergTable(spark, str(tmp_path / "pk_null_first"))
+    with pytest.raises(ValueError, match="null value in identifier"):
+        t3.append(spark.createDataFrame(
+            [(None, "a")], "id long, v string"),
+            identifier_fields=["id"])
