@@ -124,6 +124,100 @@ def _fn_tracing_span() -> Column:
     )
 
 
+_CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def _crockford_chars(value: Column, n_chars: int) -> Column:
+    """Encode the low 5*n_chars bits of a non-negative long Column as
+    n_chars Crockford base32 characters (most significant first)."""
+    alphabet = F.split(F.lit(_CROCKFORD), "")
+    parts = []
+    for i in range(n_chars):
+        shift = 5 * (n_chars - 1 - i)
+        idx = (F.shiftrightunsigned(value, shift) % 32).cast("int")
+        parts.append(F.element_at(alphabet, idx + 1))
+    return F.concat(*parts)
+
+
+def _fn_ulid(encoding: Any = "crockford",
+             random_source: Any = "secure_random") -> Column:
+    """ulid() (reference `internal/impl/lang/bloblang.go:315-380`):
+    128-bit ULID = 48-bit millisecond timestamp + 80 random bits;
+    'crockford' → the canonical 26-char Base32 form (10 time chars +
+    16 random chars), 'hex' → 32 hex chars.  Randomness derives from
+    Spark's per-row uuid() (122 random bits — the engine's secure
+    generator; the reference's fast/secure knob selects entropy
+    sources, which Spark does not distinguish, so both accept)."""
+    if encoding not in ("crockford", "hex"):
+        raise BloblangError(f"invalid ulid encoding: {encoding}")
+    if random_source not in ("secure_random", "fast_random"):
+        raise BloblangError(
+            f"invalid randomness source: {random_source}")
+    ts = F.unix_millis(F.current_timestamp())
+    rnd_hex = F.upper(
+        F.regexp_replace(F.expr("uuid()"), "-", ""))  # 32 hex chars
+    if encoding == "hex":
+        return F.concat(
+            F.lpad(F.hex(ts), 12, "0"), F.substring(rnd_hex, 1, 20))
+    # crockford: 10 chars of 48-bit time, 16 chars of 80 random bits
+    time_part = _crockford_chars(ts.cast("bigint"), 10)
+    r1 = F.conv(F.substring(rnd_hex, 1, 10), 16, 10).cast("bigint")
+    r2 = F.conv(F.substring(rnd_hex, 11, 10), 16, 10).cast("bigint")
+    return F.concat(time_part, _crockford_chars(r1, 8),
+                    _crockford_chars(r2, 8))
+
+
+# bwmarrin/snowflake's default epoch (Twitter's), public constant
+_SNOWFLAKE_EPOCH_MS = 1288834974657
+
+
+def _fn_snowflake_id(node_id: Any = 1) -> Column:
+    """snowflake_id(node_id) (reference
+    `internal/impl/lang/bloblang.go:162-190`): 64-bit time-ordered id —
+    41 bits of ms since the Twitter epoch, 10 node bits, 12 sequence
+    bits — returned as a decimal string.  The distributed mapping: in
+    the reference one PROCESS is a generator node with a sequential
+    counter; here each Spark TASK is one — the node bits are
+    (node_id + spark_partition_id) mod 1024 and the sequence is
+    monotonically_increasing_id()'s per-partition counter, so ids are
+    unique for up to 1024 concurrent tasks × 4096 rows/ms/task (the
+    same per-node 4096/ms ceiling the real algorithm has)."""
+    if isinstance(node_id, Column):
+        base = node_id.cast("bigint")
+    else:
+        node_id = int(node_id)
+        if not 0 <= node_id <= 1023:
+            raise BloblangError(
+                f"snowflake_id node_id must be 0-1023, got {node_id}")
+        base = F.lit(node_id)
+    node = F.pmod(base + F.spark_partition_id(), F.lit(1024))
+    ts = F.unix_millis(F.current_timestamp()) - F.lit(
+        _SNOWFLAKE_EPOCH_MS)
+    seq = F.pmod(F.monotonically_increasing_id(), F.lit(4096))
+    return (
+        (ts * F.lit(1 << 22)) + (node * F.lit(1 << 12)) + seq
+    ).cast("string")
+
+
+def _fn_with_schema_registry_header(schema_id: Any,
+                                    message: Any) -> Column:
+    """with_schema_registry_header(schema_id, message) (reference
+    `internal/impl/confluent/bloblang.go:30-46`): prepend the
+    Confluent wire header — magic byte 0x00 + 4-byte big-endian
+    schema id — to the serialized message bytes."""
+    if not isinstance(schema_id, Column):
+        sid_val = int(schema_id)
+        if not 0 <= sid_val <= 0xFFFFFFFF:
+            raise BloblangError(
+                f"schema_id must be 0-4294967295, got {sid_val}")
+        sid = F.lit(sid_val)
+    else:
+        sid = schema_id.cast("bigint")
+    header = F.unhex(F.lpad(F.hex(sid.cast("bigint")), 8, "0"))
+    msg = message if isinstance(message, Column) else F.lit(message)
+    return F.concat(F.lit(bytes([0])), header, msg.cast("binary"))
+
+
 FUNCTIONS = {
     "now": _fn_now,
     "uuid_v4": _fn_uuid_v4,
@@ -135,6 +229,9 @@ FUNCTIONS = {
     "fake": _fn_fake,
     "tracing_id": _fn_tracing_id,
     "tracing_span": _fn_tracing_span,
+    "ulid": _fn_ulid,
+    "snowflake_id": _fn_snowflake_id,
+    "with_schema_registry_header": _fn_with_schema_registry_header,
 }
 
 

@@ -254,7 +254,8 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
 SUPPORTED_FUNCTIONS = frozenset(
     """json content range now timestamp_unix timestamp_unix_milli
     timestamp_unix_micro timestamp_unix_nano hostname env pi uuid_v4
-    nanoid ksuid counter random_int error errored throw""".split()
+    nanoid ksuid ulid snowflake_id with_schema_registry_header
+    counter random_int error errored throw""".split()
 )
 
 _COUNTERS: dict[str, int] = {}
@@ -339,6 +340,60 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
             n, r = divmod(n, 62)
             out = digits[r] + out
         return out.rjust(27, "0")
+    if name == "ulid":
+        # reference internal/impl/lang/bloblang.go:315-380
+        import secrets
+        import time as _time
+
+        encoding = str(args[0]) if args else "crockford"
+        source = str(args[1]) if len(args) > 1 else "secure_random"
+        if encoding not in ("crockford", "hex"):
+            raise BloblangValueError(
+                f"invalid ulid encoding: {encoding}")
+        if source not in ("secure_random", "fast_random"):
+            raise BloblangValueError(
+                f"invalid randomness source: {source}")
+        ts = int(_time.time() * 1000) & ((1 << 48) - 1)
+        rnd = secrets.randbits(80)
+        if encoding == "hex":
+            return f"{ts:012x}{rnd:020x}".upper()
+        v = (ts << 80) | rnd
+        enc = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+        return "".join(
+            enc[(v >> (5 * i)) & 31] for i in range(25, -1, -1))
+    if name == "snowflake_id":
+        # reference internal/impl/lang/bloblang.go:162-190
+        import time as _time
+
+        node = int(args[0]) if args else 1
+        if not 0 <= node <= 1023:
+            raise BloblangValueError(
+                f"snowflake_id node_id must be 0-1023, got {node}")
+        key = f"_snowflake_{node}"
+        _COUNTERS[key] = (_COUNTERS.get(key, -1) + 1) & 0xFFF
+        ts = int(_time.time() * 1000) - 1288834974657
+        return str((ts << 22) | (node << 12) | _COUNTERS[key])
+    if name == "with_schema_registry_header":
+        # reference internal/impl/confluent/bloblang.go:30-46
+        import struct as _st
+
+        if len(args) != 2:
+            raise BloblangValueError(
+                "with_schema_registry_header takes "
+                "(schema_id, message)")
+        sid = int(args[0])
+        if not 0 <= sid <= 0xFFFFFFFF:
+            raise BloblangValueError(
+                f"schema_id must be 0-4294967295, got {sid}")
+        msg = args[1]
+        if isinstance(msg, str):
+            msg = msg.encode("utf-8")
+        elif isinstance(msg, (bytes, bytearray)):
+            msg = bytes(msg)
+        else:
+            raise BloblangValueError(
+                "message must be bytes or string")
+        return b"\x00" + _st.pack(">I", sid) + msg
     if name == "counter":
         key = str(args[0]) if args else "default"
         _COUNTERS[key] = _COUNTERS.get(key, 0) + 1
