@@ -1850,9 +1850,13 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                 ]
                 for c in comps
             }
-        elif marker == 0xCB:
+        elif marker in (0xC3, 0xCB):
             raise ValueError(
-                "jpeg: lossless arithmetic coding not supported")
+                "jpeg: lossless mode not supported"
+                + (" (arithmetic)" if marker == 0xCB else ""))
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: differential/hierarchical modes not supported")
         elif marker == 0xCC:  # DAC — arithmetic conditioning tables
             j = 0
             while j + 1 < len(seg):

@@ -139,3 +139,27 @@ def test_conflict_rolls_back_local_snapshot(spark, catalog):
         spark, "ns", "r", spark.createDataFrame([(2,)], "id int"))
     got = sorted(r.id for r in IcebergTable(spark, loc).read().collect())
     assert got == [1, 2]
+
+
+def test_rest_commit_with_bucket_transform(spark, catalog):
+    """The full partition-transform grammar flows through the REST
+    catalog path (commit_append delegates to IcebergTable.append)."""
+    from connect_spark.functions.murmur3 import bucket_long
+    from connect_spark.sinks.iceberg_meta import IcebergTable
+
+    catalog.create_namespace("ns")
+    catalog.create_table("ns", "bkt", None)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "k long, v string")
+    catalog.commit_append(spark, "ns", "bkt", df,
+                          partition_by=["bucket(4, k)"])
+    loc = catalog.load_table("ns", "bkt")["metadata"]["location"]
+    t = IcebergTable(spark, loc)
+    spec = t._current_partition_spec()
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("k_bucket", "bucket[4]")]
+    got = t.scan([("k", "=", 5)])
+    assert [r.v for r in got.collect()] == ["v5"]
+    assert t._last_scan_file_count == sum(
+        1 for d in t.current_files()
+        if d["partition"]["k_bucket"] == bucket_long(5, 4))
