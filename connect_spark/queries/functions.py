@@ -416,3 +416,53 @@ QUERIES = [
     QuerySpec("fn_encoding_matrix", fn_encoding_matrix, ENCODING_SQL),
     QuerySpec("fn_array_matrix", fn_array_matrix, ARRAY_SQL),
 ]
+
+
+def fn_sr_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """with_schema_registry_header in the gate (round-11; reference
+    `internal/impl/confluent/bloblang.go:30-46`): every event's JSON
+    payload gets the Confluent wire header prepended through the
+    Bloblang function (magic 0x00 + big-endian uint32 schema id),
+    then the columns decode the header BACK out of the binary —
+    magic byte, schema id via hex/conv, payload length — so the
+    oracle pins the exact 5-byte layout arithmetically."""
+    from connect_spark.bloblang.compiler import (
+        _fn_with_schema_registry_header,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type")
+    framed = ev.withColumn(
+        "framed",
+        _fn_with_schema_registry_header(
+            (F.col("event_id") % 100000 + 7).cast("bigint"),
+            F.concat(F.lit('{"t":"'), F.col("event_type"), F.lit('"}')),
+        ),
+    )
+    return framed.select(
+        "event_id",
+        F.conv(F.hex(F.substring("framed", 1, 1)), 16, 10)
+        .cast("int").alias("magic"),
+        F.conv(F.hex(F.substring(F.col("framed"), 2, 4)), 16, 10)
+        .cast("bigint").alias("schema_id"),
+        F.length("framed").alias("framed_len"),
+        F.substring(F.col("framed"), 6, 1024).cast("string")
+        .alias("payload"),
+    )
+
+
+SR_HEADER_SQL = """
+SELECT event_id,
+       0 AS magic,
+       CAST(event_id % 100000 + 7 AS BIGINT) AS schema_id,
+       CAST(5 + length('{"t":"' || event_type || '"}') AS INT)
+           AS framed_len,
+       '{"t":"' || event_type || '"}' AS payload
+FROM events
+"""
+
+
+QUERIES += [
+    QuerySpec("fn_sr_header_roundtrip", fn_sr_header_roundtrip,
+              SR_HEADER_SQL),
+]
