@@ -405,3 +405,79 @@ def test_live_progressive_arith_battery(jpeg_oracle):
             hb, wb = len(want[cid]), len(want[cid][0])
             mine = [row[:wb] for row in got[cid][:hb]]
             assert mine == want[cid], (w, h, qual, samp, cid)
+
+
+# ---- property tests (hypothesis) -------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31),
+    )
+    def test_qm_encoder_decoder_roundtrip_property(w, h, seed):
+        """encode_jpeg_arith → decode must reproduce encode_jpeg's
+        (Huffman) decode exactly for ANY image — the two entropy
+        layers carry identical coefficients."""
+        import random
+
+        from connect_spark.text.media_codecs import (
+            encode_jpeg, encode_jpeg_arith,
+        )
+
+        rng = random.Random(seed)
+        px = [[(rng.randrange(256), rng.randrange(256),
+                rng.randrange(256)) for _ in range(w)]
+              for _ in range(h)]
+        da = decode_jpeg_pixels(encode_jpeg_arith(px))
+        dh = decode_jpeg_pixels(encode_jpeg(px))
+        assert da["pixels"] == dh["pixels"]
+        assert (da["width"], da["height"]) == (w, h)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def test_murmur3_matches_reference_tail_paths(data):
+        """murmur3_x86_32 over arbitrary byte strings: exercise every
+        tail length against an independent re-derivation (big-endian
+        block reassembly of the same algorithm)."""
+        from connect_spark.functions.murmur3 import murmur3_x86_32
+
+        # independent reimplementation with different structure:
+        # process via int.from_bytes on the whole buffer
+        def ref(b: bytes) -> int:
+            c1, c2 = 0xCC9E2D51, 0x1B873593
+            h = 0
+            full = len(b) // 4
+            for i in range(full):
+                k = int.from_bytes(b[4 * i:4 * i + 4], "little")
+                k = (k * c1) % 2**32
+                k = ((k << 15) % 2**32) | (k >> 17)
+                k = (k * c2) % 2**32
+                h ^= k
+                h = ((h << 13) % 2**32) | (h >> 19)
+                h = (h * 5 + 0xE6546B64) % 2**32
+            tail = b[full * 4:]
+            if tail:
+                k = int.from_bytes(tail, "little")
+                k = (k * c1) % 2**32
+                k = ((k << 15) % 2**32) | (k >> 17)
+                k = (k * c2) % 2**32
+                h ^= k
+            h ^= len(b)
+            h ^= h >> 16
+            h = (h * 0x85EBCA6B) % 2**32
+            h ^= h >> 13
+            h = (h * 0xC2B2AE35) % 2**32
+            return h ^ (h >> 16)
+
+        assert murmur3_x86_32(data) == ref(data)
