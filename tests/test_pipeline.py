@@ -559,9 +559,11 @@ def test_pyeval_function_subset():
     c1 = eval_mapping_value('root = counter("t_pyeval")', {})
     c2 = eval_mapping_value('root = counter("t_pyeval")', {})
     assert c2 == c1 + 1
-    # the fallback gate flags unknown functions too
-    assert unsupported_methods("root = snowflake_id()") == {
-        "snowflake_id()"}
+    # the fallback gate flags unknown functions too (snowflake_id
+    # was the example here until round 11 implemented it for real)
+    assert unsupported_methods("root = totally_unknown_fn()") == {
+        "totally_unknown_fn()"}
+    assert unsupported_methods("root = snowflake_id()") == set()
 
 
 def test_pyeval_catch_and_meta_gate():
