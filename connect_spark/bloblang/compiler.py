@@ -147,18 +147,25 @@ def _fn_ulid(encoding: Any = "crockford",
     16 random chars), 'hex' → 32 hex chars.  Randomness derives from
     Spark's per-row uuid() (122 random bits — the engine's secure
     generator; the reference's fast/secure knob selects entropy
-    sources, which Spark does not distinguish, so both accept)."""
+    sources, which Spark does not distinguish, so both accept).  The
+    v4 version nibble (hex char 13, always '4') and the variant
+    nibble (char 17, 2 fixed bits) are skipped so all 80 emitted
+    bits are genuinely random."""
     if encoding not in ("crockford", "hex"):
         raise BloblangError(f"invalid ulid encoding: {encoding}")
     if random_source not in ("secure_random", "fast_random"):
         raise BloblangError(
             f"invalid randomness source: {random_source}")
     ts = F.unix_millis(F.current_timestamp())
-    rnd_hex = F.upper(
+    raw_hex = F.upper(
         F.regexp_replace(F.expr("uuid()"), "-", ""))  # 32 hex chars
+    # 20 fully-random hex chars: drop the fixed version nibble
+    # (position 13) and variant nibble (position 17).
+    rnd_hex = F.concat(F.substring(raw_hex, 1, 12),
+                       F.substring(raw_hex, 14, 3),
+                       F.substring(raw_hex, 18, 5))
     if encoding == "hex":
-        return F.concat(
-            F.lpad(F.hex(ts), 12, "0"), F.substring(rnd_hex, 1, 20))
+        return F.concat(F.lpad(F.hex(ts), 12, "0"), rnd_hex)
     # crockford: 10 chars of 48-bit time, 16 chars of 80 random bits
     time_part = _crockford_chars(ts.cast("bigint"), 10)
     r1 = F.conv(F.substring(rnd_hex, 1, 10), 16, 10).cast("bigint")
@@ -177,11 +184,16 @@ def _fn_snowflake_id(node_id: Any = 1) -> Column:
     41 bits of ms since the Twitter epoch, 10 node bits, 12 sequence
     bits — returned as a decimal string.  The distributed mapping: in
     the reference one PROCESS is a generator node with a sequential
-    counter; here each Spark TASK is one — the node bits are
-    (node_id + spark_partition_id) mod 1024 and the sequence is
-    monotonically_increasing_id()'s per-partition counter, so ids are
-    unique for up to 1024 concurrent tasks × 4096 rows/ms/task (the
-    same per-node 4096/ms ceiling the real algorithm has)."""
+    counter that BLOCKS until the next millisecond when the 4096/ms
+    sequence overflows; here each Spark TASK is one generator.  The
+    node bits are (node_id + spark_partition_id) mod 1024; the
+    per-partition row counter's overflow past 12 sequence bits is
+    folded into the millisecond field (row >> 12 extra ms — the
+    batch analogue of block-until-next-ms), and partitions that
+    alias to the same node (1024 apart) are separated by folding
+    (partition_id >> 10) into bit 33 of the virtual counter, so the
+    (timestamp, node, sequence) triple is injective over every
+    (partition, row) pair — no silent collisions at any row count."""
     if isinstance(node_id, Column):
         base = node_id.cast("bigint")
     else:
@@ -190,10 +202,18 @@ def _fn_snowflake_id(node_id: Any = 1) -> Column:
             raise BloblangError(
                 f"snowflake_id node_id must be 0-1023, got {node_id}")
         base = F.lit(node_id)
-    node = F.pmod(base + F.spark_partition_id(), F.lit(1024))
+    pid = F.spark_partition_id().cast("bigint")
+    node = F.pmod(base + pid, F.lit(1024))
     ts = F.unix_millis(F.current_timestamp()) - F.lit(
         _SNOWFLAKE_EPOCH_MS)
-    seq = F.pmod(F.monotonically_increasing_id(), F.lit(4096))
+    # monotonically_increasing_id = partition_id<<33 | row counter;
+    # keep the 33-bit row counter, then place partition_id>>10 (the
+    # node-alias group) above it so vrow is unique per (node, row).
+    row = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1))
+    vrow = row + F.shiftleft(F.shiftrightunsigned(pid, 10), 33)
+    seq = F.pmod(vrow, F.lit(4096))
+    ts = ts + F.shiftrightunsigned(vrow, 12)
     return (
         (ts * F.lit(1 << 22)) + (node * F.lit(1 << 12)) + seq
     ).cast("string")
@@ -204,7 +224,9 @@ def _fn_with_schema_registry_header(schema_id: Any,
     """with_schema_registry_header(schema_id, message) (reference
     `internal/impl/confluent/bloblang.go:30-46`): prepend the
     Confluent wire header — magic byte 0x00 + 4-byte big-endian
-    schema id — to the serialized message bytes."""
+    schema id — to the serialized message bytes.  Column-typed
+    schema ids are range-checked at runtime (raise_error) so an
+    out-of-uint32 value fails loudly, matching the literal path."""
     if not isinstance(schema_id, Column):
         sid_val = int(schema_id)
         if not 0 <= sid_val <= 0xFFFFFFFF:
@@ -213,6 +235,11 @@ def _fn_with_schema_registry_header(schema_id: Any,
         sid = F.lit(sid_val)
     else:
         sid = schema_id.cast("bigint")
+        sid = F.when(
+            (sid >= 0) & (sid <= F.lit(0xFFFFFFFF)), sid
+        ).otherwise(F.raise_error(F.concat(
+            F.lit("schema_id must be 0-4294967295, got "),
+            sid.cast("string"))))
     header = F.unhex(F.lpad(F.hex(sid.cast("bigint")), 8, "0"))
     msg = message if isinstance(message, Column) else F.lit(message)
     return F.concat(F.lit(bytes([0])), header, msg.cast("binary"))

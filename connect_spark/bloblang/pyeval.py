@@ -370,9 +370,12 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
             raise BloblangValueError(
                 f"snowflake_id node_id must be 0-1023, got {node}")
         key = f"_snowflake_{node}"
-        _COUNTERS[key] = (_COUNTERS.get(key, -1) + 1) & 0xFFF
-        ts = int(_time.time() * 1000) - 1288834974657
-        return str((ts << 22) | (node << 12) | _COUNTERS[key])
+        _COUNTERS[key] = _COUNTERS.get(key, -1) + 1
+        count = _COUNTERS[key]
+        # overflow past 12 sequence bits advances the ms field —
+        # the batch analogue of the reference's block-until-next-ms
+        ts = int(_time.time() * 1000) - 1288834974657 + (count >> 12)
+        return str((ts << 22) | (node << 12) | (count & 0xFFF))
     if name == "with_schema_registry_header":
         # reference internal/impl/confluent/bloblang.go:30-46
         import struct as _st

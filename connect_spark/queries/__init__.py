@@ -38,26 +38,180 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 11 rotation (standing policy: never-verified first, then
-    # oldest driver green).  Window: (a) the 3 new round-11 queries
-    # with no driver row yet (Iceberg bucket partition transform,
-    # a2a_message, arithmetic-JPEG decode); (b) the 2 r5-latest rows
-    # — the oldest driver band, displaced from the r10 window and
-    # twice re-verified green beyond-window since; (c) the first 45
-    # of the 50 r7-latest rows (alphabetical within the band, the
-    # r10-prepared queue order).  3 + 2 + 45 = 50; zero overlap with
-    # the r10 window.  The 5 r7 rows the new queries displace
-    # (schema_registry_evolution, streaming_dedupe_keys,
-    # text_token_count_bpe, vocab_top_bigrams,
-    # window_tumbling_streamed — end of the band) head the round-12
-    # queue below and were re-verified GREEN beyond-window this
-    # round (PROGRESS.md; schema_registry_evolution was additionally
-    # judge-verified green in the round-10 session).
-    "iceberg_bucket_partition_roundtrip",
+    # Round 12 rotation (standing policy: never-verified first, then
+    # oldest driver green).  Window: (a) fn_sr_header_roundtrip — the
+    # only oracle-bearing query with no driver row (added r11 after
+    # that window froze; judge-verified green in the r11 session);
+    # (b) the 5 displaced r7 rows — the oldest driver band, twice
+    # re-verified green beyond-window since (r11 PROGRESS.md, judge
+    # replication); (c) 44 of the 47-row r8-latest band, alphabetical
+    # (the whole band was pre-audited green in one fresh driver_sim
+    # session, commit ce1d2a9).  1 + 5 + 44 = 50; zero overlap with
+    # the r11 window.  The 3 r8 rows the rotation displaces
+    # (window_session, window_sliding, window_tumbling_hourly) head the
+    # round-13 queue below and get beyond-window driver_sim audits
+    # this round (PROGRESS.md).
+    "fn_sr_header_roundtrip",
+    "schema_registry_evolution",
+    "streaming_dedupe_keys",
+    "text_token_count_bpe",
+    "vocab_top_bigrams",
+    "window_tumbling_streamed",
+    # r8-latest band (44 of 47, alphabetical)
+    "archive_json",
+    "archive_lines",
+    "bounds_check_filter",
+    "bpe_train_distributed",
+    "bpe_train_parity",
+    "bucketed_join_revenue",
+    "dedup_exact",
+    "dedup_semantic_keep",
+    "dedup_substring_spans",
+    "dedupe_first_per_user",
+    "error_model",
+    "fn_array_matrix",
+    "fn_encoding_matrix",
+    "fn_map_matrix",
+    "fn_number_matrix",
+    "fn_regex_matrix",
+    "fn_string_matrix",
+    "fn_timestamp_matrix",
+    "group_by_value_agg",
+    "join_anti_no_orders",
+    "join_enrichment_lookup",
+    "join_semi_big_spenders",
+    "join_sharded_full_outer",
+    "join_star_revenue_by_nation",
+    "mapping_project",
+    "migrator_acl_translate",
+    "migrator_end_to_end",
+    "migrator_group_offsets",
+    "migrator_id_translate",
+    "migrator_schema_sync",
+    "migrator_topic_sync",
+    "mixture_interleave_blocks",
+    "multimodal_audio_features",
+    "multimodal_bmp_resize",
+    "mutation_enrich",
+    "pipeline_pretrain_corpus",
+    "quality_stupid_backoff",
+    "sample_temperature_rebalance",
+    "select_parts_topk",
+    "snowflake_bdec_roundtrip",
+    "streaming_join_hydration",
+    "switch_route",
+    "unarchive_explode",
+    "window_daily_orders",
+    # --- 50-slot window boundary (round 12) --- everything below
+    # queues for round 13: first the 3 displaced r8 rows, then the
+    # r9-latest band, then r10, then r11 (deepest: freshest greens).
+    "window_session",
+    "window_sliding",
+    "window_tumbling_hourly",
+    # r9-latest band (50)
+    "amqp_envelope_events",
+    "ann_ivf_kmeans_probe",
+    "bloom_membership_probe",
+    "buffer_window_stamp",
+    "contamination_embedding",
+    "dataset_card_stats",
+    "dedup_line_removal",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dsir_importance_resample",
+    "ffi_libc_events",
+    "grouping_sets_orders",
+    "iceberg_commit_roundtrip",
+    "iceberg_metadata_count",
+    "iceberg_partitioned_scan",
+    "jmespath_project_events",
+    "join_salted_skew",
+    "kmeans_lloyd_clusters",
+    "kmeans_semdedup_keep",
+    "migrator_bundle_run",
+    "mongo_filter_orders",
+    "multimodal_gif_framesample",
+    "multimodal_mulaw_features",
+    "multimodal_png_resize",
+    "pagerank_purchase_graph",
+    "parse_log_events",
+    "pipeline_incremental_refresh",
+    "pipeline_semantic_curation",
+    "pipeline_yaml_route",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q1_pricing_summary",
+    "q20_excess_stock",
+    "q2_min_cost_supplier",
+    "quality_ppl_buckets",
+    "shard_shuffle_manifest",
+    "sketch_binned_quantiles",
+    "sketch_countmin_freq",
+    "sketch_hll_distinct",
+    "sketch_hll_merged",
+    "sketch_kmv_merged",
+    "streaming_cdc_to_iceberg",
+    "streaming_running_totals",
+    "streaming_session_window",
+    "timeseries_gapfill_locf",
+    "triangles_copurchase",
+    "unicode_segments_docs",
+    "wasm_transform_events",
+    # r10-latest band (50)
+    "ann_ivf_assign",
+    "ann_ivf_probe",
+    "ann_topk_bruteforce",
+    "archive_tar_roundtrip",
+    "asof_attribution",
+    "avro_roundtrip",
+    "batch_policy_bytes",
+    "branch_enrich_orders",
+    "cdc_binlog_decode",
+    "cdc_logminer_decode",
+    "cdc_pgoutput_decode",
+    "chunk_documents",
+    "chunk_markdown",
+    "chunk_recursive_character",
+    "compress_roundtrip",
+    "dedup_neardup_verified",
+    "embedding_neardup_pairs",
+    "funnel_signup_view_purchase",
+    "grok_extract_events",
+    "json_schema_events",
+    "kafka_recordbatch_roundtrip",
+    "msgpack_roundtrip",
+    "multimodal_frames",
+    "multimodal_jpeg_progressive",
+    "multimodal_jpeg_resize",
+    "multimodal_meta",
+    "multimodal_video_framesample",
+    "parse_logfmt_events",
+    "pivot_status_by_priority",
+    "protobuf_roundtrip",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "range_join_view_purchase",
+    "rollup_lineitem",
+    "schema_registry_avro",
+    "schema_registry_protobuf",
+    "setops_segments",
+    "sketch_kmv_distinct",
+    "sql_select_orders",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_token_count",
+    "uuid_v5_vectors",
+    "while_fixpoint",
+    "workflow_enrich_lineitem",
+    "xml_roundtrip",
+    # r11-latest band (50)
     "a2a_message_enrich",
-    "multimodal_jpeg_arith",
-    "quality_gopher_rules",
-    "contamination_13gram",
     "ai_chat_extract",
     "ai_embed_rerank",
     "amqp1_envelope_decode",
@@ -68,6 +222,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bloblang_eval_dynamic",
     "broker_wire_roundtrip",
     "cdc_materialize_orders",
+    "contamination_13gram",
     "dedup_cluster_resolve",
     "dedup_incremental",
     "dedup_training_set",
@@ -75,6 +230,7 @@ _DRIVER_PRIORITY: list[str] = [
     "geoip_enrich_events",
     "histogram_values",
     "html_extract_main",
+    "iceberg_bucket_partition_roundtrip",
     "iceberg_delete_roundtrip",
     "iceberg_upsert_roundtrip",
     "jq_project_events",
@@ -82,6 +238,7 @@ _DRIVER_PRIORITY: list[str] = [
     "jwt_sign_matrix",
     "kafka_read_committed",
     "mq_subject_route",
+    "multimodal_jpeg_arith",
     "multimodal_wav_decode",
     "pack_sequences",
     "percentiles_by_type",
@@ -100,69 +257,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "quality_bigram_lm",
+    "quality_gopher_rules",
     "quality_repetition_rules",
     "retention_cohorts",
     "sample_stratified",
-    # --- 50-slot window boundary (round 11) --- everything below
-    # queues for round 12: first the 5 displaced r7 rows (re-verified
-    # green beyond-window this round), then the r8-latest band.
-    "schema_registry_evolution",
-    "streaming_dedupe_keys",
-    "text_token_count_bpe",
-    "vocab_top_bigrams",
-    "window_tumbling_streamed",
-    # r10 window (r10-latest rows, verified last round — deepest
-    # queue position after the r8 band rotates in round 12/13)
-    "multimodal_jpeg_resize",
-    "while_fixpoint",
-    "batch_policy_bytes",
-    "multimodal_video_framesample",
-    "multimodal_jpeg_progressive",
-    "branch_enrich_orders",
-    "uuid_v5_vectors",
-    "parse_logfmt_events",
-    "dedup_neardup_verified",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_meta",
-    "multimodal_frames",
-    "ann_topk_bruteforce",
-    "embedding_neardup_pairs",
-    "ann_ivf_assign",
-    "ann_ivf_probe",
-    "pivot_status_by_priority",
-    "rollup_lineitem",
-    "setops_segments",
-    "workflow_enrich_lineitem",
-    "sql_select_orders",
-    "grok_extract_events",
-    "chunk_documents",
-    "chunk_recursive_character",
-    "chunk_markdown",
-    "compress_roundtrip",
-    "asof_attribution",
-    "archive_tar_roundtrip",
-    "xml_roundtrip",
-    "json_schema_events",
-    "avro_roundtrip",
-    "schema_registry_avro",
-    "schema_registry_protobuf",
-    "protobuf_roundtrip",
-    "msgpack_roundtrip",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "range_join_view_purchase",
-    "funnel_signup_view_purchase",
-    "sketch_kmv_distinct",
-    "cdc_pgoutput_decode",
-    "cdc_binlog_decode",
-    "cdc_logminer_decode",
-    "kafka_recordbatch_roundtrip",
-    "text_pii_scrub",
 ]
 
 

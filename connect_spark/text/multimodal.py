@@ -234,6 +234,10 @@ FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
+        # index of the SOURCE frame this row carries: differs from
+        # frame_idx only when a short stream cycles to pad the
+        # n_frames contract, making repetition visible downstream
+        T.StructField("source_frame", T.IntegerType()),
         T.StructField("ts_ms", T.LongType()),
         T.StructField("frame", T.BinaryType()),
     ]
@@ -285,7 +289,7 @@ def sample_frames(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, tss, frames = [], [], [], []
+            ids, idxs, srcs, tss, frames = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload or b"")
                 if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
@@ -294,12 +298,18 @@ def sample_frames(
                         step = (1000 // fps) if fps else frame_interval_ms
                         # one row explodes to EXACTLY n_frames rows
                         # (the documented contract, same as the stub
-                        # path): short streams cycle their chunks
+                        # path): short streams cycle their chunks —
+                        # source_frame records the true chunk index
+                        # and ts_ms the true stream position, so a
+                        # repeated frame is distinguishable and never
+                        # carries a fabricated past-end timestamp
                         for i in range(n_frames):
+                            src = i % len(chunks)
                             ids.append(mid)
                             idxs.append(i)
-                            tss.append(i * step)
-                            frames.append(chunks[i % len(chunks)])
+                            srcs.append(src)
+                            tss.append(src * step)
+                            frames.append(chunks[src])
                         continue
                     # zero video chunks: fall through to the stub path
                 if not decode_stub:
@@ -312,12 +322,14 @@ def sample_frames(
                 for i in range(n_frames):
                     ids.append(mid)
                     idxs.append(i)
+                    srcs.append(i)
                     tss.append(i * frame_interval_ms)
                     frames.append(raw[i * chunk:(i + 1) * chunk])
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "frame_idx": idxs,
+                    "source_frame": srcs,
                     "ts_ms": tss,
                     "frame": frames,
                 }

@@ -87,3 +87,49 @@ def test_pyeval_versions():
     a = int(eval_mapping_value("root = snowflake_id(7)", {}))
     b = int(eval_mapping_value("root = snowflake_id(7)", {}))
     assert a != b
+
+
+def test_snowflake_id_unique_past_sequence_wrap(spark):
+    """Round-11 ADVICE #1: >4096 rows per partition must not collide —
+    the row counter's overflow folds into the millisecond field (the
+    batch analogue of the reference's block-until-next-ms)."""
+    df = spark.range(0, 10000, 1, 2)  # 5000 rows/partition > 4096
+    rows = compile_mapping(
+        df, "root.sid = snowflake_id(3)\nroot.x = this.id").collect()
+    ids = [int(r.sid) for r in rows]
+    assert len(set(ids)) == 10000
+    # rows k and k+4096 of one partition differ by exactly 1 virtual ms
+    by_ms = {}
+    for v in ids:
+        by_ms.setdefault(v >> 22, 0)
+        by_ms[v >> 22] += 1
+    assert all(c <= 4096 * 1024 for c in by_ms.values())
+
+
+def test_snowflake_id_unique_across_node_alias_partitions(spark):
+    """Partitions 1024 apart share node bits; the partition_id>>10
+    group folds into the virtual counter so they cannot collide."""
+    df = spark.range(0, 4200, 1, 1050)  # partitions 0..1049, 4 rows each
+    rows = compile_mapping(
+        df, "root.sid = snowflake_id(0)\nroot.x = this.id").collect()
+    ids = [int(r.sid) for r in rows]
+    assert len(set(ids)) == 4200
+
+
+def test_sr_header_column_path_range_checked(spark):
+    """Round-11 ADVICE #3: a Column-typed schema_id out of uint32
+    range fails loudly instead of silently truncating."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame([(4294967296,)], "sid long")
+    bad = compile_mapping(
+        df, 'root.h = with_schema_registry_header(this.sid, "m")')
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="schema_id|USER_RAISED"):
+        bad.collect()
+    # in-range Column values still encode correctly
+    ok = compile_mapping(
+        spark.createDataFrame([(123,)], "sid long"),
+        'root.h = with_schema_registry_header(this.sid, "m")').collect()
+    assert bytes(ok[0].h) == b"\x00" + struct.pack(">I", 123) + b"m"

@@ -527,7 +527,10 @@ def test_sample_frames_cycles_short_avi(spark):
     # cycled frames repeat the chunk bytes modulo len(chunks)
     assert bytes(rows[3]["frame"]) == bytes(rows[0]["frame"])
     assert bytes(rows[4]["frame"]) == bytes(rows[1]["frame"])
-    assert [r["ts_ms"] for r in rows] == [0, 100, 200, 300, 400]
+    # repetition is visible: source_frame records the true chunk
+    # index and ts_ms its true stream position (round-11 ADVICE #4)
+    assert [r["source_frame"] for r in rows] == [0, 1, 2, 0, 1]
+    assert [r["ts_ms"] for r in rows] == [0, 100, 200, 0, 100]
 
 
 def test_resize_media_rewrites_jpeg_mime_to_png(spark):
