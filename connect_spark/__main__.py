@@ -20,6 +20,7 @@ stdin JSON documents (one per line) like `rpk connect blobl`.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -192,6 +193,10 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("config")
     run_p.add_argument("--limit", type=int, default=20)
     run_p.add_argument(
+        "--rpcplugin", action="append", default=[], metavar="GLOB",
+        help="plugin manifest path/glob to register before the run "
+        "(repeatable; the reference's run --rpcplugin flag)")
+    run_p.add_argument(
         "--set", "-s", action="append", default=[], dest="overrides",
         metavar="PATH=VALUE",
         help="override a config field by dotted path "
@@ -200,6 +205,9 @@ def main(argv: list[str] | None = None) -> int:
     test_p.add_argument("suite")
     lint_p = sub.add_parser("lint", help="validate configs statically")
     lint_p.add_argument("configs", nargs="+")
+    lint_p.add_argument(
+        "--rpcplugin", action="append", default=[], metavar="GLOB",
+        help="plugin manifest path/glob to register before linting")
     list_p = sub.add_parser("list", help="list registered components")
     list_p.add_argument("section", nargs="?", default=None)
     echo_p = sub.add_parser("echo", help="parse + re-emit a config")
@@ -224,7 +232,53 @@ def main(argv: list[str] | None = None) -> int:
     streams_p.add_argument("dir")
     streams_p.add_argument("--port", type=int, default=0)
     streams_p.add_argument("--port-file", default=None)
+    plugin_p = sub.add_parser(
+        "plugin",
+        help="manage out-of-process plugin projects "
+        "(the reference's `plugin init` verb)")
+    plugin_sub = plugin_p.add_subparsers(dest="plugin_cmd",
+                                         required=True)
+    pinit_p = plugin_sub.add_parser(
+        "init", help="create a plugin project in a directory")
+    pinit_p.add_argument("directory")
+    pinit_p.add_argument("--language", "-l", default="python")
+    pinit_p.add_argument(
+        "--component", "-c", default="processor",
+        help="input, processor or output")
+    dry_p = sub.add_parser(
+        "dry_run",
+        help="construct every component of each config without "
+        "executing (deep build check, beyond lint)")
+    dry_p.add_argument("configs", nargs="+")
+    dry_p.add_argument(
+        "--rpcplugin", action="append", default=[], metavar="GLOB",
+        help="plugin manifest path/glob to register first")
     args = parser.parse_args(argv)
+
+    if args.cmd == "plugin":
+        from connect_spark.plans.pipeline import PipelineConfigError
+        from connect_spark.plans.rpcplugin_templates import (
+            initialize_project,
+        )
+
+        try:
+            path = initialize_project(
+                args.language, args.component, args.directory)
+        except PipelineConfigError as exc:
+            print(f"plugin init: {exc}")
+            return 1
+        print(f"plugin `{os.path.basename(path)}` created at `{path}`")
+        print("run the plugin using `python -m connect_spark run "
+              "--rpcplugin=./plugin.yaml connect.yaml` in the plugin "
+              "directory")
+        return 0
+
+    if getattr(args, "rpcplugin", None):
+        from connect_spark.plans.rpcplugin import (
+            discover_and_register_plugins,
+        )
+
+        discover_and_register_plugins(args.rpcplugin)
 
     if args.cmd == "lint":
         import yaml
@@ -307,9 +361,43 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("connect_spark_cli")
 
+    if args.cmd == "dry_run":
+        # dry_run verb (reference internal/cli/enterprise.go:239):
+        # deeper than lint — every component is CONSTRUCTED (resources
+        # resolved, Bloblang compiled, the lazy input+processor plan
+        # built) but nothing executes. Catches configs that lint
+        # (known kinds, right shapes) yet cannot build (bad mapping
+        # syntax, missing columns, unresolvable resources).
+        import yaml
+
+        from connect_spark.plans import build_pipeline
+        from connect_spark.plans.pipeline import interpolate_env_vars
+
+        ok = True
+        for path in args.configs:
+            with open(path, encoding="utf-8") as fh:
+                config = yaml.safe_load(
+                    interpolate_env_vars(fh.read())) or {}
+            errs = lint_config(config)
+            if errs:
+                ok = False
+                for err in errs:
+                    print(f"{path}: lint: {err}")
+                continue
+            try:
+                df = build_pipeline(spark, config).dataframe()
+                df.schema  # force analysis of the lazy plan
+            except Exception as exc:
+                ok = False
+                print(f"{path}: build: {exc}")
+                continue
+            print(f"{path}: OK "
+                  f"({len(df.schema.fields)} output columns before "
+                  f"the output component)")
+        return 0 if ok else 1
+
     if args.cmd == "streams":
         import glob
-        import os
 
         from connect_spark.streams_mode import StreamsServer
 

@@ -50,7 +50,11 @@ _DRIVER_PRIORITY: list[str] = [
     # the r11 window.  The 3 r8 rows the rotation displaces
     # (window_session, window_sliding, window_tumbling_hourly) head the
     # round-13 queue below and get beyond-window driver_sim audits
-    # this round (PROGRESS.md).
+    # this round (PROGRESS.md).  The NEW r12 gates (rpcplugin,
+    # agent-mode) join group (a) — never-driver-verified — displacing
+    # the same count of r8 rows from the window tail to the r13 queue
+    # head (each displaced row re-verified beyond-window, PROGRESS.md).
+    "rpcplugin_processor_docs",
     "fn_sr_header_roundtrip",
     "schema_registry_evolution",
     "streaming_dedupe_keys",
@@ -101,10 +105,10 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_join_hydration",
     "switch_route",
     "unarchive_explode",
-    "window_daily_orders",
     # --- 50-slot window boundary (round 12) --- everything below
-    # queues for round 13: first the 3 displaced r8 rows, then the
+    # queues for round 13: first the displaced r8 rows, then the
     # r9-latest band, then r10, then r11 (deepest: freshest greens).
+    "window_daily_orders",
     "window_session",
     "window_sliding",
     "window_tumbling_hourly",

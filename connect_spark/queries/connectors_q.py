@@ -519,3 +519,88 @@ QUERIES = [
     QuerySpec("broker_wire_roundtrip", broker_wire_roundtrip,
               BROKER_WIRE_SQL),
 ]
+
+
+_RPCPLUGIN_SCRIPT = '''\
+import json, sys
+CFG = {}
+for line in sys.stdin:
+    if not line.strip():
+        continue
+    req = json.loads(line)
+    rid, m, p = req["id"], req["method"], req.get("params") or {}
+    res = {}
+    if m == "init":
+        CFG.update(p.get("config") or {})
+    elif m == "process_batch":
+        out = []
+        for msg in (p.get("batch") or {}).get("messages") or []:
+            d = msg["structured"]
+            t = d.get("text") or ""
+            out.append({"structured": {
+                "doc_id": d["doc_id"],
+                "head_rev": t[:12][::-1] + CFG.get("tag", ""),
+                "n_upper": sum(1 for c in t
+                               if "A" <= c <= "Z"),
+                "text_chars": len(t),
+            }, "metadata": {}})
+        res = {"batches": [{"messages": out}]}
+    sys.stdout.write(json.dumps(
+        {"id": rid, "result": res, "error": None}) + "\\n")
+    sys.stdout.flush()
+    if m == "close":
+        break
+'''
+
+
+def rpcplugin_processor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-process RPC plugin processor
+    (plans/rpcplugin.py::make_processor_plugin; reference
+    internal/rpcplugin/processor.go): a REAL child python process per
+    partition stream transforms every document over the NDJSON-stdio
+    protocol — reversed 12-char head + a config-field tag, ASCII
+    uppercase count, char count.  The oracle recomputes all three in
+    SQL, so the whole manifest → field-spec → host → wire → typed
+    output_schema chain is value-checked.
+
+    Scale: one child per executor-core partition stream (narrow
+    mapInPandas, zero shuffle) — the reference hosts ONE plugin
+    process for the whole stream; this scales out per core."""
+    import os
+    import sys
+    import tempfile
+
+    from connect_spark.plans.rpcplugin import (
+        make_processor_plugin, parse_manifest)
+
+    pdir = os.path.join(tempfile.gettempdir(), "cs_rpcplugin_gate")
+    os.makedirs(pdir, exist_ok=True)
+    script = os.path.join(pdir, "main.py")
+    with open(script, "w", encoding="utf-8") as fh:
+        fh.write(_RPCPLUGIN_SCRIPT)
+    manifest = parse_manifest({
+        "name": "doc_stats_plugin",
+        "command": [sys.executable, script],
+        "type": "processor",
+        "fields": [{"name": "tag", "type": "string", "default": ""}],
+        "output_schema": ("doc_id BIGINT, head_rev STRING, "
+                          "n_upper INT, text_chars INT"),
+    })
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    return make_processor_plugin(manifest)(docs, {"tag": "|r12"})
+
+
+RPCPLUGIN_SQL = """
+SELECT doc_id,
+       reverse(substr(text, 1, 12)) || '|r12' AS head_rev,
+       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INT)
+           AS n_upper,
+       CAST(length(text) AS INT) AS text_chars
+FROM documents
+"""
+
+
+QUERIES.append(
+    QuerySpec("rpcplugin_processor_docs", rpcplugin_processor_docs,
+              RPCPLUGIN_SQL))

@@ -181,3 +181,46 @@ def test_lint_resource_sections():
     assert len(errs) == 2
     assert any("bogus_in" in e for e in errs)
     assert any("mappin" in e for e in errs)
+
+
+def test_dry_run_healthy_config(tmp_path, capsys):
+    """dry_run (reference internal/cli/enterprise.go:239): a config
+    that lints AND builds reports OK with its pre-output schema."""
+    cfg = tmp_path / "ok.yaml"
+    cfg.write_text(
+        "input:\n  generate:\n    count: 2\n"
+        "    mapping: 'root.n = counter()'\n"
+        "pipeline:\n  processors:\n"
+        "    - mapping: 'root.n2 = this.n * 2'\n"
+        "output:\n  memory: {}\n"
+    )
+    assert main(["dry_run", str(cfg)]) == 0
+    out = capsys.readouterr().out
+    assert "OK" in out and "output columns" in out
+
+
+def test_dry_run_catches_unbuildable_mapping(tmp_path, capsys):
+    """The case lint can NOT catch: the kind is known and the shape is
+    right, but the Bloblang doesn't compile — dry_run constructs the
+    component and fails."""
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text(
+        "input:\n  generate:\n    count: 2\n"
+        "    mapping: 'root.n = counter()'\n"
+        "pipeline:\n  processors:\n"
+        "    - mapping: 'root.x = this.n |||| broken ('\n"
+        "output:\n  memory: {}\n"
+    )
+    from connect_spark.__main__ import lint_config
+    import yaml
+    assert lint_config(yaml.safe_load(cfg.read_text())) == []  # lints!
+    assert main(["dry_run", str(cfg)]) == 1
+    out = capsys.readouterr().out
+    assert "build:" in out
+
+
+def test_dry_run_catches_unknown_kind_via_lint(tmp_path, capsys):
+    cfg = tmp_path / "unk.yaml"
+    cfg.write_text("input:\n  not_a_real_input: {}\noutput:\n  memory: {}\n")
+    assert main(["dry_run", str(cfg)]) == 1
+    assert "lint:" in capsys.readouterr().out
