@@ -245,6 +245,19 @@ def main(argv: list[str] | None = None) -> int:
     pinit_p.add_argument(
         "--component", "-c", default="processor",
         help="input, processor or output")
+    agent_p = sub.add_parser(
+        "agent",
+        help="agent mode: python agents wired to inputs/outputs with "
+        "MCP tools (the reference's `agent init|run` verbs)")
+    agent_sub = agent_p.add_subparsers(dest="agent_cmd", required=True)
+    ainit_p = agent_sub.add_parser(
+        "init", help="initialize an agent project directory")
+    ainit_p.add_argument("directory", nargs="?", default=".")
+    ainit_p.add_argument("--name", default=None)
+    arun_p = agent_sub.add_parser(
+        "run", help="run every agent in a project directory")
+    arun_p.add_argument("directory", nargs="?", default=".")
+    arun_p.add_argument("--limit", type=int, default=20)
     dry_p = sub.add_parser(
         "dry_run",
         help="construct every component of each config without "
@@ -271,6 +284,15 @@ def main(argv: list[str] | None = None) -> int:
         print("run the plugin using `python -m connect_spark run "
               "--rpcplugin=./plugin.yaml connect.yaml` in the plugin "
               "directory")
+        return 0
+
+    if args.cmd == "agent" and args.agent_cmd == "init":
+        from connect_spark.agent_mode import create_template
+
+        path = create_template(args.directory, args.name)
+        print(f"agent project created at `{path}`")
+        print("run it using `python -m connect_spark agent run "
+              f"{args.directory}`")
         return 0
 
     if getattr(args, "rpcplugin", None):
@@ -360,6 +382,16 @@ def main(argv: list[str] | None = None) -> int:
     from connect_spark.session import get_spark
 
     spark = get_spark("connect_spark_cli")
+
+    if args.cmd == "agent":  # agent run (init returned above)
+        from connect_spark.agent_mode import run_agents
+
+        results = run_agents(spark, args.directory)
+        for name, df in results.items():
+            print(f"== agent {name}")
+            if df is not None:
+                df.show(args.limit, truncate=False)
+        return 0
 
     if args.cmd == "dry_run":
         # dry_run verb (reference internal/cli/enterprise.go:239):

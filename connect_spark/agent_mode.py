@@ -1,0 +1,432 @@
+"""Agent mode (reference `internal/agent/agent.go:40-110` RunAgent +
+`agent_processor.go` `redpanda_agent_runtime` + `internal/cli/
+agent.go` `agent init|run`): a repository directory holds
+`redpanda_agents.yaml` (per-agent input / tools / output), python
+agent entrypoints under `agents/`, and MCP tool resources under
+`mcp/resources/processors/*.yaml` (label + processors +
+meta.mcp.enabled).  `agent run` builds one pipeline per agent whose
+processor hosts the agent script as a child process wired to an MCP
+tool server restricted to that agent's `tools` list.
+
+Spark-first mapping:
+- the `redpanda_agent_runtime` PROCESSOR hosts the agent child over
+  the same NDJSON-stdio wire as RPC plugins (plans/rpcplugin.py) with
+  one extra method — `invoke_agent` (one message in, one out,
+  mirroring agentruntimepb.InvokeAgentRequest/Response) — and the
+  MCP server address in CONNECT_SPARK_AGENT_MCP_SERVER (reference:
+  REDPANDA_CONNECT_AGENT_RUNTIME_MCP_SERVER, agent_processor.go:139).
+  Hosting rides mapInPandas: one child per executor-core partition
+  stream (the reference hosts ONE child; local-mode MCP on 127.0.0.1
+  is reachable from every executor thread — on a multi-node cluster
+  the tool server address must be cluster-reachable, same topology
+  requirement as the reference's single-host design).
+- the tool server reuses the §3.3 ToolServer HTTP surface
+  (GET /tools, POST /tools/<name>) over the reference's RESOURCE
+  shape: mapping-only tool chains evaluate scalar-fast through the
+  Bloblang dynamic evaluator (a tool call is one message — a scalar
+  evaluation, not a Spark job); other processor chains fall back to
+  a one-row DataFrame through the real processor registry.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from connect_spark.plans.pipeline import (
+    PipelineConfigError,
+    processor,
+)
+
+AGENT_MCP_ENV = "CONNECT_SPARK_AGENT_MCP_SERVER"
+
+
+# --------------------------------------------------------------------
+# MCP tool registry over the reference's resource shape
+# --------------------------------------------------------------------
+
+
+class AgentToolRegistry:
+    """Tools from `mcp/resources/**/*.yaml` files shaped like the
+    reference's (template/mcp/resources/processors/
+    check_weather_tool.yaml): `label`, `processors`, and
+    `meta.mcp.{enabled,description}`; only enabled tools register,
+    and an allow-list (the agent's `tools`) filters further
+    (agent.go:97-99)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark
+        self._tools: dict[str, dict[str, Any]] = {}
+
+    def load_dir(self, mcp_dir: str,
+                 allowed: list[str] | None = None) -> int:
+        import yaml
+
+        n = 0
+        pattern = os.path.join(mcp_dir, "resources", "**", "*.yaml")
+        for p in sorted(glob.glob(pattern, recursive=True)):
+            with open(p, encoding="utf-8") as fh:
+                doc = yaml.safe_load(fh) or {}
+            meta = (doc.get("meta") or {}).get("mcp") or {}
+            label = doc.get("label")
+            if not label or not meta.get("enabled"):
+                continue
+            if allowed is not None and label not in allowed:
+                continue
+            self._tools[label] = {
+                "processors": doc.get("processors") or [],
+                "description": meta.get("description", ""),
+            }
+            n += 1
+        return n
+
+    def list(self) -> list[dict[str, str]]:
+        return [{"name": k, "description": v["description"]}
+                for k, v in sorted(self._tools.items())]
+
+    def invoke(self, name: str, content: str) -> str:
+        tool = self._tools.get(name)
+        if tool is None:
+            raise PipelineConfigError(f"unknown tool {name!r}")
+        specs = tool["processors"]
+        if all(isinstance(s, dict) and set(s) <= {"mapping", "label"}
+               and "mapping" in s for s in specs):
+            # scalar fast path: one message through the dynamic
+            # Bloblang evaluator — no Spark job per tool call
+            from connect_spark.bloblang.pyeval import eval_mapping_value
+
+            try:
+                doc: Any = json.loads(content)
+            except ValueError:
+                doc = content
+            for s in specs:
+                doc = eval_mapping_value(s["mapping"], doc)
+            return doc if isinstance(doc, str) else json.dumps(
+                doc, sort_keys=True, separators=(",", ":"))
+        # general path: a one-row frame through the real registry
+        if self.spark is None:
+            raise PipelineConfigError(
+                f"tool {name!r} needs a SparkSession (non-mapping "
+                "processors)")
+        from connect_spark.plans.pipeline import apply_processor
+
+        df = self.spark.createDataFrame([(content,)], "content STRING")
+        for s in specs:
+            df = apply_processor(df, s)
+        rows = df.limit(1).collect()
+        if not rows:
+            return ""
+        val = rows[0][0]
+        return val if isinstance(val, str) else json.dumps(val)
+
+    # ---- HTTP endpoint (same envelope as toolserver.py) -------------
+
+    def handle(self, verb: str, path: str,
+               body: str = "") -> tuple[int, dict]:
+        if verb == "GET" and path == "/tools":
+            return 200, {"tools": self.list()}
+        if verb == "POST" and path.startswith("/tools/"):
+            name = path[len("/tools/"):]
+            try:
+                args = json.loads(body) if body else {}
+            except ValueError as exc:
+                return 400, {"error": f"invalid JSON body: {exc}"}
+            try:
+                out = self.invoke(name, str(args.get("content", "")))
+            except PipelineConfigError as exc:
+                return 404, {"error": str(exc)}
+            except Exception as exc:  # noqa: BLE001 — HTTP boundary
+                return 500, {"error": f"{type(exc).__name__}: {exc}"}
+            return 200, {"content": out}
+        return 404, {"error": f"unhandled {verb} {path}"}
+
+    def serve(self, port: int = 0):
+        import http.server
+        import threading
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _respond(self):
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length).decode() if length else ""
+                status, doc = outer.handle(self.command, self.path, body)
+                payload = json.dumps(doc).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            do_GET = do_POST = _respond  # noqa: N815 — stdlib API
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", port),
+                                              Handler)
+        srv.daemon_threads = True
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, srv.server_address[1]
+
+
+# --------------------------------------------------------------------
+# the redpanda_agent_runtime processor
+# --------------------------------------------------------------------
+
+
+@processor("redpanda_agent_runtime")
+def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
+    """agent_processor.go:33-40 — fields `command`, `mcp_server`,
+    `cwd`; hosts the agent child and round-trips each message through
+    `invoke_agent`.  Distributed: one child per partition stream."""
+    if not isinstance(conf, dict) or not conf.get("command"):
+        raise PipelineConfigError(
+            "redpanda_agent_runtime: command must be specified")
+    command = list(conf["command"])
+    mcp_server = conf.get("mcp_server", "")
+    cwd = conf.get("cwd", "")
+    out_schema = conf.get("output_schema", "")
+
+    from connect_spark.plans.rpcplugin import (
+        _GENERIC_SCHEMA,
+        _messages_to_pdf,
+        _rows_to_messages,
+        _typed_output,
+        PluginClient,
+    )
+
+    def run(batches):
+        client = PluginClient(command, cwd,
+                              env={AGENT_MCP_ENV: mcp_server})
+        client.start()
+        client.call("init", config={"mcp_server": mcp_server})
+        try:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = []
+                # one InvokeAgent per message (agent_plugin.go:33 —
+                # the agent protocol is strictly message-at-a-time)
+                for msg in _rows_to_messages(pdf):
+                    resp = client.call("invoke_agent", message=msg)
+                    out.append(resp.get("message") or {})
+                yield _messages_to_pdf(out)
+        finally:
+            client.close()
+
+    result = df.mapInPandas(run, _GENERIC_SCHEMA)
+    if out_schema:
+        result = _typed_output(result, out_schema)
+    return result
+
+
+# --------------------------------------------------------------------
+# agent run (agent.go RunAgent)
+# --------------------------------------------------------------------
+
+
+def run_agents(spark: SparkSession, repo_dir: str,
+               agent_filter: list[str] | None = None,
+               ) -> dict[str, DataFrame | None]:
+    """Read `redpanda_agents.yaml`, then per agent: serve an MCP tool
+    server restricted to the agent's `tools`, build input →
+    redpanda_agent_runtime → output, and run it.  Returns each
+    agent's result frame (memory outputs) by name.  Agents with
+    bounded inputs run to completion sequentially — the CLI analog
+    of the reference's errgroup of streams."""
+    import sys
+
+    import yaml
+
+    from connect_spark.plans import build_pipeline
+
+    cfg_path = os.path.join(repo_dir, "redpanda_agents.yaml")
+    if not os.path.exists(cfg_path):
+        raise PipelineConfigError(
+            f"reading {cfg_path} (are you in the right directory?)")
+    with open(cfg_path, encoding="utf-8") as fh:
+        config = yaml.safe_load(fh) or {}
+    agents = config.get("agents") or {}
+    results: dict[str, DataFrame | None] = {}
+    for name, agent in agents.items():
+        if agent_filter is not None and name not in agent_filter:
+            continue
+        registry = AgentToolRegistry(spark)
+        registry.load_dir(os.path.join(repo_dir, "mcp"),
+                          allowed=agent.get("tools"))
+        srv, port = registry.serve(0)
+        try:
+            # agent.go:161-168: the runtime processor is templated in
+            # with $NAME / $PORT / $CWD
+            pipeline_cfg = {
+                "input": agent["input"],
+                "pipeline": {"processors": [
+                    {"redpanda_agent_runtime": {
+                        "command": [sys.executable,
+                                    os.path.join("agents",
+                                                 f"{name}.py")],
+                        "mcp_server":
+                            f"http://127.0.0.1:{port}/tools",
+                        "cwd": repo_dir,
+                    }},
+                ]},
+                "output": agent.get("output") or {"memory": {}},
+            }
+            result = build_pipeline(spark, pipeline_cfg).run()
+            if result is not None:
+                # materialize NOW, while this agent's tool server is
+                # still serving — memory outputs are lazy, and the
+                # children dial the MCP address at execution time
+                result = result.localCheckpoint(eager=True)
+            results[name] = result
+        finally:
+            srv.shutdown()
+    return results
+
+
+# --------------------------------------------------------------------
+# agent init (cli/agent.go + internal/agent/template/)
+# --------------------------------------------------------------------
+
+_AGENTS_YAML = """\
+agents:
+  # The key here determines where the agent entrypoint is found:
+  # "agents/{name}.py"
+  {name}:
+    # Define how your agent receives input
+    input:
+      generate:
+        count: 3
+        mapping: 'root.content = "item " + counter().string()'
+    # Define the tools your agent has access to
+    tools:
+      - shout
+    # Define where the agent's output goes
+    output:
+      memory: {{}}
+"""
+
+_TOOL_YAML = """\
+label: 'shout'
+processors:
+  - mapping: 'root = this.uppercase()'
+
+meta:
+  mcp:
+    enabled: true
+    description: 'A tool that upper-cases the value passed to it'
+"""
+
+_AGENT_PY = '''\
+"""A connect_spark agent: for each input message, call MCP tools and
+compose an answer.  The runtime host speaks NDJSON-RPC on stdio and
+passes the MCP tool server address in CONNECT_SPARK_AGENT_MCP_SERVER.
+
+This template is deterministic (no LLM required): it lists the tools
+it was granted, calls the first one on the message content, and wraps
+the result.  Swap `plan()` for an LLM tool-call loop to make it
+smart — the MCP surface is the same either way."""
+
+import json
+import os
+import sys
+import urllib.request
+
+MCP = os.environ.get("CONNECT_SPARK_AGENT_MCP_SERVER", "")
+
+
+def _mcp(path, body=None):
+    url = MCP.rstrip("/").rsplit("/tools", 1)[0] + path
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method="POST"
+                                 if data else "GET")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def plan(content, tools):
+    """Deterministic tool loop: call each granted tool in turn,
+    feeding each result to the next."""
+    for t in tools:
+        content = _mcp("/tools/" + t["name"],
+                       {"content": content})["content"]
+    return content
+
+
+def invoke_agent(msg):
+    doc = msg.get("structured")
+    content = (doc.get("content", "") if isinstance(doc, dict)
+               else str(doc))
+    tools = _mcp("/tools")["tools"]
+    answer = plan(content, tools)
+    return {"structured": {"content": answer,
+                           "n_tools": len(tools)},
+            "metadata": msg.get("metadata") or {}}
+
+
+def serve():
+    for line in sys.stdin:
+        if not line.strip():
+            continue
+        req = json.loads(line)
+        rid, m, p = req["id"], req["method"], req.get("params") or {}
+        res = {}
+        err = None
+        try:
+            if m == "invoke_agent":
+                res = {"message": invoke_agent(p.get("message") or {})}
+        except Exception as exc:
+            err = {"message": str(exc)}
+        sys.stdout.write(json.dumps(
+            {"id": rid, "result": res, "error": err}) + "\\n")
+        sys.stdout.flush()
+        if m == "close":
+            break
+
+
+if __name__ == "__main__":
+    serve()
+'''
+
+_AGENT_README = """\
+# {name}
+
+A connect_spark agent project (reference: Redpanda Connect's agentic
+framework).  Define agents in `agents/` as python, wire them to
+inputs and outputs in `redpanda_agents.yaml`, and grant them tools
+from `mcp/resources/processors/*.yaml`.
+
+Run with:
+
+    python -m connect_spark agent run .
+"""
+
+
+def create_template(repo_dir: str, name: str | None = None) -> str:
+    """cli/agent.go `agent init`: lay down the agent project."""
+    abs_dir = os.path.abspath(repo_dir)
+    if not name:
+        name = os.path.basename(abs_dir) or "my_agent"
+    name = name.replace("-", "_")
+    os.makedirs(os.path.join(abs_dir, "agents"), exist_ok=True)
+    os.makedirs(os.path.join(abs_dir, "mcp", "resources",
+                             "processors"), exist_ok=True)
+    with open(os.path.join(abs_dir, "redpanda_agents.yaml"), "w",
+              encoding="utf-8") as fh:
+        fh.write(_AGENTS_YAML.format(name=name))
+    with open(os.path.join(abs_dir, "agents", f"{name}.py"), "w",
+              encoding="utf-8") as fh:
+        fh.write(_AGENT_PY)
+    with open(os.path.join(abs_dir, "mcp", "resources", "processors",
+                           "shout_tool.yaml"), "w",
+              encoding="utf-8") as fh:
+        fh.write(_TOOL_YAML)
+    with open(os.path.join(abs_dir, "README.md"), "w",
+              encoding="utf-8") as fh:
+        fh.write(_AGENT_README.format(name=name))
+    return abs_dir

@@ -1524,3 +1524,4 @@ from connect_spark.plans import mq_ext  # noqa: E402,F401
 from connect_spark.plans import cdc_ext  # noqa: E402,F401
 from connect_spark.plans import db_ext  # noqa: E402,F401
 from connect_spark.plans import saas_ext  # noqa: E402,F401
+from connect_spark import agent_mode  # noqa: E402,F401

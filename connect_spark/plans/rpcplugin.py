@@ -245,9 +245,11 @@ class PluginClient:
     on the driver (input plugins) or inside a mapInPandas partition
     stream (processor/output plugins)."""
 
-    def __init__(self, command: list[str], cwd: str = ""):
+    def __init__(self, command: list[str], cwd: str = "",
+                 env: dict[str, str] | None = None):
         self.command = command
         self.cwd = cwd or None
+        self.extra_env = env or {}
         self.proc: subprocess.Popen | None = None
         self._id = 0
 
@@ -256,6 +258,7 @@ class PluginClient:
             return  # subprocess.go ErrProcessAlreadyStarted → no-op
         env = dict(os.environ)
         env[PROTOCOL_ENV] = PROTOCOL_VERSION
+        env.update(self.extra_env)
         try:
             self.proc = subprocess.Popen(
                 self.command,

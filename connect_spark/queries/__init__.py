@@ -55,6 +55,7 @@ _DRIVER_PRIORITY: list[str] = [
     # the same count of r8 rows from the window tail to the r13 queue
     # head (each displaced row re-verified beyond-window, PROGRESS.md).
     "rpcplugin_processor_docs",
+    "agent_runtime_tool_loop",
     "fn_sr_header_roundtrip",
     "schema_registry_evolution",
     "streaming_dedupe_keys",
@@ -104,10 +105,10 @@ _DRIVER_PRIORITY: list[str] = [
     "snowflake_bdec_roundtrip",
     "streaming_join_hydration",
     "switch_route",
-    "unarchive_explode",
     # --- 50-slot window boundary (round 12) --- everything below
     # queues for round 13: first the displaced r8 rows, then the
     # r9-latest band, then r10, then r11 (deepest: freshest greens).
+    "unarchive_explode",
     "window_daily_orders",
     "window_session",
     "window_sliding",

@@ -604,3 +604,107 @@ FROM documents
 QUERIES.append(
     QuerySpec("rpcplugin_processor_docs", rpcplugin_processor_docs,
               RPCPLUGIN_SQL))
+
+
+_AGENT_GATE_SCRIPT = '''\
+import json, os, sys, urllib.request
+
+BASE = os.environ["CONNECT_SPARK_AGENT_MCP_SERVER"].rstrip(
+    "/").rsplit("/tools", 1)[0]
+
+
+def call(path, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(BASE + path, data=data,
+                                 method="POST" if data else "GET")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+for line in sys.stdin:
+    if not line.strip():
+        continue
+    req = json.loads(line)
+    rid, m, p = req["id"], req["method"], req.get("params") or {}
+    res = {}
+    if m == "invoke_agent":
+        doc = (p.get("message") or {}).get("structured") or {}
+        text = doc.get("text") or ""
+        shouted = call("/tools/shout", {"content": text})["content"]
+        head = call("/tools/rev_head",
+                    {"content": shouted})["content"]
+        res = {"message": {"structured": {
+            "doc_id": doc["doc_id"],
+            "agent_head": head,
+            "shout_chars": len(shouted),
+        }, "metadata": {}}}
+    sys.stdout.write(json.dumps(
+        {"id": rid, "result": res, "error": None}) + "\\n")
+    sys.stdout.flush()
+    if m == "close":
+        break
+'''
+
+
+def agent_runtime_tool_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """redpanda_agent_runtime end-to-end
+    (connect_spark/agent_mode.py; reference internal/agent/
+    agent_processor.go + agent.go RunAgent): a REAL agent child per
+    partition walks TWO MCP tool calls per document — `shout`
+    (uppercase) then `rev_head` (reverse + 10-char head), both served
+    by the in-process tool registry over HTTP — and composes the
+    final answer.  The oracle recomputes reverse(upper(text))[0:10]
+    and the char count in SQL, so the agent loop, the tool server,
+    the wire protocol and the typed output all sit in the value hash.
+
+    Scale: the agent pattern is conversational (one child per
+    partition stream, per-message tool RPCs to a central server) —
+    the reference's own topology; bulk transforms belong in ordinary
+    processors, not agents.  Eagerly checkpointed so the gate's tool
+    server can shut down deterministically."""
+    import os
+    import sys
+    import tempfile
+
+    from connect_spark.agent_mode import AgentToolRegistry
+    from connect_spark.plans.pipeline import PROCESSORS
+
+    pdir = os.path.join(tempfile.gettempdir(), "cs_agent_gate")
+    os.makedirs(pdir, exist_ok=True)
+    script = os.path.join(pdir, "agent.py")
+    with open(script, "w", encoding="utf-8") as fh:
+        fh.write(_AGENT_GATE_SCRIPT)
+    reg = AgentToolRegistry()
+    reg._tools["shout"] = {
+        "processors": [{"mapping": "root = this.uppercase()"}],
+        "description": "uppercase"}
+    reg._tools["rev_head"] = {
+        "processors": [
+            {"mapping": "root = this.reverse().slice(0, 10)"}],
+        "description": "reverse then take 10 chars"}
+    srv, port = reg.serve(0)
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        out = PROCESSORS["redpanda_agent_runtime"](docs, {
+            "command": [sys.executable, script],
+            "mcp_server": f"http://127.0.0.1:{port}/tools",
+            "output_schema": ("doc_id BIGINT, agent_head STRING, "
+                              "shout_chars INT"),
+        })
+        return out.localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+
+
+AGENT_RUNTIME_SQL = """
+SELECT doc_id,
+       substr(reverse(upper(text)), 1, 10) AS agent_head,
+       CAST(length(text) AS INT) AS shout_chars
+FROM documents
+"""
+
+
+QUERIES.append(
+    QuerySpec("agent_runtime_tool_loop", agent_runtime_tool_loop,
+              AGENT_RUNTIME_SQL))
