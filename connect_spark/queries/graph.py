@@ -72,15 +72,30 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy subtree once per reference (deg, nodes, all PR_ITERS
     contribution joins, the in-degree rollup) — the plan-duplication
     pathology measured at 752 scans on the triangle query.  In
-    production the edge list is a materialized table to begin with."""
+    production the edge list is a materialized table to begin with.
+
+    Cold-cost shape (r12 A/B, SCALE.md "pagerank cold edge-build"):
+    - `nodes` derives from the two ALREADY-AGGREGATED degree frames
+      (deg ∪ indeg, |customers|+|suppliers| rows) instead of
+      union+distinct over the raw edge list (2|edges| rows through
+      an exchange) — same result, far smaller distinct.
+    - `indeg` (needed for the output anyway) is computed once up
+      front and reused for nodes.
+    - `ew` persists hash-partitioned by dst: the per-iteration
+      contribution groupBy(dst) then reuses the cached partitioning
+      (the ranks side broadcasts at every measured SF), so an
+      iteration adds NO full-width exchange — partial agg + final
+      agg on in-place partitions."""
     edges = _edges(spark, sf_dir).persist()
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
+    indeg = edges.groupBy("dst").agg(F.sum("w").alias("in_w"))
+    nodes = (deg.select(F.col("src").alias("node"))
+             .union(indeg.select(F.col("dst").alias("node")))
              .distinct()
              .persist())
     ranks = nodes.withColumn("r", F.lit(R0).cast("long"))
-    ew = edges.join(deg, "src").persist()  # (src, dst, w, deg)
+    # (src, dst, w, deg), partitioned by the per-iteration groupBy key
+    ew = edges.join(deg, "src").repartition("dst").persist()
     for _ in range(PR_ITERS):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
@@ -101,7 +116,6 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     sup = ranks.filter(F.col("node") % 2 == 1)
-    indeg = edges.groupBy("dst").agg(F.sum("w").alias("in_w"))
     return (
         sup.join(indeg, sup.node == indeg.dst)
         .select(((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),

@@ -1781,6 +1781,68 @@ GROUP BY doc_id
 """
 
 
+def multimodal_jpeg_lossless(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG (T.81 Annex H SOF3, round-12 — encoder/decoder
+    pair gated by tests/test_jpeg_lossless.py) in the driver gate:
+    each event synthesizes a deterministic 8x6 12-bit grayscale plane
+    (sample (x, y) = (7e + 131x + 239y) mod 4096), rides the FULL
+    encode -> decode chain — predictor rotating over all seven values
+    (e mod 7 + 1), restart rows rotating 0/1/2 (e mod 3) — and
+    reduces to sums the oracle recomputes from the synthesis formula
+    directly: lossless means decode == source EXACTLY, so any bias
+    anywhere in prediction, category coding, restart handling or the
+    Huffman table breaks the value hash.
+
+    Scale: zero-shuffle narrow mapInPandas after a repartition across
+    cores (CPU-bound pure-Python codec, the multimodal seam shape)."""
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def run(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import (
+            decode_jpeg_lossless, encode_jpeg_lossless)
+
+        for pdf in batches:
+            sums, checks = [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                plane = [[(7 * e + 131 * x + 239 * y) % 4096
+                          for x in range(8)] for y in range(6)]
+                enc = encode_jpeg_lossless(
+                    [plane], precision=12,
+                    predictor=e % 7 + 1,
+                    restart_rows=e % 3)
+                out = decode_jpeg_lossless(enc)["planes"][0]
+                sums.append(sum(v for row in out for v in row))
+                checks.append(sum((x + 1) * (y + 3) * out[y][x]
+                                  for y in range(6)
+                                  for x in range(8)))
+            yield _pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "sum_s": _pd.Series(sums, dtype="int64"),
+                "pos_checksum": _pd.Series(checks, dtype="int64"),
+            })
+
+    schema = "event_id BIGINT, sum_s BIGINT, pos_checksum BIGINT"
+    return ev.mapInPandas(run, schema)
+
+
+MULTIMODAL_JPEG_LOSSLESS_SQL = """
+WITH px AS (
+  SELECT event_id, i % 8 AS x, i // 8 AS y,
+         (7 * event_id + 131 * (i % 8) + 239 * (i // 8)) % 4096 AS s
+  FROM events, UNNEST(range(0, 48)) AS t(i)
+)
+SELECT event_id,
+       CAST(SUM(s) AS BIGINT) AS sum_s,
+       CAST(SUM((x + 1) * (y + 3) * s) AS BIGINT) AS pos_checksum
+FROM px GROUP BY event_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, headline=True),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
@@ -1921,4 +1983,6 @@ FROM rgb GROUP BY event_id
 QUERIES += [
     QuerySpec("multimodal_jpeg_arith", multimodal_jpeg_arith,
               MULTIMODAL_JPEG_ARITH_SQL),
+    QuerySpec("multimodal_jpeg_lossless", multimodal_jpeg_lossless,
+              MULTIMODAL_JPEG_LOSSLESS_SQL),
 ]

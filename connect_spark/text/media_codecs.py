@@ -1850,10 +1850,40 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                 ]
                 for c in comps
             }
-        elif marker in (0xC3, 0xCB):
+        elif marker == 0xC3:
+            # Huffman lossless (T.81 Annex H): dedicated decoder —
+            # the sample-predictive pipeline shares nothing with the
+            # DCT path below.  8-bit frames map onto the pixel
+            # contract (1 comp → grey, 3 comps → direct RGB: the
+            # spec defines no color transform for lossless); deeper
+            # precisions keep full range via decode_jpeg_lossless.
+            d = decode_jpeg_lossless(payload)
+            if _return_coefs:
+                raise ValueError(
+                    "jpeg: lossless frames carry samples, not DCT "
+                    "coefficients")
+            if d["precision"] > 8:
+                raise ValueError(
+                    "jpeg: lossless precision > 8 has no 8-bit pixel "
+                    "form — use decode_jpeg_lossless for full range")
+            pls = d["planes"]
+            if len(pls) == 1:
+                px = [[(v, v, v) for v in row] for row in pls[0]]
+            elif len(pls) == 3:
+                px = [
+                    [(pls[0][y][x], pls[1][y][x], pls[2][y][x])
+                     for x in range(d["width"])]
+                    for y in range(d["height"])
+                ]
+            else:
+                raise ValueError(
+                    "jpeg: lossless pixel form needs 1 or 3 "
+                    "components")
+            return {"width": d["width"], "height": d["height"],
+                    "pixels": px}
+        elif marker == 0xCB:
             raise ValueError(
-                "jpeg: lossless mode not supported"
-                + (" (arithmetic)" if marker == 0xCB else ""))
+                "jpeg: lossless mode not supported (arithmetic)")
         elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "jpeg: differential/hierarchical modes not supported")
@@ -2128,3 +2158,250 @@ def decode_avi_frames(payload: bytes) -> dict:
         raise ValueError("avi: no video stream found")
     return {"width": width, "height": height, "fps": fps,
             "n_frames": len(frames), "frames": frames}
+
+
+# --------------------------------------------------------------------
+# Lossless JPEG (T.81 Annex H: SOF3, Huffman-coded predictive)
+# --------------------------------------------------------------------
+#
+# Reference scope note: redpanda-data/connect carries no JPEG code at
+# all (only MIME lists); this closes the repo's own r11 media gate
+# "lossless SOF3".  No external oracle exists in this environment
+# (the system libjpeg62 predates libjpeg-turbo 3.0's lossless API),
+# so the gate is the strongest available self-check for a LOSSLESS
+# codec: encoder↔decoder bit-exact roundtrip over all 7 predictors,
+# point transforms, precisions 2..16, restart intervals, and 1- and
+# 3-component interleaved scans (hypothesis property tests), plus
+# hand-pinned byte vectors derived from the spec.
+#
+# Restart semantics (T.81 H.2.2): prediction resets at scan start and
+# after each RSTn — the first sample of each component after a reset
+# uses the default 2^(P-Pt-1); within the scan, the remainder of the
+# first LINE predicts with Ra, the first column of later lines with
+# Rb, and everything else with the selected predictor.  The encoder
+# only ever emits restarts at MCU-row boundaries.
+
+# one DC table covering SSSS 0..16: all 17 symbols at code length 5
+# (canonical, Kraft-valid, max code 10000b != all-ones)
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def _ll_predict(plane, x: int, y: int, psv: int, default: int,
+                fresh: bool) -> int:
+    """T.81 H.1.2.1 prediction for sample (x, y).  `fresh` marks the
+    first sample after a scan start / restart."""
+    if fresh:
+        return default
+    if y == 0:
+        return plane[0][x - 1]  # rest of first line: Ra
+    if x == 0:
+        return plane[y - 1][0]  # first column: Rb
+    a = plane[y][x - 1]
+    b = plane[y - 1][x]
+    c = plane[y - 1][x - 1]
+    if psv == 1:
+        return a
+    if psv == 2:
+        return b
+    if psv == 3:
+        return c
+    if psv == 4:
+        return a + b - c
+    if psv == 5:
+        return a + ((b - c) >> 1)
+    if psv == 6:
+        return b + ((a - c) >> 1)
+    if psv == 7:
+        return (a + b) >> 1
+    raise ValueError(f"jpeg: bad lossless predictor {psv}")
+
+
+def encode_jpeg_lossless(planes, precision: int = 8,
+                         predictor: int = 1, pt: int = 0,
+                         restart_rows: int = 0) -> bytes:
+    """Encode component planes (equal-size 2D integer lists, 1 or 3
+    of them, values in [0, 2^precision)) as a spec-valid SOF3 stream.
+    The point transform stores sample >> pt (decode re-scales by
+    << pt); interleaved scan when 3 components (h=v=1 MCUs)."""
+    import struct as _st
+
+    if not 2 <= precision <= 16:
+        raise ValueError("jpeg: lossless precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("jpeg: predictor must be 1..7")
+    if not 0 <= pt < precision:
+        raise ValueError("jpeg: point transform out of range")
+    nc = len(planes)
+    if nc not in (1, 3):
+        raise ValueError("jpeg: 1 or 3 components")
+    h, w = len(planes[0]), len(planes[0][0])
+    shifted = [[[s >> pt for s in row] for row in p] for p in planes]
+    default = 1 << (precision - pt - 1)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += bytes([0xFF, 0xC3]) + _st.pack(
+        ">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += bytes([cid, 0x11, 0])  # h=v=1, tq unused
+    out += b"\xff\xc4" + _st.pack(">H", 19 + len(_LL_VALS)) + \
+        bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS)
+    ri = restart_rows * w if restart_rows else 0
+    if ri:
+        if ri > 0xFFFF:
+            raise ValueError("jpeg: restart interval exceeds 65535")
+        out += b"\xff\xdd" + _st.pack(">HH", 4, ri)
+    out += b"\xff\xda" + _st.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(1, nc + 1):
+        out += bytes([cid, 0x00])
+    out += bytes([predictor, 0, pt])  # Ss=psv, Se=0, Ah=0, Al=Pt
+    codes = _canon_codes(_LL_BITS, _LL_VALS)
+    bw = _JpegBitWriter()
+    rst = 0
+    fresh = [True] * nc
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            data = bw.done()
+            out += data
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            bw = _JpegBitWriter()
+            fresh = [True] * nc
+        for x in range(w):
+            for c in range(nc):  # interleaved MCU = 1 sample/comp
+                plane = shifted[c]
+                pred = _ll_predict(plane, x, y, predictor, default,
+                                   fresh[c])
+                fresh[c] = False
+                d = (plane[y][x] - pred) & 0xFFFF
+                if d == 32768:
+                    code, ln = codes[16]
+                    bw.write(code, ln)
+                    continue
+                signed = d - 65536 if d > 32768 else d
+                ssss = _jpeg_category(signed)
+                code, ln = codes[ssss]
+                bw.write(code, ln)
+                if ssss:
+                    bw.write(_encode_coeff_bits(signed, ssss), ssss)
+    out += bw.done()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_lossless(payload: bytes) -> dict:
+    """Decode a SOF3 stream to full-precision component planes:
+    {width, height, precision, point_transform, planes} where planes
+    are output-scaled (sample << Pt, T.81 H.2.4).  Supports 1..4
+    non-subsampled components (h=v=1), interleaved or per-component
+    scans, restart intervals, all 7 predictors."""
+    import struct as _st
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    i = 2
+    huff: dict = {}
+    frame = None
+    samples: dict = {}
+    restart_interval = 0
+    pt_used = 0
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        if i + 4 > len(payload):
+            raise ValueError("jpeg: truncated stream")
+        ln = _st.unpack(">H", payload[i + 2:i + 4])[0]
+        seg = payload[i + 4:i + 2 + ln]
+        i += 2
+        if marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _JpegHuff(
+                    bits, list(seg[j + 17:j + 17 + n]))
+                j += 17 + n
+        elif marker == 0xC3:
+            prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError("jpeg: bad lossless precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, _tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "jpeg: subsampled lossless not supported")
+                comps.append(cid)
+            frame = {"w": fw, "h": fh, "prec": prec, "comps": comps}
+            samples = {cid: [[0] * fw for _ in range(fh)]
+                       for cid in comps}
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "jpeg: decode_jpeg_lossless expects a SOF3 frame")
+        elif marker == 0xDD:
+            restart_interval = _st.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, t = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cid not in samples:
+                    raise ValueError(
+                        f"jpeg: scan references unknown component {cid}")
+                scan.append((cid, t >> 4))
+            psv, _se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            pt = a & 0x0F
+            pt_used = pt
+            default = 1 << (frame["prec"] - pt - 1)
+            br = _JpegBitReader(payload, i + ln)
+            fresh = {cid: True for cid, _ in scan}
+            w, h = frame["w"], frame["h"]
+            nmcu = 0
+            for y in range(h):
+                for x in range(w):
+                    if restart_interval and nmcu and \
+                            nmcu % restart_interval == 0:
+                        br.restart()
+                        for cid, _ in scan:
+                            fresh[cid] = True
+                    nmcu += 1
+                    for cid, td in scan:
+                        plane = samples[cid]
+                        s = huff[(0, td)].decode(br)
+                        if s == 16:
+                            diff = 32768
+                        elif s:
+                            diff = _jpeg_extend(br.bits(s), s)
+                        else:
+                            diff = 0
+                        pred = _ll_predict(plane, x, y, psv,
+                                           default, fresh[cid])
+                        fresh[cid] = False
+                        plane[y][x] = (pred + diff) & 0xFFFF
+            j = br.pos
+            while j + 1 < len(payload):
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                        and not (0xD0 <= payload[j + 1] <= 0xD7):
+                    break
+                j += 1
+            i = j
+            continue
+        i += ln
+    if frame is None:
+        raise ValueError("jpeg: no scan data")
+    planes = [
+        [[s << pt_used for s in row] for row in samples[cid]]
+        for cid in frame["comps"]
+    ]
+    return {"width": frame["w"], "height": frame["h"],
+            "precision": frame["prec"], "point_transform": pt_used,
+            "planes": planes}

@@ -72,8 +72,13 @@ def main() -> None:
           flush=True)
     for name in names:
         fn = registry[name].fn
-        # warm at 1x (codegen/JIT), timed once at 10x
+        # warm at 1x (codegen/JIT), then a TIMED cold-cache 1x pass
+        # (the in-protocol denominator for the 10x ratio), then 10x
         fn(spark, BASE).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, BASE).write.format("noop").mode("overwrite").save()
+        wall_1x = round(time.time() - t0, 2)
         spark.catalog.clearCache()
         t0 = time.time()
         df = fn(spark, sf10)
@@ -86,6 +91,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             wall = round(time.time() - t0, 2)
             rec = {"query": name, "sf": 1.0, "wall_sec": wall}
+        rec["wall_sec_sf01"] = wall_1x
+        rec["ratio_10x"] = round(wall / wall_1x, 1) if wall_1x else None
         spark.catalog.clearCache()
         print(json.dumps(rec), flush=True)
     spark.stop()
