@@ -197,6 +197,10 @@ def main(argv: list[str] | None = None) -> int:
         help="plugin manifest path/glob to register before the run "
         "(repeatable; the reference's run --rpcplugin flag)")
     run_p.add_argument(
+        "--plugins", default="", metavar="MOD[,MOD...]",
+        help="comma-separated Python modules registering in-process "
+        "components at import (also CONNECT_SPARK_PLUGINS)")
+    run_p.add_argument(
         "--set", "-s", action="append", default=[], dest="overrides",
         metavar="PATH=VALUE",
         help="override a config field by dotted path "
@@ -208,6 +212,9 @@ def main(argv: list[str] | None = None) -> int:
     lint_p.add_argument(
         "--rpcplugin", action="append", default=[], metavar="GLOB",
         help="plugin manifest path/glob to register before linting")
+    lint_p.add_argument(
+        "--plugins", default="", metavar="MOD[,MOD...]",
+        help="Python plugin modules to import before linting")
     list_p = sub.add_parser("list", help="list registered components")
     list_p.add_argument("section", nargs="?", default=None)
     echo_p = sub.add_parser("echo", help="parse + re-emit a config")
@@ -266,6 +273,9 @@ def main(argv: list[str] | None = None) -> int:
     dry_p.add_argument(
         "--rpcplugin", action="append", default=[], metavar="GLOB",
         help="plugin manifest path/glob to register first")
+    dry_p.add_argument(
+        "--plugins", default="", metavar="MOD[,MOD...]",
+        help="Python plugin modules to import first")
     args = parser.parse_args(argv)
 
     if args.cmd == "plugin":
@@ -301,6 +311,12 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         discover_and_register_plugins(args.rpcplugin)
+
+    if getattr(args, "plugins", ""):
+        from connect_spark.plans.pyplugins import load_plugin_modules
+
+        load_plugin_modules(
+            [m for m in args.plugins.split(",") if m.strip()])
 
     if args.cmd == "lint":
         import yaml
