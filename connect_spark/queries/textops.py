@@ -1787,8 +1787,10 @@ def multimodal_jpeg_lossless(spark: SparkSession,
     pair gated by tests/test_jpeg_lossless.py) in the driver gate:
     each event synthesizes a deterministic 8x6 12-bit grayscale plane
     (sample (x, y) = (7e + 131x + 239y) mod 4096), rides the FULL
-    encode -> decode chain — predictor rotating over all seven values
-    (e mod 7 + 1), restart rows rotating 0/1/2 (e mod 3) — and
+    encode -> decode chain — ENTROPY BACKEND alternating per row
+    (even events Huffman SOF3, odd events the H.1.2.2 QM-coded SOFB
+    twin), predictor rotating over all seven values (e mod 7 + 1),
+    restart rows rotating 0/1/2 (e mod 3) — and
     reduces to sums the oracle recomputes from the synthesis formula
     directly: lossless means decode == source EXACTLY, so any bias
     anywhere in prediction, category coding, restart handling or the
@@ -1803,7 +1805,8 @@ def multimodal_jpeg_lossless(spark: SparkSession,
         import pandas as _pd
 
         from connect_spark.text.media_codecs import (
-            decode_jpeg_lossless, encode_jpeg_lossless)
+            decode_jpeg_lossless, encode_jpeg_lossless,
+            encode_jpeg_lossless_arith)
 
         for pdf in batches:
             sums, checks = [], []
@@ -1811,7 +1814,9 @@ def multimodal_jpeg_lossless(spark: SparkSession,
                 e = int(e)
                 plane = [[(7 * e + 131 * x + 239 * y) % 4096
                           for x in range(8)] for y in range(6)]
-                enc = encode_jpeg_lossless(
+                encoder = (encode_jpeg_lossless if e % 2 == 0
+                           else encode_jpeg_lossless_arith)
+                enc = encoder(
                     [plane], precision=12,
                     predictor=e % 7 + 1,
                     restart_rows=e % 3)

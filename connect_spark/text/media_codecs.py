@@ -1749,8 +1749,10 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
     DRI/RSTn, 1- or 3-component scans, AND arithmetic-coded
     streams — sequential (SOF9) and progressive (SOFA) — via the
     T.81 Annex D QM-coder (DAC conditioning tables, spec defaults
-    L=0/U=1/Kx=5, libjpeg-conformance-pinned); only lossless frames
-    raise honestly.
+    L=0/U=1/Kx=5, libjpeg-conformance-pinned), AND lossless frames —
+    Huffman SOF3 and arithmetic SOFB (Annex H predictive decode,
+    delegated below; 8-bit frames map onto the pixel contract); only
+    differential/hierarchical frames raise.
 
     `_return_coefs` (tests only) returns (frame, coefs) — the raw
     quantized zigzag coefficient planes — so the conformance suite
@@ -1850,8 +1852,9 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                 ]
                 for c in comps
             }
-        elif marker == 0xC3:
-            # Huffman lossless (T.81 Annex H): dedicated decoder —
+        elif marker in (0xC3, 0xCB):
+            # Huffman (SOF3) / arithmetic (SOFB) lossless (T.81
+            # Annex H): dedicated decoder —
             # the sample-predictive pipeline shares nothing with the
             # DCT path below.  8-bit frames map onto the pixel
             # contract (1 comp → grey, 3 comps → direct RGB: the
@@ -1881,9 +1884,6 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                     "components")
             return {"width": d["width"], "height": d["height"],
                     "pixels": px}
-        elif marker == 0xCB:
-            raise ValueError(
-                "jpeg: lossless mode not supported (arithmetic)")
         elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "jpeg: differential/hierarchical modes not supported")
@@ -2300,6 +2300,7 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
         raise ValueError("jpeg: missing SOI")
     i = 2
     huff: dict = {}
+    dac: dict = {}
     frame = None
     samples: dict = {}
     restart_interval = 0
@@ -2328,7 +2329,7 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
                 huff[(tc, th)] = _JpegHuff(
                     bits, list(seg[j + 17:j + 17 + n]))
                 j += 17 + n
-        elif marker == 0xC3:
+        elif marker in (0xC3, 0xCB):
             prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
             if not 2 <= prec <= 16:
                 raise ValueError("jpeg: bad lossless precision")
@@ -2339,12 +2340,21 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
                     raise ValueError(
                         "jpeg: subsampled lossless not supported")
                 comps.append(cid)
-            frame = {"w": fw, "h": fh, "prec": prec, "comps": comps}
+            frame = {"w": fw, "h": fh, "prec": prec, "comps": comps,
+                     "arith": marker == 0xCB}
             samples = {cid: [[0] * fw for _ in range(fh)]
                        for cid in comps}
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xCC:  # DAC conditioning (arith lossless)
+            j = 0
+            while j + 1 < len(seg):
+                tc_tb, val = seg[j], seg[j + 1]
+                j += 2
+                if tc_tb >> 4 == 0:
+                    dac[tc_tb & 0x0F] = val
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             raise ValueError(
-                "jpeg: decode_jpeg_lossless expects a SOF3 frame")
+                "jpeg: decode_jpeg_lossless expects a SOF3/SOFB "
+                "frame")
         elif marker == 0xDD:
             restart_interval = _st.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
@@ -2362,32 +2372,76 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
             pt = a & 0x0F
             pt_used = pt
             default = 1 << (frame["prec"] - pt - 1)
-            br = _JpegBitReader(payload, i + ln)
             fresh = {cid: True for cid, _ in scan}
             w, h = frame["w"], frame["h"]
             nmcu = 0
-            for y in range(h):
-                for x in range(w):
-                    if restart_interval and nmcu and \
-                            nmcu % restart_interval == 0:
-                        br.restart()
-                        for cid, _ in scan:
-                            fresh[cid] = True
-                    nmcu += 1
-                    for cid, td in scan:
-                        plane = samples[cid]
-                        s = huff[(0, td)].decode(br)
-                        if s == 16:
-                            diff = 32768
-                        elif s:
-                            diff = _jpeg_extend(br.bits(s), s)
-                        else:
-                            diff = 0
-                        pred = _ll_predict(plane, x, y, psv,
-                                           default, fresh[cid])
-                        fresh[cid] = False
-                        plane[y][x] = (pred + diff) & 0xFFFF
-            j = br.pos
+            if frame.get("arith"):
+                # SOFB: QM-coded diffs under the H.1.2.2 Da/Db model
+                cond = {td: dac.get(td, 0x10) for _, td in scan}
+                feeder = _JpegArithFeeder(payload, i + ln)
+                qm = _QMDecoder(feeder)
+                st = {td: bytearray(_LL_ARITH_STATS)
+                      for _, td in scan}
+                diffs = {cid: [[0] * w for _ in range(h)]
+                         for cid, _ in scan}
+                for y in range(h):
+                    for x in range(w):
+                        if restart_interval and nmcu and \
+                                nmcu % restart_interval == 0:
+                            p = feeder.pos
+                            while p + 1 < len(payload) and not (
+                                    payload[p] == 0xFF and
+                                    0xD0 <= payload[p + 1] <= 0xD7):
+                                p += 1
+                            if p + 1 >= len(payload):
+                                raise ValueError(
+                                    "jpeg: truncated stream")
+                            feeder = _JpegArithFeeder(payload, p + 2)
+                            qm = _QMDecoder(feeder)
+                            st = {td: bytearray(_LL_ARITH_STATS)
+                                  for _, td in scan}
+                            diffs = {cid: [[0] * w for _ in range(h)]
+                                     for cid, _ in scan}
+                            for cid, _ in scan:
+                                fresh[cid] = True
+                        nmcu += 1
+                        for cid, td in scan:
+                            plane = samples[cid]
+                            da = diffs[cid][y][x - 1] if x > 0 else 0
+                            db = diffs[cid][y - 1][x] if y > 0 else 0
+                            v = _ll_arith_decode_diff(
+                                qm, st[td], da, db,
+                                cond[td] & 0x0F, cond[td] >> 4)
+                            diffs[cid][y][x] = v
+                            pred = _ll_predict(plane, x, y, psv,
+                                               default, fresh[cid])
+                            fresh[cid] = False
+                            plane[y][x] = (pred + v) & 0xFFFF
+                j = feeder.pos
+            else:
+                br = _JpegBitReader(payload, i + ln)
+                for y in range(h):
+                    for x in range(w):
+                        if restart_interval and nmcu and \
+                                nmcu % restart_interval == 0:
+                            br.restart()
+                            for cid, _ in scan:
+                                fresh[cid] = True
+                        nmcu += 1
+                        for cid, td in scan:
+                            plane = samples[cid]
+                            s = huff[(0, td)].decode(br)
+                            if s == 16:
+                                diff = 32768
+                            elif s:
+                                diff = _jpeg_extend(br.bits(s), s)
+                            else:
+                                diff = 0
+                            pred = _ll_predict(plane, x, y, psv,
+                                               default, fresh[cid])
+                            fresh[cid] = False
+                            plane[y][x] = (pred + diff) & 0xFFFF
+                j = br.pos
             while j + 1 < len(payload):
                 if payload[j] == 0xFF and payload[j + 1] != 0x00 \
                         and not (0xD0 <= payload[j + 1] <= 0xD7):
@@ -2405,3 +2459,177 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
     return {"width": frame["w"], "height": frame["h"],
             "precision": frame["prec"], "point_transform": pt_used,
             "planes": planes}
+
+
+# --------------------------------------------------------------------
+# Arithmetic-coded lossless JPEG (T.81 Annex H.1.2.2, SOFB)
+# --------------------------------------------------------------------
+#
+# The statistical model couples the Annex-H predictor (shared with
+# the Huffman path above: _ll_predict) to the conformance-pinned QM
+# coder: the prediction difference is coded with the DC decision
+# sequence (F.1.4.4.1 — zero / sign / sz>0 / magnitude-category tree
+# / magnitude bits) conditioned on the 5×5 classification of the
+# differences previously coded at the left (Da) and above (Db)
+# sample positions (H.1.2.2: zero, ±small, ±large under the DAC
+# L/U thresholds — the same classification the DC model applies to
+# its previous diff).  State allocation per conditioning table (a
+# documented layout — no second arithmetic-lossless implementation
+# exists anywhere to interop against; the QM substrate itself is
+# libjpeg-conformance-pinned and the gate is bit-exact
+# encoder↔decoder roundtrip):
+#   4 decision states × 25 contexts ......... 0..99
+#   magnitude bank A (Db not large) ......... 100..128 (X at 100,
+#                                             bits at X-stop + 14)
+#   magnitude bank B (Db large) ............. 129..157
+# Restart intervals re-initialize the coder, the statistics and the
+# stored neighbor diffs (the scan-start condition), mirroring
+# F.2.4.1's restart semantics.
+
+_LL_ARITH_STATS = 158
+
+
+def _ll_classify(v: int, low: int, up: int) -> int:
+    """5-way H.1.2.2 conditioning category of a previously coded
+    diff: 0 zero/small, 1 +medium, 2 −medium, 3 +large, 4 −large
+    (the F.1.4.4.1.2 classification of the diff's magnitude
+    category under L/U)."""
+    if v == 0:
+        return 0
+    sz = abs(v) - 1
+    m = 0 if sz == 0 else 1 << (sz.bit_length() - 1)
+    if m < ((1 << low) >> 1):
+        return 0
+    if m > ((1 << up) >> 1):
+        return 3 if v > 0 else 4
+    return 1 if v > 0 else 2
+
+
+def _ll_arith_encode_diff(enc: "_QMEncoder", st: bytearray,
+                          da: int, db: int, v: int,
+                          low: int, up: int) -> None:
+    dbc = _ll_classify(db, low, up)
+    base = 4 * (5 * _ll_classify(da, low, up) + dbc)
+    if v == 0:
+        enc.encode(st, base, 0)
+        return
+    enc.encode(st, base, 1)
+    sign = 1 if v < 0 else 0
+    enc.encode(st, base + 1, sign)
+    sz = abs(v) - 1
+    k = base + 2 + sign
+    if sz == 0:
+        enc.encode(st, k, 0)
+        return
+    enc.encode(st, k, 1)
+    m = 1
+    k = 129 if dbc >= 3 else 100
+    while sz >= (m << 1):
+        enc.encode(st, k, 1)
+        m <<= 1
+        k += 1
+    enc.encode(st, k, 0)
+    k += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(st, k, 1 if (sz & mm) else 0)
+
+
+def _ll_arith_decode_diff(qm: "_QMDecoder", st: bytearray,
+                          da: int, db: int,
+                          low: int, up: int) -> int:
+    dbc = _ll_classify(db, low, up)
+    base = 4 * (5 * _ll_classify(da, low, up) + dbc)
+    if qm.decode(st, base) == 0:
+        return 0
+    sign = qm.decode(st, base + 1)
+    k = base + 2 + sign
+    m = 0
+    if qm.decode(st, k):
+        m = 1
+        k = 129 if dbc >= 3 else 100
+        while qm.decode(st, k):
+            m <<= 1
+            if m == 0x10000:
+                raise ValueError("jpeg: bad arithmetic code")
+            k += 1
+    v = m
+    k += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        if qm.decode(st, k):
+            v |= mm
+    v += 1
+    return -v if sign else v
+
+
+def encode_jpeg_lossless_arith(planes, precision: int = 8,
+                               predictor: int = 1, pt: int = 0,
+                               restart_rows: int = 0) -> bytes:
+    """Arithmetic twin of encode_jpeg_lossless: SOFB frame, DAC
+    conditioning (default L=0/U=1), QM-coded prediction differences
+    under the H.1.2.2 Da/Db model.  Same predictor/precision/point-
+    transform/restart surface as the Huffman encoder."""
+    import struct as _st
+
+    if not 2 <= precision <= 16:
+        raise ValueError("jpeg: lossless precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("jpeg: predictor must be 1..7")
+    if not 0 <= pt < precision:
+        raise ValueError("jpeg: point transform out of range")
+    nc = len(planes)
+    if nc not in (1, 3):
+        raise ValueError("jpeg: 1 or 3 components")
+    h, w = len(planes[0]), len(planes[0][0])
+    shifted = [[[s >> pt for s in row] for row in p] for p in planes]
+    default = 1 << (precision - pt - 1)
+    low, up = 0, 1
+    out = bytearray(b"\xff\xd8")
+    out += bytes([0xFF, 0xCB]) + _st.pack(
+        ">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += bytes([cid, 0x11, 0])
+    # DAC: DC-class conditioning for table 0 (L=0, U=1)
+    out += b"\xff\xcc" + _st.pack(">H", 4) + bytes(
+        [0x00, (up << 4) | low])
+    ri = restart_rows * w if restart_rows else 0
+    if ri:
+        if ri > 0xFFFF:
+            raise ValueError("jpeg: restart interval exceeds 65535")
+        out += b"\xff\xdd" + _st.pack(">HH", 4, ri)
+    out += b"\xff\xda" + _st.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(1, nc + 1):
+        out += bytes([cid, 0x00])
+    out += bytes([predictor, 0, pt])
+    enc = _QMEncoder()
+    st = bytearray(_LL_ARITH_STATS)
+    diffs = [[[0] * w for _ in range(h)] for _ in range(nc)]
+    rst = 0
+    fresh = [True] * nc
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            enc = _QMEncoder()
+            st = bytearray(_LL_ARITH_STATS)
+            diffs = [[[0] * w for _ in range(h)] for _ in range(nc)]
+            fresh = [True] * nc
+        for x in range(w):
+            for c in range(nc):
+                plane = shifted[c]
+                pred = _ll_predict(plane, x, y, predictor, default,
+                                   fresh[c])
+                fresh[c] = False
+                d = (plane[y][x] - pred) & 0xFFFF
+                v = d - 65536 if d > 32768 else d
+                da = diffs[c][y][x - 1] if x > 0 else 0
+                db = diffs[c][y - 1][x] if y > 0 else 0
+                _ll_arith_encode_diff(enc, st, da, db, v, low, up)
+                diffs[c][y][x] = v
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -217,11 +217,13 @@ def test_golden_g3_dense_ac():
     assert chk == G3_CHECKSUM
 
 
-def test_lossless_arith_still_raises():
+def test_differential_still_raises():
+    """SOFB decodes for real since round 12 (test_jpeg_lossless.py);
+    differential/hierarchical frames remain the honest gate."""
     bad = bytearray(G1)
     i = bad.index(b"\xff\xc9")
-    bad[i + 1] = 0xCB
-    with pytest.raises(ValueError, match="arithmetic"):
+    bad[i + 1] = 0xCD
+    with pytest.raises(ValueError, match="differential"):
         decode_jpeg_pixels(bytes(bad))
 
 

@@ -212,14 +212,19 @@ def test_decode_16bit_dqt():
     assert all(p == (135, 135, 135) for r in d["pixels"] for p in r)
 
 
-def test_lossless_arithmetic_rejected():
-    """SOF9/SOFA (sequential/progressive arithmetic) decode for real
-    since round 11 (tests/test_jpeg_arith.py); only the lossless
-    arithmetic frame stays honestly gated."""
+def test_lossless_arithmetic_now_decodes():
+    """SOF9/SOFA decode for real since round 11, SOF3/SOFB since
+    round 12 (tests/test_jpeg_lossless.py); the honest gate is down
+    to differential/hierarchical frames."""
+    from connect_spark.text.media_codecs import (
+        encode_jpeg_lossless_arith)
+
+    d = decode_jpeg_pixels(encode_jpeg_lossless_arith([[[9, 200]]]))
+    assert d["pixels"] == [[(9, 9, 9), (200, 200, 200)]]
     base = b"\xff\xd8" + dqt(0, 8)
-    sof = _sof(0xCB, 8, 8, [(1, 0x11, 0)])
-    with pytest.raises(ValueError, match="arithmetic"):
-        decode_jpeg_pixels(base + sof + b"\xff\xd9")
+    sofd = _sof(0xC5, 8, 8, [(1, 0x11, 0)])
+    with pytest.raises(ValueError, match="differential"):
+        decode_jpeg_pixels(base + sofd + b"\xff\xd9")
     # arithmetic frame headers no longer error — scanless frames
     # decode like their Huffman siblings (all-zero coefs → mid-gray)
     for marker in (0xC9, 0xCA):

@@ -1,11 +1,17 @@
-"""Lossless JPEG (T.81 Annex H, SOF3) — encoder↔decoder gates.
+"""Lossless JPEG (T.81 Annex H) — encoder↔decoder gates for BOTH
+entropy backends: Huffman SOF3 and the QM-coded arithmetic SOFB
+twin (H.1.2.2 Da/Db-conditioned statistical model over the
+conformance-pinned Annex D coder).
 
 No external oracle exists here (system libjpeg62 predates the
-libjpeg-turbo 3.0 lossless API), so the gate is the strongest
-self-check a LOSSLESS codec admits: bit-exact roundtrip over every
-predictor, precision, point transform, restart layout and component
-count (hypothesis property tests), stream-shape assertions against
-the spec's marker grammar, and a hand-pinned byte vector."""
+libjpeg-turbo 3.0 lossless API, and NO implementation of arithmetic
+lossless ships anywhere), so the gate is the strongest self-check a
+LOSSLESS codec admits: bit-exact roundtrip over every predictor,
+precision, point transform, restart layout and component count
+(hypothesis property tests), cross-backend sample equality (arith
+and Huffman streams of the same input must reconstruct identical
+planes), stream-shape assertions against the spec's marker grammar,
+and a hand-pinned byte vector."""
 
 from __future__ import annotations
 
@@ -17,6 +23,7 @@ from connect_spark.text.media_codecs import (
     decode_jpeg_lossless,
     decode_jpeg_pixels,
     encode_jpeg_lossless,
+    encode_jpeg_lossless_arith,
 )
 
 
@@ -110,12 +117,95 @@ def test_pixels_rejects_deep_precision():
         decode_jpeg_pixels(enc)
 
 
-def test_arithmetic_lossless_still_honest():
-    enc = bytearray(encode_jpeg_lossless([[[1, 2]]]))
-    i = enc.index(b"\xff\xc3")
-    enc[i + 1] = 0xCB  # flip SOF3 → SOFB
-    with pytest.raises(ValueError, match="arithmetic"):
-        decode_jpeg_pixels(bytes(enc))
+# ------------------------------------------------------------------
+# arithmetic lossless (SOFB, T.81 H.1.2.2 — the QM-coded twin)
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("psv", range(1, 8))
+def test_arith_roundtrip_every_predictor(psv):
+    p = [[(x * 37 + y * 91 + (x * y) % 13) % 256 for x in range(11)]
+         for y in range(7)]
+    enc = encode_jpeg_lossless_arith([p], predictor=psv)
+    assert decode_jpeg_lossless(enc)["planes"][0] == p
+
+
+@pytest.mark.parametrize("prec", [2, 8, 12, 16])
+def test_arith_roundtrip_precisions(prec):
+    mod = 1 << prec
+    p = [[(x * 2654435761 + y * 40503) % mod for x in range(6)]
+         for y in range(5)]
+    enc = encode_jpeg_lossless_arith([p], precision=prec,
+                                     predictor=4)
+    assert decode_jpeg_lossless(enc)["planes"][0] == p
+
+
+def test_arith_three_components_and_restart():
+    ps = [[[(c * 7919 + x * 31 + y * 17) % 256 for x in range(5)]
+           for y in range(6)] for c in range(3)]
+    enc = encode_jpeg_lossless_arith(ps, predictor=7,
+                                     restart_rows=2)
+    assert b"\xff\xd0" in enc
+    assert decode_jpeg_lossless(enc)["planes"] == ps
+
+
+def test_arith_matches_huffman_planes():
+    """The two entropy backends must reconstruct IDENTICAL samples
+    from the same input — the cross-check that pins the shared
+    predictor against both coders."""
+    p = [[(x * 201 + y * 57 + (x ^ y)) % 4096 for x in range(9)]
+         for y in range(8)]
+    a = decode_jpeg_lossless(encode_jpeg_lossless_arith(
+        [p], precision=12, predictor=6))["planes"]
+    hh = decode_jpeg_lossless(encode_jpeg_lossless(
+        [p], precision=12, predictor=6))["planes"]
+    assert a == hh == [p]
+
+
+def test_arith_compresses_smooth_content():
+    """The adaptive QM coder must beat the fixed Huffman table on
+    predictable content (sanity that adaptation really engages)."""
+    smooth = [[min(255, x + y) for x in range(32)] for y in range(32)]
+    a = len(encode_jpeg_lossless_arith([smooth]))
+    h = len(encode_jpeg_lossless([smooth]))
+    assert a < h / 5
+
+
+def test_arith_extreme_diffs():
+    p = [[0, 32768, 0, 65535, 32768, 1]]
+    enc = encode_jpeg_lossless_arith([p], precision=16, predictor=1)
+    assert decode_jpeg_lossless(enc)["planes"][0] == p
+
+
+def test_arith_stream_markers():
+    enc = encode_jpeg_lossless_arith([[[7]]])
+    assert b"\xff\xcb" in enc  # SOFB
+    assert b"\xff\xcc" in enc  # DAC
+    assert b"\xff\xc4" not in enc  # no Huffman tables
+
+
+def test_arith_pixels_delegation():
+    p = [[10, 200], [5, 255]]
+    d = decode_jpeg_pixels(encode_jpeg_lossless_arith([p]))
+    assert d["pixels"] == [[(10, 10, 10), (200, 200, 200)],
+                           [(5, 5, 5), (255, 255, 255)]]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    w=st.integers(1, 10),
+    h=st.integers(1, 8),
+    psv=st.integers(1, 7),
+    prec=st.sampled_from([2, 8, 12, 16]),
+)
+def test_arith_property_roundtrip(data, w, h, psv, prec):
+    mod = 1 << prec
+    p = [[data.draw(st.integers(0, mod - 1)) for _ in range(w)]
+         for _ in range(h)]
+    enc = encode_jpeg_lossless_arith([p], precision=prec,
+                                     predictor=psv)
+    assert decode_jpeg_lossless(enc)["planes"][0] == p
 
 
 # ------------------------------------------------------------------
