@@ -57,6 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     "rpcplugin_processor_docs",
     "agent_runtime_tool_loop",
     "multimodal_jpeg_lossless",
+    "multimodal_gif_animation",
     "fn_sr_header_roundtrip",
     "schema_registry_evolution",
     "streaming_dedupe_keys",
@@ -104,10 +105,10 @@ _DRIVER_PRIORITY: list[str] = [
     "sample_temperature_rebalance",
     "select_parts_topk",
     "snowflake_bdec_roundtrip",
-    "streaming_join_hydration",
     # --- 50-slot window boundary (round 12) --- everything below
     # queues for round 13: first the displaced r8 rows, then the
     # r9-latest band, then r10, then r11 (deepest: freshest greens).
+    "streaming_join_hydration",
     "switch_route",
     "unarchive_explode",
     "window_daily_orders",

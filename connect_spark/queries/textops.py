@@ -1991,3 +1991,104 @@ QUERIES += [
     QuerySpec("multimodal_jpeg_lossless", multimodal_jpeg_lossless,
               MULTIMODAL_JPEG_LOSSLESS_SQL),
 ]
+
+
+def multimodal_gif_animation(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """GIF89a INTER-FRAME animation in the gate (round 12 —
+    media_codecs.compose_gif_frames + encode_gif_animation): each
+    event synthesizes a 3-frame animated GIF exercising the full
+    animation surface — an INTERLACED full-canvas base frame
+    (disposal 1), a partial-canvas 3x3 patch at (1,1) with
+    TRANSPARENT holes (checkerboard phase e) and disposal 2
+    (region restored to the background color), and a final 2x2
+    patch at (3,3) overlapping the restored region — then composites
+    all three displayed frames and reduces them to one
+    position-weighted checksum.  The compositing has a closed form
+    (every painted index is a CASE over coordinates), so the oracle
+    recomputes the exact value: any bias in de-interlacing,
+    placement, transparency, disposal or LZW (incl. the r12
+    tail-width fix) breaks the hash.
+
+    Scale: zero-shuffle narrow mapInPandas repartitioned across
+    cores — the multimodal seam shape."""
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def run(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import (
+            compose_gif_frames, encode_gif_animation)
+
+        pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+        def val(px):
+            return px[0] + 2 * px[1] + 3 * px[2]
+
+        for pdf in batches:
+            checks = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                a = e % 3 + 1
+                b = (e + 1) % 3 + 1
+                c = (e + 2) % 3 + 1
+                specs = [
+                    {"grid": [[a] * 6 for _ in range(6)],
+                     "disposal": 1, "interlace": True},
+                    {"grid": [[b if (x + y + e) % 2 else 0
+                               for x in range(3)]
+                              for y in range(3)],
+                     "left": 1, "top": 1, "disposal": 2,
+                     "transparent": 0},
+                    {"grid": [[c] * 2 for _ in range(2)],
+                     "left": 3, "top": 3, "disposal": 0},
+                ]
+                gif = encode_gif_animation(specs, pal, 6, 6,
+                                           bg_index=0)
+                frames = compose_gif_frames(gif)["frames"]
+                checks.append(sum(
+                    (f + 1) * (y + 2) * (x + 3) * val(frames[f][y][x])
+                    for f in range(3) for y in range(6)
+                    for x in range(6)))
+            yield _pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "anim_checksum": _pd.Series(checks, dtype="int64"),
+            })
+
+    return ev.mapInPandas(run, "event_id BIGINT, anim_checksum BIGINT")
+
+
+MULTIMODAL_GIF_ANIM_SQL = """
+WITH px AS (
+  SELECT event_id,
+         i // 36 AS f, (i % 36) // 6 AS y, i % 6 AS x,
+         event_id % 3 + 1 AS a,
+         (event_id + 1) % 3 + 1 AS b,
+         (event_id + 2) % 3 + 1 AS c
+  FROM events, UNNEST(range(0, 108)) AS t(i)
+), idx AS (
+  SELECT event_id, f, y, x,
+    CASE
+      WHEN f = 0 THEN a
+      WHEN f = 1 THEN CASE
+        WHEN x BETWEEN 1 AND 3 AND y BETWEEN 1 AND 3
+             AND (x + y + event_id) % 2 = 1 THEN b
+        ELSE a END
+      ELSE CASE
+        WHEN x BETWEEN 3 AND 4 AND y BETWEEN 3 AND 4 THEN c
+        WHEN x BETWEEN 1 AND 3 AND y BETWEEN 1 AND 3 THEN 0
+        ELSE a END
+    END AS v
+  FROM px
+)
+SELECT event_id,
+       CAST(SUM((f + 1) * (y + 2) * (x + 3) * 255 * v) AS BIGINT)
+           AS anim_checksum
+FROM idx GROUP BY event_id
+"""
+
+
+QUERIES.append(
+    QuerySpec("multimodal_gif_animation", multimodal_gif_animation,
+              MULTIMODAL_GIF_ANIM_SQL))

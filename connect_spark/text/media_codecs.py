@@ -514,6 +514,13 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], code_size)
+        # the decoder still ADDS an entry while processing this final
+        # code (its table lags one entry) and may therefore widen
+        # before reading EOI; mirror that bump here — without it, any
+        # stream whose entry count lands exactly on a power of two at
+        # the flush desyncs on the EOI width (found by fuzzing r12)
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
     emit(eoi, code_size)
     if nbits:
         out.append(acc & 0xFF)
@@ -619,14 +626,18 @@ def encode_gif(frames: list[list[list[int]]],
 
 def decode_gif_frames(payload: bytes) -> dict:
     """GIF bytes → dict(width, height, palette, palettes, frames,
-    delays_cs) with frames as top-down rows of palette indices.
-    `palettes[f]` is frame f's EFFECTIVE color table (its local table
-    when present, else the global one); `palette` stays the global
-    table.  Walks the real block structure: global/local color
-    tables, extension sub-blocks, per-frame LZW decode; interlaced
-    images are rejected (honest gate — nothing in this repo emits
-    them); truncation anywhere raises ValueError per the module's
-    malformed-input contract."""
+    delays_cs, descriptors, bg_index) with frames as top-down rows of
+    palette indices (each frame's OWN sub-raster — full-canvas
+    reconstruction incl. disposal/transparency is
+    compose_gif_frames).  `palettes[f]` is frame f's EFFECTIVE color
+    table (its local table when present, else the global one);
+    `palette` stays the global table.  `descriptors[f]` carries the
+    89a animation state: left/top/width/height placement, disposal
+    method (GCE packed bits 2-4), transparency index (GCE flag bit 0)
+    or None, interlaced flag (rows are returned DE-interlaced).
+    Walks the real block structure: global/local color tables,
+    extension sub-blocks, per-frame LZW decode; truncation anywhere
+    raises ValueError per the module's malformed-input contract."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
     width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -656,7 +667,10 @@ def decode_gif_frames(payload: bytes) -> dict:
     frames: list[list[list[int]]] = []
     palettes: list[list[tuple[int, int, int]]] = []
     delays: list[int] = []
+    descriptors: list[dict] = []
     pending_delay = 0
+    pending_disposal = 0
+    pending_transparent: int | None = None
     while i < n_pay:
         b0 = payload[i]
         if b0 == 0x3B:                      # trailer
@@ -668,6 +682,9 @@ def decode_gif_frames(payload: bytes) -> dict:
             blocks, i = _subblocks(i + 2)
             if label == 0xF9 and len(blocks) >= 4:
                 (pending_delay,) = struct.unpack_from("<H", blocks, 1)
+                pending_disposal = (blocks[0] >> 2) & 0x07
+                pending_transparent = (blocks[3] if blocks[0] & 0x01
+                                       else None)
             continue
         if b0 != 0x2C:
             raise ValueError(f"gif: unknown block 0x{b0:02x}")
@@ -684,10 +701,8 @@ def decode_gif_frames(payload: bytes) -> dict:
             pal = [tuple(payload[i + 3 * j:i + 3 * j + 3])
                    for j in range(n)]
             i += 3 * n
-        if fpacked & 0x40:
-            raise ValueError("gif: interlaced images not supported")
-        if (left, top, fw, fh) != (0, 0, width, height):
-            raise ValueError("gif: partial-canvas frames not supported")
+        if left + fw > width or top + fh > height:
+            raise ValueError("gif: frame exceeds the logical screen")
         if not pal:
             raise ValueError("gif: frame has neither local nor global "
                              "color table")
@@ -697,14 +712,142 @@ def decode_gif_frames(payload: bytes) -> dict:
         raw = _lzw_decode(bytes(lzw), min_code)
         if len(raw) < fw * fh:
             raise ValueError("gif: short frame raster")
-        frames.append([list(raw[y * fw:(y + 1) * fw]) for y in range(fh)])
+        rows = [list(raw[y * fw:(y + 1) * fw]) for y in range(fh)]
+        if fpacked & 0x40:
+            # de-interlace (GIF89a appendix E: 4 passes — rows 0,8,…
+            # then 4,12,… then 2,6,… then odd rows)
+            order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                     + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+            deint = [None] * fh
+            for src, dst in enumerate(order):
+                deint[dst] = rows[src]
+            rows = deint
+        frames.append(rows)
         palettes.append(pal)
         delays.append(pending_delay)
+        descriptors.append({
+            "left": left, "top": top, "width": fw, "height": fh,
+            "disposal": pending_disposal,
+            "transparent": pending_transparent,
+            "interlaced": bool(fpacked & 0x40),
+        })
         pending_delay = 0
+        pending_disposal = 0
+        pending_transparent = None
     if not frames:
         raise ValueError("gif: no image data")
     return {"width": width, "height": height, "palette": gct,
-            "palettes": palettes, "frames": frames, "delays_cs": delays}
+            "palettes": palettes, "frames": frames,
+            "delays_cs": delays, "descriptors": descriptors,
+            "bg_index": _bg}
+
+
+def compose_gif_frames(payload: bytes) -> dict:
+    """Full inter-frame reconstruction of a GIF89a animation
+    (Graphic Control Extension semantics): returns
+    dict(width, height, frames) where frames[f] is the COMPOSITED
+    full-canvas RGB raster displayed during frame f's delay —
+    partial-canvas sub-frames painted at their left/top offsets,
+    transparent pixels leaving the underlying canvas visible, and
+    the disposal methods applied between frames (1 leave in place,
+    2 restore the frame's region to the background color, 3 restore
+    it to the pre-frame canvas).  The canvas starts as the logical
+    screen's background color (black when the global table is
+    absent) — the documented rendering of "background" for an RGB
+    target."""
+    d = decode_gif_frames(payload)
+    w, h = d["width"], d["height"]
+    gct = d["palette"]
+    bg = (tuple(gct[d["bg_index"]])
+          if gct and d["bg_index"] < len(gct) else (0, 0, 0))
+    canvas = [[bg] * w for _ in range(h)]
+    out = []
+    for rows, pal, desc in zip(d["frames"], d["palettes"],
+                               d["descriptors"]):
+        left, top = desc["left"], desc["top"]
+        fw, fh = desc["width"], desc["height"]
+        saved = None
+        if desc["disposal"] == 3:
+            saved = [canvas[top + y][left:left + fw]
+                     for y in range(fh)]
+        tr = desc["transparent"]
+        for y in range(fh):
+            crow = canvas[top + y]
+            frow = rows[y]
+            for x in range(fw):
+                idx = frow[x]
+                if idx == tr:
+                    continue
+                if idx >= len(pal):
+                    raise ValueError("gif: index outside color table")
+                crow[left + x] = tuple(pal[idx])
+        out.append([list(r) for r in canvas])
+        if desc["disposal"] == 2:
+            for y in range(fh):
+                canvas[top + y][left:left + fw] = [bg] * fw
+        elif desc["disposal"] == 3 and saved is not None:
+            for y in range(fh):
+                canvas[top + y][left:left + fw] = saved[y]
+    return {"width": w, "height": h, "frames": out}
+
+
+def encode_gif_animation(frame_specs: list[dict],
+                         palette: list[tuple[int, int, int]],
+                         width: int, height: int,
+                         bg_index: int = 0) -> bytes:
+    """Animated GIF89a with the FULL per-frame animation surface:
+    each spec is {grid (rows of palette indices), left, top,
+    disposal (0-3), transparent (index or None), delay_cs,
+    interlace (bool)} — partial-canvas placement, transparency and
+    interlaced row order all encoded for real (encode_gif stays the
+    simple full-canvas fast path)."""
+    if not frame_specs:
+        raise ValueError("gif: need at least one frame")
+    size_bits = 0
+    while (2 << size_bits) < len(palette):
+        size_bits += 1
+    n_colors = 2 << size_bits
+    if n_colors > 256:
+        raise ValueError("gif: palette too large")
+    gct = bytearray()
+    for i in range(n_colors):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | (7 << 4) | size_bits, bg_index, 0)
+    out += gct
+    min_code = max(2, size_bits + 1)
+    for spec in frame_specs:
+        grid = spec["grid"]
+        fh = len(grid)
+        fw = len(grid[0]) if fh else 0
+        left = int(spec.get("left", 0))
+        top = int(spec.get("top", 0))
+        if left + fw > width or top + fh > height:
+            raise ValueError("gif: frame exceeds the logical screen")
+        disposal = int(spec.get("disposal", 0))
+        if not 0 <= disposal <= 3:
+            raise ValueError("gif: disposal must be 0-3")
+        tr = spec.get("transparent")
+        flags = (disposal << 2) | (1 if tr is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([flags]) + struct.pack(
+            "<H", int(spec.get("delay_cs", 5))) + bytes(
+            [tr or 0]) + b"\x00"
+        interlace = bool(spec.get("interlace"))
+        out += b"\x2c" + struct.pack(
+            "<HHHH", left, top, fw, fh) + bytes(
+            [0x40 if interlace else 0x00])
+        rows = grid
+        if interlace:
+            order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                     + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+            rows = [grid[r] for r in order]
+        raw = bytes(idx for row in rows for idx in row)
+        out.append(min_code)
+        out += _gif_subblocks(_lzw_encode(raw, min_code))
+    out += b"\x3b"
+    return bytes(out)
 
 
 # --- JPEG (baseline DCT, ITU T.81) ------------------------------------
