@@ -1,0 +1,193 @@
+"""Seeded roundtrip fuzz over every handwritten wire/compression
+codec (r12 — the sweep that surfaced the GIF LZW tail-width bug,
+kept as a permanent deterministic guard): lz4 block+frame, snappy,
+msgpack, zigzag varints, RESP, AMQP 1.0 typed values, Kafka
+RecordBatch v2 across all compression codecs.  Seeds are fixed so
+failures reproduce exactly."""
+
+from __future__ import annotations
+
+import random
+import string
+
+SEED = 20260816
+
+
+def test_lz4_roundtrip_fuzz():
+    from connect_spark.functions import lz4_codec as L
+
+    rng = random.Random(SEED)
+    for t in range(1200):
+        kind = rng.randrange(3)
+        n = rng.choice([0, 1, 12, 13, 15, 64, 255, 256, 4000])
+        if kind == 0:
+            data = rng.randbytes(min(n, 2000))
+        elif kind == 1:
+            data = bytes([rng.randrange(4)]) * n
+        else:
+            unit = rng.randbytes(rng.randint(1, 9))
+            data = (unit * (n // max(1, len(unit)) + 1))[:n]
+        assert L.decompress_block(L.compress_block(data)) == data
+        assert L.decompress(L.compress(data)) == data
+
+
+def test_snappy_roundtrip_fuzz():
+    from connect_spark.functions import snappy_codec as S
+
+    rng = random.Random(SEED + 1)
+    for t in range(1200):
+        n = rng.choice([0, 1, 3, 59, 60, 61, 255, 1024, 66000])
+        kind = rng.randrange(3)
+        if kind == 0:
+            data = rng.randbytes(min(n, 2000))
+        elif kind == 1:
+            data = bytes([7]) * n
+        else:
+            unit = rng.randbytes(rng.randint(1, 10))
+            data = (unit * (n // max(1, len(unit)) + 1))[:n]
+        assert S.decompress(S.compress(data)) == data
+
+
+def _rand_doc(rng, depth=0):
+    r = rng.randrange(10 if depth < 3 else 7)
+    if r == 0:
+        return rng.randint(-2**63, 2**63 - 1)
+    if r == 1:
+        return None
+    if r == 2:
+        return rng.random() * 10 ** rng.randint(-5, 5)
+    if r == 3:
+        return "".join(rng.choices(string.printable,
+                                   k=rng.randrange(200)))
+    if r == 4:
+        return rng.randbytes(rng.randrange(200))
+    if r == 5:
+        return rng.choice([True, False])
+    if r == 6:
+        return rng.randint(0, 2**64 - 1)
+    if r == 7:
+        return [_rand_doc(rng, depth + 1)
+                for _ in range(rng.randrange(6))]
+    if r == 8:
+        return {str(i): _rand_doc(rng, depth + 1)
+                for i in range(rng.randrange(5))}
+    return rng.randint(-32, 127)
+
+
+def test_msgpack_roundtrip_fuzz():
+    from connect_spark.functions.msgpack_codec import packb, unpackb
+
+    rng = random.Random(SEED + 2)
+    for t in range(1500):
+        v = _rand_doc(rng)
+        assert unpackb(packb(v)) == v
+
+
+def test_zigzag_roundtrip_fuzz():
+    from connect_spark.functions.varints import (
+        zigzag_decode, zigzag_encode)
+
+    rng = random.Random(SEED + 3)
+    for t in range(4000):
+        n = rng.choice([rng.randint(-2**63, 2**63 - 1),
+                        rng.randint(-100, 100), 0, -1,
+                        2**62, -2**62])
+        assert zigzag_decode(zigzag_encode(n), 0)[0] == n
+
+
+def test_resp_roundtrip_fuzz():
+    from connect_spark.functions.resp_codec import (
+        decode_resp, encode_resp)
+
+    rng = random.Random(SEED + 4)
+
+    def rand_resp(depth=0):
+        r = rng.randrange(5 if depth < 3 else 3)
+        if r == 0:
+            return rng.randint(-2**50, 2**50)
+        if r == 1:
+            return rng.randbytes(rng.randrange(50))
+        if r == 2:
+            return None
+        if r == 3:
+            return "".join(rng.choices(string.ascii_letters,
+                                       k=rng.randrange(50))).encode()
+        return [rand_resp(depth + 1) for _ in range(rng.randrange(5))]
+
+    for t in range(1500):
+        v = rand_resp()
+        out, _ = decode_resp(encode_resp(v))
+        assert out == v
+
+
+def test_amqp1_value_roundtrip_fuzz():
+    from connect_spark.functions.amqp1_codec import (
+        Symbol, decode_value, encode_value)
+
+    rng = random.Random(SEED + 5)
+
+    def rv(depth=0):
+        r = rng.randrange(9 if depth < 3 else 6)
+        if r == 0:
+            return None
+        if r == 1:
+            return rng.choice([True, False])
+        if r == 2:
+            return rng.randint(-2**31, 2**31 - 1)
+        if r == 3:
+            return rng.randint(-2**63, 2**63 - 1)
+        if r == 4:
+            return "".join(rng.choices(string.printable,
+                                       k=rng.randrange(200)))
+        if r == 5:
+            return rng.randbytes(rng.randrange(200))
+        if r == 6:
+            return [rv(depth + 1) for _ in range(rng.randrange(5))]
+        if r == 7:
+            return {str(i): rv(depth + 1)
+                    for i in range(rng.randrange(4))}
+        return Symbol("".join(rng.choices(string.ascii_letters,
+                                          k=rng.randrange(30))))
+
+    for t in range(1200):
+        v = rv()
+        out, _ = decode_value(encode_value(v))
+        assert out == v
+
+
+def test_kafka_recordbatch_roundtrip_fuzz():
+    from connect_spark.functions.kafka_records import (
+        KafkaRecord, decode_batch, encode_batch)
+
+    rng = random.Random(SEED + 6)
+    for t in range(400):
+        n = rng.randint(1, 15)
+        base = rng.randint(0, 2**40)
+        recs = []
+        for j in range(n):
+            recs.append(KafkaRecord(
+                offset=base + j,
+                timestamp_ms=rng.randint(0, 2**41),
+                key=(None if rng.random() < 0.3
+                     else rng.randbytes(rng.randrange(40))),
+                value=(None if rng.random() < 0.1
+                       else rng.randbytes(rng.randrange(200))),
+                headers=[
+                    ("".join(chr(rng.randint(97, 122))
+                             for _ in range(rng.randint(1, 8))),
+                     rng.randbytes(rng.randrange(20)))
+                    for _ in range(rng.randrange(3))
+                ],
+            ))
+        codec = rng.choice([0, 1, 2, 3, 4])
+        blob = encode_batch(recs, base_offset=base, codec=codec)
+        batch, nxt = decode_batch(blob)
+        assert nxt == len(blob) and batch["codec"] == codec
+        out = batch["records"]
+        assert len(out) == n
+        for a, b in zip(recs, out):
+            assert a.offset == b.offset
+            assert a.timestamp_ms == b.timestamp_ms
+            assert (a.key or None) == (b.key or None)
+            assert (a.value or None) == (b.value or None)
+            assert list(a.headers or []) == list(b.headers or [])
