@@ -640,6 +640,8 @@ def decode_gif_frames(payload: bytes) -> dict:
     raises ValueError per the module's malformed-input contract."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad signature")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
     width, height, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     i = 13
     n_pay = len(payload)
@@ -2070,6 +2072,18 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
             ah, al = a >> 4, a & 0x0F
             if not frame["progressive"]:
                 ss, se, ah, al = 0, 63, 0, 0
+            if not frame.get("arith"):
+                # malformed-input contract: a scan referencing an
+                # undeclared Huffman table fails loudly
+                for comp_, td_, ta_ in scan:
+                    needs_dc = ss == 0 and ah == 0
+                    needs_ac = (not frame["progressive"]) or ss > 0
+                    if needs_dc and (0, td_) not in huff:
+                        raise ValueError(
+                            f"jpeg: missing DC huffman table {td_}")
+                    if needs_ac and (1, ta_) not in huff:
+                        raise ValueError(
+                            f"jpeg: missing AC huffman table {ta_}")
             if ss > 0 and ns != 1:
                 raise ValueError("jpeg: AC scans must be single-component")
             if frame.get("arith"):
@@ -2156,6 +2170,9 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
     m = _jpeg_dct_matrix()
     planes = {}
     for comp in frame["comps"]:
+        if comp["tq"] not in qt:
+            raise ValueError(
+                f"jpeg: missing quantization table {comp['tq']}")
         tbl = np.array(qt[comp["tq"]], dtype=np.int64)
         zzblocks = np.asarray(
             coefs[comp["id"]], dtype=np.int64) * tbl  # (by, bx, 64)
@@ -2452,6 +2469,8 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
         if payload[i] != 0xFF:
             i += 1
             continue
+        if i + 1 >= len(payload):
+            raise ValueError("jpeg: truncated stream")
         marker = payload[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
@@ -2468,14 +2487,31 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0x0F
                 bits = list(seg[j + 1:j + 17])
+                if len(bits) < 16:
+                    raise ValueError("jpeg: truncated stream")
                 n = sum(bits)
+                if len(seg) < j + 17 + n:
+                    raise ValueError("jpeg: truncated stream")
                 huff[(tc, th)] = _JpegHuff(
                     bits, list(seg[j + 17:j + 17 + n]))
                 j += 17 + n
         elif marker in (0xC3, 0xCB):
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated stream")
             prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
             if not 2 <= prec <= 16:
                 raise ValueError("jpeg: bad lossless precision")
+            if fw == 0 or fh == 0 or nc == 0:
+                raise ValueError("jpeg: empty frame")
+            # malformed-input guard: a lossless scan consumes at
+            # least one Huffman bit (or one QM decision byte in
+            # ~2^15) per sample; a frame whose area exceeds any
+            # possible payload by orders of magnitude is corrupt
+            if fw * fh > 64 * len(payload) + (1 << 20):
+                raise ValueError(
+                    "jpeg: frame area implausible for stream size")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("jpeg: truncated stream")
             comps = []
             for c in range(nc):
                 cid, hv, _tq = seg[6 + 3 * c:9 + 3 * c]
@@ -2499,20 +2535,35 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
                 "jpeg: decode_jpeg_lossless expects a SOF3/SOFB "
                 "frame")
         elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("jpeg: truncated stream")
             restart_interval = _st.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if not seg:
+                raise ValueError("jpeg: truncated stream")
             ns = seg[0]
+            if ns == 0 or len(seg) < 4 + 2 * ns:
+                raise ValueError("jpeg: truncated stream")
             scan = []
             for c in range(ns):
                 cid, t = seg[1 + 2 * c], seg[2 + 2 * c]
                 if cid not in samples:
                     raise ValueError(
                         f"jpeg: scan references unknown component {cid}")
+                if not frame.get("arith") and (0, t >> 4) not in huff:
+                    raise ValueError(
+                        f"jpeg: scan references missing DC table "
+                        f"{t >> 4}")
                 scan.append((cid, t >> 4))
             psv, _se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            if not 1 <= psv <= 7:
+                raise ValueError(
+                    f"jpeg: bad lossless predictor {psv}")
             pt = a & 0x0F
+            if pt >= frame["prec"]:
+                raise ValueError("jpeg: point transform out of range")
             pt_used = pt
             default = 1 << (frame["prec"] - pt - 1)
             fresh = {cid: True for cid, _ in scan}
