@@ -102,6 +102,25 @@ def encode_wav_mulaw(samples: list[int], sample_rate: int = 8000,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _malformed_to_valueerror(fn):
+    """Decode-boundary guard (r12 hardening): the module's contract
+    is that ANY malformed input raises ValueError; translate the
+    low-level struct/zlib failures a truncated or mutated stream can
+    reach into that contract instead of guarding every unpack."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(payload, *a, **kw):
+        try:
+            return fn(payload, *a, **kw)
+        except (struct.error, zlib.error,
+                ZeroDivisionError) as exc:
+            raise ValueError(
+                f"{fn.__name__}: malformed stream ({exc})") from exc
+    return wrap
+
+
+@_malformed_to_valueerror
 def decode_wav(payload: bytes) -> dict:
     """RIFF/WAVE bytes → dict(sample_rate, n_channels, bits,
     n_samples, duration_ms, samples).  PCM (format tag 1) and G.711
@@ -177,6 +196,7 @@ def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     return header + info + bytes(raster)
 
 
+@_malformed_to_valueerror
 def decode_bmp(payload: bytes) -> dict:
     """BMP bytes → dict(width, height, mean_r, mean_g, mean_b ×1000
     integer).  24-bit uncompressed BITMAPINFOHEADER only (the format
@@ -217,6 +237,7 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+@_malformed_to_valueerror
 def decode_bmp_pixels(payload: bytes) -> dict:
     """BMP bytes → dict(width, height, pixels) with pixels as
     top-to-bottom rows of (r, g, b) tuples — the exact inverse of
@@ -349,6 +370,7 @@ def encode_png(pixels: list[list[tuple[int, int, int]]]) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+@_malformed_to_valueerror
 def decode_png_pixels(payload: bytes) -> dict:
     """PNG bytes → dict(width, height, pixels, color_type) with pixels
     as top-to-bottom rows of (r, g, b) tuples — alpha dropped for
@@ -421,6 +443,7 @@ def resize_png(payload: bytes, new_w: int, new_h: int) -> bytes:
 # --- container dispatch ----------------------------------------------
 
 
+@_malformed_to_valueerror
 def decode_raster_pixels(payload: bytes) -> dict:
     """Magic-byte dispatch over the REAL raster codecs: BMP, PNG or
     baseline JPEG → dict(width, height, pixels) with top-down
@@ -624,6 +647,7 @@ def encode_gif(frames: list[list[list[int]]],
     return bytes(out)
 
 
+@_malformed_to_valueerror
 def decode_gif_frames(payload: bytes) -> dict:
     """GIF bytes → dict(width, height, palette, palettes, frames,
     delays_cs, descriptors, bg_index) with frames as top-down rows of
@@ -1978,6 +2002,9 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 0x0F) <= 4):
+                    raise ValueError(
+                        "jpeg: sampling factors must be 1-4")
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"w": fw, "h": fh, "comps": comps,
@@ -2279,6 +2306,7 @@ def encode_avi_mjpeg(frames: list[list[list[tuple[int, int, int]]]],
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_malformed_to_valueerror
 def decode_avi_frames(payload: bytes) -> dict:
     """RIFF/AVI walk → dict(width, height, fps, n_frames, frames):
     every video-data chunk (##dc/##db) in the movi list decoded as a

@@ -205,13 +205,21 @@ def test_media_decoder_malformed_input_contract():
 
     from connect_spark.text.media_codecs import (
         compose_gif_frames,
+        decode_avi_frames,
+        decode_bmp_pixels,
         decode_jpeg_lossless,
         decode_jpeg_pixels,
+        decode_png_pixels,
+        decode_wav,
+        encode_avi_mjpeg,
+        encode_bmp,
         encode_gif_animation,
         encode_jpeg,
         encode_jpeg_arith,
         encode_jpeg_lossless,
         encode_jpeg_lossless_arith,
+        encode_png,
+        encode_wav_mulaw,
     )
 
     rng = random.Random(SEED + 7)
@@ -231,6 +239,14 @@ def test_media_decoder_malformed_input_contract():
             [{"grid": [[1] * 4] * 4, "disposal": 1},
              {"grid": [[2, 0], [0, 2]], "left": 1, "top": 1,
               "transparent": 0}], pal, 4, 4), compose_gif_frames),
+        (encode_png([[(x * 9 % 256, 0, x) for x in range(8)]] * 6),
+         decode_png_pixels),
+        (encode_bmp([[(x, 2 * x % 256, 9) for x in range(8)]] * 6),
+         decode_bmp_pixels),
+        (encode_wav_mulaw([(i * 37) % 4096 - 2048
+                           for i in range(64)]), decode_wav),
+        (encode_avi_mjpeg([[[(10, 20, 30)] * 8] * 8] * 2),
+         decode_avi_frames),
     )
     for blob, fn in cases:
         for t in range(300):
