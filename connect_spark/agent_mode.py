@@ -256,6 +256,16 @@ def run_agents(spark: SparkSession, repo_dir: str,
     for name, agent in agents.items():
         if agent_filter is not None and name not in agent_filter:
             continue
+        if not isinstance(agent, dict):
+            raise PipelineConfigError(
+                f"agent {name!r} in {cfg_path} must be a mapping "
+                f"with an `input` section, got "
+                f"{type(agent).__name__}")
+        if not isinstance(agent.get("input"), dict):
+            raise PipelineConfigError(
+                f"agent {name!r} in {cfg_path} is missing its "
+                f"`input` section (a mapping of input kind → "
+                f"config)")
         registry = AgentToolRegistry(spark)
         registry.load_dir(os.path.join(repo_dir, "mcp"),
                           allowed=agent.get("tools"))

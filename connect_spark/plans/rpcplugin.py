@@ -39,6 +39,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 from typing import Any
@@ -56,6 +57,43 @@ _FIELD_TYPES = ("string", "int", "float", "bool", "unknown")
 _FIELD_KINDS = ("scalar", "list", "map")
 _COMPONENT_TYPES = ("input", "processor", "output")
 _RETRY_COUNT = 3  # processor.go `retryCount`
+_BACKOFF_MAX_RETRIES = 64   # cap on consecutive backoff signals
+_BACKOFF_CAP_S = 5.0        # per-sleep ceiling (defensive)
+
+# (type, name) → realpath of the manifest that registered it; lets
+# discover_and_register_plugins detect duplicate names while staying
+# idempotent for re-discovery of the same file.
+_REGISTERED_PLUGINS: dict[tuple, str] = {}
+
+
+def _requested_backoff_s(exc: "PluginError"):
+    """The backoff interval (seconds) a plugin requested via the
+    runtimepb error detail {'backoff_ms': n}, else None."""
+    d = exc.detail
+    if isinstance(d, dict) and "backoff_ms" in d:
+        try:
+            return min(max(float(d["backoff_ms"]), 0.0) / 1000.0,
+                       _BACKOFF_CAP_S)
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def _call_with_backoff(client: "PluginClient", method: str, **kw):
+    """Issue an RPC, honoring plugin-requested backoff (error.go's
+    NewBackOffError): sleep the requested interval and retry, up to
+    _BACKOFF_MAX_RETRIES consecutive signals."""
+    for _ in range(_BACKOFF_MAX_RETRIES):
+        try:
+            return client.call(method, **kw)
+        except PluginError as exc:
+            delay = _requested_backoff_s(exc)
+            if delay is None:
+                raise
+            time.sleep(delay)
+    raise PluginError(
+        f"plugin kept signaling backoff for {method!r} "
+        f"({_BACKOFF_MAX_RETRIES} consecutive attempts)")
 
 
 class PluginError(RuntimeError):
@@ -403,7 +441,7 @@ def make_input_plugin(manifest: PluginManifest):
             client.call("connect")
             while True:
                 try:
-                    resp = client.call("read_batch")
+                    resp = _call_with_backoff(client, "read_batch")
                 except PluginError as exc:
                     if exc.end_of_input:
                         break
@@ -443,7 +481,8 @@ def _partition_runner(manifest: PluginManifest, cfg: dict[str, Any],
                 last: Exception | None = None
                 for _ in range(_RETRY_COUNT):
                     try:
-                        resp = client.call(method, batch=payload)
+                        resp = _call_with_backoff(
+                            client, method, batch=payload)
                         last = None
                         break
                     except PluginCrashed as exc:
@@ -522,17 +561,36 @@ def discover_and_register_plugins(paths: list[str]) -> list[str]:
             raise PipelineConfigError(
                 f"plugin config path matches nothing: {p}")
         files.extend(hits or [p])
+    registries = {"input": INPUT_KINDS, "processor": PROCESSORS,
+                  "output": OUTPUT_KINDS}
     for path in files:
         with open(path, encoding="utf-8") as fh:
             doc = yaml.safe_load(fh) or {}
         manifest = parse_manifest(doc, path)
+        # MustRegister* semantics (service.go): a duplicate name —
+        # whether shadowing a built-in or another plugin — is a
+        # config error, not a silent overwrite.  Re-discovering the
+        # SAME manifest file (run → dry_run in one process) stays
+        # idempotent.
+        target = registries[manifest.type]
+        key = (manifest.type, manifest.name)
+        prior = _REGISTERED_PLUGINS.get(key)
+        rpath = os.path.realpath(path)
+        if manifest.name in target and prior != rpath:
+            origin = ("built-in component" if prior is None
+                      else f"plugin at {prior}")
+            raise PipelineConfigError(
+                f"plugin {manifest.name!r} ({manifest.type}) from "
+                f"{path} would shadow an existing {origin}; plugin "
+                f"names must be unique")
         if manifest.type == "input":
-            INPUT_KINDS[manifest.name] = make_input_plugin(manifest)
+            target[manifest.name] = make_input_plugin(manifest)
         elif manifest.type == "processor":
             fn = make_processor_plugin(manifest)
-            PROCESSORS[manifest.name] = (
+            target[manifest.name] = (
                 lambda df, conf, _fn=fn: _fn(df, conf))
         else:
-            OUTPUT_KINDS[manifest.name] = make_output_plugin(manifest)
+            target[manifest.name] = make_output_plugin(manifest)
+        _REGISTERED_PLUGINS[key] = rpath
         names.append(manifest.name)
     return names

@@ -2531,13 +2531,25 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
                 raise ValueError("jpeg: bad lossless precision")
             if fw == 0 or fh == 0 or nc == 0:
                 raise ValueError("jpeg: empty frame")
-            # malformed-input guard: a lossless scan consumes at
-            # least one Huffman bit (or one QM decision byte in
-            # ~2^15) per sample; a frame whose area exceeds any
-            # possible payload by orders of magnitude is corrupt
-            if fw * fh > 64 * len(payload) + (1 << 20):
+            # malformed-input guards.  SOF3 (Huffman): every sample
+            # consumes at least one scan bit, so an area orders of
+            # magnitude beyond the payload is corrupt.  SOFB (QM
+            # arithmetic): NO payload-proportional bound exists —
+            # after the data runs out the decoder legally feeds
+            # 1-bits forever, so a constant plane of any size can
+            # decode from a handful of bytes (its own encoder emits
+            # exactly such streams).  There we only cap the
+            # allocation so a forged 65535x65535 header cannot OOM
+            # the worker.
+            if marker == 0xC3:
+                if fw * fh > 64 * len(payload) + (1 << 20):
+                    raise ValueError(
+                        "jpeg: frame area implausible for stream "
+                        "size")
+            elif fw * fh > (1 << 26):
                 raise ValueError(
-                    "jpeg: frame area implausible for stream size")
+                    "jpeg: lossless frame area exceeds decoder "
+                    "allocation cap (2^26 samples)")
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("jpeg: truncated stream")
             comps = []

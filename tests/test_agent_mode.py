@@ -264,3 +264,20 @@ def test_agent_runtime_through_yaml_pipeline(tmp_path, spark):
         assert rows == ["[M0]", "[M1]"]
     finally:
         srv.shutdown()
+
+
+def test_agent_missing_input_is_config_error(tmp_path, spark):
+    """r13 ADVICE: an agents.yaml entry without its `input` section
+    must raise PipelineConfigError naming the agent, not KeyError."""
+    (tmp_path / "redpanda_agents.yaml").write_text(
+        "agents:\n  broken:\n    tools: []\n")
+    with pytest.raises(PipelineConfigError, match="broken.*input"):
+        run_agents(spark, str(tmp_path))
+
+
+def test_agent_non_mapping_entry_is_config_error(tmp_path, spark):
+    (tmp_path / "redpanda_agents.yaml").write_text(
+        "agents:\n  scalar_agent: 42\n")
+    with pytest.raises(PipelineConfigError,
+                       match="scalar_agent.*mapping"):
+        run_agents(spark, str(tmp_path))

@@ -281,3 +281,45 @@ def test_property_restart_and_pt(data, w, h, psv, rrows, pt):
                                restart_rows=rrows)
     out = decode_jpeg_lossless(enc)["planes"][0]
     assert out == [[(v >> pt) << pt for v in row] for row in p]
+
+
+# ------------------------------------------------------------------
+# malformed-input guard regressions (r13 ADVICE)
+# ------------------------------------------------------------------
+
+
+def test_arith_constant_plane_large_area_roundtrips():
+    """A constant SOFB plane compresses to a handful of bytes (the
+    decoder legally feeds 1-bits after stream end), so the Huffman
+    area-vs-payload guard must NOT apply to arithmetic frames
+    (r13 ADVICE regression: 2000x1500 plane -> ~35-byte stream)."""
+    plane = [[128] * 2000 for _ in range(1500)]
+    blob = encode_jpeg_lossless_arith([plane])
+    assert len(blob) < 200  # genuinely tiny stream
+    out = decode_jpeg_lossless(blob)
+    assert out["width"] == 2000 and out["height"] == 1500
+    assert out["planes"][0][0][0] == 128
+    assert out["planes"][0][-1][-1] == 128
+
+
+def test_sofb_forged_header_hits_allocation_cap():
+    """A forged SOFB header claiming 65535x65535 must still be
+    rejected (allocation cap), even though no payload-proportional
+    bound exists for arithmetic frames."""
+    import struct
+    blob = bytearray(b"\xff\xd8")
+    blob += bytes([0xFF, 0xCB]) + struct.pack(
+        ">HBHHB", 8 + 3, 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="allocation cap"):
+        decode_jpeg_lossless(bytes(blob))
+
+
+def test_sof3_area_guard_still_rejects():
+    """The Huffman payload-proportional guard stays in force for
+    SOF3 frames."""
+    import struct
+    blob = bytearray(b"\xff\xd8")
+    blob += bytes([0xFF, 0xC3]) + struct.pack(
+        ">HBHHB", 8 + 3, 8, 60000, 60000, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg_lossless(bytes(blob))

@@ -160,12 +160,17 @@ def _write_plugin(tmp_path, name, script, manifest_extra):
 
 @pytest.fixture(autouse=True)
 def _clean_kinds():
+    from connect_spark.plans.rpcplugin import _REGISTERED_PLUGINS
+
     before = (set(INPUT_KINDS), set(PROCESSORS), set(OUTPUT_KINDS))
+    origins = dict(_REGISTERED_PLUGINS)
     yield
     for reg, names in zip((INPUT_KINDS, PROCESSORS, OUTPUT_KINDS),
                           before):
         for k in set(reg) - names:
             del reg[k]
+    _REGISTERED_PLUGINS.clear()
+    _REGISTERED_PLUGINS.update(origins)
 
 
 # ------------------------------------------------------------------
@@ -435,3 +440,110 @@ def test_cli_plugin_init_bad_component(tmp_path):
     rc = main(["plugin", "init", str(tmp_path / "clip2"),
                "--component", "widget"])
     assert rc == 1
+
+
+# ------------------------------------------------------------------
+# r13 ADVICE regressions: duplicate registration + backoff honor
+# ------------------------------------------------------------------
+
+
+def test_duplicate_plugin_name_raises(tmp_path):
+    """MustRegister* semantics: a second plugin with the same name
+    is a config error, not a silent overwrite."""
+    m1 = _write_plugin(
+        tmp_path, "dupe", _SHOUT_PLUGIN,
+        {"type": "processor", "fields": []})
+    discover_and_register_plugins([m1])
+    other = tmp_path / "other"
+    other.mkdir()
+    (other / "main.py").write_text(_SHOUT_PLUGIN)
+    import yaml
+    (other / "plugin.yaml").write_text(yaml.safe_dump(
+        {"name": "dupe", "command": [sys.executable, "main.py"],
+         "type": "processor", "fields": []}))
+    with pytest.raises(PipelineConfigError, match="shadow"):
+        discover_and_register_plugins([str(other / "plugin.yaml")])
+
+
+def test_plugin_shadowing_builtin_raises(tmp_path):
+    """A plugin named after a built-in processor (e.g. `mapping`)
+    must be rejected."""
+    mpath = _write_plugin(
+        tmp_path, "mapping", _SHOUT_PLUGIN,
+        {"type": "processor", "fields": []})
+    with pytest.raises(PipelineConfigError, match="built-in"):
+        discover_and_register_plugins([mpath])
+    assert not callable(getattr(PROCESSORS.get("mapping"), "close",
+                                None))  # built-in untouched
+
+
+def test_same_manifest_rediscovery_is_idempotent(tmp_path):
+    """run → dry_run in one process re-discovers the same manifest
+    file; that must not raise."""
+    mpath = _write_plugin(
+        tmp_path, "idem", _SHOUT_PLUGIN,
+        {"type": "processor", "fields": []})
+    assert discover_and_register_plugins([mpath]) == ["idem"]
+    assert discover_and_register_plugins([mpath]) == ["idem"]
+
+
+# A processor that signals backoff N times before succeeding — the
+# host must sleep and retry rather than failing the task
+# (runtimepb/error.go NewBackOffError).
+_BACKOFF_PLUGIN = """\
+import json, sys
+remaining = 2
+for line in sys.stdin:
+    if not line.strip():
+        continue
+    req = json.loads(line)
+    rid, m, p = req["id"], req["method"], req.get("params") or {}
+    err = None
+    res = {}
+    if m == "process_batch":
+        if remaining > 0:
+            remaining -= 1
+            err = {"message": "try later",
+                   "detail": {"backoff_ms": 10}}
+        else:
+            msgs = []
+            for msg in (p.get("batch") or {}).get("messages") or []:
+                doc = msg["structured"]
+                doc["ok"] = True
+                msgs.append({"structured": doc, "metadata": {}})
+            res = {"batches": [{"messages": msgs}]}
+    sys.stdout.write(json.dumps(
+        {"id": rid, "result": res, "error": err}) + "\\n")
+    sys.stdout.flush()
+    if m == "close":
+        break
+"""
+
+
+def test_backoff_detail_is_honored(spark, tmp_path):
+    mpath = _write_plugin(
+        tmp_path, "backoffy", _BACKOFF_PLUGIN,
+        {"type": "processor", "fields": [],
+         "output_schema": "text STRING, ok BOOLEAN"})
+    discover_and_register_plugins([mpath])
+    df = spark.createDataFrame([("a",)], "text STRING").coalesce(1)
+    out = PROCESSORS["backoffy"](df, {})
+    rows = [(r["text"], r["ok"]) for r in out.collect()]
+    assert rows == [("a", True)]
+
+
+def test_backoff_gives_up_after_cap():
+    from connect_spark.plans.rpcplugin import (
+        PluginError, _call_with_backoff)
+
+    class _AlwaysBackoff:
+        calls = 0
+
+        def call(self, method, **kw):
+            self.calls += 1
+            raise PluginError("busy", {"backoff_ms": 0})
+
+    c = _AlwaysBackoff()
+    with pytest.raises(PluginError, match="consecutive"):
+        _call_with_backoff(c, "process_batch")
+    assert c.calls == 64
