@@ -86,6 +86,34 @@ def _median(xs: list) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _disk_probe_mb_s(mib: int = 256) -> float:
+    """Host disk health: fsync'd sequential write rate (MB/s) to the
+    same tmp device the migrator harness copies through.  The migrator
+    numbers are device-bound (r11 host: 1171 MB/s on an NVMe-class
+    disk; r12: 169 MB/s on a 24 MB/s device with byte-identical code),
+    so the bench records the denominator — readers normalize
+    migrator_mb_s against this probe instead of comparing raw walls
+    across hosts (r12 verdict task #1)."""
+    import tempfile
+
+    chunk = os.urandom(1 << 20) * 4  # 4 MiB of incompressible bytes
+    fd, path = tempfile.mkstemp(prefix="bench_diskprobe_")
+    try:
+        t0 = time.perf_counter()
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(mib // 4):
+                f.write(chunk)
+            f.flush()
+            os.fsync(f.fileno())
+        dt = time.perf_counter() - t0
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+    return round(mib / dt, 1)
+
+
 def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
     """Two rates: (1) migrator-style file->file copy of the documents
     table (bytes/s over the decoded payload, the baseline's unit);
@@ -99,7 +127,7 @@ def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
     from connect_spark.catalog import load_table
     from connect_spark.queries.cdc import cdc_materialize_orders
 
-    out: dict = {}
+    out: dict = {"disk_probe_mb_s": _disk_probe_mb_s()}
 
     # Migrator: READ→WRITE copy of sf-scaled ~1KB messages (the
     # baseline's unit — 30M x 1KB msgs at 1.0 GB/s,
