@@ -38,76 +38,18 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 12 rotation (standing policy: never-verified first, then
-    # oldest driver green).  Window: (a) fn_sr_header_roundtrip — the
-    # only oracle-bearing query with no driver row (added r11 after
-    # that window froze; judge-verified green in the r11 session);
-    # (b) the 5 displaced r7 rows — the oldest driver band, twice
-    # re-verified green beyond-window since (r11 PROGRESS.md, judge
-    # replication); (c) 44 of the 47-row r8-latest band, alphabetical
-    # (the whole band was pre-audited green in one fresh driver_sim
-    # session, commit ce1d2a9).  1 + 5 + 44 = 50; zero overlap with
-    # the r11 window.  The 3 r8 rows the rotation displaces
-    # (window_session, window_sliding, window_tumbling_hourly) head the
-    # round-13 queue below and get beyond-window driver_sim audits
-    # this round (PROGRESS.md).  The NEW r12 gates (rpcplugin,
-    # agent-mode) join group (a) — never-driver-verified — displacing
-    # the same count of r8 rows from the window tail to the r13 queue
-    # head (each displaced row re-verified beyond-window, PROGRESS.md).
-    "rpcplugin_processor_docs",
-    "agent_runtime_tool_loop",
-    "multimodal_jpeg_lossless",
-    "multimodal_gif_animation",
-    "fn_sr_header_roundtrip",
-    "schema_registry_evolution",
-    "streaming_dedupe_keys",
-    "text_token_count_bpe",
-    "vocab_top_bigrams",
-    "window_tumbling_streamed",
-    # r8-latest band (44 of 47, alphabetical)
-    "archive_json",
-    "archive_lines",
-    "bounds_check_filter",
-    "bpe_train_distributed",
-    "bpe_train_parity",
-    "bucketed_join_revenue",
-    "dedup_exact",
-    "dedup_semantic_keep",
-    "dedup_substring_spans",
-    "dedupe_first_per_user",
-    "error_model",
-    "fn_array_matrix",
-    "fn_encoding_matrix",
-    "fn_map_matrix",
-    "fn_number_matrix",
-    "fn_regex_matrix",
-    "fn_string_matrix",
-    "fn_timestamp_matrix",
-    "group_by_value_agg",
-    "join_anti_no_orders",
-    "join_enrichment_lookup",
-    "join_semi_big_spenders",
-    "join_sharded_full_outer",
-    "join_star_revenue_by_nation",
-    "mapping_project",
-    "migrator_acl_translate",
-    "migrator_end_to_end",
-    "migrator_group_offsets",
-    "migrator_id_translate",
-    "migrator_schema_sync",
-    "migrator_topic_sync",
-    "mixture_interleave_blocks",
-    "multimodal_audio_features",
-    "multimodal_bmp_resize",
-    "mutation_enrich",
-    "pipeline_pretrain_corpus",
-    "quality_stupid_backoff",
-    "sample_temperature_rebalance",
-    "select_parts_topk",
-    "snowflake_bdec_roundtrip",
-    # --- 50-slot window boundary (round 12) --- everything below
-    # queues for round 13: first the displaced r8 rows, then the
-    # r9-latest band, then r10, then r11 (deepest: freshest greens).
+    # Round 13 rotation (standing policy: never-verified first, then
+    # oldest driver green).  Window = the EXACT 50-query set
+    # pre-audited 50/50 GREEN in two fresh driver_sim sessions at the
+    # r12 freeze (PROGRESS.md r12 "r13 window pre-audit"): the 7
+    # displaced r8 rows, then the r9-latest band alphabetical through
+    # sketch_kmv_merged.  The old r12 window rotates to the deepest
+    # queue position (freshest greens).  `bpe_train_distributed`
+    # (rows-only by design — iterative, not SQL-expressible) is
+    # PINNED to the back band so driver windows stay 50/50 with zero
+    # `no_oracle` rows; its value-level twin `bpe_train_parity`
+    # carries the oracle gate whenever it rotates forward (r12
+    # verdict "What's wrong" #3).
     "streaming_join_hydration",
     "switch_route",
     "unarchive_explode",
@@ -115,7 +57,6 @@ _DRIVER_PRIORITY: list[str] = [
     "window_session",
     "window_sliding",
     "window_tumbling_hourly",
-    # r9-latest band (50)
     "amqp_envelope_events",
     "ann_ivf_kmeans_probe",
     "bloom_membership_probe",
@@ -159,6 +100,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_hll_distinct",
     "sketch_hll_merged",
     "sketch_kmv_merged",
+    # --- 50-slot window boundary (round 13) --- everything below
+    # queues for round 14: the remaining r9 rows, then r10, r11,
+    # and deepest the r12-latest band (the old r12 window).
     "streaming_cdc_to_iceberg",
     "streaming_running_totals",
     "streaming_session_window",
@@ -268,6 +212,58 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_repetition_rules",
     "retention_cohorts",
     "sample_stratified",
+    # r12-latest band (50; the old r12 window, rotated back at the
+    # r13 freeze; bpe_train_distributed pinned here — see header)
+    "rpcplugin_processor_docs",
+    "agent_runtime_tool_loop",
+    "multimodal_jpeg_lossless",
+    "multimodal_gif_animation",
+    "fn_sr_header_roundtrip",
+    "schema_registry_evolution",
+    "streaming_dedupe_keys",
+    "text_token_count_bpe",
+    "vocab_top_bigrams",
+    "window_tumbling_streamed",
+    "archive_json",
+    "archive_lines",
+    "bounds_check_filter",
+    "bpe_train_distributed",
+    "bpe_train_parity",
+    "bucketed_join_revenue",
+    "dedup_exact",
+    "dedup_semantic_keep",
+    "dedup_substring_spans",
+    "dedupe_first_per_user",
+    "error_model",
+    "fn_array_matrix",
+    "fn_encoding_matrix",
+    "fn_map_matrix",
+    "fn_number_matrix",
+    "fn_regex_matrix",
+    "fn_string_matrix",
+    "fn_timestamp_matrix",
+    "group_by_value_agg",
+    "join_anti_no_orders",
+    "join_enrichment_lookup",
+    "join_semi_big_spenders",
+    "join_sharded_full_outer",
+    "join_star_revenue_by_nation",
+    "mapping_project",
+    "migrator_acl_translate",
+    "migrator_end_to_end",
+    "migrator_group_offsets",
+    "migrator_id_translate",
+    "migrator_schema_sync",
+    "migrator_topic_sync",
+    "mixture_interleave_blocks",
+    "multimodal_audio_features",
+    "multimodal_bmp_resize",
+    "mutation_enrich",
+    "pipeline_pretrain_corpus",
+    "quality_stupid_backoff",
+    "sample_temperature_rebalance",
+    "select_parts_topk",
+    "snowflake_bdec_roundtrip",
 ]
 
 
