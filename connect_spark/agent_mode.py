@@ -88,6 +88,29 @@ class AgentToolRegistry:
         return [{"name": k, "description": v["description"]}
                 for k, v in sorted(self._tools.items())]
 
+    @staticmethod
+    def _is_mapping_only(specs: list) -> bool:
+        return all(isinstance(s, dict) and set(s) <= {"mapping",
+                                                      "label"}
+                   and "mapping" in s for s in specs)
+
+    def mapping_tools(self) -> dict[str, dict[str, Any]]:
+        """The pure (mapping-only) tools — the set that can be
+        dispatched inside a partition without touching the central
+        server: name → {mappings: [source, ...], description}."""
+        return {
+            k: {"mappings": [s["mapping"] for s in v["processors"]],
+                "description": v["description"]}
+            for k, v in self._tools.items()
+            if self._is_mapping_only(v["processors"])
+        }
+
+    def stateful_tools(self) -> list[str]:
+        """Tools that need the central server (non-mapping processor
+        chains — caches, sql_select, http, ...)."""
+        return [k for k, v in self._tools.items()
+                if not self._is_mapping_only(v["processors"])]
+
     def invoke(self, name: str, content: str) -> str:
         tool = self._tools.get(name)
         if tool is None:
@@ -175,6 +198,105 @@ class AgentToolRegistry:
 
 
 # --------------------------------------------------------------------
+# per-partition tool shim (r12 verdict task #3: scale)
+# --------------------------------------------------------------------
+
+AGENT_TOOLS_INLINE_ENV = "CONNECT_SPARK_AGENT_TOOLS_INLINE"
+
+
+def _eval_inline_tool(mappings: list[str], content: str) -> str:
+    from connect_spark.bloblang.pyeval import eval_mapping_value
+
+    try:
+        doc: Any = json.loads(content)
+    except ValueError:
+        doc = content
+    for src in mappings:
+        doc = eval_mapping_value(src, doc)
+    return doc if isinstance(doc, str) else json.dumps(
+        doc, sort_keys=True, separators=(",", ":"))
+
+
+def _serve_partition_shim(tools_inline: dict[str, dict[str, Any]],
+                          central: str):
+    """An executor-local MCP endpoint: mapping-only tools evaluate
+    IN THIS python worker (scalar Bloblang, no network beyond
+    loopback-within-the-worker-host); anything else proxies to the
+    central server.  One shim per partition stream means tool-call
+    throughput scales with cores instead of serializing on the one
+    driver-side registry (the 11s→186s super-linear curve in
+    SCALE.md:923).  Returns (server, port)."""
+    import http.server
+    import threading
+    import urllib.request
+
+    listing = [{"name": k, "description": v.get("description", "")}
+               for k, v in sorted(tools_inline.items())]
+
+    def handle(verb: str, path: str, body: str) -> tuple[int, dict]:
+        if verb == "GET" and path == "/tools":
+            tools = list(listing)
+            if central:
+                base = central.rstrip("/").rsplit("/tools", 1)[0]
+                with urllib.request.urlopen(base + "/tools",
+                                            timeout=30) as resp:
+                    remote = json.loads(resp.read()).get("tools", [])
+                have = {t["name"] for t in tools}
+                tools += [t for t in remote
+                          if t["name"] not in have]
+            return 200, {"tools": tools}
+        if verb == "POST" and path.startswith("/tools/"):
+            name = path[len("/tools/"):]
+            tool = tools_inline.get(name)
+            if tool is not None:
+                try:
+                    args = json.loads(body) if body else {}
+                except ValueError as exc:
+                    return 400, {"error": f"invalid JSON body: {exc}"}
+                try:
+                    out = _eval_inline_tool(
+                        tool["mappings"], str(args.get("content", "")))
+                except Exception as exc:  # noqa: BLE001 — boundary
+                    return 500, {"error":
+                                 f"{type(exc).__name__}: {exc}"}
+                return 200, {"content": out}
+            if central:  # stateful tool → central registry
+                base = central.rstrip("/").rsplit("/tools", 1)[0]
+                req = urllib.request.Request(
+                    base + path, data=body.encode(), method="POST")
+                try:
+                    with urllib.request.urlopen(req,
+                                                timeout=60) as resp:
+                        return resp.status, json.loads(resp.read())
+                except urllib.request.HTTPError as exc:
+                    return exc.code, json.loads(exc.read() or b"{}")
+            return 404, {"error": f"unknown tool {name!r}"}
+        return 404, {"error": f"unhandled {verb} {path}"}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _respond(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length).decode() if length else ""
+            status, doc = handle(self.command, self.path, body)
+            payload = json.dumps(doc).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        do_GET = do_POST = _respond  # noqa: N815 — stdlib API
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+# --------------------------------------------------------------------
 # the redpanda_agent_runtime processor
 # --------------------------------------------------------------------
 
@@ -183,12 +305,28 @@ class AgentToolRegistry:
 def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
     """agent_processor.go:33-40 — fields `command`, `mcp_server`,
     `cwd`; hosts the agent child and round-trips each message through
-    `invoke_agent`.  Distributed: one child per partition stream."""
+    `invoke_agent`.  Distributed: one child per partition stream.
+
+    Scale (r12 verdict task #3): `tools_inline` ships mapping-only
+    tool sources to every partition; the partition runner serves them
+    from an executor-local shim (and exports them verbatim in
+    CONNECT_SPARK_AGENT_TOOLS_INLINE for agents that can dispatch
+    fully in-process), so pure tool calls never reach the central
+    server.  `mcp_server` remains the address for STATEFUL tools —
+    shard it per-agent/per-topic when those dominate."""
     if not isinstance(conf, dict) or not conf.get("command"):
         raise PipelineConfigError(
             "redpanda_agent_runtime: command must be specified")
     command = list(conf["command"])
     mcp_server = conf.get("mcp_server", "")
+    tools_inline = conf.get("tools_inline") or {}
+    if not isinstance(tools_inline, dict) or not all(
+            isinstance(v, dict) and isinstance(v.get("mappings"),
+                                               list)
+            for v in tools_inline.values()):
+        raise PipelineConfigError(
+            "redpanda_agent_runtime: tools_inline must map tool name "
+            "→ {mappings: [bloblang, ...], description}")
     cwd = conf.get("cwd", "")
     out_schema = conf.get("output_schema", "")
 
@@ -201,10 +339,20 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
     )
 
     def run(batches):
-        client = PluginClient(command, cwd,
-                              env={AGENT_MCP_ENV: mcp_server})
+        shim = None
+        address = mcp_server
+        env = {}
+        if tools_inline:
+            shim, port = _serve_partition_shim(tools_inline,
+                                               mcp_server)
+            address = f"http://127.0.0.1:{port}/tools"
+            env[AGENT_TOOLS_INLINE_ENV] = json.dumps(
+                {k: v["mappings"] for k, v in tools_inline.items()},
+                sort_keys=True)
+        env[AGENT_MCP_ENV] = address
+        client = PluginClient(command, cwd, env=env)
         client.start()
-        client.call("init", config={"mcp_server": mcp_server})
+        client.call("init", config={"mcp_server": address})
         try:
             for pdf in batches:
                 if not len(pdf):
@@ -218,6 +366,8 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
                 yield _messages_to_pdf(out)
         finally:
             client.close()
+            if shim is not None:
+                shim.shutdown()
 
     result = df.mapInPandas(run, _GENERIC_SCHEMA)
     if out_schema:
@@ -269,21 +419,33 @@ def run_agents(spark: SparkSession, repo_dir: str,
         registry = AgentToolRegistry(spark)
         registry.load_dir(os.path.join(repo_dir, "mcp"),
                           allowed=agent.get("tools"))
-        srv, port = registry.serve(0)
+        # scale split (r12 verdict task #3): mapping-only tools ship
+        # to the partitions as inline Bloblang sources — a pure tool
+        # call never leaves the executor; the central server starts
+        # ONLY when stateful (non-mapping) tools exist, and then
+        # serves only those.
+        inline = registry.mapping_tools()
+        stateful = registry.stateful_tools()
+        srv = None
+        mcp_server = ""
+        if stateful:
+            srv, port = registry.serve(0)
+            mcp_server = f"http://127.0.0.1:{port}/tools"
         try:
             # agent.go:161-168: the runtime processor is templated in
             # with $NAME / $PORT / $CWD
+            runtime_conf: dict[str, Any] = {
+                "command": [sys.executable,
+                            os.path.join("agents", f"{name}.py")],
+                "mcp_server": mcp_server,
+                "cwd": repo_dir,
+            }
+            if inline:
+                runtime_conf["tools_inline"] = inline
             pipeline_cfg = {
                 "input": agent["input"],
                 "pipeline": {"processors": [
-                    {"redpanda_agent_runtime": {
-                        "command": [sys.executable,
-                                    os.path.join("agents",
-                                                 f"{name}.py")],
-                        "mcp_server":
-                            f"http://127.0.0.1:{port}/tools",
-                        "cwd": repo_dir,
-                    }},
+                    {"redpanda_agent_runtime": runtime_conf},
                 ]},
                 "output": agent.get("output") or {"memory": {}},
             }
@@ -295,7 +457,8 @@ def run_agents(spark: SparkSession, repo_dir: str,
                 result = result.localCheckpoint(eager=True)
             results[name] = result
         finally:
-            srv.shutdown()
+            if srv is not None:
+                srv.shutdown()
     return results
 
 
@@ -348,6 +511,11 @@ import sys
 import urllib.request
 
 MCP = os.environ.get("CONNECT_SPARK_AGENT_MCP_SERVER", "")
+# Pure (mapping-only) tools arrive inline: {name: [bloblang, ...]}.
+# Dispatching them here keeps tool calls fully in-process — no
+# network at all — so agent throughput scales with partitions.
+INLINE = json.loads(os.environ.get(
+    "CONNECT_SPARK_AGENT_TOOLS_INLINE", "{}"))
 
 
 def _mcp(path, body=None):
@@ -359,12 +527,39 @@ def _mcp(path, body=None):
         return json.loads(resp.read())
 
 
+def _call_tool(name, content):
+    mappings = INLINE.get(name)
+    if mappings is not None:
+        try:
+            from connect_spark.bloblang.pyeval import (
+                eval_mapping_value,
+            )
+        except ImportError:
+            pass  # connect_spark not importable here → use HTTP
+        else:
+            try:
+                doc = json.loads(content)
+            except ValueError:
+                doc = content
+            for src in mappings:
+                doc = eval_mapping_value(src, doc)
+            return doc if isinstance(doc, str) else json.dumps(
+                doc, sort_keys=True, separators=(",", ":"))
+    return _mcp("/tools/" + name, {"content": content})["content"]
+
+
+def _list_tools():
+    if INLINE and not MCP:
+        return [{"name": n, "description": ""} for n in
+                sorted(INLINE)]
+    return _mcp("/tools")["tools"]
+
+
 def plan(content, tools):
     """Deterministic tool loop: call each granted tool in turn,
     feeding each result to the next."""
     for t in tools:
-        content = _mcp("/tools/" + t["name"],
-                       {"content": content})["content"]
+        content = _call_tool(t["name"], content)
     return content
 
 
@@ -372,7 +567,7 @@ def invoke_agent(msg):
     doc = msg.get("structured")
     content = (doc.get("content", "") if isinstance(doc, dict)
                else str(doc))
-    tools = _mcp("/tools")["tools"]
+    tools = _list_tools()
     answer = plan(content, tools)
     return {"structured": {"content": answer,
                            "n_tools": len(tools)},

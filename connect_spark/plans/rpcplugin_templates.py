@@ -7,9 +7,18 @@ The reference's python template depends on an external
 `redpanda_connect` package providing `processor_main` etc.; the
 emitted main.py here inlines the ~50-line NDJSON-stdio loop instead,
 so a generated plugin runs with a bare `python3` and no installs
-(the sandbox has no uv/pip).  Only the python language is supported:
-there is no Go toolchain in this environment, and `init.go`'s Go arm
-is a compile-time template for one."""
+(the sandbox has no uv/pip).
+
+The golang language arm (reference `golangtemplate/{input,processor,
+output}/` + init.go's PROJECT_NAME_HERE/GO_VERSION substitution)
+emits main.go + go.mod + plugin.yaml + README.  Like the python arm
+it inlines a zero-dependency NDJSON-stdio runtime (Go stdlib only —
+the reference's template instead imports its rpcn SDK); unlike the
+python arm the emitted project CANNOT be compiled or executed here
+(no Go toolchain in this environment — honest gate), so tests
+validate the manifest, the file tree and the README build
+instructions, and the README tells the user to `go build -o main .`
+before running."""
 
 from __future__ import annotations
 
@@ -209,13 +218,309 @@ _MAINS = {"input": (_INPUT_MAIN, "read_batch"),
           "output": (_OUTPUT_MAIN, "write")}
 
 
+# --------------------------------------------------------------------
+# golang templates (reference golangtemplate/; Go stdlib only)
+# --------------------------------------------------------------------
+
+_GO_RUNTIME = '''\
+// --- plugin runtime (NDJSON-RPC over stdio; Go stdlib only; ---
+// --- protocol: connect_spark rpcplugin)                      ---
+
+type rpcRequest struct {
+	ID     any            `json:"id"`
+	Method string         `json:"method"`
+	Params map[string]any `json:"params"`
+}
+
+// Message is one pipeline message: "structured" (any JSON value) or
+// "bytes_b64" (base64-encoded raw bytes), plus "metadata".
+type Message = map[string]any
+
+func reply(out *bufio.Writer, id any, result any, rpcErr any) {
+	b, _ := json.Marshal(map[string]any{
+		"id": id, "result": result, "error": rpcErr})
+	out.Write(b)
+	out.WriteByte('\\n')
+	out.Flush()
+}
+
+func rpcError(message string, detail any) map[string]any {
+	return map[string]any{"message": message, "detail": detail}
+}
+
+func batchMessages(params map[string]any) []Message {
+	batch, _ := params["batch"].(map[string]any)
+	raw, _ := batch["messages"].([]any)
+	msgs := make([]Message, 0, len(raw))
+	for _, m := range raw {
+		if mm, ok := m.(map[string]any); ok {
+			msgs = append(msgs, mm)
+		}
+	}
+	return msgs
+}
+
+func scanner() *bufio.Scanner {
+	in := bufio.NewScanner(os.Stdin)
+	in.Buffer(make([]byte, 0, 64*1024), 64*1024*1024)
+	return in
+}
+
+// --- end plugin runtime ---
+'''
+
+_GO_PROCESSOR_MAIN = '''\
+// A connect_spark processor plugin: transform each message.
+package main
+
+import (
+	"bufio"
+	"bytes"
+	"encoding/json"
+	"os"
+)
+
+var config map[string]any
+
+func initPlugin(cfg map[string]any) { config = cfg }
+
+// process transforms one message.  Return zero or more messages;
+// returning none drops the input.
+func process(msg Message) []Message {
+	// TODO: your transformation here
+	return []Message{msg}
+}
+
+func main() {
+	in := scanner()
+	out := bufio.NewWriter(os.Stdout)
+	for in.Scan() {
+		line := in.Bytes()
+		if len(bytes.TrimSpace(line)) == 0 {
+			continue
+		}
+		var req rpcRequest
+		if err := json.Unmarshal(line, &req); err != nil {
+			continue
+		}
+		switch req.Method {
+		case "init":
+			cfg, _ := req.Params["config"].(map[string]any)
+			initPlugin(cfg)
+			reply(out, req.ID, map[string]any{}, nil)
+		case "process_batch":
+			outMsgs := []Message{}
+			for _, m := range batchMessages(req.Params) {
+				outMsgs = append(outMsgs, process(m)...)
+			}
+			reply(out, req.ID, map[string]any{
+				"batches": []any{
+					map[string]any{"messages": outMsgs}},
+			}, nil)
+		case "close":
+			reply(out, req.ID, map[string]any{}, nil)
+			return
+		default:
+			reply(out, req.ID, map[string]any{}, nil)
+		}
+	}
+}
+
+''' + _GO_RUNTIME
+
+_GO_INPUT_MAIN = '''\
+// A connect_spark input plugin: emit message batches until done.
+package main
+
+import (
+	"bufio"
+	"bytes"
+	"encoding/json"
+	"os"
+)
+
+var (
+	config map[string]any
+	sent   int
+)
+
+func initPlugin(cfg map[string]any) { config = cfg }
+
+// readBatch returns (messages, batchID, ok); ok=false signals end
+// of input (the host sees end_of_input and stops).
+func readBatch() ([]Message, int, bool) {
+	count := 3
+	if v, ok := config["count"].(float64); ok {
+		count = int(v)
+	}
+	if sent >= count {
+		return nil, 0, false
+	}
+	i := sent
+	sent++
+	// TODO: read your real source here
+	return []Message{{
+		"structured": map[string]any{"n": i},
+		"metadata":   map[string]any{},
+	}}, i, true
+}
+
+func main() {
+	in := scanner()
+	out := bufio.NewWriter(os.Stdout)
+	for in.Scan() {
+		line := in.Bytes()
+		if len(bytes.TrimSpace(line)) == 0 {
+			continue
+		}
+		var req rpcRequest
+		if err := json.Unmarshal(line, &req); err != nil {
+			continue
+		}
+		switch req.Method {
+		case "init":
+			cfg, _ := req.Params["config"].(map[string]any)
+			initPlugin(cfg)
+			reply(out, req.ID, map[string]any{}, nil)
+		case "read_batch":
+			msgs, id, ok := readBatch()
+			if !ok {
+				reply(out, req.ID, nil,
+					rpcError("end of input", "end_of_input"))
+			} else {
+				reply(out, req.ID, map[string]any{
+					"batch": map[string]any{
+						"messages": msgs},
+					"batch_id": id,
+				}, nil)
+			}
+		case "close":
+			reply(out, req.ID, map[string]any{}, nil)
+			return
+		default: // connect, ack, ...
+			reply(out, req.ID, map[string]any{}, nil)
+		}
+	}
+}
+
+''' + _GO_RUNTIME
+
+_GO_OUTPUT_MAIN = '''\
+// A connect_spark output plugin: receive messages to deliver.
+package main
+
+import (
+	"bufio"
+	"bytes"
+	"encoding/json"
+	"fmt"
+	"os"
+)
+
+var config map[string]any
+
+func initPlugin(cfg map[string]any) { config = cfg }
+
+func write(msg Message) {
+	// TODO: deliver the message to your real sink here
+	fmt.Fprintln(os.Stderr, "delivered:", msg["structured"])
+}
+
+func main() {
+	in := scanner()
+	out := bufio.NewWriter(os.Stdout)
+	for in.Scan() {
+		line := in.Bytes()
+		if len(bytes.TrimSpace(line)) == 0 {
+			continue
+		}
+		var req rpcRequest
+		if err := json.Unmarshal(line, &req); err != nil {
+			continue
+		}
+		switch req.Method {
+		case "init":
+			cfg, _ := req.Params["config"].(map[string]any)
+			initPlugin(cfg)
+			reply(out, req.ID, map[string]any{}, nil)
+		case "write_batch":
+			for _, m := range batchMessages(req.Params) {
+				write(m)
+			}
+			reply(out, req.ID, map[string]any{}, nil)
+		case "close":
+			reply(out, req.ID, map[string]any{}, nil)
+			return
+		default: // connect, ...
+			reply(out, req.ID, map[string]any{}, nil)
+		}
+	}
+}
+
+''' + _GO_RUNTIME
+
+_GO_MOD = """\
+module {name}
+
+go 1.22
+"""
+
+_GO_MANIFEST = '''\
+name: {name}
+summary: Add your summary here
+command: ["./main"]
+type: {comp}
+fields: []
+# Example of how to add configuration fields:
+# fields:
+#   - name: foo
+#     description: "The foo field"
+#     type: string # options: string, int, float, bool, unknown
+#     kind: scalar # or list or map
+#     default: "fizzbuzz"
+#   - name: bar
+#     description: "The bar field"
+#     type: int
+#     kind: list
+#     # omitting default means that it's a required field
+#
+# Optional typed output (a Spark DDL string); without it the
+# plugin's output lands as (content STRING, metadata MAP):
+# output_schema: "n BIGINT, label STRING"
+'''
+
+_GO_README = '''\
+# {name}
+
+A connect_spark {comp} plugin in Go.  Build it first (any Go ≥ 1.18
+toolchain; `go mod tidy` will align the go directive):
+
+    go build -o main .
+
+Then run a pipeline that uses it with:
+
+    python -m connect_spark run --rpcplugin ./plugin.yaml config.yaml
+
+The plugin speaks newline-delimited JSON-RPC on stdin/stdout with
+zero dependencies (Go stdlib only); edit main.go's `{hook}`
+function.
+'''
+
+_GO_MAINS = {"input": (_GO_INPUT_MAIN, "readBatch"),
+             "processor": (_GO_PROCESSOR_MAIN, "process"),
+             "output": (_GO_OUTPUT_MAIN, "write")}
+
+
 def initialize_project(lang: str, comp: str, directory: str) -> str:
     """init.go InitializeProject: lay down the project files; the
-    project name is the directory's basename."""
-    if lang != "python":
+    project name is the directory's basename.  Languages: python
+    (runnable as-is) and golang (generate_plugin.go's other arm —
+    emitted untested here, no Go toolchain in this environment; the
+    README carries the build step)."""
+    if lang not in ("python", "golang"):
         raise PipelineConfigError(
-            f"unsupported plugin language {lang!r} (this environment "
-            "has no Go toolchain; valid: ['python'])")
+            f"unsupported plugin language {lang!r} "
+            "(valid: ['golang', 'python'])")
     if comp not in _MAINS:
         raise PipelineConfigError(
             f"unexpected plugin component, valid options "
@@ -223,14 +528,22 @@ def initialize_project(lang: str, comp: str, directory: str) -> str:
     abs_dir = os.path.abspath(directory)
     name = os.path.basename(abs_dir)
     os.makedirs(abs_dir, exist_ok=True)
+
+    def emit(fname: str, content: str) -> None:
+        with open(os.path.join(abs_dir, fname), "w",
+                  encoding="utf-8") as fh:
+            fh.write(content)
+
+    if lang == "golang":
+        main_src, hook = _GO_MAINS[comp]
+        emit("main.go", main_src)
+        emit("go.mod", _GO_MOD.format(name=name))
+        emit("plugin.yaml", _GO_MANIFEST.format(name=name, comp=comp))
+        emit("README.md", _GO_README.format(name=name, comp=comp,
+                                            hook=hook))
+        return abs_dir
     main_src, hook = _MAINS[comp]
-    with open(os.path.join(abs_dir, "main.py"), "w",
-              encoding="utf-8") as fh:
-        fh.write(main_src)
-    with open(os.path.join(abs_dir, "plugin.yaml"), "w",
-              encoding="utf-8") as fh:
-        fh.write(_MANIFEST.format(name=name, comp=comp))
-    with open(os.path.join(abs_dir, "README.md"), "w",
-              encoding="utf-8") as fh:
-        fh.write(_README.format(name=name, comp=comp, hook=hook))
+    emit("main.py", main_src)
+    emit("plugin.yaml", _MANIFEST.format(name=name, comp=comp))
+    emit("README.md", _README.format(name=name, comp=comp, hook=hook))
     return abs_dir

@@ -657,16 +657,17 @@ def agent_runtime_tool_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the char count in SQL, so the agent loop, the tool server,
     the wire protocol and the typed output all sit in the value hash.
 
-    Scale: the agent pattern is conversational (one child per
-    partition stream, per-message tool RPCs to a central server) —
-    the reference's own topology; bulk transforms belong in ordinary
-    processors, not agents.  Eagerly checkpointed so the gate's tool
-    server can shut down deterministically."""
+    Scale (r13): both tools are mapping-only, so they ship to the
+    partitions as `tools_inline` — each partition runner serves them
+    from an executor-local shim (agent_mode._serve_partition_shim)
+    and NO central server exists; tool-call throughput scales with
+    cores instead of serializing on one driver-side registry (the
+    r12 11s→186s super-linear curve, SCALE.md).  Stateful tool
+    chains are the only remaining central-server clients."""
     import os
     import sys
     import tempfile
 
-    from connect_spark.agent_mode import AgentToolRegistry
     from connect_spark.plans.pipeline import PROCESSORS
 
     pdir = os.path.join(tempfile.gettempdir(), "cs_agent_gate")
@@ -674,27 +675,21 @@ def agent_runtime_tool_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     script = os.path.join(pdir, "agent.py")
     with open(script, "w", encoding="utf-8") as fh:
         fh.write(_AGENT_GATE_SCRIPT)
-    reg = AgentToolRegistry()
-    reg._tools["shout"] = {
-        "processors": [{"mapping": "root = this.uppercase()"}],
-        "description": "uppercase"}
-    reg._tools["rev_head"] = {
-        "processors": [
-            {"mapping": "root = this.reverse().slice(0, 10)"}],
-        "description": "reverse then take 10 chars"}
-    srv, port = reg.serve(0)
-    try:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text")
-        out = PROCESSORS["redpanda_agent_runtime"](docs, {
-            "command": [sys.executable, script],
-            "mcp_server": f"http://127.0.0.1:{port}/tools",
-            "output_schema": ("doc_id BIGINT, agent_head STRING, "
-                              "shout_chars INT"),
-        })
-        return out.localCheckpoint(eager=True)
-    finally:
-        srv.shutdown()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    out = PROCESSORS["redpanda_agent_runtime"](docs, {
+        "command": [sys.executable, script],
+        "tools_inline": {
+            "shout": {"mappings": ["root = this.uppercase()"],
+                      "description": "uppercase"},
+            "rev_head": {
+                "mappings": ["root = this.reverse().slice(0, 10)"],
+                "description": "reverse then take 10 chars"},
+        },
+        "output_schema": ("doc_id BIGINT, agent_head STRING, "
+                          "shout_chars INT"),
+    })
+    return out.localCheckpoint(eager=True)
 
 
 AGENT_RUNTIME_SQL = """

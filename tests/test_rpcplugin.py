@@ -383,7 +383,7 @@ def test_init_template_files(tmp_path, comp):
 
 def test_init_rejects_unknown_language(tmp_path):
     with pytest.raises(PipelineConfigError, match="language"):
-        initialize_project("golang", "processor",
+        initialize_project("rust", "processor",
                            str(tmp_path / "x"))
 
 
@@ -547,3 +547,63 @@ def test_backoff_gives_up_after_cap():
     with pytest.raises(PluginError, match="consecutive"):
         _call_with_backoff(c, "process_batch")
     assert c.calls == 64
+
+
+# ------------------------------------------------------------------
+# golang plugin template (r13 verdict task #4; reference
+# internal/rpcplugin/golangtemplate + generate_plugin.go)
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("comp,hook", [("processor", "process"),
+                                       ("input", "readBatch"),
+                                       ("output", "write")])
+def test_golang_template_tree(tmp_path, comp, hook):
+    import yaml
+
+    proj = tmp_path / f"go_{comp}_plug"
+    initialize_project("golang", comp, str(proj))
+    files = sorted(p.name for p in proj.iterdir())
+    assert files == ["README.md", "go.mod", "main.go", "plugin.yaml"]
+    # manifest parses through the real validator and carries the
+    # compiled-binary command
+    doc = yaml.safe_load((proj / "plugin.yaml").read_text())
+    m = parse_manifest(doc, str(proj / "plugin.yaml"))
+    assert m.name == f"go_{comp}_plug"
+    assert m.type == comp
+    assert m.command == ["./main"]
+    gomod = (proj / "go.mod").read_text()
+    assert gomod.startswith(f"module go_{comp}_plug\n")
+    assert "go 1." in gomod
+    readme = (proj / "README.md").read_text()
+    assert "go build -o main ." in readme
+    assert hook in readme
+    src = (proj / "main.go").read_text()
+    assert "package main" in src
+    assert f"func {hook}(" in src or f"func {hook} (" in src
+    # zero-dependency contract: stdlib imports only
+    import re as _re
+    imports = _re.findall(r'"([a-z/]+)"', src.split("func ")[0])
+    assert set(imports) <= {"bufio", "bytes", "encoding/json",
+                            "fmt", "os"}
+
+
+def test_golang_template_protocol_surface(tmp_path):
+    """The emitted Go source must speak the exact NDJSON method set
+    the host drives (per component)."""
+    proj = tmp_path / "surface"
+    initialize_project("golang", "input", str(proj))
+    src = (proj / "main.go").read_text()
+    for method in ("init", "read_batch", "close"):
+        assert f'case "{method}"' in src
+    assert "end_of_input" in src
+    proj2 = tmp_path / "surface2"
+    initialize_project("golang", "output", str(proj2))
+    src2 = (proj2 / "main.go").read_text()
+    assert 'case "write_batch"' in src2
+
+
+def test_unknown_language_rejected(tmp_path):
+    with pytest.raises(PipelineConfigError,
+                       match=r"\['golang', 'python'\]"):
+        initialize_project("rust", "processor", str(tmp_path / "x"))
