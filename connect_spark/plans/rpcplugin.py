@@ -202,6 +202,7 @@ class PluginManifest:
     cwd: str = ""
     fields: list[FieldSpec] = field(default_factory=list)
     output_schema: str = ""
+    protocol: str = "ndjson"
 
     def validate(self) -> None:
         if not self.name:
@@ -212,6 +213,17 @@ class PluginManifest:
             raise PipelineConfigError(
                 f"unexpected plugin type, valid options "
                 f"{list(_COMPONENT_TYPES)}, got: {self.type!r}")
+        if self.protocol not in ("ndjson", "arrow"):
+            raise PipelineConfigError(
+                f"unexpected plugin protocol, valid options "
+                f"['ndjson', 'arrow'], got: {self.protocol!r}")
+        if (self.protocol == "arrow"
+                and self.type in ("input", "processor")
+                and not self.output_schema):
+            raise PipelineConfigError(
+                "protocol: arrow requires output_schema (the child "
+                "returns typed Arrow batches, not generic JSON "
+                "messages)")
         for f in self.fields:
             f.validate()
 
@@ -268,6 +280,7 @@ def parse_manifest(doc: dict[str, Any], path: str = "") -> PluginManifest:
         cwd=cwd,
         fields=fields,
         output_schema=doc.get("output_schema", ""),
+        protocol=doc.get("protocol", "ndjson"),
     )
     m.validate()
     return m
@@ -354,6 +367,84 @@ class PluginClient:
         self.proc = None
 
 
+class ArrowPluginClient(PluginClient):
+    """`protocol: arrow` twin of PluginClient (r12 verdict task #5):
+    each message is one JSON header line plus an optional binary
+    Arrow-IPC stream body of exactly `body_len` bytes — no per-row
+    JSON encode, no base64 inflation (the reference's own wire,
+    runtimepb, is binary protobuf).  Batch-bearing calls ship the
+    partition's Arrow data verbatim; control calls (init/connect/
+    ack/close) are header-only."""
+
+    def start(self) -> None:
+        if self.proc is not None and self.proc.poll() is None:
+            return
+        env = dict(os.environ)
+        env[PROTOCOL_ENV] = "arrow-stdio/1"
+        env.update(self.extra_env)
+        try:
+            self.proc = subprocess.Popen(
+                self.command,
+                cwd=self.cwd,
+                env=env,
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr.fileno() if hasattr(
+                    sys.stderr, "fileno") else None,
+            )  # binary pipes
+        except OSError as exc:
+            raise PipelineConfigError(
+                f"invalid subprocess {self.command!r}: {exc}") from exc
+
+    def call(self, method: str, **params: Any) -> dict[str, Any]:
+        result, _ = self.call_arrow(method, body=None, **params)
+        return result
+
+    def call_arrow(self, method: str, body=None, **params: Any):
+        """Returns (result dict, pyarrow.Table body or None)."""
+        import pyarrow as pa
+
+        if self.proc is None:
+            raise PluginCrashed("plugin process not started")
+        self._id += 1
+        header: dict[str, Any] = {"id": self._id, "method": method,
+                                  "params": params}
+        payload = b""
+        if body is not None:
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, body.schema) as writer:
+                writer.write_table(body)
+            payload = sink.getvalue().to_pybytes()
+            header["body_len"] = len(payload)
+        try:
+            self.proc.stdin.write(
+                json.dumps(header).encode() + b"\n")
+            if payload:
+                self.proc.stdin.write(payload)
+            self.proc.stdin.flush()
+            line = self.proc.stdout.readline()
+        except (BrokenPipeError, OSError) as exc:
+            raise PluginCrashed(f"plugin pipe broke: {exc}") from exc
+        if not line:
+            raise PluginCrashed(
+                f"plugin exited (rc={self.proc.poll()}) during "
+                f"{method!r}")
+        resp = json.loads(line)
+        out_body = None
+        body_len = int(resp.get("body_len") or 0)
+        if body_len:
+            data = self.proc.stdout.read(body_len)
+            if data is None or len(data) < body_len:
+                raise PluginCrashed(
+                    f"plugin truncated arrow body during {method!r}")
+            out_body = pa.ipc.open_stream(data).read_all()
+        err = resp.get("error")
+        if err:
+            raise PluginError(err.get("message", ""),
+                              err.get("detail"))
+        return resp.get("result") or {}, out_body
+
+
 # --------------------------------------------------------------------
 # message model (runtimepb/message.pb.go + convert.go)
 # --------------------------------------------------------------------
@@ -434,6 +525,8 @@ def make_input_plugin(manifest: PluginManifest):
 
     def build(spark: SparkSession, conf: Any) -> DataFrame:
         cfg = manifest.parse_config(conf)
+        if manifest.protocol == "arrow":
+            return _arrow_input(spark, manifest, cfg)
         client = PluginClient(manifest.command, manifest.cwd)
         msgs: list[dict[str, Any]] = []
         try:
@@ -460,6 +553,48 @@ def make_input_plugin(manifest: PluginManifest):
         return df
 
     return build
+
+
+def _arrow_input(spark: SparkSession, manifest: PluginManifest,
+                 cfg: dict[str, Any]) -> DataFrame:
+    """`protocol: arrow` input: each read_batch response carries an
+    Arrow-IPC body already typed to output_schema."""
+    import pyarrow as pa
+
+    client = ArrowPluginClient(manifest.command, manifest.cwd)
+    tables = []
+    try:
+        _start_and_init(client, cfg)
+        client.call("connect")
+        while True:
+            try:
+                for _b in range(_BACKOFF_MAX_RETRIES):
+                    try:
+                        resp, tbl = client.call_arrow("read_batch")
+                        break
+                    except PluginError as exc:
+                        delay = _requested_backoff_s(exc)
+                        if delay is None:
+                            raise
+                        time.sleep(delay)
+                else:
+                    raise PluginError(
+                        "plugin kept signaling backoff for "
+                        "'read_batch'")
+            except PluginError as exc:
+                if exc.end_of_input:
+                    break
+                raise
+            if tbl is not None and tbl.num_rows:
+                tables.append(tbl)
+            client.call("ack", batch_id=resp.get("batch_id", 0),
+                        error=None)
+    finally:
+        client.close()
+    if not tables:
+        return spark.createDataFrame([], manifest.output_schema)
+    pdf = pa.concat_tables(tables).to_pandas()
+    return spark.createDataFrame(pdf, schema=manifest.output_schema)
 
 
 def _partition_runner(manifest: PluginManifest, cfg: dict[str, Any],
@@ -509,12 +644,78 @@ def _partition_runner(manifest: PluginManifest, cfg: dict[str, Any],
     return run
 
 
+def _arrow_partition_runner(manifest: PluginManifest,
+                            cfg: dict[str, Any], method: str):
+    """`protocol: arrow` mapInPandas body: the partition's pandas
+    batch ships to the child VERBATIM as one Arrow-IPC stream (no
+    per-row JSON, no base64); a processor child returns an Arrow
+    table already matching output_schema, so the host does zero
+    row-wise work in either direction."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+        import pyarrow as pa
+
+        client = ArrowPluginClient(manifest.command, manifest.cwd)
+        _start_and_init(client, cfg)
+        if method == "write_batch":
+            client.call("connect")
+        try:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+                last: Exception | None = None
+                for _ in range(_RETRY_COUNT):
+                    try:
+                        for _b in range(_BACKOFF_MAX_RETRIES):
+                            try:
+                                _res, out_tbl = client.call_arrow(
+                                    method, body=tbl)
+                                break
+                            except PluginError as exc:
+                                delay = _requested_backoff_s(exc)
+                                if delay is None:
+                                    raise
+                                time.sleep(delay)
+                        else:
+                            raise PluginError(
+                                f"plugin kept signaling backoff for "
+                                f"{method!r}")
+                        last = None
+                        break
+                    except PluginCrashed as exc:
+                        last = exc
+                        client.close(graceful=False)
+                        _start_and_init(client, cfg)
+                        if method == "write_batch":
+                            client.call("connect")
+                if last is not None:
+                    raise last
+                if method == "process_batch":
+                    if out_tbl is not None and out_tbl.num_rows:
+                        yield out_tbl.to_pandas()
+                else:
+                    yield pd.DataFrame({"written": [len(pdf)]})
+        finally:
+            client.close()
+
+    return run
+
+
 def make_processor_plugin(manifest: PluginManifest):
     """processor.go: distributed ProcessBatch — each partition's
     Arrow batches round-trip through that partition's own child."""
 
     def apply(df: DataFrame, conf: Any) -> DataFrame:
         cfg = manifest.parse_config(conf)
+        if manifest.protocol == "arrow":
+            # typed end-to-end: the child's Arrow table IS the
+            # declared output schema — no generic seam, no JSON
+            return df.mapInPandas(
+                _arrow_partition_runner(manifest, cfg,
+                                        "process_batch"),
+                manifest.output_schema)
         out = df.mapInPandas(
             _partition_runner(manifest, cfg, "process_batch"),
             _GENERIC_SCHEMA)
@@ -532,8 +733,12 @@ def make_output_plugin(manifest: PluginManifest):
 
     def write(df: DataFrame, conf: Any) -> None:
         cfg = manifest.parse_config(conf)
+        runner = (_arrow_partition_runner
+                  if manifest.protocol == "arrow"
+                  else _partition_runner)(manifest, cfg,
+                                          "write_batch")
         counts = df.mapInPandas(
-            _partition_runner(manifest, cfg, "write_batch"),
+            runner,
             T.StructType([T.StructField("written", T.LongType())]))
         counts.agg(F.sum("written")).collect()
 

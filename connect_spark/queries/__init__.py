@@ -50,6 +50,12 @@ _DRIVER_PRIORITY: list[str] = [
     # `no_oracle` rows; its value-level twin `bpe_train_parity`
     # carries the oracle gate whenever it rotates forward (r12
     # verdict "What's wrong" #3).
+    #
+    # Group (a) — new r13 gates, never driver-verified; each
+    # displaces one row from the window tail to the r14 queue head
+    # (displaced rows re-verified beyond-window this round,
+    # PROGRESS.md r13).
+    "rpcplugin_arrow_protocol",
     "streaming_join_hydration",
     "switch_route",
     "unarchive_explode",
@@ -99,10 +105,13 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_countmin_freq",
     "sketch_hll_distinct",
     "sketch_hll_merged",
-    "sketch_kmv_merged",
     # --- 50-slot window boundary (round 13) --- everything below
-    # queues for round 14: the remaining r9 rows, then r10, r11,
-    # and deepest the r12-latest band (the old r12 window).
+    # queues for round 14: first sketch_kmv_merged (displaced by the
+    # rpcplugin_arrow_protocol gate; re-verified GREEN beyond-window
+    # in this session's driver_sim spot), then the remaining r9
+    # rows, then r10, r11, and deepest the r12-latest band (the old
+    # r12 window).
+    "sketch_kmv_merged",
     "streaming_cdc_to_iceberg",
     "streaming_running_totals",
     "streaming_session_window",

@@ -606,6 +606,121 @@ QUERIES.append(
               RPCPLUGIN_SQL))
 
 
+_ARROW_PLUGIN_SCRIPT = '''\
+import json, sys
+import pyarrow as pa
+import pyarrow.compute as pc
+
+stdin = sys.stdin.buffer
+stdout = sys.stdout.buffer
+CFG = {}
+
+
+def reply(rid, result=None, error=None, body=None):
+    hdr = {"id": rid, "result": result, "error": error}
+    payload = b""
+    if body is not None:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, body.schema) as w:
+            w.write_table(body)
+        payload = sink.getvalue().to_pybytes()
+        hdr["body_len"] = len(payload)
+    stdout.write(json.dumps(hdr).encode() + b"\\n")
+    if payload:
+        stdout.write(payload)
+    stdout.flush()
+
+
+while True:
+    line = stdin.readline()
+    if not line:
+        break
+    if not line.strip():
+        continue
+    req = json.loads(line)
+    rid, m, p = req["id"], req["method"], req.get("params") or {}
+    n = int(req.get("body_len") or 0)
+    tbl = pa.ipc.open_stream(stdin.read(n)).read_all() if n else None
+    if m == "init":
+        CFG.update(p.get("config") or {})
+        reply(rid, {})
+    elif m == "process_batch":
+        text = pc.coalesce(tbl.column("text"), pa.scalar(""))
+        out = pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "head_rev": pc.binary_join_element_wise(
+                pc.utf8_reverse(
+                    pc.utf8_slice_codeunits(text, 0, 12)),
+                CFG.get("tag", ""), ""),
+            "n_upper": pc.cast(pc.utf8_length(
+                pc.replace_substring_regex(text, "[^A-Z]", "")),
+                pa.int32()),
+            "text_chars": pc.cast(pc.utf8_length(text), pa.int32()),
+        })
+        reply(rid, {}, None, out)
+    elif m == "close":
+        reply(rid, {})
+        break
+    else:
+        reply(rid, {})
+'''
+
+
+def rpcplugin_arrow_protocol(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """`protocol: arrow` RPC plugin (plans/rpcplugin.py::
+    ArrowPluginClient + _arrow_partition_runner; the binary twin of
+    the reference's runtimepb wire): the partition's Arrow batch
+    crosses to a REAL child as one Arrow-IPC stream — no per-row
+    JSON, no base64 — and the child answers with a typed columnar
+    batch computed via pyarrow.compute.  Same output contract as
+    `rpcplugin_processor_docs`, so the two gates value-check both
+    framings against one oracle family.
+
+    Scale: the framing cost is O(bytes) with zero per-row python on
+    the host; the child computes vectorized.  SCALE.md r13 carries
+    the 16x ndjson-vs-arrow A/B (scripts/ab_rpcplugin_arrow.py)."""
+    import os
+    import sys
+    import tempfile
+
+    from connect_spark.plans.rpcplugin import (
+        make_processor_plugin, parse_manifest)
+
+    pdir = os.path.join(tempfile.gettempdir(), "cs_rpcplugin_arrow")
+    os.makedirs(pdir, exist_ok=True)
+    script = os.path.join(pdir, "main.py")
+    with open(script, "w", encoding="utf-8") as fh:
+        fh.write(_ARROW_PLUGIN_SCRIPT)
+    manifest = parse_manifest({
+        "name": "doc_stats_arrow",
+        "command": [sys.executable, script],
+        "type": "processor",
+        "protocol": "arrow",
+        "fields": [{"name": "tag", "type": "string", "default": ""}],
+        "output_schema": ("doc_id BIGINT, head_rev STRING, "
+                          "n_upper INT, text_chars INT"),
+    })
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    return make_processor_plugin(manifest)(docs, {"tag": "|arrow"})
+
+
+RPCPLUGIN_ARROW_SQL = """
+SELECT doc_id,
+       reverse(substr(text, 1, 12)) || '|arrow' AS head_rev,
+       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INT)
+           AS n_upper,
+       CAST(length(text) AS INT) AS text_chars
+FROM documents
+"""
+
+
+QUERIES.append(
+    QuerySpec("rpcplugin_arrow_protocol", rpcplugin_arrow_protocol,
+              RPCPLUGIN_ARROW_SQL))
+
+
 _AGENT_GATE_SCRIPT = '''\
 import json, os, sys, urllib.request
 

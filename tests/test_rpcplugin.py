@@ -607,3 +607,177 @@ def test_unknown_language_rejected(tmp_path):
     with pytest.raises(PipelineConfigError,
                        match=r"\['golang', 'python'\]"):
         initialize_project("rust", "processor", str(tmp_path / "x"))
+
+
+# ------------------------------------------------------------------
+# protocol: arrow (r13 verdict task #5; binary Arrow-IPC framing)
+# ------------------------------------------------------------------
+
+_ARROW_PROC_PLUGIN = """\
+import json, sys
+import pyarrow as pa
+import pyarrow.compute as pc
+
+stdin = sys.stdin.buffer
+stdout = sys.stdout.buffer
+CFG = {}
+
+
+def reply(rid, result=None, error=None, body=None):
+    hdr = {"id": rid, "result": result, "error": error}
+    payload = b""
+    if body is not None:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, body.schema) as w:
+            w.write_table(body)
+        payload = sink.getvalue().to_pybytes()
+        hdr["body_len"] = len(payload)
+    stdout.write(json.dumps(hdr).encode() + b"\\n")
+    if payload:
+        stdout.write(payload)
+    stdout.flush()
+
+
+while True:
+    line = stdin.readline()
+    if not line:
+        break
+    if not line.strip():
+        continue
+    req = json.loads(line)
+    rid, m, p = req["id"], req["method"], req.get("params") or {}
+    n = int(req.get("body_len") or 0)
+    tbl = pa.ipc.open_stream(stdin.read(n)).read_all() if n else None
+    if m == "init":
+        CFG.update(p.get("config") or {})
+        reply(rid, {})
+    elif m == "process_batch":
+        out = tbl.append_column(
+            "text_upper", pc.utf8_upper(tbl.column("text")))
+        out = out.append_column(
+            "text_len", pc.cast(pc.utf8_length(tbl.column("text")),
+                                pa.int32()))
+        reply(rid, {}, None, out)
+    elif m == "close":
+        reply(rid, {})
+        break
+    else:
+        reply(rid, {})
+"""
+
+_ARROW_INPUT_PLUGIN = """\
+import json, sys
+import pyarrow as pa
+
+stdin = sys.stdin.buffer
+stdout = sys.stdout.buffer
+CFG = {"count": 3}
+sent = 0
+
+
+def reply(rid, result=None, error=None, body=None):
+    hdr = {"id": rid, "result": result, "error": error}
+    payload = b""
+    if body is not None:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, body.schema) as w:
+            w.write_table(body)
+        payload = sink.getvalue().to_pybytes()
+        hdr["body_len"] = len(payload)
+    stdout.write(json.dumps(hdr).encode() + b"\\n")
+    if payload:
+        stdout.write(payload)
+    stdout.flush()
+
+
+while True:
+    line = stdin.readline()
+    if not line:
+        break
+    if not line.strip():
+        continue
+    req = json.loads(line)
+    rid, m, p = req["id"], req["method"], req.get("params") or {}
+    if m == "init":
+        CFG.update(p.get("config") or {})
+        reply(rid, {})
+    elif m == "read_batch":
+        if sent >= int(CFG["count"]):
+            reply(rid, None, {"message": "end of input",
+                              "detail": "end_of_input"})
+        else:
+            tbl = pa.table({"n": pa.array([sent], pa.int64()),
+                            "label": ["row%d" % sent]})
+            reply(rid, {"batch_id": sent}, None, tbl)
+            sent += 1
+    elif m == "close":
+        reply(rid, {})
+        break
+    else:
+        reply(rid, {})
+"""
+
+
+def test_arrow_manifest_requires_output_schema():
+    with pytest.raises(PipelineConfigError, match="output_schema"):
+        parse_manifest({"name": "p", "command": ["x"],
+                        "type": "processor", "protocol": "arrow"})
+    with pytest.raises(PipelineConfigError, match="protocol"):
+        parse_manifest({"name": "p", "command": ["x"],
+                        "type": "processor", "protocol": "grpc"})
+    # outputs consume batches, they don't emit them — no schema needed
+    parse_manifest({"name": "p", "command": ["x"],
+                    "type": "output", "protocol": "arrow"})
+
+
+def test_arrow_processor_end_to_end(spark, tmp_path):
+    mpath = _write_plugin(
+        tmp_path, "arrow_shout", _ARROW_PROC_PLUGIN,
+        {"type": "processor", "protocol": "arrow",
+         "output_schema": ("doc_id BIGINT, text STRING, "
+                           "text_upper STRING, text_len INT")})
+    discover_and_register_plugins([mpath])
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "spark arrow")],
+        "doc_id BIGINT, text STRING").repartition(2)
+    out = PROCESSORS["arrow_shout"](df, {})
+    rows = sorted((r["doc_id"], r["text_upper"], r["text_len"])
+                  for r in out.collect())
+    assert rows == [(1, "HELLO", 5), (2, "SPARK ARROW", 11)]
+
+
+def test_arrow_input_end_to_end(spark, tmp_path):
+    mpath = _write_plugin(
+        tmp_path, "arrow_counter", _ARROW_INPUT_PLUGIN,
+        {"type": "input", "protocol": "arrow",
+         "fields": [{"name": "count", "type": "int", "default": 4}],
+         "output_schema": "n BIGINT, label STRING"})
+    discover_and_register_plugins([mpath])
+    df = INPUT_KINDS["arrow_counter"](spark, {})
+    rows = sorted((r["n"], r["label"]) for r in df.collect())
+    assert rows == [(0, "row0"), (1, "row1"), (2, "row2"),
+                    (3, "row3")]
+
+
+def test_arrow_wire_roundtrip_binary(tmp_path):
+    """Direct client-level check: the body crosses as raw Arrow IPC
+    (no base64) and survives bit-exact."""
+    import pyarrow as pa
+
+    from connect_spark.plans.rpcplugin import ArrowPluginClient
+
+    pdir = tmp_path / "echo"
+    pdir.mkdir()
+    (pdir / "main.py").write_text(_ARROW_PROC_PLUGIN)
+    client = ArrowPluginClient([sys.executable, "main.py"],
+                               str(pdir))
+    client.start()
+    try:
+        client.call("init", config={})
+        tbl = pa.table({"doc_id": pa.array([7], pa.int64()),
+                        "text": ["abc"]})
+        _res, out = client.call_arrow("process_batch", body=tbl)
+        assert out.column("text_upper").to_pylist() == ["ABC"]
+        assert out.column("doc_id").to_pylist() == [7]
+    finally:
+        client.close()
