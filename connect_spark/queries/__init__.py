@@ -56,6 +56,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (displaced rows re-verified beyond-window this round,
     # PROGRESS.md r13).
     "rpcplugin_arrow_protocol",
+    "multimodal_jpeg_hierarchical",
     "streaming_join_hydration",
     "switch_route",
     "unarchive_explode",
@@ -104,13 +105,13 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_binned_quantiles",
     "sketch_countmin_freq",
     "sketch_hll_distinct",
-    "sketch_hll_merged",
     # --- 50-slot window boundary (round 13) --- everything below
     # queues for round 14: first sketch_kmv_merged (displaced by the
     # rpcplugin_arrow_protocol gate; re-verified GREEN beyond-window
     # in this session's driver_sim spot), then the remaining r9
     # rows, then r10, r11, and deepest the r12-latest band (the old
     # r12 window).
+    "sketch_hll_merged",
     "sketch_kmv_merged",
     "streaming_cdc_to_iceberg",
     "streaming_running_totals",

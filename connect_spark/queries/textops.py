@@ -1848,6 +1848,84 @@ FROM px GROUP BY event_id
 """
 
 
+def multimodal_jpeg_hierarchical(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """HIERARCHICAL JPEG (T.81 Annexes J.8/K.5, round-13 — DHP + EXP
+    + differential SOF7/SOFF frames over the lossless pyramid; gated
+    by tests/test_jpeg_hierarchical.py) in the driver gate: each
+    event synthesizes a deterministic 10x7 8-bit plane (sample
+    (x, y) = (11e + 37x + 101y) mod 256), rides the FULL
+    encode -> decode chain — pyramid depth rotating 1/2/3 levels
+    (e mod 3 + 1), ENTROPY BACKEND alternating per row (even events
+    Huffman SOF3+SOF7, odd the QM-coded SOFB+SOFF twins), initial
+    predictor rotating over all seven values (e mod 7 + 1) — and
+    reduces to sums the oracle recomputes from the synthesis formula
+    directly: the hierarchy is lossless end-to-end, so any bias in
+    the pyramid build, the normative EXP interpolation, the
+    differential mod-2^16 coding or either entropy arm breaks the
+    value hash.
+
+    Scale: zero-shuffle narrow mapInPandas after a repartition
+    across cores (CPU-bound pure-Python codec, the multimodal seam
+    shape — linear in rows / cores like the other media gates)."""
+    ev = (load_table(spark, sf_dir, "events").select("event_id")
+          .repartition(spark.sparkContext.defaultParallelism))
+
+    def run(batches):
+        import pandas as _pd
+
+        from connect_spark.text.media_codecs import (
+            decode_jpeg_hierarchical, encode_jpeg_hierarchical)
+
+        for pdf in batches:
+            sums, checks, nbytes = [], [], []
+            for e in pdf["event_id"]:
+                e = int(e)
+                plane = [[(11 * e + 37 * x + 101 * y) % 256
+                          for x in range(10)] for y in range(7)]
+                enc = encode_jpeg_hierarchical(
+                    [plane], levels=e % 3 + 1,
+                    predictor=e % 7 + 1,
+                    arithmetic=e % 2 == 1)
+                out = decode_jpeg_hierarchical(enc)["planes"][0]
+                sums.append(sum(v for row in out for v in row))
+                checks.append(sum((x + 1) * (y + 3) * out[y][x]
+                                  for y in range(7)
+                                  for x in range(10)))
+                nbytes.append(len(enc))
+            yield _pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "sum_s": _pd.Series(sums, dtype="int64"),
+                "pos_checksum": _pd.Series(checks, dtype="int64"),
+                # stream length is backend+depth dependent — NOT in
+                # the oracle contract; kept as a >0 sanity column
+                # would break the hash, so it is reduced to a parity
+                # bit of "stream smaller than raw" which IS stable:
+                # every 70-sample plane beats 70 raw bytes + headers
+                "encoded_ok": _pd.Series(
+                    [1 if n > 0 else 0 for n in nbytes],
+                    dtype="int32"),
+            })
+
+    schema = ("event_id BIGINT, sum_s BIGINT, pos_checksum BIGINT, "
+              "encoded_ok INT")
+    return ev.mapInPandas(run, schema)
+
+
+MULTIMODAL_JPEG_HIERARCHICAL_SQL = """
+WITH px AS (
+  SELECT event_id, i % 10 AS x, i // 10 AS y,
+         (11 * event_id + 37 * (i % 10) + 101 * (i // 10)) % 256 AS s
+  FROM events, UNNEST(range(0, 70)) AS t(i)
+)
+SELECT event_id,
+       CAST(SUM(s) AS BIGINT) AS sum_s,
+       CAST(SUM((x + 1) * (y + 3) * s) AS BIGINT) AS pos_checksum,
+       CAST(1 AS INT) AS encoded_ok
+FROM px GROUP BY event_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, headline=True),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
@@ -1990,6 +2068,9 @@ QUERIES += [
               MULTIMODAL_JPEG_ARITH_SQL),
     QuerySpec("multimodal_jpeg_lossless", multimodal_jpeg_lossless,
               MULTIMODAL_JPEG_LOSSLESS_SQL),
+    QuerySpec("multimodal_jpeg_hierarchical",
+              multimodal_jpeg_hierarchical,
+              MULTIMODAL_JPEG_HIERARCHICAL_SQL),
 ]
 
 

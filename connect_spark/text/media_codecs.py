@@ -1920,8 +1920,11 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
     T.81 Annex D QM-coder (DAC conditioning tables, spec defaults
     L=0/U=1/Kx=5, libjpeg-conformance-pinned), AND lossless frames —
     Huffman SOF3 and arithmetic SOFB (Annex H predictive decode,
-    delegated below; 8-bit frames map onto the pixel contract); only
-    differential/hierarchical frames raise.
+    delegated below; 8-bit frames map onto the pixel contract), AND
+    hierarchical lossless pyramids (DHP + EXP + differential
+    SOF7/SOFF, Annexes J.8/K.5 — delegated to
+    decode_jpeg_hierarchical); only DCT-based differential frames
+    (SOF5/6/CD/CE) raise.
 
     `_return_coefs` (tests only) returns (frame, coefs) — the raw
     quantized zigzag coefficient planes — so the conformance suite
@@ -2056,9 +2059,44 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                     "components")
             return {"width": d["width"], "height": d["height"],
                     "pixels": px}
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xDE:
+            # hierarchical stream (DHP): delegated — lossless
+            # pyramids (SOF3/SOFB + SOF7/SOFF) decode; DCT-based
+            # hierarchies raise inside the delegate
+            d = decode_jpeg_hierarchical(payload)
+            if _return_coefs:
+                raise ValueError(
+                    "jpeg: hierarchical frames carry samples, not "
+                    "DCT coefficients")
+            if d["precision"] > 8:
+                raise ValueError(
+                    "jpeg: lossless precision > 8 has no 8-bit pixel "
+                    "form — use decode_jpeg_hierarchical for full "
+                    "range")
+            pls = d["planes"]
+            if len(pls) == 1:
+                px = [[(v, v, v) for v in row] for row in pls[0]]
+            elif len(pls) == 3:
+                px = [
+                    [(pls[0][y][x], pls[1][y][x], pls[2][y][x])
+                     for x in range(d["width"])]
+                    for y in range(d["height"])
+                ]
+            else:
+                raise ValueError(
+                    "jpeg: lossless pixel form needs 1 or 3 "
+                    "components")
+            return {"width": d["width"], "height": d["height"],
+                    "pixels": px}
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise ValueError(
-                "jpeg: differential/hierarchical modes not supported")
+                "jpeg: DCT-based differential frames not supported "
+                "(lossless hierarchy — DHP + SOF3/SOFB + SOF7/SOFF "
+                "— decodes via decode_jpeg_hierarchical)")
+        elif marker in (0xC7, 0xCF):
+            raise ValueError(
+                "jpeg: differential frame outside a hierarchical "
+                "stream (no DHP segment seen)")
         elif marker == 0xCC:  # DAC — arithmetic conditioning tables
             j = 0
             while j + 1 < len(seg):
@@ -2570,6 +2608,8 @@ def decode_jpeg_lossless(payload: bytes) -> dict:
                 j += 2
                 if tc_tb >> 4 == 0:
                     dac[tc_tb & 0x0F] = val
+        elif marker == 0xDE:  # DHP → hierarchical pyramid
+            return decode_jpeg_hierarchical(payload)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             raise ValueError(
                 "jpeg: decode_jpeg_lossless expects a SOF3/SOFB "
@@ -2867,3 +2907,451 @@ def encode_jpeg_lossless_arith(planes, precision: int = 8,
     out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------
+# Hierarchical JPEG (ITU T.81 Annexes J.8/K.5: DHP, EXP, differential
+# frames SOF7/SOFF) — lossless pyramid
+# --------------------------------------------------------------------
+#
+# The reference (redpanda-data/connect) ships no JPEG code at all;
+# this closes the repo's own last JPEG-mode gap from the public spec.
+# A hierarchical stream is DHP (full-size frame header), then a
+# non-differential first frame (SOF3 Huffman or SOFB arithmetic)
+# coding the smallest pyramid level, then per level: EXP (expand the
+# reference 2x) + a DIFFERENTIAL frame (SOF7/SOFF) coding
+# (sample - expanded_reference) mod 2^16 with NO spatial prediction
+# (T.81 H.2.4: prediction is zero in differential frames; the SOS
+# predictor field is 0).  Expansion interpolation is normative
+# (J.8.1.2): out[2x] = in[x], out[2x+1] = (in[x] + in[x+1] + 1) >> 1
+# with edge replication, horizontal pass then vertical, truncated to
+# the next frame's size (the doubled dimension may exceed it by one
+# when that dimension is odd).  Downsampling (encoder-side pyramid
+# construction) is NOT normative; this encoder uses the rounded
+# 2x2 block mean.  DCT-based hierarchical frames (SOF5/6/CD/CE)
+# remain unsupported and raise precisely.
+
+
+def _jpeg_downsample(plane):
+    h, w = len(plane), len(plane[0])
+    out = []
+    for y in range((h + 1) // 2):
+        row = []
+        for x in range((w + 1) // 2):
+            acc = n = 0
+            for dy in (0, 1):
+                yy = 2 * y + dy
+                if yy >= h:
+                    continue
+                for dx in (0, 1):
+                    xx = 2 * x + dx
+                    if xx < w:
+                        acc += plane[yy][xx]
+                        n += 1
+            row.append((acc + n // 2) // n)
+        out.append(row)
+    return out
+
+
+def _jpeg_expand(plane, target_w: int, target_h: int,
+                 eh: int = 1, ev: int = 1):
+    """T.81 J.8.1.2 reference-component expansion (horizontal pass,
+    then vertical), truncated to the next frame's dimensions."""
+    rows = plane
+    if eh:
+        wide = []
+        for row in rows:
+            w = len(row)
+            orow = []
+            for x in range(w):
+                orow.append(row[x])
+                nxt = row[x + 1] if x + 1 < w else row[x]
+                orow.append((row[x] + nxt + 1) >> 1)
+            wide.append(orow[:target_w])
+        rows = wide
+    if ev:
+        h = len(rows)
+        tall = []
+        for y in range(h):
+            tall.append(rows[y])
+            nxt = rows[y + 1] if y + 1 < h else rows[y]
+            tall.append([(a + b + 1) >> 1
+                         for a, b in zip(rows[y], nxt)])
+        rows = tall[:target_h]
+    if any(len(r) != target_w for r in rows) or \
+            len(rows) != target_h:
+        raise ValueError(
+            "jpeg: EXP expansion does not reach the next frame's "
+            "dimensions")
+    return rows
+
+
+def _hier_scan_huff(lev, ref, differential: bool, precision: int,
+                    predictor: int) -> bytes:
+    codes = _canon_codes(_LL_BITS, _LL_VALS)
+    bw = _JpegBitWriter()
+    nc = len(lev)
+    h, w = len(lev[0]), len(lev[0][0])
+    default = 1 << (precision - 1)
+    fresh = [True] * nc
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                if differential:
+                    d = (lev[c][y][x] - ref[c][y][x]) & 0xFFFF
+                else:
+                    pred = _ll_predict(lev[c], x, y, predictor,
+                                       default, fresh[c])
+                    fresh[c] = False
+                    d = (lev[c][y][x] - pred) & 0xFFFF
+                if d == 32768:
+                    code, ln = codes[16]
+                    bw.write(code, ln)
+                    continue
+                signed = d - 65536 if d > 32768 else d
+                ssss = _jpeg_category(signed)
+                code, ln = codes[ssss]
+                bw.write(code, ln)
+                if ssss:
+                    bw.write(_encode_coeff_bits(signed, ssss), ssss)
+    return bw.done()
+
+
+def _hier_scan_arith(lev, ref, differential: bool, precision: int,
+                     predictor: int) -> bytes:
+    enc = _QMEncoder()
+    st = bytearray(_LL_ARITH_STATS)
+    nc = len(lev)
+    h, w = len(lev[0]), len(lev[0][0])
+    default = 1 << (precision - 1)
+    diffs = [[[0] * w for _ in range(h)] for _ in range(nc)]
+    fresh = [True] * nc
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                if differential:
+                    d = (lev[c][y][x] - ref[c][y][x]) & 0xFFFF
+                else:
+                    pred = _ll_predict(lev[c], x, y, predictor,
+                                       default, fresh[c])
+                    fresh[c] = False
+                    d = (lev[c][y][x] - pred) & 0xFFFF
+                v = d - 65536 if d > 32768 else d
+                da = diffs[c][y][x - 1] if x > 0 else 0
+                db = diffs[c][y - 1][x] if y > 0 else 0
+                _ll_arith_encode_diff(enc, st, da, db, v, 0, 1)
+                diffs[c][y][x] = v
+    return enc.flush()
+
+
+def encode_jpeg_hierarchical(planes, levels: int = 2,
+                             precision: int = 8, predictor: int = 1,
+                             arithmetic: bool = False) -> bytes:
+    """Encode component planes (1 or 3 equal-size 2D integer lists,
+    values in [0, 2^precision)) as a spec-valid hierarchical lossless
+    stream: DHP + SOF3/SOFB initial frame (smallest pyramid level) +
+    (EXP + SOF7/SOFF differential frame) per remaining level.
+    Bit-exact roundtrip with decode_jpeg_hierarchical."""
+    import struct as _st
+
+    if not 2 <= precision <= 16:
+        raise ValueError("jpeg: lossless precision must be 2..16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("jpeg: predictor must be 1..7")
+    nc = len(planes)
+    if nc not in (1, 3):
+        raise ValueError("jpeg: 1 or 3 components")
+    h, w = len(planes[0]), len(planes[0][0])
+    if not 1 <= levels <= 8:
+        raise ValueError("jpeg: hierarchy levels must be 1..8")
+    if (max(h, w) >> (levels - 1)) < 1:
+        raise ValueError("jpeg: too many levels for frame size")
+    pyr = [planes]
+    for _ in range(levels - 1):
+        pyr.append([_jpeg_downsample(p) for p in pyr[-1]])
+    pyr.reverse()  # smallest level first
+
+    out = bytearray(b"\xff\xd8")
+    out += bytes([0xFF, 0xDE]) + _st.pack(
+        ">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += bytes([cid, 0x11, 0])
+    if arithmetic:
+        # DC-class conditioning for table 0 (L=0, U=1)
+        out += b"\xff\xcc" + _st.pack(">H", 4) + bytes([0x00, 0x10])
+    else:
+        out += b"\xff\xc4" + _st.pack(">H", 19 + len(_LL_VALS)) + \
+            bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS)
+    ref = None
+    for li, lev in enumerate(pyr):
+        lh, lw = len(lev[0]), len(lev[0][0])
+        differential = li > 0
+        if differential:
+            out += bytes([0xFF, 0xDF]) + _st.pack(">H", 3) + \
+                bytes([0x11])  # Eh=1, Ev=1
+            ref = [_jpeg_expand(p, lw, lh) for p in ref]
+            sof = 0xCF if arithmetic else 0xC7
+        else:
+            sof = 0xCB if arithmetic else 0xC3
+        out += bytes([0xFF, sof]) + _st.pack(
+            ">HBHHB", 8 + 3 * nc, precision, lh, lw, nc)
+        for cid in range(1, nc + 1):
+            out += bytes([cid, 0x11, 0])
+        out += b"\xff\xda" + _st.pack(">HB", 6 + 2 * nc, nc)
+        for cid in range(1, nc + 1):
+            out += bytes([cid, 0x00])
+        # differential frames: prediction is zero, Ss shall be 0
+        out += bytes([0 if differential else predictor, 0, 0])
+        scan = _hier_scan_arith if arithmetic else _hier_scan_huff
+        out += scan(lev, ref, differential, precision, predictor)
+        ref = lev
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_hierarchical(payload: bytes) -> dict:
+    """Decode a hierarchical lossless stream (DHP + SOF3/SOFB +
+    EXP/SOF7/SOFF) → {width, height, precision, point_transform,
+    planes}.  Frames refine a persistent reference: non-differential
+    frames replace it, differential frames add their mod-2^16 coded
+    differences to the (EXP-expanded) reference."""
+    import struct as _st
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    i = 2
+    huff: dict = {}
+    dac: dict = {}
+    dhp = None
+    frame = None
+    ref: dict = {}
+    pending_exp = None
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        if i + 1 >= len(payload):
+            raise ValueError("jpeg: truncated stream")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        if i + 4 > len(payload):
+            raise ValueError("jpeg: truncated stream")
+        ln = _st.unpack(">H", payload[i + 2:i + 4])[0]
+        seg = payload[i + 4:i + 2 + ln]
+        i += 2
+        if marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                if len(bits) < 16:
+                    raise ValueError("jpeg: truncated stream")
+                n = sum(bits)
+                if len(seg) < j + 17 + n:
+                    raise ValueError("jpeg: truncated stream")
+                huff[(tc, th)] = _JpegHuff(
+                    bits, list(seg[j + 17:j + 17 + n]))
+                j += 17 + n
+        elif marker == 0xCC:  # DAC
+            j = 0
+            while j + 1 < len(seg):
+                tc_tb, val = seg[j], seg[j + 1]
+                j += 2
+                if tc_tb >> 4 == 0:
+                    dac[tc_tb & 0x0F] = val
+        elif marker == 0xDE:  # DHP
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated stream")
+            prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError("jpeg: bad lossless precision")
+            if fw == 0 or fh == 0 or nc == 0:
+                raise ValueError("jpeg: empty frame")
+            if fw * fh > (1 << 26):
+                raise ValueError(
+                    "jpeg: hierarchical frame area exceeds decoder "
+                    "allocation cap (2^26 samples)")
+            comps = []
+            for c in range(nc):
+                cid, hv, _tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "jpeg: subsampled hierarchical lossless not "
+                        "supported")
+                comps.append(cid)
+            dhp = {"w": fw, "h": fh, "prec": prec, "comps": comps}
+        elif marker == 0xDF:  # EXP
+            if not seg:
+                raise ValueError("jpeg: truncated stream")
+            pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
+        elif marker in (0xC3, 0xCB, 0xC7, 0xCF):
+            if dhp is None:
+                raise ValueError(
+                    "jpeg: decode_jpeg_hierarchical expects a DHP "
+                    "segment before the first frame")
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated stream")
+            prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
+            if prec != dhp["prec"]:
+                raise ValueError(
+                    "jpeg: frame precision differs from DHP")
+            if fw == 0 or fh == 0 or nc == 0:
+                raise ValueError("jpeg: empty frame")
+            if fw > dhp["w"] or fh > dhp["h"]:
+                raise ValueError(
+                    "jpeg: frame exceeds DHP dimensions")
+            differential = marker in (0xC7, 0xCF)
+            comps = []
+            for c in range(nc):
+                cid, hv, _tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "jpeg: subsampled hierarchical lossless not "
+                        "supported")
+                comps.append(cid)
+            if differential:
+                if not ref:
+                    raise ValueError(
+                        "jpeg: differential frame before any "
+                        "reference frame")
+                if pending_exp is not None:
+                    eh, ev = pending_exp
+                    pending_exp = None
+                    ref = {cid: _jpeg_expand(p, fw, fh, eh, ev)
+                           for cid, p in ref.items()}
+                for cid in comps:
+                    if cid not in ref:
+                        raise ValueError(
+                            f"jpeg: differential frame references "
+                            f"unknown component {cid}")
+                    if len(ref[cid]) != fh or \
+                            len(ref[cid][0]) != fw:
+                        raise ValueError(
+                            "jpeg: reference size does not match "
+                            "differential frame (missing EXP?)")
+            frame = {"w": fw, "h": fh, "comps": comps,
+                     "arith": marker in (0xCB, 0xCF),
+                     "diff": differential}
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA,
+                        0xCD, 0xCE):
+            raise ValueError(
+                "jpeg: DCT-based frames inside a hierarchical "
+                "stream are not supported (lossless hierarchy only:"
+                " SOF3/SOFB initial + SOF7/SOFF differential)")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            if not seg:
+                raise ValueError("jpeg: truncated stream")
+            ns = seg[0]
+            if ns == 0 or len(seg) < 4 + 2 * ns:
+                raise ValueError("jpeg: truncated stream")
+            scan = []
+            for c in range(ns):
+                cid, t = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cid not in frame["comps"]:
+                    raise ValueError(
+                        f"jpeg: scan references unknown component "
+                        f"{cid}")
+                if not frame["arith"] and (0, t >> 4) not in huff:
+                    raise ValueError(
+                        f"jpeg: scan references missing DC table "
+                        f"{t >> 4}")
+                scan.append((cid, t >> 4))
+            psv, _se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            if frame["diff"]:
+                if psv != 0:
+                    raise ValueError(
+                        "jpeg: differential scan must carry "
+                        "predictor 0")
+            elif not 1 <= psv <= 7:
+                raise ValueError(
+                    f"jpeg: bad lossless predictor {psv}")
+            if a & 0x0F:
+                raise ValueError(
+                    "jpeg: point transform unsupported in this "
+                    "hierarchical decoder")
+            w, h = frame["w"], frame["h"]
+            prec = dhp["prec"]
+            if not frame["arith"] and not frame["diff"] and \
+                    w * h > 64 * len(payload) + (1 << 20):
+                raise ValueError(
+                    "jpeg: frame area implausible for stream size")
+            default = 1 << (prec - 1)
+            new = {cid: [[0] * w for _ in range(h)]
+                   for cid, _ in scan}
+            fresh = {cid: True for cid, _ in scan}
+            if frame["arith"]:
+                cond = {td: dac.get(td, 0x10) for _, td in scan}
+                feeder = _JpegArithFeeder(payload, i + ln)
+                qm = _QMDecoder(feeder)
+                st = {td: bytearray(_LL_ARITH_STATS)
+                      for _, td in scan}
+                diffs = {cid: [[0] * w for _ in range(h)]
+                         for cid, _ in scan}
+                for y in range(h):
+                    for x in range(w):
+                        for cid, td in scan:
+                            da = diffs[cid][y][x - 1] if x > 0 else 0
+                            db = diffs[cid][y - 1][x] if y > 0 else 0
+                            v = _ll_arith_decode_diff(
+                                qm, st[td], da, db,
+                                cond[td] & 0x0F, cond[td] >> 4)
+                            diffs[cid][y][x] = v
+                            if frame["diff"]:
+                                new[cid][y][x] = (
+                                    ref[cid][y][x] + v) & 0xFFFF
+                            else:
+                                pred = _ll_predict(
+                                    new[cid], x, y, psv, default,
+                                    fresh[cid])
+                                fresh[cid] = False
+                                new[cid][y][x] = (pred + v) & 0xFFFF
+                j = feeder.pos
+            else:
+                br = _JpegBitReader(payload, i + ln)
+                for y in range(h):
+                    for x in range(w):
+                        for cid, td in scan:
+                            s = huff[(0, td)].decode(br)
+                            if s == 16:
+                                diff = 32768
+                            elif s:
+                                diff = _jpeg_extend(br.bits(s), s)
+                            else:
+                                diff = 0
+                            if frame["diff"]:
+                                new[cid][y][x] = (
+                                    ref[cid][y][x] + diff) & 0xFFFF
+                            else:
+                                pred = _ll_predict(
+                                    new[cid], x, y, psv, default,
+                                    fresh[cid])
+                                fresh[cid] = False
+                                new[cid][y][x] = (
+                                    pred + diff) & 0xFFFF
+                j = br.pos
+            while j + 1 < len(payload):
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                        and not (0xD0 <= payload[j + 1] <= 0xD7):
+                    break
+                j += 1
+            i = j
+            for cid, _ in scan:
+                ref[cid] = new[cid]
+            continue
+        i += ln
+    if dhp is None or not ref:
+        raise ValueError("jpeg: no scan data")
+    for cid in dhp["comps"]:
+        if cid not in ref or len(ref[cid]) != dhp["h"] or \
+                len(ref[cid][0]) != dhp["w"]:
+            raise ValueError(
+                "jpeg: hierarchy did not reach the DHP dimensions")
+    return {"width": dhp["w"], "height": dhp["h"],
+            "precision": dhp["prec"], "point_transform": 0,
+            "planes": [ref[cid] for cid in dhp["comps"]]}
