@@ -1878,7 +1878,7 @@ def multimodal_jpeg_hierarchical(spark: SparkSession,
             decode_jpeg_hierarchical, encode_jpeg_hierarchical)
 
         for pdf in batches:
-            sums, checks, nbytes = [], [], []
+            sums, checks = [], []
             for e in pdf["event_id"]:
                 e = int(e)
                 plane = [[(11 * e + 37 * x + 101 * y) % 256
@@ -1892,23 +1892,13 @@ def multimodal_jpeg_hierarchical(spark: SparkSession,
                 checks.append(sum((x + 1) * (y + 3) * out[y][x]
                                   for y in range(7)
                                   for x in range(10)))
-                nbytes.append(len(enc))
             yield _pd.DataFrame({
                 "event_id": pdf["event_id"],
                 "sum_s": _pd.Series(sums, dtype="int64"),
                 "pos_checksum": _pd.Series(checks, dtype="int64"),
-                # stream length is backend+depth dependent — NOT in
-                # the oracle contract; kept as a >0 sanity column
-                # would break the hash, so it is reduced to a parity
-                # bit of "stream smaller than raw" which IS stable:
-                # every 70-sample plane beats 70 raw bytes + headers
-                "encoded_ok": _pd.Series(
-                    [1 if n > 0 else 0 for n in nbytes],
-                    dtype="int32"),
             })
 
-    schema = ("event_id BIGINT, sum_s BIGINT, pos_checksum BIGINT, "
-              "encoded_ok INT")
+    schema = "event_id BIGINT, sum_s BIGINT, pos_checksum BIGINT"
     return ev.mapInPandas(run, schema)
 
 
@@ -1920,8 +1910,7 @@ WITH px AS (
 )
 SELECT event_id,
        CAST(SUM(s) AS BIGINT) AS sum_s,
-       CAST(SUM((x + 1) * (y + 3) * s) AS BIGINT) AS pos_checksum,
-       CAST(1 AS INT) AS encoded_ok
+       CAST(SUM((x + 1) * (y + 3) * s) AS BIGINT) AS pos_checksum
 FROM px GROUP BY event_id
 """
 
