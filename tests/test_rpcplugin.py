@@ -468,13 +468,13 @@ def test_duplicate_plugin_name_raises(tmp_path):
 def test_plugin_shadowing_builtin_raises(tmp_path):
     """A plugin named after a built-in processor (e.g. `mapping`)
     must be rejected."""
+    before = PROCESSORS["mapping"]
     mpath = _write_plugin(
         tmp_path, "mapping", _SHOUT_PLUGIN,
         {"type": "processor", "fields": []})
     with pytest.raises(PipelineConfigError, match="built-in"):
         discover_and_register_plugins([mpath])
-    assert not callable(getattr(PROCESSORS.get("mapping"), "close",
-                                None))  # built-in untouched
+    assert PROCESSORS["mapping"] is before  # built-in untouched
 
 
 def test_same_manifest_rediscovery_is_idempotent(tmp_path):
