@@ -272,3 +272,60 @@ def test_media_decoder_malformed_input_contract():
                 raise AssertionError(
                     f"contract violation {type(exc).__name__} on "
                     f"mutation {t} of {fn.__name__}") from exc
+
+
+def test_jpeg_hierarchical_malformed_input_contract():
+    """r13 extension of the mutation net to the hierarchical
+    decoder (DHP/EXP/SOF7/SOFF): byte flips, truncations,
+    insertions AND cross-stream splices of valid pyramids must
+    raise ValueError or decode cleanly — never IndexError/
+    struct.error/etc.  The interactive hunt ran 10.8K mutations
+    over 12 stream shapes (both entropy arms x depths 1-3 x 1/3
+    components) at zero violations; 1.2K pinned here."""
+    import struct
+
+    from connect_spark.text.media_codecs import (
+        decode_jpeg_hierarchical,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = random.Random(SEED + 13)
+    plane = [[(7 * x + 13 * y) % 256 for x in range(9)]
+             for y in range(8)]
+    blobs = [
+        encode_jpeg_hierarchical([plane], levels=2),
+        encode_jpeg_hierarchical([plane], levels=3,
+                                 arithmetic=True),
+        encode_jpeg_hierarchical([plane, plane, plane], levels=2,
+                                 predictor=5),
+        encode_jpeg_hierarchical([plane, plane, plane], levels=1,
+                                 arithmetic=True),
+    ]
+    for blob in blobs:
+        for t in range(300):
+            b = bytearray(blob)
+            mode = rng.randrange(4)
+            if mode == 0:
+                for _ in range(rng.randint(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            elif mode == 1:
+                b = b[:rng.randrange(len(b))]
+            elif mode == 2:
+                pos = rng.randrange(len(b))
+                b = (b[:pos]
+                     + bytes(rng.randrange(256)
+                             for _ in range(rng.randint(1, 12)))
+                     + b[pos:])
+            else:
+                other = blobs[rng.randrange(len(blobs))]
+                b = (b[:rng.randrange(len(b))]
+                     + other[rng.randrange(len(other)):])
+            try:
+                decode_jpeg_hierarchical(bytes(b))
+            except ValueError:
+                pass  # the contract
+            except (struct.error, IndexError, KeyError, TypeError,
+                    OverflowError, ZeroDivisionError) as exc:
+                raise AssertionError(
+                    f"contract violation {type(exc).__name__} on "
+                    f"mutation {t}") from exc
