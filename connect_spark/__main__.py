@@ -252,6 +252,10 @@ def main(argv: list[str] | None = None) -> int:
     pinit_p.add_argument(
         "--component", "-c", default="processor",
         help="input, processor or output")
+    pinit_p.add_argument(
+        "--protocol", "-p", default="ndjson",
+        help="ndjson (default) or arrow (binary Arrow-IPC framing; "
+        "python-only, needs pyarrow)")
     agent_p = sub.add_parser(
         "agent",
         help="agent mode: python agents wired to inputs/outputs with "
@@ -286,7 +290,8 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             path = initialize_project(
-                args.language, args.component, args.directory)
+                args.language, args.component, args.directory,
+                protocol=getattr(args, "protocol", "ndjson"))
         except PipelineConfigError as exc:
             print(f"plugin init: {exc}")
             return 1

@@ -511,16 +511,238 @@ _GO_MAINS = {"input": (_GO_INPUT_MAIN, "readBatch"),
              "output": (_GO_OUTPUT_MAIN, "write")}
 
 
-def initialize_project(lang: str, comp: str, directory: str) -> str:
+# --------------------------------------------------------------------
+# python templates for `protocol: arrow` (repo extension: binary
+# Arrow-IPC framing — the volume path measured in SCALE.md r13)
+# --------------------------------------------------------------------
+
+_ARROW_SDK = '''\
+# --- plugin runtime (protocol: arrow — one JSON header line + ---
+# --- body_len bytes of raw Arrow-IPC stream per message)      ---
+import json
+import sys
+
+import pyarrow as pa
+
+_IN = sys.stdin.buffer
+_OUT = sys.stdout.buffer
+
+
+def _reply(rid, result=None, error=None, body=None):
+    hdr = {"id": rid, "result": result, "error": error}
+    payload = b""
+    if body is not None:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, body.schema) as w:
+            w.write_table(body)
+        payload = sink.getvalue().to_pybytes()
+        hdr["body_len"] = len(payload)
+    _OUT.write(json.dumps(hdr).encode() + b"\\n")
+    if payload:
+        _OUT.write(payload)
+    _OUT.flush()
+
+
+def _err(message, detail=None):
+    return {"message": message, "detail": detail}
+
+
+def serve(init=None, connect=None, read_batch=None, ack=None,
+          process=None, write=None, close=None):
+    """Dispatch requests until stdin closes.  Handlers:
+    init(config), connect(), read_batch() -> (table, batch_id) or
+    None at end of input, ack(batch_id, error),
+    process(table) -> table, write(table), close()."""
+    while True:
+        line = _IN.readline()
+        if not line:
+            break
+        if not line.strip():
+            continue
+        req = json.loads(line)
+        rid, method = req.get("id"), req.get("method")
+        params = req.get("params") or {}
+        n = int(req.get("body_len") or 0)
+        tbl = pa.ipc.open_stream(_IN.read(n)).read_all() if n \
+            else None
+        try:
+            if method == "init":
+                if init:
+                    init(params.get("config") or {})
+                _reply(rid, {})
+            elif method == "connect":
+                if connect:
+                    connect()
+                _reply(rid, {})
+            elif method == "read_batch":
+                out = read_batch() if read_batch else None
+                if out is None:
+                    _reply(rid, None, _err("end of input",
+                                           "end_of_input"))
+                else:
+                    table, batch_id = out
+                    _reply(rid, {"batch_id": batch_id}, None, table)
+            elif method == "ack":
+                if ack:
+                    ack(params.get("batch_id"), params.get("error"))
+                _reply(rid, {})
+            elif method == "process_batch":
+                _reply(rid, {}, None,
+                       process(tbl) if process else tbl)
+            elif method == "write_batch":
+                if write and tbl is not None:
+                    write(tbl)
+                _reply(rid, {})
+            elif method == "close":
+                if close:
+                    close()
+                _reply(rid, {})
+                break
+            else:
+                _reply(rid, None,
+                       _err("unknown method: %s" % method))
+        except Exception as exc:  # surface, don't crash the host
+            _reply(rid, None, _err(str(exc)))
+# --- end plugin runtime ---
+'''
+
+_ARROW_PROCESSOR_MAIN = '''\
+"""A connect_spark `protocol: arrow` processor plugin: transform
+each COLUMNAR batch (a pyarrow.Table) — the returned table must
+match the manifest's output_schema."""
+
+CONFIG = {}
+
+
+def init(config):
+    CONFIG.update(config)
+
+
+def process(table):
+    # TODO: your vectorized transformation here (pyarrow.compute)
+    return table
+
+
+''' + _ARROW_SDK + '''
+
+if __name__ == "__main__":
+    serve(init=init, process=process)
+'''
+
+_ARROW_INPUT_MAIN = '''\
+"""A connect_spark `protocol: arrow` input plugin: emit typed
+columnar batches (pyarrow.Table matching output_schema)."""
+
+import pyarrow as _pa
+
+CONFIG = {}
+_STATE = {"sent": 0}
+
+
+def init(config):
+    CONFIG.update(config)
+
+
+def read_batch():
+    """Return (table, batch_id) or None when exhausted."""
+    if _STATE["sent"] >= int(CONFIG.get("count", 3)):
+        return None
+    i = _STATE["sent"]
+    _STATE["sent"] = i + 1
+    # TODO: read your real source here
+    return _pa.table({"n": _pa.array([i], _pa.int64())}), i
+
+
+''' + _ARROW_SDK + '''
+
+if __name__ == "__main__":
+    serve(init=init, read_batch=read_batch)
+'''
+
+_ARROW_OUTPUT_MAIN = '''\
+"""A connect_spark `protocol: arrow` output plugin: receive
+columnar batches to deliver."""
+
+import sys as _sys
+
+CONFIG = {}
+
+
+def init(config):
+    CONFIG.update(config)
+
+
+def write(table):
+    # TODO: deliver the batch to your real sink here
+    print("delivered:", table.num_rows, "rows", file=_sys.stderr)
+
+
+''' + _ARROW_SDK + '''
+
+if __name__ == "__main__":
+    serve(init=init, write=write)
+'''
+
+_ARROW_MANIFEST = '''\
+name: {name}
+summary: Add your summary here
+command: ["python3", "main.py"]
+type: {comp}
+protocol: arrow
+fields: []
+# protocol: arrow — batches cross as binary Arrow-IPC streams (no
+# per-row JSON, no base64); input/processor plugins MUST declare
+# output_schema (the child returns typed columnar batches).
+{schema_line}
+# Example of how to add configuration fields:
+# fields:
+#   - name: foo
+#     description: "The foo field"
+#     type: string # options: string, int, float, bool, unknown
+#     kind: scalar # or list or map
+#     default: "fizzbuzz"
+'''
+
+_ARROW_README = '''\
+# {name}
+
+A connect_spark {comp} plugin speaking `protocol: arrow` (binary
+Arrow-IPC framing — the volume path; requires pyarrow in the
+plugin's python).  Run a pipeline that uses it with:
+
+    python -m connect_spark run --rpcplugin ./plugin.yaml config.yaml
+
+Each message is one JSON header line plus an optional raw Arrow-IPC
+stream of `body_len` bytes; edit main.py's `{hook}` function.
+'''
+
+_ARROW_MAINS = {"input": (_ARROW_INPUT_MAIN, "read_batch"),
+                "processor": (_ARROW_PROCESSOR_MAIN, "process"),
+                "output": (_ARROW_OUTPUT_MAIN, "write")}
+
+
+def initialize_project(lang: str, comp: str, directory: str,
+                       protocol: str = "ndjson") -> str:
     """init.go InitializeProject: lay down the project files; the
     project name is the directory's basename.  Languages: python
     (runnable as-is) and golang (generate_plugin.go's other arm —
     emitted untested here, no Go toolchain in this environment; the
-    README carries the build step)."""
+    README carries the build step).  `protocol` is the repo
+    extension: 'arrow' emits the binary Arrow-IPC python template
+    (pyarrow child; the volume path)."""
     if lang not in ("python", "golang"):
         raise PipelineConfigError(
             f"unsupported plugin language {lang!r} "
             "(valid: ['golang', 'python'])")
+    if protocol not in ("ndjson", "arrow"):
+        raise PipelineConfigError(
+            f"unsupported plugin protocol {protocol!r} "
+            "(valid: ['arrow', 'ndjson'])")
+    if protocol == "arrow" and lang == "golang":
+        raise PipelineConfigError(
+            "protocol: arrow templates are python-only (the golang "
+            "template is Go-stdlib-only and Arrow IPC needs the "
+            "arrow module)")
     if comp not in _MAINS:
         raise PipelineConfigError(
             f"unexpected plugin component, valid options "
@@ -541,6 +763,22 @@ def initialize_project(lang: str, comp: str, directory: str) -> str:
         emit("plugin.yaml", _GO_MANIFEST.format(name=name, comp=comp))
         emit("README.md", _GO_README.format(name=name, comp=comp,
                                             hook=hook))
+        return abs_dir
+    if protocol == "arrow":
+        main_src, hook = _ARROW_MAINS[comp]
+        # arrow inputs/processors must declare output_schema; both
+        # templates default to the (n BIGINT) shape the input
+        # template emits, so a generated input → processor chain
+        # runs as-is (outputs consume, no schema needed)
+        schema_line = ("# (outputs consume batches — no "
+                       "output_schema needed)"
+                       if comp == "output"
+                       else 'output_schema: "n BIGINT"')
+        emit("main.py", main_src)
+        emit("plugin.yaml", _ARROW_MANIFEST.format(
+            name=name, comp=comp, schema_line=schema_line))
+        emit("README.md", _ARROW_README.format(name=name, comp=comp,
+                                               hook=hook))
         return abs_dir
     main_src, hook = _MAINS[comp]
     emit("main.py", main_src)

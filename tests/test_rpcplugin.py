@@ -781,3 +781,41 @@ def test_arrow_wire_roundtrip_binary(tmp_path):
         assert out.column("doc_id").to_pylist() == [7]
     finally:
         client.close()
+
+
+def test_arrow_template_projects_run_unmodified(spark, tmp_path):
+    """`plugin init --protocol arrow`: the generated input and
+    processor projects run END-TO-END as emitted — the input's
+    (n BIGINT) batches flow through the echo processor."""
+    inp = tmp_path / "arrow_in"
+    initialize_project("python", "input", str(inp),
+                       protocol="arrow")
+    proc = tmp_path / "arrow_proc"
+    initialize_project("python", "processor", str(proc),
+                       protocol="arrow")
+    for d in (inp, proc):
+        assert sorted(p.name for p in d.iterdir()) == [
+            "README.md", "main.py", "plugin.yaml"]
+    discover_and_register_plugins([str(inp / "plugin.yaml"),
+                                   str(proc / "plugin.yaml")])
+    df = INPUT_KINDS["arrow_in"](spark, {"count": 5})
+    out = PROCESSORS["arrow_proc"](df, {})
+    assert sorted(r["n"] for r in out.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_arrow_template_output_runs(spark, tmp_path):
+    proj = tmp_path / "arrow_out"
+    initialize_project("python", "output", str(proj),
+                       protocol="arrow")
+    discover_and_register_plugins([str(proj / "plugin.yaml")])
+    df = spark.createDataFrame([(1,), (2,)], "n BIGINT")
+    OUTPUT_KINDS["arrow_out"](df, {})  # must not raise
+
+
+def test_arrow_template_golang_rejected(tmp_path):
+    with pytest.raises(PipelineConfigError, match="python-only"):
+        initialize_project("golang", "processor",
+                           str(tmp_path / "x"), protocol="arrow")
+    with pytest.raises(PipelineConfigError, match="protocol"):
+        initialize_project("python", "processor",
+                           str(tmp_path / "y"), protocol="grpc")
