@@ -1855,13 +1855,16 @@ def multimodal_jpeg_hierarchical(spark: SparkSession,
     by tests/test_jpeg_hierarchical.py) in the driver gate: each
     event synthesizes a deterministic 10x7 8-bit plane (sample
     (x, y) = (11e + 37x + 101y) mod 256), rides the FULL
-    encode -> decode chain — pyramid depth rotating 1/2/3 levels
-    (e mod 3 + 1), ENTROPY BACKEND alternating per row (even events
-    Huffman SOF3+SOF7, odd the QM-coded SOFB+SOFF twins), initial
-    predictor rotating over all seven values (e mod 7 + 1) — and
-    reduces to sums the oracle recomputes from the synthesis formula
-    directly: the hierarchy is lossless end-to-end, so any bias in
-    the pyramid build, the normative EXP interpolation, the
+    encode -> decode chain — every 5th event takes the K.5
+    LOSSY-PREVIEW-PLUS-EXACT form (grayscale SOF0 DCT base +
+    SOF7/SOFF lossless residual, backend from parity), the rest the
+    lossless pyramid with depth rotating 1/2/3 levels (e mod 3 + 1),
+    ENTROPY BACKEND alternating per row (even events Huffman, odd
+    the QM-coded twins), initial predictor rotating over all seven
+    values (e mod 7 + 1) — and reduces to sums the oracle recomputes
+    from the synthesis formula directly: BOTH hierarchy forms are
+    lossless end-to-end, so any bias in the pyramid build, the
+    normative EXP interpolation, the DCT base reconstruction, the
     differential mod-2^16 coding or either entropy arm breaks the
     value hash.
 
@@ -1875,7 +1878,8 @@ def multimodal_jpeg_hierarchical(spark: SparkSession,
         import pandas as _pd
 
         from connect_spark.text.media_codecs import (
-            decode_jpeg_hierarchical, encode_jpeg_hierarchical)
+            decode_jpeg_hierarchical, encode_jpeg_hierarchical,
+            encode_jpeg_hierarchical_dct)
 
         for pdf in batches:
             sums, checks = [], []
@@ -1883,10 +1887,14 @@ def multimodal_jpeg_hierarchical(spark: SparkSession,
                 e = int(e)
                 plane = [[(11 * e + 37 * x + 101 * y) % 256
                           for x in range(10)] for y in range(7)]
-                enc = encode_jpeg_hierarchical(
-                    [plane], levels=e % 3 + 1,
-                    predictor=e % 7 + 1,
-                    arithmetic=e % 2 == 1)
+                if e % 5 == 0:
+                    enc = encode_jpeg_hierarchical_dct(
+                        plane, arithmetic_residual=e % 2 == 1)
+                else:
+                    enc = encode_jpeg_hierarchical(
+                        [plane], levels=e % 3 + 1,
+                        predictor=e % 7 + 1,
+                        arithmetic=e % 2 == 1)
                 out = decode_jpeg_hierarchical(enc)["planes"][0]
                 sums.append(sum(v for row in out for v in row))
                 checks.append(sum((x + 1) * (y + 3) * out[y][x]

@@ -1451,6 +1451,10 @@ class _QMEncoder:
             if cand < lo:
                 break
             v = cand
+            if cand == 0:
+                break  # 0 ∈ [lo, hi] is maximally aligned (an
+                # all-MPS stream keeps C at 0 — without this stop
+                # the mask search never ends)
             bit <<= 1
         nbits = self.nbits
         pad = (-nbits) % 8
@@ -2122,7 +2126,7 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
             if not seg:
                 raise ValueError("jpeg: truncated stream")
             ns = seg[0]
-            if len(seg) < 4 + 2 * ns:
+            if ns == 0 or len(seg) < 4 + 2 * ns:
                 raise ValueError("jpeg: truncated stream")
             scan = []
             for c in range(ns):
@@ -3109,12 +3113,114 @@ def encode_jpeg_hierarchical(planes, levels: int = 2,
     return bytes(out)
 
 
+def _gray_dct_frame_bytes(plane) -> bytes:
+    """One grayscale sequential-DCT frame as raw segments (DQT +
+    DHT + SOF0 + SOS + entropy, no SOI/EOI): the non-differential
+    DCT base of a hierarchical stream.  Same flat-_JQ pipeline as
+    encode_jpeg, single component."""
+    import struct as _st
+
+    import numpy as np
+
+    h, w = len(plane), len(plane[0])
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    arr = np.asarray(plane, dtype=np.int64)
+    arr = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    m = _jpeg_dct_matrix()
+    by, bx = ph // 8, pw // 8
+    shifted = arr.astype(np.float64) - 128.0
+    blocks = shifted.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", m, blocks, m)
+    q = (np.floor(np.abs(coef) / _JQ + 0.5).astype(np.int64)
+         * np.sign(coef).astype(np.int64))
+    dc_codes = _canon_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canon_codes(_AC_BITS, _AC_VALS)
+    bw = _JpegBitWriter()
+    pred = 0
+    for j in range(by):
+        for i in range(bx):
+            blk = q[j, i]
+            zz = [int(blk[k // 8, k % 8]) for k in _JPEG_ZIGZAG]
+            _encode_dc(bw, dc_codes, zz[0] - pred)
+            pred = zz[0]
+            _encode_ac_band(bw, ac_codes, zz, 1, 63)
+    seg = bytearray()
+    seg += b"\xff\xdb" + _st.pack(">H", 67) + bytes([0]) + \
+        bytes([_JQ] * 64)
+    for tc, th, bits, vals in ((0, 0, _DC_BITS, _DC_VALS),
+                               (1, 0, _AC_BITS, _AC_VALS)):
+        seg += b"\xff\xc4" + _st.pack(">H", 19 + len(vals)) + \
+            bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    seg += b"\xff\xc0" + _st.pack(">HBHHB", 11, 8, h, w, 1) + \
+        bytes([1, 0x11, 0])
+    seg += b"\xff\xda" + _st.pack(">HB", 8, 1) + bytes([1, 0x00]) + \
+        b"\x00\x3f\x00"
+    seg += bw.done()
+    return bytes(seg)
+
+
+def encode_jpeg_hierarchical_dct(plane,
+                                 arithmetic_residual: bool = False,
+                                 ) -> bytes:
+    """The textbook hierarchical configuration (T.81 K.5: lossy
+    preview + lossless refinement): DHP + one grayscale sequential
+    DCT frame (SOF0, full size) + one differential LOSSLESS frame
+    (SOF7, or SOFF with arithmetic_residual) coding
+    (source - base_reconstruction) mod 2^16 — so the stream decodes
+    to the source EXACTLY while any baseline decoder can render the
+    embedded preview.  The encoder builds the reference by decoding
+    its own base emission (decode_jpeg_pixels), so encoder and
+    decoder reconstructions agree by construction.  8-bit grayscale
+    (a color DCT base would put the residual in the YCbCr domain
+    while the decoded reference is RGB — rejected on decode)."""
+    import struct as _st
+
+    h = len(plane)
+    w = len(plane[0]) if h else 0
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty frame")
+    if any(not 0 <= v <= 255 for row in plane for v in row):
+        raise ValueError("jpeg: DCT base requires 8-bit samples")
+    frame_seg = _gray_dct_frame_bytes(plane)
+    base = b"\xff\xd8" + frame_seg + b"\xff\xd9"
+    recon_px = decode_jpeg_pixels(base)["pixels"]
+    recon = [[p[0] for p in row] for row in recon_px]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + _st.pack(">HBHHB", 11, 8, h, w, 1) + \
+        bytes([1, 0x11, 0])  # DHP
+    out += frame_seg
+    if arithmetic_residual:
+        out += b"\xff\xcc" + _st.pack(">H", 4) + bytes([0x01, 0x10])
+        out += b"\xff\xcf" + _st.pack(">HBHHB", 11, 8, h, w, 1) + \
+            bytes([1, 0x11, 0])
+        out += b"\xff\xda" + _st.pack(">HB", 8, 1) + \
+            bytes([1, 0x10]) + bytes([0, 0, 0])
+        out += _hier_scan_arith([plane], [recon], True, 8, 1)
+    else:
+        # lossless code table at (0,1) so it never shadows the DCT
+        # frame's DC table (0,0)
+        out += b"\xff\xc4" + _st.pack(">H", 19 + len(_LL_VALS)) + \
+            bytes([0x01]) + bytes(_LL_BITS) + bytes(_LL_VALS)
+        out += b"\xff\xc7" + _st.pack(">HBHHB", 11, 8, h, w, 1) + \
+            bytes([1, 0x11, 0])
+        out += b"\xff\xda" + _st.pack(">HB", 8, 1) + \
+            bytes([1, 0x10]) + bytes([0, 0, 0])
+        out += _hier_scan_huff([plane], [recon], True, 8, 1)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg_hierarchical(payload: bytes) -> dict:
-    """Decode a hierarchical lossless stream (DHP + SOF3/SOFB +
-    EXP/SOF7/SOFF) → {width, height, precision, point_transform,
-    planes}.  Frames refine a persistent reference: non-differential
-    frames replace it, differential frames add their mod-2^16 coded
-    differences to the (EXP-expanded) reference."""
+    """Decode a hierarchical stream → {width, height, precision,
+    point_transform, planes}.  Frames refine a persistent reference:
+    non-differential frames replace it (lossless SOF3/SOFB decoded
+    here; a grayscale sequential-DCT base SOF0/SOF1/SOF9 is
+    re-framed as a standalone stream — accumulated tables + the
+    frame — and decoded through decode_jpeg_pixels), differential
+    LOSSLESS frames (SOF7/SOFF) add their mod-2^16 coded differences
+    to the (EXP-expanded) reference.  Progressive or differential
+    DCT frames raise precisely."""
     import struct as _st
 
     if payload[:2] != b"\xff\xd8":
@@ -3126,6 +3232,7 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
     frame = None
     ref: dict = {}
     pending_exp = None
+    table_acc = bytearray()  # raw DQT/DHT/DAC/DRI segments so far
     while i < len(payload):
         if payload[i] != 0xFF:
             i += 1
@@ -3156,13 +3263,17 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                 huff[(tc, th)] = _JpegHuff(
                     bits, list(seg[j + 17:j + 17 + n]))
                 j += 17 + n
+            table_acc += payload[i - 2:i + ln]
         elif marker == 0xCC:  # DAC
+            table_acc += payload[i - 2:i + ln]
             j = 0
             while j + 1 < len(seg):
                 tc_tb, val = seg[j], seg[j + 1]
                 j += 2
                 if tc_tb >> 4 == 0:
                     dac[tc_tb & 0x0F] = val
+        elif marker in (0xDB, 0xDD):  # DQT / DRI: raw, for the
+            table_acc += payload[i - 2:i + ln]  # DCT-base substream
         elif marker == 0xDE:  # DHP
             if len(seg) < 6:
                 raise ValueError("jpeg: truncated stream")
@@ -3236,12 +3347,81 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
             frame = {"w": fw, "h": fh, "comps": comps,
                      "arith": marker in (0xCB, 0xCF),
                      "diff": differential}
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA,
-                        0xCD, 0xCE):
+        elif marker in (0xC0, 0xC1, 0xC9):
+            # non-differential sequential-DCT base (K.5's lossy
+            # preview): re-frame as a standalone stream from the
+            # accumulated tables + this frame, decode through the
+            # full DCT decoder, and take the samples as the new
+            # reference.  Grayscale only — a color frame's residual
+            # would live in YCbCr while the decoded reference is
+            # RGB.
+            if dhp is None:
+                raise ValueError(
+                    "jpeg: decode_jpeg_hierarchical expects a DHP "
+                    "segment before the first frame")
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated stream")
+            prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    "jpeg: hierarchical DCT base must be 8-bit "
+                    "grayscale (color residuals live in the YCbCr "
+                    "domain)")
+            if fw > dhp["w"] or fh > dhp["h"]:
+                raise ValueError(
+                    "jpeg: frame exceeds DHP dimensions")
+            if len(seg) < 9:
+                raise ValueError("jpeg: truncated stream")
+            cid = seg[6]
+            frame_start = i - 2
+            # walk this frame's segments to its (single) scan end
+            p = i + ln
+            scan_end = None
+            while p + 1 < len(payload):
+                if payload[p] != 0xFF:
+                    raise ValueError("jpeg: truncated stream")
+                mk = payload[p + 1]
+                if mk == 0xDA:
+                    if p + 4 > len(payload):
+                        raise ValueError("jpeg: truncated stream")
+                    sl = _st.unpack(">H", payload[p + 2:p + 4])[0]
+                    j = p + 2 + sl
+                    while j + 1 < len(payload):
+                        if payload[j] == 0xFF and \
+                                payload[j + 1] != 0x00 and not (
+                                0xD0 <= payload[j + 1] <= 0xD7):
+                            break
+                        j += 1
+                    scan_end = j
+                    break
+                if mk in (0xD9, 0xDE, 0xDF) or 0xC0 <= mk <= 0xCF \
+                        and mk not in (0xC4, 0xCC):
+                    raise ValueError(
+                        "jpeg: hierarchical DCT base ended without "
+                        "a scan")
+                if p + 4 > len(payload):
+                    raise ValueError("jpeg: truncated stream")
+                p += 2 + _st.unpack(">H", payload[p + 2:p + 4])[0]
+            if scan_end is None:
+                raise ValueError("jpeg: truncated stream")
+            sub = b"\xff\xd8" + bytes(table_acc) + \
+                payload[frame_start:scan_end] + b"\xff\xd9"
+            d = decode_jpeg_pixels(sub)
+            ref[cid] = [[px[0] for px in row] for row in d["pixels"]]
+            pending_exp = None
+            frame = None
+            i = scan_end
+            continue
+        elif marker in (0xC2, 0xCA):
             raise ValueError(
-                "jpeg: DCT-based frames inside a hierarchical "
-                "stream are not supported (lossless hierarchy only:"
-                " SOF3/SOFB initial + SOF7/SOFF differential)")
+                "jpeg: progressive DCT base inside a hierarchical "
+                "stream is not supported (sequential SOF0/SOF1/SOF9 "
+                "bases decode)")
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
+            raise ValueError(
+                "jpeg: differential DCT frames are not supported "
+                "(differential refinement is lossless-only: "
+                "SOF7/SOFF)")
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")

@@ -292,6 +292,10 @@ def test_jpeg_hierarchical_malformed_input_contract():
     rng = random.Random(SEED + 13)
     plane = [[(7 * x + 13 * y) % 256 for x in range(9)]
              for y in range(8)]
+    from connect_spark.text.media_codecs import (
+        encode_jpeg_hierarchical_dct,
+    )
+
     blobs = [
         encode_jpeg_hierarchical([plane], levels=2),
         encode_jpeg_hierarchical([plane], levels=3,
@@ -300,6 +304,12 @@ def test_jpeg_hierarchical_malformed_input_contract():
                                  predictor=5),
         encode_jpeg_hierarchical([plane, plane, plane], levels=1,
                                  arithmetic=True),
+        # DCT-base + lossless-residual streams exercise the
+        # substream-extraction path (r13: this hunt found the
+        # truncated-SOF cid read and the ns==0 SOS hole)
+        encode_jpeg_hierarchical_dct(plane),
+        encode_jpeg_hierarchical_dct(plane,
+                                     arithmetic_residual=True),
     ]
     for blob in blobs:
         for t in range(300):

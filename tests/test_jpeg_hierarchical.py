@@ -206,13 +206,35 @@ def test_differential_before_reference_raises():
         decode_jpeg_hierarchical(bytes(blob))
 
 
-def test_dct_frame_in_hierarchy_raises():
+def test_differential_dct_frame_raises():
     blob = bytearray(b"\xff\xd8")
     blob += bytes([0xFF, 0xDE]) + struct.pack(
         ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
     blob += bytes([0xFF, 0xC5]) + struct.pack(
         ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
-    with pytest.raises(ValueError, match="DCT-based"):
+    with pytest.raises(ValueError, match="differential DCT"):
+        decode_jpeg_hierarchical(bytes(blob))
+
+
+def test_progressive_dct_base_raises():
+    blob = bytearray(b"\xff\xd8")
+    blob += bytes([0xFF, 0xDE]) + struct.pack(
+        ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+    blob += bytes([0xFF, 0xC2]) + struct.pack(
+        ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="progressive DCT base"):
+        decode_jpeg_hierarchical(bytes(blob))
+
+
+def test_color_dct_base_raises():
+    blob = bytearray(b"\xff\xd8")
+    blob += bytes([0xFF, 0xDE]) + struct.pack(
+        ">HBHHB", 17, 8, 4, 4, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    blob += bytes([0xFF, 0xC0]) + struct.pack(
+        ">HBHHB", 17, 8, 4, 4, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    with pytest.raises(ValueError, match="grayscale"):
         decode_jpeg_hierarchical(bytes(blob))
 
 
@@ -259,3 +281,113 @@ def test_property_roundtrip(data, w, h, levels, arith, prec):
                                     precision=prec, arithmetic=arith)
     d = decode_jpeg_hierarchical(blob)
     assert d["planes"][0] == p
+
+
+# ------------------------------------------------------------------
+# DCT base + lossless residual (T.81 K.5 lossy-preview-plus-exact)
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("arith", [False, True])
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 8), (10, 9), (17, 23)])
+def test_dct_base_roundtrip_exact(arith, w, h):
+    """DHP + grayscale SOF0 base + SOF7/SOFF residual decodes to the
+    SOURCE exactly — the lossy preview plus lossless refinement."""
+    from connect_spark.text.media_codecs import (
+        encode_jpeg_hierarchical_dct,
+    )
+
+    p = _plane(w * 31 + h, w, h)
+    blob = encode_jpeg_hierarchical_dct(p, arithmetic_residual=arith)
+    d = decode_jpeg_hierarchical(blob)
+    assert d["planes"][0] == p
+    # and the stream carries a REAL SOF0 base
+    assert b"\xff\xc0" in blob
+    assert (b"\xff\xcf" if arith else b"\xff\xc7") in blob
+
+
+def test_dct_base_embedded_preview_is_decodable():
+    """The base frame re-framed standalone (SOI + tables + frame +
+    EOI) is a valid lossy JPEG close to the source — the decoder's
+    own substream-extraction path exercised end-to-end through the
+    public decode, plus a direct quality check on the preview."""
+    from connect_spark.text.media_codecs import (
+        _gray_dct_frame_bytes,
+        encode_jpeg_hierarchical_dct,
+    )
+
+    p = [[(3 * x + 5 * y) % 256 for x in range(24)]
+         for y in range(16)]
+    sub = b"\xff\xd8" + _gray_dct_frame_bytes(p) + b"\xff\xd9"
+    d = decode_jpeg_pixels(sub)
+    err = max(abs(d["pixels"][y][x][0] - p[y][x])
+              for y in range(16) for x in range(24))
+    assert err <= 16  # flat-8 quantization keeps the preview close
+    # the hierarchical stream is exact despite the lossy base
+    blob = encode_jpeg_hierarchical_dct(p)
+    assert decode_jpeg_hierarchical(blob)["planes"][0] == p
+
+
+def test_dct_base_delegations():
+    from connect_spark.text.media_codecs import (
+        encode_jpeg_hierarchical_dct,
+    )
+
+    p = _plane(77, 9, 6)
+    blob = encode_jpeg_hierarchical_dct(p, arithmetic_residual=True)
+    assert decode_jpeg_lossless(blob)["planes"][0] == p
+    px = decode_jpeg_pixels(blob)
+    assert px["pixels"][2][3] == (p[2][3],) * 3
+
+
+def test_dct_base_validation():
+    from connect_spark.text.media_codecs import (
+        encode_jpeg_hierarchical_dct,
+    )
+
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_jpeg_hierarchical_dct([[300]])
+    with pytest.raises(ValueError, match="empty"):
+        encode_jpeg_hierarchical_dct([])
+
+
+def test_qm_flush_all_mps_stream_terminates():
+    """Regression (r13): an all-MPS QM stream keeps the code
+    register at 0; flush's power-of-two alignment search must stop
+    at candidate 0 instead of looping forever.  Surfaced by the
+    1x1 DCT-base residual; also hit plain SOFB on tiny constant
+    planes."""
+    from connect_spark.text.media_codecs import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless_arith,
+    )
+
+    for p in ([[128]], [[128, 128]], [[128] * 4] * 3):
+        blob = encode_jpeg_lossless_arith([p])
+        assert decode_jpeg_lossless(blob)["planes"][0] == p
+
+
+def test_sos_with_zero_components_raises():
+    """Regression (r13, found by the DCT-base mutation hunt): an
+    SOS declaring ns=0 must raise, not crash the non-interleaved
+    scan path with IndexError."""
+    import struct as _st
+
+    blob = bytearray(b"\xff\xd8")
+    blob += bytes([0xFF, 0xC0]) + _st.pack(
+        ">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    blob += b"\xff\xda" + _st.pack(">HB", 6, 0) + b"\x00\x3f\x00"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_pixels(bytes(blob))
+
+
+def test_truncated_dct_base_header_raises():
+    import struct as _st
+
+    blob = bytearray(b"\xff\xd8")
+    blob += bytes([0xFF, 0xDE]) + _st.pack(
+        ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+    # SOF0 claiming nc=1 but with the component spec cut off
+    blob += bytes([0xFF, 0xC0]) + _st.pack(">HBHHB", 8, 8, 4, 4, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_hierarchical(bytes(blob))
