@@ -3347,14 +3347,14 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
             frame = {"w": fw, "h": fh, "comps": comps,
                      "arith": marker in (0xCB, 0xCF),
                      "diff": differential}
-        elif marker in (0xC0, 0xC1, 0xC9):
-            # non-differential sequential-DCT base (K.5's lossy
-            # preview): re-frame as a standalone stream from the
-            # accumulated tables + this frame, decode through the
-            # full DCT decoder, and take the samples as the new
-            # reference.  Grayscale only — a color frame's residual
-            # would live in YCbCr while the decoded reference is
-            # RGB.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # non-differential DCT base (K.5's lossy preview):
+            # re-frame as a standalone stream from the accumulated
+            # tables + this frame (ALL its scans — progressive
+            # bases are multi-scan), decode through the full DCT
+            # decoder, and take the samples as the new reference.
+            # Grayscale only — a color frame's residual would live
+            # in YCbCr while the decoded reference is RGB.
             if dhp is None:
                 raise ValueError(
                     "jpeg: decode_jpeg_hierarchical expects a DHP "
@@ -3374,9 +3374,10 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                 raise ValueError("jpeg: truncated stream")
             cid = seg[6]
             frame_start = i - 2
-            # walk this frame's segments to its (single) scan end
+            # walk this frame's segments through EVERY scan; stop
+            # at the next frame-level marker (SOF/DHP/EXP/EOI)
             p = i + ln
-            scan_end = None
+            last_end = None
             while p + 1 < len(payload):
                 if payload[p] != 0xFF:
                     raise ValueError("jpeg: truncated stream")
@@ -3392,31 +3393,28 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                                 0xD0 <= payload[j + 1] <= 0xD7):
                             break
                         j += 1
-                    scan_end = j
-                    break
-                if mk in (0xD9, 0xDE, 0xDF) or 0xC0 <= mk <= 0xCF \
-                        and mk not in (0xC4, 0xCC):
-                    raise ValueError(
-                        "jpeg: hierarchical DCT base ended without "
-                        "a scan")
-                if p + 4 > len(payload):
-                    raise ValueError("jpeg: truncated stream")
-                p += 2 + _st.unpack(">H", payload[p + 2:p + 4])[0]
-            if scan_end is None:
-                raise ValueError("jpeg: truncated stream")
+                    last_end = j
+                    p = j
+                    continue
+                if mk in (0xC4, 0xCC, 0xDB, 0xDD):
+                    if p + 4 > len(payload):
+                        raise ValueError("jpeg: truncated stream")
+                    p += 2 + _st.unpack(
+                        ">H", payload[p + 2:p + 4])[0]
+                    continue
+                break  # next frame-level marker ends this frame
+            if last_end is None:
+                raise ValueError(
+                    "jpeg: hierarchical DCT base ended without a "
+                    "scan")
             sub = b"\xff\xd8" + bytes(table_acc) + \
-                payload[frame_start:scan_end] + b"\xff\xd9"
+                payload[frame_start:last_end] + b"\xff\xd9"
             d = decode_jpeg_pixels(sub)
             ref[cid] = [[px[0] for px in row] for row in d["pixels"]]
             pending_exp = None
             frame = None
-            i = scan_end
+            i = last_end
             continue
-        elif marker in (0xC2, 0xCA):
-            raise ValueError(
-                "jpeg: progressive DCT base inside a hierarchical "
-                "stream is not supported (sequential SOF0/SOF1/SOF9 "
-                "bases decode)")
         elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise ValueError(
                 "jpeg: differential DCT frames are not supported "

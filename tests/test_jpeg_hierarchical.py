@@ -216,14 +216,82 @@ def test_differential_dct_frame_raises():
         decode_jpeg_hierarchical(bytes(blob))
 
 
-def test_progressive_dct_base_raises():
+def test_dct_base_without_scan_raises():
     blob = bytearray(b"\xff\xd8")
     blob += bytes([0xFF, 0xDE]) + struct.pack(
         ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
     blob += bytes([0xFF, 0xC2]) + struct.pack(
         ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
-    with pytest.raises(ValueError, match="progressive DCT base"):
+    with pytest.raises(ValueError, match="without a scan"):
         decode_jpeg_hierarchical(bytes(blob))
+
+
+def test_progressive_dct_base_decodes_exact():
+    """A multi-scan (progressive SOF2) grayscale base inside the
+    hierarchy: the substream extraction walks EVERY scan of the
+    frame, and the SOF7 residual still lands the source exactly."""
+    import numpy as np
+
+    from connect_spark.text import media_codecs as M
+
+    p = [[(5 * x + 11 * y) % 256 for x in range(10)]
+         for y in range(9)]
+    h, w = 9, 10
+    arr = np.pad(np.asarray(p, dtype=np.int64),
+                 ((0, 16 - h), (0, 16 - w)), mode="edge")
+    m = M._jpeg_dct_matrix()
+    by = bx = 2
+    blocks = (arr.astype(np.float64) - 128.0).reshape(
+        by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", m, blocks, m)
+    q = (np.floor(np.abs(coef) / M._JQ + 0.5).astype(np.int64)
+         * np.sign(coef).astype(np.int64))
+    dc_codes = M._canon_codes(M._DC_BITS, M._DC_VALS)
+    ac_codes = M._canon_codes(M._AC_BITS, M._AC_VALS)
+    zzs = [[[int(q[j, i][k // 8, k % 8]) for k in M._JPEG_ZIGZAG]
+            for i in range(bx)] for j in range(by)]
+    frame = bytearray()
+    frame += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + \
+        bytes([M._JQ] * 64)
+    for tc, th, bits, vals in ((0, 0, M._DC_BITS, M._DC_VALS),
+                               (1, 0, M._AC_BITS, M._AC_VALS)):
+        frame += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)) + bytes([(tc << 4) | th]) + \
+            bytes(bits) + bytes(vals)
+    frame += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    bw = M._JpegBitWriter()
+    pred = 0
+    for j in range(by):
+        for i in range(bx):
+            M._encode_dc(bw, dc_codes, zzs[j][i][0] - pred)
+            pred = zzs[j][i][0]
+    frame += b"\xff\xda" + struct.pack(">HB", 8, 1) + \
+        bytes([1, 0x00]) + bytes([0, 0, 0]) + bw.done()
+    bw = M._JpegBitWriter()
+    for j in range(by):
+        for i in range(bx):
+            M._encode_ac_band(bw, ac_codes, zzs[j][i], 1, 63)
+    frame += b"\xff\xda" + struct.pack(">HB", 8, 1) + \
+        bytes([1, 0x00]) + bytes([1, 63, 0]) + bw.done()
+    sub = b"\xff\xd8" + bytes(frame) + b"\xff\xd9"
+    recon = [[px[0] for px in row]
+             for row in M.decode_jpeg_pixels(sub)["pixels"]]
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xde" + struct.pack(
+        ">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += frame
+    out += b"\xff\xc4" + struct.pack(
+        ">H", 19 + len(M._LL_VALS)) + bytes([0x01]) + \
+        bytes(M._LL_BITS) + bytes(M._LL_VALS)
+    out += b"\xff\xc7" + struct.pack(
+        ">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + \
+        bytes([1, 0x10]) + bytes([0, 0, 0])
+    out += M._hier_scan_huff([p], [recon], True, 8, 1)
+    out += b"\xff\xd9"
+    d = decode_jpeg_hierarchical(bytes(out))
+    assert d["planes"][0] == p
 
 
 def test_color_dct_base_raises():
