@@ -1888,8 +1888,12 @@ def multimodal_jpeg_hierarchical(spark: SparkSession,
                 plane = [[(11 * e + 37 * x + 101 * y) % 256
                           for x in range(10)] for y in range(7)]
                 if e % 5 == 0:
+                    # K.5 lossy pyramid: SOF0 base + SOF5
+                    # differential-DCT refinements (depth e mod 3
+                    # + 1) + exact SOF7/SOFF residual
                     enc = encode_jpeg_hierarchical_dct(
-                        plane, arithmetic_residual=e % 2 == 1)
+                        plane, arithmetic_residual=e % 2 == 1,
+                        levels=e % 3 + 1)
                 else:
                     enc = encode_jpeg_hierarchical(
                         [plane], levels=e % 3 + 1,

@@ -2170,6 +2170,11 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
                 if ss == 0:
                     if ah == 0:  # DC first (baseline: the whole block)
                         s = huff[(0, td)].decode(br)
+                        if s > 16:  # T.81 F.1.2.1.1: SSSS <= 16 —
+                            # a corrupt DHT value here would build
+                            # an unbounded coefficient
+                            raise ValueError(
+                                "jpeg: bad DC category")
                         diff = _jpeg_extend(br.bits(s), s) if s else 0
                         pred[comp["id"]] += diff
                         zz[0] = pred[comp["id"]] << al
@@ -3159,18 +3164,115 @@ def _gray_dct_frame_bytes(plane) -> bytes:
     return bytes(seg)
 
 
+def _dct_diff_blocks(diff):
+    """FDCT (NO level shift — T.81 J.4: differential DCT frames code
+    the difference image directly) + flat-_JQ quantization of a
+    signed difference plane → (by, bx, q[by][bx][8][8])."""
+    import numpy as np
+
+    h, w = len(diff), len(diff[0])
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    arr = np.asarray(diff, dtype=np.float64)
+    arr = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+    m = _jpeg_dct_matrix()
+    by, bx = ph // 8, pw // 8
+    blocks = arr.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", m, blocks, m)
+    q = (np.floor(np.abs(coef) / _JQ + 0.5).astype(np.int64)
+         * np.sign(coef).astype(np.int64))
+    return by, bx, q
+
+
+def _dct_diff_reconstruct(q, w: int, h: int):
+    """Dequantize + IDCT (no level shift) + crop: the ONE
+    reconstruction both encoder and decoder use for differential
+    DCT frames, so they agree bit-exactly by construction."""
+    import numpy as np
+
+    m = _jpeg_dct_matrix()
+    coef = q.astype(np.float64) * _JQ
+    # inverse of the forward C = M·B·Mᵀ above: B = Mᵀ·C·M
+    spatial = np.einsum("ux,ijuv,vy->ijxy", m, coef, m)
+    by, bx = q.shape[0], q.shape[1]
+    full = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    out = np.rint(full).astype(np.int64)
+    return [[int(out[y, x]) for x in range(w)] for y in range(h)]
+
+
+def _dct_diff_scan_encode(diff) -> tuple[bytes, list]:
+    """Huffman-code a differential-DCT plane (DC with NO prediction
+    — T.81 F.2's differential arm) and return (entropy bytes,
+    reconstructed difference)."""
+    by, bx, q = _dct_diff_blocks(diff)
+    dc_codes = _canon_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canon_codes(_AC_BITS, _AC_VALS)
+    bw = _JpegBitWriter()
+    for j in range(by):
+        for i in range(bx):
+            blk = q[j, i]
+            zz = [int(blk[k // 8, k % 8]) for k in _JPEG_ZIGZAG]
+            _encode_dc(bw, dc_codes, zz[0])  # pred = 0
+            _encode_ac_band(bw, ac_codes, zz, 1, 63)
+    recon = _dct_diff_reconstruct(q, len(diff[0]), len(diff))
+    return bw.done(), recon
+
+
+def _dct_diff_scan_decode(payload: bytes, pos: int, w: int, h: int,
+                          dc_huff, ac_huff):
+    """Decode one differential-DCT Huffman scan (1 component,
+    h=v=1): returns (reconstructed difference plane, end position).
+    DC carries no prediction; AC is the standard baseline
+    run-length code."""
+    import numpy as np
+
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    q = np.zeros((by, bx, 8, 8), dtype=np.int64)
+    br = _JpegBitReader(payload, pos)
+    for j in range(by):
+        for i in range(bx):
+            s = dc_huff.decode(br)
+            if s > 15:
+                raise ValueError("jpeg: bad DC category")
+            dc = _jpeg_extend(br.bits(s), s) if s else 0
+            zz = [0] * 64
+            zz[0] = dc
+            k = 1
+            while k < 64:
+                rs = ac_huff.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("jpeg: AC run overflows block")
+                zz[k] = _jpeg_extend(br.bits(s), s)
+                k += 1
+            blk = q[j, i]
+            for idx, zz_pos in enumerate(_JPEG_ZIGZAG):
+                blk[zz_pos // 8, zz_pos % 8] = zz[idx]
+    return _dct_diff_reconstruct(q, w, h), br.pos
+
+
 def encode_jpeg_hierarchical_dct(plane,
                                  arithmetic_residual: bool = False,
+                                 levels: int = 1,
                                  ) -> bytes:
     """The textbook hierarchical configuration (T.81 K.5: lossy
-    preview + lossless refinement): DHP + one grayscale sequential
-    DCT frame (SOF0, full size) + one differential LOSSLESS frame
-    (SOF7, or SOFF with arithmetic_residual) coding
-    (source - base_reconstruction) mod 2^16 — so the stream decodes
-    to the source EXACTLY while any baseline decoder can render the
-    embedded preview.  The encoder builds the reference by decoding
-    its own base emission (decode_jpeg_pixels), so encoder and
-    decoder reconstructions agree by construction.  8-bit grayscale
+    multi-resolution preview + lossless refinement): DHP + a
+    grayscale sequential DCT base (SOF0, smallest pyramid level) +
+    per remaining level an EXP + DIFFERENTIAL DCT frame (SOF5 —
+    the DCT of the difference image, no level shift, DC coded with
+    zero prediction) + one final differential LOSSLESS frame (SOF7,
+    or SOFF with arithmetic_residual) coding
+    (source - reconstruction) mod 2^16 — so the stream decodes to
+    the source EXACTLY while any DCT decoder can render the
+    progressively-sized previews.  The encoder builds every
+    reference through the SAME reconstruction code the decoder runs
+    (standalone base decode; _dct_diff_reconstruct for SOF5), so
+    the two agree bit-exactly by construction.  8-bit grayscale
     (a color DCT base would put the residual in the YCbCr domain
     while the decoded reference is RGB — rejected on decode)."""
     import struct as _st
@@ -3181,7 +3283,16 @@ def encode_jpeg_hierarchical_dct(plane,
         raise ValueError("jpeg: empty frame")
     if any(not 0 <= v <= 255 for row in plane for v in row):
         raise ValueError("jpeg: DCT base requires 8-bit samples")
-    frame_seg = _gray_dct_frame_bytes(plane)
+    if not 1 <= levels <= 8:
+        raise ValueError("jpeg: hierarchy levels must be 1..8")
+    if (max(h, w) >> (levels - 1)) < 1:
+        raise ValueError("jpeg: too many levels for frame size")
+    pyr = [plane]
+    for _ in range(levels - 1):
+        pyr.append(_jpeg_downsample(pyr[-1]))
+    pyr.reverse()  # smallest level first
+
+    frame_seg = _gray_dct_frame_bytes(pyr[0])
     base = b"\xff\xd8" + frame_seg + b"\xff\xd9"
     recon_px = decode_jpeg_pixels(base)["pixels"]
     recon = [[p[0] for p in row] for row in recon_px]
@@ -3190,6 +3301,21 @@ def encode_jpeg_hierarchical_dct(plane,
     out += b"\xff\xde" + _st.pack(">HBHHB", 11, 8, h, w, 1) + \
         bytes([1, 0x11, 0])  # DHP
     out += frame_seg
+    for lev in pyr[1:]:
+        lh, lw = len(lev), len(lev[0])
+        out += bytes([0xFF, 0xDF]) + _st.pack(">H", 3) + \
+            bytes([0x11])  # EXP: double both
+        ref_exp = _jpeg_expand(recon, lw, lh)
+        diff = [[lev[y][x] - ref_exp[y][x] for x in range(lw)]
+                for y in range(lh)]
+        entropy, recon_diff = _dct_diff_scan_encode(diff)
+        out += b"\xff\xc5" + _st.pack(
+            ">HBHHB", 11, 8, lh, lw, 1) + bytes([1, 0x11, 0])
+        out += b"\xff\xda" + _st.pack(">HB", 8, 1) + \
+            bytes([1, 0x00]) + bytes([0, 63, 0])
+        out += entropy
+        recon = [[ref_exp[y][x] + recon_diff[y][x]
+                  for x in range(lw)] for y in range(lh)]
     if arithmetic_residual:
         out += b"\xff\xcc" + _st.pack(">H", 4) + bytes([0x01, 0x10])
         out += b"\xff\xcf" + _st.pack(">HBHHB", 11, 8, h, w, 1) + \
@@ -3415,11 +3541,51 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
             frame = None
             i = last_end
             continue
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
+        elif marker == 0xC5:
+            # differential sequential-DCT frame (Huffman): the DCT
+            # of the difference image, no level shift, DC with zero
+            # prediction — reconstruction adds to the EXP-expanded
+            # reference (T.81 J.4)
+            if dhp is None:
+                raise ValueError(
+                    "jpeg: decode_jpeg_hierarchical expects a DHP "
+                    "segment before the first frame")
+            if len(seg) < 9:
+                raise ValueError("jpeg: truncated stream")
+            prec, fh, fw, nc = _st.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc != 1:
+                raise ValueError(
+                    "jpeg: differential DCT frames must be 8-bit "
+                    "grayscale")
+            if fw > dhp["w"] or fh > dhp["h"]:
+                raise ValueError(
+                    "jpeg: frame exceeds DHP dimensions")
+            cid, hv, _tq = seg[6:9]
+            if hv != 0x11:
+                raise ValueError(
+                    "jpeg: subsampled differential DCT not "
+                    "supported")
+            if not ref:
+                raise ValueError(
+                    "jpeg: differential frame before any reference "
+                    "frame")
+            if pending_exp is not None:
+                eh, ev = pending_exp
+                pending_exp = None
+                ref = {c: _jpeg_expand(p, fw, fh, eh, ev)
+                       for c, p in ref.items()}
+            if cid not in ref or len(ref[cid]) != fh or \
+                    len(ref[cid][0]) != fw:
+                raise ValueError(
+                    "jpeg: reference size does not match "
+                    "differential frame (missing EXP?)")
+            frame = {"w": fw, "h": fh, "comps": [cid],
+                     "arith": False, "diff": True, "dctdiff": True}
+        elif marker in (0xC6, 0xCD, 0xCE):
             raise ValueError(
-                "jpeg: differential DCT frames are not supported "
-                "(differential refinement is lossless-only: "
-                "SOF7/SOFF)")
+                "jpeg: progressive/arithmetic differential DCT "
+                "frames are not supported (Huffman SOF5 and the "
+                "lossless SOF7/SOFF arms decode)")
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -3428,6 +3594,41 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
             ns = seg[0]
             if ns == 0 or len(seg) < 4 + 2 * ns:
                 raise ValueError("jpeg: truncated stream")
+            if frame.get("dctdiff"):
+                if ns != 1:
+                    raise ValueError(
+                        "jpeg: differential DCT scan must carry one "
+                        "component")
+                cid, t = seg[1], seg[2]
+                if cid not in frame["comps"]:
+                    raise ValueError(
+                        f"jpeg: scan references unknown component "
+                        f"{cid}")
+                td, ta = t >> 4, t & 0x0F
+                if (0, td) not in huff or (1, ta) not in huff:
+                    raise ValueError(
+                        "jpeg: scan references missing Huffman "
+                        "table")
+                w, h = frame["w"], frame["h"]
+                if w * h > 4 * len(payload) + (1 << 16):
+                    raise ValueError(
+                        "jpeg: frame area implausible for stream "
+                        "size")
+                recon_diff, j = _dct_diff_scan_decode(
+                    payload, i + ln, w, h, huff[(0, td)],
+                    huff[(1, ta)])
+                base = ref[cid]
+                ref[cid] = [[base[y][x] + recon_diff[y][x]
+                             for x in range(w)] for y in range(h)]
+                while j + 1 < len(payload):
+                    if payload[j] == 0xFF and \
+                            payload[j + 1] != 0x00 and not (
+                            0xD0 <= payload[j + 1] <= 0xD7):
+                        break
+                    j += 1
+                i = j
+                frame = None
+                continue
             scan = []
             for c in range(ns):
                 cid, t = seg[1 + 2 * c], seg[2 + 2 * c]

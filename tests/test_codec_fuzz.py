@@ -310,6 +310,10 @@ def test_jpeg_hierarchical_malformed_input_contract():
         encode_jpeg_hierarchical_dct(plane),
         encode_jpeg_hierarchical_dct(plane,
                                      arithmetic_residual=True),
+        # multi-level DCT pyramids exercise the SOF5 differential
+        # path (r13: this hunt found the unbounded-DC-category hole
+        # in decode_jpeg_pixels' Huffman scan)
+        encode_jpeg_hierarchical_dct(plane, levels=3),
     ]
     for blob in blobs:
         for t in range(300):

@@ -206,16 +206,6 @@ def test_differential_before_reference_raises():
         decode_jpeg_hierarchical(bytes(blob))
 
 
-def test_differential_dct_frame_raises():
-    blob = bytearray(b"\xff\xd8")
-    blob += bytes([0xFF, 0xDE]) + struct.pack(
-        ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
-    blob += bytes([0xFF, 0xC5]) + struct.pack(
-        ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
-    with pytest.raises(ValueError, match="differential DCT"):
-        decode_jpeg_hierarchical(bytes(blob))
-
-
 def test_dct_base_without_scan_raises():
     blob = bytearray(b"\xff\xd8")
     blob += bytes([0xFF, 0xDE]) + struct.pack(
@@ -459,3 +449,100 @@ def test_truncated_dct_base_header_raises():
     blob += bytes([0xFF, 0xC0]) + _st.pack(">HBHHB", 8, 8, 4, 4, 1)
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg_hierarchical(bytes(blob))
+
+
+# ------------------------------------------------------------------
+# differential DCT frames (SOF5): multi-level lossy pyramid + exact
+# final residual
+# ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("arith", [False, True])
+@pytest.mark.parametrize("levels", [1, 2, 3])
+def test_dct_pyramid_roundtrip_exact(arith, levels):
+    from connect_spark.text.media_codecs import (
+        encode_jpeg_hierarchical_dct,
+    )
+
+    p = _plane(levels * 10 + arith, 33, 21)
+    blob = encode_jpeg_hierarchical_dct(
+        p, levels=levels, arithmetic_residual=arith)
+    assert decode_jpeg_hierarchical(blob)["planes"][0] == p
+    if levels > 1:
+        assert b"\xff\xc5" in blob  # real SOF5 differential frames
+
+
+def test_dct_diff_scan_pair_consistent():
+    """Encoder and decoder share _dct_diff_reconstruct, so the
+    reconstructed difference agrees bit-exactly."""
+    import random as _r
+
+    from connect_spark.text.media_codecs import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _dct_diff_scan_decode,
+        _dct_diff_scan_encode,
+        _JpegHuff,
+    )
+
+    rng = _r.Random(7)
+    for (w, h) in [(8, 8), (10, 9), (1, 1), (17, 5)]:
+        diff = [[rng.randrange(-200, 201) for _ in range(w)]
+                for _ in range(h)]
+        bits, recon_enc = _dct_diff_scan_encode(diff)
+        recon_dec, _end = _dct_diff_scan_decode(
+            bits + b"\xff\xd9", 0, w, h,
+            _JpegHuff(_DC_BITS, _DC_VALS),
+            _JpegHuff(_AC_BITS, _AC_VALS))
+        assert recon_dec == recon_enc
+        err = max(abs(recon_enc[y][x] - diff[y][x])
+                  for y in range(h) for x in range(w))
+        assert err <= 8  # flat-8 quantization bound
+
+
+def test_sof5_without_reference_raises():
+    blob = bytearray(b"\xff\xd8")
+    blob += bytes([0xFF, 0xDE]) + struct.pack(
+        ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+    blob += bytes([0xFF, 0xC5]) + struct.pack(
+        ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="before any"):
+        decode_jpeg_hierarchical(bytes(blob))
+
+
+def test_arith_or_progressive_differential_dct_raise():
+    for mk in (0xC6, 0xCD, 0xCE):
+        blob = bytearray(b"\xff\xd8")
+        blob += bytes([0xFF, 0xDE]) + struct.pack(
+            ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+        blob += bytes([0xFF, mk]) + struct.pack(
+            ">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+        with pytest.raises(ValueError,
+                           match="progressive/arithmetic"):
+            decode_jpeg_hierarchical(bytes(blob))
+
+
+def test_corrupt_dht_dc_category_raises():
+    """Regression (r13, found by the SOF5 mutation hunt): a corrupt
+    DHT can map a code to a DC category > 16, which would build an
+    unbounded coefficient (199-bit ints crashed the numpy
+    dequantize); the scan decoder must reject it."""
+    import struct as _st
+
+    blob = bytearray(b"\xff\xd8")
+    blob += b"\xff\xdb" + _st.pack(">H", 67) + bytes([0]) + \
+        bytes([8] * 64)
+    # DHT mapping the single 1-bit code to category 199
+    blob += b"\xff\xc4" + _st.pack(">H", 20) + bytes([0x00]) + \
+        bytes([1] + [0] * 15) + bytes([199])
+    blob += b"\xff\xc4" + _st.pack(">H", 20) + bytes([0x10]) + \
+        bytes([1] + [0] * 15) + bytes([0x00])
+    blob += b"\xff\xc0" + _st.pack(">HBHHB", 11, 8, 8, 8, 1) + \
+        bytes([1, 0x11, 0])
+    blob += b"\xff\xda" + _st.pack(">HB", 8, 1) + bytes([1, 0x00]) + \
+        b"\x00\x3f\x00" + bytes([0x00] * 64)
+    blob += b"\xff\xd9"
+    with pytest.raises(ValueError, match="DC category"):
+        decode_jpeg_pixels(bytes(blob))
