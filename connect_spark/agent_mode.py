@@ -228,6 +228,7 @@ def _serve_partition_shim(tools_inline: dict[str, dict[str, Any]],
     SCALE.md:923).  Returns (server, port)."""
     import http.server
     import threading
+    import urllib.error
     import urllib.request
 
     listing = [{"name": k, "description": v.get("description", "")}
@@ -238,9 +239,19 @@ def _serve_partition_shim(tools_inline: dict[str, dict[str, Any]],
             tools = list(listing)
             if central:
                 base = central.rstrip("/").rsplit("/tools", 1)[0]
-                with urllib.request.urlopen(base + "/tools",
-                                            timeout=30) as resp:
-                    remote = json.loads(resp.read()).get("tools", [])
+                # unreachable central server → degrade to the inline
+                # listing plus a 200, never a crashed handler (r13
+                # ADVICE: URLError propagating killed the connection)
+                try:
+                    with urllib.request.urlopen(
+                            base + "/tools", timeout=30) as resp:
+                        remote = json.loads(
+                            resp.read()).get("tools", [])
+                except (urllib.error.URLError, OSError,
+                        ValueError) as exc:
+                    return 200, {"tools": tools,
+                                 "central_error":
+                                 f"{type(exc).__name__}: {exc}"}
                 have = {t["name"] for t in tools}
                 tools += [t for t in remote
                           if t["name"] not in have]
@@ -268,8 +279,15 @@ def _serve_partition_shim(tools_inline: dict[str, dict[str, Any]],
                     with urllib.request.urlopen(req,
                                                 timeout=60) as resp:
                         return resp.status, json.loads(resp.read())
-                except urllib.request.HTTPError as exc:
+                except urllib.error.HTTPError as exc:
                     return exc.code, json.loads(exc.read() or b"{}")
+                except (urllib.error.URLError, OSError,
+                        ValueError) as exc:
+                    # central server down/unreachable: the agent
+                    # child gets a JSON 502, not a dropped socket
+                    return 502, {"error":
+                                 "central tool server unreachable: "
+                                 f"{type(exc).__name__}: {exc}"}
             return 404, {"error": f"unknown tool {name!r}"}
         return 404, {"error": f"unhandled {verb} {path}"}
 
@@ -368,6 +386,7 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
             client.close()
             if shim is not None:
                 shim.shutdown()
+                shim.server_close()  # release the listening fd
 
     result = df.mapInPandas(run, _GENERIC_SCHEMA)
     if out_schema:
@@ -459,6 +478,7 @@ def run_agents(spark: SparkSession, repo_dir: str,
         finally:
             if srv is not None:
                 srv.shutdown()
+                srv.server_close()  # release the listening fd
     return results
 
 

@@ -2066,12 +2066,15 @@ def decode_jpeg_pixels(payload: bytes, _return_coefs: bool = False) -> dict:
         elif marker == 0xDE:
             # hierarchical stream (DHP): delegated — lossless
             # pyramids (SOF3/SOFB + SOF7/SOFF) decode; DCT-based
-            # hierarchies raise inside the delegate
-            d = decode_jpeg_hierarchical(payload)
+            # hierarchies raise inside the delegate.  The coefs
+            # contract check comes FIRST so a caller asking for DCT
+            # coefficients fails fast instead of paying for the full
+            # (up to 2^26-sample) pyramid decode (r13 ADVICE low).
             if _return_coefs:
                 raise ValueError(
                     "jpeg: hierarchical frames carry samples, not "
                     "DCT coefficients")
+            d = decode_jpeg_hierarchical(payload)
             if d["precision"] > 8:
                 raise ValueError(
                     "jpeg: lossless precision > 8 has no 8-bit pixel "
@@ -3610,7 +3613,19 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                         "jpeg: scan references missing Huffman "
                         "table")
                 w, h = frame["w"], frame["h"]
-                if w * h > 4 * len(payload) + (1 << 16):
+                # Allocation cap mirrors the arithmetic lossless arm
+                # (2^26 samples); the plausibility bound counts 8x8
+                # BLOCKS, not samples — a minimal coded block is
+                # ~2 bits (1-bit DC cat-0 + 1-bit EOB), so 4 blocks/
+                # byte is the legal floor.  (The old 4-samples/byte
+                # bound rejected this repo's own well-compressed
+                # encoder output — r13 ADVICE high.)
+                if w * h > (1 << 26):
+                    raise ValueError(
+                        "jpeg: differential frame area exceeds "
+                        "decoder allocation cap (2^26 samples)")
+                blocks = ((h + 7) // 8) * ((w + 7) // 8)
+                if blocks > 4 * len(payload) + (1 << 16):
                     raise ValueError(
                         "jpeg: frame area implausible for stream "
                         "size")
