@@ -114,11 +114,46 @@ def _disk_probe_mb_s(mib: int = 256) -> float:
     return round(mib / dt, 1)
 
 
+def _fsync_tree(path: str) -> None:
+    """fsync every file (and directory entry) under `path` — the
+    disk-staged migrator arm calls this INSIDE the timed window so
+    "disk" means the device, not the page cache (r13 verdict task #1:
+    the frozen r13 JSON reported disk 831.8 > tmpfs 489.4 MB/s on a
+    19 MB/s device — physically impossible; the un-fsync'd arm was
+    measuring cache)."""
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
 def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
     """Two rates: (1) migrator-style file->file copy of the documents
     table (bytes/s over the decoded payload, the baseline's unit);
     (2) CDC apply — change-log rows/s through the last-writer-wins
-    materialization (cdc_materialize_orders's plan)."""
+    materialization (cdc_materialize_orders's plan).
+
+    Label semantics (r13 verdict task #1):
+      - migrator_shm_mb_s   — tmpfs-staged copy: the CODE metric
+        (scan + shuffle-free write + parquet codec, device excluded).
+        This is the BASELINE.md-comparable series.
+      - migrator_mb_s       — disk-staged copy with every output
+        byte fsync'd inside the clock: the device-inclusive metric.
+        By construction <= the shm series.  SKIPPED (with
+        migrator_disk_skipped explaining why) when the host probe is
+        under 50 MB/s — on a single-digit-MB/s device the number is
+        100% denominator and disk_probe_mb_s already reports that.
+      - disk_probe_mb_s     — raw fsync'd sequential write rate of
+        the tmp device (the denominator readers normalize against).
+    """
     import shutil
     import tempfile
 
@@ -127,7 +162,8 @@ def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
     from connect_spark.catalog import load_table
     from connect_spark.queries.cdc import cdc_materialize_orders
 
-    out: dict = {"disk_probe_mb_s": _disk_probe_mb_s()}
+    probe = _disk_probe_mb_s()
+    out: dict = {"disk_probe_mb_s": probe}
 
     # Migrator: READ→WRITE copy of sf-scaled ~1KB messages (the
     # baseline's unit — 30M x 1KB msgs at 1.0 GB/s,
@@ -149,67 +185,72 @@ def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
             ],
         ).alias("payload"),
     )
-    tmp = tempfile.mkdtemp(prefix="bench_migrate_")
-    try:
-        msgs.write.mode("overwrite").parquet(tmp + "/src")  # staged, untimed
-        src = spark.read.parquet(tmp + "/src")
-        copy_ts = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            src.write.mode("overwrite").parquet(tmp + "/out")
-            copy_ts.append(time.perf_counter() - t0)
-        # format-identical fast path (streaming/migrator.py::
-        # migrate_files_passthrough): same staged bytes moved without
-        # decode — reported ALONGSIDE the honest decode+encode number,
-        # never instead of it
-        from connect_spark.streaming.migrator import (
-            migrate_files_passthrough,
-        )
 
-        pt_ts = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            migrate_files_passthrough(spark, tmp + "/src", tmp + "/pt")
-            pt_ts.append(time.perf_counter() - t0)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    dt = _median(copy_ts)
-    out["migrator_mb_s"] = round(n_msgs * 1032 / dt / 1e6, 1)
-    out["migrator_msg_s"] = round(n_msgs / dt)
-    dt_pt = _median(pt_ts)
-    out["migrator_passthrough_mb_s"] = round(n_msgs * 1032 / dt_pt / 1e6, 1)
+    # Primary (code) series: staged through tmpfs so the number
+    # measures scan + shuffle-free write + parquet codec, not the
+    # host disk (r11 1171 → r12 169 MB/s was entirely the device; a
+    # shm series would have shown flat).  The passthrough twin
+    # (streaming/migrator.py::migrate_files_passthrough — same bytes
+    # moved format-identical, no decode) rides the same staging and
+    # is reported ALONGSIDE, never instead.
+    from connect_spark.streaming.migrator import (
+        migrate_files_passthrough,
+    )
 
-    # Device-independent twin (r13): the same copy staged through
-    # tmpfs, so the number measures the CODE (scan + shuffle-free
-    # write + parquet codec), not the host disk.  The disk-backed
-    # number above stays the BASELINE.md-comparable headline; this
-    # one is the cross-host drift detector (r11 1171 → r12 169 MB/s
-    # was entirely the device; a shm series would have shown flat).
     shm = "/dev/shm"
+    stage_dir = None
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         try:
-            import shutil as _sh
-
-            need = n_msgs * 1032 * 3  # src + out + slack
-            if _sh.disk_usage(shm).free > need:
-                stmp = tempfile.mkdtemp(prefix="bench_migrate_",
-                                        dir=shm)
-                try:
-                    msgs.write.mode("overwrite").parquet(
-                        stmp + "/src")
-                    ssrc = spark.read.parquet(stmp + "/src")
-                    shm_ts = []
-                    for _ in range(runs):
-                        t0 = time.perf_counter()
-                        ssrc.write.mode("overwrite").parquet(
-                            stmp + "/out")
-                        shm_ts.append(time.perf_counter() - t0)
-                    out["migrator_shm_mb_s"] = round(
-                        n_msgs * 1032 / _median(shm_ts) / 1e6, 1)
-                finally:
-                    _sh.rmtree(stmp, ignore_errors=True)
+            if shutil.disk_usage(shm).free > n_msgs * 1032 * 3:
+                stage_dir = shm
         except OSError:
-            pass  # no shm twin on this host — key simply absent
+            pass
+    stmp = tempfile.mkdtemp(prefix="bench_migrate_", dir=stage_dir)
+    on_shm = stage_dir is not None
+    try:
+        msgs.write.mode("overwrite").parquet(stmp + "/src")
+        ssrc = spark.read.parquet(stmp + "/src")
+        shm_ts, pt_ts = [], []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            ssrc.write.mode("overwrite").parquet(stmp + "/out")
+            shm_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            migrate_files_passthrough(spark, stmp + "/src",
+                                      stmp + "/pt")
+            pt_ts.append(time.perf_counter() - t0)
+        rate = round(n_msgs * 1032 / _median(shm_ts) / 1e6, 1)
+        key = "migrator_shm_mb_s" if on_shm else "migrator_tmp_mb_s"
+        out[key] = rate
+        out["migrator_msg_s"] = round(n_msgs / _median(shm_ts))
+        out["migrator_passthrough_mb_s"] = round(
+            n_msgs * 1032 / _median(pt_ts) / 1e6, 1)
+    finally:
+        shutil.rmtree(stmp, ignore_errors=True)
+
+    # Device-inclusive series: disk-staged, outputs fsync'd INSIDE
+    # the clock.  Only meaningful on a healthy device — below
+    # 50 MB/s the copy is pure device wait (~100x the code time) and
+    # disk_probe_mb_s already reports the device.
+    if probe >= 50.0:
+        tmp = tempfile.mkdtemp(prefix="bench_migrate_")
+        try:
+            msgs.write.mode("overwrite").parquet(tmp + "/src")
+            src = spark.read.parquet(tmp + "/src")
+            copy_ts = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                src.write.mode("overwrite").parquet(tmp + "/out")
+                _fsync_tree(tmp + "/out")
+                copy_ts.append(time.perf_counter() - t0)
+            out["migrator_mb_s"] = round(
+                n_msgs * 1032 / _median(copy_ts) / 1e6, 1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        out["migrator_disk_skipped"] = (
+            f"device probe {probe} MB/s < 50 — disk arm is pure "
+            "device wait; see disk_probe_mb_s + migrator_shm_mb_s")
 
     cdc_df = cdc_materialize_orders(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
