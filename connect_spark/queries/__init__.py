@@ -38,79 +38,19 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 13 rotation (standing policy: never-verified first, then
-    # oldest driver green).  Window = the EXACT 50-query set
+    # Round 14 rotation (standing policy: never-verified first, then
+    # oldest driver green).  Window = the EXACT next-50 queue band
     # pre-audited 50/50 GREEN in two fresh driver_sim sessions at the
-    # r12 freeze (PROGRESS.md r12 "r13 window pre-audit"): the 7
-    # displaced r8 rows, then the r9-latest band alphabetical through
-    # sketch_kmv_merged.  The old r12 window rotates to the deepest
-    # queue position (freshest greens).  `bpe_train_distributed`
-    # (rows-only by design — iterative, not SQL-expressible) is
-    # PINNED to the back band so driver windows stay 50/50 with zero
-    # `no_oracle` rows; its value-level twin `bpe_train_parity`
-    # carries the oracle gate whenever it rotates forward (r12
-    # verdict "What's wrong" #3).
-    #
-    # Group (a) — new r13 gates, never driver-verified; each
-    # displaces one row from the window tail to the r14 queue head
-    # (displaced rows re-verified beyond-window this round,
-    # PROGRESS.md r13).
-    "rpcplugin_arrow_protocol",
-    "multimodal_jpeg_hierarchical",
-    "streaming_join_hydration",
-    "switch_route",
-    "unarchive_explode",
-    "window_daily_orders",
-    "window_session",
-    "window_sliding",
-    "window_tumbling_hourly",
-    "amqp_envelope_events",
-    "ann_ivf_kmeans_probe",
-    "bloom_membership_probe",
-    "buffer_window_stamp",
-    "contamination_embedding",
-    "dataset_card_stats",
-    "dedup_line_removal",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dsir_importance_resample",
-    "ffi_libc_events",
-    "grouping_sets_orders",
-    "iceberg_commit_roundtrip",
-    "iceberg_metadata_count",
-    "iceberg_partitioned_scan",
-    "jmespath_project_events",
-    "join_salted_skew",
-    "kmeans_lloyd_clusters",
-    "kmeans_semdedup_keep",
-    "migrator_bundle_run",
-    "mongo_filter_orders",
-    "multimodal_gif_framesample",
-    "multimodal_mulaw_features",
-    "multimodal_png_resize",
-    "pagerank_purchase_graph",
-    "parse_log_events",
-    "pipeline_incremental_refresh",
-    "pipeline_semantic_curation",
-    "pipeline_yaml_route",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q1_pricing_summary",
-    "q20_excess_stock",
-    "q2_min_cost_supplier",
-    "quality_ppl_buckets",
-    "shard_shuffle_manifest",
-    "sketch_binned_quantiles",
-    "sketch_countmin_freq",
-    "sketch_hll_distinct",
-    # --- 50-slot window boundary (round 13) --- everything below
-    # queues for round 14: first sketch_kmv_merged (displaced by the
-    # rpcplugin_arrow_protocol gate; re-verified GREEN beyond-window
-    # in this session's driver_sim spot), then the remaining r9
-    # rows, then r10, r11, and deepest the r12-latest band (the old
-    # r12 window).
+    # r13 freeze (PROGRESS.md r13 "r14 window pre-audit"):
+    # sketch_hll_merged..wasm_transform_events (the r9 remainder incl.
+    # the two rows displaced by the r13 gates) + the r10-latest band
+    # head through sql_select_orders.  The old r13 window rotates to
+    # the deepest queue position (freshest greens).
+    # `bpe_train_distributed` (rows-only by design — iterative, not
+    # SQL-expressible) stays PINNED to the very back so driver
+    # windows remain 50/50 with zero `no_oracle` rows; its
+    # value-level twin `bpe_train_parity` carries the oracle gate
+    # whenever it rotates forward (r12 verdict "What's wrong" #3).
     "sketch_hll_merged",
     "sketch_kmv_merged",
     "streaming_cdc_to_iceberg",
@@ -120,7 +60,6 @@ _DRIVER_PRIORITY: list[str] = [
     "triangles_copurchase",
     "unicode_segments_docs",
     "wasm_transform_events",
-    # r10-latest band (50)
     "ann_ivf_assign",
     "ann_ivf_probe",
     "ann_topk_bruteforce",
@@ -162,6 +101,10 @@ _DRIVER_PRIORITY: list[str] = [
     "setops_segments",
     "sketch_kmv_distinct",
     "sql_select_orders",
+    # --- 50-slot window boundary (round 14) --- everything below
+    # queues for round 15: the r10 band remainder, then r11-latest,
+    # r12-latest, and deepest the old r13 window (freshest greens);
+    # bpe_train_distributed pinned last.
     "text_fingerprint",
     "text_lang_id",
     "text_pii_scrub",
@@ -171,7 +114,6 @@ _DRIVER_PRIORITY: list[str] = [
     "while_fixpoint",
     "workflow_enrich_lineitem",
     "xml_roundtrip",
-    # r11-latest band (50)
     "a2a_message_enrich",
     "ai_chat_extract",
     "ai_embed_rerank",
@@ -222,8 +164,6 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_repetition_rules",
     "retention_cohorts",
     "sample_stratified",
-    # r12-latest band (50; the old r12 window, rotated back at the
-    # r13 freeze; bpe_train_distributed pinned here — see header)
     "rpcplugin_processor_docs",
     "agent_runtime_tool_loop",
     "multimodal_jpeg_lossless",
@@ -237,7 +177,6 @@ _DRIVER_PRIORITY: list[str] = [
     "archive_json",
     "archive_lines",
     "bounds_check_filter",
-    "bpe_train_distributed",
     "bpe_train_parity",
     "bucketed_join_revenue",
     "dedup_exact",
@@ -274,6 +213,57 @@ _DRIVER_PRIORITY: list[str] = [
     "sample_temperature_rebalance",
     "select_parts_topk",
     "snowflake_bdec_roundtrip",
+    "rpcplugin_arrow_protocol",
+    "multimodal_jpeg_hierarchical",
+    "streaming_join_hydration",
+    "switch_route",
+    "unarchive_explode",
+    "window_daily_orders",
+    "window_session",
+    "window_sliding",
+    "window_tumbling_hourly",
+    "amqp_envelope_events",
+    "ann_ivf_kmeans_probe",
+    "bloom_membership_probe",
+    "buffer_window_stamp",
+    "contamination_embedding",
+    "dataset_card_stats",
+    "dedup_line_removal",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dsir_importance_resample",
+    "ffi_libc_events",
+    "grouping_sets_orders",
+    "iceberg_commit_roundtrip",
+    "iceberg_metadata_count",
+    "iceberg_partitioned_scan",
+    "jmespath_project_events",
+    "join_salted_skew",
+    "kmeans_lloyd_clusters",
+    "kmeans_semdedup_keep",
+    "migrator_bundle_run",
+    "mongo_filter_orders",
+    "multimodal_gif_framesample",
+    "multimodal_mulaw_features",
+    "multimodal_png_resize",
+    "pagerank_purchase_graph",
+    "parse_log_events",
+    "pipeline_incremental_refresh",
+    "pipeline_semantic_curation",
+    "pipeline_yaml_route",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q1_pricing_summary",
+    "q20_excess_stock",
+    "q2_min_cost_supplier",
+    "quality_ppl_buckets",
+    "shard_shuffle_manifest",
+    "sketch_binned_quantiles",
+    "sketch_countmin_freq",
+    "sketch_hll_distinct",
+    "bpe_train_distributed",
 ]
 
 
