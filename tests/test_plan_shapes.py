@@ -1,0 +1,144 @@
+"""Plan-shape regression guard for the 19 headline bench queries
+(r13 verdict task #4).
+
+Until now plan quality (broadcast on the dim side, map-side partial
+aggregation, pushed-down scans, persisted iteration inputs, zero
+cartesian products) was verified by judge re-reads of `.explain()`
+output.  This module pins those properties as assertions on the
+INITIAL physical plan (pre-AQE, deterministic for a fixed Spark
+version and scale factor) so a silent Catalyst regression — e.g. a
+broadcast-threshold change flipping a dim join to SortMergeJoin, or a
+dropped `persist()` re-deriving the pagerank edge list per iteration
+(the 752-scan pathology) — fails the suite instead of waiting for the
+next judge pass.
+
+Properties, per query:
+  - `need`       — plan markers that MUST appear (join strategy,
+                   partial aggregation, cached scans).
+  - `min_bcast`  — minimum BroadcastExchange count (dim sides stay
+                   broadcast).
+  - `max_hashex` — ceiling on `Exchange hashpartitioning` nodes (a
+                   new shuffle sneaking into a headline plan is a
+                   scale regression; ceilings carry +1 slack over the
+                   counts measured on Spark 4.1.2).
+  - `pushed`     — at least one parquet scan keeps a non-empty
+                   PushedFilters list (predicate pushdown reaches the
+                   scan).
+Global, all queries: no CartesianProduct, no row-at-a-time Python UDF
+(BatchEvalPython) — the band must stay JVM-side / Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from connect_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+# name -> (need markers, min broadcast, max hash exchanges, pushdown)
+EXPECT: dict[str, dict] = {
+    # top-k needs the query vectors broadcast to every corpus
+    # partition — never a shuffled or cartesian pairing
+    "ann_topk_bruteforce": dict(
+        need=["BroadcastNestedLoopJoin"], min_bcast=1, max_hashex=2,
+        pushed=True),
+    "asof_attribution": dict(need=["Window"], max_hashex=2,
+                             pushed=True),
+    "batch_policy_events": dict(need=["partial_"], max_hashex=2),
+    "bloom_membership_probe": dict(
+        need=["BroadcastHashJoin", "partial_"], min_bcast=1,
+        max_hashex=6, pushed=True),
+    "cdc_materialize_orders": dict(need=["Window"], max_hashex=2,
+                                   pushed=True),
+    # chunking is embarrassingly parallel — the load-bearing property
+    # IS zero shuffles: any Exchange here multiplies at 100 TB
+    "chunk_documents": dict(max_hashex=0),
+    "dedup_exact": dict(need=["partial_"], max_hashex=2),
+    "dedup_minhash_lsh": dict(
+        need=["BroadcastHashJoin", "partial_"], min_bcast=1,
+        max_hashex=3, pushed=True),
+    "dedupe_first_per_user": dict(need=["Window"], max_hashex=2),
+    "join_enrichment_lookup": dict(
+        need=["BroadcastHashJoin"], min_bcast=1, max_hashex=2),
+    # star: fact-side joins may merge-join; the DIMS must broadcast
+    "join_star_revenue_by_nation": dict(
+        need=["BroadcastHashJoin", "partial_"], min_bcast=2,
+        max_hashex=4, pushed=True),
+    "kmeans_lloyd_clusters": dict(
+        need=["partial_"], min_bcast=1, max_hashex=3),
+    # persisted edge list (InMemoryRelation) + map-side combine in
+    # every unrolled iteration + broadcast edge-build join.  The
+    # ceiling is generous because the UNEXECUTED plan text re-prints
+    # each cached subtree, but it still catches the dropped-persist
+    # pathology (plan re-derivation blows far past it).
+    "pagerank_purchase_graph": dict(
+        need=["InMemoryRelation", "BroadcastHashJoin"],
+        min_bcast=1, max_hashex=48, pushed=True,
+        min_partial_sum=3),
+    "q18_large_volume": dict(
+        need=["BroadcastHashJoin", "partial_"], min_bcast=1,
+        max_hashex=2, pushed=True),
+    "q1_pricing_summary": dict(need=["partial_"], max_hashex=2,
+                               pushed=True),
+    "q5_local_supplier_volume": dict(
+        need=["BroadcastHashJoin", "partial_"], min_bcast=2,
+        max_hashex=2, pushed=True),
+    # pure scan → partial agg → single final row: zero hash shuffles
+    "q6_forecast_revenue": dict(need=["partial_"], max_hashex=0,
+                                pushed=True),
+    "sketch_hll_distinct": dict(
+        need=["BroadcastHashJoin", "partial_"], min_bcast=1,
+        max_hashex=5, pushed=True),
+    "window_tumbling_hourly": dict(need=["partial_"], max_hashex=3,
+                                   pushed=True),
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark) -> dict[str, str]:
+    out = {}
+    for s in all_queries():
+        if s.headline:
+            df = s.fn(spark, SF)
+            out[s.name] = (
+                df._jdf.queryExecution().executedPlan().toString())
+    return out
+
+
+def test_expectations_cover_exactly_the_headline_band():
+    names = {s.name for s in all_queries() if s.headline}
+    assert names == set(EXPECT), (
+        "headline band changed — update EXPECT with the new query's "
+        "load-bearing plan properties")
+
+
+@pytest.mark.parametrize("name", sorted(EXPECT))
+def test_headline_plan_shape(plans, name):
+    p = plans[name]
+    exp = EXPECT[name]
+    # global invariants: nothing in the headline band may pair rows
+    # cartesian-style or drop to row-at-a-time Python
+    assert "CartesianProduct" not in p, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in p, (
+        f"{name}: row-at-a-time Python UDF in a headline plan")
+    for marker in exp.get("need", ()):
+        assert marker in p, f"{name}: expected {marker!r} in plan"
+    n_bcast = p.count("BroadcastExchange")
+    assert n_bcast >= exp.get("min_bcast", 0), (
+        f"{name}: {n_bcast} BroadcastExchange < "
+        f"{exp['min_bcast']} — a dim join lost its broadcast")
+    n_hashex = len(re.findall(r"Exchange hashpartitioning", p))
+    assert n_hashex <= exp["max_hashex"], (
+        f"{name}: {n_hashex} hash Exchanges > ceiling "
+        f"{exp['max_hashex']} — a new shuffle entered the plan")
+    if exp.get("pushed"):
+        assert re.search(r"PushedFilters: \[[A-Za-z]", p), (
+            f"{name}: no parquet scan carries a pushed filter")
+    if "min_partial_sum" in exp:
+        n = p.count("partial_sum")
+        assert n >= exp["min_partial_sum"], (
+            f"{name}: {n} partial_sum < {exp['min_partial_sum']} — "
+            "an iteration lost its map-side combine")
