@@ -105,11 +105,34 @@ class AgentToolRegistry:
             if self._is_mapping_only(v["processors"])
         }
 
+    def inline_tools(self) -> dict[str, dict[str, Any]]:
+        """Every tool whose chain is inline-safe (r13 verdict task
+        #2: shard stateful tools) — mapping, default-transport http,
+        and command/subprocess chains all evaluate message-at-a-time
+        in the partition worker with zero shared state, so they ship
+        to the executors: name → {processors, description}.  This is
+        a superset of mapping_tools() (those additionally export to
+        the agent child for fully in-process dispatch)."""
+        return {
+            k: {"processors": list(v["processors"]),
+                "description": v["description"]}
+            for k, v in self._tools.items()
+            if all(_inline_safe_spec(s) for s in v["processors"])
+        }
+
+    def central_tools(self) -> list[str]:
+        """Tools that genuinely need the driver-side server: chains
+        with shared state or driver-local registrations (caches,
+        sql_select, custom http transports, ...).  A bulk pipeline
+        calling these serializes on one registry — the runtime
+        processor warns, and refuses past
+        `central_tools_max_partitions` (see _p_agent_runtime)."""
+        inline = set(self.inline_tools())
+        return [k for k in self._tools if k not in inline]
+
     def stateful_tools(self) -> list[str]:
-        """Tools that need the central server (non-mapping processor
-        chains — caches, sql_select, http, ...)."""
-        return [k for k, v in self._tools.items()
-                if not self._is_mapping_only(v["processors"])]
+        """Back-compat alias (pre-r14 name for central_tools)."""
+        return self.central_tools()
 
     def invoke(self, name: str, content: str) -> str:
         tool = self._tools.get(name)
@@ -205,24 +228,103 @@ AGENT_TOOLS_INLINE_ENV = "CONNECT_SPARK_AGENT_TOOLS_INLINE"
 
 
 def _eval_inline_tool(mappings: list[str], content: str) -> str:
+    return _eval_inline_chain(
+        [{"mapping": src} for src in mappings], content)
+
+
+# conf keys the scalar http evaluator understands; anything else
+# (transport, retries, ...) needs the real processor → central
+_INLINE_HTTP_KEYS = {"url", "verb", "headers", "field", "timeout"}
+
+
+def _inline_safe_spec(spec: Any) -> bool:
+    """True when one processor spec can evaluate message-at-a-time in
+    a plain python worker — no SparkSession, no shared state, no
+    driver-local registrations.  mapping: always.  http: only the
+    default urllib transport with a literal url (a named transport is
+    a driver-side registration — test fakes, custom clients — and an
+    interpolated url needs the full Bloblang env).  command/
+    subprocess: a plain argv.  Everything else (cache, sql_select,
+    ...) carries shared state or a Spark plan and stays central."""
+    if not isinstance(spec, dict):
+        return False
+    body = {k: v for k, v in spec.items() if k != "label"}
+    if len(body) != 1:
+        return False
+    (kind, conf), = body.items()
+    if kind == "mapping":
+        return isinstance(conf, str)
+    if kind == "http":
+        return (isinstance(conf, dict)
+                and isinstance(conf.get("url"), str)
+                and "${!" not in conf["url"]
+                and set(conf) <= _INLINE_HTTP_KEYS)
+    if kind in ("command", "subprocess"):
+        return (isinstance(conf, dict)
+                and isinstance(conf.get("name"), str)
+                and all(isinstance(a, str)
+                        for a in conf.get("args", [])))
+    return False
+
+
+def _eval_inline_chain(specs: list, content: str) -> str:
+    """Scalar evaluator for inline-safe tool chains (one message
+    through mapping / http / command processors, mirroring what the
+    one-row DataFrame path computes).  Runs in the partition worker —
+    a pure tool call never leaves the executor."""
+    import subprocess
+    import urllib.request
+
     from connect_spark.bloblang.pyeval import eval_mapping_value
+
+    def as_str(d: Any) -> str:
+        return d if isinstance(d, str) else json.dumps(
+            d, sort_keys=True, separators=(",", ":"))
 
     try:
         doc: Any = json.loads(content)
     except ValueError:
         doc = content
-    for src in mappings:
-        doc = eval_mapping_value(src, doc)
-    return doc if isinstance(doc, str) else json.dumps(
-        doc, sort_keys=True, separators=(",", ":"))
+    for spec in specs:
+        body = {k: v for k, v in spec.items() if k != "label"}
+        (kind, conf), = body.items()
+        if kind == "mapping":
+            doc = eval_mapping_value(conf, doc)
+        elif kind == "http":
+            req = urllib.request.Request(
+                conf["url"],
+                data=as_str(doc).encode(),
+                headers=dict(conf.get("headers") or {}),
+                method=conf.get("verb", "POST"),
+            )
+            with urllib.request.urlopen(
+                    req, timeout=conf.get("timeout", 10)) as resp:
+                doc = resp.read().decode()
+        elif kind in ("command", "subprocess"):
+            proc = subprocess.run(
+                [conf["name"], *conf.get("args", [])],
+                input=as_str(doc) + "\n",
+                capture_output=True, text=True, check=True,
+            )
+            lines = proc.stdout.splitlines()
+            if len(lines) != 1:
+                raise ValueError(
+                    f"{kind} emitted {len(lines)} lines for 1 input")
+            doc = lines[0]
+        else:  # guarded by _inline_safe_spec at config time
+            raise ValueError(
+                f"processor {kind!r} is not inline-safe")
+    return as_str(doc)
 
 
 def _serve_partition_shim(tools_inline: dict[str, dict[str, Any]],
                           central: str):
-    """An executor-local MCP endpoint: mapping-only tools evaluate
-    IN THIS python worker (scalar Bloblang, no network beyond
-    loopback-within-the-worker-host); anything else proxies to the
-    central server.  One shim per partition stream means tool-call
+    """An executor-local MCP endpoint: inline-safe tools — mapping
+    chains (entry key `mappings`) and mixed mapping/http/command
+    chains (entry key `processors`) — evaluate IN THIS python worker
+    (scalar Bloblang / urllib / subprocess, no network beyond what
+    the tool itself makes); anything else proxies to the central
+    server.  One shim per partition stream means tool-call
     throughput scales with cores instead of serializing on the one
     driver-side registry (the 11s→186s super-linear curve in
     SCALE.md:923).  Returns (server, port)."""
@@ -265,8 +367,13 @@ def _serve_partition_shim(tools_inline: dict[str, dict[str, Any]],
                 except ValueError as exc:
                     return 400, {"error": f"invalid JSON body: {exc}"}
                 try:
-                    out = _eval_inline_tool(
-                        tool["mappings"], str(args.get("content", "")))
+                    content = str(args.get("content", ""))
+                    if "mappings" in tool:
+                        out = _eval_inline_tool(tool["mappings"],
+                                                content)
+                    else:
+                        out = _eval_inline_chain(tool["processors"],
+                                                 content)
                 except Exception as exc:  # noqa: BLE001 — boundary
                     return 500, {"error":
                                  f"{type(exc).__name__}: {exc}"}
@@ -325,13 +432,21 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
     `cwd`; hosts the agent child and round-trips each message through
     `invoke_agent`.  Distributed: one child per partition stream.
 
-    Scale (r12 verdict task #3): `tools_inline` ships mapping-only
-    tool sources to every partition; the partition runner serves them
-    from an executor-local shim (and exports them verbatim in
-    CONNECT_SPARK_AGENT_TOOLS_INLINE for agents that can dispatch
-    fully in-process), so pure tool calls never reach the central
-    server.  `mcp_server` remains the address for STATEFUL tools —
-    shard it per-agent/per-topic when those dominate."""
+    Scale (r12 verdict task #3 + r13 task #2): `tools_inline` ships
+    inline-safe tool chains to every partition — mapping entries
+    ({mappings: [...]}) additionally export verbatim in
+    CONNECT_SPARK_AGENT_TOOLS_INLINE for agents that dispatch fully
+    in-process; mixed mapping/http/command chains ({processors:
+    [...]}) evaluate in the partition shim — so those tool calls
+    never reach the central server.  `mcp_server` remains the
+    address for CENTRAL tools only (shared state: caches,
+    sql_select, custom transports).  A bulk run against central
+    tools serializes on one registry, so when `central_tool_names`
+    is non-empty the processor warns, and REFUSES above
+    `central_tools_max_partitions` (default 64) — bulk transforms
+    belong in ordinary processors (a cache lookup over millions of
+    messages is the `cache` processor's broadcast join, not a
+    per-message agent tool call)."""
     if not isinstance(conf, dict) or not conf.get("command"):
         raise PipelineConfigError(
             "redpanda_agent_runtime: command must be specified")
@@ -339,12 +454,60 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
     mcp_server = conf.get("mcp_server", "")
     tools_inline = conf.get("tools_inline") or {}
     if not isinstance(tools_inline, dict) or not all(
-            isinstance(v, dict) and isinstance(v.get("mappings"),
-                                               list)
+            isinstance(v, dict)
+            and (isinstance(v.get("mappings"), list)
+                 or isinstance(v.get("processors"), list))
             for v in tools_inline.values()):
         raise PipelineConfigError(
             "redpanda_agent_runtime: tools_inline must map tool name "
-            "→ {mappings: [bloblang, ...], description}")
+            "→ {mappings: [bloblang, ...]} or {processors: [spec, "
+            "...]} (plus description)")
+    bad_chain = [
+        k for k, v in tools_inline.items()
+        if "mappings" not in v
+        and not all(_inline_safe_spec(s) for s in v["processors"])]
+    if bad_chain:
+        raise PipelineConfigError(
+            f"redpanda_agent_runtime: tools_inline chains "
+            f"{sorted(bad_chain)} contain processors that are not "
+            "inline-safe (only mapping / default-transport http / "
+            "command evaluate in the partition worker); route them "
+            "through mcp_server instead")
+    central_names = list(conf.get("central_tool_names") or [])
+    if central_names and mcp_server:
+        import warnings
+
+        # Default threshold: HALF the task slots.  The central
+        # registry's general path runs a one-row Spark job per tool
+        # call, so every concurrent call needs a FREE slot while the
+        # calling partition host occupies one — past cores/2 the
+        # topology doesn't merely serialize, it deadlocks until
+        # timeouts (measured: a 32-partition bulk run on local[32]
+        # stalls outright, scripts/ab_agent_stateful.py).
+        default_max = max(
+            1, df.sparkSession.sparkContext.defaultParallelism // 2)
+        max_parts = int(conf.get("central_tools_max_partitions",
+                                 default_max))
+        n_parts = df.rdd.getNumPartitions()
+        if n_parts > max_parts:
+            raise PipelineConfigError(
+                f"redpanda_agent_runtime: input has {n_parts} "
+                f"partitions but central tools "
+                f"{sorted(central_names)} serialize on ONE driver-"
+                f"side registry (> central_tools_max_partitions="
+                f"{max_parts}, default cores/2 — each call runs a "
+                "driver-side job needing a free task slot, so more "
+                "agent hosts than that deadlocks).  Bulk transforms "
+                "belong in ordinary processors (cache lookups are "
+                "the `cache` processor's broadcast join); raise "
+                "central_tools_max_partitions only if the tool-call "
+                "volume is genuinely conversational")
+        warnings.warn(
+            f"redpanda_agent_runtime: central tools "
+            f"{sorted(central_names)} serialize on one driver-side "
+            f"registry across {n_parts} partitions — keep their "
+            "call volume conversational (SCALE.md agent section)",
+            stacklevel=2)
     cwd = conf.get("cwd", "")
     out_schema = conf.get("output_schema", "")
 
@@ -365,7 +528,8 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
                                                mcp_server)
             address = f"http://127.0.0.1:{port}/tools"
             env[AGENT_TOOLS_INLINE_ENV] = json.dumps(
-                {k: v["mappings"] for k, v in tools_inline.items()},
+                {k: v["mappings"] for k, v in tools_inline.items()
+                 if "mappings" in v},
                 sort_keys=True)
         env[AGENT_MCP_ENV] = address
         client = PluginClient(command, cwd, env=env)
@@ -438,16 +602,21 @@ def run_agents(spark: SparkSession, repo_dir: str,
         registry = AgentToolRegistry(spark)
         registry.load_dir(os.path.join(repo_dir, "mcp"),
                           allowed=agent.get("tools"))
-        # scale split (r12 verdict task #3): mapping-only tools ship
-        # to the partitions as inline Bloblang sources — a pure tool
-        # call never leaves the executor; the central server starts
-        # ONLY when stateful (non-mapping) tools exist, and then
-        # serves only those.
-        inline = registry.mapping_tools()
-        stateful = registry.stateful_tools()
+        # scale split (r12 task #3 + r13 task #2): every inline-safe
+        # tool chain (mapping / default-transport http / command)
+        # ships to the partitions — those calls never leave the
+        # executor.  Each agent gets its OWN central server (sharded
+        # per-agent by construction) and it starts ONLY when central
+        # (shared-state) tools exist, serving only those; the runtime
+        # processor gates bulk runs against them.
+        inline = registry.inline_tools()
+        # mapping-only entries keep the {mappings} shape so agent
+        # children can keep dispatching them fully in-process
+        inline.update(registry.mapping_tools())
+        central = registry.central_tools()
         srv = None
         mcp_server = ""
-        if stateful:
+        if central:
             srv, port = registry.serve(0)
             mcp_server = f"http://127.0.0.1:{port}/tools"
         try:
@@ -461,6 +630,9 @@ def run_agents(spark: SparkSession, repo_dir: str,
             }
             if inline:
                 runtime_conf["tools_inline"] = inline
+            if central:
+                # names the runtime's bulk-volume gate checks
+                runtime_conf["central_tool_names"] = central
             pipeline_cfg = {
                 "input": agent["input"],
                 "pipeline": {"processors": [
