@@ -510,16 +510,28 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
             stacklevel=2)
     cwd = conf.get("cwd", "")
     out_schema = conf.get("output_schema", "")
+    protocol = conf.get("protocol", "ndjson")
+    if protocol not in ("ndjson", "arrow"):
+        raise PipelineConfigError(
+            f"redpanda_agent_runtime: unexpected protocol, valid "
+            f"options ['ndjson', 'arrow'], got: {protocol!r}")
+    if protocol == "arrow" and not out_schema:
+        raise PipelineConfigError(
+            "redpanda_agent_runtime: protocol: arrow requires "
+            "output_schema (the child returns typed Arrow rows, "
+            "not generic JSON messages)")
 
     from connect_spark.plans.rpcplugin import (
         _GENERIC_SCHEMA,
         _messages_to_pdf,
         _rows_to_messages,
         _typed_output,
+        ArrowPluginClient,
         PluginClient,
     )
 
-    def run(batches):
+    def _spawn():
+        """shim + child setup shared by both wire protocols."""
         shim = None
         address = mcp_server
         env = {}
@@ -532,9 +544,15 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
                  if "mappings" in v},
                 sort_keys=True)
         env[AGENT_MCP_ENV] = address
-        client = PluginClient(command, cwd, env=env)
+        cls = ArrowPluginClient if protocol == "arrow" \
+            else PluginClient
+        client = cls(command, cwd, env=env)
         client.start()
         client.call("init", config={"mcp_server": address})
+        return client, shim
+
+    def run(batches):
+        client, shim = _spawn()
         try:
             for pdf in batches:
                 if not len(pdf):
@@ -552,6 +570,44 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
                 shim.shutdown()
                 shim.server_close()  # release the listening fd
 
+    def run_arrow(batches):
+        # `protocol: arrow` agent wire (r13 verdict task #6): each
+        # invoke_agent carries a ONE-ROW Arrow-IPC body in and out —
+        # semantics stay strictly message-at-a-time, only the
+        # framing changes.  NOT the default: per-message Arrow
+        # stream overhead (schema + ~300B framing per 1-row table)
+        # loses to compact JSON at this granularity — measured in
+        # scripts/ab_agent_arrow.py; see SCALE.md.  It exists for
+        # agent children that are already columnar (pyarrow-native)
+        # or whose messages carry large binary payloads base64 would
+        # inflate by 4/3.
+        import pyarrow as pa
+
+        client, shim = _spawn()
+        try:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                tbl = pa.Table.from_pandas(pdf,
+                                           preserve_index=False)
+                outs = []
+                for i in range(tbl.num_rows):
+                    _res, out_tbl = client.call_arrow(
+                        "invoke_agent", body=tbl.slice(i, 1))
+                    if out_tbl is not None and out_tbl.num_rows:
+                        outs.append(out_tbl)
+                if outs:
+                    yield pa.concat_tables(outs).to_pandas()
+        finally:
+            client.close()
+            if shim is not None:
+                shim.shutdown()
+                shim.server_close()
+
+    if protocol == "arrow":
+        # typed end-to-end: the child's Arrow rows ARE the declared
+        # output schema (same contract as rpcplugin arrow)
+        return df.mapInPandas(run_arrow, out_schema)
     result = df.mapInPandas(run, _GENERIC_SCHEMA)
     if out_schema:
         result = _typed_output(result, out_schema)
