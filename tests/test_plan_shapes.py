@@ -38,6 +38,30 @@ from connect_spark.queries import all_queries
 
 SF = "/root/testdata/sf0.001"
 
+
+def _prune_cached(plan: str) -> str:
+    """Drop InMemoryRelation subtrees from the plan text.  The plan
+    printer re-prints each cached relation's ORIGINAL child plan
+    (and, once materialized in a shared session, its AQE-finalized
+    expansion), so exchange counts over the raw text double-count
+    work that executes at most once — and drift with session
+    history.  Exchanges that run per-action are the ones above the
+    cache boundary."""
+    out = []
+    skip_deeper_than = None
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+\-|]*)", line)
+        depth = len(m.group(1))
+        if skip_deeper_than is not None:
+            if depth > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryRelation" in line:
+            skip_deeper_than = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
+
 # name -> (need markers, min broadcast, max hash exchanges, pushdown)
 EXPECT: dict[str, dict] = {
     # top-k needs the query vectors broadcast to every corpus
@@ -70,13 +94,14 @@ EXPECT: dict[str, dict] = {
     "kmeans_lloyd_clusters": dict(
         need=["partial_"], min_bcast=1, max_hashex=3),
     # persisted edge list (InMemoryRelation) + map-side combine in
-    # every unrolled iteration + broadcast edge-build join.  The
-    # ceiling is generous because the UNEXECUTED plan text re-prints
-    # each cached subtree, but it still catches the dropped-persist
-    # pathology (plan re-derivation blows far past it).
+    # every unrolled iteration + broadcast edge-build join.  11 live
+    # exchanges = 3 iterations x (ranks-join sort + narrow post-
+    # partial-agg dst shuffle) + the final rank/in-degree joins; the
+    # dropped-persist pathology re-derives the edge subtree per
+    # reference and blows far past the ceiling.
     "pagerank_purchase_graph": dict(
         need=["InMemoryRelation", "BroadcastHashJoin"],
-        min_bcast=1, max_hashex=48, pushed=True,
+        min_bcast=1, max_hashex=13, pushed=True,
         min_partial_sum=3),
     "q18_large_volume": dict(
         need=["BroadcastHashJoin", "partial_"], min_bcast=1,
@@ -99,12 +124,18 @@ EXPECT: dict[str, dict] = {
 
 @pytest.fixture(scope="module")
 def plans(spark) -> dict[str, str]:
+    # canonical plan text needs a cold cache: with suite history the
+    # persist() calls resolve to already-materialized relations and
+    # AQE stage reuse rewrites the printed tree (ShuffleQueryStage /
+    # finalized subplans), making node counts session-dependent
+    spark.catalog.clearCache()
     out = {}
     for s in all_queries():
         if s.headline:
             df = s.fn(spark, SF)
             out[s.name] = (
                 df._jdf.queryExecution().executedPlan().toString())
+    spark.catalog.clearCache()  # don't leak pinned frames forward
     return out
 
 
@@ -130,10 +161,12 @@ def test_headline_plan_shape(plans, name):
     assert n_bcast >= exp.get("min_bcast", 0), (
         f"{name}: {n_bcast} BroadcastExchange < "
         f"{exp['min_bcast']} — a dim join lost its broadcast")
-    n_hashex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_hashex = len(re.findall(r"Exchange hashpartitioning",
+                              _prune_cached(p)))
     assert n_hashex <= exp["max_hashex"], (
-        f"{name}: {n_hashex} hash Exchanges > ceiling "
-        f"{exp['max_hashex']} — a new shuffle entered the plan")
+        f"{name}: {n_hashex} hash Exchanges (cached subtrees "
+        f"pruned) > ceiling {exp['max_hashex']} — a new shuffle "
+        "entered the plan")
     if exp.get("pushed"):
         assert re.search(r"PushedFilters: \[[A-Za-z]", p), (
             f"{name}: no parquet scan carries a pushed filter")
