@@ -135,39 +135,51 @@ class AgentToolRegistry:
         return self.central_tools()
 
     def invoke(self, name: str, content: str) -> str:
+        """One tool call.  Inline-safe spec runs (mapping / default-
+        transport http / command) evaluate through the SAME scalar
+        chain evaluator the partition shim uses — dispatch-tier
+        parity by shared code, and reference semantics (`this` in a
+        tool mapping is the MESSAGE content, never a one-row frame's
+        column envelope; tests/test_inline_chain_parity.py caught the
+        old general path handing a mapping the {content: ...} row).
+        Only genuinely non-inline-safe specs (cache, sql_select,
+        custom transports, ...) drop to the one-row DataFrame path
+        through the real processor registry."""
         tool = self._tools.get(name)
         if tool is None:
             raise PipelineConfigError(f"unknown tool {name!r}")
         specs = tool["processors"]
-        if all(isinstance(s, dict) and set(s) <= {"mapping", "label"}
-               and "mapping" in s for s in specs):
-            # scalar fast path: one message through the dynamic
-            # Bloblang evaluator — no Spark job per tool call
-            from connect_spark.bloblang.pyeval import eval_mapping_value
 
-            try:
-                doc: Any = json.loads(content)
-            except ValueError:
-                doc = content
-            for s in specs:
-                doc = eval_mapping_value(s["mapping"], doc)
-            return doc if isinstance(doc, str) else json.dumps(
-                doc, sort_keys=True, separators=(",", ":"))
-        # general path: a one-row frame through the real registry
-        if self.spark is None:
-            raise PipelineConfigError(
-                f"tool {name!r} needs a SparkSession (non-mapping "
-                "processors)")
-        from connect_spark.plans.pipeline import apply_processor
+        doc = content
+        run: list = []  # consecutive inline-safe specs
 
-        df = self.spark.createDataFrame([(content,)], "content STRING")
+        def flush(doc: str) -> str:
+            if not run:
+                return doc
+            out = _eval_inline_chain(run, doc)
+            run.clear()
+            return out
+
         for s in specs:
+            if _inline_safe_spec(s):
+                run.append(s)
+                continue
+            doc = flush(doc)
+            if self.spark is None:
+                raise PipelineConfigError(
+                    f"tool {name!r} needs a SparkSession "
+                    "(non-inline-safe processors)")
+            from connect_spark.plans.pipeline import apply_processor
+
+            df = self.spark.createDataFrame([(doc,)],
+                                            "content STRING")
             df = apply_processor(df, s)
-        rows = df.limit(1).collect()
-        if not rows:
-            return ""
-        val = rows[0][0]
-        return val if isinstance(val, str) else json.dumps(val)
+            rows = df.limit(1).collect()
+            if not rows:
+                return ""
+            val = rows[0][0]
+            doc = val if isinstance(val, str) else json.dumps(val)
+        return flush(doc)
 
     # ---- HTTP endpoint (same envelope as toolserver.py) -------------
 
