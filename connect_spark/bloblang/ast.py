@@ -58,6 +58,16 @@ class Func(Node):
 
 
 @dataclass(frozen=True)
+class NamedArg(Node):
+    """`name: expr` inside call args (functions.adoc named parameters,
+    e.g. `range(start: 0, stop: this.max)`, `file(path: p, no_cache:
+    true)`). Evaluators map these to keyword arguments."""
+
+    name: str
+    value: Node
+
+
+@dataclass(frozen=True)
 class Method(Node):
     target: Node
     name: str

@@ -245,12 +245,90 @@ def _fn_with_schema_registry_header(schema_id: Any,
     return F.concat(F.lit(bytes([0])), header, msg.cast("binary"))
 
 
+def _fn_bytes(length: Any) -> Column:
+    """bytes(length) (functions.adoc:33): zero-initialized byte array
+    of the given size."""
+    if isinstance(length, Column):
+        return F.unhex(F.repeat(F.lit("00"), length.cast("int")))
+    n = int(length)
+    if n < 0:
+        raise BloblangError(f"bytes() length must be >= 0, got {n}")
+    return F.lit(bytes(n))
+
+
+def _fn_uuid_v7(time: Any = None) -> Column:
+    """uuid_v7([time]) (functions.adoc:423): RFC 9562 time-ordered
+    UUID — 48-bit unix milliseconds, version nibble 7, variant bits
+    10, 74 random bits. Randomness derives from Spark's per-row
+    uuid() with the v4 fixed version/variant nibbles excised (same
+    technique as ulid())."""
+    if time is None:
+        ms = F.unix_millis(F.current_timestamp())
+    elif isinstance(time, Column):
+        ms = F.unix_millis(time.cast("timestamp"))
+    else:
+        ms = F.unix_millis(F.lit(time).cast("timestamp"))
+    time_hex = F.lower(F.lpad(F.hex(ms.cast("bigint")), 12, "0"))
+    raw = F.lower(F.regexp_replace(F.expr("uuid()"), "-", ""))
+    # 20 genuinely random hex chars (drop v4's fixed nibbles 13 & 17)
+    rnd = F.concat(F.substring(raw, 1, 12), F.substring(raw, 14, 3),
+                   F.substring(raw, 18, 5))
+    variant = F.element_at(
+        F.array(F.lit("8"), F.lit("9"), F.lit("a"), F.lit("b")),
+        (F.conv(F.substring(rnd, 4, 1), 16, 10).cast("int") % 4) + 1,
+    )
+    return F.concat(
+        F.substring(time_hex, 1, 8), F.lit("-"),
+        F.substring(time_hex, 9, 4), F.lit("-"),
+        F.lit("7"), F.substring(rnd, 1, 3), F.lit("-"),
+        variant, F.substring(rnd, 5, 3), F.lit("-"),
+        F.substring(rnd, 8, 12),
+    )
+
+
+# plan-time file() cache (functions.adoc:733 caches after first read)
+_FILE_CACHE: dict[str, bytes] = {}
+
+
+def _read_file(path: str, base_dir: str | None = None,
+               no_cache: bool = False) -> Any:
+    """file()/file_rel() (functions.adoc:733,759): plan-time read —
+    config-time lookups like env(), not a per-row distributed read.
+    Returns str when the content is valid UTF-8 (the engine's string
+    norm; .string() is then the identity), bytes otherwise."""
+    import os as _os
+
+    p = path if _os.path.isabs(path) else _os.path.join(
+        base_dir or ".", path)
+    p = _os.path.abspath(p)
+    if no_cache or p not in _FILE_CACHE:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        if no_cache:
+            return _decode_file(data)
+        _FILE_CACHE[p] = data
+    return _decode_file(_FILE_CACHE[p])
+
+
+def _decode_file(data: bytes) -> Any:
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data
+
+
 FUNCTIONS = {
     "now": _fn_now,
     "uuid_v4": _fn_uuid_v4,
+    "uuid_v7": _fn_uuid_v7,
+    "bytes": _fn_bytes,
     "counter": _fn_counter,
     "random_int": _fn_random_int,
     "timestamp_unix": _fn_timestamp_unix,
+    "timestamp_unix_milli": lambda: F.unix_millis(F.current_timestamp()),
+    "timestamp_unix_micro": lambda: F.unix_micros(F.current_timestamp()),
+    "timestamp_unix_nano": lambda: F.unix_micros(
+        F.current_timestamp()) * 1000,
     "range": _fn_range,
     "throw": _fn_throw,
     "fake": _fn_fake,
@@ -273,6 +351,190 @@ class Compiler:
         # when set, counter() compiles to this column instead of the
         # global-sort fallback (generate inputs bind the range index)
         self.counter_col: Column | None = None
+        # document context, bound by compile_mapping: the frame's
+        # non-reserved columns, whether the frame is a raw `content`
+        # envelope, batch-scope keys (group_key / batch_id / window
+        # stamps), arrival-order column, and whether the frame carries
+        # the _error / _error_source columns (errors.py model)
+        self.doc_cols: list[str] | None = None
+        self.raw_content: bool = False
+        self.batch_keys: list[Column] = []
+        self.order_col: Column | None = None
+        self.has_error_col: bool = False
+        self.has_error_source: bool = False
+        self.has_meta_col: bool = False
+        # root_meta(): meta assignments made so far in this mapping
+        self.meta_env: dict[str, Column] = {}
+        # file_rel() base directory (the mapping file's dir when known)
+        self.mapping_dir: str | None = None
+        # set when a batch-scoped function/method (batch_index,
+        # batch_size, count, from_all, from) compiled — compile_mapping
+        # then materializes assignments BEFORE any deleted() filter so
+        # window aggregates see the whole batch
+        self.used_batch: bool = False
+
+    def _order(self) -> Column:
+        return (
+            self.order_col
+            if self.order_col is not None
+            else F.monotonically_increasing_id()
+        )
+
+    def _batch_index_col(self) -> Column:
+        """batch_index() (functions.adoc:446): zero-based position of
+        the message within its batch, in arrival order. Batch = the
+        frame's batch-scope keys (group_key after group_by_value,
+        window stamps after the system_window buffer, batch_id after a
+        batching policy); with no keys the whole input is one batch
+        (the reference's input batch). One shuffle on the batch keys;
+        all batch functions in a mapping share the same Window spec so
+        Catalyst plans a single WindowExec."""
+        from pyspark.sql import Window
+
+        self.used_batch = True
+        w = Window.partitionBy(*self.batch_keys).orderBy(self._order())
+        return (F.row_number().over(w) - 1).cast("long")
+
+    def _batch_size_col(self) -> Column:
+        """batch_size() (functions.adoc:463): message count of the
+        current batch."""
+        from pyspark.sql import Window
+
+        self.used_batch = True
+        w = (
+            Window.partitionBy(*self.batch_keys)
+            .orderBy(self._order())
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+        )
+        return F.count(F.lit(1)).over(w).cast("long")
+
+    def _from_all_col(self, target: Column) -> Column:
+        """.from_all() (methods.adoc message-info): the target
+        expression evaluated across EVERY message of the batch, as an
+        array in arrival order — collect_list over the batch window."""
+        from pyspark.sql import Window
+
+        self.used_batch = True
+        w = (
+            Window.partitionBy(*self.batch_keys)
+            .orderBy(self._order())
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+        )
+        out = F.collect_list(target).over(w)
+        out._bl_arrayish = True
+        return out
+
+    def _count_col(self) -> Column:
+        """count(name) (functions.adoc:919, deprecated): shared named
+        counter starting at 1 — within one mapping execution each row
+        draws the next value in arrival order. Global row_number (the
+        semantics is inherently a global sequence, same note as
+        counter()); generate inputs bind the dense range index."""
+        from pyspark.sql import Window
+
+        self.used_batch = True
+        if self.counter_col is not None:
+            return (self.counter_col + 1).cast("long")
+        w = Window.orderBy(self._order())
+        return F.row_number().over(w).cast("long")
+
+    def _content_col(self) -> Column:
+        """content() (functions.adoc:480): the full raw message
+        payload — the `content` column on raw-envelope frames, the
+        serialized document on structured frames."""
+        if self.raw_content:
+            return F.col("content")
+        if self.doc_cols:
+            out = F.to_json(F.struct(*[F.col(c) for c in self.doc_cols]))
+            out._bl_stringish = True
+            return out
+        raise BloblangError(
+            "content() needs a document context (mapping over a frame)"
+        )
+
+    def _json_col(self, args: list) -> Column:
+        """json([path]) (functions.adoc): the document root or a
+        dot-path within it. On raw `content` frames the path reads via
+        get_json_object (pushed to the JSON scan when possible); on
+        structured frames it navigates columns/struct fields."""
+        if not args:
+            if self.raw_content:
+                raise BloblangError(
+                    "json() whole-document on a raw frame is dynamic "
+                    "(no static schema); use json(path)"
+                )
+            if self.doc_cols:
+                return F.struct(*[F.col(c) for c in self.doc_cols])
+            raise BloblangError("json() needs a document context")
+        path = args[0]
+        if not isinstance(path, str):
+            raise BloblangError("json() needs a literal string path")
+        if self.raw_content:
+            return F.get_json_object(F.col("content"), "$." + path)
+        parts = path.split(".")
+        if self.doc_cols is not None and parts[0] not in self.doc_cols:
+            raise BloblangError(
+                f"json({path!r}): no column {parts[0]!r} in the document"
+            )
+        out = F.col(parts[0])
+        for part in parts[1:]:
+            out = out.getField(part)
+        return out
+
+    def _error_fn_col(self, name: str) -> Column:
+        """error()/errored()/error_source_* (functions.adoc:504-583)
+        over the _error/_error_source column model (errors.py)."""
+        if not self.has_error_col:
+            if name == "errored":
+                return F.lit(False)
+            return F.lit(None).cast("string")
+        err = F.col("_error")
+        if name == "error":
+            return err
+        if name == "errored":
+            return err.isNotNull()
+        field = name[len("error_source_"):]  # label | name | path
+        if not self.has_error_source:
+            # label → "" when errored but unlabeled; name/path → null
+            if field == "label":
+                return F.when(err.isNotNull(), F.lit(""))
+            return F.lit(None).cast("string")
+        src = F.col("_error_source").getField(field)
+        if field == "label":
+            return F.when(err.isNotNull(), F.coalesce(src, F.lit("")))
+        return F.when(err.isNotNull(), src)
+
+    def _root_meta_col(self, args: list) -> Column:
+        """root_meta(key) (functions.adoc:962): metadata of the NEW
+        message — reflects `meta k = v` assignments made so far in
+        this mapping, falling back to the input's _meta entry."""
+        if not args:
+            entries = [
+                x for k, v in self.meta_env.items()
+                for x in (F.lit(k), v.cast("string"))
+            ]
+            assigned = (
+                F.create_map(*entries) if entries
+                else F.create_map().cast("map<string,string>")
+            )
+            if self.doc_cols is not None and self.has_meta_col:
+                keys = list(self.meta_env.keys())
+                base = F.col(META_COL)
+                if keys:
+                    base = F.map_filter(
+                        base, lambda k, _v: ~k.isin(*keys))
+                return F.map_concat(base, assigned)
+            return assigned
+        key = args[0]
+        if not isinstance(key, str):
+            raise BloblangError("root_meta() needs a literal key")
+        if key in self.meta_env:
+            return self.meta_env[key].cast("string")
+        if self.has_meta_col:
+            return F.col(META_COL).getItem(key)
+        return F.lit(None).cast("string")
 
     # value may be a Column or a plain Python literal; the caller lifts
     # literals with F.lit only where a Column is required, so method
@@ -335,28 +597,78 @@ class Compiler:
         if isinstance(node, A.Match):
             return self._match(node, scope)
         if isinstance(node, A.Func):
-            if node.name == "meta":
+            name = node.name
+            if name == "meta":
                 key = self.eval(node.args[0], scope) if node.args else None
                 if not isinstance(key, str):
                     raise BloblangError("meta() needs a literal key")
                 return F.col(META_COL).getItem(key)
-            if node.name == "counter" and self.counter_col is not None:
+            if name == "counter" and self.counter_col is not None:
                 return self.counter_col
-            fn = FUNCTIONS.get(node.name)
+            # context-bound functions (document / batch / error model)
+            if name == "batch_index":
+                return self._batch_index_col()
+            if name == "batch_size":
+                return self._batch_size_col()
+            if name == "count":
+                return self._count_col()
+            if name == "content":
+                return self._content_col()
+            if name in ("error", "errored", "error_source_label",
+                        "error_source_name", "error_source_path"):
+                return self._error_fn_col(name)
+            pos, kw = self._call_args(node.args, scope)
+            if name == "json":
+                return self._json_col(pos)
+            if name == "root_meta":
+                return self._root_meta_col(pos)
+            if name in ("file", "file_rel"):
+                path = kw.pop("path", pos[0] if pos else None)
+                if not isinstance(path, str):
+                    raise BloblangError(
+                        f"{name}() needs a literal string path")
+                no_cache = bool(
+                    kw.pop("no_cache",
+                           pos[1] if len(pos) > 1 else False))
+                base = self.mapping_dir if name == "file_rel" else None
+                return F.lit(_read_file(path, base, no_cache))
+            fn = FUNCTIONS.get(name)
             if fn is None:
-                raise BloblangError(f"unknown function {node.name}()")
-            return fn(*[self.eval(a, scope) for a in node.args])
+                raise BloblangError(f"unknown function {name}()")
+            return fn(*pos, **kw)
         if isinstance(node, A.Method):
             target = self.col(node.target, scope)
             if node.name == "apply":
                 if len(node.args) != 1 or not isinstance(node.args[0], A.Lit):
                     raise BloblangError('.apply needs a literal map name')
                 return self._apply_map(node.args[0].value, target, scope)
+            if node.name == "from_all":
+                return self._from_all_col(target)
+            if node.name == "from":
+                # .from(n): the expression evaluated on batch message n
+                idx = self.eval(node.args[0], scope)
+                if not isinstance(idx, int):
+                    raise BloblangError(".from() needs a literal index")
+                return F.element_at(
+                    self._from_all_col(target),
+                    idx + 1 if idx >= 0 else idx,
+                )
+            arrayish = isinstance(target, Column) and target.__dict__.get(
+                "_bl_arrayish", False)
+            if node.name == "length" and arrayish:
+                # .length() on a from_all() array is element count
+                return F.size(target)
             impl = METHODS.get(node.name)
             if impl is None:
                 raise BloblangError(f"unknown method .{node.name}()")
             args = [self._method_arg(a, scope) for a in node.args]
-            return impl(target, *args)
+            out = impl(target, *args)
+            if arrayish and node.name in (
+                "unique", "sort", "reverse", "flatten", "filter",
+                "map_each", "slice", "append", "concat",
+            ):
+                out._bl_arrayish = True
+            return out
         if isinstance(node, A.Coalesce):
             return F.coalesce(
                 *[self.col(alt, scope) for alt in node.alternatives]
@@ -370,6 +682,20 @@ class Compiler:
     def col(self, node: A.Node, scope: dict[str, Column] | None = None) -> Column:
         v = self.eval(node, scope or {})
         return v if isinstance(v, Column) else F.lit(v)
+
+    def _call_args(
+        self, args: tuple, scope: dict[str, Column]
+    ) -> tuple[list, dict]:
+        """Split call args into (positional, keyword) — NamedArg nodes
+        become kwargs (functions.adoc named parameters)."""
+        pos: list = []
+        kw: dict = {}
+        for a in args:
+            if isinstance(a, A.NamedArg):
+                kw[a.name] = self.eval(a.value, scope)
+            else:
+                pos.append(self.eval(a, scope))
+        return pos, kw
 
     def _apply_map(
         self, name: str, target: Column, scope: dict[str, Column]
@@ -600,17 +926,48 @@ def compile_interpolation(src: str, env: dict[str, Column] | None = None) -> Col
     return F.concat(*cols) if len(cols) > 1 else cols[0]
 
 
+BATCH_KEY_COLS = (
+    "group_key", "batch_id", "window_start", "window_end_timestamp",
+)
+
+
 def compile_mapping(
-    df: DataFrame, src: str, mode: str = "mapping"
+    df: DataFrame, src: str, mode: str = "mapping",
+    mapping_dir: str | None = None,
 ) -> DataFrame:
     """Apply a Bloblang mapping/mutation to a DataFrame.
 
     mode="mapping": output has exactly the assigned columns (a fresh
     document, mapping.adoc:26). mode="mutation": assignments merge into
     the existing columns (mutation.adoc:26).
+
+    Batch scope (batch_index/batch_size/from_all, functions.adoc:446):
+    the frame's batch-stamp columns — group_key (group_by_value),
+    batch_id (batching policy), window_start/window_end_timestamp
+    (system_window buffer) — define the batch; with none, the whole
+    input is one batch. Batch functions compile to window expressions
+    over those keys (one shuffle, shared WindowExec).
     """
     ast = parse_mapping(src)
     comp = Compiler()
+    comp.mapping_dir = mapping_dir
+    reserved = {META_COL, "_error", "_error_source"}
+    comp.doc_cols = [
+        c for c in df.columns
+        if c not in reserved and c not in BATCH_KEY_COLS
+        and not c.startswith("_")
+    ]
+    comp.raw_content = comp.doc_cols == ["content"]
+    comp.has_error_col = "_error" in df.columns
+    comp.has_error_source = "_error_source" in df.columns
+    comp.has_meta_col = META_COL in df.columns
+    comp.batch_keys = [
+        F.col(c) for c in BATCH_KEY_COLS if c in df.columns
+    ]
+    if "_arrival_order" in df.columns:
+        comp.order_col = F.col("_arrival_order")
+    elif "_gen_index" in df.columns:
+        comp.order_col = F.col("_gen_index")
     if "_gen_index" in df.columns:
         # generate-input frames carry a dense global range index;
         # counter() binds to it directly (no global sort needed)
@@ -632,7 +989,11 @@ def compile_mapping(
         if isinstance(stmt, A.Let):
             comp.env[stmt.name] = comp.col(stmt.expr)
         elif isinstance(stmt, A.MetaAssign):
-            meta_assigns[stmt.key] = comp.col(stmt.expr)
+            value = comp.col(stmt.expr)
+            meta_assigns[stmt.key] = value
+            # root_meta() sees assignments made so far (sequential
+            # new-message metadata, functions.adoc:962)
+            comp.meta_env[stmt.key] = value
         elif isinstance(stmt, A.Assign):
             if not stmt.path:
                 dc = _delete_condition(stmt.expr, comp)
@@ -696,7 +1057,24 @@ def compile_mapping(
             assigns[top] = _tree_to_struct(tree)
 
     out = df
-    if delete_cond is not None:
+    if comp.used_batch:
+        # Batch-scoped window aggregates must see the WHOLE batch, and
+        # Spark cannot host window functions in a WHERE clause — so
+        # materialize every assignment plus the deleted() predicate in
+        # ONE projection first, then filter on the materialized
+        # boolean. All batch expressions share the same Window spec,
+        # so this stays a single WindowExec after one exchange on the
+        # batch keys.
+        tmp_names = {k: f"_bl_v_{i}" for i, k in enumerate(assigns)}
+        proj = [F.col(c) for c in out.columns]
+        proj += [v.alias(tmp_names[k]) for k, v in assigns.items()]
+        if delete_cond is not None:
+            proj.append(delete_cond.alias("_bl_del"))
+        out = out.select(*proj)
+        if delete_cond is not None:
+            out = out.filter(~F.col("_bl_del")).drop("_bl_del")
+        assigns = {k: F.col(tmp_names[k]) for k in assigns}
+    elif delete_cond is not None:
         out = out.filter(~delete_cond)
 
     if meta_assigns:
@@ -724,7 +1102,8 @@ def compile_mapping(
     if mode == "mutation" or identity_root:
         if assigns:
             out = out.withColumns(assigns)
-        return out
+        tmps = [c for c in out.columns if c.startswith("_bl_v_")]
+        return out.drop(*tmps) if tmps else out
     if mode == "mapping":
         if not assigns:
             return out

@@ -282,6 +282,16 @@ class Parser:
             param = self.next().value
             self.next()  # ->
             return A.Lambda((param,), self.parse_expr())
+        # named argument: IDENT ':' expr (functions.adoc named params,
+        # e.g. `range(start: 0, stop: this.max)`)
+        if (
+            self.peek().kind == "ident"
+            and self.peek(1).kind == "op"
+            and self.peek(1).value == ":"
+        ):
+            name = self.next().value
+            self.next()  # :
+            return A.NamedArg(name, self.parse_expr())
         return self.parse_expr()
 
     def parse_primary(self) -> A.Node:
