@@ -22,6 +22,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ERROR_COL = "_error"
+ERROR_SOURCE_COL = "_error_source"
+
+
+# component-provenance stack: apply_processor pushes (name, label,
+# path) around each dispatch so every flag_error inside inherits the
+# flagging component's identity without threading args through every
+# call site (error_source_* functions, functions.adoc:523-583)
+_SOURCE_CTX: list[tuple[str | None, str | None, str | None]] = []
+
+
+class source_context:
+    """Context manager: the component identity for flag_error calls
+    inside the block. None fields inherit from the enclosing scope."""
+
+    def __init__(self, name: str | None = None, label: str | None = None,
+                 path: str | None = None):
+        outer = _SOURCE_CTX[-1] if _SOURCE_CTX else (None, None, None)
+        self.entry = (
+            name if name is not None else outer[0],
+            label if label is not None else outer[1],
+            path if path is not None else outer[2],
+        )
+
+    def __enter__(self):
+        _SOURCE_CTX.append(self.entry)
+        return self
+
+    def __exit__(self, *exc):
+        _SOURCE_CTX.pop()
+        return False
+
+
+def current_source() -> tuple[str | None, str | None, str | None]:
+    return _SOURCE_CTX[-1] if _SOURCE_CTX else (None, None, None)
 
 
 def ensure_error_col(df: DataFrame) -> DataFrame:
@@ -41,13 +75,45 @@ def error() -> Column:
     return F.col(ERROR_COL)
 
 
-def flag_error(df: DataFrame, condition: Column, message: Column | str) -> DataFrame:
-    """Set ``_error`` where ``condition`` holds (keeps an existing flag)."""
+def flag_error(
+    df: DataFrame,
+    condition: Column,
+    message: Column | str,
+    *,
+    source_name: str | None = None,
+    source_label: str | None = None,
+    source_path: str | None = None,
+) -> DataFrame:
+    """Set ``_error`` where ``condition`` holds (keeps an existing flag).
+
+    When the flagging component identifies itself (name/label/path),
+    the provenance lands in a ``_error_source`` struct so the Bloblang
+    ``error_source_name()``/``error_source_label()``/
+    ``error_source_path()`` functions (functions.adoc:523-583) can
+    read it — first flag wins, matching the message's first error."""
     df = ensure_error_col(df)
     msg = F.lit(message) if isinstance(message, str) else message
-    return df.withColumn(
-        ERROR_COL, F.coalesce(F.col(ERROR_COL), F.when(condition, msg))
-    )
+    cols: dict[str, Column] = {
+        ERROR_COL: F.coalesce(F.col(ERROR_COL), F.when(condition, msg))
+    }
+    if not (source_name or source_label or source_path):
+        source_name, source_label, source_path = current_source()
+    if source_name or source_label or source_path:
+        # first flag wins: `newly` reads the PRE-UPDATE _error (both
+        # columns are assigned in one withColumns over the input frame)
+        newly = condition & F.col(ERROR_COL).isNull()
+        src = F.struct(
+            F.lit(source_label).alias("label"),
+            F.lit(source_name).alias("name"),
+            F.lit(source_path).alias("path"),
+        )
+        if ERROR_SOURCE_COL in df.columns:
+            cols[ERROR_SOURCE_COL] = F.coalesce(
+                F.col(ERROR_SOURCE_COL), F.when(newly, src)
+            )
+        else:
+            cols[ERROR_SOURCE_COL] = F.when(newly, src)
+    return df.withColumns(cols)
 
 
 def try_processor(
@@ -78,6 +144,9 @@ def catch_processor(
         bad = step(bad)
     if clear:
         bad = bad.withColumn(ERROR_COL, F.lit(None).cast("string"))
+        if ERROR_SOURCE_COL in bad.columns:
+            # a recovered message sheds its error provenance too
+            bad = bad.drop(ERROR_SOURCE_COL)
     return df.filter(~errored()).unionByName(bad, allowMissingColumns=True)
 
 

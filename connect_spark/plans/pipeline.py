@@ -852,13 +852,17 @@ def _p_rate_limit(df: DataFrame, conf: Any) -> DataFrame:
 def apply_processor(df: DataFrame, spec: Any) -> DataFrame:
     # the reference's YAML puts `label` beside the component key in
     # the same mapping (`- label: foo\n  mapping: ...`); strip it
+    label = None
     if isinstance(spec, dict) and "label" in spec and len(spec) == 2:
+        label = spec["label"]
         spec = {k: v for k, v in spec.items() if k != "label"}
     if not isinstance(spec, dict) or len(spec) != 1:
         raise PipelineConfigError(
             f"processor spec must be a single-key mapping, got {spec!r}"
         )
     (name, conf), = spec.items()
+    if label is None and isinstance(conf, dict):
+        label = conf.get("label")
     from connect_spark.plans.templates import expand_component
 
     name, conf = expand_component(name, conf, "processor")
@@ -867,7 +871,13 @@ def apply_processor(df: DataFrame, spec: Any) -> DataFrame:
         raise PipelineConfigError(
             f"unknown processor {name!r}; known: {sorted(PROCESSORS)}"
         )
-    return fn(df, conf)
+    # component provenance for error_source_* (functions.adoc:523-583):
+    # any flag_error inside this dispatch records which component
+    # (kind + user label) flagged the row
+    from connect_spark.errors import source_context
+
+    with source_context(name=name, label=label):
+        return fn(df, conf)
 
 
 # --------------------------------------------------------------------
@@ -1331,10 +1341,14 @@ class Pipeline:
             threads = self.config.get("pipeline", {}).get("threads")
             if threads and int(threads) > 0:
                 df = df.repartition(int(threads))
-            for spec in self.config.get("pipeline", {}).get(
-                "processors", []
+            from connect_spark.errors import source_context
+
+            for i, spec in enumerate(
+                self.config.get("pipeline", {}).get("processors", [])
             ):
-                df = apply_processor(df, spec)
+                # dot-path provenance for error_source_path()
+                with source_context(path=f"pipeline.processors.{i}"):
+                    df = apply_processor(df, spec)
         finally:
             _tmpl._TEMPLATES.clear()
             _tmpl._TEMPLATES.update(saved)

@@ -239,7 +239,16 @@ def _p_group_by_value(df: DataFrame, conf: Any) -> DataFrame:
     value). The key lands in `group_key`; downstream batch-scoped
     processors (archive, mapping with batch fns) operate per group."""
     value = conf["value"] if isinstance(conf, dict) else conf
-    out = df.withColumn("group_key", compile_expression(value))
+    # the documented field is an INTERPOLATED string
+    # (group_by_value.adoc:34: value: '${! json("foo") }'); plain
+    # Bloblang expressions are accepted too
+    if isinstance(value, str) and "${!" in value:
+        from connect_spark.bloblang.compiler import compile_interpolation
+
+        key = compile_interpolation(value)
+    else:
+        key = compile_expression(value)
+    out = df.withColumn("group_key", key)
     return _children(out, conf.get("processors", []) if isinstance(conf, dict) else [])
 
 

@@ -292,6 +292,58 @@ def get_cache_resource(label: str) -> Any:
 # --------------------------------------------------------------------
 
 
+def _window_duration(d: str) -> str:
+    """Benthos duration (`1h`, `30m`, `500ms`) or Spark interval
+    (`1 hour`) → Spark interval string for F.window."""
+    from connect_spark.operators.batching import parse_period
+
+    try:
+        sec = parse_period(str(d))
+    except ValueError:
+        return str(d)  # already a Spark interval ("1 hour")
+    if sec == int(sec):
+        return f"{int(sec)} seconds"
+    return f"{int(sec * 1000)} milliseconds"
+
+
+def _system_window_ts(df: DataFrame, c: dict) -> "F.Column":
+    """The window-allocation timestamp for the system_window buffer:
+    `timestamp_mapping` (system_window.adoc:130-143 — a Bloblang
+    mapping whose root is unix seconds or an ISO 8601 string), or the
+    legacy `timestamp_field` shortcut. Coerced by the expression's
+    actual type; unparseable values yield null (→ message dropped)."""
+    from pyspark.sql import types as T
+
+    from connect_spark.bloblang import ast as A
+    from connect_spark.bloblang.compiler import Compiler
+    from connect_spark.bloblang.parser import parse_mapping
+
+    if "timestamp_mapping" in c:
+        ast = parse_mapping(c["timestamp_mapping"])
+        assigns = [
+            st for st in ast.statements if isinstance(st, A.Assign)
+        ]
+        if len(assigns) != 1 or assigns[0].path:
+            raise PipelineConfigError(
+                "timestamp_mapping must be a single `root = <expr>`"
+            )
+        col = Compiler().col(assigns[0].expr)
+    else:
+        col = F.col(c.get("timestamp_field", "ts"))
+    dtype = df.select(col.alias("_t")).schema[0].dataType
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType,
+                          T.DateType)):
+        return col.cast("timestamp")
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.DoubleType,
+                          T.FloatType, T.DecimalType)):
+        return F.timestamp_seconds(col.cast("double"))
+    s = col.cast("string")
+    return F.coalesce(
+        F.try_to_timestamp(s),
+        F.timestamp_seconds(s.try_cast("double")),
+    )
+
+
 def apply_buffer(df: DataFrame, spec: dict | str | None) -> DataFrame:
     """`buffer:` between input and pipeline (module docstring)."""
     if spec is None or spec == "none":
@@ -324,17 +376,49 @@ def apply_buffer(df: DataFrame, spec: dict | str | None) -> DataFrame:
         out = spool.read_pending()
         return df.limit(0) if out is None else out
     if kind == "system_window":
-        # buffers/system_window.adoc:130-214 — stamp each message with
-        # its tumbling/sliding window; window_end_timestamp matches
-        # the reference's metadata key
-        ts = c.get("timestamp_field", "ts")
-        size = c.get("size", "1 hour")
+        # buffers/system_window.adoc — stamp each message with its
+        # tumbling/sliding window. `timestamp_mapping` (adoc:130-143)
+        # is a Bloblang mapping yielding unix seconds (decimals ok) or
+        # an ISO 8601 string; an invalid/failed timestamp DROPS the
+        # message (adoc:141 "the message will be dropped"). The window
+        # bounds land both as columns (batch keys for batch_index/
+        # from_all) and as the reference's `window_end_timestamp`
+        # metadata field, an RFC3339 string (adoc:47).
+        ts_col = _system_window_ts(df, c)
+        size = _window_duration(c.get("size", "1 hour"))
         slide = c.get("slide")
-        w = F.window(F.col(ts), size, slide) if slide else F.window(
-            F.col(ts), size)
-        return df.withColumn("_w", w).withColumn(
-            "window_start", F.col("_w.start")
-        ).withColumn("window_end_timestamp", F.col("_w.end")).drop("_w")
+        w = (
+            F.window(ts_col, size, _window_duration(slide))
+            if slide
+            else F.window(ts_col, size)
+        )
+        out = df.filter(ts_col.isNotNull()).withColumn("_w", w)
+        out = (
+            out.withColumn("window_start", F.col("_w.start"))
+            .withColumn("window_end_timestamp", F.col("_w.end"))
+            .drop("_w")
+        )
+        end_rfc3339 = F.date_format(
+            F.col("window_end_timestamp"), "yyyy-MM-dd'T'HH:mm:ssXXX"
+        )
+        from connect_spark.bloblang.compiler import META_COL
+
+        if META_COL not in out.columns:
+            out = out.withColumn(
+                META_COL, F.create_map().cast("map<string,string>")
+            )
+        return out.withColumn(
+            META_COL,
+            F.map_concat(
+                F.map_filter(
+                    F.col(META_COL),
+                    lambda k, _v: k != F.lit("window_end_timestamp"),
+                ),
+                F.create_map(
+                    F.lit("window_end_timestamp"), end_rfc3339
+                ),
+            ),
+        )
     raise PipelineConfigError(f"unknown buffer kind {kind!r}")
 
 

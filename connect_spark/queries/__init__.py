@@ -38,73 +38,22 @@ class QuerySpec:
 # oracle gate + pytest still guard them against regression between
 # driver rows).
 _DRIVER_PRIORITY: list[str] = [
-    # Round 14 rotation (standing policy: never-verified first, then
-    # oldest driver green).  Window = the EXACT next-50 queue band
-    # pre-audited 50/50 GREEN in two fresh driver_sim sessions at the
-    # r13 freeze (PROGRESS.md r13 "r14 window pre-audit"):
-    # sketch_hll_merged..wasm_transform_events (the r9 remainder incl.
-    # the two rows displaced by the r13 gates) + the r10-latest band
-    # head through sql_select_orders.  The old r13 window rotates to
-    # the deepest queue position (freshest greens).
+    # Round 15 rotation (standing policy: never-verified first, then
+    # oldest driver green).  Window = the TWO queries added this
+    # round (fn_functions_matrix — the r14 verdict's headline gate
+    # for the 11 newly-implemented Bloblang functions — and
+    # system_window_traffic, the worked-example conformance query)
+    # followed by the first 48 of the band pre-audited 50/50 GREEN in
+    # two fresh driver_sim sessions at the r14 freeze (PROGRESS.md
+    # r14 "r15 band pre-audit").  The old r14 window rotates to the
+    # deepest queue position (freshest greens).
     # `bpe_train_distributed` (rows-only by design — iterative, not
     # SQL-expressible) stays PINNED to the very back so driver
     # windows remain 50/50 with zero `no_oracle` rows; its
     # value-level twin `bpe_train_parity` carries the oracle gate
     # whenever it rotates forward (r12 verdict "What's wrong" #3).
-    "sketch_hll_merged",
-    "sketch_kmv_merged",
-    "streaming_cdc_to_iceberg",
-    "streaming_running_totals",
-    "streaming_session_window",
-    "timeseries_gapfill_locf",
-    "triangles_copurchase",
-    "unicode_segments_docs",
-    "wasm_transform_events",
-    "ann_ivf_assign",
-    "ann_ivf_probe",
-    "ann_topk_bruteforce",
-    "archive_tar_roundtrip",
-    "asof_attribution",
-    "avro_roundtrip",
-    "batch_policy_bytes",
-    "branch_enrich_orders",
-    "cdc_binlog_decode",
-    "cdc_logminer_decode",
-    "cdc_pgoutput_decode",
-    "chunk_documents",
-    "chunk_markdown",
-    "chunk_recursive_character",
-    "compress_roundtrip",
-    "dedup_neardup_verified",
-    "embedding_neardup_pairs",
-    "funnel_signup_view_purchase",
-    "grok_extract_events",
-    "json_schema_events",
-    "kafka_recordbatch_roundtrip",
-    "msgpack_roundtrip",
-    "multimodal_frames",
-    "multimodal_jpeg_progressive",
-    "multimodal_jpeg_resize",
-    "multimodal_meta",
-    "multimodal_video_framesample",
-    "parse_logfmt_events",
-    "pivot_status_by_priority",
-    "protobuf_roundtrip",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "range_join_view_purchase",
-    "rollup_lineitem",
-    "schema_registry_avro",
-    "schema_registry_protobuf",
-    "setops_segments",
-    "sketch_kmv_distinct",
-    "sql_select_orders",
-    # --- 50-slot window boundary (round 14) --- everything below
-    # queues for round 15: the r10 band remainder, then r11-latest,
-    # r12-latest, and deepest the old r13 window (freshest greens);
-    # bpe_train_distributed pinned last.
+    "fn_functions_matrix",
+    "system_window_traffic",
     "text_fingerprint",
     "text_lang_id",
     "text_pii_scrub",
@@ -153,6 +102,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q18_large_volume",
     "q19_disjunctive_revenue",
     "q21_suppliers_kept_waiting",
+    # --- 50-slot window boundary (round 15) --- everything below
+    # queues for round 16: the r15 pre-audit band remainder, then the
+    # r11/r12-latest bands, deepest the old r14 window (freshest
+    # greens); bpe_train_distributed pinned last.
     "q22_sales_opportunity",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -263,6 +216,57 @@ _DRIVER_PRIORITY: list[str] = [
     "sketch_binned_quantiles",
     "sketch_countmin_freq",
     "sketch_hll_distinct",
+    # the old r14 window (freshest driver greens, r14):
+    "sketch_hll_merged",
+    "sketch_kmv_merged",
+    "streaming_cdc_to_iceberg",
+    "streaming_running_totals",
+    "streaming_session_window",
+    "timeseries_gapfill_locf",
+    "triangles_copurchase",
+    "unicode_segments_docs",
+    "wasm_transform_events",
+    "ann_ivf_assign",
+    "ann_ivf_probe",
+    "ann_topk_bruteforce",
+    "archive_tar_roundtrip",
+    "asof_attribution",
+    "avro_roundtrip",
+    "batch_policy_bytes",
+    "branch_enrich_orders",
+    "cdc_binlog_decode",
+    "cdc_logminer_decode",
+    "cdc_pgoutput_decode",
+    "chunk_documents",
+    "chunk_markdown",
+    "chunk_recursive_character",
+    "compress_roundtrip",
+    "dedup_neardup_verified",
+    "embedding_neardup_pairs",
+    "funnel_signup_view_purchase",
+    "grok_extract_events",
+    "json_schema_events",
+    "kafka_recordbatch_roundtrip",
+    "msgpack_roundtrip",
+    "multimodal_frames",
+    "multimodal_jpeg_progressive",
+    "multimodal_jpeg_resize",
+    "multimodal_meta",
+    "multimodal_video_framesample",
+    "parse_logfmt_events",
+    "pivot_status_by_priority",
+    "protobuf_roundtrip",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "range_join_view_purchase",
+    "rollup_lineitem",
+    "schema_registry_avro",
+    "schema_registry_protobuf",
+    "setops_segments",
+    "sketch_kmv_distinct",
+    "sql_select_orders",
     "bpe_train_distributed",
 ]
 

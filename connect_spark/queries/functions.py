@@ -466,3 +466,99 @@ QUERIES += [
     QuerySpec("fn_sr_header_roundtrip", fn_sr_header_roundtrip,
               SR_HEADER_SQL),
 ]
+
+
+# --- Bloblang FUNCTION surface matrix (functions.adoc; r14 verdict
+# "What's missing" #1 — the 11 previously-unregistered functions) ---
+
+def fn_functions_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every deterministic documented Bloblang *function* driven
+    END-TO-END through the YAML processor path (group_by_value →
+    mapping), not re-expressed as Columns: batch_index/batch_size
+    (functions.adoc:446,463 — batch = the group_by_value group),
+    count (:919), bytes (:33), content (:480), json, error/errored +
+    error_source_label/name/path (:504-583, healthy-row nulls),
+    root_meta (:962), file (:733), uuid_v7 (:423, format-pinned
+    boolean since the value is random), timestamp_unix (sanity bound).
+
+    Scale shape: the batch functions are ONE window over the group
+    key (single hash exchange); count() is the inherently-sequential
+    global sequence (same note as counter(), compiler.py) — a matrix
+    gate, not a hot-path pattern."""
+    import os
+
+    from connect_spark.catalog import load_table
+    from connect_spark.plans.pipeline import apply_processor
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "fn_file_fixture.txt",
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    ).withColumn("_arrival_order", F.col("event_id"))
+    work = apply_processor(
+        ev, {"group_by_value": {"value": '${! json("user_id") }'}}
+    )
+    src = f'''
+meta origin = "fn-matrix"
+root.event_id = this.event_id
+root.bidx = batch_index()
+root.bsize = batch_size()
+root.pad = bytes(4)
+root.pad_len = bytes(8).length()
+root.seq = count("fn_matrix")
+root.doc_json = content()
+root.etype = json("event_type")
+root.err_msg = error()
+root.has_err = errored()
+root.err_label = error_source_label()
+root.err_name = error_source_name()
+root.err_path = error_source_path()
+root.origin = root_meta("origin")
+root.uuid7_ok = uuid_v7().re_match("^[0-9a-f]{{8}}-[0-9a-f]{{4}}-7[0-9a-f]{{3}}-[89ab][0-9a-f]{{3}}-[0-9a-f]{{12}}$")
+root.ts_ok = timestamp_unix() > 1500000000
+root.fixture = file("{fixture}").trim()
+'''
+    out = apply_processor(work, {"mapping": src})
+    return out.select(
+        "event_id",
+        F.col("bidx").cast("long").alias("bidx"),
+        F.col("bsize").cast("long").alias("bsize"),
+        "pad",
+        F.col("pad_len").cast("long").alias("pad_len"),
+        F.col("seq").cast("long").alias("seq"),
+        "doc_json", "etype", "err_msg", "has_err",
+        "err_label", "err_name", "err_path", "origin",
+        "uuid7_ok", "ts_ok", "fixture",
+    )
+
+
+FN_FUNCTIONS_SQL = """
+SELECT event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+         AS bidx,
+       count(*) OVER (PARTITION BY user_id) AS bsize,
+       '\\x00\\x00\\x00\\x00'::BLOB AS pad,
+       CAST(8 AS BIGINT) AS pad_len,
+       row_number() OVER (ORDER BY event_id) AS seq,
+       '{"event_id":' || event_id || ',"user_id":' || user_id ||
+         ',"event_type":"' || event_type || '"}' AS doc_json,
+       event_type AS etype,
+       CAST(NULL AS VARCHAR) AS err_msg,
+       FALSE AS has_err,
+       CAST(NULL AS VARCHAR) AS err_label,
+       CAST(NULL AS VARCHAR) AS err_name,
+       CAST(NULL AS VARCHAR) AS err_path,
+       'fn-matrix' AS origin,
+       TRUE AS uuid7_ok,
+       TRUE AS ts_ok,
+       'fn-file-fixture-v1' AS fixture
+FROM events
+"""
+
+
+QUERIES += [
+    QuerySpec("fn_functions_matrix", fn_functions_matrix,
+              FN_FUNCTIONS_SQL),
+]

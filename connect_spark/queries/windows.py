@@ -181,3 +181,74 @@ QUERIES = [
     QuerySpec("window_session", window_session, SESSION_SQL),
     QuerySpec("window_daily_orders", window_daily_orders, DAILY_SQL),
 ]
+
+
+def system_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The system_window worked example VERBATIM-SHAPED
+    (system_window.adoc:100-123 — buffer: system_window with
+    timestamp_mapping + group_by_value on an interpolated json() key +
+    the batch_index()==0 / from_all() reduce mapping) over the events
+    table: lights = user_id buckets, plates = event_type, passengers
+    derived from event_id. Exercises the whole YAML component chain
+    including `meta("window_end_timestamp")` (adoc:47; compared as a
+    session-tz-independent equality boolean, the timestamp itself as
+    a cast string like every other window query).
+
+    Scale shape: window stamp is a narrow projection; the reduce is
+    ONE window over (group_key, window) — a single hash exchange, no
+    per-group Python."""
+    from connect_spark.catalog import load_table
+    from connect_spark.plans.pipeline import apply_processor
+    from connect_spark.plans.state_ext import apply_buffer
+
+    ev = load_table(spark, sf_dir, "events")
+    msgs = ev.select(
+        (F.col("user_id") % 20).cast("string").alias("traffic_light"),
+        F.col("ts").alias("created_at"),
+        F.col("event_type").alias("registration_plate"),
+        (F.col("event_id") % 5 + 1).alias("passengers"),
+        F.col("event_id").alias("_arrival_order"),
+    )
+    out = apply_buffer(msgs, {"system_window": {
+        "timestamp_mapping": "root = this.created_at",
+        "size": "1h",
+    }})
+    out = apply_processor(out, {"group_by_value": {
+        "value": '${! json("traffic_light") }',
+    }})
+    out = apply_processor(out, {"mapping": '''
+root = if batch_index() == 0 {
+  {
+    "traffic_light": this.traffic_light,
+    "win_end": this.window_end_timestamp,
+    "meta_ok": meta("window_end_timestamp") != "",
+    "total_cars": json("registration_plate").from_all().unique().length(),
+    "passengers": json("passengers").from_all().sum(),
+  }
+} else { deleted() }
+'''})
+    return out.select(
+        "traffic_light",
+        F.col("win_end").cast("string").alias("win_end"),
+        "meta_ok",
+        F.col("total_cars").cast("long").alias("total_cars"),
+        F.round(F.col("passengers"), 2).alias("passengers"),
+    )
+
+
+SYSTEM_WINDOW_TRAFFIC_SQL = """
+SELECT CAST(user_id % 20 AS VARCHAR) AS traffic_light,
+       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS VARCHAR)
+         AS win_end,
+       TRUE AS meta_ok,
+       count(DISTINCT event_type) AS total_cars,
+       round(sum(event_id % 5 + 1), 2) AS passengers
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES += [
+    QuerySpec("system_window_traffic", system_window_traffic,
+              SYSTEM_WINDOW_TRAFFIC_SQL),
+]
