@@ -86,6 +86,47 @@ def _median(xs: list) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _tree_cpu_seconds() -> float:
+    """CPU seconds (user+sys) consumed by this process AND all live
+    descendants (the py4j JVM does the migrator work) — read from
+    /proc so no psutil dependency. Used to normalize the migrator
+    code series into MB per busy-core-second, a host-contention-
+    independent number (r14 verdict task #4). Returns 0.0 where
+    /proc is unavailable (the caller then skips the metric)."""
+    try:
+        clk = os.sysconf("SC_CLK_TCK")
+    except (AttributeError, ValueError, OSError):
+        return 0.0
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cpu: dict[int, float] = {}
+    try:
+        pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        return 0.0
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as fh:
+                raw = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        # comm may contain spaces/parens: fields after the LAST ')'
+        rest = raw.rsplit(")", 1)[-1].split()
+        ppid[pid] = int(rest[1])
+        cpu[pid] = (int(rest[11]) + int(rest[12])) / clk
+    total = cpu.get(me, 0.0)
+    # walk descendants (children map from ppid relation)
+    kids: dict[int, list[int]] = {}
+    for pid, par in ppid.items():
+        kids.setdefault(par, []).append(pid)
+    stack = list(kids.get(me, []))
+    while stack:
+        pid = stack.pop()
+        total += cpu.get(pid, 0.0)
+        stack.extend(kids.get(pid, []))
+    return total
+
+
 def _disk_probe_mb_s(mib: int = 256) -> float:
     """Host disk health: fsync'd sequential write rate (MB/s) to the
     same tmp device the migrator harness copies through.  The migrator
@@ -210,11 +251,13 @@ def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
     try:
         msgs.write.mode("overwrite").parquet(stmp + "/src")
         ssrc = spark.read.parquet(stmp + "/src")
-        shm_ts, pt_ts = [], []
+        shm_ts, pt_ts, cpu_ds = [], [], []
         for _ in range(runs):
+            c0 = _tree_cpu_seconds()
             t0 = time.perf_counter()
             ssrc.write.mode("overwrite").parquet(stmp + "/out")
             shm_ts.append(time.perf_counter() - t0)
+            cpu_ds.append(_tree_cpu_seconds() - c0)
             t0 = time.perf_counter()
             migrate_files_passthrough(spark, stmp + "/src",
                                       stmp + "/pt")
@@ -225,6 +268,15 @@ def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
         out["migrator_msg_s"] = round(n_msgs / _median(shm_ts))
         out["migrator_passthrough_mb_s"] = round(
             n_msgs * 1032 / _median(pt_ts) / 1e6, 1)
+        cpu = _median(cpu_ds)
+        if cpu > 0:
+            # host-independent normalization (r14 verdict task #4):
+            # MB per busy-core-second across the whole process tree
+            # (python driver + JVM). A contended tenancy stretches
+            # wall time but not CPU-seconds of the same CPU-bound
+            # copy, so this series is comparable across hosts.
+            out["migrator_code_mb_per_core_s"] = round(
+                n_msgs * 1032 / cpu / 1e6, 1)
     finally:
         shutil.rmtree(stmp, ignore_errors=True)
 
@@ -248,6 +300,11 @@ def _throughput(spark, sf_dir: str, runs: int = 1) -> dict:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     else:
+        # keep the key present (null) so downstream consumers keyed
+        # on migrator_mb_s see an explicit skip, not a KeyError
+        # (r14 ADVICE #5); pre-r14 disk numbers were un-fsync'd
+        # page-cache rates and are NOT comparable to this series.
+        out["migrator_mb_s"] = None
         out["migrator_disk_skipped"] = (
             f"device probe {probe} MB/s < 50 — disk arm is pure "
             "device wait; see disk_probe_mb_s + migrator_shm_mb_s")

@@ -173,12 +173,38 @@ class AgentToolRegistry:
 
             df = self.spark.createDataFrame([(doc,)],
                                             "content STRING")
+            before = set(df.columns)
             df = apply_processor(df, s)
             rows = df.limit(1).collect()
             if not rows:
                 return ""
-            val = rows[0][0]
-            doc = val if isinstance(val, str) else json.dumps(val)
+            row = rows[0]
+            # the tool result is the processor's OUTPUT: processors
+            # that write a separate column (subprocess/command →
+            # `piped`, http with `out`, ...) put the answer THERE,
+            # not in the untouched input field (r14 ADVICE #2: the
+            # old first-column read returned the untransformed input
+            # for out-writing processors)
+            added = [c for c in df.columns
+                     if c not in before and not c.startswith("_")]
+            if added:
+                val = row[added[-1]]
+            elif "content" in df.columns:
+                val = row["content"]
+            else:
+                val = row[0]
+            if isinstance(val, str):
+                # the dynamic-fallback envelope JSON-encodes scalar
+                # results ('"ABC"'); message content is the RAW
+                # string — unwrap exactly the quoted-string case
+                # (objects/numbers keep their JSON text form)
+                try:
+                    parsed = json.loads(val)
+                except ValueError:
+                    parsed = val
+                doc = parsed if isinstance(parsed, str) else val
+            else:
+                doc = json.dumps(val)
         return flush(doc)
 
     # ---- HTTP endpoint (same envelope as toolserver.py) -------------
@@ -244,9 +270,16 @@ def _eval_inline_tool(mappings: list[str], content: str) -> str:
         [{"mapping": src} for src in mappings], content)
 
 
-# conf keys the scalar http evaluator understands; anything else
-# (transport, retries, ...) needs the real processor → central
-_INLINE_HTTP_KEYS = {"url", "verb", "headers", "field", "timeout"}
+# conf keys the scalar http evaluator understands; anything else —
+# transport, retries, AND `field` (the processor reads/writes a named
+# column, which a scalar chain has no analog for; r14 ADVICE #1) —
+# needs the real processor → central
+_INLINE_HTTP_KEYS = {"url", "verb", "headers", "timeout"}
+
+# conf keys the scalar command/subprocess evaluator understands; a
+# spec carrying `field`/`out`/codec options must run through the real
+# processor (it writes a separate piped column — r14 ADVICE #1)
+_INLINE_CMD_KEYS = {"name", "args", "label"}
 
 
 def _inline_safe_spec(spec: Any) -> bool:
@@ -274,6 +307,7 @@ def _inline_safe_spec(spec: Any) -> bool:
     if kind in ("command", "subprocess"):
         return (isinstance(conf, dict)
                 and isinstance(conf.get("name"), str)
+                and set(conf) <= _INLINE_CMD_KEYS
                 and all(isinstance(a, str)
                         for a in conf.get("args", [])))
     return False
@@ -285,7 +319,6 @@ def _eval_inline_chain(specs: list, content: str) -> str:
     one-row DataFrame path computes).  Runs in the partition worker —
     a pure tool call never leaves the executor."""
     import subprocess
-    import urllib.request
 
     from connect_spark.bloblang.pyeval import eval_mapping_value
 
@@ -303,15 +336,29 @@ def _eval_inline_chain(specs: list, content: str) -> str:
         if kind == "mapping":
             doc = eval_mapping_value(conf, doc)
         elif kind == "http":
-            req = urllib.request.Request(
-                conf["url"],
-                data=as_str(doc).encode(),
-                headers=dict(conf.get("headers") or {}),
-                method=conf.get("verb", "POST"),
+            # the SAME default transport the pipeline http processor
+            # uses (r14 ADVICE #3): shared body/timeout/error
+            # semantics. A tool call RAISES on transport error (there
+            # is no row to error-flag) — documented divergence from
+            # the pipeline path, which flags and keeps the content.
+            from connect_spark.plans.processors_ext import (
+                _urllib_transport,
             )
-            with urllib.request.urlopen(
-                    req, timeout=conf.get("timeout", 10)) as resp:
-                doc = resp.read().decode()
+
+            timeout = conf.get("timeout", 10)
+            if isinstance(timeout, str):
+                from connect_spark.operators.batching import (
+                    parse_period,
+                )
+
+                timeout = parse_period(timeout)
+            doc = _urllib_transport(
+                conf["url"],
+                conf.get("verb", "POST"),
+                dict(conf.get("headers") or {}),
+                as_str(doc),
+                timeout=timeout,
+            )
         elif kind in ("command", "subprocess"):
             proc = subprocess.run(
                 [conf["name"], *conf.get("args", [])],
@@ -500,6 +547,17 @@ def _p_agent_runtime(df: DataFrame, conf: Any) -> DataFrame:
             1, df.sparkSession.sparkContext.defaultParallelism // 2)
         max_parts = int(conf.get("central_tools_max_partitions",
                                  default_max))
+        # APPROXIMATION (r14 ADVICE #4): this finalizes a pre-AQE
+        # physical plan, while the partition count mapInPandas sees
+        # at run time can differ after AQE coalescing/expansion — the
+        # gate can over-refuse (AQE coalesces below the cap) or
+        # under-protect (AQE expands above it). It is a config-time
+        # fail-fast heuristic, deliberately cheap and loud; the
+        # warning below fires regardless, and the true protection is
+        # that central calls time out rather than hang forever. The
+        # .rdd conversion itself is a plan-finalization side effect,
+        # accepted here because the gate only runs when central tools
+        # are configured.
         n_parts = df.rdd.getNumPartitions()
         if n_parts > max_parts:
             raise PipelineConfigError(

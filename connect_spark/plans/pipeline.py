@@ -87,6 +87,19 @@ def processor(name: str):
     return deco
 
 
+def _fallback_payload(df: DataFrame):
+    """The document handed to the dynamic evaluator as `this`: on a
+    raw-envelope frame (single `content` column) the MESSAGE CONTENT
+    itself — reference semantics, where `this` is the parsed message,
+    never a column wrapper (the r14 d6fd1df defect class; the inline
+    tool evaluator already behaves this way) — and the serialized row
+    struct on structured frames."""
+    doc_cols = [c for c in df.columns if not c.startswith("_")]
+    if doc_cols == ["content"]:
+        return F.col("content")
+    return F.to_json(F.struct(*df.columns))
+
+
 @processor("mapping")
 def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
     """mapping.adoc:26 — Bloblang map producing a new document.
@@ -127,9 +140,10 @@ def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
         )
         from connect_spark.bloblang.methods import METHODS
 
-        payload = F.to_json(F.struct(*df.columns))
         return df.select(
-            METHODS["bloblang"](payload, F.lit(conf)).alias("content")
+            METHODS["bloblang"](
+                _fallback_payload(df), F.lit(conf)
+            ).alias("content")
         )
 
 
@@ -164,9 +178,9 @@ def _p_mutation(df: DataFrame, conf: Any) -> DataFrame:
         )
         from connect_spark.bloblang.methods import METHODS
 
-        payload = F.to_json(F.struct(*df.columns))
         return df.select(
-            METHODS["bloblang"](payload, F.lit(dynamic_src))
+            METHODS["bloblang"](_fallback_payload(df),
+                                F.lit(dynamic_src))
             .alias("content")
         )
 

@@ -555,7 +555,14 @@ def get_http_transport(conf: dict):
     return t
 
 
-def _urllib_transport(url, verb, headers, body):
+def _urllib_transport(url, verb, headers, body, timeout=10):
+    """The default http transport — shared by the pipeline `http`
+    processor AND the agent-mode inline chain evaluator so both tiers
+    have identical body (empty → data=None), timeout, and transport-
+    error semantics (r14 ADVICE #3). Difference that remains BY
+    DESIGN: the pipeline processor catches transport errors and
+    error-FLAGS the row keeping the original content, while a direct
+    tool call RAISES to its caller (a tool has no row to flag)."""
     import urllib.request
 
     req = urllib.request.Request(
@@ -564,7 +571,7 @@ def _urllib_transport(url, verb, headers, body):
         headers=headers or {},
         method=verb,
     )
-    with urllib.request.urlopen(req, timeout=10) as resp:
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
         return resp.read().decode()
 
 
@@ -586,7 +593,19 @@ def _p_http(df: DataFrame, conf: Any) -> DataFrame:
     headers = dict(conf.get("headers", {}))
     transport_name = conf.get("transport")
     if transport_name is None:
-        transport = _urllib_transport
+        import functools
+
+        timeout = conf.get("timeout", 10)
+        if isinstance(timeout, str):
+            from connect_spark.operators.batching import parse_period
+
+            timeout = parse_period(timeout)
+        # the default transport honors conf timeout — same semantics
+        # as the inline tool evaluator (named transports keep the
+        # 4-arg contract and own their timeouts)
+        transport = functools.partial(
+            _urllib_transport, timeout=timeout
+        )
     elif transport_name in _HTTP_TRANSPORTS:
         transport = _HTTP_TRANSPORTS[transport_name]
     else:

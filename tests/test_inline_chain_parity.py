@@ -137,3 +137,80 @@ def test_structured_json_doc_parity():
     content = json.dumps({"a": 2, "b": 40})
     assert _eval_inline_chain(specs, content) == reg.invoke(
         "t", content) == "42"
+
+
+# --- forced-general-path parity (r14 ADVICE #2: the tests above
+# became tautological when http/command turned inline-safe — the
+# registry routed them through the same evaluator under test; these
+# force the one-row DataFrame processor path and cross-check it) ---
+
+
+def _force_general(monkeypatch):
+    import connect_spark.agent_mode as am
+
+    monkeypatch.setattr(am, "_inline_safe_spec", lambda s: False)
+
+
+def test_http_parity_general_path_forced(spark, monkeypatch):
+    """The real `http` processor on a one-row frame must produce the
+    same result as the inline urllib evaluation — shared transport
+    (processors_ext._urllib_transport) incl. timeout/body semantics."""
+    srv, port = _echo_server(lambda b: json.dumps(
+        {"echo": b, "n": len(b)}))
+    try:
+        specs = [{"http": {"url": f"http://127.0.0.1:{port}/t",
+                           "timeout": 5}}]
+        inline = _eval_inline_chain(specs, "payload-x")
+        _force_general(monkeypatch)
+        reg = AgentToolRegistry(spark)
+        reg._tools["t"] = {"processors": specs, "description": ""}
+        assert reg.invoke("t", "payload-x") == inline
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_command_parity_general_path_forced(spark, monkeypatch):
+    """The real subprocess processor writes a separate `piped` column;
+    the registry's general path must return THAT (the transformed
+    output), matching the inline evaluator — not the untouched input
+    column (the first-column read bug)."""
+    specs = [{"command": {"name": "tr", "args": ["a-z", "A-Z"]}}]
+    inline = _eval_inline_chain(specs, "hello world")
+    assert inline == "HELLO WORLD"
+    _force_general(monkeypatch)
+    reg = AgentToolRegistry(spark)
+    reg._tools["t"] = {"processors": specs, "description": ""}
+    assert reg.invoke("t", "hello world") == inline
+
+
+def test_mapping_parity_general_path_forced(spark, monkeypatch):
+    """Even a mapping, forced onto the one-row-frame path, must hand
+    `this` the MESSAGE content — not the {content: ...} row envelope
+    (the d6fd1df defect class, now pinned on the general path too)."""
+    specs = [{"mapping": "root = this.uppercase()"}]
+    inline = _eval_inline_chain(specs, "abc")
+    _force_general(monkeypatch)
+    reg = AgentToolRegistry(spark)
+    reg._tools["t"] = {"processors": specs, "description": ""}
+    assert reg.invoke("t", "abc") == inline == "ABC"
+
+
+def test_command_spec_with_field_not_inline_safe():
+    """A command spec carrying field/out config is NOT inline-safe
+    (the scalar evaluator would silently drop those options —
+    r14 ADVICE #1)."""
+    from connect_spark.agent_mode import _inline_safe_spec
+
+    assert _inline_safe_spec(
+        {"command": {"name": "tr", "args": ["a", "b"]}})
+    assert not _inline_safe_spec(
+        {"command": {"name": "tr", "args": ["a", "b"],
+                     "field": "doc"}})
+    assert not _inline_safe_spec(
+        {"command": {"name": "tr", "out": "piped"}})
+    # http `field` is likewise a column the scalar chain cannot honor
+    assert not _inline_safe_spec(
+        {"http": {"url": "http://x/", "field": "doc"}})
+    assert _inline_safe_spec(
+        {"http": {"url": "http://x/", "timeout": 5}})

@@ -439,7 +439,10 @@ def test_mq_bus_output_publishes_per_partition(spark, tmp_path):
 def test_mapping_dynamic_fallback(spark):
     """A whole-document `root = <expr>` mapping (not Column-
     compilable) falls back to the dynamic evaluator, emitting the
-    schemaless content envelope."""
+    schemaless content envelope. On a RAW content frame `this` is the
+    PARSED MESSAGE — reference semantics (bloblang/about.adoc: `this`
+    is the structured document), not a {content: ...} column wrapper
+    (r15: the d6fd1df envelope-defect class, fixed on this path)."""
     import json
 
     from connect_spark.plans import build_pipeline
@@ -448,13 +451,33 @@ def test_mapping_dynamic_fallback(spark):
         "input": {"generate": {"count": 2, "mapping":
             'root.content = "{\\"v\\": " + counter().string() + "}"'}},
         "pipeline": {"processors": [
-            {"mapping": "root = this.content.parse_json()"},
+            # `this` == the parsed message {"v": N}
+            {"mapping": "root = this.merge({})"},
         ]},
     }
     df = build_pipeline(spark, cfg).dataframe()
     assert df.columns == ["content"]
     vals = sorted(json.loads(r.content)["v"] for r in df.collect())
     assert vals == [0, 1]
+
+
+def test_mapping_dynamic_fallback_structured(spark):
+    """Structured frames serialize whole as `this` on the fallback."""
+    import json
+
+    from connect_spark.plans import build_pipeline
+
+    cfg = {
+        "input": {"generate": {"count": 2, "mapping":
+            "root.v = counter()"}},
+        "pipeline": {"processors": [
+            {"mapping": "root = this.v * 10"},
+        ]},
+    }
+    df = build_pipeline(spark, cfg).dataframe()
+    assert df.columns == ["content"]
+    vals = sorted(json.loads(r.content) for r in df.collect())
+    assert vals == [0, 10]
 
 
 def test_mapping_syntax_error_still_raises(spark):
