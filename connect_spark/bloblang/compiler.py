@@ -245,6 +245,59 @@ def _fn_with_schema_registry_header(schema_id: Any,
     return F.concat(F.lit(bytes([0])), header, msg.cast("binary"))
 
 
+def _fn_env(name: Any, no_cache: Any = False) -> Column:
+    """env(name) (functions.adoc:707): plan-time environment lookup
+    (the reference resolves once at config parse unless no_cache)."""
+    import os as _os
+
+    return F.lit(_os.environ.get(str(name)))
+
+
+def _fn_hostname() -> Column:
+    import socket as _socket
+
+    return F.lit(_socket.gethostname())
+
+
+def _fn_pi() -> Column:
+    import math as _math
+
+    return F.lit(_math.pi)
+
+
+_NANOID_ALPHABET = (
+    "useandom-26T198340PX75pxJACKVERYMINDBUSHWOLF_GQZbfghjklqvwyzrict"
+)
+
+
+def _fn_nanoid(length: Any = 21, alphabet: Any = None) -> Column:
+    """nanoid() (functions.adoc:196): 21 chars from the canonical
+    64-symbol alphabet. Column algebra: each char consumes one random
+    BYTE (two hex chars) mod 64 — 256 % 64 == 0, so the draw is
+    UNBIASED; entropy from md5 chains over per-row uuid()."""
+    n = int(length)
+    if alphabet is not None:
+        raise BloblangError(
+            "nanoid custom alphabets run on the dynamic path")
+    if not 1 <= n <= 64:
+        raise BloblangError(f"nanoid length must be 1-64, got {n}")
+    seed = F.expr("uuid()")
+    # 2 hex chars per output char → need ceil(2n/32) md5 blocks
+    blocks = [F.md5(F.concat(seed, F.lit(str(i))))
+              for i in range((2 * n + 31) // 32)]
+    hexs = F.concat(*blocks)
+    alpha = F.split(F.lit(_NANOID_ALPHABET), "")
+    chars = [
+        F.element_at(
+            alpha,
+            (F.conv(F.substring(hexs, 2 * i + 1, 2), 16, 10)
+             .cast("int") % 64) + 1,
+        )
+        for i in range(n)
+    ]
+    return F.concat(*chars)
+
+
 def _fn_bytes(length: Any) -> Column:
     """bytes(length) (functions.adoc:33): zero-initialized byte array
     of the given size."""
@@ -322,6 +375,10 @@ FUNCTIONS = {
     "uuid_v4": _fn_uuid_v4,
     "uuid_v7": _fn_uuid_v7,
     "bytes": _fn_bytes,
+    "env": _fn_env,
+    "hostname": _fn_hostname,
+    "pi": _fn_pi,
+    "nanoid": _fn_nanoid,
     "counter": _fn_counter,
     "random_int": _fn_random_int,
     "timestamp_unix": _fn_timestamp_unix,
@@ -374,6 +431,13 @@ class Compiler:
         self.used_batch: bool = False
 
     def _order(self) -> Column:
+        """Within-batch order for batch_index()/from_all(). An
+        explicit `_arrival_order`/`_gen_index` column gives the exact
+        arrival order (deterministic across runs); without one,
+        monotonically_increasing_id() yields SOME stable total order
+        for the run — fine for order-insensitive reduces (the
+        sum/unique shapes of the reference's worked examples) but an
+        order-sensitive mapping should stamp an arrival column."""
         return (
             self.order_col
             if self.order_col is not None
