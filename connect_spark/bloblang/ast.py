@@ -163,3 +163,7 @@ class MapDef(Node):
 @dataclass(frozen=True)
 class Mapping(Node):
     statements: tuple[Node, ...]
+    # 1-based source line of each statement (parallel to `statements`;
+    # empty when unknown) — the dynamic evaluator's error messages
+    # mirror the reference's "failed assignment (line N): ..." format
+    lines: tuple[int, ...] = ()

@@ -34,6 +34,7 @@ from connect_spark.bloblang.lexer import BloblangSyntaxError, Token, tokenize
 
 class Parser:
     def __init__(self, src: str):
+        self.src = src
         self.toks = tokenize(src)
         self.i = 0
 
@@ -70,9 +71,12 @@ class Parser:
 
     def parse_mapping(self) -> A.Mapping:
         stmts: list[A.Node] = []
+        lines: list[int] = []
         while self.peek().kind != "eof":
+            pos = self.peek().pos
+            lines.append(self.src[:pos].count("\n") + 1)
             stmts.append(self.parse_statement())
-        return A.Mapping(tuple(stmts))
+        return A.Mapping(tuple(stmts), tuple(lines))
 
     def parse_statement(self) -> A.Node:
         tok = self.peek()
@@ -111,9 +115,27 @@ class Parser:
             return A.Let(name, self.parse_expr())
         if tok.kind == "ident" and tok.value == "meta":
             self.next()
-            key = self.expect("ident").value
+            key_tok = self.peek()
+            if key_tok.kind == "string":
+                # quoted metadata keys (about.adoc: meta "content-type" =)
+                self.next()
+                key = key_tok.value[1:-1]
+            else:
+                key = self.expect("ident").value
             self.expect("op", "=")
             return A.MetaAssign(key, self.parse_expr())
+        if tok.kind == "ident":
+            # naked-path assignment (about.adoc:19-52): `foo.bar = ...`
+            # is shorthand for `root.foo.bar = ...` — the form the
+            # reference's own test corpus uses throughout
+            # (config/test/bloblang/env.yaml, windowed.yaml)
+            save = self.i
+            path = [self.next().value]
+            while self.eat_op("."):
+                path.append(self.expect("ident").value)
+            if self.eat_op("="):
+                return A.Assign(tuple(path), self.parse_expr())
+            self.i = save
         raise BloblangSyntaxError(
             f"expected statement (root/let/meta), got {tok.value!r} at {tok.pos}"
         )
@@ -235,6 +257,12 @@ class Parser:
                         alts.append(self._parse_rel_path(node))
                     self.expect("op", ")")
                     node = A.Coalesce(tuple(alts))
+                    continue
+                if self.peek().kind == "number":
+                    # numeric path segment (`this.0` — array element by
+                    # position, bloblang/about.adoc paths; the
+                    # reference's csv_formatter.blobl uses it)
+                    node = A.Index(node, A.Lit(int(self.next().value)))
                     continue
                 name = self.expect("ident").value
                 if self.at_op("("):

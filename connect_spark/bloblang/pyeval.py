@@ -1,14 +1,19 @@
-"""Driver-side Bloblang VALUE evaluator.
+"""Dynamic Bloblang VALUE evaluator (the message-model path).
 
 The compiler (compiler.py) turns mappings into Spark Columns for
-per-row execution; config *templates* instead evaluate a mapping once
-over a plain Python object (the template's field values —
-docs/modules/configuration/pages/templating.adoc). This walks the same
-parser AST over Python values, covering the template-authoring
-subset: paths, literals, arithmetic/compare/boolean, if/match,
-coalesce, let-vars, lambdas, and the collection/string methods
-templates actually use (map_each, filter, length, join, split, keys,
-values, uppercase, lowercase, string, number, contains, or_else).
+per-row execution; this module walks the same parser AST over plain
+Python values. Three consumers:
+
+- config *templates* evaluate a mapping once over the template's
+  field values (templating.adoc) — :func:`eval_mapping_value`;
+- the `bloblang` dynamic method (methods.adoc:3321) evaluates a
+  per-message mapping source inside an Arrow-batched UDF;
+- the mapping/mutation dynamic fallback evaluates whole message
+  BATCHES through :func:`eval_batch` (applyInPandas per batch group,
+  plans/pipeline.py) with the reference's full message model:
+  metadata, batch functions (batch_index/batch_size/from_all/from),
+  deleted()/nothing semantics, and "failed assignment (line N)"
+  error flags (config unit-test semantics, unit_testing.adoc).
 """
 
 from __future__ import annotations
@@ -22,6 +27,94 @@ from connect_spark.bloblang.parser import parse_mapping
 
 class BloblangValueError(ValueError):
     pass
+
+
+class _Sentinel:
+    __slots__ = ("_name",)
+
+    def __init__(self, name: str):
+        self._name = name
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return self._name
+
+    def __bool__(self) -> bool:
+        return False
+
+
+# `deleted()` — removes the key/element/message it is assigned to
+# (bloblang/about.adoc:70-78)
+DELETED = _Sentinel("<deleted>")
+# an if-without-else whose condition is false, or a match with no
+# matching case: the assignment/key/element simply does not happen
+# (the reference's "nothing" value)
+NOTHING = _Sentinel("<nothing>")
+
+
+def _v(x: Any) -> Any:
+    """Collapse sentinels to null in plain value positions (operands,
+    method targets, function args) — only literals, map_each results,
+    and assignments observe them."""
+    return None if isinstance(x, _Sentinel) else x
+
+
+def _bl_str(v: Any) -> str:
+    """Bloblang string coercion (methods.adoc string()): booleans are
+    `true`/`false`, null is `null`, numbers print without a trailing
+    .0, structures serialize as compact JSON."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "null"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    if isinstance(v, (dict, list)):
+        return render_json(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def render_json(v: Any) -> str:
+    """Serialize a document the way the reference's Go engine does:
+    compact, object keys sorted, integral floats without `.0`."""
+    def norm(x):
+        if isinstance(x, float) and x.is_integer():
+            return int(x)
+        if isinstance(x, dict):
+            return {str(k): norm(val) for k, val in x.items()}
+        if isinstance(x, list):
+            return [norm(i) for i in x]
+        if isinstance(x, bytes):
+            return x.decode("utf-8", "replace")
+        return x
+
+    return json.dumps(
+        norm(v), sort_keys=True, separators=(",", ":"),
+        ensure_ascii=False, default=str,
+    )
+
+
+def render_content(root: Any) -> Any:
+    """A message's serialized payload: strings/bytes are the raw
+    payload itself, structures serialize as canonical JSON (the
+    reference's message.SetStructured behavior)."""
+    if isinstance(root, (str, bytes)):
+        return root
+    return render_json(root)
+
+
+def parse_content(content: Any) -> Any:
+    """Lazy structured view of a message payload: valid JSON parses to
+    `this`; anything else leaves `this` null (a `this.or(content())`
+    then falls through to the raw payload, the reference's pattern —
+    config/test/bloblang/walk_json.yaml)."""
+    if content is None or isinstance(content, (dict, list)):
+        return content
+    try:
+        return json.loads(content)
+    except Exception:  # noqa: BLE001 — non-JSON payload
+        return None
 
 
 import functools
@@ -45,7 +138,8 @@ SUPPORTED_METHODS = frozenset(
     assign append concat flatten unique sort reverse enumerated zip
     get exists type not_null not_empty bool array abs floor ceil round
     max min capitalize trim_prefix trim_suffix index_of repeat quote
-    unquote re_match re_replace_all re_find_all catch""".split()
+    unquote re_match re_replace_all re_find_all catch or from from_all
+    fold sort_by key_values unescape_html escape_html format""".split()
 )
 
 
@@ -74,9 +168,8 @@ def unsupported_methods(src: str) -> set[str]:
                 walk(item)
 
     for st in mapping.statements:
-        if not isinstance(st, (A.Assign, A.Let, A.MapDef)):
-            # e.g. MetaAssign — the value evaluator has no metadata
-            # model, so fallback must not claim to run it
+        if not isinstance(st, (A.Assign, A.Let, A.MapDef, A.MetaAssign)):
+            # a statement form the evaluator has no model for
             out.add(f"<{type(st).__name__} statement>")
         walk(st)
     return out
@@ -87,51 +180,249 @@ def eval_mapping_value(src: str, this: Any) -> Any:
     return eval_parsed_value(compile_cached(src), this)
 
 
-def eval_parsed_value(mapping, this: Any) -> Any:
-    root: Any = None
-    scope: dict[str, Any] = {}
-    # named maps are hoisted; .apply resolves them through the scope
+class _StatementError(BloblangValueError):
+    """A statement's evaluation failed — carries the 1-based source
+    line so callers can build the reference's error string
+    (`failed assignment (line N): <cause>`)."""
+
+    def __init__(self, line: int, cause: Exception):
+        super().__init__(str(cause))
+        self.line = line
+        self.cause = cause
+
+
+def _run_statements(
+    mapping, this: Any, scope: dict[str, Any], root: Any
+) -> tuple[Any, bool]:
+    """Run a mapping's statements over one message context. Returns
+    (root, deleted): `root` is NOTHING when no root assignment
+    happened (the message payload is then unchanged — identity),
+    `deleted` True when the whole message was assigned deleted().
+    Metadata assignments write scope['__meta__'] when the caller
+    provides one (the batch path); otherwise they evaluate and drop
+    (the `bloblang` method returns a value, not a message)."""
     maps = {
         st.name: st
         for st in mapping.statements
         if isinstance(st, A.MapDef)
     }
     if maps:
-        scope["__maps__"] = maps
-    for st in mapping.statements:
+        scope.setdefault("__maps__", maps)
+    lines = mapping.lines or (1,) * len(mapping.statements)
+    for st, line in zip(mapping.statements, lines):
         if isinstance(st, A.MapDef):
             continue
-        if isinstance(st, A.Let):
-            scope[st.name] = _ev(st.expr, this, scope, root)
-        elif isinstance(st, A.Assign):
+        try:
+            if isinstance(st, A.Let):
+                scope[st.name] = _v(_ev(st.expr, this, scope, root))
+                continue
+            if isinstance(st, A.MetaAssign):
+                value = _ev(st.expr, this, scope, root)
+                meta = scope.get("__meta__")
+                if isinstance(meta, dict):
+                    if value is DELETED:
+                        meta.pop(st.key, None)
+                    elif value is not NOTHING:
+                        meta[st.key] = value
+                continue
+            if not isinstance(st, A.Assign):
+                raise BloblangValueError(
+                    f"unsupported statement {type(st).__name__}"
+                )
             value = _ev(st.expr, this, scope, root)
+            if value is NOTHING:
+                continue
             if not st.path:
+                if value is DELETED:
+                    return root, True
                 root = value
-            else:
-                if root is None:
-                    root = {}
-                cur = root
+                continue
+            if root is NOTHING and "__root_init__" in scope:
+                # mutation mode: the first document write materializes
+                # root as a deep copy of the parsed input
+                # (mutation.adoc:26); a mutation that never assigns
+                # keeps the raw payload byte-identical
+                root = scope["__root_init__"]()
+            if value is DELETED:
+                cur = root if root is not NOTHING else None
                 for part in st.path[:-1]:
-                    cur = cur.setdefault(part, {})
-                cur[st.path[-1]] = value
-        else:
-            raise BloblangValueError(
-                f"template mappings support root/let statements, got {st}"
-            )
+                    if not isinstance(cur, dict):
+                        cur = None
+                        break
+                    cur = cur.get(part)
+                if isinstance(cur, dict):
+                    cur.pop(st.path[-1], None)
+                continue
+            if root is NOTHING or root is None:
+                root = {}
+            if not isinstance(root, dict):
+                raise BloblangValueError(
+                    f"expected object value, got {type(root).__name__}"
+                )
+            cur = root
+            for part in st.path[:-1]:
+                nxt = cur.get(part)
+                if not isinstance(nxt, dict):
+                    nxt = {}
+                    cur[part] = nxt
+                cur = nxt
+            cur[st.path[-1]] = value
+        except _StatementError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — statement provenance
+            raise _StatementError(line, exc) from exc
+    return root, False
+
+
+def eval_parsed_value(mapping, this: Any) -> Any:
+    """Template/`bloblang`-method entry: evaluate over one value with
+    no message context; an unassigned root yields None (historic
+    contract for templates)."""
+    scope: dict[str, Any] = {}
+    root, deleted = _run_statements(mapping, this, scope, NOTHING)
+    if deleted or root is NOTHING:
+        return None
     return root
+
+
+class Message:
+    """One message of a batch on the dynamic path: raw payload,
+    metadata mapping, and the error flag/provenance mirroring the
+    engine's _error/_error_source columns."""
+
+    __slots__ = ("content", "meta", "error", "error_source")
+
+    def __init__(
+        self,
+        content: Any,
+        meta: dict[str, Any] | None = None,
+        error: str | None = None,
+        error_source: tuple | None = None,
+    ):
+        self.content = content
+        self.meta = dict(meta or {})
+        self.error = error
+        self.error_source = error_source
+
+
+def eval_batch(
+    src: str,
+    msgs: list[Message],
+    mode: str = "mapping",
+    env: dict[str, str] | None = None,
+    mapping_dir: str | None = None,
+    source: tuple | None = None,
+) -> list[Message]:
+    """Evaluate a mapping over an ordered message batch with the
+    reference's full message model (unit_testing.adoc semantics):
+
+    - batch_index()/batch_size()/from_all()/from(n) see the whole
+      batch in arrival order;
+    - `meta k = v` writes the output message's metadata; meta()/
+      root_meta() read it;
+    - a failed statement leaves the payload unchanged and flags the
+      message `failed assignment (line N): <cause>` (first flag wins,
+      matching flag_error); processors keep running over flagged
+      messages — try/catch routing is the caller's concern;
+    - root = deleted() drops the message from the returned batch.
+
+    mode='mutation' starts root as a deep copy of the parsed document
+    (mutation.adoc:26); mode='mapping' starts it unassigned, and a
+    mapping that never assigns root passes the payload through
+    unchanged (metadata-only mappings, e.g. the reference's
+    config/test/deduplicate_by_batch.yaml)."""
+    import copy
+
+    mapping = compile_cached(src)
+    parsed = [parse_content(m.content) for m in msgs]
+    batch_ctx = [
+        {"this": parsed[j], "meta": msgs[j].meta,
+         "content": msgs[j].content}
+        for j in range(len(msgs))
+    ]
+    out: list[Message] = []
+    for i, m in enumerate(msgs):
+        new_meta = dict(m.meta)
+        scope: dict[str, Any] = {
+            "__batch__": batch_ctx,
+            "__batch_index__": i,
+            "__batch_size__": len(msgs),
+            "__meta__": new_meta,
+            "__content__": m.content,
+            "__error__": m.error,
+            "__error_source__": m.error_source,
+            "__env__": env or {},
+        }
+        if mapping_dir:
+            scope["__mapping_dir__"] = mapping_dir
+        # each message mutates its own copy — `root = this` aliases,
+        # and a later path write must not corrupt the pristine docs
+        # that other messages' from_all()/from(n) read via batch_ctx
+        this = copy.deepcopy(parsed[i])
+        if mode == "mutation":
+            doc = this
+            scope["__root_init__"] = (
+                lambda d=doc: copy.deepcopy(d) if d is not None else {}
+            )
+        try:
+            root, deleted = _run_statements(mapping, this, scope, NOTHING)
+        except _StatementError as exc:
+            err = f"failed assignment (line {exc.line}): {exc}"
+            out.append(Message(
+                m.content, new_meta,
+                error=m.error or err,
+                error_source=m.error_source or source,
+            ))
+            continue
+        if deleted:
+            continue
+        content = (
+            m.content if root is NOTHING else render_content(root)
+        )
+        out.append(Message(content, new_meta, m.error, m.error_source))
+    return out
 
 
 def _truthy(v: Any) -> bool:
     return bool(v)
 
 
+def _require_bool(v: Any, op: str) -> bool:
+    """Boolean operators are STRICT in Bloblang — a non-boolean
+    operand is an error, not a truthiness coercion (the reference's
+    config/test/bloblang/boolean_operands.yaml pins `(first &&
+    second).catch("failed")` erroring on null operands while
+    short-circuiting before touching the right side)."""
+    if isinstance(v, bool):
+        return v
+    raise BloblangValueError(
+        f"expected bool value, got {_type_name(v)} from {op} operand"
+    )
+
+
+def _type_name(v: Any) -> str:
+    return {
+        type(None): "null", bool: "bool", int: "number",
+        float: "number", str: "string", list: "array",
+        dict: "object", bytes: "bytes",
+    }.get(type(v), type(v).__name__)
+
+
 def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
     if isinstance(node, A.Lit):
         return node.value
+    if isinstance(node, A.Deleted):
+        return DELETED
     if isinstance(node, A.ArrayLit):
-        return [_ev(i, this, scope, root) for i in node.items]
+        out = [_ev(i, this, scope, root) for i in node.items]
+        # deleted()/nothing elements vanish (about.adoc:70-78; the
+        # reference's literals.yaml test pins both)
+        return [x for x in out if not isinstance(x, _Sentinel)]
     if isinstance(node, A.ObjectLit):
-        return {k: _ev(v, this, scope, root) for k, v in node.pairs}
+        out = {k: _ev(v, this, scope, root) for k, v in node.pairs}
+        return {
+            k: v for k, v in out.items() if not isinstance(v, _Sentinel)
+        }
     if isinstance(node, A.This):
         return this
     if isinstance(node, A.Field):
@@ -139,14 +430,14 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
         # shadow document fields via the scope (compiler.py:137)
         if isinstance(node.target, A.This) and node.name in scope:
             return scope[node.name]
-        base = _ev(node.target, this, scope, root)
+        base = _v(_ev(node.target, this, scope, root))
         if isinstance(base, dict):
             return base.get(node.name)
         if base is None:
             return None
         raise BloblangValueError(f"cannot access .{node.name} of {base!r}")
     if isinstance(node, A.Index):
-        base = _ev(node.target, this, scope, root)
+        base = _v(_ev(node.target, this, scope, root))
         idx = _ev(node.index, this, scope, root)
         try:
             return base[idx]
@@ -158,24 +449,28 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
         return scope[node.name]
     if isinstance(node, A.Coalesce):
         for alt in node.alternatives:
-            v = _ev(alt, this, scope, root)
+            v = _v(_ev(alt, this, scope, root))
             if v is not None:
                 return v
         return None
     if isinstance(node, A.Unary):
-        v = _ev(node.operand, this, scope, root)
+        v = _v(_ev(node.operand, this, scope, root))
         return (not _truthy(v)) if node.op == "!" else -v
     if isinstance(node, A.Binary):
-        left = _ev(node.left, this, scope, root)
+        left = _v(_ev(node.left, this, scope, root))
         if node.op == "&&":
-            return _truthy(left) and _truthy(
-                _ev(node.right, this, scope, root)
+            if not _require_bool(left, "&&"):
+                return False
+            return _require_bool(
+                _v(_ev(node.right, this, scope, root)), "&&"
             )
         if node.op == "||":
-            return _truthy(left) or _truthy(
-                _ev(node.right, this, scope, root)
+            if _require_bool(left, "||"):
+                return True
+            return _require_bool(
+                _v(_ev(node.right, this, scope, root)), "||"
             )
-        right = _ev(node.right, this, scope, root)
+        right = _v(_ev(node.right, this, scope, root))
         if node.op == "+":
             if isinstance(left, str) or isinstance(right, str):
                 return str(left) + str(right)
@@ -204,31 +499,40 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
             return left >= right
         raise BloblangValueError(f"unknown operator {node.op}")
     if isinstance(node, A.If):
-        if _truthy(_ev(node.cond, this, scope, root)):
+        if _truthy(_v(_ev(node.cond, this, scope, root))):
             return _ev(node.then, this, scope, root)
+        # an if without an else whose condition is false yields
+        # NOTHING — the assignment/key/element does not happen
+        # (the reference's literals.yaml pins the key dropping out)
         return (
             _ev(node.otherwise, this, scope, root)
             if node.otherwise is not None
-            else None
+            else NOTHING
         )
     if isinstance(node, A.Match):
-        subject = (
-            _ev(node.subject, this, scope, root)
-            if node.subject is not None
-            else None
-        )
+        # match WITH a subject rebinds `this` to the subject inside
+        # both patterns and results (about.adoc match; the reference's
+        # csv.yaml uses `match value.trim() { this.length() == 0 =>
+        # ... }`); boolean patterns are predicates, other values are
+        # equality checks against the subject
+        if node.subject is not None:
+            subject = _v(_ev(node.subject, this, scope, root))
+            ctx = subject
+        else:
+            subject = None
+            ctx = this
         for case in node.cases:
             if case.pattern is None:
-                return _ev(case.result, this, scope, root)
-            pat = _ev(case.pattern, this, scope, root)
+                return _ev(case.result, ctx, scope, root)
+            pat = _ev(case.pattern, ctx, scope, root)
             hit = (
                 subject == pat
                 if node.subject is not None and not isinstance(pat, bool)
-                else _truthy(pat)
+                else _truthy(_v(pat))
             )
             if hit:
-                return _ev(case.result, this, scope, root)
-        return None
+                return _ev(case.result, ctx, scope, root)
+        return NOTHING
     if isinstance(node, A.Method):
         if node.name == "catch":
             # catch wraps the TARGET's evaluation (about.adoc error
@@ -244,7 +548,47 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
                         fallback, str(exc), this, scope, root
                     )
                 return _ev(fallback, this, scope, root)
-        target = _ev(node.target, this, scope, root)
+        if node.name == "or":
+            # or() recovers BOTH null and failed targets
+            # (methods.adoc or): `this.or(content())` on a non-JSON
+            # payload falls through to the argument
+            try:
+                v = _v(_ev(node.target, this, scope, root))
+            except Exception:  # noqa: BLE001 — or() recovery
+                v = None
+            if v is not None:
+                return v
+            return _ev(node.args[0], this, scope, root)
+        if node.name in ("from", "from_all"):
+            # batch-context methods (methods.adoc message info): the
+            # TARGET expression re-evaluates against other messages
+            # of the batch, with that message's doc/meta in context
+            batch = scope.get("__batch__")
+            if batch is None:
+                # no batch context: a single-message batch
+                batch = [{
+                    "this": this,
+                    "meta": scope.get("__meta__", {}),
+                    "content": scope.get("__content__"),
+                }]
+
+            def eval_at(j: int) -> Any:
+                ctx = batch[j]
+                s = dict(scope)
+                s["__meta__"] = ctx["meta"]
+                s["__content__"] = ctx["content"]
+                s["__batch_index__"] = j
+                return _v(_ev(node.target, ctx["this"], s, root))
+
+            if node.name == "from":
+                j = int(_v(_ev(node.args[0], this, scope, root)))
+                if not 0 <= j < len(batch):
+                    raise BloblangValueError(
+                        f"from({j}): batch has {len(batch)} messages"
+                    )
+                return eval_at(j)
+            return [eval_at(j) for j in range(len(batch))]
+        target = _v(_ev(node.target, this, scope, root))
         return _method(node, target, this, scope, root)
     if isinstance(node, A.Func):
         return _func(node, this, scope, root)
@@ -257,7 +601,7 @@ SUPPORTED_FUNCTIONS = frozenset(
     uuid_v7 nanoid ksuid ulid snowflake_id with_schema_registry_header
     counter count random_int bytes error errored error_source_label
     error_source_name error_source_path batch_index batch_size
-    root_meta file file_rel throw""".split()
+    root_meta file file_rel throw meta metadata deleted""".split()
 )
 
 _COUNTERS: dict[str, int] = {}
@@ -285,12 +629,15 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
             cur = cur[part]
         return cur
     if name == "content":
-        # functions.adoc:480 — the FULL raw message payload. A dict
+        # functions.adoc:480 — the FULL raw message payload. The batch
+        # path provides it verbatim via the scope; otherwise a dict
         # whose only keys are the raw `content` envelope (± _meta) IS
         # a raw-frame row, so the payload is its content value; any
         # other structured document serializes whole (the r14 verdict
         # "What's wrong" #1 fix — `this.get("content")` returned null
         # on structured frames).
+        if "__content__" in scope:
+            return scope["__content__"]
         if isinstance(this, (str, bytes)) or this is None:
             return this
         if isinstance(this, dict) and "content" in this and (
@@ -298,6 +645,16 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
         ):
             return this["content"]
         return json.dumps(this, separators=(",", ":"), default=str)
+    if name in ("meta", "metadata"):
+        # functions.adoc metadata — reads the message's CURRENT
+        # metadata (assignments made earlier in the mapping included,
+        # matching the reference's in-place metadata mutation)
+        meta = scope.get("__meta__")
+        if not isinstance(meta, dict):
+            return None if args else {}
+        if not args:
+            return dict(meta)
+        return meta.get(str(args[0]))
     if name == "range":
         if kwargs:
             lo = int(kwargs.get("start", args[0] if args else 0))
@@ -329,6 +686,9 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
     if name == "env":
         import os as _os
 
+        overlay = scope.get("__env__")
+        if isinstance(overlay, dict) and str(args[0]) in overlay:
+            return overlay[str(args[0])]
         return _os.environ.get(str(args[0]))
     if name == "pi":
         import math
@@ -461,9 +821,14 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
         return int(scope.get("__batch_size__", 1))
     if name in ("error_source_label", "error_source_name",
                 "error_source_path"):
-        # the value evaluator has no error-flag model (error() is
-        # null / errored() false here too) — null per functions.adoc
-        return None
+        # (label, name, path) provenance tuple from the batch path's
+        # scope; null outside it per functions.adoc
+        src = scope.get("__error_source__")
+        if not src:
+            return None
+        idx = ("error_source_label", "error_source_name",
+               "error_source_path").index(name)
+        return src[idx]
     if name == "root_meta":
         meta = scope.get("__meta__")
         if not isinstance(meta, dict):
@@ -492,9 +857,9 @@ def _func(node: A.Func, this: Any, scope: dict, root: Any) -> Any:
 
         return secrets.randbits(63)
     if name == "error":
-        return None
+        return scope.get("__error__")
     if name == "errored":
-        return False
+        return scope.get("__error__") is not None
     if name == "throw":
         raise BloblangValueError(str(args[0]) if args else "throw()")
     raise BloblangValueError(
@@ -559,46 +924,163 @@ def _apply_named_map(map_name: str, target: Any, scope: dict) -> Any:
     return out
 
 
+def _node_path(node: A.Node) -> str:
+    """Best-effort rendering of a path expression for error messages
+    (`this.0`, `this.foo.bar`) — the reference names the source field
+    in its null-value errors."""
+    if isinstance(node, A.This):
+        return "this"
+    if isinstance(node, A.Field):
+        return f"{_node_path(node.target)}.{node.name}"
+    if isinstance(node, A.Index) and isinstance(node.index, A.Lit):
+        return f"{_node_path(node.target)}.{node.index.value}"
+    return "<expression>"
+
+
+def _iter_arg(argnode: A.Node, item: Any, this, scope, root) -> Any:
+    """Evaluate an iteration-method argument for one element: lambdas
+    bind their parameter, bare expressions rebind `this` to the
+    element (both forms appear in the reference's test corpus —
+    `filter(fan -> ...)` and `map_each(this.trim().number(0))`)."""
+    if isinstance(argnode, A.Lambda):
+        return _call_lambda(argnode, item, this, scope, root)
+    return _ev(argnode, item, scope, root)
+
+
+# methods whose arguments must NOT be pre-evaluated: they re-evaluate
+# per element / accumulator context
+_LAZY_METHODS = frozenset("map_each filter sort_by fold".split())
+
+
 def _method(node: A.Method, target: Any, this, scope, root) -> Any:
     name = node.name
-    args = [
-        a if isinstance(a, A.Lambda) else _ev(a, this, scope, root)
-        for a in node.args
-    ]
+    if name in _LAZY_METHODS:
+        args = list(node.args)
+    else:
+        args = [
+            a if isinstance(a, A.Lambda)
+            else _v(_ev(a, this, scope, root))
+            for a in node.args
+        ]
     if name == "apply":
         return _apply_named_map(args[0], target, scope)
     if name == "map_each":
-        return [
-            _call_lambda(args[0], item, this, scope, root) for item in target
-        ]
+        if isinstance(target, dict):
+            # object map_each (methods.adoc): the context is a
+            # {key, value} pair; the result replaces the VALUE, and
+            # deleted() removes the key (walk_json.yaml pattern)
+            out = {}
+            for k, v in target.items():
+                r = _iter_arg(
+                    args[0], {"key": k, "value": v}, this, scope, root
+                )
+                if not isinstance(r, _Sentinel):
+                    out[k] = r
+            return out
+        if target is None:
+            raise BloblangValueError(
+                "expected array value, got null from field "
+                f"`{_node_path(node.target)}`"
+            )
+        out_list = []
+        for item in target:
+            r = _iter_arg(args[0], item, this, scope, root)
+            if not isinstance(r, _Sentinel):
+                out_list.append(r)
+        return out_list
     if name == "filter":
         return [
             item
-            for item in target
-            if _truthy(_call_lambda(args[0], item, this, scope, root))
+            for item in target or []
+            if _truthy(_v(_iter_arg(args[0], item, this, scope, root)))
         ]
+    if name == "sort_by":
+        return sorted(
+            target or [],
+            key=lambda item: _iter_arg(args[0], item, this, scope, root),
+        )
+    if name == "fold":
+        # fold(init, query) (methods.adoc): the query sees
+        # {tally, value}; bare `tally`/`value` refs resolve through
+        # the rebound `this` (windowed.yaml's max fold)
+        acc = _v(_ev(args[0], this, scope, root))
+        for item in target or []:
+            acc = _v(_iter_arg(
+                args[1], {"tally": acc, "value": item}, this, scope, root
+            ))
+        return acc
     if name == "length":
         return len(target)
     if name == "join":
         sep = args[0] if args else ""
-        return sep.join(str(x) for x in target)
+        return sep.join(_bl_str(x) for x in target)
     if name == "split":
         return str(target).split(args[0])
-    if name == "keys":
-        return sorted(target.keys())
-    if name == "values":
-        return [target[k] for k in sorted(target.keys())]
+    if name in ("keys", "values", "key_values"):
+        if not isinstance(target, dict):
+            raise BloblangValueError(
+                f"expected object value, got {_type_name(target)} "
+                f"from field `{_node_path(node.target)}`"
+            )
+        if name == "keys":
+            return sorted(target.keys())
+        if name == "values":
+            return [target[k] for k in sorted(target.keys())]
+        return [
+            {"key": k, "value": v} for k, v in target.items()
+        ]
     if name == "uppercase":
         return str(target).upper()
     if name == "lowercase":
         return str(target).lower()
     if name == "trim":
-        return str(target).strip()
+        # with an argument the arg is the CUTSET (methods.adoc trim;
+        # `tag_name.trim("v")` in the reference's github_releases)
+        return str(target).strip(args[0]) if args else str(target).strip()
     if name == "string":
-        return str(target)
+        return _bl_str(target)
     if name == "number":
-        f = float(target)
+        try:
+            f = float(target)
+        except (TypeError, ValueError):
+            if args:
+                return args[0]
+            raise BloblangValueError(
+                f"expected number value, got {_type_name(target)}"
+            ) from None
         return int(f) if f.is_integer() else f
+    if name == "unescape_html":
+        import html as _html
+
+        return _html.unescape(
+            target.decode("utf-8", "replace")
+            if isinstance(target, bytes) else str(target)
+        )
+    if name == "escape_html":
+        import html as _html
+
+        return _html.escape(str(target))
+    if name == "format":
+        # Go fmt verbs on a string target (methods.adoc format):
+        # the corpus uses %v; map the common scalar verbs
+        import re as _re
+
+        vals = list(args)
+
+        def sub(m):
+            if m.group(0) == "%%":
+                return "%"
+            v = vals.pop(0) if vals else ""
+            verb = m.group(1)
+            if verb in ("v", "s"):
+                return _bl_str(v)
+            if verb == "d":
+                return str(int(v))
+            if verb == "f":
+                return f"{float(v):f}"
+            return _bl_str(v)
+
+        return _re.sub(r"%%|%([vsdf])", sub, str(target))
     if name == "contains":
         return args[0] in target
     if name == "or_else":
@@ -767,7 +1249,18 @@ def _method(node: A.Method, target: Any, this, scope, root) -> Any:
     if name == "re_replace_all":
         import re as _re
 
-        return _re.sub(args[0], args[1], str(target))
+        # the reference's replacement strings use RE2 $N / ${N}
+        # backrefs (github_releases.blobl's "$2$4"); translate to
+        # Python \N ("$$" is a literal dollar)
+        repl = _re.sub(
+            r"\$\$|\$(\d+)|\$\{(\d+)\}",
+            lambda m: (
+                "$" if m.group(0) == "$$"
+                else "\\" + (m.group(1) or m.group(2))
+            ),
+            args[1],
+        )
+        return _re.sub(args[0], repl, str(target))
     if name == "re_find_all":
         import re as _re
 
