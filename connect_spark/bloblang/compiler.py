@@ -509,7 +509,9 @@ class Compiler:
         payload — the `content` column on raw-envelope frames, the
         serialized document on structured frames."""
         if self.raw_content:
-            return F.col("content")
+            out = F.col("content")
+            out._bl_stringish = True
+            return out
         if self.doc_cols:
             out = F.to_json(F.struct(*[F.col(c) for c in self.doc_cols]))
             out._bl_stringish = True
@@ -630,6 +632,14 @@ class Compiler:
                     return scope[node.name]
                 if "__this__" in scope:
                     return scope["__this__"].getField(node.name)
+                if self.raw_content and node.name != "content":
+                    # a raw `content` envelope has no static schema
+                    # for this.<field> — the dynamic evaluator parses
+                    # the payload per message (mapping fallback)
+                    raise BloblangError(
+                        f"this.{node.name} on a raw content frame is "
+                        "dynamic (no static schema)"
+                    )
                 return F.col(node.name)
             target = self.col(node.target, scope)
             return target.getField(node.name)
@@ -666,7 +676,11 @@ class Compiler:
                 key = self.eval(node.args[0], scope) if node.args else None
                 if not isinstance(key, str):
                     raise BloblangError("meta() needs a literal key")
-                return F.col(META_COL).getItem(key)
+                out = F.col(META_COL).getItem(key)
+                # metadata values are strings — `meta(k) + content()`
+                # is concatenation (about.adoc:264-277)
+                out._bl_stringish = True
+                return out
             if name == "counter" and self.counter_col is not None:
                 return self.counter_col
             # context-bound functions (document / batch / error model)
@@ -713,10 +727,16 @@ class Compiler:
                 idx = self.eval(node.args[0], scope)
                 if not isinstance(idx, int):
                     raise BloblangError(".from() needs a literal index")
-                return F.element_at(
+                out = F.element_at(
                     self._from_all_col(target),
                     idx + 1 if idx >= 0 else idx,
                 )
+                if isinstance(target, Column) and target.__dict__.get(
+                    "_bl_stringish", False
+                ):
+                    # element type follows the target expression
+                    out._bl_stringish = True
+                return out
             arrayish = isinstance(target, Column) and target.__dict__.get(
                 "_bl_arrayish", False)
             if node.name == "length" and arrayish:
@@ -913,9 +933,41 @@ class Compiler:
         return expr.otherwise(default) if default is not None else expr
 
 
-def compile_expression(src: str, env: dict[str, Column] | None = None) -> Column:
-    """Compile a single Bloblang expression to a Column."""
-    return Compiler(env).col(parse_expression(src))
+def _frame_compiler(
+    df, env: dict[str, Column] | None = None
+) -> "Compiler":
+    """A Compiler bound to a frame's document context (doc columns,
+    raw-content envelope detection, meta/error columns, batch keys) —
+    the same setup compile_mapping performs."""
+    comp = Compiler(env)
+    reserved = {META_COL, "_error", "_error_source"}
+    comp.doc_cols = [
+        c for c in df.columns
+        if c not in reserved and c not in BATCH_KEY_COLS
+        and not c.startswith("_")
+    ]
+    comp.raw_content = comp.doc_cols == ["content"]
+    comp.has_error_col = "_error" in df.columns
+    comp.has_error_source = "_error_source" in df.columns
+    comp.has_meta_col = META_COL in df.columns
+    comp.batch_keys = [
+        F.col(c) for c in BATCH_KEY_COLS if c in df.columns
+    ]
+    if "_arrival_order" in df.columns:
+        comp.order_col = F.col("_arrival_order")
+    elif "_gen_index" in df.columns:
+        comp.order_col = F.col("_gen_index")
+    return comp
+
+
+def compile_expression(
+    src: str, env: dict[str, Column] | None = None, df=None
+) -> Column:
+    """Compile a single Bloblang expression to a Column. Pass `df` to
+    bind document context (content()/meta()/json() resolve against
+    the frame's envelope shape instead of assuming typed columns)."""
+    comp = _frame_compiler(df, env) if df is not None else Compiler(env)
+    return comp.col(parse_expression(src))
 
 
 def _surviving_branch(node: A.Node):
@@ -968,11 +1020,14 @@ def _tree_to_struct(tree) -> Column:
     )
 
 
-def compile_interpolation(src: str, env: dict[str, Column] | None = None) -> Column:
+def compile_interpolation(
+    src: str, env: dict[str, Column] | None = None, df=None
+) -> Column:
     """Interpolation strings `prefix-${! expr }-suffix`
     (docs/modules/configuration: field interpolation, e.g.
     config/examples/joining_streams.yaml:21,51-53) → one concat
-    Column. Plain strings compile to a literal."""
+    Column. Plain strings compile to a literal. Pass `df` to bind
+    document context (content()/meta() against the frame's shape)."""
     import re as _re
 
     parts = _re.split(r"\$\{!\s*(.*?)\s*\}", src)
@@ -984,8 +1039,12 @@ def compile_interpolation(src: str, env: dict[str, Column] | None = None) -> Col
             if part:
                 cols.append(F.lit(part))
         else:
+            comp = (
+                _frame_compiler(df, env) if df is not None
+                else Compiler(env)
+            )
             cols.append(
-                Compiler(env).col(parse_expression(part)).cast("string")
+                comp.col(parse_expression(part)).cast("string")
             )
     return F.concat(*cols) if len(cols) > 1 else cols[0]
 
@@ -1163,6 +1222,17 @@ def compile_mapping(
             ),
         )
 
+    if comp.raw_content and assigns and (
+        mode == "mutation" or identity_root
+    ):
+        # merging field assignments INTO a raw content envelope needs
+        # the payload parsed per message — Column algebra would bolt
+        # typed columns beside the unparsed `content` (the d6fd1df
+        # envelope-corruption class); the dynamic fallback owns this
+        raise BloblangError(
+            "assignments into a raw content frame are dynamic "
+            "(no static schema to merge into)"
+        )
     if mode == "mutation" or identity_root:
         if assigns:
             out = out.withColumns(assigns)

@@ -264,6 +264,12 @@ class Parser:
                     # reference's csv_formatter.blobl uses it)
                     node = A.Index(node, A.Lit(int(self.next().value)))
                     continue
+                if self.peek().kind == "string":
+                    # quoted path segment (`this."service.name"` —
+                    # field names containing dots, about.adoc paths;
+                    # config/test/json_contains_predicate.yaml)
+                    node = A.Field(node, self.next().value[1:-1])
+                    continue
                 name = self.expect("ident").value
                 if self.at_op("("):
                     node = A.Method(node, name, self.parse_call_args())

@@ -180,6 +180,26 @@ def eval_mapping_value(src: str, this: Any) -> Any:
     return eval_parsed_value(compile_cached(src), this)
 
 
+def eval_predicate(
+    src: str,
+    content: Any,
+    meta: dict | None = None,
+    error: str | None = None,
+) -> Any:
+    """Evaluate a single Bloblang expression against one message —
+    the config unit-test `bloblang:` output condition
+    (unit_testing.adoc: a condition that must resolve true)."""
+    from connect_spark.bloblang.parser import parse_expression
+
+    scope: dict[str, Any] = {
+        "__content__": content,
+        "__meta__": dict(meta or {}),
+        "__error__": error,
+    }
+    return _v(_ev(parse_expression(src), parse_content(content),
+                  scope, None))
+
+
 class _StatementError(BloblangValueError):
     """A statement's evaluation failed — carries the 1-based source
     line so callers can build the reference's error string
@@ -290,7 +310,7 @@ class Message:
     metadata mapping, and the error flag/provenance mirroring the
     engine's _error/_error_source columns."""
 
-    __slots__ = ("content", "meta", "error", "error_source")
+    __slots__ = ("content", "meta", "error", "error_source", "index")
 
     def __init__(
         self,
@@ -303,6 +323,10 @@ class Message:
         self.meta = dict(meta or {})
         self.error = error
         self.error_source = error_source
+        # input batch position, stamped by eval_batch on each OUTPUT
+        # message so callers can correlate surviving messages with
+        # their source rows (deleted messages leave gaps)
+        self.index: int | None = None
 
 
 def eval_batch(
@@ -368,18 +392,22 @@ def eval_batch(
             root, deleted = _run_statements(mapping, this, scope, NOTHING)
         except _StatementError as exc:
             err = f"failed assignment (line {exc.line}): {exc}"
-            out.append(Message(
+            failed = Message(
                 m.content, new_meta,
                 error=m.error or err,
                 error_source=m.error_source or source,
-            ))
+            )
+            failed.index = i
+            out.append(failed)
             continue
         if deleted:
             continue
         content = (
             m.content if root is NOTHING else render_content(root)
         )
-        out.append(Message(content, new_meta, m.error, m.error_source))
+        ok = Message(content, new_meta, m.error, m.error_source)
+        ok.index = i
+        out.append(ok)
     return out
 
 

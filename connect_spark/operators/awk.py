@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
@@ -363,9 +364,20 @@ class AwkProgram:
     def __init__(self, src: str):
         self.items = _Parser(_tokenize(src)).parse_program()
 
-    def run(self, text: str, fs: str | None = None) -> str:
+    def run(
+        self, text: str, fs: str | None = None,
+        meta: dict | None = None,
+    ) -> str:
         env: dict = {"FS": fs or " ", "OFS": " ", "NR": 0, "NF": 0}
         out: list[str] = []
+        # message context for the reference's json_*/metadata_*
+        # functions (awk.adoc): the document parses lazily from the
+        # input text; json_set* marks it dirty, and a program that
+        # prints nothing emits the modified document (awk.go behavior)
+        self._meta = dict(meta or {})
+        self._doc = None
+        self._json_dirty = False
+        self._text = text
         state = {"fields": [""], "env": env, "out": out}
         for pattern, body in self.items:
             if pattern == "BEGIN":
@@ -396,7 +408,20 @@ class AwkProgram:
         # trailing newline is trimmed so print-only programs keep the
         # historical joined-lines contract.
         text_out = "".join(out)
-        return text_out[:-1] if text_out.endswith("\n") else text_out
+        if text_out:
+            return (
+                text_out[:-1] if text_out.endswith("\n") else text_out
+            )
+        if self._json_dirty:
+            # no print output: emit the json_set-modified document
+            # (the reference's awk processor contract, awk.adoc)
+            import json as _json
+
+            return _json.dumps(
+                self._doc, sort_keys=True, separators=(",", ":"),
+                ensure_ascii=False,
+            )
+        return text_out
 
     # ---- machinery ----
     def _set_record(self, state, line: str):
@@ -592,7 +617,92 @@ class AwkProgram:
             return str(args[0]) % tuple(args[1:])
         if name == "int":
             return int(_num(args[0]))
+        if name in (
+            "json_get", "json_set", "json_set_int", "json_set_float",
+            "json_set_bool", "json_delete", "json_length",
+        ):
+            return self._json_fn(name, args)
+        if name == "metadata_get":
+            v = self._meta.get(_s(args[0]))
+            return "" if v is None else v
+        if name == "metadata_set":
+            self._meta[_s(args[0])] = _s(args[1])
+            return ""
         raise ValueError(f"awk: unknown function {name}")
+
+    def _json_fn(self, name, args):
+        """The reference awk processor's message-JSON functions
+        (awk.adoc json support): dotted paths into the parsed
+        document; setters mark the document dirty so the program's
+        output is the modified JSON when nothing printed."""
+        import json as _json
+
+        if self._doc is None:
+            try:
+                self._doc = _json.loads(self._text)
+            except Exception:  # noqa: BLE001 — non-JSON message
+                self._doc = {}
+        path = _s(args[0]).split(".")
+        if name == "json_get":
+            cur = self._doc
+            for part in path:
+                if isinstance(cur, list):
+                    try:
+                        cur = cur[int(part)]
+                        continue
+                    except (ValueError, IndexError):
+                        return "null"
+                if not isinstance(cur, dict) or part not in cur:
+                    return "null"
+                cur = cur[part]
+            if isinstance(cur, (dict, list)):
+                return _json.dumps(
+                    cur, sort_keys=True, separators=(",", ":"))
+            if cur is None:
+                return "null"
+            if isinstance(cur, bool):
+                return "true" if cur else "false"
+            return cur
+        if name == "json_length":
+            cur = self._doc
+            for part in path:
+                if not isinstance(cur, dict) or part not in cur:
+                    return 0
+                cur = cur[part]
+            try:
+                return len(cur)
+            except TypeError:
+                return 0
+        # setters / delete navigate creating objects
+        cur = self._doc if isinstance(self._doc, dict) else {}
+        self._doc = cur
+        for part in path[:-1]:
+            nxt = cur.get(part)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                cur[part] = nxt
+            cur = nxt
+        leaf = path[-1]
+        self._json_dirty = True
+        if name == "json_delete":
+            cur.pop(leaf, None)
+            return ""
+        v = args[1]
+        if name == "json_set_int":
+            cur[leaf] = int(_num(v))
+        elif name == "json_set_float":
+            cur[leaf] = _num(v)
+        elif name == "json_set_bool":
+            cur[leaf] = bool(self._truthy_val(v))
+        else:  # json_set
+            cur[leaf] = _s(v)
+        return ""
+
+    @staticmethod
+    def _truthy_val(v):
+        if isinstance(v, str):
+            return v not in ("", "0")
+        return bool(v)
 
 
 def run_awk(program: str, text: str, fs: str | None = None) -> str:
@@ -600,16 +710,19 @@ def run_awk(program: str, text: str, fs: str | None = None) -> str:
 
 
 def awk_udf(program: str, fs: str | None = None):
-    """content → awk(program, content); Arrow-batched. The program is
-    parsed once per executor, rows stream through the interpreter."""
+    """(content, meta) → awk(program, content); Arrow-batched. The
+    program is parsed once per executor, rows stream through the
+    interpreter; metadata feeds the reference's metadata_get()."""
 
     @pandas_udf("string")
-    def _awk(s):
+    def _awk(s, m):
         prog = AwkProgram(program)
 
-        return s.map(
-            lambda x: prog.run(x, fs=fs) if x is not None else None
-        )
+        return pd.Series([
+            prog.run(x, fs=fs, meta=mm if isinstance(mm, dict) else {})
+            if x is not None else None
+            for x, mm in zip(s, m)
+        ], dtype=object)
 
     return _awk
 
@@ -617,4 +730,10 @@ def awk_udf(program: str, fs: str | None = None):
 def awk_process(df, program: str, col: str = "content", fs: str | None = None) -> "Column":
     from pyspark.sql import functions as F
 
-    return df.withColumn(col, awk_udf(program, fs)(F.col(col).cast("string")))
+    meta = (
+        F.col("_meta") if "_meta" in df.columns
+        else F.lit(None).cast("map<string,string>")
+    )
+    return df.withColumn(
+        col, awk_udf(program, fs)(F.col(col).cast("string"), meta)
+    )

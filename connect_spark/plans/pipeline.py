@@ -19,6 +19,7 @@ import os
 from dataclasses import dataclass
 from typing import Any, Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,6 +101,159 @@ def _fallback_payload(df: DataFrame):
     return F.to_json(F.struct(*df.columns))
 
 
+def _dynamic_apply(df: DataFrame, src: str, mode: str) -> DataFrame:
+    """Dynamic-evaluator path for mapping/mutation the Column compiler
+    can't type statically (raw-content documents, whole-document
+    expressions, batch reduces over unparsed JSON).
+
+    Distributed shape: batch = the frame's batch-stamp columns
+    (group_key / batch_id / window stamps — BATCH_KEY_COLS); each
+    batch's messages come to ONE task as an Arrow group via
+    applyInPandas, evaluate in arrival order through
+    pyeval.eval_batch (full message model: metadata, batch functions,
+    deleted(), `failed assignment (line N)` flags), and leave as
+    content-envelope rows. Batches are bounded by the batching policy
+    that stamped them, so per-group memory is bounded; with no stamps
+    the whole input is ONE batch (the reference's input-batch
+    semantics — config unit tests and bounded generate inputs, not
+    the 100-TB scan path, which compiles to Columns)."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from connect_spark.bloblang.compiler import BATCH_KEY_COLS, META_COL
+    from connect_spark.errors import current_source
+
+    cols = df.columns
+    doc_cols = [
+        c for c in cols
+        if not c.startswith("_") and c != META_COL
+        and c not in BATCH_KEY_COLS
+    ]
+    content_col = (
+        F.col("content").cast("string")
+        if doc_cols == ["content"]
+        else F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
+    )
+    meta_col = (
+        F.col(META_COL)
+        if META_COL in cols
+        else F.lit(None).cast("map<string,string>")
+    )
+    err_col = (
+        F.col("_error") if "_error" in cols
+        else F.lit(None).cast("string")
+    )
+    esrc_col = (
+        F.col("_error_source") if "_error_source" in cols
+        else F.lit(None).cast(
+            "struct<label:string,name:string,path:string>")
+    )
+    if "_arrival_order" in cols:
+        ord_col = F.col("_arrival_order").cast("long")
+    elif "_gen_index" in cols:
+        ord_col = F.col("_gen_index").cast("long")
+    else:
+        ord_col = F.monotonically_increasing_id()
+    keys = [c for c in BATCH_KEY_COLS if c in cols]
+    work = df.select(
+        *[F.col(c) for c in keys],
+        content_col.alias("__content"),
+        meta_col.alias("__meta"),
+        err_col.alias("__err"),
+        esrc_col.alias("__esrc"),
+        ord_col.alias("__ord"),
+    )
+    if not keys:
+        work = work.withColumn("__g", F.lit(0))
+        group_cols = ["__g"]
+    else:
+        group_cols = keys
+    # env() resolves against the PLAN-TIME driver environment (the
+    # reference resolves env at config parse; executor workers must
+    # not consult their own) — snapshot it into the closure
+    env_snapshot = dict(os.environ)
+    name, label, path = current_source()
+    source = (label, name, path)
+    esrc_struct = StructType([
+        StructField("label", StringType()),
+        StructField("name", StringType()),
+        StructField("path", StringType()),
+    ])
+    out_fields = [
+        work.schema[c] for c in keys
+    ] + [
+        StructField("content", StringType()),
+        StructField(META_COL, MapType(StringType(), StringType())),
+        StructField("_error", StringType()),
+        StructField("_error_source", esrc_struct),
+        StructField("_arrival_order", LongType()),
+    ]
+    out_schema = StructType(out_fields)
+
+    def run(pdf):
+        import pandas as pd
+
+        from connect_spark.bloblang.pyeval import (
+            Message,
+            eval_batch,
+            render_json,
+        )
+
+        pdf = pdf.sort_values("__ord")
+        ords = list(pdf["__ord"])
+        msgs = []
+        for c, m, e, s in zip(
+            pdf["__content"], pdf["__meta"], pdf["__err"], pdf["__esrc"]
+        ):
+            es = None
+            if isinstance(s, dict):
+                es = (s.get("label"), s.get("name"), s.get("path"))
+            msgs.append(Message(
+                c, dict(m) if m is not None else {},
+                e if isinstance(e, str) else None, es,
+            ))
+        res = eval_batch(src, msgs, mode=mode, env=env_snapshot,
+                         source=source)
+        rows = []
+        for out in res:
+            meta_ser = {
+                str(k): v if isinstance(v, str) else render_json(v)
+                for k, v in out.meta.items()
+            }
+            es_val = None
+            if out.error_source:
+                es_val = {
+                    "label": out.error_source[0],
+                    "name": out.error_source[1],
+                    "path": out.error_source[2],
+                }
+            row = {
+                "content": out.content,
+                META_COL: meta_ser,
+                "_error": out.error,
+                "_error_source": es_val,
+                "_arrival_order": int(ords[out.index]),
+            }
+            for k in keys:
+                row[k] = pdf[k].iloc[0]
+            rows.append(row)
+        return pd.DataFrame(
+            rows, columns=[f.name for f in out_fields]
+        )
+
+    return (
+        work.groupBy(*group_cols)
+        .applyInPandas(run, schema=out_schema)
+    )
+
+
 @processor("mapping")
 def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
     """mapping.adoc:26 — Bloblang map producing a new document.
@@ -113,11 +267,13 @@ def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
     path, and a mapping meant for the hot path should compile."""
     if not isinstance(conf, str):
         raise PipelineConfigError("mapping expects a Bloblang string")
+    from pyspark.errors import AnalysisException
+
     from connect_spark.bloblang.compiler import BloblangError
 
     try:
         return compile_mapping(df, conf, mode="mapping")
-    except BloblangError as exc:
+    except (BloblangError, AnalysisException) as exc:
         # fail fast if the dynamic evaluator can't parse it either —
         # a syntax error must not masquerade as a fallback — or uses
         # methods the evaluator lacks (a typo'd method would otherwise
@@ -138,33 +294,28 @@ def _p_mapping(df: DataFrame, conf: Any) -> DataFrame:
             f"evaluator (not Column-compilable: {exc}); output is the "
             "schemaless `content` JSON envelope"
         )
-        from connect_spark.bloblang.methods import METHODS
-
-        return df.select(
-            METHODS["bloblang"](
-                _fallback_payload(df), F.lit(conf)
-            ).alias("content")
-        )
+        return _dynamic_apply(df, conf, "mapping")
 
 
 @processor("mutation")
 def _p_mutation(df: DataFrame, conf: Any) -> DataFrame:
     """mutation.adoc:26 — in-place Bloblang transform. Falls back to
     the dynamic evaluator like mapping does; mutation is a mapping
-    whose root starts as the document, so the fallback prefixes
-    `root = this` before evaluating."""
+    whose root starts as the document (eval_batch mode='mutation'
+    materializes root as a lazy deep copy on first write)."""
     if not isinstance(conf, str):
         raise PipelineConfigError("mutation expects a Bloblang string")
+    from pyspark.errors import AnalysisException
+
     from connect_spark.bloblang.compiler import BloblangError
 
     try:
         return compile_mapping(df, conf, mode="mutation")
-    except BloblangError as exc:
+    except (BloblangError, AnalysisException) as exc:
         from connect_spark.bloblang.pyeval import unsupported_methods
 
-        dynamic_src = "root = this\n" + conf
         try:
-            missing = unsupported_methods(dynamic_src)
+            missing = unsupported_methods(conf)
         except Exception:
             raise exc from None
         if missing:
@@ -176,13 +327,7 @@ def _p_mutation(df: DataFrame, conf: Any) -> DataFrame:
             "[connect_spark] mutation fell back to the dynamic "
             f"evaluator (not Column-compilable: {exc})"
         )
-        from connect_spark.bloblang.methods import METHODS
-
-        return df.select(
-            METHODS["bloblang"](_fallback_payload(df),
-                                F.lit(dynamic_src))
-            .alias("content")
-        )
+        return _dynamic_apply(df, conf, "mutation")
 
 
 @processor("bloblang")
@@ -194,8 +339,44 @@ def _p_bloblang(df: DataFrame, conf: Any) -> DataFrame:
 @processor("filter")
 def _p_filter(df: DataFrame, conf: Any) -> DataFrame:
     """Keep rows where the Bloblang predicate holds (the `mapping` +
-    deleted() idiom, bloblang/about.adoc:355-363, as a convenience)."""
-    return df.filter(compile_expression(conf))
+    deleted() idiom, bloblang/about.adoc:355-363, as a convenience).
+    On raw content envelopes (no static schema for this.<field>) the
+    predicate evaluates dynamically per message."""
+    from connect_spark.bloblang.compiler import BloblangError
+
+    try:
+        return df.filter(compile_expression(conf, df=df))
+    except BloblangError:
+        from pyspark.sql.functions import pandas_udf
+
+        from connect_spark.bloblang.compiler import META_COL
+
+        meta = (
+            F.col(META_COL) if META_COL in df.columns
+            else F.lit(None).cast("map<string,string>")
+        )
+        err = (
+            F.col("_error") if "_error" in df.columns
+            else F.lit(None).cast("string")
+        )
+
+        @pandas_udf("boolean")
+        def _pred(content: pd.Series, m: pd.Series,
+                  e: pd.Series) -> pd.Series:
+            from connect_spark.bloblang.pyeval import eval_predicate
+
+            return pd.Series([
+                eval_predicate(
+                    conf, c,
+                    meta=mm if isinstance(mm, dict) else {},
+                    error=ee,
+                ) is True
+                for c, mm, ee in zip(content, m, e)
+            ], dtype=bool)
+
+        return df.filter(
+            _pred(F.col("content").cast("string"), meta, err)
+        )
 
 
 @processor("switch")
@@ -236,12 +417,57 @@ def _p_switch(df: DataFrame, conf: Any) -> DataFrame:
 @processor("dedupe")
 def _p_dedupe(df: DataFrame, conf: Any) -> DataFrame:
     """dedupe.adoc:53-78 — drop rows whose key was already seen;
-    `order_by` makes the distributed winner deterministic."""
+    `order_by` makes the distributed winner deterministic.
+
+    With a `cache:` resource (the reference's REQUIRED field), seen
+    keys persist across pipeline invocations: within-frame first
+    occurrence wins (arrival order when stamped), then keys already
+    in the cache drop via a broadcast anti-join, and the surviving
+    keys register. The cache transaction collects the frame's
+    DISTINCT keys driver-side — the cache is the bounded shared
+    state by design (caches/memory.adoc semantics); the streaming
+    dedupe (streaming/dedupe.py) is the unbounded-corpus path."""
+    from connect_spark.bloblang.compiler import compile_interpolation
+
     key = conf["key"] if isinstance(conf, dict) else conf
+    key_col = (
+        compile_interpolation(key, df=df)
+        if isinstance(key, str) and "${!" in key
+        else compile_expression(key, df=df)
+    )
+    if isinstance(conf, dict) and conf.get("cache"):
+        from pyspark.sql import Window
+
+        from connect_spark.plans.state_ext import get_cache_resource
+
+        cache = get_cache_resource(conf["cache"])
+        work = df.withColumn("_dd_key", key_col.cast("string"))
+        order = (
+            F.col("_arrival_order")
+            if "_arrival_order" in df.columns
+            else F.monotonically_increasing_id()
+        )
+        w = Window.partitionBy("_dd_key").orderBy(order)
+        work = (
+            work.withColumn("_dd_rn", F.row_number().over(w))
+            .filter(F.col("_dd_rn") == 1)
+            .drop("_dd_rn")
+        )
+        stored = cache.read()
+        if stored is not None:
+            seen = stored.select(
+                F.col(cache.key).cast("string").alias("_dd_key")
+            ).distinct()
+            work = work.join(F.broadcast(seen), "_dd_key", "left_anti")
+        work = work.localCheckpoint(eager=True)
+        cache.add(
+            work.select(F.col("_dd_key").alias(cache.key)).distinct()
+        )
+        return work.drop("_dd_key")
     order_by = None
     if isinstance(conf, dict) and conf.get("order_by"):
         order_by = [compile_expression(e) for e in conf["order_by"]]
-    return dedupe(df, [compile_expression(key)], order_by=order_by)
+    return dedupe(df, [key_col], order_by=order_by)
 
 
 @processor("bounds_check")
@@ -307,8 +533,52 @@ def _p_archive(df: DataFrame, conf: Any) -> DataFrame:
 
 @processor("unarchive")
 def _p_unarchive(df: DataFrame, conf: Any) -> DataFrame:
-    """unarchive.adoc:26 — one message → many."""
+    """unarchive.adoc:26 — one message → many. On a raw content
+    envelope (no explicit field) the message payload itself is the
+    archive, and exploded elements BECOME the messages — json_array
+    elements re-marshal individually (the reference's json.Marshal
+    per element), carrying metadata/error/order columns through."""
     fmt = conf.get("format", "json_array")
+    from connect_spark.bloblang.compiler import META_COL
+
+    doc_cols = [
+        c for c in df.columns
+        if not c.startswith("_") and c != META_COL
+    ]
+    if doc_cols == ["content"] and not conf.get("field"):
+        if fmt == "json_array":
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("array<string>")
+            def _split_json(s: pd.Series) -> pd.Series:
+                import json as _json
+
+                from connect_spark.bloblang.pyeval import render_json
+
+                def conv(x):
+                    if x is None:
+                        return None
+                    try:
+                        arr = _json.loads(x)
+                    except Exception:  # noqa: BLE001
+                        return None
+                    if not isinstance(arr, list):
+                        return None
+                    return [render_json(el) for el in arr]
+
+                return pd.Series([conv(x) for x in s], dtype=object)
+
+            arr = _split_json(F.col("content"))
+        elif fmt == "lines":
+            arr = F.split(F.col("content"), "\n")
+        else:
+            arr = None
+        if arr is not None:
+            other = [c for c in df.columns if c != "content"]
+            return df.select(
+                *[F.col(c) for c in other],
+                F.explode(arr).alias("content"),
+            )
     field = compile_expression(conf.get("field", "this.archived"))
     if fmt == "json_array":
         arr = F.from_json(field, "array<string>")

@@ -235,9 +235,18 @@ def build_cache(spark: SparkSession, spec: dict) -> Any:
     if kind == "noop":
         return NoopCache()
     if kind == "lru":
+        # caches/lru.adoc — in-process LRU; `path` opts into the
+        # parquet-backed spill variant, otherwise memory-resident
+        # like the reference (`lru: {}` in its own test corpus)
+        if "path" not in c:
+            return MemoryKVCache(spark, key=key,
+                                 cap=int(c.get("cap", 1024)))
         return ParquetKVCache(
             spark, c["path"], key=key, max_items=int(c.get("cap", 1024)))
     if kind == "ttlru":
+        if "path" not in c:
+            return MemoryKVCache(spark, key=key,
+                                 cap=int(c.get("cap", 1024)))
         return ParquetKVCache(
             spark, c["path"], key=key,
             ttl=float(c.get("default_ttl", c.get("ttl", 300))),

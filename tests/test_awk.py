@@ -84,8 +84,11 @@ def test_awk_udf_on_dataframe(spark):
     df = spark.createDataFrame(
         [Row(content="ERROR disk full\nINFO ok"), Row(content="INFO fine")]
     )
+    meta = F.lit(None).cast("map<string,string>")
     out = df.select(
-        awk_udf("/^ERROR/ { print $2 }")(F.col("content")).alias("r")
+        awk_udf("/^ERROR/ { print $2 }")(
+            F.col("content"), meta
+        ).alias("r")
     ).collect()
     assert [r.r for r in out] == ["disk", ""]
 

@@ -456,7 +456,10 @@ def test_mapping_dynamic_fallback(spark):
         ]},
     }
     df = build_pipeline(spark, cfg).dataframe()
-    assert df.columns == ["content"]
+    # r15 contract: the dynamic path is a full message model — the
+    # envelope carries metadata / error / arrival-order columns
+    assert df.columns[0] == "content"
+    assert {"_meta", "_error", "_arrival_order"} <= set(df.columns)
     vals = sorted(json.loads(r.content)["v"] for r in df.collect())
     assert vals == [0, 1]
 
@@ -475,7 +478,7 @@ def test_mapping_dynamic_fallback_structured(spark):
         ]},
     }
     df = build_pipeline(spark, cfg).dataframe()
-    assert df.columns == ["content"]
+    assert df.columns[0] == "content"
     vals = sorted(json.loads(r.content) for r in df.collect())
     assert vals == [0, 10]
 
@@ -509,7 +512,7 @@ def test_mutation_dynamic_fallback(spark):
         ]},
     }
     df = build_pipeline(spark, cfg).dataframe()
-    assert df.columns == ["content"]
+    assert df.columns[0] == "content"
     assert sorted(json.loads(df.collect()[0].content)) == ["a", "b", "c"]
 
 
@@ -599,8 +602,13 @@ def test_pyeval_catch_and_meta_gate():
         'root = this.x.number().catch(-1)', {"x": "abc"}) == -1
     assert eval_mapping_value(
         'root = this.x.number().catch(-1)', {"x": "4"}) == 4
+    # r15: meta assignments are SUPPORTED by the dynamic evaluator
+    # (eval_batch's message model) — the gate no longer flags them
     gates = unsupported_methods('meta out = "t"\nroot.a = 1')
-    assert any("MetaAssign" in g for g in gates)
+    assert not gates
+    # a genuinely-unknown method still gates the fallback
+    gates = unsupported_methods("root = this.definitely_not_a_method()")
+    assert gates
 
 
 def test_pyeval_catch_lambda_and_random_seed():
