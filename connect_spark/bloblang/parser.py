@@ -156,7 +156,20 @@ class Parser:
             return self.parse_if()
         if self.peek().kind == "match":
             return self.parse_match()
-        return self.parse_or()
+        return self.parse_pipe()
+
+    def parse_pipe(self) -> A.Node:
+        """`a | b` — the pipe/coalesce operator at lowest precedence
+        (bloblang/about.adoc coalescing): falls through to the right
+        side when the left resolves null or errors (the reference's
+        `this.people.index(0) | {...}` fallback idiom)."""
+        left = self.parse_or()
+        if not self.at_op("|"):
+            return left
+        alts = [left]
+        while self.eat_op("|"):
+            alts.append(self.parse_or())
+        return A.Coalesce(tuple(alts))
 
     def parse_if(self) -> A.Node:
         self.expect("if")

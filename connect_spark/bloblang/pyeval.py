@@ -476,8 +476,17 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
             raise BloblangValueError(f"unknown variable ${node.name}")
         return scope[node.name]
     if isinstance(node, A.Coalesce):
-        for alt in node.alternatives:
-            v = _v(_ev(alt, this, scope, root))
+        # the pipe operator falls through on null AND on error
+        # (about.adoc coalescing) — the last alternative's error
+        # propagates
+        last = len(node.alternatives) - 1
+        for k, alt in enumerate(node.alternatives):
+            try:
+                v = _v(_ev(alt, this, scope, root))
+            except Exception:  # noqa: BLE001 — coalesce fall-through
+                if k == last:
+                    raise
+                continue
             if v is not None:
                 return v
         return None

@@ -88,6 +88,30 @@ def processor(name: str):
     return deco
 
 
+import contextvars as _contextvars
+
+# directory of the config/suite file currently being built — relative
+# resource paths (protobuf import_paths, .blobl files) resolve by
+# walking up from here, matching the reference's run-from-repo-root
+# convention for its own test corpus
+_CONFIG_BASE_DIR: _contextvars.ContextVar[str | None] = (
+    _contextvars.ContextVar("config_base_dir", default=None)
+)
+
+
+def config_base_dir() -> str | None:
+    return _CONFIG_BASE_DIR.get()
+
+
+def set_config_base_dir(path: str | None):
+    """Returns a reset token for the caller's finally block."""
+    return _CONFIG_BASE_DIR.set(path)
+
+
+def reset_config_base_dir(token) -> None:
+    _CONFIG_BASE_DIR.reset(token)
+
+
 def _fallback_payload(df: DataFrame):
     """The document handed to the dynamic evaluator as `this`: on a
     raw-envelope frame (single `content` column) the MESSAGE CONTENT

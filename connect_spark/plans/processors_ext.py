@@ -363,16 +363,89 @@ def _p_msgpack(df: DataFrame, conf: Any) -> DataFrame:
 @processor("protobuf")
 def _p_protobuf(df: DataFrame, conf: Any) -> DataFrame:
     """protobuf processor (internal/impl/protobuf/processor_protobuf.go):
-    to_json / from_json against a message descriptor (dict form — the
-    engine's descriptor format, functions/protobuf_codec.py)."""
+    to_json / from_json against a message descriptor — either the
+    engine's dict form (`descriptor:`, functions/protobuf_codec.py)
+    or the reference's `.proto` sources (`message:` +
+    `import_paths:`, compiled by functions/proto_schema.py with the
+    proto3 JSON mapping). On the .proto path a failed conversion
+    flags the row (`unknown field "x"` etc.) and keeps the original
+    payload — the reference's try/catch contract; wire bytes travel
+    latin-1-in-string so the content envelope keeps one type through
+    try/catch unions."""
+    op = conf.get("operator", "to_json")
+    if op not in ("to_json", "from_json"):
+        raise PipelineConfigError(
+            f"protobuf operator must be to_json|from_json, got {op!r}"
+        )
+    field = _field(conf)
+    if "message" in conf:
+        import json as _json
+
+        from pyspark.sql.functions import pandas_udf
+
+        from connect_spark.errors import flag_error
+        from connect_spark.functions.proto_schema import (
+            from_json_value,
+            load_registry,
+            to_json_value,
+        )
+        from connect_spark.functions.protobuf_codec import (
+            decode as pb_decode,
+        )
+        from connect_spark.functions.protobuf_codec import (
+            encode as pb_encode,
+        )
+        from connect_spark.plans.pipeline import config_base_dir
+
+        reg = load_registry(
+            list(conf.get("import_paths", [])), config_base_dir()
+        )
+        desc = reg[conf["message"]]
+
+        @pandas_udf("struct<v:string,e:string>")
+        def _conv(s: pd.Series) -> pd.DataFrame:
+            vals, errs = [], []
+            for x in s:
+                try:
+                    if x is None:
+                        vals.append(None)
+                        errs.append(None)
+                        continue
+                    if op == "from_json":
+                        wire = pb_encode(
+                            from_json_value(_json.loads(x), desc), desc
+                        )
+                        vals.append(wire.decode("latin-1"))
+                    else:
+                        doc = to_json_value(
+                            pb_decode(x.encode("latin-1"), desc), desc
+                        )
+                        vals.append(_json.dumps(
+                            doc, separators=(",", ":"),
+                            ensure_ascii=False,
+                        ))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — row flag
+                    vals.append(None)
+                    errs.append(str(exc))
+            return pd.DataFrame({"v": vals, "e": errs})
+
+        work = df.withColumn(
+            "_pb", _conv(F.col(field).cast("string"))
+        )
+        work = flag_error(
+            work, F.col("_pb.e").isNotNull(), F.col("_pb.e")
+        )
+        return work.withColumn(
+            field,
+            F.coalesce(F.col("_pb.v"), F.col(field).cast("string")),
+        ).drop("_pb")
     from connect_spark.functions.protobuf_codec import (
         protobuf_decode_udf,
         protobuf_encode_udf,
     )
 
-    op = conf.get("operator", "to_json")
     desc = conf["descriptor"]
-    field = _field(conf)
     if op == "to_json":
         return df.withColumn(
             field, protobuf_decode_udf(desc)(F.col(field).cast("binary"))

@@ -443,6 +443,12 @@ def run_case(
         for k, v in (case.get("environment") or {}).items()
     }
     saved_env = dict(os.environ)
+    from connect_spark.plans.pipeline import (
+        reset_config_base_dir,
+        set_config_base_dir,
+    )
+
+    base_tok = set_config_base_dir(base_dir)
     try:
         # env() resolves at plan-build (reference: config parse time);
         # the overlay must be visible there AND captured into the
@@ -482,6 +488,7 @@ def run_case(
                 # reference runner (filters.yaml / deduplicate.yaml)
                 got_batches.append(rows)
     finally:
+        reset_config_base_dir(base_tok)
         os.environ.clear()
         os.environ.update(saved_env)
     if "output_batches" in case:

@@ -21,9 +21,10 @@ import pytest
 
 CORPUS = "/root/reference/config/test"
 
-# every corpus suite with runnable tests; protobuf/ needs the .proto
-# import path (see test_proto_import.py) and is listed once wired
+# every corpus suite with runnable tests
 SUITES = [
+    "protobuf/people.yaml",
+    "protobuf/house.yaml",
     "awk_benthos_test.yaml",
     "deduplicate.yaml",
     "deduplicate_by_batch.yaml",
@@ -81,7 +82,6 @@ def test_corpus_coverage_is_complete():
     untested."""
     import yaml
 
-    known_pending = {"protobuf/people.yaml", "protobuf/house.yaml"}
     # configs exercised through their _benthos_test companion
     covered_via_companion = {
         "awk.yaml",
@@ -89,7 +89,7 @@ def test_corpus_coverage_is_complete():
         "cookbooks/filtering.yaml",
         "resources/other_mappings.yaml",
     }
-    have = set(SUITES) | known_pending | covered_via_companion
+    have = set(SUITES) | covered_via_companion
     missing = []
     for root, _dirs, files in os.walk(CORPUS):
         for fn in files:
