@@ -100,8 +100,26 @@ def lint_config(config: dict) -> list[str]:
     def check(section: str, spec, where: str):
         if spec is None:
             return
-        if isinstance(spec, dict) and "label" in spec and len(spec) == 2:
+        if isinstance(spec, dict) and "label" in spec:
             spec = {k: v for k, v in spec.items() if k != "label"}
+        # inputs/outputs may carry an attached `processors` list
+        # BESIDE the kind (inputs/<any>.adoc `processors`; the
+        # reference's site_analytics / joining_streams /
+        # stateful_polling examples use this shape)
+        if (
+            isinstance(spec, dict)
+            and section in ("inputs", "outputs")
+            and "processors" in spec
+            and len(spec) > 1
+        ):
+            attached = spec["processors"]
+            spec = {
+                k: v for k, v in spec.items() if k != "processors"
+            }
+            if isinstance(attached, list):
+                for j, child in enumerate(attached):
+                    check("processors", child,
+                          f"{where}.processors[{j}]")
         if not isinstance(spec, dict) or len(spec) != 1:
             errors.append(f"{where}: expected a single {{kind: conf}} "
                           f"mapping, got {type(spec).__name__}")

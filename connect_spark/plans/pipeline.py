@@ -1194,6 +1194,22 @@ def apply_processor(df: DataFrame, spec: Any) -> DataFrame:
 
 
 def _build_input(spark: SparkSession, conf: dict[str, Any]) -> DataFrame:
+    # `label` and an attached `processors` list may sit BESIDE the
+    # kind (inputs/<any>.adoc; the reference's site_analytics /
+    # joining_streams examples) — normalize to the nested shape
+    if isinstance(conf, dict) and len(conf) > 1 and (
+        "processors" in conf or "label" in conf
+    ):
+        conf = dict(conf)
+        conf.pop("label", None)
+        sibling_procs = conf.pop("processors", None)
+        if sibling_procs:
+            (kind, c), = conf.items()
+            c = dict(c) if isinstance(c, dict) else c
+            if isinstance(c, dict):
+                c["processors"] = list(
+                    c.get("processors", [])) + list(sibling_procs)
+            conf = {kind: c}
     if len(conf) != 1:
         raise PipelineConfigError("input must have exactly one component")
     (kind, c), = conf.items()
@@ -1494,6 +1510,17 @@ def _streaming_safe_output(
 def _run_output(df: DataFrame, conf: dict[str, Any] | None) -> DataFrame | None:
     if conf is None:
         return df
+    if isinstance(conf, dict) and len(conf) > 1 and (
+        "processors" in conf or "label" in conf
+    ):
+        # sibling `processors`/`label` beside the kind (the
+        # reference's stateful_polling broker-outputs shape)
+        conf = dict(conf)
+        conf.pop("label", None)
+        sibling_procs = conf.pop("processors", None)
+        if sibling_procs:
+            for spec in sibling_procs:
+                df = apply_processor(df, spec)
     (kind, c), = conf.items()
     # output-attached processors run right before delivery
     # (outputs/<any>.adoc `processors` list)

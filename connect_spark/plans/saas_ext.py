@@ -126,9 +126,11 @@ _SAAS_INPUTS: dict[str, tuple] = {
         lambda c: f"{c['url'].rstrip('/')}/services/search/v2/jobs/export",
         "POST", ("results",),
     ),
-    # inputs/aws_cloudwatch_logs.adoc — FilterLogEvents
+    # inputs/aws_cloudwatch_logs.adoc:118 — FilterLogEvents; the
+    # documented field is `log_group_name` (`log_group` kept as a
+    # back-compat alias, normalized in _saas_input)
     "aws_cloudwatch_logs": (
-        ("log_group",),
+        ("log_group_name",),
         lambda c: c.get("url", "https://logs.amazonaws.com/"),
         "POST", ("events",),
     ),
@@ -145,6 +147,9 @@ def _saas_input(kind: str, spec: tuple):
     required, url_fn, verb, items_path = spec
 
     def build(spark: SparkSession, c: dict) -> DataFrame:
+        if kind == "aws_cloudwatch_logs" and "log_group" in c:
+            c = {**c, "log_group_name": c.get(
+                "log_group_name", c["log_group"])}
         for k in required:
             if not c.get(k):
                 raise PipelineConfigError(
