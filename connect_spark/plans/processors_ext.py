@@ -245,9 +245,9 @@ def _p_group_by_value(df: DataFrame, conf: Any) -> DataFrame:
     if isinstance(value, str) and "${!" in value:
         from connect_spark.bloblang.compiler import compile_interpolation
 
-        key = compile_interpolation(value)
+        key = compile_interpolation(value, df=df)
     else:
-        key = compile_expression(value)
+        key = compile_expression(value, df=df)
     out = df.withColumn("group_key", key)
     return _children(out, conf.get("processors", []) if isinstance(conf, dict) else [])
 

@@ -54,6 +54,10 @@ _DRIVER_PRIORITY: list[str] = [
     # whenever it rotates forward (r12 verdict "What's wrong" #3).
     "fn_functions_matrix",
     "system_window_traffic",
+    # r15 continuation: the distributed dynamic-batch mapping path
+    # (applyInPandas per group_by_value batch) — never-verified, so
+    # front of the window per the standing policy
+    "dynamic_batch_reduce",
     "text_fingerprint",
     "text_lang_id",
     "text_pii_scrub",

@@ -562,3 +562,86 @@ QUERIES += [
     QuerySpec("fn_functions_matrix", fn_functions_matrix,
               FN_FUNCTIONS_SQL),
 ]
+
+
+def dynamic_batch_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic mapping fallback as a DISTRIBUTED batch engine
+    (r15): a raw content envelope grouped by group_by_value, then a
+    mapping the Column compiler refuses (`root = this` + merged
+    assignments into an unparsed document) evaluates through
+    applyInPandas — one Arrow group per batch, pyeval.eval_batch
+    message semantics (plans/pipeline.py _dynamic_apply). Exercises
+    from_all().sum(), from_all().fold(max), batch_index() ordering,
+    and deleted() row drops, end-to-end against a SQL window oracle.
+
+    Scale shape: batch = per-user event history (bounded by user
+    activity, not corpus size); ONE hash exchange on the group key;
+    the Python stage is Arrow-batched per group. The Column path
+    stays the hot path — this gates the fallback's semantics."""
+    from connect_spark.plans.pipeline import apply_processor
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_json(F.struct(
+            "event_id",
+            "user_id",
+            # floor() is exact on doubles in BOTH engines — no
+            # decimal rounding-mode divergence in the oracle compare
+            F.floor("value").cast("bigint").alias("value_units"),
+        )).alias("content"),
+        F.col("event_id").alias("_arrival_order"),
+    )
+    work = apply_processor(
+        ev, {"group_by_value": {"value": '${! json("user_id") }'}}
+    )
+    src = """
+root = this
+batch_total = json("value_units").from_all().sum()
+batch_max = json("value_units").from_all().fold(0, match {
+  tally < value => value
+  _ => tally
+})
+brank = batch_index()
+root = match {
+  batch_index() >= 5 => deleted()
+}
+"""
+    out = apply_processor(work, {"mapping": src})
+    parsed = F.from_json(
+        F.col("content"),
+        "struct<event_id:bigint,user_id:bigint,value_units:bigint,"
+        "batch_total:bigint,batch_max:bigint,brank:bigint>",
+    )
+    return out.select(parsed.alias("d")).select(
+        F.col("d.event_id").alias("event_id"),
+        F.col("d.user_id").alias("user_id"),
+        F.col("d.value_units").alias("value_units"),
+        F.col("d.batch_total").alias("batch_total"),
+        F.col("d.batch_max").alias("batch_max"),
+        F.col("d.brank").alias("brank"),
+    )
+
+
+DYNAMIC_BATCH_SQL = """
+WITH ranked AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value) AS BIGINT) AS value_units,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+           AS brank
+  FROM events
+), totals AS (
+  SELECT user_id,
+         CAST(SUM(value_units) AS BIGINT) AS batch_total,
+         CAST(GREATEST(MAX(value_units), 0) AS BIGINT) AS batch_max
+  FROM ranked GROUP BY user_id
+)
+SELECT r.event_id, r.user_id, r.value_units,
+       t.batch_total, t.batch_max, CAST(r.brank AS BIGINT) AS brank
+FROM ranked r JOIN totals t USING (user_id)
+WHERE r.brank < 5
+"""
+
+
+QUERIES += [
+    QuerySpec("dynamic_batch_reduce", dynamic_batch_reduce,
+              DYNAMIC_BATCH_SQL),
+]
