@@ -154,6 +154,24 @@ def _dynamic_apply(df: DataFrame, src: str, mode: str) -> DataFrame:
     from connect_spark.bloblang.compiler import BATCH_KEY_COLS, META_COL
     from connect_spark.errors import current_source
 
+    if df.isStreaming:
+        # grouped applyInPandas is not available on an unaggregated
+        # stream — evaluate per message via the Arrow-batched
+        # `bloblang` method instead (batch functions degrade to
+        # single-message semantics there; a streaming mapping that
+        # needs real batch scope should land behind a batching
+        # buffer, which materializes micro-batch frames)
+        from connect_spark.bloblang.methods import METHODS
+
+        src_eval = (
+            src if mode == "mapping" else "root = this\n" + src
+        )
+        return df.select(
+            METHODS["bloblang"](
+                _fallback_payload(df), F.lit(src_eval)
+            ).alias("content")
+        )
+
     cols = df.columns
     doc_cols = [
         c for c in cols
