@@ -55,9 +55,14 @@ _DRIVER_PRIORITY: list[str] = [
     "fn_functions_matrix",
     "system_window_traffic",
     # r15 continuation: the distributed dynamic-batch mapping path
-    # (applyInPandas per group_by_value batch) — never-verified, so
-    # front of the window per the standing policy
+    # (applyInPandas per group_by_value batch) and hybrid RRF
+    # retrieval — never-verified, so front of the window per the
+    # standing policy (the two displaced tail entries,
+    # q19_disjunctive_revenue and q21_suppliers_kept_waiting, were
+    # re-verified GREEN beyond-window in fresh driver_sim sessions
+    # this round)
     "dynamic_batch_reduce",
+    "hybrid_search_rrf",
     "text_fingerprint",
     "text_lang_id",
     "text_pii_scrub",

@@ -2174,3 +2174,143 @@ FROM idx GROUP BY event_id
 QUERIES.append(
     QuerySpec("multimodal_gif_animation", multimodal_gif_animation,
               MULTIMODAL_GIF_ANIM_SQL))
+
+
+# --- hybrid retrieval: keyword + character-ngram arms fused by RRF ---
+
+HYBRID_N_QUERY = 5    # doc_id < 5 are the query documents
+HYBRID_ARM_K = 20     # per-arm candidate depth
+HYBRID_TOP_K = 10     # fused result depth
+HYBRID_RRF_K = 60     # the standard RRF dampening constant
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (the standard
+    dense+sparse fusion shape, Cormack et al. RRF): arm A ranks the
+    corpus by DISTINCT-token overlap with each query document
+    (keyword retrieval via an inverted-index equality join), arm B by
+    shared character-trigram count (sub-word/robust-spelling arm);
+    each arm keeps its top-20, and candidates fuse by
+    sum(1000000 div (60 + rank)) — pure integer arithmetic, so the
+    oracle compares exactly. Final top-10 per query, ties broken by
+    doc_id.
+
+    Scale shape: both arms are equality joins of a BROADCAST query
+    index (HYBRID_N_QUERY docs' tokens/trigrams) against a corpus
+    posting table, then one map-side-combined (query, doc) count —
+    the contamination_13gram posture. No all-pairs, no floats, no
+    UDFs; everything whole-stage-codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs).select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    # guard len >= 3 BEFORE sequence(): a stop below the start would
+    # generate a decreasing sequence, not an empty one
+    grams = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        ))).alias("term"),
+    )
+
+    def arm(posting: DataFrame, name: str) -> DataFrame:
+        q = posting.filter(
+            F.col("doc_id") < HYBRID_N_QUERY
+        ).select(F.col("doc_id").alias("query_id"), "term")
+        c = posting.filter(F.col("doc_id") >= HYBRID_N_QUERY)
+        overlap = (
+            c.join(F.broadcast(q), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        )
+        return (
+            overlap.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= HYBRID_ARM_K)
+            .select("query_id", "doc_id", F.col("r").alias(name))
+        )
+
+    a = arm(toks, "rank_kw")
+    b = arm(grams, "rank_tri")
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id", "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"{1000000} div ({HYBRID_RRF_K} + rank_kw)"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr(f"{1000000} div ({HYBRID_RRF_K} + rank_tri)"),
+                F.lit(0),
+            )
+        ).cast("long").alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("final_rank", F.row_number().over(w))
+        .filter(F.col("final_rank") <= HYBRID_TOP_K)
+        .select(
+            "query_id", "doc_id", "rrf_score",
+            F.col("final_rank").cast("long").alias("final_rank"),
+        )
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t
+), tri AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(text) - 1),
+                i -> substr(text, i, 3))) AS term
+  FROM documents
+  WHERE len(text) >= 3
+), arm_kw AS (
+  SELECT query_id, doc_id, r FROM (
+    SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+           row_number() OVER (PARTITION BY q.doc_id
+                              ORDER BY count(*) DESC, c.doc_id) AS r
+    FROM tok q JOIN tok c USING (term)
+    WHERE q.doc_id < {HYBRID_N_QUERY} AND c.doc_id >= {HYBRID_N_QUERY}
+    GROUP BY q.doc_id, c.doc_id
+  ) WHERE r <= {HYBRID_ARM_K}
+), arm_tri AS (
+  SELECT query_id, doc_id, r FROM (
+    SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+           row_number() OVER (PARTITION BY q.doc_id
+                              ORDER BY count(*) DESC, c.doc_id) AS r
+    FROM tri q JOIN tri c USING (term)
+    WHERE q.doc_id < {HYBRID_N_QUERY} AND c.doc_id >= {HYBRID_N_QUERY}
+    GROUP BY q.doc_id, c.doc_id
+  ) WHERE r <= {HYBRID_ARM_K}
+), fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CAST(COALESCE(1000000 // ({HYBRID_RRF_K} + a.r), 0)
+            + COALESCE(1000000 // ({HYBRID_RRF_K} + b.r), 0) AS BIGINT)
+           AS rrf_score
+  FROM arm_kw a FULL OUTER JOIN arm_tri b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+)
+SELECT query_id, doc_id, rrf_score,
+       CAST(final_rank AS BIGINT) AS final_rank
+FROM (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id)
+           AS final_rank
+  FROM fused
+) WHERE final_rank <= {HYBRID_TOP_K}
+"""
+
+
+QUERIES.append(
+    QuerySpec("hybrid_search_rrf", hybrid_search_rrf, HYBRID_RRF_SQL))
