@@ -640,6 +640,13 @@ class Compiler:
                         f"this.{node.name} on a raw content frame is "
                         "dynamic (no static schema)"
                     )
+                if (
+                    self.doc_cols is not None
+                    and node.name not in self.doc_cols
+                ):
+                    # Bloblang: a missing document field is null
+                    # (about.adoc paths) — never an analysis error
+                    return F.lit(None)
                 return F.col(node.name)
             target = self.col(node.target, scope)
             return target.getField(node.name)
@@ -751,6 +758,13 @@ class Compiler:
                 "unique", "sort", "reverse", "flatten", "filter",
                 "map_each", "slice", "append", "concat",
             ):
+                out._bl_arrayish = True
+            if node.name in (
+                "split", "keys", "values", "re_find_all",
+                "enumerated", "key_values", "zip", "array",
+            ):
+                # these methods PRODUCE arrays whatever the target —
+                # a following .length() must count elements
                 out._bl_arrayish = True
             return out
         if isinstance(node, A.Coalesce):
