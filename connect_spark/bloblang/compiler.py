@@ -414,6 +414,10 @@ class Compiler:
         # stamps), arrival-order column, and whether the frame carries
         # the _error / _error_source columns (errors.py model)
         self.doc_cols: list[str] | None = None
+        # every frame column incl. internal (_-prefixed) ones:
+        # `this._gen_index` must keep resolving even though internal
+        # columns are outside the document
+        self.all_cols: list[str] | None = None
         self.raw_content: bool = False
         self.batch_keys: list[Column] = []
         self.order_col: Column | None = None
@@ -643,6 +647,7 @@ class Compiler:
                 if (
                     self.doc_cols is not None
                     and node.name not in self.doc_cols
+                    and node.name not in (self.all_cols or ())
                 ):
                     # Bloblang: a missing document field is null
                     # (about.adoc paths) — never an analysis error
@@ -961,6 +966,7 @@ def _frame_compiler(
         and not c.startswith("_")
     ]
     comp.raw_content = comp.doc_cols == ["content"]
+    comp.all_cols = list(df.columns)
     comp.has_error_col = "_error" in df.columns
     comp.has_error_source = "_error_source" in df.columns
     comp.has_meta_col = META_COL in df.columns
@@ -1095,6 +1101,7 @@ def compile_mapping(
         and not c.startswith("_")
     ]
     comp.raw_content = comp.doc_cols == ["content"]
+    comp.all_cols = list(df.columns)
     comp.has_error_col = "_error" in df.columns
     comp.has_error_source = "_error_source" in df.columns
     comp.has_meta_col = META_COL in df.columns

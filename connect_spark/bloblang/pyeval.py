@@ -106,15 +106,18 @@ def render_content(root: Any) -> Any:
 
 def parse_content(content: Any) -> Any:
     """Lazy structured view of a message payload: valid JSON parses to
-    `this`; anything else leaves `this` null (a `this.or(content())`
-    then falls through to the raw payload, the reference's pattern —
-    config/test/bloblang/walk_json.yaml)."""
+    `this`; a non-JSON payload leaves `this` as the RAW string — the
+    inline tool evaluator's convention (the d6fd1df parity fix), so
+    `root = this` passes raw payloads through, `this.or(content())`
+    resolves without erroring (walk_json.yaml), and a FIELD access on
+    a raw payload fails the assignment and flags the message (the
+    reference's unable-to-reference-as-structured behavior)."""
     if content is None or isinstance(content, (dict, list)):
         return content
     try:
         return json.loads(content)
     except Exception:  # noqa: BLE001 — non-JSON payload
-        return None
+        return content
 
 
 import functools

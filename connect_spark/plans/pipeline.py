@@ -204,8 +204,17 @@ def _dynamic_apply(df: DataFrame, src: str, mode: str) -> DataFrame:
     else:
         ord_col = F.monotonically_increasing_id()
     keys = [c for c in BATCH_KEY_COLS if c in cols]
+    consumed = set(doc_cols) | set(keys) | {
+        META_COL, "_error", "_error_source", "_arrival_order",
+        "_gen_index",
+    }
+    # engine bookkeeping columns (branch document snapshots,
+    # batching ids, ...) ride through per ROW — the evaluator never
+    # sees them, deleted messages drop theirs
+    carry = [c for c in cols if c not in consumed]
     work = df.select(
         *[F.col(c) for c in keys],
+        *[F.col(c) for c in carry],
         content_col.alias("__content"),
         meta_col.alias("__meta"),
         err_col.alias("__err"),
@@ -231,6 +240,8 @@ def _dynamic_apply(df: DataFrame, src: str, mode: str) -> DataFrame:
     out_fields = [
         work.schema[c] for c in keys
     ] + [
+        work.schema[c] for c in carry
+    ] + [
         StructField("content", StringType()),
         StructField(META_COL, MapType(StringType(), StringType())),
         StructField("_error", StringType()),
@@ -248,7 +259,7 @@ def _dynamic_apply(df: DataFrame, src: str, mode: str) -> DataFrame:
             render_json,
         )
 
-        pdf = pdf.sort_values("__ord")
+        pdf = pdf.sort_values("__ord").reset_index(drop=True)
         ords = list(pdf["__ord"])
         msgs = []
         for c, m, e, s in zip(
@@ -285,6 +296,8 @@ def _dynamic_apply(df: DataFrame, src: str, mode: str) -> DataFrame:
             }
             for k in keys:
                 row[k] = pdf[k].iloc[0]
+            for k in carry:
+                row[k] = pdf[k].iloc[out.index]
             rows.append(row)
         return pd.DataFrame(
             rows, columns=[f.name for f in out_fields]
@@ -378,20 +391,21 @@ def _p_bloblang(df: DataFrame, conf: Any) -> DataFrame:
     return _p_mapping(df, conf)
 
 
-@processor("filter")
-def _p_filter(df: DataFrame, conf: Any) -> DataFrame:
-    """Keep rows where the Bloblang predicate holds (the `mapping` +
-    deleted() idiom, bloblang/about.adoc:355-363, as a convenience).
-    On raw content envelopes (no static schema for this.<field>) the
-    predicate evaluates dynamically per message."""
-    from connect_spark.bloblang.compiler import BloblangError
+def compile_check(src: str, df: DataFrame) -> Column:
+    """A Bloblang boolean predicate bound to a frame: compiles to a
+    Column when the frame's schema supports it; on raw content
+    envelopes where this.<field> has no static schema, evaluates
+    dynamically per message through the Arrow-batched value evaluator
+    (the check/filter/switch/group_by predicate seam)."""
+    from connect_spark.bloblang.compiler import (
+        META_COL,
+        BloblangError,
+    )
 
     try:
-        return df.filter(compile_expression(conf, df=df))
+        return compile_expression(src, df=df)
     except BloblangError:
         from pyspark.sql.functions import pandas_udf
-
-        from connect_spark.bloblang.compiler import META_COL
 
         meta = (
             F.col(META_COL) if META_COL in df.columns
@@ -407,18 +421,27 @@ def _p_filter(df: DataFrame, conf: Any) -> DataFrame:
                   e: pd.Series) -> pd.Series:
             from connect_spark.bloblang.pyeval import eval_predicate
 
-            return pd.Series([
-                eval_predicate(
-                    conf, c,
-                    meta=mm if isinstance(mm, dict) else {},
-                    error=ee,
-                ) is True
-                for c, mm, ee in zip(content, m, e)
-            ], dtype=bool)
+            out = []
+            for c, mm, ee in zip(content, m, e):
+                try:
+                    v = eval_predicate(
+                        src, c,
+                        meta=mm if isinstance(mm, dict) else {},
+                        error=ee,
+                    )
+                except Exception:  # noqa: BLE001 — failed check
+                    v = None
+                out.append(v is True)
+            return pd.Series(out, dtype=bool)
 
-        return df.filter(
-            _pred(F.col("content").cast("string"), meta, err)
-        )
+        return _pred(F.col("content").cast("string"), meta, err)
+
+
+@processor("filter")
+def _p_filter(df: DataFrame, conf: Any) -> DataFrame:
+    """Keep rows where the Bloblang predicate holds (the `mapping` +
+    deleted() idiom, bloblang/about.adoc:355-363, as a convenience)."""
+    return df.filter(compile_check(conf, df))
 
 
 @processor("switch")
@@ -438,7 +461,7 @@ def _p_switch(df: DataFrame, conf: Any) -> DataFrame:
         check = case.get("check")
         procs = case.get("processors", [])
         cond = (
-            compile_expression(check) if check else F.lit(True)
+            compile_check(check, df) if check else F.lit(True)
         )
         branch = df.filter(remaining & cond)
         for p in procs:
@@ -699,7 +722,7 @@ def _p_while(df: DataFrame, conf: Any) -> DataFrame:
     lazy plan; each iteration is one narrow pass, the count() is the
     only action. The joining-streams intra-batch parent resolution
     (config/examples/joining_streams.yaml:23-60) is this pattern."""
-    check = compile_expression(conf["check"])
+    check = compile_check(conf["check"], df)
     max_loops = int(conf.get("max_loops", 10))
     procs = conf.get("processors", [])
     # Each iteration stacks filter+union plans; without truncation 10+

@@ -124,15 +124,99 @@ def _run_branch(df: DataFrame, conf: dict) -> tuple[DataFrame, list[str]]:
     pruning performs the reference's payload-narrowing optimization
     automatically), child processors, result_map; returns the frame
     plus the result_map's assigned columns."""
+    from connect_spark.plans.pipeline import _p_mutation
+
     work = df
     if conf.get("request_map"):
-        work = compile_mapping(work, conf["request_map"], mode="mutation")
+        # the mutation processor path: Column-compiled when typed,
+        # dynamic batch evaluation on raw content envelopes (r15)
+        work = _p_mutation(work, conf["request_map"])
     work = _children(work, conf.get("processors", []))
     targets: list[str] = []
     if conf.get("result_map"):
-        work = compile_mapping(work, conf["result_map"], mode="mutation")
+        work = _p_mutation(work, conf["result_map"])
         targets = _assign_targets(conf["result_map"])
     return work, targets
+
+
+def _envelope_merge_udf(targets: list[str]):
+    """Per-row merge for raw-content branches: each result_map target
+    key copies from the branch-result document into the ORIGINAL
+    document (branch.adoc result_map semantics on the message
+    model)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _merge(orig: pd.Series, child: pd.Series) -> pd.Series:
+        import json as _json
+
+        from connect_spark.bloblang.pyeval import render_json
+
+        def conv(o, c):
+            try:
+                doc = _json.loads(o) if o is not None else {}
+            except Exception:  # noqa: BLE001 — raw original
+                doc = {}
+            if not isinstance(doc, dict):
+                doc = {}
+            try:
+                res = _json.loads(c) if c is not None else {}
+            except Exception:  # noqa: BLE001 — raw child result
+                res = {}
+            if not isinstance(res, dict):
+                res = {}
+            for t in targets:
+                if t in res:
+                    doc[t] = res[t]
+            return render_json(doc)
+
+        return pd.Series(
+            [conv(o, c) for o, c in zip(orig, child)], dtype=object
+        )
+
+    return _merge
+
+
+def _restore_after_branch(
+    work: DataFrame, orig: list[str], targets: list[str]
+) -> DataFrame:
+    """Column-model restore: original columns come back from the
+    snapshot, result_map targets from the branch result. On a raw
+    content envelope the targets merge INTO the original document
+    JSON-wise instead (the r15 message model)."""
+    from connect_spark.bloblang.compiler import META_COL
+
+    doc_orig = [
+        c for c in orig if not c.startswith("_") and c != META_COL
+    ]
+    if doc_orig == ["content"]:
+        merged = _envelope_merge_udf(targets)(
+            F.col(f"{_BRANCH_ORIG}.content"),
+            F.col("content").cast("string"),
+        )
+        cols = []
+        for c in orig:
+            if c == "content":
+                cols.append(merged.alias("content"))
+            elif c in (META_COL, "_error", "_error_source") and (
+                c in work.columns
+            ):
+                cols.append(F.col(c))  # child meta/error flow out
+            else:
+                cols.append(F.col(f"{_BRANCH_ORIG}.{c}").alias(c))
+        for c in (META_COL, "_error", "_error_source"):
+            if c in work.columns and c not in orig:
+                cols.append(F.col(c))
+        return work.select(*cols)
+    cols = [
+        (
+            F.col(c)
+            if c in targets
+            else F.col(f"{_BRANCH_ORIG}.{c}").alias(c)
+        )
+        for c in orig
+    ] + [F.col(t) for t in targets if t not in orig]
+    return work.select(*cols)
 
 
 @processor("branch")
@@ -154,15 +238,7 @@ def _p_branch(df: DataFrame, conf: Any) -> DataFrame:
             "branches must preserve columns (use mutation, not a "
             "fresh-document mapping, inside branch children)"
         )
-    cols = [
-        (
-            F.col(c)
-            if c in targets
-            else F.col(f"{_BRANCH_ORIG}.{c}").alias(c)
-        )
-        for c in orig
-    ] + [F.col(t) for t in targets if t not in orig]
-    return work.select(*cols)
+    return _restore_after_branch(work, orig, targets)
 
 
 @processor("workflow")
@@ -177,6 +253,20 @@ def _p_workflow(df: DataFrame, conf: Any) -> DataFrame:
         [n for tier in order for n in tier] if order else list(branches)
     )
     orig = list(df.columns)
+    from connect_spark.bloblang.compiler import META_COL
+
+    if [c for c in orig if not c.startswith("_") and c != META_COL] \
+            == ["content"]:
+        # raw content envelope: branches apply sequentially, each
+        # merging its result_map targets into the running document —
+        # later branches see earlier targets (workflow.adoc order)
+        running = df
+        for name in names:
+            if name not in branches:
+                raise PipelineConfigError(
+                    f"workflow: unknown branch {name!r}")
+            running = _p_branch(running, branches[name])
+        return running
     work = df.withColumn(_BRANCH_ORIG, F.struct(*orig))
     all_targets: list[str] = []
     for name in names:
@@ -216,8 +306,10 @@ def _p_group_by(df: DataFrame, conf: Any) -> DataFrame:
         raise PipelineConfigError("group_by needs at least one group")
     # NULL checks must route like false (a NULL predicate would drop
     # the row from every group INCLUDING the unmatched own-group)
+    from connect_spark.plans.pipeline import compile_check
+
     checks = [
-        F.coalesce(compile_expression(g["check"]), F.lit(False))
+        F.coalesce(compile_check(g["check"], df), F.lit(False))
         for g in groups
     ]
     parts: list[DataFrame] = []

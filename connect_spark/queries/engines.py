@@ -113,9 +113,10 @@ def awk_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string"),
     )
     prog = '/^(purchase|error)/ { printf "%s:%d", $1, $2 * 2 }'
+    meta = F.lit(None).cast("map<string,string>")
     return ev.select(
         "event_id",
-        awk_udf(prog)(line).alias("awk_out"),
+        awk_udf(prog)(line, meta).alias("awk_out"),
     )
 
 

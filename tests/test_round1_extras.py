@@ -172,6 +172,13 @@ def test_cache_processor_in_pipeline(spark, tmp_path):
 
 
 def test_string_split_and_try_catch_processors(spark):
+    """r15 message-model semantics: after string_split the messages
+    are RAW payloads ("a"), not documents with a `content` field —
+    `this.content` fails the try mutation (reference: unable to
+    reference as structured), the catch's object assignment on a
+    string root fails too, and catch clears the flag; payloads pass
+    through unchanged. The old expectation (a `mark` column bolted
+    beside `content`) was the d6fd1df envelope-corruption class."""
     from connect_spark.plans import build_pipeline
 
     cfg = {
@@ -184,9 +191,29 @@ def test_string_split_and_try_catch_processors(spark):
             }},
         ]},
     }
-    rows = build_pipeline(spark, cfg).dataframe().collect()
+    df = build_pipeline(spark, cfg).dataframe()
+    rows = df.collect()
     assert sorted(r["content"] for r in rows) == ["a", "b", "c"]
-    assert all(r["mark"].startswith("t-") for r in rows)
+    if "_error" in df.columns:
+        assert all(r["_error"] is None for r in rows)  # catch cleared
+    # structured JSON payloads DO expose fields to the mutation
+    cfg2 = {
+        "input": {"generate": {
+            "count": 1, "mapping": 'root.content = "{\\"v\\":1};{\\"v\\":2}"'
+        }},
+        "pipeline": {"processors": [
+            {"string_split": {"field": "content", "delimiter": ";"}},
+            {"mutation": "root.mark = this.v * 10"},
+        ]},
+    }
+    import json as _json
+
+    rows2 = build_pipeline(spark, cfg2).dataframe().collect()
+    docs = sorted(
+        (_json.loads(r["content"])["v"], _json.loads(r["content"])["mark"])
+        for r in rows2
+    )
+    assert docs == [(1, 10), (2, 20)]
 
 
 def test_jwt_hs256_roundtrip(spark):
