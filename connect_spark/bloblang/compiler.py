@@ -418,6 +418,12 @@ class Compiler:
         # `this._gen_index` must keep resolving even though internal
         # columns are outside the document
         self.all_cols: list[str] | None = None
+        # names assigned by EARLIER statements of the mapping being
+        # compiled: `this.<name>` resolves to them through Spark's
+        # lateral column aliases (the engine's sequential-assignment
+        # behavior, pinned by test_bloblang.py::test_if_else_and_match);
+        # only genuinely-absent names compile to Bloblang's null
+        self.assigned: set[str] = set()
         self.raw_content: bool = False
         self.batch_keys: list[Column] = []
         self.order_col: Column | None = None
@@ -648,6 +654,7 @@ class Compiler:
                     self.doc_cols is not None
                     and node.name not in self.doc_cols
                     and node.name not in (self.all_cols or ())
+                    and node.name not in self.assigned
                 ):
                     # Bloblang: a missing document field is null
                     # (about.adoc paths) — never an analysis error
@@ -1166,6 +1173,7 @@ def compile_mapping(
                     # root = { ... } — expand keys into assignments
                     for k, v in stmt.expr.pairs:
                         assigns[k] = comp.col(v)
+                        comp.assigned.add(k)
                     continue
                 raise BloblangError(
                     "whole-document `root =` supports `this`, object "
@@ -1185,12 +1193,14 @@ def compile_mapping(
                     )
                 else:
                     _nested_set(nested, stmt.path, comp.col(stmt.expr))
+                comp.assigned.add(top)
                 continue
             # a flat assignment AFTER nested writes overwrites the
             # whole value (sequential semantics) — drop the pending
             # nested tree for that key
             nested.pop(stmt.path[0], None)
             assigns[stmt.path[0]] = comp.col(stmt.expr)
+            comp.assigned.add(stmt.path[0])
         else:  # pragma: no cover
             raise BloblangError(f"unknown statement {stmt!r}")
 

@@ -2219,8 +2219,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") < HYBRID_N_QUERY
         ).select(F.col("doc_id").alias("query_id"), "term")
         c = posting.filter(F.col("doc_id") >= HYBRID_N_QUERY)
+        # the query side is HYBRID_N_QUERY docs' postings — bounded by
+        # query-doc length, not corpus size; AQE's size stats pick the
+        # broadcast (repo policy: no forced broadcast of sf-derived
+        # sides, test_no_forced_broadcast.py)
         overlap = (
-            c.join(F.broadcast(q), "term")
+            c.join(q, "term")
             .groupBy("query_id", "doc_id")
             .agg(F.count(F.lit(1)).alias("score"))
         )
