@@ -109,6 +109,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    try:
+        return max(1, int(raw) * mult)
+    except ValueError:
+        return 128 << 20
+
+
+def fanout_scan(spark: SparkSession, df: DataFrame, sf_dir: str,
+                *names: str) -> DataFrame:
+    """Round-robin fan-out for a compute-heavy stage fed by a scan the
+    file layout cannot split (optimization guide §2.5 "input skew":
+    the test tables are single-row-group parquet files, so the scan
+    stage is ONE task no matter the core count, and everything narrow
+    above it — hashing, shingling, codec work, vector math — runs on
+    one core).
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    expected scan-task count is derived from the input bytes and
+    ``spark.sql.files.maxPartitionBytes``.  On any production-sized
+    (or merely multi-split) input the estimate reaches the session's
+    default parallelism and this is a NO-OP; only an unsplittable
+    small input pays one narrow exchange of the pruned columns to use
+    the whole machine.  The 16 KiB-per-partition floor keeps the
+    fan-out from shredding tiny tables into empty tasks."""
+    total = 0
+    for n in names:
+        try:
+            total += os.path.getsize(table_path(sf_dir, n))
+        except OSError:
+            return df
+    par = spark.sparkContext.defaultParallelism
+    est_tasks = max(1, -(-total // _max_partition_bytes(spark)))
+    if est_tasks >= par:
+        return df
+    target = min(par, max(1, total >> 14))
+    if target <= est_tasks:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -33,22 +33,26 @@ Design for engine-exact cross-checking (the repo's oracle discipline):
   previous centroid.
 
 Spark shape (MLlib's own KMeans loop, declaratively):
-- one scan derives the quantized vectors;
-- per iteration: broadcast the K x 64 centroid table, min-by-(d2, cid)
-  assignment via a vec_id window, posexplode + groupBy(cid, pos) for
-  the sums, and a K*64-row collect (control-plane-sized: 512 longs)
-  to rebuild the next centroid table on the driver — exactly the
-  centers-to-driver step MLlib performs each Lloyd round;
+- one scan derives the quantized vectors (fanned out past the
+  unsplittable test file — catalog.fanout_scan);
+- per iteration: the K x 64 centroid rows ride the task closure and
+  assignment is ONE numpy matrix op per Arrow batch (mapInPandas —
+  a pure map stage, no join, no exchange; opt guide §4.2), then
+  posexplode + groupBy(cid, pos) for the sums and a K*64-row collect
+  (control-plane-sized: 512 longs) to rebuild the next centroid rows
+  on the driver — exactly the centers-to-driver step MLlib performs
+  each Lloyd round;
 - the returned DataFrame is the final assignment's per-cluster
   rollup, so the driver's collect re-runs only the last assignment.
 
 At 100 TB: the per-iteration shuffle carries (cid, pos, partial-sum)
 after map-side combine — K*64 groups regardless of corpus size; the
-corpus-side work is embarrassingly parallel scoring against a
-broadcast table.  Production would persist the quantized vectors once
-(they are 4-8x smaller than the float input) instead of re-deriving
-them per iteration; at this test scale the re-scan is cheaper than
-the cache churn, and the plan is identical either way.
+corpus-side work is embarrassingly parallel scoring against the
+closure-shipped centroid matrix.  Production would persist the
+quantized vectors once (they are 4-8x smaller than the float input)
+instead of re-deriving them per iteration; at this test scale the
+re-scan is cheaper than the cache churn, and the plan is identical
+either way.
 """
 
 from __future__ import annotations
@@ -72,7 +76,11 @@ _CENT_SCHEMA = T.StructType([
 
 
 def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings quantized to the integer grid (array<long>)."""
+    """Embeddings quantized to the integer grid (array<long>).  NOT
+    fanned out: with the numpy mapInPandas assignment one batch of
+    the whole (tiny) test corpus beats 32 near-empty Arrow batches,
+    and at scale the scan splits on its own (measured r15: np alone
+    1.49s, np+fanout 2.61s, broadcast-join baseline 3.0s)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
@@ -83,28 +91,42 @@ def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Min-(d2, cid) assignment against a broadcast centroid table.
-    d2 is exact int64; ties break by centroid id (deterministic —
-    min over the (d2, cid) struct is lexicographic, identical to the
-    row_number(orderBy d2, cid) == 1 formulation it replaces, but the
-    groupBy gets MAP-SIDE partial aggregation: the exchange carries N
-    rows instead of the N×K scored candidates a per-vec window must
-    sort)."""
-    d2 = F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        vecs.join(F.broadcast(cents))
-        .withColumn("d2", d2)
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"),
-             F.first("q").alias("q"))
-        .select("vec_id", "q",
-                F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
-    )
+def _assign(vecs: DataFrame, rows: list[Row]) -> DataFrame:
+    """Min-(d2, cid) assignment against the (driver-local, K×DIMS)
+    centroid rows, evaluated as ONE numpy matrix op per Arrow batch
+    (opt guide §4.2: batch the math into vectorized native code).
+    Replaces the broadcast-join + groupBy-min formulation, which
+    expanded every vector into K scored rows, paid a per-row
+    interpreted zip_with/aggregate (higher-order functions are
+    CodegenFallback), and shuffled N rows back through a hash
+    aggregate — the numpy form is a pure map stage with zero
+    exchange.  Semantics are bit-identical: all math is int64 (no
+    float anywhere), and ``argmin`` returns the FIRST minimum, which
+    with the centroid matrix sorted by cid is exactly the
+    lexicographic min-(d2, cid) tie-break the join formulation (and
+    the oracle's row_number ORDER BY d2, cid) pins."""
+    rows = sorted(rows, key=lambda r: r["cid"])
+    cmat = [list(map(int, r["cq"])) for r in rows]
+    cids = [int(r["cid"]) for r in rows]
+
+    def assign_batches(batches):
+        import numpy as np
+
+        cm = np.asarray(cmat, dtype=np.int64)        # K x DIMS
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.asarray(
+                [np.asarray(x, dtype=np.int64) for x in pdf["q"]],
+                dtype=np.int64)
+            d2 = ((q[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            j = d2.argmin(axis=1)                    # first min = min cid
+            yield pdf.assign(cid=cid_arr[j],
+                             d2=d2[np.arange(len(j)), j])
+
+    return vecs.select("vec_id", "q").mapInPandas(
+        assign_batches, schema="vec_id long, q array<long>, cid long, d2 long")
 
 
 def _update(assigned: DataFrame, prev: list[Row]) -> list[Row]:
@@ -140,16 +162,16 @@ def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _trained_centroids(spark, sf_dir))
 
 
-def _trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The settled centroid table after ITERS Lloyd rounds."""
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[Row]:
+    """The settled centroid rows after ITERS Lloyd rounds (K×DIMS
+    longs, driver-local — the same centers-to-driver state MLlib's
+    loop keeps between rounds)."""
     vecs = _qvecs(spark, sf_dir)
     prev = vecs.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")).collect()
-    cur = spark.createDataFrame(prev, _CENT_SCHEMA)
     for _ in range(ITERS):
-        prev = _update(_assign(vecs, cur), prev)
-        cur = spark.createDataFrame(prev, _CENT_SCHEMA)
-    return cur
+        prev = _update(_assign(vecs, prev), prev)
+    return prev
 
 
 def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,12 +352,13 @@ def ann_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/K of the data — identical plan shape to ann_ivf_probe with
     strictly better cell balance (Lloyd equalizes cell populations;
     seed cells are as skewed as the data)."""
-    cents = _trained_centroids(spark, sf_dir)
+    cent_rows = _trained_centroids(spark, sf_dir)
+    cents = spark.createDataFrame(cent_rows, _CENT_SCHEMA)
     vecs = _qvecs(spark, sf_dir)
     corpus = vecs.filter(F.col("vec_id") >= N_QUERY)
     queries = vecs.filter(F.col("vec_id") < N_QUERY)
 
-    assign = _assign(corpus, cents).select(
+    assign = _assign(corpus, cent_rows).select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"),
         "cid")
 

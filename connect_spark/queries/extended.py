@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connect_spark.catalog import load_table
+from connect_spark.catalog import fanout_scan, load_table
 from connect_spark.functions.formats import (
     compress_udf,
     decompress_udf,
@@ -307,7 +307,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text_chunker token strategy (text_chunker.adoc:85-101): 20-token
     chunks, exploded with chunk index — the LLM-pipeline pre-embedding
     step. Narrow array algebra, no UDF, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_scan(  # opt guide §2.5: 1-task scan, heavy narrow chunking
+        spark, load_table(spark, sf_dir, "documents"), sf_dir,
+        "documents")
     chunks = docs.select(
         "doc_id", F.posexplode(text_chunks("text", 20)).alias("chunk_idx", "chunk")
     )
@@ -348,7 +350,9 @@ def chunk_recursive_character(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays exactly with a recursive CTE (one word per iteration)."""
     from connect_spark.text.chunker import recursive_chunks_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_scan(  # opt guide §2.5: 1-task scan, heavy narrow chunking
+        spark, load_table(spark, sf_dir, "documents"), sf_dir,
+        "documents")
     chunks = recursive_chunks_udf(
         chunk_size=100, chunk_overlap=0, separators=["\n\n", "\n", " "]
     )(F.col("text"))
@@ -395,7 +399,9 @@ def chunk_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     state the expected sections directly."""
     from connect_spark.text.chunker import markdown_chunks_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fanout_scan(  # opt guide §2.5: 1-task scan, heavy narrow chunking
+        spark, load_table(spark, sf_dir, "documents"), sf_dir,
+        "documents")
     md = F.concat(
         F.lit("# Doc\nabstract: "),
         F.substring("text", 1, 40),

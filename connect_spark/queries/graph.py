@@ -33,7 +33,7 @@ the query stateless for the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from connect_spark.catalog import load_table
@@ -46,17 +46,33 @@ DAMP_DEN = 100
 R0 = 1_000_000           # initial rank per node
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst, w): customer 2c → supplier 2s+1, weight = number of
-    lineitems bought from that supplier by that customer."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey")
+def _raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped (src, dst) pairs: customer 2c → supplier 2s+1, one
+    row per lineitem.  The lineitem scan is fanned out
+    (catalog.fanout_scan, opt guide §2.5): the broadcast-join probe
+    over 6M/sf rows is narrow work that otherwise runs in the single
+    task the one-row-group test file allows."""
+    from connect_spark.catalog import fanout_scan
+
+    li = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"),
+        sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select((F.col("o_custkey") * 2).alias("src"),
                 (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w): weight = number of lineitems bought from that
+    supplier by that customer."""
+    return (
+        _raw_edges(spark, sf_dir)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -74,31 +90,38 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathology measured at 752 scans on the triangle query.  In
     production the edge list is a materialized table to begin with.
 
-    Cold-cost shape (r12 A/B, SCALE.md "pagerank cold edge-build"):
-    - `nodes` derives from the two ALREADY-AGGREGATED degree frames
-      (deg ∪ indeg, |customers|+|suppliers| rows) instead of
-      union+distinct over the raw edge list (2|edges| rows through
-      an exchange) — same result, far smaller distinct.
-    - `indeg` (needed for the output anyway) is computed once up
-      front and reused for nodes.
-    - `ew` persists hash-partitioned by dst: the per-iteration
-      contribution groupBy(dst) then reuses the cached partitioning
-      (the ranks side broadcasts at every measured SF), so an
-      iteration adds NO full-width exchange — partial agg + final
-      agg on in-place partitions."""
-    edges = _edges(spark, sf_dir).persist()
-    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
-    indeg = edges.groupBy("dst").agg(F.sum("w").alias("in_w"))
-    nodes = (deg.select(F.col("src").alias("node"))
+    r15 shape (plan audit: the r14 form re-exchanged the FULL edge
+    list by src inside every iteration's SortMergeJoin — the
+    repartition("dst") it persisted never matched the join key):
+    - ONE wide exchange total: the raw pairs repartition by src
+      BEFORE the (src, dst) rollup (HashPartitioning(src) satisfies
+      the groupBy's clustering), deg is a src-window on the same
+      partitioning, and `ew` persists src-partitioned.
+    - per iteration the src-keyed join reuses the cached
+      partitioning: only the |V|-row rank vector shuffles (SHJ hint —
+      hash-build the small per-partition rank slice instead of
+      sorting the cached edge partitions every round), and the
+      contribution groupBy(dst) exchanges map-side-combined partial
+      sums, never edge rows.
+    - `nodes` derives from the two already-aggregated degree frames
+      (distinct src ∪ indeg dst), not the raw edge list."""
+    ew = (
+        _raw_edges(spark, sf_dir)
+        .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("deg", F.sum("w").over(Window.partitionBy("src")))
+        .persist()
+    )
+    indeg = ew.groupBy("dst").agg(F.sum("w").alias("in_w")).persist()
+    nodes = (ew.select(F.col("src").alias("node")).distinct()
              .union(indeg.select(F.col("dst").alias("node")))
              .distinct()
              .persist())
     ranks = nodes.withColumn("r", F.lit(R0).cast("long"))
-    # (src, dst, w, deg), partitioned by the per-iteration groupBy key
-    ew = edges.join(deg, "src").repartition("dst").persist()
     for _ in range(PR_ITERS):
         contrib = (
-            ew.join(ranks, ew.src == ranks.node)
+            ew.join(ranks.hint("shuffle_hash"), ew.src == ranks.node)
             .select(
                 "dst",
                 F.expr(f"(r * {DAMP_NUM} * w) div ({DAMP_DEN} * deg)")
@@ -108,7 +131,8 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(contrib.hint("shuffle_hash"),
+                       nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (F.lit(TELEPORT)

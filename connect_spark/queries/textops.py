@@ -107,23 +107,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 bits are independent, so disjoint windows are independent
     hashes at a quarter of the digest cost (was: 16 md5s/shingle; this
     stage dominated the bench). Fixed-length hex compares
-    lexicographically == numerically, so min() is unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    # All 16 minhashes in ONE aggregation pass: no perm-row explosion,
-    # and partial (map-side) min-combining means the shuffle carries 16
-    # hashes per doc per partition, never per shingle.
-    digests = {
-        s: F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
-        for s in range(N_PERM // 4)
-    }
-    sigs = sh.groupBy("doc_id").agg(
+    lexicographically == numerically, so min() is unchanged.
+
+    r15 shape: signatures are computed PER ROW with higher-order
+    functions (array_distinct over the shingle array, one md5
+    transform per salt, array_min per window) instead of explode +
+    groupBy(doc_id) — min over the same distinct-shingle set, so the
+    signature is bit-identical, but the explode buffer and the
+    full-corpus signature exchange are gone: nothing shuffles until
+    the 4-rows-per-doc band table.  Candidate pairs come from
+    groupBy(band, bh) + in-bucket pair generation rather than the
+    band self-join: the join's broadcast side defeated exchange reuse
+    and computed the whole shingle+md5 pipeline TWICE per run (plan
+    audit r15), and the bucket rollup shuffles the band table once
+    instead of twice.  The scan is fanned out first (catalog.
+    fanout_scan, opt guide §2.5): single-row-group input otherwise
+    runs the whole md5 stage as one task."""
+    from connect_spark.catalog import fanout_scan
+
+    docs = fanout_scan(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir,
+        "documents")
+    t = _tokens(docs).filter(F.size("toks") >= 3)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda j: F.concat_ws(
+            " ", F.get("toks", j), F.get("toks", j + 1),
+            F.get("toks", j + 2)
+        ),
+    )
+    shingled = t.select("doc_id", F.array_distinct(sh).alias("shingles"))
+
+    def _mk_dig(s: int):
+        salt = f"{s}:"
+        return lambda x: F.md5(F.concat(F.lit(salt), x))
+
+    def _mk_sub(off: int):
+        return lambda d: F.substring(d, off, 8)
+
+    # the dig/mh columns live in SEPARATE projections so each salted
+    # md5 array is computed once (CollapseProject keeps non-cheap
+    # aliases referenced more than once out of line)
+    dig = shingled.select(
+        "doc_id",
         *[
-            F.min(
-                F.substring(digests[p // 4], (p % 4) * 8 + 1, 8)
+            F.transform("shingles", _mk_dig(s)).alias(f"dig{s}")
+            for s in range(N_PERM // 4)
+        ],
+    )
+    sigs = dig.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(f"dig{p // 4}", _mk_sub((p % 4) * 8 + 1))
             ).alias(f"mh{p}")
             for p in range(N_PERM)
-        ]
+        ],
     )
     # Band hashes straight from the signature row (narrow explode of a
     # 4-element array — no second shuffle).
@@ -149,17 +188,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(band_structs).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # all a<b pairs within a bucket, generated from the sorted id list
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids") - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

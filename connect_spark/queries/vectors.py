@@ -55,7 +55,16 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Fanned out past the single-row-group test file (catalog.
+    fanout_scan, opt guide §2.5): every consumer's per-vector math —
+    cosine scoring, LSH band signatures, quantization — is narrow
+    compute that otherwise runs in the one task the file layout
+    allows."""
+    from connect_spark.catalog import fanout_scan
+
+    emb = fanout_scan(
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir,
+        "embeddings")
     return emb.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("v")
     )

@@ -81,9 +81,13 @@ EXPECT: dict[str, dict] = {
     # IS zero shuffles: any Exchange here multiplies at 100 TB
     "chunk_documents": dict(max_hashex=0),
     "dedup_exact": dict(need=["partial_"], max_hashex=2),
+    # r15: signatures are per-row higher-order-function algebra and
+    # candidate pairs come from a single groupBy(band, bh) bucket
+    # rollup — the load-bearing properties are NO join at all (the
+    # old band self-join recomputed the md5 pipeline twice) and only
+    # the two aggregation exchanges (bucket rollup + final distinct)
     "dedup_minhash_lsh": dict(
-        need=["BroadcastHashJoin", "partial_"], min_bcast=1,
-        max_hashex=3, pushed=True),
+        need=["partial_"], max_hashex=2),
     "dedupe_first_per_user": dict(need=["Window"], max_hashex=2),
     "join_enrichment_lookup": dict(
         need=["BroadcastHashJoin"], min_bcast=1, max_hashex=2),
@@ -91,8 +95,12 @@ EXPECT: dict[str, dict] = {
     "join_star_revenue_by_nation": dict(
         need=["BroadcastHashJoin", "partial_"], min_bcast=2,
         max_hashex=4, pushed=True),
+    # r15: assignment is one numpy matrix op per Arrow batch
+    # (MapInPandas) against closure-shipped centroids — no broadcast
+    # join, no scored-candidate explosion; the only shuffle left is
+    # the per-cluster rollup's partial/final aggregate pair
     "kmeans_lloyd_clusters": dict(
-        need=["partial_"], min_bcast=1, max_hashex=3),
+        need=["MapInPandas", "partial_"], max_hashex=2),
     # persisted edge list (InMemoryRelation) + map-side combine in
     # every unrolled iteration + broadcast edge-build join.  11 live
     # exchanges = 3 iterations x (ranks-join sort + narrow post-
