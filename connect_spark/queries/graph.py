@@ -68,82 +68,53 @@ def _raw_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst, w): weight = number of lineitems bought from that
-    supplier by that customer."""
-    return (
-        _raw_edges(spark, sf_dir)
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
 
 
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 unrolled PageRank iterations over the purchase graph; output
+    """PR_ITERS PageRank iterations over the purchase graph; output
     is every SUPPLIER node's final integer rank plus its weighted
-    in-degree — the exact rank vector, pinned by the oracle.
+    in-degree — the exact rank vector, pinned by the oracle (whose
+    SQL runs the iterations literally).
 
-    The edge list (and the degree-joined copy every iteration reads)
-    is persisted: the lazy form re-derives the lineitem⋈orders +
-    groupBy subtree once per reference (deg, nodes, all PR_ITERS
-    contribution joins, the in-degree rollup) — the plan-duplication
-    pathology measured at 752 scans on the triangle query.  In
-    production the edge list is a materialized table to begin with.
-
-    r15 shape (plan audit: the r14 form re-exchanged the FULL edge
-    list by src inside every iteration's SortMergeJoin — the
-    repartition("dst") it persisted never matched the join key):
-    - ONE wide exchange total: the raw pairs repartition by src
-      BEFORE the (src, dst) rollup (HashPartitioning(src) satisfies
-      the groupBy's clustering), deg is a src-window on the same
-      partitioning, and `ew` persists src-partitioned.
-    - per iteration the src-keyed join reuses the cached
-      partitioning: only the |V|-row rank vector shuffles (SHJ hint —
-      hash-build the small per-partition rank slice instead of
-      sorting the cached edge partitions every round), and the
-      contribution groupBy(dst) exchanges map-side-combined partial
-      sums, never edge rows.
-    - `nodes` derives from the two already-aggregated degree frames
-      (distinct src ∪ indeg dst), not the raw edge list."""
+    r15 shape — the iteration algebra collapses (opt guide §8: use
+    problem structure the optimizer cannot see).  The graph is
+    bipartite BY CONSTRUCTION: src ids are even (2c), dst ids odd
+    (2s+1), so no node is ever both.  Therefore
+      - customers have no in-edges: from iteration 1 on their rank is
+        exactly TELEPORT, independent of R0;
+      - every contribution flows from a customer, so from iteration 2
+        on the supplier inflow is the constant
+        sum((TELEPORT * DAMP_NUM * w) div (DAMP_DEN * deg)) —
+        iterations 2..N are identical, and for any PR_ITERS >= 2 the
+        final ranks equal that closed form (per-edge-group integer
+        flooring matches the oracle's per-iteration term exactly).
+    The loop the r14 code ran (3 x [rank shuffle + contribution
+    shuffle + rank rebuild join], plus persisted edge/node/in-degree
+    frames) is replaced by ONE wide exchange + ONE narrow aggregate:
+    raw pairs repartition by src, the (src, dst) rollup and the deg
+    window reuse that partitioning, and a single groupBy(dst)
+    produces inflow AND weighted in-degree in the same partial-agg
+    pass.  Nothing needs persist — the lineage is a single chain.
+    If the node spaces ever overlapped, the closed form would be
+    wrong — the oracle cross-check (exact integer equality on every
+    rank) is the guard."""
     ew = (
         _raw_edges(spark, sf_dir)
         .repartition("src")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("deg", F.sum("w").over(Window.partitionBy("src")))
-        .persist()
     )
-    indeg = ew.groupBy("dst").agg(F.sum("w").alias("in_w")).persist()
-    nodes = (ew.select(F.col("src").alias("node")).distinct()
-             .union(indeg.select(F.col("dst").alias("node")))
-             .distinct()
-             .persist())
-    ranks = nodes.withColumn("r", F.lit(R0).cast("long"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            ew.join(ranks.hint("shuffle_hash"), ew.src == ranks.node)
-            .select(
-                "dst",
-                F.expr(f"(r * {DAMP_NUM} * w) div ({DAMP_DEN} * deg)")
-                .alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = (
-            nodes.join(contrib.hint("shuffle_hash"),
-                       nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (F.lit(TELEPORT)
-                 + F.coalesce(F.col("inflow"), F.lit(0))).alias("r"),
-            )
-        )
-    sup = ranks.filter(F.col("node") % 2 == 1)
     return (
-        sup.join(indeg, sup.node == indeg.dst)
-        .select(((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
-                F.col("r").alias("pagerank_micro"),
+        ew.groupBy("dst")
+        .agg(
+            F.sum(F.expr(
+                f"({TELEPORT} * {DAMP_NUM} * w) div ({DAMP_DEN} * deg)"
+            )).alias("inflow"),
+            F.sum("w").alias("in_w"),
+        )
+        .select(((F.col("dst") - 1) / 2).cast("long").alias("s_suppkey"),
+                (F.lit(TELEPORT) + F.col("inflow")).alias("pagerank_micro"),
                 F.col("in_w").alias("weighted_in_degree"))
     )
 
@@ -232,24 +203,40 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its projection degree — exact integers, oracle-pinned (the
     oracle applies the same cap and histogram-rank threshold;
     orientation is plan-side only and result-invariant, so the oracle
-    keeps the simple id-ordered enumeration)."""
-    bip = _edges(spark, sf_dir).select(
-        F.col("src").alias("c"), F.col("dst").alias("s")).distinct()
-    keep = (bip.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") <= CUST_DEG_CAP).select("c"))
-    bip = bip.join(keep, "c", "left_semi")
-    a = bip.select("c", F.col("s").alias("s1"))
-    b = bip.select("c", F.col("s").alias("s2"))
+    keeps the simple id-ordered enumeration).
+
+    r15 pair-generation shape (was: distinct → hub-cap groupBy →
+    semi-join → a⋈b self-join on c, four exchanges of the bipartite
+    table and a 12M-row join output): ONE groupBy(c).collect_set does
+    distinct + hub-cap + per-customer supplier set in a single
+    exchange, and the s1 < s2 pairs come from a double explode of the
+    set — codegen'd Generate, measured ~1.6x faster than the
+    equivalent higher-order-function slice/transform, which is
+    CodegenFallback per element.  The tiny sets frame is explicitly
+    repartitioned to defaultParallelism before the explode: AQE
+    coalesces the pre-explode shuffle by BYTES and cannot see the
+    C(k,2) expansion (measured: 5 tasks carrying a 22M-row explode;
+    the fan-out is one exchange of |customers| short rows and engages
+    every core at any deployment size, with per-task output bounded
+    by rows/par x C(CAP,2))."""
+    sets = (
+        _raw_edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("c"))
+        .agg(F.collect_set("dst").alias("ss"))
+        .filter(F.size("ss") <= CUST_DEG_CAP)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # The pair table is referenced by the histogram and the projection;
     # the projection is referenced 6+ times downstream (degrees,
     # orientation, all three triangle-join legs).  Without persist the
-    # self-join subtree is replicated into each reference and the
-    # physical plan grows combinatorially (measured: 752 parquet scans
-    # at 16x).  Both persisted frames are orders of magnitude smaller
-    # than the pair stream that builds them — exactly the
-    # intermediates a production pipeline materializes.
+    # build subtree is replicated into each reference and the physical
+    # plan grows combinatorially (measured: 752 parquet scans at 16x).
+    # Both persisted frames are orders of magnitude smaller than the
+    # pair stream that builds them — exactly the intermediates a
+    # production pipeline materializes.
     pairs = (
-        a.join(b, "c")
+        sets.select(F.explode("ss").alias("s1"), "ss")
+        .select("s1", F.explode("ss").alias("s2"))
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("shared"))

@@ -101,16 +101,15 @@ EXPECT: dict[str, dict] = {
     # the per-cluster rollup's partial/final aggregate pair
     "kmeans_lloyd_clusters": dict(
         need=["MapInPandas", "partial_"], max_hashex=2),
-    # persisted edge list (InMemoryRelation) + map-side combine in
-    # every unrolled iteration + broadcast edge-build join.  11 live
-    # exchanges = 3 iterations x (ranks-join sort + narrow post-
-    # partial-agg dst shuffle) + the final rank/in-degree joins; the
-    # dropped-persist pathology re-derives the edge subtree per
-    # reference and blows far past the ceiling.
+    # r15: the bipartite-graph closed form — broadcast edge-build
+    # join, ONE wide src exchange reused by the rollup + deg window,
+    # one narrow dst aggregate producing inflow and in-degree in the
+    # same partial-agg pass.  A third hash exchange means the rollup
+    # stopped reusing the src partitioning.
     "pagerank_purchase_graph": dict(
-        need=["InMemoryRelation", "BroadcastHashJoin"],
-        min_bcast=1, max_hashex=13, pushed=True,
-        min_partial_sum=3),
+        need=["BroadcastHashJoin", "Window"],
+        min_bcast=1, max_hashex=2, pushed=True,
+        min_partial_sum=1),
     "q18_large_volume": dict(
         need=["BroadcastHashJoin", "partial_"], min_bcast=1,
         max_hashex=2, pushed=True),
