@@ -42,57 +42,70 @@ def connected_components(
     and labels only ever hold node ids, so each component is uniformly
     labeled with its minimum id.  The jump step doubles the distance
     labels travel per round, giving logarithmic convergence on chains.
-    """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.filter(F.col("a") != F.col("b")).distinct()
+
+    r15 cost shape (measured 10 rounds x ~0.9s at sf0.1 before):
+    - the edge frame is checkpointed BEFORE the symmetric union, so
+      the (possibly expensive) pair pipeline feeding it runs once,
+      not once per union branch;
+    - neighbor-min is union + groupBy (one join, one partial-agg
+      exchange) instead of join + groupBy + left-join;
+    - each round pointer-jumps TWICE (labels travel 4x per round —
+      same fixpoint, it only accelerates convergence of the
+      monotone min: every step takes a least() over values already
+      reachable, so no round can produce anything but the running
+      minimum over a growing reachable set);
+    - convergence is detected by SUM(comp): per-node comp is
+      non-increasing (every update is a least() including the old
+      value), so the sum strictly decreases iff any node changed —
+      one ungrouped aggregate on the frame the lazy checkpoint
+      materializes anyway, ONE job per round, no comparison join."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col(src) != F.col(dst))
+         .localCheckpoint(eager=True))
+    sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    if prev_sum is None:
+        return labels
     for _ in range(max_rounds):
-        # neighbor-min: pull each neighbor's current label, keep the min
-        nmin = (
+        # neighbor-min: min over self ∪ neighbors' labels
+        pulled = (
             sym.join(
                 labels.select(F.col("node").alias("b"),
                               F.col("comp").alias("bc")),
                 "b",
             )
-            .groupBy("a")
-            .agg(F.min("bc").alias("nmin"))
+            .select(F.col("a").alias("node"), F.col("bc").alias("comp"))
         )
         stepped = (
-            labels.join(nmin, labels.node == nmin.a, "left")
-            .select(
-                "node",
-                F.least("comp", F.coalesce("nmin", "comp")).alias("comp"),
-            )
+            labels.select("node", "comp").union(pulled)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
         )
-        # pointer jump: comp(v) <- comp(comp(v)) through the NEW labels
-        j = stepped.select(F.col("node").alias("jnode"),
-                           F.col("comp").alias("jcomp"))
-        jumped = (
-            stepped.join(j, stepped.comp == j.jnode, "left")
-            .select(
-                stepped.node.alias("node"),
-                F.least(stepped.comp,
-                        F.coalesce("jcomp", stepped.comp)).alias("comp"),
+        # two pointer jumps: comp(v) <- comp(comp(v)), twice
+        for _j in range(2):
+            j = stepped.select(F.col("node").alias("jnode"),
+                               F.col("comp").alias("jcomp"))
+            stepped = (
+                stepped.join(j, stepped.comp == j.jnode, "left")
+                .select(
+                    stepped.node.alias("node"),
+                    F.least(stepped.comp,
+                            F.coalesce("jcomp", stepped.comp))
+                    .alias("comp"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.join(
-                labels.select("node", F.col("comp").alias("old")), "node"
-            )
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        labels = stepped.localCheckpoint(eager=False)
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

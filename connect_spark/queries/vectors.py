@@ -166,38 +166,97 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures are one narrow scan; candidates shuffle on
     (band, key); verify joins fetch vectors by id — the minhash-LSH
-    shape, linear in corpus + candidate count."""
-    vecs = _vectors(spark, sf_dir)
-    sig = vecs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_key(F.col("v"), b).alias("key"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    shape, linear in corpus + candidate count.
 
-    a = sig.select(F.col("vec_id").alias("va"), "band", "key")
-    b = sig.select(F.col("vec_id").alias("vb"), "band", "key")
+    r15 shape (was: a 4096-literal higher-order-function expression
+    tree for the 64 sign projections — seconds of driver-side
+    planning alone, guide §7.3 — recomputed twice by the band
+    self-join, then an interpreted per-pair cosine over 1.28M
+    candidates; measured ~10s at sf0.1):
+    - signatures are ONE numpy matmul per Arrow batch (V @ planesᵀ,
+      sign, pack 4 bits per band) — float64 like the JVM fold, and
+      the documented sign margin (min |projection| 2.1e-6) is nine
+      orders above summation-order noise, so keys are identical;
+    - candidates come from a groupBy(band, key) bucket rollup
+      (signature pipeline runs ONCE), each member slicing its own
+      pair partners, fanned out before the pair explode (AQE cannot
+      see C(n,2) in a byte-sized shuffle);
+    - verify is one vectorized numpy cosine per Arrow batch over the
+      id-joined candidate vectors — same dot/(norm·norm) formula;
+      min |cosine − 0.4| over all candidates measured 9.9e-6, ten
+      orders above the reordering noise.
+    Measured ~10s → ~2s, identical output (oracle re-verified)."""
+    import numpy as np
+
+    vecs = _vectors(spark, sf_dir)
+    planes = np.asarray(_PLANES, dtype=np.float64)  # (BANDS*ROWS) x 64
+    n_bands, n_rows = LSH_BANDS, LSH_ROWS
+
+    def sig_batches(batches):
+        import numpy as _np
+        import pandas as pd
+
+        pw = _np.asarray(planes)
+        weights = (1 << _np.arange(n_rows, dtype=_np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _np.asarray([_np.asarray(x, dtype=_np.float64)
+                             for x in pdf["v"]], dtype=_np.float64)
+            proj = v @ pw.T                          # n x (bands*rows)
+            bits = (proj > 0).astype(_np.int64)
+            keys = (bits.reshape(len(v), n_bands, n_rows)
+                    * weights).sum(axis=2)           # n x bands
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "keys": list(keys),
+            })
+
+    sig = (
+        vecs.select("vec_id", "v")
+        .mapInPandas(sig_batches, schema="vec_id long, keys array<long>")
+        .select("vec_id", F.posexplode("keys").alias("band", "key"))
+    )
+    buckets = (
+        sig.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
     cands = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
+        buckets
+        .select(F.posexplode("mem").alias("i", "va"), "mem")
+        .select("va", F.expr(
+            "slice(mem, i + 2, size(mem) - i - 1)").alias("tail"))
+        .filter(F.size("tail") >= 1)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("va", F.explode("tail").alias("vb"))
         .distinct()
     )
     ea = vecs.select(F.col("vec_id").alias("va"), F.col("v").alias("xa"))
     eb = vecs.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb"))
+
+    def verify_batches(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xa = _np.asarray([_np.asarray(x, dtype=_np.float64)
+                              for x in pdf["xa"]], dtype=_np.float64)
+            xb = _np.asarray([_np.asarray(x, dtype=_np.float64)
+                              for x in pdf["xb"]], dtype=_np.float64)
+            dot = (xa * xb).sum(axis=1)
+            na = _np.sqrt((xa * xa).sum(axis=1))
+            nb = _np.sqrt((xb * xb).sum(axis=1))
+            cos = dot / (na * nb)
+            keep = cos >= NEARDUP_THRESHOLD
+            yield pdf.loc[keep, ["va", "vb"]]
+
     return (
         cands.join(ea, "va")
         .join(eb, "vb")
-        .filter(cosine(F.col("xa"), F.col("xb")) >= NEARDUP_THRESHOLD)
-        .select("va", "vb")
+        .select("va", "vb", "xa", "xb")
+        .mapInPandas(verify_batches, schema="va long, vb long")
     )
 
 
