@@ -368,10 +368,12 @@ def eval_batch(
         for j in range(len(msgs))
     ]
     out: list[Message] = []
+    batch_memo: dict = {}
     for i, m in enumerate(msgs):
         new_meta = dict(m.meta)
         scope: dict[str, Any] = {
             "__batch__": batch_ctx,
+            "__batch_memo__": batch_memo,
             "__batch_index__": i,
             "__batch_size__": len(msgs),
             "__meta__": new_meta,
@@ -620,19 +622,99 @@ def _ev(node: A.Node, this: Any, scope: dict, root: Any) -> Any:
                 s["__batch_index__"] = j
                 return _v(_ev(node.target, ctx["this"], s, root))
 
+            # Batch-level memo (set up once per eval_batch): a target
+            # whose subtree reads only the addressed message's state
+            # (no $vars, no error/random/counter functions) yields the
+            # SAME value for index j no matter which message evaluates
+            # it — without the memo every message re-walks the whole
+            # batch and from_all() is O(batch²) (measured 10x per-msg
+            # slowdown going 100 -> 1000 messages).  Hits return a
+            # copy so a caller mutating the result (root aliasing)
+            # cannot corrupt the cache.
+            memo = scope.get("__batch_memo__")
+            cacheable = False
+            if memo is not None:
+                cacheable = memo.get(("safe", id(node)))
+                if cacheable is None:
+                    cacheable = _batch_independent(node.target)
+                    memo[("safe", id(node))] = cacheable
+
             if node.name == "from":
                 j = int(_v(_ev(node.args[0], this, scope, root)))
                 if not 0 <= j < len(batch):
                     raise BloblangValueError(
                         f"from({j}): batch has {len(batch)} messages"
                     )
+                if cacheable:
+                    key = ("from", id(node), j)
+                    if key not in memo:
+                        memo[key] = eval_at(j)
+                    return _memo_copy(memo[key])
                 return eval_at(j)
+            if cacheable:
+                key = ("from_all", id(node))
+                if key not in memo:
+                    memo[key] = [eval_at(j) for j in range(len(batch))]
+                return _memo_copy(memo[key])
             return [eval_at(j) for j in range(len(batch))]
         target = _v(_ev(node.target, this, scope, root))
         return _method(node, target, this, scope, root)
     if isinstance(node, A.Func):
         return _func(node, this, scope, root)
     raise BloblangValueError(f"unsupported node {type(node).__name__}")
+
+
+# Functions whose value depends only on the ADDRESSED message (or on
+# nothing) — a from/from_all target built solely from these (and any
+# methods except the dynamic `bloblang` evaluator) returns the same
+# value for batch index j regardless of which message evaluates it,
+# so the result is memoizable at batch scope.  $vars are per-message
+# scope and excluded; error/random/counter/uuid/now families are
+# stateful or nondeterministic and excluded.
+_BATCH_SAFE_FUNCS = frozenset(
+    """json content meta metadata batch_index batch_size range pi env
+    hostname""".split()
+)
+
+
+def _batch_independent(node: Any) -> bool:
+    import dataclasses
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, A.Var):
+            return False
+        if isinstance(n, A.Func) and n.name not in _BATCH_SAFE_FUNCS:
+            return False
+        if isinstance(n, A.Method) and n.name == "bloblang":
+            return False
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if isinstance(v, A.Node):
+                    stack.append(v)
+                elif isinstance(v, (list, tuple)):
+                    stack.extend(
+                        x for x in v if isinstance(x, A.Node))
+    return True
+
+
+def _memo_copy(v: Any) -> Any:
+    """Copy-out for memoized batch values: callers may alias-mutate
+    what they get back (root = ...), which must not corrupt the
+    cache.  Scalars are immutable; flat scalar lists copy shallow."""
+    if isinstance(v, list):
+        if all(not isinstance(x, (list, dict)) for x in v):
+            return list(v)
+        import copy
+
+        return copy.deepcopy(v)
+    if isinstance(v, dict):
+        import copy
+
+        return copy.deepcopy(v)
+    return v
 
 
 SUPPORTED_FUNCTIONS = frozenset(

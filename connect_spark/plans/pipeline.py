@@ -303,8 +303,19 @@ def _dynamic_apply(df: DataFrame, src: str, mode: str) -> DataFrame:
             rows, columns=[f.name for f in out_fields]
         )
 
+    # Pin the grouping exchange to the configured shuffle width: the
+    # evaluator's cost is Python CPU per message, invisible to AQE,
+    # which coalesces this shuffle by its (tiny) byte size — measured
+    # at sf0.1: the whole interpreted stage collapsed onto 3 tasks.
+    # An explicit numPartitions repartition on the group key is
+    # exactly the pre-AQE plan (the groupBy reuses the partitioning,
+    # no extra exchange) and spark.sql.shuffle.partitions stays the
+    # deployment-sized knob at scale.
+    n_shuffle = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
     return (
-        work.groupBy(*group_cols)
+        work.repartition(n_shuffle, *group_cols)
+        .groupBy(*group_cols)
         .applyInPandas(run, schema=out_schema)
     )
 
