@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connect_spark.catalog import load_table
+from connect_spark.catalog import fanout_scan, load_table
 from connect_spark.queries import QuerySpec
 
 
@@ -138,9 +138,13 @@ def kafka_recordbatch_roundtrip(spark: SparkSession,
     migrator moves (public Kafka protocol, "Record Batch")."""
     import json as _json
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
-    )
+    # opt guide §2.5/§4: the codec is Python CPU per record and the
+    # local events scan is 3 splits — fan out so every core encodes
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"),
+        sf_dir, "events")
 
     def encode(batches):
         import pandas as _pd
@@ -211,8 +215,12 @@ def amqp1_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
     import math as _math
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value")
+    # opt guide §2.5/§4: Python codec work — fan the scan out
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"),
+        sf_dir, "events")
 
     def encode(batches):
         import pandas as _pd
@@ -356,8 +364,12 @@ def pulsar_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames (BaseCommand + MessageMetadata protobufs, CRC32C-stamped)
     and decode back, executor-side.  Any protobuf-descriptor, framing
     or checksum bug breaks the value hash against the base table."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id")
+    # opt guide §2.5/§4: Python codec work — fan the scan out
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"),
+        sf_dir, "events")
 
     def roundtrip(batches):
         import pandas as _pd
@@ -790,8 +802,15 @@ def agent_runtime_tool_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     script = os.path.join(pdir, "agent.py")
     with open(script, "w", encoding="utf-8") as fh:
         fh.write(_AGENT_GATE_SCRIPT)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text")
+    from connect_spark.catalog import fanout_scan
+
+    # one agent child per PARTITION (agent_mode.py hosting model) and
+    # the test file scans as a single split — without the fan-out one
+    # child walks every document serially (opt guide §2.5)
+    docs = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir, "documents")
     out = PROCESSORS["redpanda_agent_runtime"](docs, {
         "command": [sys.executable, script],
         "tools_inline": {

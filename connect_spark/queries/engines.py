@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connect_spark.catalog import load_table
+from connect_spark.catalog import fanout_scan, load_table
 from connect_spark.queries import QuerySpec
 
 
@@ -178,7 +178,9 @@ def js_transform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same answer from the base columns."""
     from connect_spark.operators.javascript import javascript_udf
 
-    ev = load_table(spark, sf_dir, "events")
+    # the ES5 interpreter is Python CPU per row (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark, load_table(spark, sf_dir, "events"), sf_dir, "events")
     as_json = F.to_json(
         F.struct("event_id", "event_type", "user_id", "value")
     )
@@ -305,9 +307,13 @@ def jwt_sign_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_ec = 0x1337C0DE
     q_ec = E.public_key(d_ec, E.P384)
 
+    # RS/ES signatures are pure-Python big-int math per row: after
+    # the %500 thinning only ~200 rows remain at sf0.1, clumped on
+    # the scan's 3 splits — spread them so each core signs a handful
+    # (the repartition moves a few hundred narrow rows)
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") % 500 == 0
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     claims = F.concat(
         F.lit('{"uid": '), F.col("user_id").cast("string"), F.lit("}")
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connect_spark.catalog import load_table
+from connect_spark.catalog import fanout_scan, load_table
 from connect_spark.functions.jsonschema import json_schema_validate
 from connect_spark.queries import QuerySpec
 
@@ -18,7 +18,10 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     {processor,bloblang}.go): build an XML doc per event, parse it back
     with native from_xml and xpath — output must equal the source
     fields (the oracle computes them directly)."""
-    ev = load_table(spark, sf_dir, "events")
+    # two XML parses per row are the heavy stage; the local events
+    # scan is 3 splits (opt guide §2.5)
+    ev = fanout_scan(
+        spark, load_table(spark, sf_dir, "events"), sf_dir, "events")
     xml = F.concat(
         F.lit("<event><type>"),
         F.col("event_type"),

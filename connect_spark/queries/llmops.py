@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from connect_spark.catalog import load_table
+from connect_spark.catalog import fanout_scan, load_table
 from connect_spark.queries import QuerySpec
 
 # regex subset valid in BOTH Java regex (Spark) and RE2 (DuckDB)
@@ -264,7 +264,11 @@ def quality_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram — the same shuffle shape as the shingle pipeline; at
     100 TB you'd train df on a sample and broadcast, which is the
     same plan with a smaller build side."""
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize + bigram explode is the heavy narrow stage and the
+    # local documents scan is one split (opt guide §2.5)
+    docs = fanout_scan(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir,
+        "documents")
     toks = F.split(F.col("text"), " +")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
