@@ -736,12 +736,14 @@ def _p_while(df: DataFrame, conf: Any) -> DataFrame:
     check = compile_check(conf["check"], df)
     max_loops = int(conf.get("max_loops", 10))
     procs = conf.get("processors", [])
-    # Each iteration stacks filter+union plans; without truncation 10+
-    # iterations on a wide plan blow up Catalyst analysis time. Every
-    # few rounds the lineage is cut with an eager localCheckpoint (the
-    # per-iteration count() materializes the plan anyway, so the
-    # checkpoint's extra cost is one cached write, not a new action).
-    checkpoint_every = int(conf.get("checkpoint_every", 4))
+    # r15: every iteration ends in a LAZY localCheckpoint that the
+    # next round's check count materializes — one linear pass per
+    # round.  The previous cadence (eager checkpoint every 4 rounds)
+    # made each check count re-execute the filter+union chain since
+    # the last cut: quadratic work between checkpoints, and a second
+    # full materialization on top of the eager write.  checkpoint_
+    # every is kept for configs that want longer lineage (0 = never).
+    checkpoint_every = int(conf.get("checkpoint_every", 1))
     # passed ∪ matched doubles the partition count every iteration
     # (union concatenates partition lists, filters are narrow), which
     # compounds to 2^iters × base tasks — invisible at 1 base
@@ -749,8 +751,6 @@ def _p_while(df: DataFrame, conf: Any) -> DataFrame:
     # pins every iteration back to the input's partition count.
     base_parts = max(1, df.rdd.getNumPartitions())
     for i in range(max_loops):
-        if i > 0 and checkpoint_every > 0 and i % checkpoint_every == 0:
-            df = df.localCheckpoint(eager=True)
         if df.filter(check).limit(1).count() == 0:
             break
         matched = df.filter(check)
@@ -760,6 +760,8 @@ def _p_while(df: DataFrame, conf: Any) -> DataFrame:
         df = passed.unionByName(
             matched, allowMissingColumns=True
         ).coalesce(base_parts)
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0:
+            df = df.localCheckpoint(eager=False)
     return df
 
 
