@@ -197,6 +197,51 @@ _SEM_TAU_NUM2 = 4
 _SEM_TAU_DEN2 = 25
 
 
+def _semdedup_marked(final: DataFrame) -> DataFrame:
+    """Per-member drop flags for SemDeDup: ``(cid, vec_id,
+    is_dropped)`` where a member is dropped iff some lower-vec_id
+    cluster-mate exceeds the cosine threshold.
+
+    r15 shape: ONE applyInPandas over cid groups running an int64
+    numpy Gram matmul per cluster (opt guide §4.2).  Replaces the
+    a⋈b self-join on cid whose per-pair dot was an interpreted
+    64-element zip_with/aggregate (higher-order functions are
+    CodegenFallback) and whose two join branches each recomputed the
+    assignment mapInPandas subtree.  One exchange (the cid
+    partitioning) instead of join + distinct + left-join, and the
+    pairwise work runs at memory bandwidth.  Semantics are
+    bit-identical: all math is int64 (dot <= 64*2000^2 so
+    25*dot^2 < 2^63 at ANY corpus size — bound depends on dims and
+    value range, not rows), and the strict-upper-triangle `any`
+    after a vec_id sort is exactly "exists a_id < b_id above
+    threshold".  Per-cluster memory is |c|^2 ints — the same
+    executor-sized-cluster contract the join formulation already
+    required (at 100 TB you raise K so |c| stays bounded)."""
+    def mark(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        q = np.asarray(
+            [np.asarray(x, dtype=np.int64) for x in pdf["q"]],
+            dtype=np.int64)
+        g = q @ q.T
+        n2 = np.diagonal(g).copy()
+        sim = (g > 0) & (_SEM_TAU_DEN2 * g * g
+                         > _SEM_TAU_NUM2 * np.outer(n2, n2))
+        dropped = np.triu(sim, 1).any(axis=0)
+        return pd.DataFrame({
+            "cid": pdf["cid"],
+            "vec_id": pdf["vec_id"],
+            "is_dropped": dropped.astype("int32"),
+        })
+
+    return (final.select("cid", "vec_id", "q")
+            .groupBy("cid")
+            .applyInPandas(mark,
+                           schema="cid long, vec_id long, is_dropped int"))
+
+
 def kmeans_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup, the paper shape (Abbas et al. 2023): k-means first,
     then pairwise similarity ONLY within clusters, dropping every
@@ -204,42 +249,15 @@ def kmeans_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine threshold.  The cluster step bounds the quadratic
     blowup by construction — pair count is sum over clusters of
     |c|^2, not corpus^2, and at 100 TB you raise K so |c| stays
-    executor-sized (the within-cluster join is an equality shuffle on
-    cid).  Contrast with dedup_semantic_keep (queries/dataprep.py),
-    which generates candidates via LSH bands instead; this variant
-    has no probabilistic recall gap inside a cluster.
+    executor-sized (the within-cluster pairwise runs per cid group).
+    Contrast with dedup_semantic_keep (queries/dataprep.py), which
+    generates candidates via LSH bands instead; this variant has no
+    probabilistic recall gap inside a cluster.
 
     All similarity tests are exact integer cross-multiplications
     (no float cosine anywhere), so the oracle reproduces the keep
-    set bit-for-bit."""
-    final = _final_assignment(spark, sf_dir)
-    n2 = F.aggregate(
-        F.transform("q", lambda x: x * x),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    members = final.select("vec_id", "cid", "q", n2.alias("n2"))
-    a = members.select(
-        F.col("cid"), F.col("vec_id").alias("a_id"),
-        F.col("q").alias("a_q"), F.col("n2").alias("a_n2"))
-    b = members.select(
-        F.col("cid"), F.col("vec_id").alias("b_id"),
-        F.col("q").alias("b_q"), F.col("n2").alias("b_n2"))
-    dot = F.aggregate(
-        F.zip_with("a_q", "b_q", lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    dropped = (
-        a.join(b, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (_SEM_TAU_DEN2 * F.col("dot") * F.col("dot")
-               > _SEM_TAU_NUM2 * F.col("a_n2") * F.col("b_n2")))
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(1))
-    )
-    marked = members.join(dropped, "vec_id", "left").fillna(
-        0, subset=["is_dropped"])
+    set bit-for-bit (see _semdedup_marked for the r15 numpy form)."""
+    marked = _semdedup_marked(_final_assignment(spark, sf_dir))
     return marked.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("is_dropped").alias("n_dropped"),
@@ -491,37 +509,12 @@ def pipeline_semantic_curation(spark: SparkSession,
     Lloyd loop is one Catalyst plan; the drop rule is the exact
     integer test of kmeans_semdedup_keep, so the report is
     engine-exact row-for-row."""
-    final = _final_assignment(spark, sf_dir)
-    n2 = F.aggregate(F.transform("q", lambda x: x * x),
-                     F.lit(0).cast("long"), lambda acc, x: acc + x)
-    members = final.select("vec_id", "cid", "q", n2.alias("n2"))
-    a = members.select(
-        F.col("cid"), F.col("vec_id").alias("a_id"),
-        F.col("q").alias("a_q"), F.col("n2").alias("a_n2"))
-    b = members.select(
-        F.col("cid"), F.col("vec_id").alias("b_id"),
-        F.col("q").alias("b_q"), F.col("n2").alias("b_n2"))
-    dot = F.aggregate(
-        F.zip_with("a_q", "b_q", lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    dropped = (
-        a.join(b, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", dot)
-        .filter((F.col("dot") > 0)
-                & (_SEM_TAU_DEN2 * F.col("dot") * F.col("dot")
-                   > _SEM_TAU_NUM2 * F.col("a_n2") * F.col("b_n2")))
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(1))
-    )
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang",
         F.size(F.filter(F.split("text", " "), lambda t: t != ""))
         .cast("long").alias("n_tok"))
-    marked = (members.select("vec_id")
-              .join(dropped, "vec_id", "left")
-              .fillna(0, subset=["is_dropped"])
+    marked = (_semdedup_marked(_final_assignment(spark, sf_dir))
+              .select("vec_id", "is_dropped")
               .join(docs, "vec_id"))
     keep = 1 - F.col("is_dropped")
     return marked.groupBy("lang").agg(
