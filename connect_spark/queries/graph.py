@@ -288,10 +288,12 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    # one explode instead of a 3-way union of selects over `tris`:
+    # tris is NOT persisted, so each union branch would re-evaluate
+    # the two wedge joins — the explode emits all three roles from a
+    # single evaluation (same rows as the oracle's UNION ALL)
     per_node = (
-        tris.select(F.col("a").alias("node"))
-        .union(tris.select(F.col("b").alias("node")))
-        .union(tris.select(F.col("c").alias("node")))
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
