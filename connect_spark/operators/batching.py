@@ -197,7 +197,18 @@ def _assign_greedy(
         pdf[out] = pd.Series(ids, dtype="int64")
         return pdf
 
-    res = work.groupBy(*group_cols).applyInPandas(pack, schema)
+    # Pin the grouping exchange to the configured shuffle width: the
+    # packing state machine's cost is Python CPU per row, invisible to
+    # AQE, which coalesces this shuffle by its (tiny) byte size —
+    # measured at sf0.1 the whole stage collapsed onto 1-2 tasks
+    # (5.1s -> 1.5s with the pin).  An explicit numPartitions
+    # repartition on the group key is exactly the pre-AQE plan (the
+    # groupBy reuses the partitioning, no extra exchange) and
+    # spark.sql.shuffle.partitions stays the deployment-sized knob.
+    n_shuffle = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    res = (work.repartition(n_shuffle, *group_cols)
+           .groupBy(*group_cols).applyInPandas(pack, schema))
     drop = ["_bp_size"]
     if "_bp_grp" in res.columns:
         drop.append("_bp_grp")

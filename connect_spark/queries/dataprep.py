@@ -452,10 +452,19 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per lang with the stage-by-stage funnel
     (n_docs -> n_quality -> n_sampled) plus bin count and packed
-    token total.  Every stage is Column algebra over the previous
-    one; the whole pipeline is one Catalyst plan — no materialization
-    barriers between stages.  At 100 TB the packing window runs per
-    (lang, shard) exactly like pack_sequences.
+    token total.  The funnel rides ONE lang-partitioned pass: the
+    quality gate and the keep decision are flags, the survivor count
+    feeding the sampling rate is an unordered window aggregate over
+    the same partition the ordered packing window already needs, and
+    every funnel stat comes from a single final groupBy — the r14
+    form re-evaluated the substring-dedup pipeline in four separate
+    branches (plan audit r15: 50 parquet scans / 42 exchanges / 96
+    join nodes collapsed to 14 / 12 / 24; opt guide §2.4 "compute
+    shared subtrees once").  Flag semantics are exact: keep =
+    is_quality AND u < rate(c) where c counts quality survivors per
+    lang, and the packing cumsum sums n_tok over kept predecessors
+    only — identical rows to filtering first.  At 100 TB the packing
+    window runs per (lang, shard) exactly like pack_sequences.
     """
     docs = load_table(spark, sf_dir, "documents")
     spans = substring_spans(docs, _K).select("doc_id", "deduped_text")
@@ -471,34 +480,30 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform("toks", lambda x: F.length(x)),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("char_sum"))
-    quality = t.filter(
-        (F.col("n_tok") >= 5) & (F.col("n_tok") <= 5000)
-        & (F.col("char_sum") <= 12 * F.col("n_tok"))
-        & (F.col("char_sum") >= 2 * F.col("n_tok")))
-    counts = quality.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    is_q = ((F.col("n_tok") >= 5) & (F.col("n_tok") <= 5000)
+            & (F.col("char_sum") <= 12 * F.col("n_tok"))
+            & (F.col("char_sum") >= 2 * F.col("n_tok")))
+    flag = t.withColumn("is_q", is_q)
+    wl = Window.partitionBy("lang")
+    wd = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    c = F.sum(F.col("is_q").cast("long")).over(wl)
     m = F.lit(2147483647).cast("long")
     u = (((F.col("doc_id") % m) * F.lit(48271).cast("long")) % m) \
         / F.lit(2147483647.0)
-    rate = F.least(F.lit(1.0), F.lit(8.0) / F.sqrt(F.col("c")))
-    samp = quality.join(counts, "lang").filter(u < rate)
-    wd = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0)
-    packed = samp.withColumn("cum", F.sum("n_tok").over(wd)).withColumn(
-        "bin", F.expr("(cum - n_tok) div 512"))
-    base = rew.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    cq = quality.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_quality"))
-    pb = packed.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        (F.max("bin") + 1).alias("n_bins"),
-        F.sum("n_tok").alias("packed_tokens"))
-    return (base.join(cq, "lang", "left").join(pb, "lang", "left")
-            .select("lang", "n_docs",
-                    F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
-                    F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
-                    F.coalesce("packed_tokens", F.lit(0))
-                    .alias("packed_tokens")))
+    rate = F.least(F.lit(1.0), F.lit(8.0) / F.sqrt(c))
+    staged = flag.withColumn("keep", F.col("is_q") & (u < rate))
+    packed = staged.withColumn(
+        "cum", F.sum(F.when(F.col("keep"), F.col("n_tok"))).over(wd))
+    bin_ = F.expr("(cum - n_tok) div 512")
+    return (packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_q").cast("long")).alias("n_quality"),
+        F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+        F.coalesce(F.max(F.when(F.col("keep"), bin_)) + 1, F.lit(0))
+        .alias("n_bins"),
+        F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_tok"))),
+                   F.lit(0)).alias("packed_tokens")))
 
 
 PIPELINE_PRETRAIN_SQL = f"""
