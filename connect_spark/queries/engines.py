@@ -18,7 +18,12 @@ def jq_project_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (null < numbers) are mirrored with coalesce in SQL."""
     from connect_spark.functions.jq import jq_udf
 
-    ev = load_table(spark, sf_dir, "events")
+    # the jq evaluator is Python CPU per row above an unsplittable
+    # scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select("event_id", "props"),
+        sf_dir, "events")
     out = jq_udf('{k: .k, big: (.k >= 50)}')(F.col("props"))
     decoded = F.from_json(F.element_at(out, 1), "big BOOLEAN, k BIGINT")
     return ev.select(
@@ -64,7 +69,13 @@ def jmespath_project_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    docs = ev.groupBy(F.col("user_id").alias("uid")).agg(evs.alias("evs"))
+    # the jmespath evaluator runs per USER document (post-aggregate);
+    # AQE coalesces the tiny agg output to 1-2 tasks by byte size
+    # while the cost is Python CPU per doc — spread the evaluated
+    # frame over the machine (opt guide §2.5/§4; a no-op cost at
+    # scale: one narrow exchange of the already-aggregated rows)
+    docs = (ev.groupBy(F.col("user_id").alias("uid")).agg(evs.alias("evs"))
+            .repartition(spark.sparkContext.defaultParallelism))
     doc = F.to_json(F.struct("uid", "evs"))
     query = (
         "{uid: uid, n_purchase: length(evs[?typ == 'purchase']), "
@@ -107,7 +118,13 @@ def awk_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, pattern filter, printf formatting."""
     from connect_spark.operators.awk import awk_udf
 
-    ev = load_table(spark, sf_dir, "events")
+    # the awk interpreter is Python CPU per row above an unsplittable
+    # scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"),
+        sf_dir, "events")
     line = F.concat_ws(
         " ", F.col("event_type"), F.col("user_id").cast("string"),
         F.col("event_id").cast("string"),
@@ -142,7 +159,12 @@ def geoip_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.insert("192.168.0.0/16", {"country": {"iso_code": "GB"}})
     mmdb = w.tobytes()
 
-    ev = load_table(spark, sf_dir, "events")
+    # the mmdb tree walk is Python CPU per row above an unsplittable
+    # scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select("event_id", "user_id"),
+        sf_dir, "events")
     ip = F.when(
         F.col("user_id") % 7 == 0,
         F.concat(F.lit("192.168."), (F.col("user_id") % 256).cast("string"),
@@ -220,7 +242,13 @@ def bloblang_eval_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side with a per-source cache (bloblang/pyeval.py)."""
     from connect_spark.bloblang.methods import METHODS
 
-    ev = load_table(spark, sf_dir, "events")
+    # the dynamic-mapping evaluator is Python CPU per row above an
+    # unsplittable scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"),
+        sf_dir, "events")
     mapping_src = (
         F.when(
             F.col("event_type") == "purchase",
@@ -540,9 +568,13 @@ def ffi_libc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from connect_spark.operators.ffi import ffi_call
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type"
-    )
+    # the ctypes bridge is Python CPU per row above an unsplittable
+    # scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type"),
+        sf_dir, "events")
     out = ffi_call(
         ev,
         "libc.so.6",

@@ -440,7 +440,12 @@ def compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip_ok == true for every row, and the md5 of the decoded
     bytes (== md5 of the original text). The compressed length itself
     is zlib-version-dependent and stays out of the hashed output."""
-    docs = load_table(spark, sf_dir, "documents")
+    # gzip deflate/inflate is Python CPU per row above an unsplittable
+    # scan — spread it (opt guide §2.5/§4)
+    docs = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir, "documents")
     comp = compress_udf("gzip")
     decomp = decompress_udf("gzip")
     out = docs.select(

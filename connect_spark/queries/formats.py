@@ -122,7 +122,13 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (varint, union branch, IEEE double) breaks the hash."""
     from connect_spark.functions.avro_codec import avro_decode, avro_encode_udf
 
-    ev = load_table(spark, sf_dir, "events")
+    # the Avro encode/decode UDF pair is Python CPU per row above an
+    # unsplittable scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", "props"),
+        sf_dir, "events")
     as_json = F.to_json(
         F.struct(
             F.col("event_id"),
@@ -163,7 +169,13 @@ def schema_registry_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema_registry_decode,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # Avro encode + registry decode are Python CPU per row above an
+    # unsplittable scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"),
+        sf_dir, "events")
     as_json = F.to_json(
         F.struct(
             F.col("event_id"),
@@ -226,7 +238,13 @@ def schema_registry_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema_registry_decode,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # same per-row Python codec shape as schema_registry_avro —
+    # spread the unsplittable scan (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"),
+        sf_dir, "events")
     as_json = F.to_json(
         F.struct(
             F.col("event_id"),
@@ -289,7 +307,13 @@ def protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         protobuf_encode_udf,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # protobuf wire encode/decode is Python CPU per row above an
+    # unsplittable scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", "user_id"),
+        sf_dir, "events")
     as_json = F.to_json(
         F.struct(
             F.col("event_id"),
@@ -351,7 +375,13 @@ def schema_registry_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ddl_a = "event_id BIGINT, event_type STRING, value DOUBLE"
     ddl_b = "event_id BIGINT, label STRING"
 
-    ev = load_table(spark, sf_dir, "events")
+    # two protobuf encode UDFs + registry decode per row above an
+    # unsplittable scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"),
+        sf_dir, "events")
     json_a = F.to_json(F.struct(
         F.col("event_id"), F.col("event_type"), F.col("value")))
     json_b = F.to_json(F.struct(
@@ -400,7 +430,13 @@ def msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgpack_encode_udf,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # msgpack encode/decode is Python CPU per row above an
+    # unsplittable scan — spread it (opt guide §2.5/§4)
+    ev = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", "props"),
+        sf_dir, "events")
     as_json = F.to_json(
         F.struct(
             F.col("event_id"),

@@ -571,8 +571,15 @@ def contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from an equality join on the hash — benchmark grams are tiny,
     AQE broadcasts them at scale.  Output: per contaminated corpus doc,
     how many distinct benchmark grams it contains."""
+    from connect_spark.catalog import fanout_scan
+
     n = 13
-    docs = load_table(spark, sf_dir, "documents")
+    # one md5 per token position is heavy narrow algebra above an
+    # unsplittable scan — spread it (opt guide §2.5)
+    docs = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir, "documents")
     toks = F.split(F.col("text"), " +")
     # one slice per gram instead of 13 element lookups — an order of
     # magnitude less generated code (the 13-get form spent ~30s in

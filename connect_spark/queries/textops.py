@@ -1769,7 +1769,14 @@ def unicode_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
-    docs = load_table(spark, sf_dir, "documents")
+    from connect_spark.catalog import fanout_scan
+
+    # the UAX #29 segmenter is Python CPU per row above an
+    # unsplittable scan — spread it (opt guide §2.5/§4)
+    docs = fanout_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir, "documents")
 
     @pandas_udf("array<string>")
     def seg(sr: pd.Series) -> pd.Series:
@@ -2285,7 +2292,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (HYBRID_N_QUERY docs' tokens/trigrams) against a corpus
     posting table, then one map-side-combined (query, doc) count —
     the contamination_13gram posture. No all-pairs, no floats, no
-    UDFs; everything whole-stage-codegen'd."""
+    UDFs; everything whole-stage-codegen'd.  (r15 note: a fanout_scan
+    on the shared docs input was A/B-measured at 3.0s -> 5.4s — the
+    extra exchange feeds BOTH arms' query and corpus branches and
+    outweighs the narrow explode — so the scan is deliberately left
+    unspread here, like bloom/sketch.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs).select(
         "doc_id", F.explode(F.array_distinct("toks")).alias("term")
