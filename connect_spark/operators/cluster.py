@@ -73,12 +73,76 @@ def connected_components(
       non-increasing (every update is a least() including the old
       value), so the sum strictly decreases iff any node changed —
       one ungrouped aggregate on the frame the lazy checkpoint
-      materializes anyway, ONE job per round, no comparison join."""
-    sym = (
+      materializes anyway, ONE job per round, no comparison join;
+    - r15 second tranche: the edge set is CONTRACTED before any
+      iteration (the two-phase shape of Kiveris et al. §3): each
+      partition runs a local union-find over its own edges and emits
+      only its spanning-forest links (node -> local min-root), ≤ one
+      row per distinct node per partition.  The union of
+      per-partition forests has exactly the original component
+      structure (every original edge connects its endpoints inside
+      some partition's forest), so the iterative fixpoint is
+      unchanged — but the iterated edge set shrinks from |E| to at
+      most |V| rows per partition, and every within-partition
+      component collapses to a star, so the label rounds now only
+      stitch components that straddle partition boundaries.  On the
+      sf0.1 embedding pair graph the whole graph fits one coalesced
+      partition: init lands the exact labels and ONE round verifies
+      convergence (measured 5 rounds x ~1.2s -> 1 round; the
+      contraction itself is O(E α(E)) dict work inside the one pass
+      over the pair pipeline that the old explode+distinct
+      checkpoint already paid)."""
+    one_dir = (
         edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+
+    def _local_forest(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                a = int(a)
+                b = int(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-root union: the surviving root is the min,
+                    # so emitted links always point downward
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        # roots with no parent entry never appear as keys; every node
+        # seen in an edge is either a key or the root of a key, and
+        # the symmetric explode downstream re-surfaces roots as 'a'
+        seen = set()
+        out_n, out_r = [], []
+        for n in list(parent.keys()):
+            r = find(n)
+            for x in (n, r):
+                if x not in seen:
+                    seen.add(x)
+                    out_n.append(x)
+                    out_r.append(find(x))
+        if out_n:
+            yield pd.DataFrame({"a": out_n, "b": out_r})
+
+    forest = one_dir.mapInPandas(_local_forest, schema="a long, b long")
+    sym = (
+        forest.filter(F.col("a") != F.col("b"))
         .select(F.explode(F.array(
-            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-            F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+            F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
         )).alias("e"))
         .select("e.a", "e.b")
         .distinct()
