@@ -228,19 +228,36 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The pair table is referenced by the histogram and the projection;
     # the projection is referenced 6+ times downstream (degrees,
-    # orientation, all three triangle-join legs).  Without persist the
-    # build subtree is replicated into each reference and the physical
-    # plan grows combinatorially (measured: 752 parquet scans at 16x).
-    # Both persisted frames are orders of magnitude smaller than the
-    # pair stream that builds them — exactly the intermediates a
-    # production pipeline materializes.
+    # orientation, all three triangle-join legs).  Without
+    # materialization the build subtree is replicated into each
+    # reference and the physical plan grows combinatorially (measured:
+    # 752 parquet scans at 16x).  r15 second tranche: these were
+    # persist() — but AQE runs the downstream references as CONCURRENT
+    # broadcast sub-jobs, which raced the lazy cache and recomputed
+    # the 22M-row explode up to three times (stage audit: three 17-31s
+    # executor-time stages for one logical pass).  Eager
+    # localCheckpoint materializes each intermediate exactly once,
+    # synchronously, and every consumer reads the stored partitions —
+    # all frames are orders of magnitude smaller than the pair stream
+    # that builds them, exactly the intermediates a production
+    # pipeline materializes.
+    # the census groups by ONE packed int64 (s1 << 32 | s2) instead of
+    # the (s1, s2) two-key tuple: the 22M-row explode feeds a hash agg
+    # whose per-row probe cost is dominated by key handling, and the
+    # single-long fast path measurably beats the struct key (node ids
+    # are < 2^31 at any deployment size by TPC-H key construction)
+    code = F.shiftleft(F.col("s1"), 32) + F.col("s2")
     pairs = (
         sets.select(F.explode("ss").alias("s1"), "ss")
         .select("s1", F.explode("ss").alias("s2"))
         .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
+        .select(code.alias("code"))
+        .groupBy("code")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .persist()
+        .select(F.shiftright("code", 32).alias("s1"),
+                F.col("code").bitwiseAND(F.lit((1 << 32) - 1)).alias("s2"),
+                "shared")
+        .localCheckpoint(eager=True)
     )
     # exact integer rank threshold over the weight histogram: thr is
     # the weight at ascending rank (TOP_PAIR_PCT*n) div 100 + 1.  The
@@ -265,14 +282,14 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared")
                 >= F.greatest(F.col("thr"), F.lit(MIN_SHARED)))
         .select("s1", "s2")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     deg = (
         proj.select(F.col("s1").alias("node"))
         .union(proj.select(F.col("s2").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     d1 = deg.select(F.col("node").alias("s1"), F.col("degree").alias("g1"))
     d2 = deg.select(F.col("node").alias("s2"), F.col("degree").alias("g2"))
@@ -282,7 +299,7 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj.join(d1, "s1").join(d2, "s2")
         .select(F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
                 F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
