@@ -90,6 +90,16 @@ def substring_spans(docs: DataFrame, k: int) -> DataFrame:
         "doc_id", F.col("o.pos").alias("pos"),
         F.xxhash64("o.w").alias("h1"),
         F.xxhash64(F.lit(1), "o.w").alias("h2"))
+    # wins feeds BOTH the per-window argmin and the occurrence join
+    # back; without materialization the K-token concat_ws + double
+    # xxhash explode (the heavy stage — each window materializes a
+    # K-token string) runs twice.  Eager localCheckpoint stores the 4
+    # narrow longs per occurrence instead (r15 A/B: 3/3 interleaved
+    # wins, ~4.1s -> ~3.4s; contrast dedup_incremental where the
+    # recomputed shingle explode is cheaper than storing it and the
+    # same trade measured a LOSS — each site is measured, not
+    # blanket).
+    wins = wins.localCheckpoint(eager=True)
 
     per_win = wins.groupBy("h1", "h2").agg(
         F.count(F.lit(1)).alias("n_occ"),

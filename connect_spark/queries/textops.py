@@ -193,7 +193,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    # all a<b pairs within a bucket, generated from the sorted id list
+    # all a<b pairs within a bucket, generated from the sorted id
+    # list.  (r15 second tranche: the double-explode + packed-int64
+    # form that won in dedup_ngram_jaccard was A/B'd here too and
+    # measured a TIE — minhash band buckets are tiny, so the HOF
+    # element cost never dominates; the committed form is the one
+    # with the smaller plan.)
     pairs = F.flatten(
         F.transform(
             "ids",
@@ -268,15 +273,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.size("ids") <= NGRAM_DF_CAP))
     sizes = (roll.select(F.explode("ids").alias("doc_id"))
              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
-    # all a<b pairs within a shingle bucket, from the sorted id list
-    pair_list = F.flatten(F.transform("ids", lambda x, i: F.transform(
-        F.slice("ids", i + 2, F.size("ids") - i - 1),
-        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    # all a<b pairs within a shingle bucket, via double explode — a
+    # codegen Generate; the r15 first-tranche HOF slice/transform form
+    # is CodegenFallback per element (the same measurement as the
+    # triangles census: interleaved A/B 3/3, ~3.6s -> ~2.5s).  The
+    # intersection count groups by ONE packed int64 (a << 32 | b,
+    # doc_ids < 2^31) — single-long hash-agg fast path — and decodes
+    # after the aggregate.
+    code = F.shiftleft(F.col("doc_a"), 32) + F.col("doc_b")
     inter = (roll.filter(F.size("ids") >= 2)
-             .select(F.explode(pair_list).alias("p"))
-             .select(F.col("p.doc_a").alias("doc_a"),
-                     F.col("p.doc_b").alias("doc_b"))
-             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i")))
+             .select(F.explode("ids").alias("doc_a"), "ids")
+             .select("doc_a", F.explode("ids").alias("doc_b"))
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select(code.alias("code"))
+             .groupBy("code").agg(F.count(F.lit(1)).alias("i"))
+             .select(F.shiftright("code", 32).alias("doc_a"),
+                     F.col("code").bitwiseAND(F.lit((1 << 32) - 1))
+                     .alias("doc_b"), "i"))
     # sizes is one row per document (sf-scaled): plain equi-joins, not
     # broadcast — at 100 TB a per-doc aggregate is billions of rows.
     out = (
