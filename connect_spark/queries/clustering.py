@@ -129,24 +129,73 @@ def _assign(vecs: DataFrame, rows: list[Row]) -> DataFrame:
         assign_batches, schema="vec_id long, q array<long>, cid long, d2 long")
 
 
-def _update(assigned: DataFrame, prev: list[Row]) -> list[Row]:
+def _round_partials(vecs: DataFrame, rows: list[Row]) -> DataFrame:
+    """One Lloyd round's assignment + per-TASK partial centroid sums
+    in a single numpy pass (the treeAggregate shape MLlib's own loop
+    uses, guide §4.2): each task folds its batches into one K×DIMS
+    int64 sum matrix + K counts and emits K rows.  Replaces the
+    posexplode(q) + groupBy(cid, pos) update, which pushed N×DIMS
+    rows through the JVM hash aggregate per round (8M probes at
+    sf0.1) — the partial frame is K rows per task at ANY corpus
+    size.  Assignment semantics identical to `_assign` (int64 math,
+    argmin first-minimum = lexicographic (d2, cid) tie-break)."""
+    rows = sorted(rows, key=lambda r: r["cid"])
+    cmat = [list(map(int, r["cq"])) for r in rows]
+    cids = [int(r["cid"]) for r in rows]
+
+    def part_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.asarray(cmat, dtype=np.int64)
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        k, d = cm.shape
+        sums = np.zeros((k, d), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        got = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            got = True
+            q = np.asarray(
+                [np.asarray(x, dtype=np.int64) for x in pdf["q"]],
+                dtype=np.int64)
+            d2 = ((q[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            j = d2.argmin(axis=1)                    # first min = min cid
+            np.add.at(sums, j, q)
+            counts += np.bincount(j, minlength=k)
+        if got:
+            yield pd.DataFrame(
+                {"cid": cid_arr, "s": list(sums), "n": counts})
+
+    return vecs.select("q").mapInPandas(
+        part_batches, schema="cid long, s array<long>, n long")
+
+
+def _update(vecs: DataFrame, prev: list[Row]) -> list[Row]:
     """Floor-mean centroid update; empty clusters keep the previous
     centroid.  The collect is K*DIMS longs — control-plane-sized,
     the same centers-to-driver step MLlib's Lloyd loop performs.
     Returns driver-local rows (the caller builds the next broadcast
-    table from them — no extra collect round trip)."""
+    table from them — no extra collect round trip).  The per-(cid,
+    pos) reduce over task partials is a tiny Spark agg (K×DIMS×tasks
+    rows), not a driver fold, so the driver stays bounded at any
+    executor count; every (cid, pos) group carries the same per-cid
+    n, so n can be read from any group."""
     import math
 
     sums = (
-        assigned.select("cid", F.posexplode("q").alias("pos", "x"))
+        _round_partials(vecs, prev)
+        .select("cid", "n", F.posexplode("s").alias("pos", "x"))
         .groupBy("cid", "pos")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("x").alias("s"), F.sum("n").alias("n"))
         .collect()
     )
     by_cid: dict[int, dict[int, int]] = {}
     for r in sums:
-        by_cid.setdefault(r["cid"], {})[r["pos"]] = int(
-            math.floor(r["s"] / r["n"]))
+        if r["n"] > 0:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = int(
+                math.floor(r["s"] / r["n"]))
     rows = []
     for p in prev:
         m = by_cid.get(p["cid"])
@@ -170,7 +219,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[Row]:
     prev = vecs.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")).collect()
     for _ in range(ITERS):
-        prev = _update(_assign(vecs, prev), prev)
+        prev = _update(vecs, prev)
     return prev
 
 
