@@ -760,14 +760,25 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       (hamming is functional on the pair, so dedup after filter is
       equivalent and the exchange carries 3 longs, not signatures).
     Measured 21s -> ~4.2s, identical output."""
+    # r15 second tranche: the 64-char signature string is converted to
+    # FOUR int64 chunks once per doc, BEFORE the bucket rollup — the
+    # band key is the chunk itself (no substring), the rollup/fanout/
+    # pair explode carry 4 longs instead of a 64-char string, and the
+    # per-pair hamming is pure XOR/bit_count with zero conv() string
+    # parses (was 8 per pair).  Interleaved A/B 3/3: ~3.5 -> ~2.7s,
+    # census identical.  Member structs still sort by doc_id first,
+    # so in-bucket pair order is unchanged.
     sigs = dedup_simhash(spark, sf_dir)
+    chunks = sigs.select(
+        "doc_id",
+        *[F.conv(F.substring("simhash", b * 16 + 1, 16), 2, 10)
+          .cast("long").alias(f"c{b}") for b in range(4)])
     band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.substring("simhash", b * 16 + 1, 16).alias("key"))
+        F.struct(F.lit(b).alias("band"), F.col(f"c{b}").alias("key"))
         for b in range(4)
     ])
-    bands = sigs.select(
-        F.struct("doc_id", "simhash").alias("ds"),
+    bands = chunks.select(
+        F.struct("doc_id", "c0", "c1", "c2", "c3").alias("ds"),
         F.explode(band_structs).alias("bk"),
     ).select("ds", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
@@ -785,13 +796,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     hamming = sum(
-        F.bit_count(
-            F.conv(F.substring(F.col("a.simhash"), i * 16 + 1, 16),
-                   2, 10).cast("long")
-            .bitwiseXOR(
-                F.conv(F.substring(F.col("b.simhash"), i * 16 + 1, 16),
-                       2, 10).cast("long"))
-        )
+        F.bit_count(F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}")))
         for i in range(4)
     )
     return (
