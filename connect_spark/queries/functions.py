@@ -513,7 +513,7 @@ meta origin = "fn-matrix"
 root.event_id = this.event_id
 root.bidx = batch_index()
 root.bsize = batch_size()
-root.pad = bytes(4)
+root.pad = bytes(4).encode("hex")
 root.pad_len = bytes(8).length()
 root.seq = count("fn_matrix")
 root.doc_json = content()
@@ -547,7 +547,7 @@ SELECT event_id,
        row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
          AS bidx,
        count(*) OVER (PARTITION BY user_id) AS bsize,
-       '\\x00\\x00\\x00\\x00'::BLOB AS pad,
+       '00000000' AS pad,
        CAST(8 AS BIGINT) AS pad_len,
        row_number() OVER (ORDER BY event_id) AS seq,
        '{"event_id":' || event_id || ',"user_id":' || user_id ||
