@@ -126,10 +126,25 @@ def try_processor(
     stops later steps from touching those rows).
     """
     df = ensure_error_col(df)
+    # r16 shape: the previous form re-unioned the full frame after
+    # EVERY step (df = step(healthy) ∪ errored), so step i's subtree
+    # was re-evaluated by both branch filters of step i+1 — 2^k plan
+    # copies and 2^k re-executions of the earliest step's work for a
+    # k-step block (measured: a 6-processor reference suite collected
+    # one document through 446 tasks).  Accumulating each step's
+    # newly-errored slice and unioning ONCE at the end keeps every
+    # subtree's consumer count at two (next step + its error filter):
+    # linear plans, identical row multiset (errored rows freeze at the
+    # step that flagged them in both forms).
+    err_parts = [df.filter(errored())]
+    cur = df.filter(~errored())
     for step in steps:
-        healthy = step(df.filter(~errored()))
-        df = healthy.unionByName(df.filter(errored()), allowMissingColumns=True)
-    return df
+        out = ensure_error_col(step(cur))
+        err_parts.append(out.filter(errored()))
+        cur = out.filter(~errored())
+    for part in err_parts:
+        cur = cur.unionByName(part, allowMissingColumns=True)
+    return cur
 
 
 def catch_processor(

@@ -313,6 +313,18 @@ def _dynamic_apply(df: DataFrame, src: str, mode: str) -> DataFrame:
     # deployment-sized knob at scale.
     n_shuffle = int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
+    # ... except when the frame carries no batch keys (r16): the
+    # evaluator then groups by the constant __g, i.e. ONE pandas group
+    # by construction — the hash exchange lands every row in a single
+    # partition no matter the width, and each extra partition is an
+    # empty applyInPandas task paying a Python-worker round trip
+    # (measured: every interpreted step of a one-document reference
+    # suite burned ~32 empty tasks; the same waste rides along at any
+    # deployment size).  Keyed frames (batch ids) keep the full
+    # deployment width — that spread is the r15 dynamic_batch_reduce
+    # fix and the keys are many at scale.
+    if group_cols == ["__g"]:
+        n_shuffle = 1
     return (
         work.repartition(n_shuffle, *group_cols)
         .groupBy(*group_cols)

@@ -117,7 +117,18 @@ def _frame_from_batch(
         StructField(META_COL, MapType(StringType(), StringType())),
         StructField("_arrival_order", LongType()),
     ])
-    return spark.createDataFrame(rows, schema)
+    # unit-test batches are a handful of documents, but createDataFrame
+    # slices them across defaultParallelism Python-RDD partitions — and
+    # the try/catch + branch union chains downstream ADD partition
+    # lists (no exchange, so AQE never coalesces): a one-document suite
+    # was measured collecting through 384- and 416-task stages of
+    # mostly-empty partitions, ~75 of its 81 seconds.  A single slice
+    # at the source keeps every downstream branch one-partition (a
+    # coalesce(1) instead would still pay one Python-worker round trip
+    # per empty source slice inside the merged task — measured ~4s per
+    # action).
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    return spark.createDataFrame(rdd, schema)
 
 
 def _json_pointer(config: dict, pointer: str):

@@ -88,31 +88,62 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", _fp().alias("fp"))
     corpus_fp = docs.filter(F.col("doc_id") % 3 != 0).select("fp").distinct()
 
+    # <= m/62 rows by construction (control-plane-sized at ANY corpus
+    # size); eagerly materialized because the probe below references
+    # it K_HASH times — without the checkpoint each reference would
+    # replicate the whole corpus-distinct + position subtree (the
+    # aliasing Project sits under the BroadcastExchange, so the
+    # exchange-reuse rule cannot dedupe them)
     bloom = (
         _positions(corpus_fp)
         .groupBy("word")
         .agg(F.bit_or("mask").alias("words"))
+        .localCheckpoint(eager=True)
     )
 
     # no broadcast HINTS anywhere: the filter aggregate is <= m/62
     # rows by construction, so AQE's size stats broadcast it on their
     # own; `present` (distinct corpus fps) GROWS with sf — hinting it
     # would OOM the build side at 100 TB (the plan guard catches
-    # exactly this), so it stays an equality shuffle join
-    probe = _positions(docs.select("doc_id", "lang", "fp"))
-    hits = (
-        probe.join(bloom, "word", "left")
-        .withColumn(
-            "hit",
-            F.when(
-                (F.col("words").isNotNull())
-                & (F.col("words").bitwiseAND(F.col("mask")) != 0),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .groupBy("doc_id", "lang", "fp")
-        .agg((F.sum("hit") == K_HASH).cast("int").alias("flagged"))
-    )
+    # exactly this), so it stays an equality shuffle join.
+    #
+    # Probe shape (r16, guide §2.4): the r15 probe exploded every doc
+    # into K_HASH (word, mask) rows and re-grouped them by
+    # (doc_id, lang, fp) to AND the bits — a Generate x4 plus a full
+    # per-doc hash-agg exchange.  The K positions are a FIXED, tiny
+    # fan-out, so the probe now carries them as K column pairs and
+    # takes K broadcast joins against the <= m/62-row filter (one
+    # BroadcastExchange, reused K-1 times): the doc stream stays
+    # narrow end-to-end and the only remaining shuffles are the
+    # membership join and the final per-lang aggregate.  flagged is
+    # the same all-K-bits-set predicate; doc_id is unique per row
+    # (table key), so dropping the regroup leaves the row multiset
+    # identical — pinned by the oracle at every SF.
+    p = docs.select("doc_id", "lang", "fp").withColumn(
+        "h", F.md5(F.concat(F.lit(_SALT), F.col("fp"))))
+    for j in range(K_HASH):
+        p = p.withColumn(
+            f"p{j}",
+            F.conv(F.substring("h", j * 4 + 1, 4), 16, 10).cast("long"))
+        p = p.withColumn(f"w{j}", (F.col(f"p{j}") / 62).cast("long"))
+        p = p.withColumn(
+            f"m{j}",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{j} % 62 AS INT))"))
+    bit_ok = []
+    for j in range(K_HASH):
+        p = p.join(
+            bloom.select(F.col("word").alias(f"w{j}"),
+                         F.col("words").alias(f"words{j}")),
+            f"w{j}", "left")
+        bit_ok.append(
+            F.col(f"words{j}").isNotNull()
+            & (F.col(f"words{j}").bitwiseAND(F.col(f"m{j}")) != 0))
+    all_set = bit_ok[0]
+    for c in bit_ok[1:]:
+        all_set = all_set & c
+    hits = p.select(
+        "doc_id", "lang", "fp",
+        F.when(all_set, F.lit(1)).otherwise(F.lit(0)).alias("flagged"))
     present = corpus_fp.withColumn("present", F.lit(1))
     joined = hits.join(present, "fp", "left").fillna(
         0, subset=["present"])
