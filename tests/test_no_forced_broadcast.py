@@ -17,7 +17,12 @@ from __future__ import annotations
 
 import pytest
 
-from connect_spark.queries import all_queries
+from tests._registry_artifacts import (
+    BOUNDED_LEAF_MARKERS as _BOUNDED_LEAF_MARKERS,
+    forced_broadcast_violations as _forced_broadcast_violations,
+    registry_artifacts,
+    walk as _walk,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -33,8 +38,9 @@ _SKIP = {
     "bloblang_eval_dynamic",
 }
 
-# Leaf markers of tables whose cardinality does NOT grow with sf.
-_BOUNDED_LEAF_MARKERS = ("n_nationkey", "r_regionkey")
+# The boundedness walker lives in tests/_registry_artifacts.py (r16:
+# shared with the plan sweep so the ~213 query builds happen once per
+# session instead of once per test).
 
 
 def _children(node):
@@ -42,64 +48,13 @@ def _children(node):
     return [seq.apply(i) for i in range(seq.size())]
 
 
-def _bounded(node) -> bool:
-    """True iff this logical subtree's row count is O(1) in sf."""
-    name = node.getClass().getSimpleName()
-    kids = _children(node)
-    if name in ("GlobalLimit", "LocalLimit", "LocalRelation", "OneRowRelation"):
-        return True
-    if name == "LogicalRDD":
-        # createDataFrame over driver-local rows (control-plane state:
-        # id maps, recorded registries) — driver-resident by
-        # construction, cannot be an sf-scaled scan
-        return True
-    if name == "Aggregate":
-        if node.groupingExpressions().isEmpty():
-            return True  # 1-row scalar aggregate
-        return all(_bounded(k) for k in kids)  # |out| <= |in|
-    if name == "Filter":
-        cond = node.condition().toString()
-        if "vec_id" in cond and "<" in cond:
-            return True  # fixed-prefix centroids / query set
-        return all(_bounded(k) for k in kids)
-    if not kids:
-        # Leaf relation: bounded only if it is a true dim table.
-        s = node.simpleString(1000)
-        return any(m in s for m in _BOUNDED_LEAF_MARKERS)
-    if name == "Join":
-        return all(_bounded(k) for k in kids)
-    if name == "Union":
-        return all(_bounded(k) for k in kids)
-    # Project / SubqueryAlias / Sort / Distinct / Window etc: |out| <= |in|
-    return all(_bounded(k) for k in kids)
-
-
-def _walk(node):
-    yield node
-    for k in _children(node):
-        yield from _walk(k)
-
-
-def _forced_broadcast_violations(df) -> list[str]:
-    plan = df._jdf.queryExecution().analyzed()
-    bad = []
-    for node in _walk(plan):
-        if node.getClass().getSimpleName() == "ResolvedHint":
-            child = _children(node)[0]
-            if not _bounded(child):
-                bad.append(child.simpleString(200))
-    return bad
-
-
 def test_no_forced_broadcast_of_sf_scaled_sides(spark):
     failures = {}
-    for spec in all_queries():
-        if spec.name in _SKIP:
+    for name, art in registry_artifacts(spark).items():
+        if name in _SKIP:
             continue
-        df = spec.fn(spark, SF)
-        bad = _forced_broadcast_violations(df)
-        if bad:
-            failures[spec.name] = bad
+        if art["hint_violations"]:
+            failures[name] = art["hint_violations"]
     assert not failures, failures
 
 

@@ -2,7 +2,7 @@
 
 The per-query plan pinning lives in test_plan_shapes.py (headline
 band).  This sweep asserts the two properties that must hold for
-EVERY one of the 209 registry queries, because either one silently
+EVERY one of the registry queries, because either one silently
 destroys the 100-TB posture:
 
   - no CartesianProduct: every cross join in the repo is a broadcast
@@ -13,27 +13,24 @@ destroys the 100-TB posture:
     FlatMapGroupsInPandas) or JVM-side.
 
 Previously these were judge-session greps; now a plan regression
-anywhere in the registry fails the suite (~3 min for all 209 plans
-at sf0.001)."""
+anywhere in the registry fails the suite.  The query construction is
+shared with test_no_forced_broadcast via tests/_registry_artifacts.py
+(r16: the two tests built all ~213 queries independently — 146s+110s,
+the two slowest tests in the suite)."""
 
 from __future__ import annotations
 
-from connect_spark.queries import all_queries
-
-SF = "/root/testdata/sf0.001"
+from tests._registry_artifacts import registry_artifacts
 
 
 def test_no_cartesian_or_rowwise_python_anywhere(spark):
-    spark.catalog.clearCache()
     offenders = []
-    for s in all_queries():
-        df = s.fn(spark, SF)
-        p = df._jdf.queryExecution().executedPlan().toString()
+    for name, art in registry_artifacts(spark).items():
+        p = art["executed"]
         if "CartesianProduct" in p:
-            offenders.append((s.name, "CartesianProduct"))
+            offenders.append((name, "CartesianProduct"))
         if "BatchEvalPython" in p:
-            offenders.append((s.name, "BatchEvalPython"))
-    spark.catalog.clearCache()
+            offenders.append((name, "BatchEvalPython"))
     assert not offenders, (
         "scale anti-patterns entered the registry: "
         f"{offenders}")
