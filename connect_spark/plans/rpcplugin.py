@@ -604,14 +604,20 @@ def _partition_runner(manifest: PluginManifest, cfg: dict[str, Any],
     times (processor.go ProcessBatch's restart loop)."""
 
     def run(batches: Iterator) -> Iterator:
-        client = PluginClient(manifest.command, manifest.cwd)
-        _start_and_init(client, cfg)
-        if method == "write_batch":
-            client.call("connect")
+        # Child start is lazy: an empty partition (ubiquitous both in
+        # unit-scale frames and at the ragged tail of a production
+        # scan) must not pay a subprocess spawn + init RPC + close.
+        client: PluginClient | None = None
         try:
             for pdf in batches:
                 if not len(pdf):
                     continue
+                if client is None:
+                    client = PluginClient(manifest.command,
+                                          manifest.cwd)
+                    _start_and_init(client, cfg)
+                    if method == "write_batch":
+                        client.call("connect")
                 payload = {"messages": _rows_to_messages(pdf)}
                 last: Exception | None = None
                 for _ in range(_RETRY_COUNT):
@@ -639,7 +645,8 @@ def _partition_runner(manifest: PluginManifest, cfg: dict[str, Any],
                     yield pd.DataFrame({"written": [len(payload[
                         "messages"])]})
         finally:
-            client.close()
+            if client is not None:
+                client.close()
 
     return run
 
@@ -656,14 +663,18 @@ def _arrow_partition_runner(manifest: PluginManifest,
         import pandas as pd
         import pyarrow as pa
 
-        client = ArrowPluginClient(manifest.command, manifest.cwd)
-        _start_and_init(client, cfg)
-        if method == "write_batch":
-            client.call("connect")
+        # lazy child start — empty partitions spawn nothing
+        client: ArrowPluginClient | None = None
         try:
             for pdf in batches:
                 if not len(pdf):
                     continue
+                if client is None:
+                    client = ArrowPluginClient(manifest.command,
+                                               manifest.cwd)
+                    _start_and_init(client, cfg)
+                    if method == "write_batch":
+                        client.call("connect")
                 tbl = pa.Table.from_pandas(pdf, preserve_index=False)
                 last: Exception | None = None
                 for _ in range(_RETRY_COUNT):
@@ -698,7 +709,8 @@ def _arrow_partition_runner(manifest: PluginManifest,
                 else:
                     yield pd.DataFrame({"written": [len(pdf)]})
         finally:
-            client.close()
+            if client is not None:
+                client.close()
 
     return run
 

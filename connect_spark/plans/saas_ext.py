@@ -339,7 +339,11 @@ def _post_each(df: DataFrame, c: dict, url: str, body: Column) -> None:
     seam is driver-resident; bounded memory via toLocalIterator)."""
     t = _row_transport(c)
     headers = dict(c.get("headers", {}))
-    for row in df.select(body.alias("_b")).toLocalIterator():
+    # prefetch overlaps the next partition's fetch job with this
+    # partition's posts (toLocalIterator schedules one job per
+    # partition); memory bound rises to two partitions, still bounded
+    for row in df.select(body.alias("_b")).toLocalIterator(
+            prefetchPartitions=True):
         t(url, "POST", headers, row._b)
 
 

@@ -241,48 +241,19 @@ def triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all frames are orders of magnitude smaller than the pair stream
     # that builds them, exactly the intermediates a production
     # pipeline materializes.
-    # the census counts ONE packed int64 (s1 << 32 | s2) per pair.
-    # r15 ran the C(k,2) expansion as a double explode into a JVM hash
-    # agg: 22M/sf short rows, each paying Generate + per-row hash-probe
-    # cost.  r16 (guide §4.2): the expansion AND the first-level count
-    # now run as one numpy pass per Arrow batch — triu_indices gathers
-    # per set-size class, a vectorized pack, and np.unique(counts) —
-    # so only each task's PARTIAL census (bounded by the number of
-    # distinct pairs it sees, not pair occurrences) reaches the
-    # shuffle, and the final groupBy merely sums partials (exact
-    # integer counts, order-independent).  Node ids are < 2^31 at any
-    # deployment size by TPC-H key construction, so the pack is exact.
-    def _pair_census(pdfs):
-        import numpy as np
-        import pandas as pd
-
-        tri_cache: dict = {}
-        for pdf in pdfs:
-            by_k: dict = {}
-            for arr in pdf["ss"]:
-                k = len(arr)
-                if k >= 2:
-                    by_k.setdefault(k, []).append(arr)
-            parts = []
-            for k, arrs in by_k.items():
-                m = np.sort(np.asarray(arrs, dtype=np.int64), axis=1)
-                iu = tri_cache.get(k)
-                if iu is None:
-                    iu = np.triu_indices(k, 1)
-                    tri_cache[k] = iu
-                # rows are sorted ascending and duplicate-free (sets),
-                # so column i < column j implies value a < value b
-                parts.append(
-                    (m[:, iu[0]].ravel() << 32) + m[:, iu[1]].ravel())
-            if not parts:
-                continue
-            u, c = np.unique(np.concatenate(parts), return_counts=True)
-            yield pd.DataFrame({"code": u, "cnt": c})
-
+    # the census groups by ONE packed int64 (s1 << 32 | s2) instead of
+    # the (s1, s2) two-key tuple: the 22M-row explode feeds a hash agg
+    # whose per-row probe cost is dominated by key handling, and the
+    # single-long fast path measurably beats the struct key (node ids
+    # are < 2^31 at any deployment size by TPC-H key construction)
+    code = F.shiftleft(F.col("s1"), 32) + F.col("s2")
     pairs = (
-        sets.mapInPandas(_pair_census, "code long, cnt long")
+        sets.select(F.explode("ss").alias("s1"), "ss")
+        .select("s1", F.explode("ss").alias("s2"))
+        .filter(F.col("s1") < F.col("s2"))
+        .select(code.alias("code"))
         .groupBy("code")
-        .agg(F.sum("cnt").alias("shared"))
+        .agg(F.count(F.lit(1)).alias("shared"))
         .select(F.shiftright("code", 32).alias("s1"),
                 F.col("code").bitwiseAND(F.lit((1 << 32) - 1)).alias("s2"),
                 "shared")

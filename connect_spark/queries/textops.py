@@ -273,45 +273,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.size("ids") <= NGRAM_DF_CAP))
     sizes = (roll.select(F.explode("ids").alias("doc_id"))
              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
-    # all a<b pairs within a shingle bucket, counted by ONE packed
-    # int64 (a << 32 | b, doc_ids < 2^31).  r15 ran this as a double
-    # explode into the JVM hash agg; r16 (guide §4.2, same rewrite as
-    # the triangles census): the C(k,2) expansion AND the first-level
-    # count run as one numpy pass per Arrow batch — triu_indices
-    # gathered per bucket-size class over the already-sorted rollup
-    # lists, vectorized pack, np.unique(counts) — so only each task's
-    # PARTIAL census crosses the shuffle and the final groupBy sums
-    # partials (exact integer counts, order-independent).
-    def _bucket_census(pdfs):
-        import numpy as np
-        import pandas as pd
-
-        tri_cache: dict = {}
-        for pdf in pdfs:
-            by_k: dict = {}
-            for arr in pdf["ids"]:
-                k = len(arr)
-                if k >= 2:
-                    by_k.setdefault(k, []).append(arr)
-            parts = []
-            for k, arrs in by_k.items():
-                # rollup lists are sort_array'd and per-doc distinct,
-                # so column i < column j implies doc_a < doc_b
-                m = np.asarray(arrs, dtype=np.int64)
-                iu = tri_cache.get(k)
-                if iu is None:
-                    iu = np.triu_indices(k, 1)
-                    tri_cache[k] = iu
-                parts.append(
-                    (m[:, iu[0]].ravel() << 32) + m[:, iu[1]].ravel())
-            if not parts:
-                continue
-            u, c = np.unique(np.concatenate(parts), return_counts=True)
-            yield pd.DataFrame({"code": u, "i": c})
-
-    inter = (roll.filter(F.size("ids") >= 2).select("ids")
-             .mapInPandas(_bucket_census, "code long, i long")
-             .groupBy("code").agg(F.sum("i").alias("i"))
+    # all a<b pairs within a shingle bucket, via double explode — a
+    # codegen Generate; the r15 first-tranche HOF slice/transform form
+    # is CodegenFallback per element (the same measurement as the
+    # triangles census: interleaved A/B 3/3, ~3.6s -> ~2.5s).  The
+    # intersection count groups by ONE packed int64 (a << 32 | b,
+    # doc_ids < 2^31) — single-long hash-agg fast path — and decodes
+    # after the aggregate.
+    code = F.shiftleft(F.col("doc_a"), 32) + F.col("doc_b")
+    inter = (roll.filter(F.size("ids") >= 2)
+             .select(F.explode("ids").alias("doc_a"), "ids")
+             .select("doc_a", F.explode("ids").alias("doc_b"))
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select(code.alias("code"))
+             .groupBy("code").agg(F.count(F.lit(1)).alias("i"))
              .select(F.shiftright("code", 32).alias("doc_a"),
                      F.col("code").bitwiseAND(F.lit((1 << 32) - 1))
                      .alias("doc_b"), "i"))

@@ -35,10 +35,16 @@ def _cpus() -> int:
 def get_spark(app_name: str = "connect_spark") -> SparkSession:
     """Build (or return) the shared SparkSession."""
     n = _cpus() or (os.cpu_count() or 4)
+    # Shuffle width defaults to the core count; override for sessions
+    # whose workloads are dominated by fixed per-partition overhead
+    # (the unit suite: streaming state stores open one per shuffle
+    # partition per micro-batch, and AQE cannot coalesce streaming).
+    # bench.py and the round driver never set it.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or str(n)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.shuffle.partitions", shuffle)
         # Bloblang merge/squash: right side wins on duplicate map keys
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.adaptive.enabled", "true")
@@ -54,6 +60,15 @@ def get_spark(app_name: str = "connect_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Optional override for sc.parallelize / local-list createDataFrame
+    # slice counts (RDD default parallelism).  Unset = Spark's own
+    # default (total cores).  The test suite pins a small value so
+    # control-plane-sized local frames stop fanning into one empty
+    # Python-RDD slice per core; bench.py and the round driver never
+    # set it, so measured query behavior is unchanged.
+    dp = os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM")
+    if dp:
+        builder = builder.config("spark.default.parallelism", dp)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -67,6 +67,11 @@ def walk(node):
 
 def forced_broadcast_violations(df) -> list[str]:
     plan = df._jdf.queryExecution().analyzed()
+    # Node-by-node traversal is a py4j round trip per node; only pay
+    # it when the plan text shows a hint at all (most queries carry
+    # none, and a hint always prints as "ResolvedHint").
+    if "ResolvedHint" not in plan.toString():
+        return []
     bad = []
     for node in walk(plan):
         if node.getClass().getSimpleName() == "ResolvedHint":
@@ -77,7 +82,8 @@ def forced_broadcast_violations(df) -> list[str]:
 
 
 def registry_artifacts(spark) -> dict[str, dict[str, Any]]:
-    """name -> {"executed": physical-plan string,
+    """name -> {"df": the session-built DataFrame,
+                "executed": physical-plan string,
                 "hint_violations": [unbounded hinted subtrees]}."""
     global _CACHE
     if _CACHE is not None:
@@ -89,9 +95,22 @@ def registry_artifacts(spark) -> dict[str, dict[str, Any]]:
     for s in all_queries():
         df = s.fn(spark, SF)
         out[s.name] = {
+            "df": df,
             "executed": df._jdf.queryExecution().executedPlan().toString(),
             "hint_violations": forced_broadcast_violations(df),
         }
     spark.catalog.clearCache()
     _CACHE = out
     return out
+
+
+def registry_df(spark, spec, sf_dir: str):
+    """The shared one-pass DataFrame for ``spec`` when the build
+    already ran at the same scale factor (full-suite file order puts
+    test_no_forced_broadcast before test_oracle_parity, so the heavy
+    constructions — streaming gates, iterative checkpoints — are paid
+    once per session, not once per consumer test).  Standalone
+    invocations and non-default SFs build just this query."""
+    if sf_dir == SF and _CACHE is not None and spec.name in _CACHE:
+        return _CACHE[spec.name]["df"]
+    return spec.fn(spark, sf_dir)

@@ -18,6 +18,19 @@ if "TMPDIR" not in os.environ and os.path.isdir("/dev/shm") \
     os.environ["TMPDIR"] = _scratch
     tempfile.tempdir = None  # re-resolve gettempdir() from TMPDIR
 
+# Control-plane-sized local frames (the overwhelming majority of unit
+# fixtures) otherwise parallelize to one slice per core — at 32 cores
+# that is 31 empty Python-worker round trips per Python-seam action
+# and 32 fetch jobs per toLocalIterator drain.  8 keeps genuine
+# parallelism for the handful of tests with real data.  Query results
+# are partition-count independent (oracle-pinned), and neither
+# bench.py nor the round driver sets this knob.
+os.environ.setdefault("SPARK_GRAFT_DEFAULT_PARALLELISM", "8")
+# Streaming state stores open one per shuffle partition per
+# micro-batch (no AQE coalescing in streaming); at unit scale 32 of
+# them per trigger is pure fixed overhead.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+
 from connect_spark.session import get_spark  # noqa: E402
 
 SF_SMALL = "/root/testdata/sf0.001"

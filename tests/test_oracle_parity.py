@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from connect_spark.queries import all_queries
+from tests._registry_artifacts import registry_df
 from tests.oracle import compare, run_oracle
 
 SPECS = all_queries()
@@ -16,7 +17,10 @@ SPECS = all_queries()
     "spec", SPECS, ids=[s.name for s in SPECS]
 )
 def test_query_matches_oracle(spark, sf_dir, spec):
-    df = spec.fn(spark, sf_dir)
+    # Reuses the session's one-pass registry build when it already ran
+    # (same construction call, same lineage — the heavy streaming /
+    # iterative builds stop being paid twice per suite run).
+    df = registry_df(spark, spec, sf_dir)
     if spec.oracle is None:
         assert df.count() >= 0  # rows-only check (driver does the same)
         return

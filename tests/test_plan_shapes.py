@@ -131,19 +131,19 @@ EXPECT: dict[str, dict] = {
 
 @pytest.fixture(scope="module")
 def plans(spark) -> dict[str, str]:
-    # canonical plan text needs a cold cache: with suite history the
-    # persist() calls resolve to already-materialized relations and
-    # AQE stage reuse rewrites the printed tree (ShuffleQueryStage /
-    # finalized subplans), making node counts session-dependent
-    spark.catalog.clearCache()
-    out = {}
-    for s in all_queries():
-        if s.headline:
-            df = s.fn(spark, SF)
-            out[s.name] = (
-                df._jdf.queryExecution().executedPlan().toString())
-    spark.catalog.clearCache()  # don't leak pinned frames forward
-    return out
+    # Canonical plan text needs a cold cache; the shared registry
+    # build (tests/_registry_artifacts.py) already captures every
+    # query's initial physical plan under exactly that discipline
+    # (clearCache before and after, pre-execution executedPlan), so
+    # consume it instead of re-building the headline band.
+    from tests._registry_artifacts import registry_artifacts
+
+    arts = registry_artifacts(spark)
+    return {
+        s.name: arts[s.name]["executed"]
+        for s in all_queries()
+        if s.headline
+    }
 
 
 def test_expectations_cover_exactly_the_headline_band():

@@ -213,9 +213,13 @@ def plugin_pair():
 
 
 def _df(spark, texts):
-    return spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)],
-        "doc_id BIGINT, text STRING").coalesce(1)
+    # one slice at the SOURCE: createDataFrame over a local list
+    # parallelizes to defaultParallelism slices, and coalesce(1) still
+    # evaluates every empty source slice through its own Python-worker
+    # round trip per action (the r16 testrunner measurement)
+    rdd = spark.sparkContext.parallelize(
+        [(i, t) for i, t in enumerate(texts)], 1)
+    return spark.createDataFrame(rdd, "doc_id BIGINT, text STRING")
 
 
 def _collect(df):
